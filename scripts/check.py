@@ -1,0 +1,126 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 scripts/check.py [sfDir] [outDir]
+
+1. Expects `sbt "runMain graft.Verify <sfDir> <outDir>"` to have been run
+   (or runs it with --run).
+2. Registers the sfDir parquet tables as DuckDB views, runs each SQL in
+   outDir/oracle_sql.json, and compares against outDir/<name>/ parquet:
+   columns sorted by name, rows sorted by all columns, values compared
+   exactly (and with 1e-9 relative tolerance as a secondary signal).
+"""
+import json, sys, glob, math, subprocess
+
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def load_spark_result(path):
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    if not files:
+        return None
+    return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+
+
+def normalize(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    # canonicalize types a bit: pandas may give object for decimals
+    for c in df.columns:
+        if df[c].dtype == object:
+            sample = df[c].dropna()
+            if len(sample) and isinstance(sample.iloc[0], (int,)):
+                df[c] = df[c].astype("int64")
+    sort_cols = list(df.columns)
+    df = df.sort_values(by=sort_cols, kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(name, spark_df, duck_df):
+    issues = []
+    s, d = normalize(spark_df), normalize(duck_df)
+    if list(s.columns) != list(d.columns):
+        return [f"columns differ: spark={list(s.columns)} duck={list(d.columns)}"]
+    if len(s) != len(d):
+        return [f"row count differ: spark={len(s)} duck={len(d)}"]
+    for c in s.columns:
+        sv, dv = s[c].values, d[c].values
+        if np.issubdtype(s[c].dtype, np.floating) or np.issubdtype(d[c].dtype, np.floating):
+            sv = np.asarray(sv, dtype=np.float64)
+            dv = np.asarray(dv, dtype=np.float64)
+            both_nan = np.isnan(sv) & np.isnan(dv)
+            exact = np.array_equal(sv.view(np.int64), dv.view(np.int64))
+            if not exact:
+                diff = np.where(both_nan, 0.0, np.abs(sv - dv))
+                denom = np.maximum(np.abs(dv), 1e-300)
+                rel = (diff / denom)
+                mx = np.nanmax(rel) if len(rel) else 0.0
+                if mx > 1e-9:
+                    i = int(np.nanargmax(rel))
+                    issues.append(f"col {c}: max rel diff {mx:.3e} at row {i}: spark={sv[i]!r} duck={dv[i]!r}")
+                else:
+                    issues.append(f"col {c}: NOT BITWISE but within 1e-9 (max rel {mx:.3e}) — risky if driver hashes exact")
+        else:
+            eq = (s[c].astype(str).values == d[c].astype(str).values)
+            if not eq.all():
+                i = int(np.argmin(eq))
+                issues.append(f"col {c}: mismatch at row {i}: spark={s[c].iloc[i]!r} duck={d[c].iloc[i]!r}")
+    return issues
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify_out"
+    if "--run" in sys.argv:
+        subprocess.run(["sbt", "-batch", f'runMain graft.Verify {sf_dir} {out_dir}'],
+                       check=True, cwd="/root/repo")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    n_pass = n_fail = 0
+    spark_dirs = {p.split("/")[-1] for p in glob.glob(f"{out_dir}/*") if not p.endswith(".json")}
+    for name in sorted(spark_dirs | set(oracle)):
+        if name not in oracle:
+            df = load_spark_result(f"{out_dir}/{name}")
+            nrows = 0 if df is None else len(df)
+            status = "ROWS-ONLY" + (" (EMPTY!)" if nrows == 0 else f" rows={nrows}")
+            print(f"  {name}: {status}")
+            continue
+        if name not in spark_dirs:
+            print(f"  {name}: FAIL — oracle present but no spark output")
+            n_fail += 1
+            continue
+        spark_df = load_spark_result(f"{out_dir}/{name}")
+        try:
+            duck_df = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"  {name}: FAIL — duckdb error: {e}")
+            n_fail += 1
+            continue
+        issues = compare(name, spark_df, duck_df)
+        hard = [i for i in issues if "within 1e-9" not in i]
+        if not issues:
+            print(f"  {name}: PASS (exact, {len(spark_df)} rows)")
+            n_pass += 1
+        elif not hard:
+            print(f"  {name}: PASS-TOLERANT ({len(spark_df)} rows)")
+            for i in issues:
+                print(f"      {i}")
+            n_pass += 1
+        else:
+            print(f"  {name}: FAIL")
+            for i in issues:
+                print(f"      {i}")
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,22 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One engine query: a Spark implementation plus (when SQL-expressible)
+  * a DuckDB oracle equivalent. Column names of the two sides must match —
+  * the driver's compare sorts columns by name before hashing.
+  */
+final case class GQuery(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    /** SURVEY.md §2 operator ids this query exercises. */
+    tags: Seq[String] = Nil)
+
+object Registry {
+  lazy val all: Seq[GQuery] =
+    Relational.queries ++ WindowsQ.queries ++ TimeSeriesQ.queries ++
+      TextQ.queries ++ SimilarityQ.queries ++ DomainQ.queries
+
+  lazy val byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
+}
