@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable text primitives.
+  *
+  * The polynomial rolling hash (h = h*31 + code mod 1e9+7) is the shared
+  * fingerprint primitive for exact dedup, MinHash, and SimHash — chosen
+  * over Spark's builtin xxhash64 because it is reproducible in plain ANSI
+  * SQL (the DuckDB oracle) and in any other engine a user would validate
+  * against. Document fingerprinting in the reference sense: rolling hash
+  * over content (cf. dedup of filenames `LTA/lta-retrieve.py:466-468`).
+  *
+  * All functions are Column algebra over Spark's codegen'd higher-order
+  * functions — no Scala UDFs, so whole-stage codegen stays intact and the
+  * operators scale: per-row work only, no shuffle, no driver involvement.
+  */
+object TextFunctions {
+  val HashMod = 1000000007L
+
+  /** Polynomial hash of a string: left fold (acc*31 + charCode) % p.
+    * Empty/null-safe: empty string hashes to 0. */
+  def strHash(c: Column): Column = {
+    val codes = transform(sequence(lit(1), length(c)), i => ascii(substring(c, i, lit(1))).cast("long"))
+    when(length(c) === 0, 0L).otherwise(
+      aggregate(codes, lit(0L), (acc, x) => (acc * 31L + x) % HashMod))
+  }
+
+  /** DuckDB-equivalent SQL fragment for [[strHash]]. */
+  def sqlStrHash(e: String): String =
+    s"CASE WHEN length($e) = 0 THEN 0 ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length($e)+1), i -> CAST(ascii(substring($e, i, 1)) AS BIGINT))), " +
+      s"(acc, x) -> (acc * 31 + x) % $HashMod) END"
+
+  /** Whitespace tokens with empties dropped (trailing-space safe). */
+  def tokens(c: Column): Column =
+    filter(split(c, " "), t => length(t) > 0)
+
+  def sqlTokens(e: String): String =
+    s"list_filter(string_split($e, ' '), t -> length(t) > 0)"
+
+  /** MinHash permutation parameters: h_k(x) = (a_k * x + b_k) mod p.
+    * Small odd multipliers; k is 0-based. */
+  val MinhashK = 8
+  val MinhashA: Seq[Long] = Seq(769, 1543, 3079, 6151, 12289, 24593, 49157, 98317)
+  val MinhashB: Seq[Long] = Seq(12, 345, 6789, 101112, 131415, 161718, 192021, 222324)
+}

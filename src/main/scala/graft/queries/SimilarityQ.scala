@@ -1,5 +1,216 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.TextFunctions._
+import QueryDsl._
+
+/** Fuzzy-dedup + similarity-search operators for the training-data
+  * pipeline: MinHash signatures, LSH banding with exact-Jaccard
+  * verification, SimHash, embedding cosine top-k, blocked near-dup pairs.
+  *
+  * Scale design: signatures are per-row map work; candidate generation
+  * joins on (band, bucket) so the shuffle is bounded by bucket
+  * collisions, never all-pairs; verification runs only on candidates.
+  * Brute-force cosine is restricted to a bounded probe set — at fleet
+  * scale the same plan shape holds with an IVF/LSH bucket column.
+  */
 object SimilarityQ {
-  val queries: Seq[GQuery] = Seq()
+
+  private val P = HashMod
+
+  /** Per-document MinHash signature, K=8 permutations: row-explode tokens,
+    * min over (a_k·h(token)+b_k) mod p per k. */
+  private def q31(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .withColumn("th", strHash(col("tok")))
+    val ks = s.range(MinhashK).select(col("id").cast(IntegerType).as("k"))
+    val aArr = array(MinhashA.map(lit(_)): _*)
+    val bArr = array(MinhashB.map(lit(_)): _*)
+    docs.crossJoin(broadcast(ks))
+      .withColumn("hk",
+        (element_at(aArr, col("k") + 1) * col("th") + element_at(bArr, col("k") + 1)) % P)
+      .groupBy(col("doc_id"), col("k"))
+      .agg(min(col("hk")).as("minhash"))
+      .orderBy(col("doc_id"), col("k"))
+  }
+
+  private val q31Sql = {
+    val a = MinhashA.mkString("[", ", ", "]")
+    val b = MinhashB.mkString("[", ", ", "]")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_distinct(${sqlTokens("text")})) AS tok FROM documents),
+       |hashed AS (SELECT doc_id, ${sqlStrHash("tok")} AS th FROM toks),
+       |ks AS (SELECT unnest(range(0, $MinhashK)) AS k)
+       |SELECT doc_id, CAST(k AS INT) AS k,
+       |  MIN(($a[CAST(k AS INT) + 1] * th + $b[CAST(k AS INT) + 1]) % $P) AS minhash
+       |FROM hashed CROSS JOIN ks GROUP BY doc_id, k ORDER BY doc_id, k""".stripMargin
+  }
+
+  /** MinHash-LSH near-dup pipeline: band the K=8 signature into 4 bands of
+    * 2 rows, bucket-join candidate pairs, verify with exact token-set
+    * Jaccard, keep pairs ≥ 0.5. */
+  private def q32(s: SparkSession, d: String): DataFrame = {
+    val sig = q31(s, d)
+      .withColumn("band", (col("k") / 4).cast(IntegerType))
+      .groupBy(col("doc_id"), col("band"))
+      // order inside band fixed by k: deterministic band key (base-31 fold)
+      .agg((((max(when(col("k") % 4 === 0, col("minhash"))) * 31L +
+        max(when(col("k") % 4 === 1, col("minhash"))) % P) % P * 31L +
+        max(when(col("k") % 4 === 2, col("minhash"))) % P) % P * 31L +
+        max(when(col("k") % 4 === 3, col("minhash"))) % P).as("bucket"))
+    val cand = sig.as("x").join(sig.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+    val verified = cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast(LongType))
+      .withColumn("n_union", size(array_union(col("toks_a"), col("toks_b"))).cast(LongType))
+      .withColumn("jaccard", col("n_inter").cast(DoubleType) / col("n_union").cast(DoubleType))
+      .filter(col("jaccard") >= 0.5)
+    verified.select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val q32Sql = {
+    val a = MinhashA.mkString("[", ", ", "]")
+    val b = MinhashB.mkString("[", ", ", "]")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_distinct(${sqlTokens("text")})) AS tok FROM documents),
+       |hashed AS (SELECT doc_id, ${sqlStrHash("tok")} AS th FROM toks),
+       |ks AS (SELECT unnest(range(0, $MinhashK)) AS k),
+       |sig AS (SELECT doc_id, CAST(k AS INT) AS k,
+       |    MIN(($a[CAST(k AS INT) + 1] * th + $b[CAST(k AS INT) + 1]) % $P) AS minhash
+       |  FROM hashed CROSS JOIN ks GROUP BY doc_id, k),
+       |bands AS (SELECT doc_id, k // 4 AS band,
+       |    (((MAX(CASE WHEN k % 4 = 0 THEN minhash END) * 31
+       |      + MAX(CASE WHEN k % 4 = 1 THEN minhash END) % $P) % $P * 31
+       |      + MAX(CASE WHEN k % 4 = 2 THEN minhash END) % $P) % $P * 31
+       |      + MAX(CASE WHEN k % 4 = 3 THEN minhash END) % $P) AS bucket
+       |  FROM sig GROUP BY doc_id, k // 4),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |sets AS (SELECT doc_id, list_distinct(${sqlTokens("text")}) AS toks FROM documents)
+       |SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(sa.toks, sb.toks)) AS BIGINT) AS n_inter,
+       |  CAST(len(list_distinct(list_concat(sa.toks, sb.toks))) AS BIGINT) AS n_union,
+       |  CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa.toks, sb.toks))) AS DOUBLE) AS jaccard
+       |FROM cand JOIN sets sa ON cand.doc_a = sa.doc_id
+       |          JOIN sets sb ON cand.doc_b = sb.doc_id
+       |WHERE CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa.toks, sb.toks))) AS DOUBLE) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** SimHash (32-bit): signed bit votes from distinct token hashes. */
+  private def q33(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .withColumn("th", strHash(col("tok")))
+    val bits = s.range(32).select(col("id").cast(IntegerType).as("j"))
+    docs.crossJoin(broadcast(bits))
+      .withColumn("vote", when(expr("shiftright(th, j) % 2") === 1, 1L).otherwise(-1L))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("vote")).as("v"))
+      .withColumn("bit", when(col("v") > 0, 1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bit") * pow(lit(2.0), col("j")).cast(LongType)).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q33Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_distinct(${sqlTokens("text")})) AS tok FROM documents),
+       |hashed AS (SELECT doc_id, ${sqlStrHash("tok")} AS th FROM toks),
+       |bits AS (SELECT unnest(range(0, 32)) AS j),
+       |votes AS (SELECT doc_id, j,
+       |    SUM(CASE WHEN (th >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM hashed CROSS JOIN bits GROUP BY doc_id, j)
+       |SELECT doc_id,
+       |  SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) ELSE 0 END * CAST(pow(2.0, j) AS BIGINT)) AS simhash
+       |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Dot product as a sequential left fold — bitwise identical on any
+    * engine that folds left-to-right. */
+  private def dotFold(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def sqlDotFold(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
+      s"(acc, x) -> acc + x)"
+
+  /** Brute-force cosine top-k: 8 probe vectors against the full corpus —
+    * the exact baseline an ANN index is validated against. */
+  private def q34(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .withColumn("norm", sqrt(dotFold(col("embedding"), col("embedding"))))
+    val probes = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val scored = emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dotFold(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  private val q34Sql =
+    s"""WITH emb AS (SELECT vec_id, embedding,
+       |    sqrt(${sqlDotFold("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       |probes AS (SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm FROM emb WHERE vec_id < 8),
+       |scored AS (SELECT q_id, vec_id,
+       |    ${sqlDotFold("embedding", "q_emb")} / (norm * q_norm) AS cos
+       |  FROM emb CROSS JOIN probes WHERE vec_id <> q_id),
+       |ranked AS (SELECT q_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
+       |  FROM scored)
+       |SELECT q_id, rk, vec_id, cos FROM ranked WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
+
+  /** Blocked near-dup over embeddings: label column as the blocking key
+    * (the plan shape of an IVF/LSH bucket join), cosine ≥ 0.9 pairs. */
+  private def q35(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .filter(col("vec_id") < 2000)
+      .withColumn("norm", sqrt(dotFold(col("embedding"), col("embedding"))))
+    val x = emb.select(col("label"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("norm").as("norm_a"))
+    val y = emb.select(col("label"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("norm").as("norm_b"))
+    x.join(y, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", dotFold(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
+      .filter(col("cos") >= 0.4)
+      .select(col("label"), col("id_a"), col("id_b"), col("cos"))
+      .orderBy(col("label"), col("id_a"), col("id_b"))
+  }
+
+  private val q35Sql =
+    s"""WITH emb AS (SELECT label, vec_id, embedding,
+       |    sqrt(${sqlDotFold("embedding", "embedding")}) AS norm
+       |  FROM embeddings WHERE vec_id < 2000)
+       |SELECT x.label AS label, x.vec_id AS id_a, y.vec_id AS id_b,
+       |  ${sqlDotFold("x.embedding", "y.embedding")} / (x.norm * y.norm) AS cos
+       |FROM emb x JOIN emb y ON x.label = y.label AND x.vec_id < y.vec_id
+       |WHERE ${sqlDotFold("x.embedding", "y.embedding")} / (x.norm * y.norm) >= 0.4
+       |ORDER BY label, id_a, id_b""".stripMargin
+
+  val queries: Seq[GQuery] = Seq(
+    GQuery("q31_minhash_signature", q31, Some(q31Sql), Seq("A16")),
+    GQuery("q32_lsh_neardup_pairs", q32, Some(q32Sql), Seq("A16", "J7")),
+    GQuery("q33_simhash", q33, Some(q33Sql), Seq("A16")),
+    GQuery("q34_cosine_topk", q34, Some(q34Sql), Seq("O1", "O4")),
+    GQuery("q35_blocked_neardup", q35, Some(q35Sql), Seq("A16", "J7")))
 }
