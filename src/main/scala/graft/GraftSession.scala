@@ -9,8 +9,8 @@ import org.apache.spark.sql.SparkSession
   * cluster AQE coalesces post-shuffle partitions anyway).
   */
 object GraftSession {
-  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]",
-              shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
+  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+              shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
       : SparkSession.Builder =
     SparkSession.builder()
       .master(master)
