@@ -1,0 +1,119 @@
+package graft.functions
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+import graft.functions.AstroFunctions._
+
+class AstroFunctionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): Double =
+    spark.range(1).select(c.cast("double")).as[Double].head()
+
+  test("tinst HBA polynomial matches direct power-sum evaluation") {
+    // independent evaluation: plain power sum (the reference's loop form,
+    // `fluxcal/lofar_tinst.py:79-80`) vs the engine's Horner form
+    for (f <- Seq(110.0, 150.0, 188.0, 250.0)) {
+      val deg = TinstHbaCoeffs.size - 1
+      val expected = TinstHbaCoeffs.zipWithIndex
+        .map { case (c, i) => c * math.pow(f, deg - i) }.sum
+      assert(math.abs(one(tinstHba(lit(f))) - expected) / math.abs(expected) < 1e-10)
+    }
+  }
+
+  test("tinst is physically plausible (tens to hundreds of K in band)") {
+    val t151 = one(tinstHba(lit(151.0)))
+    assert(t151 > 50 && t151 < 1000, s"Tinst(151 MHz) = $t151 K")
+  }
+
+  test("dispersion delay: two-frequency form is consistent with in-band form") {
+    // for a narrow band the pair delay ≈ band smear at center frequency
+    val dm = 50.0; val f = 150.0; val band = 0.1
+    val pair = one(dispersionPairMs(lit(dm), lit(f - band / 2), lit(f + band / 2)))
+    val smear = one(dispersionDelayMs(lit(dm), lit(band), lit(f)))
+    assert(math.abs(pair - smear) / smear < 1e-3)
+  }
+
+  test("dispersion delay scales linearly with DM and ~f^-3 in band") {
+    val d1 = one(dispersionDelayMs(lit(10.0), lit(1.0), lit(150.0)))
+    val d2 = one(dispersionDelayMs(lit(20.0), lit(1.0), lit(150.0)))
+    assert(math.abs(d2 / d1 - 2.0) < 1e-12)
+    val dLow = one(dispersionDelayMs(lit(10.0), lit(1.0), lit(75.0)))
+    assert(math.abs(dLow / d1 - 8.0) < 1e-12)
+  }
+
+  test("pulsar physics: Crab-like values (P=0.0333 s, Pdot=4.21e-13)") {
+    val p = lit(0.0333); val pd15 = lit(421.0) // Pdot/1e-15
+    val age = one(charAgeMyr(p, pd15)) * 1e6 // yr
+    assert(age > 1000 && age < 2000, s"char age $age yr") // ~1.25 kyr
+    val b = one(bSurf(p, pd15))
+    assert(b > 1e12 && b < 1e13, s"B_surf $b G") // ~3.8e12 G
+    val e = one(edot(p, pd15))
+    assert(e > 1e38 && e < 1e39, s"Edot $e erg/s") // ~4.5e38
+  }
+
+  test("sexagesimal: RA/DEC round-trip known values") {
+    val ra = one(raToDeg(lit("05:34:31.9"))) // Crab
+    assert(math.abs(ra - 83.6329166) < 1e-4)
+    val dec = one(decToDeg(lit("+22:00:52.1")))
+    assert(math.abs(dec - 22.0144722) < 1e-4)
+    val decNeg = one(decToDeg(lit("-08:12:30")))
+    assert(math.abs(decNeg - (-8.2083333)) < 1e-4)
+  }
+
+  test("eqToGal: Crab nebula lands at published galactic coordinates") {
+    val g = spark.range(1)
+      .select(eqToGal(lit(83.6332083), lit(22.0144722)).as("g"))
+      .select($"g.gl", $"g.gb").as[(Double, Double)].head()
+    assert(math.abs(g._1 - 184.5575) < 0.01, s"gl = ${g._1}")
+    assert(math.abs(g._2 - (-5.7843)) < 0.01, s"gb = ${g._2}")
+  }
+
+  test("eqToGal: north galactic pole maps to b=90") {
+    val g = spark.range(1)
+      .select(eqToGal(lit(192.85948), lit(27.12825)).as("g"))
+      .select($"g.gb").as[Double].head()
+    assert(math.abs(g - 90.0) < 1e-6)
+  }
+
+  test("azEl invariants: transit elevation and pole direction") {
+    // source at dec == lat transiting (lst == ra) passes through zenith
+    val zen = spark.range(1)
+      .select(azEl(lit(100.0), lit(52.9), lit(52.9), lit(100.0)).as("a"))
+      .select($"a.el").as[Double].head()
+    assert(math.abs(zen - 90.0) < 1e-6)
+    // the celestial pole sits at az=0 (north), el=latitude
+    val pole = spark.range(1)
+      .select(azEl(lit(0.0), lit(90.0), lit(52.9), lit(123.4)).as("a"))
+      .select($"a.az", $"a.el").as[(Double, Double)].head()
+    assert(math.abs(pole._2 - 52.9) < 1e-6)
+    assert(math.abs(pole._1) < 1e-6 || math.abs(pole._1 - 360.0) < 1e-6)
+  }
+
+  test("lstDeg: GMST at J2000 epoch and 24h periodicity") {
+    assert(math.abs(one(lstDeg(lit(51544.5), lit(0.0))) - 280.46061837) < 1e-6)
+    // one sidereal-rate day later the angle advances 360.98564736629 mod 360
+    val a = one(lstDeg(lit(58849.0), lit(0.0)))
+    val b = one(lstDeg(lit(58850.0), lit(0.0)))
+    assert(math.abs((b - a + 720) % 360 - 0.98564736629) < 1e-6)
+  }
+
+  test("aeffMax: HBA caps at dipole area above 100 MHz, LBA scales as lambda^2") {
+    // HBA at low freq hits the 1.5625 m^2 cap per element
+    val hbaLow = one(aeffMax(lit(true), lit(24.0 * 16), lit(110.0)))
+    val hbaHigh = one(aeffMax(lit(true), lit(24.0 * 16), lit(240.0)))
+    assert(hbaLow > hbaHigh) // area shrinks with frequency once uncapped
+    val lba60 = one(aeffMax(lit(false), lit(96.0), lit(60.0)))
+    val lba30 = one(aeffMax(lit(false), lit(96.0), lit(30.0)))
+    assert(math.abs(lba30 / lba60 - 4.0) < 1e-9) // lambda^2 scaling
+  }
+
+  test("haslam grid bucketing matches the reference index arithmetic") {
+    // `fluxcal/tsky.py:1052-1056`: b = int(gb+90.5) clamped, l = int(gl+0.5)//4
+    val df = Seq((0.0, 0.0), (359.9, 89.6), (123.4, -90.0), (47.9, 12.3))
+      .toDF("gl", "gb")
+      .select(haslamL(col("gl")), haslamB(col("gb")))
+      .as[(Int, Int)].collect()
+    assert(df.toSeq == Seq((0, 90), (0, 179), (30, 0), (12, 102)))
+  }
+}
