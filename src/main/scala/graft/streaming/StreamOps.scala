@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming analogs of the reference's incremental loops
+  * (SURVEY.md §2.9).
+  *
+  * ST2 — tumbling subintegration dumps: the fold loop emits an averaged
+  * profile every T seconds (`pulsestack.py:594-607`). Streaming fold is
+  * stateless once phase is computed from absolute event time (the running
+  * counters of the sequential reader are an artifact, §2.9 ST3), so a
+  * watermarked tumbling window aggregation reproduces it exactly.
+  *
+  * ST1 — staging drain: poll-loop that retrieves only `ready −
+  * downloaded` files each tick and routes failures to a retry file
+  * (`LTA/lta-retrieve.py:482-559`). The downloaded-set is exactly
+  * watermarked streaming dedup state; the retry file is a dead-letter
+  * sink in `foreachBatch`.
+  *
+  * All transforms return streaming DataFrames; callers attach sinks via
+  * `writeStream` (tests use the memory sink).
+  */
+object StreamOps {
+
+  /** ST2: phase-fold a live sample stream into per-(window, phase-bin)
+    * partial profiles. Watermark bounds state; late samples beyond it are
+    * dropped (the reference never reorders — §2.9). */
+  def streamingFold(stream: DataFrame, timeCol: String, valueCol: String,
+                    t0EpochSec: Double, periodSec: Double, nbins: Int,
+                    dumpSeconds: Int, watermark: String = "10 seconds"): DataFrame = {
+    val tSec = col(timeCol).cast(DoubleType)
+    val turns = (tSec - t0EpochSec) / periodSec
+    val phase = turns - floor(turns)
+    stream
+      .withColumn("ibin", floor(phase * nbins).cast(IntegerType))
+      .withWatermark(timeCol, watermark)
+      .groupBy(window(col(timeCol), s"$dumpSeconds seconds"), col("ibin"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"),
+        avg(col(valueCol)).as("profile"))
+      .select(col("window.start").as("dump_start"), col("ibin"),
+        col("n"), col("total"), col("profile"))
+  }
+
+  /** ST2 (count-based variant): every N pulses — a keyed aggregation on
+    * pulse_idx/N, usable in batch or streaming-with-complete mode. */
+  def pulseCountFold(samples: DataFrame, pulseIdxCol: String,
+                     binCol: String, valueCol: String, dumpEvery: Long): DataFrame =
+    samples
+      .withColumn("dump", (col(pulseIdxCol) / dumpEvery).cast(LongType))
+      .groupBy(col("dump"), col(binCol))
+      .agg(count(lit(1)).as("n"), avg(col(valueCol)).as("profile"))
+
+  /** ST1: incremental staging drain. Input: stream of status events
+    * (url, status, event_time). Output: first terminal transition per
+    * url — 'ready' rows are the retrieval work-list (each url exactly
+    * once, the `ready − downloaded` set), 'failed' rows the dead-letter
+    * channel. Dedup state is bounded by the watermark. */
+  def stagingDrain(updates: DataFrame, watermark: String = "30 seconds"): DataFrame =
+    updates
+      .withWatermark("event_time", watermark)
+      .filter(col("status").isin("ready", "failed"))
+      .dropDuplicates("url")
+
+  /** ST1 sink half: route a drained micro-batch — retrievals to the
+    * completed table, failures appended to the dead-letter/retry table
+    * (both idempotent by url, giving exactly-once completion markers). */
+  def drainBatch(batch: DataFrame, completedPath: String,
+                 deadLetterPath: String): Unit = {
+    val ready = batch.filter(col("status") === "ready")
+    val failed = batch.filter(col("status") === "failed")
+    if (!ready.isEmpty)
+      ready.write.mode("append").parquet(completedPath)
+    if (!failed.isEmpty)
+      graft.sources.Sinks.deadLetter(failed, deadLetterPath)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import graft.SparkSpecBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("streamingFold aggregates tumbling-window phase profiles incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val folded = StreamOps.streamingFold(
+      input.toDF().toDF("ts", "v"), "ts", "v",
+      t0EpochSec = 0.0, periodSec = 2.0, nbins = 4, dumpSeconds = 60)
+    val q = folded.writeStream.format("memory")
+      .queryName("folded").outputMode("append").start()
+    try {
+      // period 2 s, 4 bins → bin = (t mod 2) * 2; feed two dumps' worth
+      def ts(s: Long) = new Timestamp(s * 1000)
+      input.addData(Seq(
+        (ts(10), 1.0), (ts(11), 5.0), (ts(12), 2.0), (ts(13), 6.0),
+        (ts(70), 10.0), (ts(71), 20.0)))
+      q.processAllAvailable()
+      // advance the watermark far enough to close both windows
+      input.addData(Seq((ts(500), 0.0)))
+      q.processAllAvailable()
+      val rows = spark.table("folded")
+        .select($"dump_start", $"ibin", $"n", $"total")
+        .as[(Timestamp, Int, Long, Double)].collect()
+        .map(r => (r._1.getTime / 1000, r._2, r._3, r._4)).toSet
+      // window [0,60): even seconds → bin 0 (1+2), odd seconds → bin 2 (5+6)
+      assert(rows.contains((0L, 0, 2L, 3.0)), s"got $rows")
+      assert(rows.contains((0L, 2, 2L, 11.0)), s"got $rows")
+      // window [60,120): 10 at bin 0, 20 at bin 2
+      assert(rows.contains((60L, 0, 1L, 10.0)))
+      assert(rows.contains((60L, 2, 1L, 20.0)))
+    } finally q.stop()
+  }
+
+  test("pulseCountFold dumps every N pulses (batch form)") {
+    val df = (0L until 100L).map(i => (i, (i % 8).toInt, 1.0))
+      .toDF("pulse", "bin", "v")
+    val out = StreamOps.pulseCountFold(df, "pulse", "bin", "v", 50)
+      .groupBy($"dump").agg(sum($"n").as("total"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 50L, 1L -> 50L))
+  }
+
+  test("stagingDrain emits each terminal url once and routes failures") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-drain")
+    val completed = dir.resolve("completed").toString
+    val dlq = dir.resolve("dlq").toString
+    val input = MemoryStream[(String, String, Timestamp)]
+    val drained = StreamOps.stagingDrain(
+      input.toDF().toDF("url", "status", "event_time"))
+    val q = drained.writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamOps.drainBatch(b, completed, dlq))
+      .outputMode("append").start()
+    try {
+      def ts(s: Long) = new Timestamp(s * 1000)
+      // u1 staged→ready; u2 fails; u1 re-reported ready (poll repeats)
+      input.addData(Seq(("u1", "staged", ts(1)), ("u1", "ready", ts(2)),
+        ("u2", "failed", ts(3))))
+      q.processAllAvailable()
+      input.addData(Seq(("u1", "ready", ts(4)), ("u3", "ready", ts(5))))
+      q.processAllAvailable()
+      val done = spark.read.parquet(completed).select($"url").as[String].collect()
+      assert(done.sorted.toSeq == Seq("u1", "u3"), "each ready url exactly once")
+      val failed = spark.read.parquet(dlq).select($"url").as[String].collect()
+      assert(failed.toSeq == Seq("u2"))
+    } finally q.stop()
+  }
+}
