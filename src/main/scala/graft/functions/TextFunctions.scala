@@ -22,7 +22,9 @@ object TextFunctions {
   /** Polynomial hash of a string: left fold (acc*31 + charCode) % p.
     * Empty/null-safe: empty string hashes to 0. */
   def strHash(c: Column): Column = {
-    val codes = transform(sequence(lit(1), length(c)), i => ascii(substring(c, i, lit(1))).cast("long"))
+    // split-to-chars is O(L); per-index substring would rescan the string
+    // per character (O(L²) on long documents)
+    val codes = transform(split(c, ""), ch => ascii(ch).cast("long"))
     when(length(c) === 0, 0L).otherwise(
       aggregate(codes, lit(0L), (acc, x) => (acc * 31L + x) % HashMod))
   }

@@ -63,18 +63,41 @@ object SimilarityQ {
         max(when(col("k") % 4 === 1, col("minhash"))) % P) % P * 31L +
         max(when(col("k") % 4 === 2, col("minhash"))) % P) % P * 31L +
         max(when(col("k") % 4 === 3, col("minhash"))) % P).as("bucket"))
+      // 2 rows per doc — cached so the self-join's two sides don't each
+      // rebuild the full explode→hash→min signature DAG
+      .cache()
     val cand = sig.as("x").join(sig.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    // Verification runs on hashed token-id arrays, not strings: the
+    // candidate set here is near-quadratic (the synthetic corpus is
+    // extremely self-similar), so the pair join must move compact
+    // fixed-width arrays. Both engines hash tokens identically, so
+    // intersection/union cardinalities — and thus the compared output —
+    // are unchanged. Size-ratio prune first: jaccard ≤ min/max, so
+    // pairs with min·2 < max can never reach 0.5 and skip the O(n)
+    // intersection.
+    // n_union = na + nb − n_inter avoids materializing the union array.
+    // .cache() is a materialization barrier: without it CollapseProject
+    // re-evaluates the whole tokenize+hash chain once per *pair* (and per
+    // column reference) instead of once per document. The cached dim is
+    // one row per doc — trivially memory-safe at any scale that can hold
+    // the candidate pairs at all.
     val docs = Tables.documents(s, d)
-      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(transform(array_distinct(tokens(col("text"))), strHash(_)))
+          .as("toks"))
+      .cache()
     val verified = cand
       .join(docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
+      .withColumn("na", size(col("toks_a")).cast(LongType))
+      .withColumn("nb", size(col("toks_b")).cast(LongType))
+      .filter(least(col("na"), col("nb")) * 2 >= greatest(col("na"), col("nb")))
       .withColumn("n_inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast(LongType))
-      .withColumn("n_union", size(array_union(col("toks_a"), col("toks_b"))).cast(LongType))
+      .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
       .withColumn("jaccard", col("n_inter").cast(DoubleType) / col("n_union").cast(DoubleType))
       .filter(col("jaccard") >= 0.5)
     verified.select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"), col("jaccard"))
@@ -99,14 +122,19 @@ object SimilarityQ {
        |  FROM sig GROUP BY doc_id, k // 4),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
-       |sets AS (SELECT doc_id, list_distinct(${sqlTokens("text")}) AS toks FROM documents)
-       |SELECT doc_a, doc_b,
-       |  CAST(len(list_intersect(sa.toks, sb.toks)) AS BIGINT) AS n_inter,
-       |  CAST(len(list_distinct(list_concat(sa.toks, sb.toks))) AS BIGINT) AS n_union,
-       |  CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa.toks, sb.toks))) AS DOUBLE) AS jaccard
-       |FROM cand JOIN sets sa ON cand.doc_a = sa.doc_id
-       |          JOIN sets sb ON cand.doc_b = sb.doc_id
-       |WHERE CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa.toks, sb.toks))) AS DOUBLE) >= 0.5
+       |sets AS (SELECT doc_id, list_distinct(list_transform(
+       |    list_distinct(${sqlTokens("text")}), t -> ${sqlStrHash("t")})) AS toks
+       |  FROM documents),
+       |pairs AS (SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sa.toks, sb.toks)) AS BIGINT) AS n_inter,
+       |    CAST(len(sa.toks) AS BIGINT) AS na, CAST(len(sb.toks) AS BIGINT) AS nb
+       |  FROM cand JOIN sets sa ON cand.doc_a = sa.doc_id
+       |            JOIN sets sb ON cand.doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, n_inter,
+       |  na + nb - n_inter AS n_union,
+       |  CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) AS jaccard
+       |FROM pairs
+       |WHERE CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 

@@ -140,13 +140,17 @@ object TimeSeriesQ {
   private def q25(s: SparkSession, d: String): DataFrame = {
     val p = Tables.part(s, d)
     val sup = Tables.supplier(s, d)
+    // nearest = argmin over the broadcast dim: min(struct(dist, key))
+    // gets map-side partial aggregation — no 20M-row window shuffle
+    // (same (dist, s_suppkey) lexicographic tie-break as a rank-1 window)
     val joined = p.crossJoin(broadcast(sup))
       .withColumn("target", col("p_retailprice") / 50.0)
       .withColumn("dist", abs(col("s_acctbal") - col("target")))
-    val w = Window.partitionBy(col("p_partkey")).orderBy(col("dist"), col("s_suppkey"))
-    joined.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("p_partkey"), col("s_suppkey"), col("dist"))
+    joined
+      .groupBy(col("p_partkey"))
+      .agg(min(struct(col("dist"), col("s_suppkey"))).as("m"))
+      .select(col("p_partkey"), col("m.s_suppkey").as("s_suppkey"),
+        col("m.dist").as("dist"))
       .orderBy(col("p_partkey"))
   }
 
