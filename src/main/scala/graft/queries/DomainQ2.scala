@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import QueryDsl._
+
+/** Second domain battery: hardware bookkeeping, scheduling analytics,
+  * polyco phase evaluation, and the two-pass bad-chunk mask.
+  */
+object DomainQ2 {
+
+  // --- q48: F10/A15/J9 station-class flagged-tile accounting ------------
+  // Station class from the name prefix (CS/RS/intl → 24/48/96 elements,
+  // `fluxcal/get_flagged_tiles.py:108-130`), per-class totals, worst
+  // station with deterministic tie-break.
+
+  private def q48(s: SparkSession, d: String): DataFrame = {
+    val st = Tables.supplier(s, d)
+      .withColumn("prefix",
+        when(col("s_suppkey") % 3 === 0, "CS")
+          .when(col("s_suppkey") % 3 === 1, "RS").otherwise("DE"))
+      .withColumn("station",
+        concat(col("prefix"), lpad((col("s_suppkey") % 1000).cast(StringType), 3, "0")))
+      .withColumn("nelem",
+        when(col("prefix") === "CS", 24)
+          .when(col("prefix") === "RS", 48).otherwise(96))
+      .withColumn("nflag", (col("s_suppkey") * 7) % 12)
+    val w = Window.partitionBy(col("prefix"))
+      .orderBy(col("nflag").desc, col("station"))
+    st.withColumn("rk", row_number().over(w))
+      .groupBy(col("prefix"))
+      .agg(
+        count(lit(1)).as("n_stations"),
+        sum(col("nflag")).as("total_flagged"),
+        sum(col("nelem")).as("capacity"),
+        (sum(col("nflag")).cast(DoubleType) / sum(col("nelem")).cast(DoubleType))
+          .as("flag_frac"),
+        max(when(col("rk") === 1, col("station"))).as("worst_station"),
+        max(when(col("rk") === 1, col("nflag"))).as("worst_n"))
+      .orderBy(col("prefix"))
+  }
+
+  private val q48Sql =
+    """WITH st AS (SELECT
+      |    CASE WHEN s_suppkey % 3 = 0 THEN 'CS' WHEN s_suppkey % 3 = 1 THEN 'RS' ELSE 'DE' END AS prefix,
+      |    s_suppkey FROM supplier),
+      |named AS (SELECT prefix,
+      |    concat(prefix, lpad(CAST(s_suppkey % 1000 AS VARCHAR), 3, '0')) AS station,
+      |    CASE prefix WHEN 'CS' THEN 24 WHEN 'RS' THEN 48 ELSE 96 END AS nelem,
+      |    (s_suppkey * 7) % 12 AS nflag
+      |  FROM st),
+      |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY prefix ORDER BY nflag DESC, station) AS rk FROM named)
+      |SELECT prefix, COUNT(*) AS n_stations, SUM(nflag) AS total_flagged,
+      |  SUM(nelem) AS capacity,
+      |  CAST(SUM(nflag) AS DOUBLE) / CAST(SUM(nelem) AS DOUBLE) AS flag_frac,
+      |  MAX(CASE WHEN rk = 1 THEN station END) AS worst_station,
+      |  MAX(CASE WHEN rk = 1 THEN nflag END) AS worst_n
+      |FROM ranked GROUP BY prefix ORDER BY prefix""".stripMargin
+
+  // --- q49: A24/W5/O4 scheduler visibility scoring + ranking ------------
+  // Transit-proximity + elevation + in-slot bonus + priority override
+  // (`scheduling/bfscheduler.py:279-324`); greedy placement itself stays
+  // driver-side over the tiny ranked result (order-dependent by design).
+
+  private def q49(s: SparkSession, d: String): DataFrame = {
+    val lat = 52.9
+    val t = Tables.customer(s, d)
+      .withColumn("dec_deg", ((col("c_custkey") * 7) % 120).cast(DoubleType) - 30.0)
+      .withColumn("transit_hour", ((col("c_custkey") * 13) % 24).cast(DoubleType))
+      .withColumn("max_el", lit(90.0) - abs(lit(lat) - col("dec_deg")))
+      .withColumn("transit_score",
+        lit(12.0) - abs(col("transit_hour") - 12.0))
+      .withColumn("score",
+        lit(90.0) / col("max_el") + col("transit_score") +
+          when(col("transit_hour") >= 2 && col("transit_hour") <= 6, 10.0)
+            .otherwise(0.0) +
+          when(col("c_custkey") % 100 === 0, 100.0).otherwise(0.0))
+    val w = Window.orderBy(col("score").desc, col("c_custkey"))
+    t.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 50)
+      .select(col("rank"), col("c_custkey"), col("dec_deg"),
+        col("transit_hour"), col("max_el"), col("score"))
+      .orderBy(col("rank"))
+  }
+
+  private val q49Sql =
+    """WITH t AS (SELECT c_custkey,
+      |    CAST((c_custkey * 7) % 120 AS DOUBLE) - 30.0 AS dec_deg,
+      |    CAST((c_custkey * 13) % 24 AS DOUBLE) AS transit_hour
+      |  FROM customer),
+      |scored AS (SELECT c_custkey, dec_deg, transit_hour,
+      |    90.0 - abs(52.9 - dec_deg) AS max_el,
+      |    90.0 / (90.0 - abs(52.9 - dec_deg)) + (12.0 - abs(transit_hour - 12.0))
+      |      + CASE WHEN transit_hour >= 2 AND transit_hour <= 6 THEN 10.0 ELSE 0.0 END
+      |      + CASE WHEN c_custkey % 100 = 0 THEN 100.0 ELSE 0.0 END AS score
+      |  FROM t),
+      |ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, c_custkey) AS rank FROM scored)
+      |SELECT rank, c_custkey, dec_deg, transit_hour, max_el, score
+      |FROM ranked WHERE rank <= 50 ORDER BY rank""".stripMargin
+
+  // --- q50: C14 polyco phase evaluation via segment range join ----------
+  // Polyco segments as a broadcast dimension; each event lands in exactly
+  // one MJD span; phase = Horner over (t − tmid) (`pulsestack.py:43-44`,
+  // `sp2tim.py:129-131`).
+
+  private def q50(s: SparkSession, d: String): DataFrame = {
+    val segs = Tables.nation(s, d)
+      .select(col("n_nationkey").cast(DoubleType).as("i"))
+      .withColumn("tmid", lit(56000.0) + col("i") * 0.5)
+      .withColumn("rphase", ((col("i") * 37) % 1000))
+      .withColumn("f0_hz", lit(1.0) + col("i") * 0.001)
+      .withColumn("c2", col("i") % 5 * 1.0e-9)
+      .select(col("tmid"), col("rphase"), col("f0_hz"), col("c2"))
+    val ev = Tables.events(s, d)
+      .withColumn("mjd",
+        lit(56000.0) + (col("ts_sec") % 1036800L).cast(DoubleType) / 86400.0)
+    ev.join(broadcast(segs),
+        ev("mjd") >= segs("tmid") - 0.25 && ev("mjd") < segs("tmid") + 0.25)
+      .withColumn("dt_sec", (col("mjd") - col("tmid")) * 86400.0)
+      .withColumn("phase",
+        (col("c2") * col("dt_sec") + col("f0_hz")) * col("dt_sec") + col("rphase"))
+      .withColumn("pulse_n", floor(col("phase")).cast(LongType))
+      .withColumn("phase_frac", col("phase") - floor(col("phase")))
+      .select(col("event_id"), col("mjd"), col("tmid"), col("phase"),
+        col("pulse_n"), col("phase_frac"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q50Sql =
+    """WITH segs AS (SELECT
+      |    56000.0 + CAST(n_nationkey AS DOUBLE) * 0.5 AS tmid,
+      |    (CAST(n_nationkey AS DOUBLE) * 37) % 1000 AS rphase,
+      |    1.0 + CAST(n_nationkey AS DOUBLE) * 0.001 AS f0_hz,
+      |    CAST(n_nationkey AS DOUBLE) % 5 * 1.0e-9 AS c2
+      |  FROM nation),
+      |ev AS (SELECT event_id,
+      |    56000.0 + CAST((epoch_ns(ts) // 1000000000) % 1036800 AS DOUBLE) / 86400.0 AS mjd
+      |  FROM events),
+      |j AS (SELECT event_id, mjd, tmid,
+      |    (mjd - tmid) * 86400.0 AS dt_sec, rphase, f0_hz, c2
+      |  FROM ev JOIN segs ON mjd >= tmid - 0.25 AND mjd < tmid + 0.25),
+      |p AS (SELECT event_id, mjd, tmid,
+      |    (c2 * dt_sec + f0_hz) * dt_sec + rphase AS phase FROM j)
+      |SELECT event_id, mjd, tmid, phase,
+      |  CAST(floor(phase) AS BIGINT) AS pulse_n,
+      |  phase - floor(phase) AS phase_frac
+      |FROM p ORDER BY event_id""".stripMargin
+
+  // --- q51: A13 two-pass bad-chunk masking ------------------------------
+  // Per-chunk std → sorted-gap locut/hicut (max diff in lower/upper half,
+  // `pulsestack.py:79-91`) → outlier chunks replaced by the global
+  // (lower-)median std.
+
+  private def q51(s: SparkSession, d: String): DataFrame = {
+    val chunks = Tables.events(s, d)
+      .withColumn("chunk", floor(col("event_id") / 100L))
+      .groupBy(col("chunk"))
+      .agg(sqrt(dvarPop(col("value"))).as("std"))
+    val w = Window.orderBy(col("std"), col("chunk"))
+    val ranked = chunks
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("diff", col("std") - lag(col("std"), 1).over(w))
+    // cut thresholds: the std just above the largest gap within each half
+    val cuts = ranked.filter(col("diff").isNotNull)
+      .withColumn("half", when(col("rk") <= (col("n") / 2L).cast(LongType), "lo").otherwise("hi"))
+      .withColumn("hrk", row_number().over(
+        Window.partitionBy(col("half")).orderBy(col("diff").desc, col("rk"))))
+      .filter(col("hrk") === 1)
+      .groupBy()
+      .agg(
+        max(when(col("half") === "lo", col("std"))).as("locut"),
+        max(when(col("half") === "hi", col("std"))).as("hicut"))
+    val median = ranked
+      .filter(col("rk") === ((col("n") + 1) / 2L).cast(LongType))
+      .select(col("std").as("median_std"))
+    ranked.crossJoin(broadcast(cuts)).crossJoin(broadcast(median))
+      .withColumn("masked",
+        (col("locut").isNotNull && col("std") < col("locut")) ||
+          (col("hicut").isNotNull && col("std") >= col("hicut")))
+      .withColumn("replacement",
+        when(col("masked"), col("median_std")).otherwise(col("std")))
+      .select(col("chunk"), col("std"), col("rk"), col("masked"),
+        col("replacement"))
+      .orderBy(col("chunk"))
+  }
+
+  private val q51Sql =
+    s"""WITH chunks AS (
+       |  SELECT event_id // 100 AS chunk, sqrt(${sqlDvarPop("value")}) AS std
+       |  FROM events GROUP BY 1),
+       |ranked AS (SELECT chunk, std,
+       |  ROW_NUMBER() OVER (ORDER BY std, chunk) AS rk,
+       |  COUNT(*) OVER () AS n,
+       |  std - lag(std) OVER (ORDER BY std, chunk) AS diff
+       |  FROM chunks),
+       |halves AS (SELECT *, CASE WHEN rk <= n // 2 THEN 'lo' ELSE 'hi' END AS half
+       |  FROM ranked WHERE diff IS NOT NULL),
+       |cuts AS (SELECT
+       |    MAX(CASE WHEN half = 'lo' AND hrk = 1 THEN std END) AS locut,
+       |    MAX(CASE WHEN half = 'hi' AND hrk = 1 THEN std END) AS hicut
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY half ORDER BY diff DESC, rk) AS hrk FROM halves)),
+       |med AS (SELECT std AS median_std FROM ranked WHERE rk = (n + 1) // 2)
+       |SELECT chunk, std, rk,
+       |  ((locut IS NOT NULL AND std < locut) OR (hicut IS NOT NULL AND std >= hicut)) AS masked,
+       |  CASE WHEN (locut IS NOT NULL AND std < locut) OR (hicut IS NOT NULL AND std >= hicut)
+       |       THEN median_std ELSE std END AS replacement
+       |FROM ranked CROSS JOIN cuts CROSS JOIN med ORDER BY chunk""".stripMargin
+
+  val queries: Seq[GQuery] = Seq(
+    GQuery("q48_flagged_tiles", q48, Some(q48Sql), Seq("F10", "A15", "J9")),
+    GQuery("q49_scheduler_score", q49, Some(q49Sql), Seq("A24", "W5", "O4")),
+    GQuery("q50_polyco_phase", q50, Some(q50Sql), Seq("C14", "J10")),
+    GQuery("q51_badchunk_mask", q51, Some(q51Sql), Seq("A13", "W6")))
+}

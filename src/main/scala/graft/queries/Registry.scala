@@ -16,7 +16,8 @@ final case class GQuery(
 object Registry {
   lazy val all: Seq[GQuery] =
     Relational.queries ++ WindowsQ.queries ++ TimeSeriesQ.queries ++
-      TextQ.queries ++ SimilarityQ.queries ++ DomainQ.queries
+      TextQ.queries ++ SimilarityQ.queries ++ DomainQ.queries ++
+      DomainQ2.queries
 
   lazy val byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }
