@@ -19,9 +19,22 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
   val HashMod = 1000000007L
 
-  /** Polynomial hash of a string: left fold (acc*31 + charCode) % p.
-    * Empty/null-safe: empty string hashes to 0. */
-  def strHash(c: Column): Column = {
+  /** Polynomial hash of a string: left fold (acc*31 + codePoint) % p.
+    * Empty/null-safe: empty string hashes to 0.
+    *
+    * Backed by the native codegen expression [[graft.expressions.PolyHash]]
+    * — single zero-allocation pass inside whole-stage codegen. Values are
+    * identical to [[strHashColumnAlgebra]] (and the DuckDB oracle
+    * fragment) on ASCII input. */
+  def strHash(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.PolyHash(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
+
+  /** Pure Column-algebra form of [[strHash]] — engine-portable reference
+    * implementation (kept for cross-checking and for engines without the
+    * extension installed). */
+  def strHashColumnAlgebra(c: Column): Column = {
     // split-to-chars is O(L); per-index substring would rescan the string
     // per character (O(L²) on long documents)
     val codes = transform(split(c, ""), ch => ascii(ch).cast("long"))
