@@ -30,6 +30,19 @@ object Sinks {
     lines.select(col(lineCol).as("value"))
       .write.mode(SaveMode.Overwrite).text(path)
 
+  /** K5: packed little-endian float32 profile (`pulsestack.py:651-657`).
+    * Profiles are tiny (nbin ≤ 4096) — the one legitimate collect-to-
+    * driver sink; order pinned by the bin column. */
+  def binaryProfile(profile: DataFrame, binCol: String, valueCol: String,
+                    path: String): Unit = {
+    val rows = profile.orderBy(col(binCol))
+      .select(col(valueCol).cast("float")).collect()
+    val buf = java.nio.ByteBuffer.allocate(rows.length * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    rows.foreach(r => buf.putFloat(r.getFloat(0)))
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), buf.array())
+  }
+
   /** K8: dead-letter/retry sink — append failed keys for later re-runs
     * (`LTA/lta-retrieve.py:279-282,549-555`). */
   def deadLetter(df: DataFrame, path: String): Unit =

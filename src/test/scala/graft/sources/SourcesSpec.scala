@@ -136,4 +136,14 @@ class SourcesSpec extends SparkSpecBase {
     val pruned = spark.read.parquet(dir).filter($"obs_id" === "L2")
     assert(pruned.count() == 1)
   }
+
+  test("binaryProfile writes bin-ordered packed float32") {
+    val dir = tmpDir.resolve("prof.bin").toString
+    val df = Seq((2, 3.0), (0, 1.0), (1, 2.0)).toDF("bin", "v")
+    Sinks.binaryProfile(df, "bin", "v", dir)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir))
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val got = Array.fill(3)(buf.getFloat)
+    assert(got.toSeq == Seq(1.0f, 2.0f, 3.0f))
+  }
 }
