@@ -210,9 +210,87 @@ object DomainQ2 {
        |       THEN median_std ELSE std END AS replacement
        |FROM ranked CROSS JOIN cuts CROSS JOIN med ORDER BY chunk""".stripMargin
 
+  // --- q52: R1 circular rotation as a stateless re-key ------------------
+  // Profile cube synthesized from lineitem; rotation happens BEFORE the
+  // aggregation — the re-key costs nothing extra because the groupBy
+  // shuffle keys on the rotated bin directly (`fluxcal/snr.py:36-46`).
+
+  private def q52(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .withColumn("chan", (col("l_suppkey") % 8).cast(IntegerType))
+      .withColumn("bin", pmod(col("l_partkey") % 64 + 17, lit(64)).cast(IntegerType))
+      .groupBy(col("chan"), col("bin"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("value"))
+      .orderBy(col("chan"), col("bin"))
+
+  private val q52Sql =
+    s"""SELECT CAST(l_suppkey % 8 AS INT) AS chan,
+       |  CAST(((l_partkey % 64 + 17) % 64 + 64) % 64 AS INT) AS bin,
+       |  COUNT(*) AS n, ${sqlDsum("l_extendedprice")} AS value
+       |FROM lineitem GROUP BY 1, 2 ORDER BY chan, bin""".stripMargin
+
+  // --- q53: R2 incoherent dedispersion as a per-channel re-key ----------
+  // Shift = floor(delay/tbin + 0.5) from the `dide`/`tau` delay formula;
+  // the dedispersed total profile is one aggregation over the re-keyed
+  // bin — zero extra shuffle vs the undedispersed fold.
+
+  private def q53(s: SparkSession, d: String): DataFrame = {
+    val dm = 30.0; val tbinMs = 10.0; val fTop = 150.0
+    val fChan = lit(110.0) + (col("l_suppkey") % 8).cast(DoubleType) * lit(5.0)
+    val delayMs = (lit(1.0e7) * dm / lit(2.41)) *
+      (lit(1.0) / (fChan * fChan) - lit(1.0) / (lit(fTop) * lit(fTop)))
+    val shift = floor(delayMs / tbinMs + lit(0.5)).cast(LongType)
+    Tables.lineitem(s, d)
+      .withColumn("bin",
+        pmod(col("l_partkey") % 64 - shift, lit(64L)).cast(IntegerType))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("value"))
+      .orderBy(col("bin"))
+  }
+
+  private val q53Sql = {
+    val f = "110.0 + CAST(l_suppkey % 8 AS DOUBLE) * 5.0"
+    val delay = s"(1.0e7 * 30.0 / 2.41) * (1.0 / (($f) * ($f)) - 1.0 / (150.0 * 150.0))"
+    s"""SELECT CAST(((l_partkey % 64 - CAST(floor(($delay) / 10.0 + 0.5) AS BIGINT)) % 64 + 64) % 64 AS INT) AS bin,
+       |  COUNT(*) AS n, ${sqlDsum("l_extendedprice")} AS value
+       |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin
+  }
+
+  // --- q54: A9 off-window mean/rms --------------------------------------
+  // Robust noise floor from an explicit off-pulse range
+  // (`fluxcal/lofar_fluxcal.py:218-220`, `get_rough_tscat.py:76-78`).
+
+  private def q54(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("hour_bin", ((col("ts_sec") % 86400L) / 3600L).cast(IntegerType))
+    ev.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("hour_bin") < 6, 1L).otherwise(0L)).as("n_off"),
+        (sum(when(col("hour_bin") < 6, d2(col("value")))).cast(DoubleType) /
+          sum(when(col("hour_bin") < 6, 1L)).cast(DoubleType)).as("off_mean"),
+        dsum(when(col("hour_bin") >= 6, col("value")).otherwise(lit(0.0)))
+          .as("on_sum"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q54Sql =
+    s"""WITH e AS (SELECT user_id, value,
+       |    CAST(((epoch_ns(ts) // 1000000000) % 86400) // 3600 AS INT) AS hour_bin
+       |  FROM events)
+       |SELECT user_id, COUNT(*) AS n_total,
+       |  SUM(CASE WHEN hour_bin < 6 THEN 1 ELSE 0 END) AS n_off,
+       |  CAST(SUM(CASE WHEN hour_bin < 6 THEN ${sqlD2("value")} END) AS DOUBLE) /
+       |    CAST(SUM(CASE WHEN hour_bin < 6 THEN 1 END) AS DOUBLE) AS off_mean,
+       |  ${sqlDsum("CASE WHEN hour_bin >= 6 THEN value ELSE 0.0 END")} AS on_sum
+       |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Seq[GQuery] = Seq(
     GQuery("q48_flagged_tiles", q48, Some(q48Sql), Seq("F10", "A15", "J9")),
     GQuery("q49_scheduler_score", q49, Some(q49Sql), Seq("A24", "W5", "O4")),
     GQuery("q50_polyco_phase", q50, Some(q50Sql), Seq("C14", "J10")),
-    GQuery("q51_badchunk_mask", q51, Some(q51Sql), Seq("A13", "W6")))
+    GQuery("q51_badchunk_mask", q51, Some(q51Sql), Seq("A13", "W6")),
+    GQuery("q52_rotate_rekey", q52, Some(q52Sql), Seq("R1", "A2")),
+    GQuery("q53_dedisperse_rekey", q53, Some(q53Sql), Seq("R2", "A4")),
+    GQuery("q54_offwindow_stats", q54, Some(q54Sql), Seq("A9", "F8")))
 }
