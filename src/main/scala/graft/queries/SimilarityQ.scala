@@ -53,8 +53,30 @@ object SimilarityQ {
 
   /** MinHash-LSH near-dup pipeline: band the K=8 signature into 4 bands of
     * 2 rows, bucket-join candidate pairs, verify with exact token-set
-    * Jaccard, keep pairs ≥ 0.5. */
+    * Jaccard, keep pairs ≥ 0.5.
+    *
+    * Shuffle budget: ONE shuffle builds the signature (token explode →
+    * groupBy), ONE dedups candidate pairs; everything else is broadcast.
+    * The per-doc token dim (one fixed-width hashed array per doc) is
+    * broadcast into both the candidate join and the verify stage, so the
+    * near-quadratic pair set never moves through a shuffle carrying
+    * arrays. The size-ratio prune (jaccard ≤ min/max ⇒ pairs with
+    * min·2 < max can never reach 0.5) runs INSIDE the candidate join,
+    * before the distinct, cutting the pair shuffle itself. At fleet scale
+    * the broadcast dim becomes a bucketed co-located join on doc_id —
+    * same plan shape, still no array shuffle on pairs.
+    * .cache() on the signature is a materialization barrier: without it
+    * CollapseProject re-evaluates the tokenize+hash chain per pair. */
   private def q32(s: SparkSession, d: String): DataFrame = {
+    // One row per doc: hashed distinct-token array + its size. Both
+    // engines hash tokens identically, so intersection/union counts —
+    // and thus the compared output — are unchanged by hashing.
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        array_distinct(transform(array_distinct(tokens(col("text"))), strHash(_)))
+          .as("toks"))
+      .withColumn("n", size(col("toks")).cast(LongType))
+      .cache()
     val sig = q31(s, d)
       .withColumn("band", (col("k") / 4).cast(IntegerType))
       .groupBy(col("doc_id"), col("band"))
@@ -63,39 +85,36 @@ object SimilarityQ {
         max(when(col("k") % 4 === 1, col("minhash"))) % P) % P * 31L +
         max(when(col("k") % 4 === 2, col("minhash"))) % P) % P * 31L +
         max(when(col("k") % 4 === 3, col("minhash"))) % P).as("bucket"))
-      // 2 rows per doc — cached so the self-join's two sides don't each
-      // rebuild the full explode→hash→min signature DAG
+    // One row per doc carrying its full band→bucket vector, re-exploded to
+    // (band, bucket) join rows. The vector lets the candidate join emit a
+    // pair ONLY in its first matching band — replacing a distinct() that
+    // would otherwise shuffle the near-quadratic raw candidate set.
+    val sigv = sig.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("band"), col("bucket")))).as("bb"))
+      .select(col("doc_id"), transform(col("bb"), _.getField("bucket")).as("buckets"))
+      .join(broadcast(docs.select(col("doc_id"), col("n"))), "doc_id")
+      .select(col("doc_id"), col("n"), col("buckets"),
+        posexplode(col("buckets")).as(Seq("band", "bucket")))
       .cache()
-    val cand = sig.as("x").join(sig.as("y"),
+    // "No earlier band matched" spelled with element_at so the whole join
+    // condition stays inside whole-stage codegen (zip_with/array_position
+    // are interpreted higher-order functions — too slow per raw pair).
+    def bandEq(b: Int) =
+      element_at(col("x.buckets"), b + 1) === element_at(col("y.buckets"), b + 1)
+    val earlierMatch = (0 until 3).map(b =>
+      col("x.band") > b && bandEq(b)).reduce(_ || _)
+    val cand = sigv.as("x").join(broadcast(sigv.as("y")),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") &&
+          least(col("x.n"), col("y.n")) * 2 >= greatest(col("x.n"), col("y.n")) &&
+          !earlierMatch)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    // Verification runs on hashed token-id arrays, not strings: the
-    // candidate set here is near-quadratic (the synthetic corpus is
-    // extremely self-similar), so the pair join must move compact
-    // fixed-width arrays. Both engines hash tokens identically, so
-    // intersection/union cardinalities — and thus the compared output —
-    // are unchanged. Size-ratio prune first: jaccard ≤ min/max, so
-    // pairs with min·2 < max can never reach 0.5 and skip the O(n)
-    // intersection.
     // n_union = na + nb − n_inter avoids materializing the union array.
-    // .cache() is a materialization barrier: without it CollapseProject
-    // re-evaluates the whole tokenize+hash chain once per *pair* (and per
-    // column reference) instead of once per document. The cached dim is
-    // one row per doc — trivially memory-safe at any scale that can hold
-    // the candidate pairs at all.
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"),
-        array_distinct(transform(array_distinct(tokens(col("text"))), strHash(_)))
-          .as("toks"))
-      .cache()
     val verified = cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
-      .withColumn("na", size(col("toks_a")).cast(LongType))
-      .withColumn("nb", size(col("toks_b")).cast(LongType))
-      .filter(least(col("na"), col("nb")) * 2 >= greatest(col("na"), col("nb")))
+      .join(broadcast(docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+        col("n").as("na"))), "doc_a")
+      .join(broadcast(docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+        col("n").as("nb"))), "doc_b")
       .withColumn("n_inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast(LongType))
       .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
       .withColumn("jaccard", col("n_inter").cast(DoubleType) / col("n_union").cast(DoubleType))
