@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.TextFunctions._
+import SimilarityQ.{dotFold, sqlDotFold}
+
+/** The 100 TB scale-path batch: IVF-bucketed ANN (the index an exact
+  * brute-force top-k like q34 validates), word-n-gram shingle Jaccard
+  * near-dup (finer-grained than the token-set MinHash of q32), and a
+  * closed-form moment fit of a Gaussian to a histogram (the distributed
+  * replacement for the iterative `leastsq` fit in
+  * `fluxcal/snr.py:536-542`).
+  */
+object ScaleQ {
+
+  /** IVF-style ANN over embeddings: deterministic coarse quantizer
+    * (vectors 0..15 as centroids), every vector assigned to its
+    * nearest-by-cosine centroid, probes search only their own cell.
+    * Plan shape at fleet scale: the centroid table broadcasts, assignment
+    * is per-row map work, and the search join shuffles only on the cell
+    * id — never all-pairs. Cosines use the native `float_dot` codegen
+    * kernel. */
+  private def q55(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .withColumn("norm", sqrt(dotFold(col("embedding"), col("embedding"))))
+    val cent = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("cid").asc)
+    val assign = emb.crossJoin(broadcast(cent))
+      .withColumn("cos_c",
+        dotFold(col("embedding"), col("c_emb")) / (col("norm") * col("c_norm")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("embedding"), col("norm"))
+    val probes = assign.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("cid").as("q_cid"),
+        col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val scored = assign.join(broadcast(probes),
+        col("cid") === col("q_cid") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        dotFold(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 10)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  private val q55Sql =
+    s"""WITH emb AS (SELECT vec_id, embedding,
+       |    sqrt(${sqlDotFold("embedding", "embedding")}) AS norm FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, embedding AS c_emb, norm AS c_norm
+       |  FROM emb WHERE vec_id < 16),
+       |cand AS (SELECT e.vec_id, e.embedding, e.norm, c.cid,
+       |    ${sqlDotFold("e.embedding", "c.c_emb")} / (e.norm * c.c_norm) AS cos_c
+       |  FROM emb e CROSS JOIN cent c),
+       |asg AS (SELECT vec_id, embedding, norm, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cid ASC) AS rn
+       |  FROM cand),
+       |a AS (SELECT vec_id, cid, embedding, norm FROM asg WHERE rn = 1),
+       |probes AS (SELECT vec_id AS q_id, cid AS q_cid, embedding AS q_emb, norm AS q_norm
+       |  FROM a WHERE vec_id < 8),
+       |scored AS (SELECT q_id, a.vec_id AS vec_id,
+       |    ${sqlDotFold("a.embedding", "q_emb")} / (a.norm * q_norm) AS cos
+       |  FROM a JOIN probes ON a.cid = q_cid AND a.vec_id <> q_id),
+       |ranked AS (SELECT q_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
+       |  FROM scored)
+       |SELECT q_id, rk, vec_id, cos FROM ranked WHERE rk <= 10
+       |ORDER BY q_id, rk""".stripMargin
+
+  /** Word-3-gram shingle Jaccard near-dup, blocked on (lang, source):
+    * shingles are poly-hashed token trigrams (order-sensitive, unlike the
+    * token-set view of q32), pairs form only inside a block, with the
+    * size-ratio prune inside the join. The shingle dim is one hashed
+    * fixed-width array per doc, broadcast into the pair join. */
+  private def q56(s: SparkSession, d: String): DataFrame = {
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        tokens(col("text")).as("tk"))
+    val sh = tk.select(col("doc_id"), col("lang"), col("source"),
+        when(size(col("tk")) >= 3,
+          array_distinct(transform(sequence(lit(1), size(col("tk")) - 2),
+            g => strHash(concat_ws(" ",
+              element_at(col("tk"), g),
+              element_at(col("tk"), g + 1),
+              element_at(col("tk"), g + 2))))))
+          .otherwise(array().cast(ArrayType(LongType))).as("sh"))
+      .withColumn("n", size(col("sh")).cast(LongType))
+      .cache()
+    val pairs = sh.as("x").join(broadcast(sh.as("y")),
+        col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          least(col("x.n"), col("y.n")) * 2 >= greatest(col("x.n"), col("y.n")))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sh").as("sh_a"), col("y.sh").as("sh_b"),
+        col("x.n").as("na"), col("y.n").as("nb"))
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
+      .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
+      .withColumn("jaccard", col("n_inter").cast(DoubleType) / col("n_union").cast(DoubleType))
+      .filter(col("jaccard") >= 0.5)
+    pairs.select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val q56Sql = {
+    val gram = "concat_ws(' ', tk[g], tk[g+1], tk[g+2])"
+    s"""WITH tk AS (SELECT doc_id, lang, source, ${sqlTokens("text")} AS tk FROM documents),
+       |sh AS (SELECT doc_id, lang, source,
+       |    CASE WHEN len(tk) >= 3 THEN list_distinct(list_transform(
+       |      range(1, len(tk) - 1), g -> ${sqlStrHash(gram)}))
+       |    ELSE CAST([] AS BIGINT[]) END AS sh
+       |  FROM tk),
+       |sized AS (SELECT doc_id, lang, source, sh, CAST(len(sh) AS BIGINT) AS n FROM sh),
+       |pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS n_inter,
+       |    x.n AS na, y.n AS nb
+       |  FROM sized x JOIN sized y
+       |    ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
+       |    AND least(x.n, y.n) * 2 >= greatest(x.n, y.n))
+       |SELECT doc_a, doc_b, n_inter, na + nb - n_inter AS n_union,
+       |  CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) AS jaccard
+       |FROM pairs
+       |WHERE CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** A19 as a distributed closed form: moment-matched Gaussian over the
+    * 40-bucket price histogram — integer-exact sums (bucket index ×
+    * count), one double division at the end, so the result is bitwise
+    * portable. Peak location ties break to the lowest bucket. */
+  private def q57(s: SparkSession, d: String): DataFrame = {
+    val hist = Tables.lineitem(s, d)
+      .withColumn("bucket", least(floor(col("l_extendedprice") / 5000.0), lit(39L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val mom = hist.agg(
+      sum(col("c")).as("n"),
+      sum(col("bucket") * col("c")).as("s1"),
+      sum(col("bucket") * col("bucket") * col("c")).as("s2"),
+      max(col("c")).as("peak_count"))
+    val peakB = hist.join(broadcast(mom.select(col("peak_count"))),
+        col("c") === col("peak_count"))
+      .agg(min(col("bucket")).as("peak_bucket"))
+    val nD = col("n").cast(DoubleType)
+    val mu = col("s1").cast(DoubleType) / nD
+    mom.crossJoin(broadcast(peakB)).select(
+      col("n"),
+      mu.as("mu_idx"),
+      (col("s2").cast(DoubleType) / nD - mu * mu).as("var_idx"),
+      col("peak_count"), col("peak_bucket"))
+  }
+
+  private val q57Sql =
+    """WITH hist AS (SELECT least(CAST(floor(l_extendedprice / 5000.0) AS BIGINT), 39) AS bucket,
+      |    COUNT(*) AS c FROM lineitem GROUP BY 1),
+      |mom AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(bucket * c) AS BIGINT) AS s1,
+      |    CAST(SUM(bucket * bucket * c) AS BIGINT) AS s2, MAX(c) AS peak_count FROM hist),
+      |pk AS (SELECT MIN(bucket) AS peak_bucket FROM hist, mom WHERE c = peak_count)
+      |SELECT n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu_idx,
+      |  CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+      |    - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS var_idx,
+      |  peak_count, peak_bucket
+      |FROM mom, pk""".stripMargin
+
+  val queries: Seq[GQuery] = Seq(
+    GQuery("q55_ivf_ann", q55, Some(q55Sql), Seq("O1", "O4", "A16")),
+    GQuery("q56_ngram_jaccard", q56, Some(q56Sql), Seq("A16", "J7")),
+    GQuery("q57_gauss_moments", q57, Some(q57Sql), Seq("A18", "A19")))
+}

@@ -185,13 +185,13 @@ object SimilarityQ {
        |  SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) ELSE 0 END * CAST(pow(2.0, j) AS BIGINT)) AS simhash
        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  /** Dot product as a sequential left fold — bitwise identical on any
-    * engine that folds left-to-right. */
-  private def dotFold(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+  /** Dot product: native codegen expression accumulating left-to-right —
+    * bitwise identical to a sequential fold on any engine (see
+    * `graft.expressions.FloatDot`), ~10× the interpreted HOF form. */
+  private[queries] def dotFold(a: Column, b: Column): Column =
+    call_function("float_dot", a, b)
 
-  private def sqlDotFold(a: String, b: String): String =
+  private[queries] def sqlDotFold(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       s"list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
       s"(acc, x) -> acc + x)"
