@@ -4,6 +4,9 @@ package graft
   * driver contract). */
 object Probe {
   def main(args: Array[String]): Unit = {
+    val lnVals = Seq(1.5, 2.0, 3.7, 123.456, 0.001, 9.999999, 54321.123, 7.25e8, 1e-9, 2.718281828)
+    println("lnbits=" + lnVals.map(v => java.lang.Double.doubleToLongBits(math.log(v))).mkString(","))
+    if (args.contains("lnonly")) return
     val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.1"
