@@ -1,0 +1,72 @@
+package graft.queries
+
+import graft.SparkSpecBase
+
+/** Physical-plan contracts: the properties that make the battery hold at
+  * 100 TB are asserted here, not just described — filter pushdown reaches
+  * the parquet scans, projection pruning trims fact-table reads, dimension
+  * joins broadcast, arithmetic stays inside whole-stage codegen, and no
+  * query ever plans a non-broadcast cartesian product.
+  */
+class PlanContractSpec extends SparkSpecBase {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Registry.byName(name).run(spark, sf).queryExecution.executedPlan.toString
+
+  test("every registry query plans without a CartesianProduct") {
+    Registry.all.foreach { q =>
+      val p = q.run(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"${q.name} planned a shuffle cartesian product:\n$p")
+    }
+  }
+
+  test("date-range predicate is pushed into the parquet scan (q17)") {
+    val p = plan("q17_set_difference")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"), p)
+  }
+
+  test("fact-table scan is column-pruned (q01 reads no comment/address cols)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_comment"), "q01 scan failed to prune l_comment:\n" + p)
+  }
+
+  test("superquery dimension joins broadcast (q02)") {
+    val p = plan("q02_superquery_union")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("LSH pipeline joins are all broadcast — shuffles only for aggregation (q32)") {
+    val p = plan("q32_lsh_neardup_pairs")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "q32 fell back to a shuffle join — the pair stream must not shuffle:\n" + p)
+  }
+
+  test("similarity kernels stay inside whole-stage codegen (q34, q55)") {
+    Seq("q34_cosine_topk", "q55_ivf_ann").foreach { n =>
+      val df = Registry.byName(n).run(spark, sf)
+      df.collect() // materialize so AQE finalizes stages (codegen is inserted per stage)
+      val exec0 = df.queryExecution.executedPlan
+      // AQE wraps the physical plan in a node whose input is not a child —
+      // unwrap so tree traversal sees the real operators
+      val exec = exec0 match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val p = exec.toString
+      assert(p.contains("float_dot"), s"$n lost the native dot kernel:\n$p")
+      // "*(n)" prefixes mark WholeStageCodegen stages in the simple string
+      assert(p.contains("*("), s"$n has no codegen stage:\n$p")
+    }
+  }
+
+  test("flagship aggregation runs partial (map-side) aggregation (q01)") {
+    val p = plan("q01_pricing_summary")
+    // two HashAggregate levels around the exchange = partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+}
