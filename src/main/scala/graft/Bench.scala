@@ -5,16 +5,19 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM/codegen path once on the smallest SF so per-query times
-    // measure execution, not first-use classloading.
-    SparkEntry.queries.headOption.foreach { case (_, fn) =>
-      try fn(spark, sfDir).limit(1).count() catch { case _: Throwable => () }
-    }
+    // Warm the JVM/codegen path once with a FIXED cheap query so per-query
+    // times measure execution, not first-use classloading — and so no
+    // timed query gets an accidental warm cache from the warmup.
+    try SparkEntry.queries("q09_catalog_totals")(spark, sfDir).count()
+    catch { case _: Throwable => () }
     // Optional args: query-name substrings to run a subset while iterating.
     val wanted = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       args.isEmpty || args.exists(n.contains)
     }
     val results = wanted.map { case (name, fn) =>
+      // Each query measured standalone: no cached data carried across
+      // queries (intra-query .cache() calls still work as designed).
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -87,11 +87,11 @@ object ScaleQ {
         tokens(col("text")).as("tk"))
     val sh = tk.select(col("doc_id"), col("lang"), col("source"),
         when(size(col("tk")) >= 3,
-          array_distinct(transform(sequence(lit(1), size(col("tk")) - 2),
+          array_sort(array_distinct(transform(sequence(lit(1), size(col("tk")) - 2),
             g => strHash(concat_ws(" ",
               element_at(col("tk"), g),
               element_at(col("tk"), g + 1),
-              element_at(col("tk"), g + 2))))))
+              element_at(col("tk"), g + 2)))))))
           .otherwise(array().cast(ArrayType(LongType))).as("sh"))
       .withColumn("n", size(col("sh")).cast(LongType))
       .cache()
@@ -102,7 +102,8 @@ object ScaleQ {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.sh").as("sh_a"), col("y.sh").as("sh_b"),
         col("x.n").as("na"), col("y.n").as("nb"))
-      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
+      .withColumn("n_inter",
+        call_function("sorted_intersect_count", col("sh_a"), col("sh_b")).cast(LongType))
       .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
       .withColumn("jaccard", col("n_inter").cast(DoubleType) / col("n_union").cast(DoubleType))
       .filter(col("jaccard") >= 0.5)

@@ -71,9 +71,12 @@ object SimilarityQ {
     // One row per doc: hashed distinct-token array + its size. Both
     // engines hash tokens identically, so intersection/union counts —
     // and thus the compared output — are unchanged by hashing.
+    // Arrays sorted ONCE here so the per-pair verifier can merge-count
+    // with the zero-allocation sorted_intersect_count kernel; cardinality
+    // (and so Jaccard) is order-independent.
     val docs = Tables.documents(s, d)
       .select(col("doc_id"),
-        array_distinct(transform(array_distinct(tokens(col("text"))), strHash(_)))
+        array_sort(array_distinct(transform(array_distinct(tokens(col("text"))), strHash(_))))
           .as("toks"))
       .withColumn("n", size(col("toks")).cast(LongType))
       .cache()
@@ -115,7 +118,8 @@ object SimilarityQ {
         col("n").as("na"))), "doc_a")
       .join(broadcast(docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
         col("n").as("nb"))), "doc_b")
-      .withColumn("n_inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast(LongType))
+      .withColumn("n_inter",
+        call_function("sorted_intersect_count", col("toks_a"), col("toks_b")).cast(LongType))
       .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
       .withColumn("jaccard", col("n_inter").cast(DoubleType) / col("n_union").cast(DoubleType))
       .filter(col("jaccard") >= 0.5)
