@@ -94,6 +94,10 @@ object ScaleQ {
               element_at(col("tk"), g + 2)))))))
           .otherwise(array().cast(ArrayType(LongType))).as("sh"))
       .withColumn("n", size(col("sh")).cast(LongType))
+      // probe side of the pair join: re-spread the few-partition doc scan
+      // so the quadratic block-pair fan-out uses every core (AQE would
+      // coalesce this tiny shuffle — input bytes mispredict stage cost)
+      .repartition(32, col("doc_id"))
       .cache()
     val pairs = sh.as("x").join(broadcast(sh.as("y")),
         col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&

@@ -80,31 +80,43 @@ object SimilarityQ {
           .as("toks"))
       .withColumn("n", size(col("toks")).cast(LongType))
       .cache()
-    val sig = q31(s, d)
-      .withColumn("band", (col("k") / 4).cast(IntegerType))
-      .groupBy(col("doc_id"), col("band"))
-      // order inside band fixed by k: deterministic band key (base-31 fold)
-      .agg((((max(when(col("k") % 4 === 0, col("minhash"))) * 31L +
-        max(when(col("k") % 4 === 1, col("minhash"))) % P) % P * 31L +
-        max(when(col("k") % 4 === 2, col("minhash"))) % P) % P * 31L +
-        max(when(col("k") % 4 === 3, col("minhash"))) % P).as("bucket"))
+    // MinHash computed MAP-SIDE from the per-doc hashed token array —
+    // min over (a_k·h + b_k) mod p is an array fold, so the whole
+    // signature needs no explode and no shuffle (the equivalent
+    // exploded groupBy form is what q31 exposes as its own query).
+    def mh(k: Int): Column = array_min(transform(col("toks"),
+      t => (lit(MinhashA(k)) * t + lit(MinhashB(k))) % P))
+    // order inside band fixed by k: deterministic band key (base-31 fold)
+    def bucket(b: Int): Column = {
+      val ks = (4 * b until 4 * b + 4).map(mh)
+      (((ks(0) * 31L + ks(1) % P) % P * 31L + ks(2) % P) % P * 31L + ks(3) % P)
+    }
     // One row per doc carrying its full band→bucket vector, re-exploded to
     // (band, bucket) join rows. The vector lets the candidate join emit a
     // pair ONLY in its first matching band — replacing a distinct() that
     // would otherwise shuffle the near-quadratic raw candidate set.
-    val sigv = sig.groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("band"), col("bucket")))).as("bb"))
-      .select(col("doc_id"), transform(col("bb"), _.getField("bucket")).as("buckets"))
-      .join(broadcast(docs.select(col("doc_id"), col("n"))), "doc_id")
+    val numBands = MinhashK / 4
+    // repartition: the docs scan is few partitions (small file), but this
+    // row set is the probe side of the pair-generating join — the whole
+    // candidate+verify codegen stage inherits ITS parallelism. 10k rows
+    // shuffled so millions of pairs fan out across all cores.
+    val sigv = docs
+      .select(col("doc_id"), col("n"),
+        array((0 until numBands).map(bucket): _*).as("buckets"))
       .select(col("doc_id"), col("n"), col("buckets"),
         posexplode(col("buckets")).as(Seq("band", "bucket")))
+      // explicit N: AQE would coalesce a 10k-row shuffle to one partition
+      // (small-input heuristic), but downstream fan-out is quadratic in
+      // bucket size — the classic case where input bytes mispredict stage
+      // cost. Pin to the core count.
+      .repartition(32, col("doc_id"))
       .cache()
     // "No earlier band matched" spelled with element_at so the whole join
     // condition stays inside whole-stage codegen (zip_with/array_position
     // are interpreted higher-order functions — too slow per raw pair).
     def bandEq(b: Int) =
       element_at(col("x.buckets"), b + 1) === element_at(col("y.buckets"), b + 1)
-    val earlierMatch = (0 until 3).map(b =>
+    val earlierMatch = (0 until numBands - 1).map(b =>
       col("x.band") > b && bandEq(b)).reduce(_ || _)
     val cand = sigv.as("x").join(broadcast(sigv.as("y")),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -113,11 +125,17 @@ object SimilarityQ {
           !earlierMatch)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
     // n_union = na + nb − n_inter avoids materializing the union array.
+    // The monotonically_increasing_id column (dropped before output) is a
+    // predicate-pushdown fence: without it Catalyst rewrites the jaccard
+    // filter into the join condition, evaluating the intersect kernel
+    // TWICE per pair (once as join residual, once for the projected
+    // n_inter). The fence keeps it at one evaluation per pair.
     val verified = cand
       .join(broadcast(docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
         col("n").as("na"))), "doc_a")
       .join(broadcast(docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
         col("n").as("nb"))), "doc_b")
+      .withColumn("pushdown_fence", monotonically_increasing_id())
       .withColumn("n_inter",
         call_function("sorted_intersect_count", col("toks_a"), col("toks_b")).cast(LongType))
       .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
