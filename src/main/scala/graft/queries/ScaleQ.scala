@@ -175,8 +175,57 @@ object ScaleQ {
       |  peak_count, peak_bucket
       |FROM mom, pk""".stripMargin
 
+  /** Multimodal data-plane pass: documents as opaque binary payloads with
+    * a typed metadata struct → aspect-preserving resize → every-2nd-frame
+    * sampling → per-kind totals. The codec itself is stubbed
+    * (environment has no media libs), but this exercises the real
+    * operators (`Multimodal.mediaFromDocuments/resizeMeta/sampleFrames`)
+    * end-to-end through the SQL data plane with an exact oracle. */
+  private def q61(s: SparkSession, d: String): DataFrame = {
+    val media = graft.operators.Multimodal.mediaFromDocuments(Tables.documents(s, d))
+    val resized = graft.operators.Multimodal.resizeMeta(media, 128)
+    val base = resized.select(col("media_id"), col("kind"),
+        octet_length(col("payload")).as("n_bytes"),
+        col("meta.width").as("rw"), col("meta.height").as("rh"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("n_bytes").cast(LongType)).as("total_bytes"),
+        sum(col("rw").cast(LongType)).as("total_w"),
+        sum(col("rh").cast(LongType)).as("total_h"))
+    val frames = graft.operators.Multimodal.sampleFrames(media, 2)
+      .groupBy(col("kind")).agg(count(lit(1)).as("n_sampled_frames"))
+    base.join(frames, Seq("kind"))
+      .select(col("kind"), col("n_media"), col("total_bytes"),
+        col("total_w"), col("total_h"), col("n_sampled_frames"))
+      .orderBy(col("kind"))
+  }
+
+  private val q61Sql =
+    """WITH media AS (SELECT doc_id AS media_id,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+      |    encode(text) AS payload,
+      |    CAST(n_chars % 64 + 8 AS INTEGER) AS width,
+      |    CAST(n_chars % 48 + 8 AS INTEGER) AS height,
+      |    CAST(n_chars % 10 + 1 AS INTEGER) AS n_frames
+      |  FROM documents),
+      |resized AS (SELECT media_id, kind, payload, n_frames,
+      |    CAST(trunc(width * least(128.0 / greatest(width, height), 1.0)) AS INTEGER) AS rw,
+      |    CAST(trunc(height * least(128.0 / greatest(width, height), 1.0)) AS INTEGER) AS rh
+      |  FROM media),
+      |base AS (SELECT kind, COUNT(*) AS n_media,
+      |    CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
+      |    CAST(SUM(rw) AS BIGINT) AS total_w, CAST(SUM(rh) AS BIGINT) AS total_h
+      |  FROM resized GROUP BY kind),
+      |frames AS (SELECT kind,
+      |    CAST(SUM(CAST(floor((n_frames - 1) / 2.0) AS BIGINT) + 1) AS BIGINT) AS n_sampled_frames
+      |  FROM media GROUP BY kind)
+      |SELECT base.kind AS kind, n_media, total_bytes, total_w, total_h, n_sampled_frames
+      |FROM base JOIN frames ON base.kind = frames.kind
+      |ORDER BY kind""".stripMargin
+
   val queries: Seq[GQuery] = Seq(
     GQuery("q55_ivf_ann", q55, Some(q55Sql), Seq("O1", "O4", "A16")),
     GQuery("q56_ngram_jaccard", q56, Some(q56Sql), Seq("A16", "J7")),
-    GQuery("q57_gauss_moments", q57, Some(q57Sql), Seq("A18", "A19")))
+    GQuery("q57_gauss_moments", q57, Some(q57Sql), Seq("A18", "A19")),
+    GQuery("q61_multimodal_meta", q61, Some(q61Sql), Seq("S3", "F11")))
 }
