@@ -9,9 +9,14 @@ package graft
   *    pushdown, join reordering, broadcast selection, scalar-subquery
   *    rewrite and partition pruning come for free.
   *  - The custom surface that IS needed lives one level down: typed
-  *    `Aggregator`s ([[graft.functions.RobustStats]]) and a native
-  *    codegen `Expression` ([[graft.expressions.PolyHash]]) registered
-  *    through `SparkSessionExtensions` ([[graft.GraftExtensions]]).
+  *    `Aggregator`s ([[graft.functions.RobustStats]]) and three native
+  *    codegen `Expression`s registered through `SparkSessionExtensions`
+  *    ([[graft.GraftExtensions]]): [[graft.expressions.PolyHash]] (the
+  *    fingerprint/minhash primitive), [[graft.expressions.FloatDot]]
+  *    (the embedding-similarity kernel), and
+  *    [[graft.expressions.SortedIntersectCount]] (the fuzzy-dedup
+  *    verification kernel). Each replaces an interpreted higher-order-
+  *    function pipeline in the per-row/per-pair hot path.
   *  - The as-of join ([[graft.operators.AsOfJoin]]) is expressed as the
   *    distributed union+window form rather than a custom physical
   *    operator: one shuffle on the key, no broadcast requirement, and
