@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-evidence harness: synthesizes a 10× copy of the sf0.1 tables
+  * (keys shifted so cardinalities scale too) under target/, then times a
+  * representative query slice at sf0.01 / sf0.1 / sf1-equivalent and
+  * prints the observed scaling exponents. Linear-ish growth on the
+  * aggregation/join/window slice is the evidence that the plan shapes
+  * hold as data grows; the near-dup queries are excluded because their
+  * OUTPUT is quadratic in corpus self-similarity by definition.
+  */
+object ScaleCheck {
+  private val factor = 10
+
+  private def synthesize(spark: SparkSession, src: String, dst: String): Unit = {
+    val keyCols = Map(
+      "lineitem" -> Seq("l_orderkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "customer" -> Seq("c_custkey"),
+      "events" -> Seq("event_id"))
+    for (t <- Tables.names) {
+      val df = Tables.load(spark, src, t)
+      val out =
+        if (keyCols.contains(t)) {
+          val shifted = (0 until factor).map { i =>
+            keyCols(t).foldLeft(df)((d, k) =>
+              d.withColumn(k, col(k) + lit(i.toLong * 100000000L)))
+          }
+          shifted.reduce(_ union _)
+        } else df // dims stay dims — that is the point of a dimension
+      out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val big = "target/sf_big"
+    if (!new java.io.File(s"$big/lineitem.parquet").exists())
+      synthesize(spark, "/root/testdata/sf0.1", big)
+    val slice = Seq("q01_pricing_summary", "q02_superquery_union",
+      "q11_islands", "q16_histogram", "q19_rollup", "q21_phase_fold",
+      "q25_nearest_key", "q57_gauss_moments", "q60_multires_spectrum")
+    val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", big)
+    // warm
+    SparkEntry.queries("q09_catalog_totals")(spark, dirs.head).count()
+    val times = for (d <- dirs) yield {
+      slice.map { n =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, d).count()
+        n -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    }
+    println(f"${"query"}%-24s ${"sf0.01"}%8s ${"sf0.1"}%8s ${"sf1eq"}%8s  x(0.1->1)")
+    for (n <- slice) {
+      val Seq(a, b, c) = times.map(_(n))
+      println(f"$n%-24s $a%8.2f $b%8.2f $c%8.2f  ${c / b}%8.1fx")
+    }
+    spark.stop()
+  }
+}
