@@ -19,8 +19,18 @@ object Probe {
     val t0 = System.nanoTime()
     val stats = docs.agg(count(lit(1)), avg(size(col("toks"))), max(size(col("toks")))).collect()(0)
     println(s"docs=${stats.getLong(0)} avgToks=${stats.getDouble(1)} maxToks=${stats.getInt(2)} in ${(System.nanoTime()-t0)/1e9}s")
-    // q31 signature alone
+    // q33/q62 breakdown
     var t = System.nanoTime()
+    println(s"q33 rows=${SparkEntry.queries("q33_simhash")(spark, d).count()} in ${(System.nanoTime()-t)/1e9}s")
+    spark.catalog.clearCache()
+    val q62df = SparkEntry.queries("q62_simhash_neardup")(spark, d)
+    t = System.nanoTime()
+    println(s"q62 rows=${q62df.count()} in ${(System.nanoTime()-t)/1e9}s")
+    t = System.nanoTime()
+    println(s"q62 again rows=${q62df.count()} in ${(System.nanoTime()-t)/1e9}s")
+    spark.catalog.clearCache()
+    // q31 signature alone
+    t = System.nanoTime()
     println(s"q31 rows=${SparkEntry.queries("q31_minhash_signature")(spark, d).count()} in ${(System.nanoTime()-t)/1e9}s")
     spark.catalog.clearCache()
     val res = SparkEntry.queries("q32_lsh_neardup_pairs")(spark, d)

@@ -223,9 +223,67 @@ object ScaleQ {
       |FROM base JOIN frames ON base.kind = frames.kind
       |ORDER BY kind""".stripMargin
 
+  /** SimHash near-dup pairs: hamming distance ≤ 3 over the 32-bit
+    * signatures of q33, found via pigeonhole byte-band blocking — split
+    * the signature into 4 disjoint 8-bit bands; any pair within distance
+    * 3 differs in ≤ 3 bands, so it MUST agree on at least one band.
+    * The blocked join is therefore exactly equivalent to the brute-force
+    * all-pairs scan the oracle runs, but shuffles only (band, key)
+    * bucket collisions. Pairs are emitted once via first-matching-band
+    * (same dedup-in-join trick as q32). */
+  private def q62(s: SparkSession, d: String): DataFrame = {
+    // signature construction is MAP-SIDE via the simhash32 kernel — one
+    // pass per doc over the hashed distinct-token array, bit-identical to
+    // the exploded ±1-vote aggregation that q33 exposes as its contract
+    val sig = Tables.documents(s, d)
+      .select(col("doc_id"),
+        call_function("simhash32",
+          transform(array_distinct(tokens(col("text"))), strHash(_))).as("simhash"))
+    def byteOf(c: Column, b: Int): Column = shiftright(c, 8 * b).bitwiseAND(lit(255L))
+    val sigb = sig
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(b => byteOf(col("simhash"), b)): _*))
+          .as(Seq("band", "key")))
+      // fan-out probe side: same AQE-coalescing blind spot as q32/q56
+      .repartition(32, col("doc_id"))
+      .cache()
+    def bandEq(b: Int): Column =
+      byteOf(col("x.simhash"), b) === byteOf(col("y.simhash"), b)
+    val earlier = (0 until 3).map(b => col("x.band") > b && bandEq(b)).reduce(_ || _)
+    val ham = bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast(LongType)
+    sigb.as("x").join(broadcast(sigb.as("y")),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id") && !earlier)
+      .withColumn("hamming", ham)
+      .filter(col("hamming") <= 3)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val q62Sql = {
+    val sigCte =
+      s"""toks AS (
+         |  SELECT doc_id, unnest(list_distinct(${sqlTokens("text")})) AS tok FROM documents),
+         |hashed AS (SELECT doc_id, ${sqlStrHash("tok")} AS th FROM toks),
+         |bits AS (SELECT unnest(range(0, 32)) AS j),
+         |votes AS (SELECT doc_id, j,
+         |    SUM(CASE WHEN (th >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM hashed CROSS JOIN bits GROUP BY doc_id, j),
+         |sig AS (SELECT doc_id,
+         |    SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) ELSE 0 END * CAST(pow(2.0, j) AS BIGINT)) AS simhash
+         |  FROM votes GROUP BY doc_id)""".stripMargin
+    s"""WITH $sigCte
+       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+       |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+       |WHERE CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: Seq[GQuery] = Seq(
     GQuery("q55_ivf_ann", q55, Some(q55Sql), Seq("O1", "O4", "A16")),
     GQuery("q56_ngram_jaccard", q56, Some(q56Sql), Seq("A16", "J7")),
     GQuery("q57_gauss_moments", q57, Some(q57Sql), Seq("A18", "A19")),
-    GQuery("q61_multimodal_meta", q61, Some(q61Sql), Seq("S3", "F11")))
+    GQuery("q61_multimodal_meta", q61, Some(q61Sql), Seq("S3", "F11")),
+    GQuery("q62_simhash_neardup", q62, Some(q62Sql), Seq("A16", "J7")))
 }
