@@ -22,20 +22,19 @@ object SimilarityQ {
 
   private val P = HashMod
 
-  /** Per-document MinHash signature, K=8 permutations: row-explode tokens,
-    * min over (a_k·h(token)+b_k) mod p per k. */
+  /** Per-document MinHash signature, K=8 permutations: min over
+    * (a_k·h(token)+b_k) mod p per k. Computed MAP-SIDE as K array folds
+    * over the distinct-token hashes, then posexploded to the (doc_id, k)
+    * grain — no shuffle at all (the oracle SQL defines the same
+    * semantics in the row-exploded groupBy form). */
   private def q31(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
-      .withColumn("th", strHash(col("tok")))
-    val ks = s.range(MinhashK).select(col("id").cast(IntegerType).as("k"))
-    val aArr = array(MinhashA.map(lit(_)): _*)
-    val bArr = array(MinhashB.map(lit(_)): _*)
-    docs.crossJoin(broadcast(ks))
-      .withColumn("hk",
-        (element_at(aArr, col("k") + 1) * col("th") + element_at(bArr, col("k") + 1)) % P)
-      .groupBy(col("doc_id"), col("k"))
-      .agg(min(col("hk")).as("minhash"))
+    val toks = array_distinct(transform(array_distinct(tokens(col("text"))), strHash(_)))
+    def mhOf(k: Int): Column = array_min(transform(col("toks"),
+      t => (lit(MinhashA(k)) * t + lit(MinhashB(k))) % P))
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        posexplode(array((0 until MinhashK).map(mhOf): _*)).as(Seq("k", "minhash")))
       .orderBy(col("doc_id"), col("k"))
   }
 
@@ -179,21 +178,16 @@ object SimilarityQ {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  /** SimHash (32-bit): signed bit votes from distinct token hashes. */
-  private def q33(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
-      .withColumn("th", strHash(col("tok")))
-    val bits = s.range(32).select(col("id").cast(IntegerType).as("j"))
-    docs.crossJoin(broadcast(bits))
-      .withColumn("vote", when(expr("shiftright(th, j) % 2") === 1, 1L).otherwise(-1L))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(col("vote")).as("v"))
-      .withColumn("bit", when(col("v") > 0, 1L).otherwise(0L))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("bit") * pow(lit(2.0), col("j")).cast(LongType)).as("simhash"))
+  /** SimHash (32-bit): signed bit votes from distinct token hashes —
+    * one map-side pass per row via the native simhash32 kernel (spec-
+    * verified bit-identical to the exploded ±1-vote aggregation, which
+    * is the form the oracle SQL spells out). */
+  private def q33(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        call_function("simhash32",
+          transform(array_distinct(tokens(col("text"))), strHash(_))).as("simhash"))
       .orderBy(col("doc_id"))
-  }
 
   private val q33Sql =
     s"""WITH toks AS (
