@@ -25,7 +25,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver parses the bench JSON from output where sbt may append its
+    // own trailer lines; persist to a file AND print after spark.stop() so
+    // the JSON is the program's last stdout line.
+    val outPath = java.nio.file.Paths.get("target", "bench.json")
+    java.nio.file.Files.createDirectories(outPath.getParent)
+    java.nio.file.Files.write(outPath, json.getBytes("UTF-8"))
     spark.stop()
+    println(json)
   }
 }

@@ -85,21 +85,49 @@ object RobustStats {
 
   final case class MeanRms(mean: Double, rms: Double)
 
-  private val bufEnc: Encoder[Array[Double]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  /** Growable sample buffer: `data` has amortized-doubling slack beyond the
+    * `n` live values, so `reduce` is O(1) amortized instead of the O(group)
+    * full-array copy a naive `b :+ a` pays per element (A8 runs per
+    * (obs,subint,pol,chan) cell — this is the hottest UDAF buffer). The
+    * case-class wrapper stays cheap: reduce mutates `data` in place and
+    * re-wraps, allocating only on growth. */
+  final case class GrowBuf(n: Int, data: Array[Double])
+
+  private val growEnc: Encoder[GrowBuf] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[GrowBuf]()
+
+  private def grown(b: GrowBuf, need: Int): Array[Double] =
+    if (b.n + need <= b.data.length) b.data
+    else java.util.Arrays.copyOf(b.data, math.max(b.data.length * 2, math.max(b.n + need, 16)))
+
+  private def packed(b: GrowBuf): Array[Double] =
+    if (b.n == b.data.length) b.data else java.util.Arrays.copyOf(b.data, b.n)
+
+  private def concat(b1: GrowBuf, b2: GrowBuf): GrowBuf = {
+    val out = new Array[Double](b1.n + b2.n)
+    System.arraycopy(b1.data, 0, out, 0, b1.n)
+    System.arraycopy(b2.data, 0, out, b1.n, b2.n)
+    GrowBuf(b1.n + b2.n, out)
+  }
 
   /** Collect-then-estimate aggregator core: subclasses provide finish. */
   abstract class BoundedSampleAgg[OUT: Encoder]
-      extends Aggregator[Double, Array[Double], OUT] {
-    def zero: Array[Double] = Array.empty
-    def reduce(b: Array[Double], a: Double): Array[Double] = b :+ a
-    def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = b1 ++ b2
-    def bufferEncoder: Encoder[Array[Double]] = bufEnc
+      extends Aggregator[Double, GrowBuf, OUT] {
+    def zero: GrowBuf = GrowBuf(0, Array.empty)
+    def reduce(b: GrowBuf, a: Double): GrowBuf = {
+      val data = grown(b, 1)
+      data(b.n) = a
+      GrowBuf(b.n + 1, data)
+    }
+    def merge(b1: GrowBuf, b2: GrowBuf): GrowBuf = concat(b1, b2)
+    final def finish(b: GrowBuf): OUT = finishValues(packed(b))
+    def finishValues(r: Array[Double]): OUT
+    def bufferEncoder: Encoder[GrowBuf] = growEnc
   }
 
   /** A8: Q-Q robust (mean, rms). */
   class QqAgg(osmBound: Double) extends BoundedSampleAgg[MeanRms]()(Encoders.product[MeanRms]) {
-    def finish(r: Array[Double]): MeanRms = {
+    def finishValues(r: Array[Double]): MeanRms = {
       val (m, s) = qqMeanRms(r, osmBound); MeanRms(m, s)
     }
     def outputEncoder: Encoder[MeanRms] = Encoders.product[MeanRms]
@@ -109,7 +137,7 @@ object RobustStats {
     * reference's small-sample correction ×1.148 (`pulsestack.py:74-76`). */
   class TrimmedStdAgg(keepFrac: Double, correction: Double)
       extends BoundedSampleAgg[Double]()(Encoders.scalaDouble) {
-    def finish(r: Array[Double]): Double = {
+    def finishValues(r: Array[Double]): Double = {
       val n = r.length
       if (n < 2) return 0.0
       val sorted = r.sorted
@@ -125,7 +153,7 @@ object RobustStats {
   /** A12 variant: mean/std over the lower half of sorted values
     * (`subdyn.py:426-427`). */
   class LowerHalfAgg extends BoundedSampleAgg[MeanRms]()(Encoders.product[MeanRms]) {
-    def finish(r: Array[Double]): MeanRms = {
+    def finishValues(r: Array[Double]): MeanRms = {
       val n = r.length
       if (n == 0) return MeanRms(Double.NaN, Double.NaN)
       val kept = r.sorted.take(math.max(n / 2, 1))
@@ -142,12 +170,16 @@ object RobustStats {
     * closed-form relational q45 and this degree-d fitter over (x, y)
     * pairs. Buffer holds interleaved [x0,y0,x1,y1,...]. */
   class PolyFitAgg(degree: Int)
-      extends Aggregator[(Double, Double), Array[Double], Seq[Double]] {
-    def zero: Array[Double] = Array.empty
-    def reduce(b: Array[Double], a: (Double, Double)): Array[Double] =
-      b :+ a._1 :+ a._2
-    def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = b1 ++ b2
-    def finish(r: Array[Double]): Seq[Double] = {
+      extends Aggregator[(Double, Double), GrowBuf, Seq[Double]] {
+    def zero: GrowBuf = GrowBuf(0, Array.empty)
+    def reduce(b: GrowBuf, a: (Double, Double)): GrowBuf = {
+      val data = grown(b, 2)
+      data(b.n) = a._1; data(b.n + 1) = a._2
+      GrowBuf(b.n + 2, data)
+    }
+    def merge(b1: GrowBuf, b2: GrowBuf): GrowBuf = concat(b1, b2)
+    def finish(buf: GrowBuf): Seq[Double] = {
+      val r = packed(buf)
       val n = r.length / 2
       val k = degree + 1
       if (n < k) return Seq.fill(k)(Double.NaN)
@@ -194,7 +226,7 @@ object RobustStats {
       }
       out.toSeq // lowest-order coefficient first
     }
-    def bufferEncoder: Encoder[Array[Double]] = bufEnc
+    def bufferEncoder: Encoder[GrowBuf] = growEnc
     def outputEncoder: Encoder[Seq[Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }

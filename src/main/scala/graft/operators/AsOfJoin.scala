@@ -38,28 +38,32 @@ object AsOfJoin {
     // for strict.
     val lSide = if (strict) 0 else 1
     val rSide = 1 - lSide
+    // Payload travels as ONE struct column so every field of the output
+    // comes from the SAME latest-preceding right row — filling each payload
+    // column independently would mix fields of different right rows whenever
+    // the latest row holds a null in one of them.
+    val plType = org.apache.spark.sql.types.StructType(payload.map(right.schema(_)))
     val lTagged = left
       .withColumn("__t", col(leftTime).cast("decimal(38,9)"))
       .withColumn("__side", lit(lSide))
       .withColumn("__tb", col(lTb).cast("decimal(38,9)"))
       .select((keyCols.map(col) :+ col("__t") :+ col("__side") :+ col("__tb")) ++
-        lCols.filterNot(keyCols.contains).map(col) ++
-        payload.map(p => lit(null).cast(right.schema(p).dataType).as(p)): _*)
+        lCols.filterNot(keyCols.contains).map(col) :+
+        lit(null).cast(plType).as("__pl"): _*)
     val rTagged = right
       .withColumn("__t", col(rightTime).cast("decimal(38,9)"))
       .withColumn("__side", lit(rSide))
       .withColumn("__tb", col(rTb).cast("decimal(38,9)"))
       .select((keyCols.map(col) :+ col("__t") :+ col("__side") :+ col("__tb")) ++
-        lCols.filterNot(keyCols.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(col): _*)
+        lCols.filterNot(keyCols.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payload.map(col): _*).as("__pl"): _*)
     val unioned = lTagged.unionByName(rTagged)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__t"), col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(unioned) { (df, p) =>
-      df.withColumn(s"__asof_$p", last(col(p), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === lSide)
-      .select(lCols.map(col) ++ payload.map(p => col(s"__asof_$p").as(p)): _*)
+    unioned
+      .withColumn("__asof", last(col("__pl"), ignoreNulls = true).over(w))
+      .filter(col("__side") === lSide)
+      .select(lCols.map(col) ++ payload.map(p => col("__asof").getField(p).as(p)): _*)
   }
 }

@@ -61,7 +61,12 @@ object DynSp {
     val stats = dyn.groupBy(keys.map(col): _*)
       .agg(RobustStats.qqStats(col("flux")).as("mr"))
     dyn.join(broadcast(stats), keys)
-      .withColumn("norm", (col("flux") - col("mr.mean")) / col("mr.rms"))
+      // rms == 0 (constant-flux group) → 0, matching the reference's
+      // explicit zero branch (dynsp.py:198-200); without the guard the
+      // division poisons the downstream ACF sums with null/Infinity.
+      .withColumn("norm",
+        when(col("mr.rms") > 0.0,
+          (col("flux") - col("mr.mean")) / col("mr.rms")).otherwise(0.0))
       .drop("mr")
   }
 

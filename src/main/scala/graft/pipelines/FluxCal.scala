@@ -52,8 +52,11 @@ object FluxCal {
       .withColumn("tinst", tinstHba(col("freq")))
       .withColumn("tsky", tskyPortable(lit(cfg.t408K), col("freq")))
       .withColumn("tsys", col("tinst") + col("tsky"))
+      // nelem is the TILE count (stations × 24 tiles); aeffMax's HBA branch
+      // multiplies by the 16 elements per tile itself (lofar_gain.py:460-467,
+      // nelem default = 48 tiles).
       .withColumn("aeff",
-        aeffMax(lit(true), lit(cfg.nstations * 24.0 * 16.0), col("freq")))
+        aeffMax(lit(true), lit(cfg.nstations * 24.0), col("freq")))
       .withColumn("sefd", lit(2.0) * lit(kB) * col("tsys") /
         ((lit(1.0) - cfg.badTileFrac) * col("aeff")))
   }

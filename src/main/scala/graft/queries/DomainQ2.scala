@@ -53,8 +53,8 @@ object DomainQ2 {
       |    (s_suppkey * 7) % 12 AS nflag
       |  FROM st),
       |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY prefix ORDER BY nflag DESC, station) AS rk FROM named)
-      |SELECT prefix, COUNT(*) AS n_stations, SUM(nflag) AS total_flagged,
-      |  SUM(nelem) AS capacity,
+      |SELECT prefix, COUNT(*) AS n_stations, CAST(SUM(nflag) AS BIGINT) AS total_flagged,
+      |  CAST(SUM(nelem) AS BIGINT) AS capacity,
       |  CAST(SUM(nflag) AS DOUBLE) / CAST(SUM(nelem) AS DOUBLE) AS flag_frac,
       |  MAX(CASE WHEN rk = 1 THEN station END) AS worst_station,
       |  MAX(CASE WHEN rk = 1 THEN nflag END) AS worst_n
@@ -279,7 +279,7 @@ object DomainQ2 {
        |    CAST(((epoch_ns(ts) // 1000000000) % 86400) // 3600 AS INT) AS hour_bin
        |  FROM events)
        |SELECT user_id, COUNT(*) AS n_total,
-       |  SUM(CASE WHEN hour_bin < 6 THEN 1 ELSE 0 END) AS n_off,
+       |  CAST(SUM(CASE WHEN hour_bin < 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_off,
        |  CAST(SUM(CASE WHEN hour_bin < 6 THEN ${sqlD2("value")} END) AS DOUBLE) /
        |    CAST(SUM(CASE WHEN hour_bin < 6 THEN 1 END) AS DOUBLE) AS off_mean,
        |  ${sqlDsum("CASE WHEN hour_bin >= 6 THEN value ELSE 0.0 END")} AS on_sum

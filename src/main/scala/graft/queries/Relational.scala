@@ -54,20 +54,30 @@ object Relational {
 
   /** J1+U1 multi-branch superquery: joins through the full dimension chain
     * with per-branch predicates, UNION-distinct of the branches
-    * (`LTA/lta-query.py:32-76`). Dimensions are broadcast. */
+    * (`LTA/lta-query.py:32-76`). Dimensions are broadcast.
+    *
+    * The reference's UNION of three branch queries would scan the fact
+    * tables once PER BRANCH — at 100 TB that's 3 full scans. The branch
+    * predicates are mutually exclusive on (r_name, o_orderstatus), so ONE
+    * scan with the disjunctive predicate produces the same row set; the
+    * oracle keeps the reference's UNION form as an independent derivation.
+    * (Each row matches at most one branch, so UNION-distinct ≡ distinct of
+    * the disjunctive scan.) */
   private def q02(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d)
     val n = Tables.nation(s, d)
     val r = Tables.region(s, d)
-    def branch(regionName: String, status: String): DataFrame =
-      o.join(c, o("o_custkey") === c("c_custkey"))
-        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-        .filter(r("r_name") === regionName && o("o_orderstatus") === status)
-        .select(o("o_orderkey").as("okey"), o("o_totalprice").as("price"),
-          n("n_name").as("nation_name"), r("r_name").as("region_name"))
-    branch("ASIA", "F").union(branch("EUROPE", "O")).union(branch("AMERICA", "P"))
+    val branches = Seq("ASIA" -> "F", "EUROPE" -> "O", "AMERICA" -> "P")
+    val pred = branches
+      .map { case (rn, st) => r("r_name") === rn && o("o_orderstatus") === st }
+      .reduce(_ || _)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .filter(pred)
+      .select(o("o_orderkey").as("okey"), o("o_totalprice").as("price"),
+        n("n_name").as("nation_name"), r("r_name").as("region_name"))
       .distinct()
       .orderBy(col("okey"))
   }

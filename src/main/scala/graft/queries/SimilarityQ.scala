@@ -50,8 +50,8 @@ object SimilarityQ {
        |FROM hashed CROSS JOIN ks GROUP BY doc_id, k ORDER BY doc_id, k""".stripMargin
   }
 
-  /** MinHash-LSH near-dup pipeline: band the K=8 signature into 4 bands of
-    * 2 rows, bucket-join candidate pairs, verify with exact token-set
+  /** MinHash-LSH near-dup pipeline: band the K=8 signature into 2 bands of
+    * 4 rows, bucket-join candidate pairs, verify with exact token-set
     * Jaccard, keep pairs ≥ 0.5.
     *
     * Shuffle budget: ONE shuffle builds the signature (token explode →
@@ -198,7 +198,7 @@ object SimilarityQ {
        |    SUM(CASE WHEN (th >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
        |  FROM hashed CROSS JOIN bits GROUP BY doc_id, j)
        |SELECT doc_id,
-       |  SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) ELSE 0 END * CAST(pow(2.0, j) AS BIGINT)) AS simhash
+       |  CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) ELSE 0 END * CAST(pow(2.0, j) AS BIGINT)) AS BIGINT) AS simhash
        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Dot product: native codegen expression accumulating left-to-right —

@@ -39,7 +39,7 @@ object TimeSeriesQ {
        |  CASE WHEN ts_sec - lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) <= 1800 THEN 0 ELSE 1 END AS gap
        |  FROM e),
        |sess AS (SELECT *, SUM(gap) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session FROM flagged)
-       |SELECT user_id, session, COUNT(*) AS n_events,
+       |SELECT user_id, CAST(session AS BIGINT) AS session, COUNT(*) AS n_events,
        |  MIN(ts_sec) AS start_sec, MAX(ts_sec) AS end_sec,
        |  ${sqlDsum("value")} AS session_value
        |FROM sess GROUP BY user_id, session ORDER BY user_id, session""".stripMargin

@@ -169,7 +169,7 @@ object WindowsQ {
        |  SELECT user_id, ${sqlDavg("value")} AS mean, sqrt(${sqlDvarPop("value")}) AS std, COUNT(*) AS n
        |  FROM events GROUP BY user_id)
        |SELECT e.user_id AS user_id, MAX(s.n) AS n_events,
-       |  SUM(CASE WHEN abs(e.value - s.mean) > 2.0 * s.std THEN 1 ELSE 0 END) AS n_clipped,
+       |  CAST(SUM(CASE WHEN abs(e.value - s.mean) > 2.0 * s.std THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
        |  CAST(SUM(CASE WHEN abs(e.value - s.mean) > 2.0 * s.std THEN 1 ELSE 0 END) AS DOUBLE) / CAST(MAX(s.n) AS DOUBLE) AS clip_frac
        |FROM events e JOIN stats s ON e.user_id = s.user_id
        |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin
