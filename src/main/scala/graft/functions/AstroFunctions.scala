@@ -244,4 +244,116 @@ object AstroFunctions {
     s"(CASE WHEN $isHba THEN ($nelem) * 16.0 * least($l23, 1.5625) " +
       s"ELSE ($nelem) * $l23 END)"
   }
+
+  // ---------- transit times (C4), `scheduling/azlst.pl:1-245`,
+  // `scheduling/bfscheduler.py:277-311` — PORTABLE TIER. The GMST
+  // polynomial is multiply-add-mod only (no trig), so LST and all transit
+  // arithmetic below pair with the DuckDB oracle bit-for-bit. fmod on
+  // doubles is IEEE-exact on both engines; pmod = fmod + conditional add.
+
+  /** LST advance rate, degrees per solar day (sid.pl sidereal rate). */
+  val LstRateDegPerDay = 360.98564736629
+
+  /** SQL pmod over doubles matching Spark's pmod exactly. */
+  def sqlPmod(x: String, m: String): String =
+    s"(CASE WHEN fmod($x, $m) < 0 THEN fmod($x, $m) + $m ELSE fmod($x, $m) END)"
+
+  // NOTE: the e0 suffix forces DuckDB to read these literals as DOUBLE —
+  // its default DECIMAL literals overflow on the sidereal-rate multiply
+  // (and would not be bit-identical to Spark's double arithmetic anyway).
+  def sqlLstDeg(mjd: String, lon: String): String =
+    sqlPmod(s"280.46061837e0 + 360.98564736629e0 * (($mjd) - 51544.5e0) + ($lon)",
+      "360.0")
+
+  /** MJD of the last transit (hour angle = 0, i.e. LST == RA) at or before
+    * `mjd`: back off by the current hour angle at the LST rate. */
+  def previousTransitMjd(mjd: Column, raDeg: Column, lonDeg: Column): Column =
+    mjd - pmod(lstDeg(mjd, lonDeg) - raDeg, lit(360.0)) / lit(LstRateDegPerDay)
+
+  def sqlPreviousTransitMjd(mjd: String, ra: String, lon: String): String =
+    s"(($mjd) - ${sqlPmod(s"${sqlLstDeg(mjd, lon)} - ($ra)", "360.0")} / 360.98564736629e0)"
+
+  /** MJD of the first transit strictly after the previous one: one
+    * sidereal day (360° of LST advance) later. */
+  def nextTransitMjd(mjd: Column, raDeg: Column, lonDeg: Column): Column =
+    previousTransitMjd(mjd, raDeg, lonDeg) + lit(360.0) / lit(LstRateDegPerDay)
+
+  def sqlNextTransitMjd(mjd: String, ra: String, lon: String): String =
+    s"(${sqlPreviousTransitMjd(mjd, ra, lon)} + 360.0e0 / 360.98564736629e0)"
+
+  /** Elevation at transit: 90 − |lat − dec| (azlst.pl EL_transit, the
+    * HA=0 case of the zenith-angle formula — reduces to a plain
+    * difference, no trig). */
+  def transitElevation(decDeg: Column, latDeg: Column): Column =
+    lit(90.0) - abs(latDeg - decDeg)
+
+  def sqlTransitElevation(dec: String, lat: String): String =
+    s"(90.0 - abs(($lat) - ($dec)))"
+
+  /** Circumpolar at this (lat, el): source never sets
+    * (azlst.pl:77-83, with the reference's 0.001° comparison tolerance). */
+  def neverSets(decDeg: Column, latDeg: Column, elDeg: Column): Column =
+    when(latDeg >= 0.0, decDeg >= lit(90.0) - latDeg + elDeg - 0.001)
+      .otherwise(decDeg <= -(lit(90.0) + latDeg + elDeg - 0.001))
+
+  def sqlNeverSets(dec: String, lat: String, el: String): String =
+    s"(CASE WHEN ($lat) >= 0.0 THEN ($dec) >= 90.0 - ($lat) + ($el) - 0.001 " +
+      s"ELSE ($dec) <= -(90.0 + ($lat) + ($el) - 0.001) END)"
+
+  /** Source never rises above el at this latitude (azlst.pl:84-89). */
+  def neverRises(decDeg: Column, latDeg: Column, elDeg: Column): Column =
+    when(latDeg >= 0.0, decDeg < -(lit(90.0) - latDeg) + elDeg + 0.001)
+      .otherwise(decDeg > lit(90.0) + latDeg - elDeg - 0.001)
+
+  def sqlNeverRises(dec: String, lat: String, el: String): String =
+    s"(CASE WHEN ($lat) >= 0.0 THEN ($dec) < -(90.0 - ($lat)) + ($el) + 0.001 " +
+      s"ELSE ($dec) > 90.0 + ($lat) - ($el) - 0.001 END)"
+
+  /** Transit-approach distance in minutes for an observing slot
+    * [startMjd, endMjd] (bfscheduler.py:285-290): positive when the
+    * nearest transit is outside the slot; ≤ tolerance earns the
+    * close-to-transit scheduling bonus. */
+  def transitApproachMin(startMjd: Column, endMjd: Column,
+                         prevTransit: Column, nextTransit: Column): Column = {
+    val a1 = lit(1440.0) * (startMjd - prevTransit)
+    val a2 = lit(1440.0) * (nextTransit - endMjd)
+    when(a1 > 0, when(a2 > 0, least(a1, a2)).otherwise(a1)).otherwise(a2)
+  }
+
+  def sqlTransitApproachMin(start: String, end: String,
+                            prev: String, next: String): String = {
+    val a1 = s"(1440.0 * (($start) - ($prev)))"
+    val a2 = s"(1440.0 * (($next) - ($end)))"
+    s"(CASE WHEN $a1 > 0 THEN (CASE WHEN $a2 > 0 THEN least($a1, $a2) ELSE $a1 END) ELSE $a2 END)"
+  }
+
+  /** The transit an observation should anchor to (bfscheduler.py:302-311):
+    * the in-slot next transit, else whichever of previous/next is closer
+    * to the slot. */
+  def chosenTransitMjd(startMjd: Column, endMjd: Column,
+                       prevTransit: Column, nextTransit: Column): Column =
+    when(nextTransit >= startMjd && nextTransit <= endMjd, nextTransit)
+      .when(startMjd - prevTransit < nextTransit - endMjd, prevTransit)
+      .otherwise(nextTransit)
+
+  def sqlChosenTransitMjd(start: String, end: String,
+                          prev: String, next: String): String =
+    s"(CASE WHEN ($next) >= ($start) AND ($next) <= ($end) THEN ($next) " +
+      s"WHEN ($start) - ($prev) < ($next) - ($end) THEN ($prev) ELSE ($next) END)"
+
+  // ---------- transit HA/LST range (C4 trig tier — ScalaTest-verified)
+
+  /** |hour angle| in degrees at which the source crosses elevation el
+    * (azlst.pl get_HA): acos((cos ZA − sin δ sin φ)/(cos δ cos φ)). */
+  def haAtElevation(elDeg: Column, decDeg: Column, latDeg: Column): Column = {
+    val za = d2r(lit(90.0) - elDeg)
+    val dec = d2r(decDeg); val lat = d2r(latDeg)
+    r2d(acos((cos(za) - sin(dec) * sin(lat)) / (cos(dec) * cos(lat))))
+  }
+
+  /** LST (degrees) of rise and set at the elevation whose |HA| is haDeg:
+    * RA ∓ HA mod 360 (azlst.pl:110-116, in degrees not hours). */
+  def riseSetLst(raDeg: Column, haDeg: Column): Column =
+    struct(pmod(raDeg - haDeg, lit(360.0)).as("lst_rise"),
+      pmod(raDeg + haDeg, lit(360.0)).as("lst_set"))
 }

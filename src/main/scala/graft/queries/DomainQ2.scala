@@ -66,11 +66,18 @@ object DomainQ2 {
   // driver-side over the tiny ranked result (order-dependent by design).
 
   private def q49(s: SparkSession, d: String): DataFrame = {
-    val lat = 52.9
+    import graft.functions.AstroFunctions._
+    val lat = 52.915111 // LOFAR site, azlst.pl defaults
+    val lon = 6.869883
+    val startMjd = 56000.0
+    // transit_hour is now COMPUTED from (RA, LST) via the C4 transit pack —
+    // hours from slot start to the next transit — not synthesized.
     val t = Tables.customer(s, d)
       .withColumn("dec_deg", ((col("c_custkey") * 7) % 120).cast(DoubleType) - 30.0)
-      .withColumn("transit_hour", ((col("c_custkey") * 13) % 24).cast(DoubleType))
-      .withColumn("max_el", lit(90.0) - abs(lit(lat) - col("dec_deg")))
+      .withColumn("ra_deg", ((col("c_custkey") * 7919) % 360).cast(DoubleType))
+      .withColumn("transit_hour",
+        (nextTransitMjd(lit(startMjd), col("ra_deg"), lit(lon)) - lit(startMjd)) * 24.0)
+      .withColumn("max_el", transitElevation(col("dec_deg"), lit(lat)))
       .withColumn("transit_score",
         lit(12.0) - abs(col("transit_hour") - 12.0))
       .withColumn("score",
@@ -78,28 +85,38 @@ object DomainQ2 {
           when(col("transit_hour") >= 2 && col("transit_hour") <= 6, 10.0)
             .otherwise(0.0) +
           when(col("c_custkey") % 100 === 0, 100.0).otherwise(0.0))
+    // Distributed top-k FIRST (TakeOrderedAndProject: per-partition partial
+    // top-50, driver merge), THEN a ranking window over exactly 50 rows —
+    // never a partition-less row_number over the full target table.
+    val top = t.orderBy(col("score").desc, col("c_custkey")).limit(50)
     val w = Window.orderBy(col("score").desc, col("c_custkey"))
-    t.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 50)
+    top.withColumn("rank", row_number().over(w))
       .select(col("rank"), col("c_custkey"), col("dec_deg"),
         col("transit_hour"), col("max_el"), col("score"))
       .orderBy(col("rank"))
   }
 
-  private val q49Sql =
-    """WITH t AS (SELECT c_custkey,
-      |    CAST((c_custkey * 7) % 120 AS DOUBLE) - 30.0 AS dec_deg,
-      |    CAST((c_custkey * 13) % 24 AS DOUBLE) AS transit_hour
-      |  FROM customer),
-      |scored AS (SELECT c_custkey, dec_deg, transit_hour,
-      |    90.0 - abs(52.9 - dec_deg) AS max_el,
-      |    90.0 / (90.0 - abs(52.9 - dec_deg)) + (12.0 - abs(transit_hour - 12.0))
-      |      + CASE WHEN transit_hour >= 2 AND transit_hour <= 6 THEN 10.0 ELSE 0.0 END
-      |      + CASE WHEN c_custkey % 100 = 0 THEN 100.0 ELSE 0.0 END AS score
-      |  FROM t),
-      |ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, c_custkey) AS rank FROM scored)
-      |SELECT rank, c_custkey, dec_deg, transit_hour, max_el, score
-      |FROM ranked WHERE rank <= 50 ORDER BY rank""".stripMargin
+  private val q49Sql = {
+    import graft.functions.AstroFunctions._
+    val nextT = sqlNextTransitMjd("56000.0", "ra_deg", "6.869883")
+    val maxEl = sqlTransitElevation("dec_deg", "52.915111")
+    s"""WITH t AS (SELECT c_custkey,
+       |    CAST((c_custkey * 7) % 120 AS DOUBLE) - 30.0 AS dec_deg,
+       |    CAST((c_custkey * 7919) % 360 AS DOUBLE) AS ra_deg
+       |  FROM customer),
+       |tr AS (SELECT c_custkey, dec_deg,
+       |    ($nextT - 56000.0) * 24.0 AS transit_hour
+       |  FROM t),
+       |scored AS (SELECT c_custkey, dec_deg, transit_hour,
+       |    $maxEl AS max_el,
+       |    90.0 / $maxEl + (12.0 - abs(transit_hour - 12.0))
+       |      + CASE WHEN transit_hour >= 2 AND transit_hour <= 6 THEN 10.0 ELSE 0.0 END
+       |      + CASE WHEN c_custkey % 100 = 0 THEN 100.0 ELSE 0.0 END AS score
+       |  FROM tr),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, c_custkey) AS rank FROM scored)
+       |SELECT rank, c_custkey, dec_deg, transit_hour, max_el, score
+       |FROM ranked WHERE rank <= 50 ORDER BY rank""".stripMargin
+  }
 
   // --- q50: C14 polyco phase evaluation via segment range join ----------
   // Polyco segments as a broadcast dimension; each event lands in exactly
@@ -285,6 +302,73 @@ object DomainQ2 {
        |  ${sqlDsum("CASE WHEN hour_bin >= 6 THEN value ELSE 0.0 END")} AS on_sum
        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // --- q63: C4 transit-time computation ---------------------------------
+  // Previous/next transit anchored on LST == RA (`scheduling/azlst.pl:
+  // 1-245`), transit elevation + circumpolar flags with the reference's
+  // 0.001° tolerance, approach minutes and anchor-transit choice for an
+  // observing slot, and the bfscheduler score composed from them
+  // (`scheduling/bfscheduler.py:277-311`). Everything here is the
+  // multiply-add-mod/compare tier; the trig tier (HA at a given elevation,
+  // rise/set LST) is spec-verified in AstroFunctionsSpec.
+
+  private def q63(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.AstroFunctions._
+    val lat = 52.915111; val lon = 6.869883; val el = 30.0
+    val start = 56000.25; val end = 56000.5 // 6 h observing slot
+    Tables.customer(s, d)
+      .withColumn("ra_deg", ((col("c_custkey") * 7919) % 360).cast(DoubleType))
+      .withColumn("dec_deg", ((col("c_custkey") * 7) % 180).cast(DoubleType) - 90.0)
+      .withColumn("transit_el", transitElevation(col("dec_deg"), lit(lat)))
+      .withColumn("never_sets", neverSets(col("dec_deg"), lit(lat), lit(el)))
+      .withColumn("never_rises", neverRises(col("dec_deg"), lit(lat), lit(el)))
+      .filter(col("transit_el") > 0.0)
+      .withColumn("prev_transit",
+        previousTransitMjd(lit(start), col("ra_deg"), lit(lon)))
+      .withColumn("next_transit",
+        col("prev_transit") + lit(360.0) / lit(LstRateDegPerDay))
+      .withColumn("approach_min",
+        transitApproachMin(lit(start), lit(end), col("prev_transit"), col("next_transit")))
+      .withColumn("anchor_transit",
+        chosenTransitMjd(lit(start), lit(end), col("prev_transit"), col("next_transit")))
+      .withColumn("score",
+        when(col("approach_min") > 0 && col("approach_min") <= 60.0,
+          lit(100.0) + col("approach_min") / 10.0).otherwise(0.0) +
+          lit(90.0) / col("transit_el") +
+          when(col("next_transit") >= start && col("next_transit") <= end, 10.0)
+            .otherwise(0.0))
+      .select(col("c_custkey"), col("ra_deg"), col("dec_deg"),
+        col("transit_el"), col("never_sets"), col("never_rises"),
+        col("prev_transit"), col("next_transit"), col("approach_min"),
+        col("anchor_transit"), col("score"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q63Sql = {
+    import graft.functions.AstroFunctions._
+    s"""WITH t AS (SELECT c_custkey,
+       |    CAST((c_custkey * 7919) % 360 AS DOUBLE) AS ra_deg,
+       |    CAST((c_custkey * 7) % 180 AS DOUBLE) - 90.0 AS dec_deg
+       |  FROM customer),
+       |f AS (SELECT c_custkey, ra_deg, dec_deg,
+       |    ${sqlTransitElevation("dec_deg", "52.915111")} AS transit_el,
+       |    ${sqlNeverSets("dec_deg", "52.915111", "30.0")} AS never_sets,
+       |    ${sqlNeverRises("dec_deg", "52.915111", "30.0")} AS never_rises,
+       |    ${sqlPreviousTransitMjd("56000.25", "ra_deg", "6.869883")} AS prev_transit
+       |  FROM t),
+       |g AS (SELECT *, prev_transit + 360.0e0 / 360.98564736629e0 AS next_transit
+       |  FROM f WHERE transit_el > 0.0),
+       |h AS (SELECT *,
+       |    ${sqlTransitApproachMin("56000.25", "56000.5", "prev_transit", "next_transit")} AS approach_min,
+       |    ${sqlChosenTransitMjd("56000.25", "56000.5", "prev_transit", "next_transit")} AS anchor_transit
+       |  FROM g)
+       |SELECT c_custkey, ra_deg, dec_deg, transit_el, never_sets, never_rises,
+       |  prev_transit, next_transit, approach_min, anchor_transit,
+       |  (CASE WHEN approach_min > 0 AND approach_min <= 60.0 THEN 100.0 + approach_min / 10.0 ELSE 0.0 END)
+       |    + 90.0 / transit_el
+       |    + (CASE WHEN next_transit >= 56000.25 AND next_transit <= 56000.5 THEN 10.0 ELSE 0.0 END) AS score
+       |FROM h ORDER BY c_custkey""".stripMargin
+  }
+
   val queries: Seq[GQuery] = Seq(
     GQuery("q48_flagged_tiles", q48, Some(q48Sql), Seq("F10", "A15", "J9")),
     GQuery("q49_scheduler_score", q49, Some(q49Sql), Seq("A24", "W5", "O4")),
@@ -292,5 +376,6 @@ object DomainQ2 {
     GQuery("q51_badchunk_mask", q51, Some(q51Sql), Seq("A13", "W6")),
     GQuery("q52_rotate_rekey", q52, Some(q52Sql), Seq("R1", "A2")),
     GQuery("q53_dedisperse_rekey", q53, Some(q53Sql), Seq("R2", "A4")),
-    GQuery("q54_offwindow_stats", q54, Some(q54Sql), Seq("A9", "F8")))
+    GQuery("q54_offwindow_stats", q54, Some(q54Sql), Seq("A9", "F8")),
+    GQuery("q63_transit_times", q63, Some(q63Sql), Seq("C4", "C3", "A24")))
 }

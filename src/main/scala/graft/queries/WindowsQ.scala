@@ -17,19 +17,18 @@ object WindowsQ {
 
   /** W1 gap-and-island: distinct high-quantity part keys → sessionize on
     * key gaps > 1 → keep islands with ≥ 2 members (trim_bins drops 1-bin
-    * outliers, `fluxcal/snr.py:70-99`). */
+    * outliers, `fluxcal/snr.py:70-99`).
+    *
+    * Uses the two-level `Islands.consecutive` operator: the key set grows
+    * with the fact table, so a `Window.orderBy` with no partition (single
+    * partition, 5.6× wall growth at 10× data in ScaleCheck) is replaced by
+    * bucket-local sessionization + an edge-island chain merge. The oracle
+    * keeps the one-window SQL form as an independent derivation. */
   private def q11(s: SparkSession, d: String): DataFrame = {
     val keys = Tables.lineitem(s, d)
       .filter(col("l_quantity") >= 48)
       .select(col("l_partkey").as("k")).distinct()
-    val w = Window.orderBy(col("k"))
-    val ws = Window.orderBy(col("k")).rowsBetween(Window.unboundedPreceding, 0)
-    keys
-      .withColumn("gap", when(col("k") - lag(col("k"), 1).over(w) === 1, 0).otherwise(1))
-      .withColumn("island", sum(col("gap")).over(ws))
-      .groupBy(col("island"))
-      .agg(min(col("k")).as("island_start"), max(col("k")).as("island_end"),
-        count(lit(1)).as("n_members"))
+    graft.operators.Islands.consecutive(keys, "k")
       .filter(col("n_members") >= 2)
       .select(col("island_start"), col("island_end"), col("n_members"))
       .orderBy(col("island_start"))

@@ -108,6 +108,63 @@ class AstroFunctionsSpec extends SparkSpecBase {
     assert(math.abs(lba30 / lba60 - 4.0) < 1e-9) // lambda^2 scaling
   }
 
+  test("transit times: LST equals RA at the computed transit, spacing is one sidereal day") {
+    val lon = 6.869883
+    for ((mjd, ra) <- Seq((56000.25, 83.633), (56123.7, 0.0), (58849.1, 350.0))) {
+      val prev = one(previousTransitMjd(lit(mjd), lit(ra), lit(lon)))
+      val next = one(nextTransitMjd(lit(mjd), lit(ra), lit(lon)))
+      assert(prev <= mjd && next > mjd)
+      // at transit the local sidereal angle IS the source RA
+      val lstAtPrev = one(lstDeg(lit(prev), lit(lon)))
+      assert(math.abs((lstAtPrev - ra + 540) % 360 - 180) < 1e-6,
+        s"LST at transit $lstAtPrev != RA $ra")
+      assert(math.abs((next - prev) - 360.0 / 360.98564736629) < 1e-9)
+    }
+  }
+
+  test("circumpolar flags and transit elevation match azlst.pl at LOFAR") {
+    val lat = 52.915111
+    // dec 89° never sets at EL=30 (dec >= 90 - lat + el); dec -60 never rises
+    assert(one(neverSets(lit(89.0), lit(lat), lit(30.0)).cast("double")) == 1.0)
+    assert(one(neverSets(lit(40.0), lit(lat), lit(30.0)).cast("double")) == 0.0)
+    assert(one(neverRises(lit(-60.0), lit(lat), lit(30.0)).cast("double")) == 1.0)
+    assert(one(neverRises(lit(10.0), lit(lat), lit(30.0)).cast("double")) == 0.0)
+    // transit EL of a source at dec = lat passes through zenith
+    assert(one(transitElevation(lit(lat), lit(lat))) == 90.0)
+  }
+
+  test("HA at elevation: zero at transit elevation, 90 deg for equatorial source on the equator") {
+    // a source observed from the equator at dec=0 rises at HA = -90°
+    assert(math.abs(one(haAtElevation(lit(0.0), lit(0.0), lit(0.0))) - 90.0) < 1e-9)
+    // at the transit elevation itself the HA window closes to 0
+    val lat = 52.915111; val dec = 20.0
+    val elT = 90.0 - math.abs(lat - dec)
+    assert(math.abs(one(haAtElevation(lit(elT), lit(dec), lit(lat)))) < 1e-4)
+    // rise/set LSTs straddle the RA symmetrically
+    val rs = spark.range(1)
+      .select(riseSetLst(lit(100.0), lit(30.0)).as("rs"))
+      .select(col("rs.lst_rise"), col("rs.lst_set"))
+      .as[(Double, Double)].head()
+    assert(rs == ((70.0, 130.0)))
+  }
+
+  test("transit approach minutes follow the bfscheduler branch structure") {
+    val s = 56000.25; val e = 56000.5
+    // transit inside the slot: both a1>0? no — prev <= start & next >= end
+    // case A: prev before start, next after end → approach = min side > 0
+    val a = one(transitApproachMin(lit(s), lit(e), lit(s - 0.01), lit(e + 0.02)))
+    assert(math.abs(a - 1440.0 * 0.01) < 1e-6)
+    // case B: next transit inside slot → a1>0, a2<0 → approach = a1
+    val b = one(transitApproachMin(lit(s), lit(e), lit(s - 0.03), lit(e - 0.1)))
+    assert(math.abs(b - 1440.0 * 0.03) < 1e-6)
+    // case C: prev after start (in-slot) → approach = 1440*(next-end) < 0
+    val c = one(transitApproachMin(lit(s), lit(e), lit(s + 0.05), lit(e + 0.04)))
+    assert(math.abs(c - 1440.0 * 0.04) < 1e-6)
+    // anchor transit: in-slot next wins, else nearest side
+    assert(one(chosenTransitMjd(lit(s), lit(e), lit(s - 0.03), lit(e - 0.1))) == e - 0.1)
+    assert(one(chosenTransitMjd(lit(s), lit(e), lit(s - 0.01), lit(e + 0.5))) == s - 0.01)
+  }
+
   test("haslam grid bucketing matches the reference index arithmetic") {
     // `fluxcal/tsky.py:1052-1056`: b = int(gb+90.5) clamped, l = int(gl+0.5)//4
     val df = Seq((0.0, 0.0), (359.9, 89.6), (123.4, -90.0), (47.9, 12.3))

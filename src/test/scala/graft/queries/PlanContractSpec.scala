@@ -64,6 +64,29 @@ class PlanContractSpec extends SparkSpecBase {
     }
   }
 
+  test("partition-less windows only ever run over pre-reduced inputs") {
+    // A Window with no partitionSpec moves its whole input to ONE partition.
+    // That is only acceptable when the input has already been reduced by an
+    // aggregation (daily totals, chunk stats, per-bucket islands) — bounded
+    // data, documented contract (q12/q14/q51 + the Islands chain merge).
+    // A partition-less window directly over a scan is a 100 TB scale-killer
+    // (round-1 q11) and fails this test.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Window => LWindow}
+    Registry.all.foreach { q =>
+      val lp = q.run(spark, sf).queryExecution.optimizedPlan
+      lp.foreach {
+        case w: LWindow if w.partitionSpec.isEmpty =>
+          val reduced = w.child.collectFirst {
+            case a: Aggregate => a: Any
+            case l: GlobalLimit => l: Any // distributed top-k (q49)
+          }.isDefined
+          assert(reduced,
+            s"${q.name}: partition-less window over un-reduced input:\n$lp")
+        case _ => ()
+      }
+    }
+  }
+
   test("flagship aggregation runs partial (map-side) aggregation (q01)") {
     val p = plan("q01_pricing_summary")
     // two HashAggregate levels around the exchange = partial + final
