@@ -190,6 +190,61 @@ object TimeSeriesQ {
        |       JOIN grid g1 ON CAST(floor(x) AS INT) + 1 = g1.q
        |ORDER BY event_id""".stripMargin
 
+  /** J8 2-D bilinear interpolation on a regular (freq, el) gain grid via
+    * `GridInterp.bilinear` — the reference's nested np.interp order
+    * (`fluxcal/lofar_gain.py:84-128`). The grid here is a deterministic
+    * synthetic cube (the real one is ingested by `GainCube`); the oracle
+    * mirrors the 4-corner join + weight algebra exactly. */
+  private def q64(s: SparkSession, d: String): DataFrame = {
+    val grid = s.range(29L * 91L)
+      .withColumn("fi", expr("id div 91"))
+      .withColumn("ei", expr("id % 91"))
+      .select(
+        (lit(110.0) + lit(5.0) * col("fi")).as("freq"),
+        col("ei").cast(DoubleType).as("el"),
+        (lit(1.0) + col("ei") * 0.25 + col("fi") * 3.5 +
+          ((col("id") * 37) % 101).cast(DoubleType) * 0.01).as("v"))
+    val probes = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 37 === 0 && col("l_linenumber") === 1)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"),
+        (lit(110.0) + (col("l_partkey") % 1400).cast(DoubleType) / 10.0).as("freq"),
+        ((col("l_orderkey") % 9001).cast(DoubleType) / 100.0).as("el"))
+    graft.operators.GridInterp.bilinear(probes, grid, "freq", "el", "aeff")
+      .select(col("okey"), col("pkey"), col("freq"), col("el"), col("aeff"))
+      .orderBy(col("okey"))
+  }
+
+  private val q64Sql =
+    """WITH grid AS (
+      |  SELECT CAST(i // 91 AS INT) AS fi, CAST(i % 91 AS INT) AS ei,
+      |    1.0 + (i % 91) * 0.25 + (i // 91) * 3.5 + CAST((i * 37) % 101 AS DOUBLE) * 0.01 AS v
+      |  FROM range(0, 2639) t(i)),
+      |p AS (SELECT l_orderkey AS okey, l_partkey AS pkey,
+      |    110.0 + CAST(l_partkey % 1400 AS DOUBLE) / 10.0 AS freq,
+      |    CAST(l_orderkey % 9001 AS DOUBLE) / 100.0 AS el
+      |  FROM lineitem WHERE l_orderkey % 37 = 0 AND l_linenumber = 1),
+      |idx AS (SELECT *,
+      |    least(greatest(CAST(floor((freq - 110.0) / 5.0) AS INT), 0), 28) AS fi0,
+      |    least(least(greatest(CAST(floor((freq - 110.0) / 5.0) AS INT), 0), 28) + 1, 28) AS fi1,
+      |    least(greatest(CAST(floor(el) AS INT), 0), 90) AS ei0,
+      |    least(least(greatest(CAST(floor(el) AS INT), 0), 90) + 1, 90) AS ei1
+      |  FROM p),
+      |joined AS (SELECT idx.*,
+      |    110.0 + 5.0 * fi0 AS f0, 110.0 + 5.0 * fi1 AS f1,
+      |    g00.v AS g00, g10.v AS g10, g01.v AS g01, g11.v AS g11
+      |  FROM idx
+      |    JOIN grid g00 ON fi0 = g00.fi AND ei0 = g00.ei
+      |    JOIN grid g10 ON fi1 = g10.fi AND ei0 = g10.ei
+      |    JOIN grid g01 ON fi0 = g01.fi AND ei1 = g01.ei
+      |    JOIN grid g11 ON fi1 = g11.fi AND ei1 = g11.ei),
+      |w AS (SELECT *,
+      |    CASE WHEN f1 > f0 THEN (freq - f0) / (f1 - f0) ELSE 0.0 END AS wf,
+      |    CASE WHEN ei1 > ei0 THEN (el - ei0) / (ei1 - ei0) ELSE 0.0 END AS we
+      |  FROM joined),
+      |lohi AS (SELECT *, g00 + wf * (g10 - g00) AS lo, g01 + wf * (g11 - g01) AS hi FROM w)
+      |SELECT okey, pkey, freq, el, lo + we * (hi - lo) AS aeff
+      |FROM lohi ORDER BY okey""".stripMargin
+
   val queries: Seq[GQuery] = Seq(
     GQuery("q20_sessionize", q20, Some(q20Sql), Seq("W1", "ST2")),
     GQuery("q21_phase_fold", q21, Some(q21Sql), Seq("A2", "R1")),
@@ -197,5 +252,6 @@ object TimeSeriesQ {
     GQuery("q23_tumbling_hour", q23, Some(q23Sql), Seq("ST2", "A1")),
     GQuery("q24_interval_disjoint", q24, Some(q24Sql), Seq("J10", "U4")),
     GQuery("q25_nearest_key", q25, Some(q25Sql), Seq("J4", "O1")),
-    GQuery("q26_interp_grid", q26, Some(q26Sql), Seq("J8", "J7")))
+    GQuery("q26_interp_grid", q26, Some(q26Sql), Seq("J8", "J7")),
+    GQuery("q64_bilinear_gain", q64, Some(q64Sql), Seq("J8", "S11", "J6")))
 }

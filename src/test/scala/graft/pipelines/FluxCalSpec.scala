@@ -25,6 +25,31 @@ class FluxCalSpec extends SparkSpecBase {
     }
   }
 
+  test("table-gain model: sefd reads Aeff from the (freq, el) cube") {
+    // constant cube → every channel gets exactly that Aeff
+    val gain = (for (fi <- 0 to 28; ei <- 0 to 90)
+      yield (110.0 + 5.0 * fi, ei.toDouble, 2000.0))
+      .toDF("freq", "el", "v")
+    val dim = FluxCal.sefdDim(spark, cfg, FluxCal.TableGain(gain, elDeg = 45.3))
+    val aeffs = dim.select($"aeff").as[Double].collect()
+    assert(aeffs.length == cfg.nchan)
+    aeffs.foreach(a => assert(math.abs(a - 2000.0) < 1e-9))
+  }
+
+  test("hamaker_carozzi model divides max Aeff by the nearest-frequency factor") {
+    val bcRows = Seq((110.0, 2.0), (150.0, 4.0), (250.0, 8.0))
+    val bc = bcRows.toDF("freq", "factor")
+    val base = FluxCal.sefdDim(spark, cfg)
+      .select($"chan", $"freq", $"aeff").as[(Int, Double, Double)].collect()
+    val hc = FluxCal.sefdDim(spark, cfg, FluxCal.HamakerCarozzi(bc))
+      .select($"chan", $"aeff").as[(Int, Double)].collect().toMap
+    base.foreach { case (chan, freq, aeffMaxV) =>
+      val factor = bcRows.minBy { case (f, _) => math.abs(freq - f) }._2
+      assert(math.abs(hc(chan) - aeffMaxV / factor) < 1e-9,
+        s"chan $chan freq $freq")
+    }
+  }
+
   test("report has one row per (subint, chan) with finite flux") {
     val n = result.report.count()
     assert(n == spec.nsubint * spec.nchan)
