@@ -341,6 +341,30 @@ object AstroFunctions {
     s"(CASE WHEN ($next) >= ($start) AND ($next) <= ($end) THEN ($next) " +
       s"WHEN ($start) - ($prev) < ($next) - ($end) THEN ($prev) ELSE ($next) END)"
 
+  // ---------- MJD ↔ Dublin ↔ UTC helpers (C5) — PORTABLE TIER.
+  // Dublin day = JD − 2415020 (`lofar_fluxcal.py:689-691`); minute
+  // rounding is round-half-up on the minute grid
+  // (`bfscheduler.py:584-595`). MJD 40587 = 1970-01-01 (Unix epoch).
+
+  def mjdToDublin(mjd: Column): Column = mjd - 15019.5
+  def dublinToMjd(d: Column): Column = d + 15019.5
+  def mjdToUnixSec(mjd: Column): Column = (mjd - 40587.0) * 86400.0
+  def unixSecToMjd(sec: Column): Column = sec / 86400.0 + 40587.0
+  def mjdRoundToMinute(mjd: Column): Column =
+    floor(mjd * 1440.0 + 0.5) / 1440.0
+  /** UTC wall-clock timestamp of an MJD instant. */
+  def mjdToUtc(mjd: Column): Column = timestamp_seconds(mjdToUnixSec(mjd))
+
+  def sqlMjdToDublin(mjd: String): String = s"(($mjd) - 15019.5)"
+  def sqlMjdToUnixSec(mjd: String): String = s"((($mjd) - 40587.0) * 86400.0)"
+  def sqlMjdRoundToMinute(mjd: String): String =
+    s"(floor(($mjd) * 1440.0 + 0.5) / 1440.0)"
+
+  /** Driver-side double versions for collected-row pipelines. */
+  def mjdToUnixSecD(mjd: Double): Double = (mjd - 40587.0) * 86400.0
+  def mjdRoundToMinuteD(mjd: Double): Double =
+    math.floor(mjd * 1440.0 + 0.5) / 1440.0
+
   // ---------- transit HA/LST range (C4 trig tier — ScalaTest-verified)
 
   /** |hour angle| in degrees at which the source crosses elevation el

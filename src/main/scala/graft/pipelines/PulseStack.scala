@@ -45,6 +45,19 @@ object PulseStack {
       .drop("slope", "intercept", "chunk")
   }
 
+  /** Full pipeline from a sigproc tim-file glob: tsamp and start MJD come
+    * from the embedded header (S6, `pulsestack.py:292-301`) instead of a
+    * hand-fed Config — only the fold ephemeris stays external. */
+  def runTim(spark: SparkSession, timGlob: String, periodSec: Double,
+             nbins: Int, detrendChunk: Int = 1000): DataFrame = {
+    val raw = graft.sources.SigprocHeader.timFileStream(spark, timGlob)
+      .withColumn("t", col("idx").cast(DoubleType) * col("tsamp_sec"))
+      .select(col("idx"), col("t"), col("value").cast(DoubleType).as("value"))
+    val flat = detrend(raw, detrendChunk)
+    ProfileOps.fold(flat, "t", "value", 0.0, periodSec, nbins)
+      .orderBy(col("ibin"))
+  }
+
   /** Full pipeline from a `.dat` glob. */
   def run(spark: SparkSession, datGlob: String, cfg: Config): DataFrame = {
     val raw = BinarySources.float32Stream(spark, datGlob)

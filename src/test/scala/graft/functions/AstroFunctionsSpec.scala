@@ -165,6 +165,28 @@ class AstroFunctionsSpec extends SparkSpecBase {
     assert(one(chosenTransitMjd(lit(s), lit(e), lit(s - 0.01), lit(e + 0.5))) == s - 0.01)
   }
 
+  test("MJD/Dublin/UTC helpers: epoch identities and minute rounding") {
+    // Dublin day 0 = JD 2415020 = MJD 15019.5 (`lofar_fluxcal.py:689`)
+    assert(one(mjdToDublin(lit(15019.5))) == 0.0)
+    assert(one(dublinToMjd(mjdToDublin(lit(56001.25)))) == 56001.25)
+    // Unix epoch: MJD 40587 = 1970-01-01T00:00
+    assert(one(mjdToUnixSec(lit(40587.0))) == 0.0)
+    assert(one(unixSecToMjd(mjdToUnixSec(lit(56000.5)))) == 56000.5)
+    // J2000: 2000-01-01T12:00 UTC = 946728000 unix sec
+    assert(one(mjdToUnixSec(lit(51544.5))) == 946728000.0)
+    val ts = spark.range(1)
+      .select(date_format(mjdToUtc(lit(51544.5)), "yyyy-MM-dd HH:mm:ss"))
+      .as[String].head()
+    assert(ts == "2000-01-01 12:00:00")
+    // round-half-up to the minute grid (`bfscheduler.py:584-595`)
+    val halfMin = 0.5 / 1440.0
+    assert(one(mjdRoundToMinute(lit(56000.0) + lit(halfMin) * 0.999)) == 56000.0)
+    assert(one(mjdRoundToMinute(lit(56000.0) + lit(halfMin) * 1.001)) ==
+      56000.0 + 1.0 / 1440.0)
+    assert(mjdToUnixSecD(40587.0) == 0.0)
+    assert(mjdRoundToMinuteD(56000.0 + halfMin * 1.001) == 56000.0 + 1.0 / 1440.0)
+  }
+
   test("haslam grid bucketing matches the reference index arithmetic") {
     // `fluxcal/tsky.py:1052-1056`: b = int(gb+90.5) clamped, l = int(gl+0.5)//4
     val df = Seq((0.0, 0.0), (359.9, 89.6), (123.4, -90.0), (47.9, 12.3))

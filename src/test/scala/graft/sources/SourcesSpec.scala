@@ -137,6 +137,37 @@ class SourcesSpec extends SparkSpecBase {
     assert(pruned.count() == 1)
   }
 
+  test("sigproc header: encode/decode round-trip preserves fields and size") {
+    val fields = Seq[(String, Any)](
+      "source_name" -> "B0329+54", "telescope_id" -> 1, "machine_id" -> 10,
+      "data_type" -> 2, "tstart" -> 56000.123456789, "tsamp" -> 8.192e-5,
+      "nchans" -> 1, "nbits" -> 32, "refdm" -> 26.833)
+    val bytes = SigprocHeader.encode(fields)
+    val hdr = SigprocHeader.decode(bytes ++ Array.fill[Byte](16)(0)) // payload after
+    assert(hdr.sizeBytes == bytes.length)
+    assert(hdr.string("source_name") == "B0329+54")
+    assert(hdr.double("tstart") == 56000.123456789)
+    assert(hdr.double("tsamp") == 8.192e-5)
+    assert(hdr.int("nbits") == 32)
+    assert(hdr.double("refdm") == 26.833)
+  }
+
+  test("timFileStream decodes header + float32 payload per file") {
+    val dir = tmpDir
+    val hdr = SigprocHeader.encode(Seq[(String, Any)](
+      "source_name" -> "J0218+4232", "tstart" -> 55000.5, "tsamp" -> 0.001,
+      "nbits" -> 32))
+    val payload = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+    payload.putFloat(1.5f).putFloat(-2.5f).putFloat(3.25f)
+    java.nio.file.Files.write(dir.resolve("a.tim"), hdr ++ payload.array())
+    val rows = SigprocHeader.timFileStream(spark, dir.resolve("a.tim").toString)
+      .orderBy($"idx")
+      .select($"idx", $"value", $"tstart_mjd", $"tsamp_sec", $"source")
+      .as[(Long, Float, Double, Double, String)].collect()
+    assert(rows.map(_._2).toSeq == Seq(1.5f, -2.5f, 3.25f))
+    assert(rows.forall(r => r._3 == 55000.5 && r._4 == 0.001 && r._5 == "J0218+4232"))
+  }
+
   test("binaryProfile writes bin-ordered packed float32") {
     val dir = tmpDir.resolve("prof.bin").toString
     val df = Seq((2, 3.0), (0, 1.0), (1, 2.0)).toDF("bin", "v")
