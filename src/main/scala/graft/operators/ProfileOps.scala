@@ -83,6 +83,25 @@ object ProfileOps {
     c.copy(samples =
       c.samples.withColumn("bin", pmod(col("bin") + shiftBins, lit(nbins))))
 
+  /** R3 period-doubling view: the profile appended to itself with bins
+    * shifted by one period (`pulsestack.py:735-737`) — a union re-key, so
+    * downstream ops see bins 0..2·nbins−1. */
+  def periodDouble(c: Cube, nbins: Int): Cube =
+    c.copy(samples = c.samples.unionByName(
+      c.samples.withColumn("bin", col("bin") + nbins)))
+
+  /** F9 finite cleanup: NaN/±Inf → replacement, the reference's
+    * `np.where(np.isfinite(x), x, 0)` idiom (`spspectra.py:20-21`,
+    * `pulse_info.py:26-27`, `get_rough_tscat.py:83-86`). */
+  def cleanFinite(c: Cube, replacement: Double = 0.0): Cube =
+    c.copy(samples = c.samples.withColumn("value",
+      finiteOr(col("value"), replacement)))
+
+  /** Column form of F9 for non-cube pipelines. */
+  def finiteOr(c: Column, replacement: Double = 0.0): Column =
+    when(isnan(c) || abs(c) === Double.PositiveInfinity, lit(replacement))
+      .otherwise(c)
+
   /** R2 incoherent dedispersion: per-channel circular shift by the
     * dispersion delay in bins (`simple-sh-scripts/dide`, psrchive
     * `raw.dedisperse()` semantics at `fluxcal/lofar_fluxcal.py:381`).

@@ -141,6 +141,28 @@ class ProfileOpsSpec extends SparkSpecBase {
     assert(main._1 <= spec.pulseBin && spec.pulseBin <= main._2)
   }
 
+  test("periodDouble (R3) appends a one-period-shifted copy") {
+    val samples = Seq(("L1", 0, 0, 0, 0, 1.0), ("L1", 0, 0, 0, 1, 2.0))
+      .toDF("obs_id", "subint", "pol", "chan", "bin", "value")
+    val weights = Seq(("L1", 0, 0, 1.0)).toDF("obs_id", "subint", "chan", "weight")
+    val doubled = ProfileOps.periodDouble(Cube(samples, weights), nbins = 2)
+    val got = doubled.samples.orderBy($"bin")
+      .select($"bin", $"value").as[(Int, Double)].collect().toSeq
+    assert(got == Seq((0, 1.0), (1, 2.0), (2, 1.0), (3, 2.0)))
+  }
+
+  test("cleanFinite (F9) zeroes NaN and infinities, keeps finite values") {
+    val samples = Seq(
+      ("L1", 0, 0, 0, 0, 1.5), ("L1", 0, 0, 0, 1, Double.NaN),
+      ("L1", 0, 0, 0, 2, Double.PositiveInfinity),
+      ("L1", 0, 0, 0, 3, Double.NegativeInfinity))
+      .toDF("obs_id", "subint", "pol", "chan", "bin", "value")
+    val weights = Seq(("L1", 0, 0, 1.0)).toDF("obs_id", "subint", "chan", "weight")
+    val cleaned = ProfileOps.cleanFinite(Cube(samples, weights))
+    val got = cleaned.samples.orderBy($"bin").select($"value").as[Double].collect()
+    assert(got.toSeq == Seq(1.5, 0.0, 0.0, 0.0))
+  }
+
   test("fold recovers the phase of a periodic signal and is partition-stable") {
     val period = 0.7; val n = 20000; val t0 = 5.0
     val ts = (0 until n).map { i =>

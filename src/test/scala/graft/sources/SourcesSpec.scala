@@ -137,6 +137,21 @@ class SourcesSpec extends SparkSpecBase {
     assert(pruned.count() == 1)
   }
 
+  test("beamcorr ingest: whitespace table to per-station dimension slice") {
+    val dir = tmpDir
+    val f = dir.resolve("beamcorr.txt")
+    java.nio.file.Files.write(f, java.util.Arrays.asList(
+      "# station freq factor",
+      "CS002 110.05 1.23",
+      "CS002 115.91 1.31",
+      "DE601 110.05 2.05"))
+    val dim = BeamCorr.ingest(spark, f.toString)
+    assert(dim.count() == 3)
+    val cs = BeamCorr.forStation(dim, "CS002")
+      .orderBy($"freq").as[(Double, Double)].collect()
+    assert(cs.toSeq == Seq((110.05, 1.23), (115.91, 1.31)))
+  }
+
   test("sigproc header: encode/decode round-trip preserves fields and size") {
     val fields = Seq[(String, Any)](
       "source_name" -> "B0329+54", "telescope_id" -> 1, "machine_id" -> 10,
