@@ -280,10 +280,65 @@ object ScaleQ {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Embedding-cosine near-dup PAIRS — the embedding leg of the dedup
+    * family (token-set MinHash q32, shingle Jaccard q56, SimHash q62):
+    * vectors IVF-assign to their nearest centroid cell, candidate pairs
+    * form ONLY inside a cell (blocked self-join keyed on cell id — the
+    * shuffle moves each vector once, never all-pairs), and the exact
+    * cosine computed with the `float_dot` codegen kernel verifies each
+    * candidate against the threshold. Recall is governed by the coarse
+    * quantizer exactly as in any IVF dedup; the oracle re-derives the
+    * same blocked pair set. */
+  private def q65(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .withColumn("norm", sqrt(dotFold(col("embedding"), col("embedding"))))
+    val cent = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("cid").asc)
+    val assign = emb.crossJoin(broadcast(cent))
+      .withColumn("cos_c",
+        dotFold(col("embedding"), col("c_emb")) / (col("norm") * col("c_norm")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("embedding"), col("norm"))
+    val a = assign.select(col("vec_id").as("a_id"), col("cid"),
+      col("embedding").as("a_emb"), col("norm").as("a_norm"))
+    val b = assign.select(col("vec_id").as("b_id"), col("cid"),
+      col("embedding").as("b_emb"), col("norm").as("b_norm"))
+    a.join(b, Seq("cid"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos",
+        dotFold(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
+      .filter(col("cos") >= 0.35)
+      .select(col("a_id"), col("b_id"), col("cos"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val q65Sql =
+    s"""WITH emb AS (SELECT vec_id, embedding,
+       |    sqrt(${sqlDotFold("embedding", "embedding")}) AS norm FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, embedding AS c_emb, norm AS c_norm
+       |  FROM emb WHERE vec_id < 16),
+       |cand AS (SELECT e.vec_id, e.embedding, e.norm, c.cid,
+       |    ${sqlDotFold("e.embedding", "c.c_emb")} / (e.norm * c.c_norm) AS cos_c
+       |  FROM emb e CROSS JOIN cent c),
+       |asg AS (SELECT vec_id, embedding, norm, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cid ASC) AS rn
+       |  FROM cand),
+       |a AS (SELECT vec_id, cid, embedding, norm FROM asg WHERE rn = 1)
+       |SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+       |  ${sqlDotFold("x.embedding", "y.embedding")} / (x.norm * y.norm) AS cos
+       |FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |WHERE ${sqlDotFold("x.embedding", "y.embedding")} / (x.norm * y.norm) >= 0.35
+       |ORDER BY a_id, b_id""".stripMargin
+
   val queries: Seq[GQuery] = Seq(
     GQuery("q55_ivf_ann", q55, Some(q55Sql), Seq("O1", "O4", "A16")),
     GQuery("q56_ngram_jaccard", q56, Some(q56Sql), Seq("A16", "J7")),
     GQuery("q57_gauss_moments", q57, Some(q57Sql), Seq("A18", "A19")),
     GQuery("q61_multimodal_meta", q61, Some(q61Sql), Seq("S3", "F11")),
-    GQuery("q62_simhash_neardup", q62, Some(q62Sql), Seq("A16", "J7")))
+    GQuery("q62_simhash_neardup", q62, Some(q62Sql), Seq("A16", "J7")),
+    GQuery("q65_cosine_neardup", q65, Some(q65Sql), Seq("A16", "J7", "O1")))
 }
