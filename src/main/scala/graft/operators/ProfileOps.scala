@@ -218,4 +218,37 @@ object ProfileOps {
       .agg(min(col("bin")).as("bin_lo"), max(col("bin")).as("bin_hi"),
         count(lit(1)).as("width"), sum(col("value")).as("island_flux"))
   }
+
+  /** W4 in full (`snr.py:104-146` auto_find_off_window): detect the
+    * on-pulse island, widen it by `expandFrac` of the ISLAND width on
+    * each side (the reference's extra-caution margin), then ROTATE each
+    * (obs_id, pol) profile so the window's left edge lands at bin 0 —
+    * after which the off-pulse region is simply `[off_lo, nbins)`.
+    *
+    * Returns (rotated profile, bounds) where bounds carries one row per
+    * profile: `rot_bins` (the applied rotation, the reference's running
+    * rot_bins bookkeeping) and `off_lo` (= window width). The rotation
+    * is the R1 re-key with a per-profile shift joined in broadcast —
+    * no window over samples, no collect. */
+  def autoOffWindow(profile: DataFrame, nbins: Int,
+                    thresholdSigma: Double = 2.5,
+                    expandFrac: Double = 0.15): (DataFrame, DataFrame) = {
+    val keys = Seq("obs_id", "pol")
+    val win = onPulseWindow(profile, thresholdSigma)
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(struct(col("bin_lo"), col("bin_hi")),
+        col("island_flux")).as("w"))
+      .withColumn("excl", col("w.bin_hi") - col("w.bin_lo"))
+      .select(keys.map(col) :+
+        (col("w.bin_lo") - floor(col("excl") * expandFrac)).cast(IntegerType).as("le") :+
+        (col("w.bin_hi") + 1 + floor(col("excl") * expandFrac)).cast(IntegerType).as("re"): _*)
+    val rotated = profile.join(broadcast(win), keys)
+      .withColumn("bin", pmod(col("bin") - col("le"), lit(nbins)))
+      .drop("le", "re")
+    val bounds = win.select(keys.map(col) :+
+      col("le").as("rot_bins") :+
+      (col("re") - col("le")).as("off_lo") :+
+      lit(nbins).as("off_hi"): _*)
+    (rotated, bounds)
+  }
 }

@@ -163,6 +163,26 @@ class ProfileOpsSpec extends SparkSpecBase {
     assert(got.toSeq == Seq(1.5, 0.0, 0.0, 0.0))
   }
 
+  test("autoOffWindow (W4) rotates the pulse window to bin 0") {
+    val nbins = 64
+    // flat noise floor at 0 with a block pulse at bins 30..33
+    val rows = (0 until nbins).map { b =>
+      ("L1", 0, b, if (b >= 30 && b <= 33) 10.0 else 0.0)
+    }
+    val profile = rows.toDF("obs_id", "pol", "bin", "value")
+    val (rotated, bounds) = ProfileOps.autoOffWindow(profile, nbins)
+    val (rot, offLo, offHi) = bounds
+      .select($"rot_bins", $"off_lo", $"off_hi")
+      .as[(Int, Int, Int)].head()
+    // island 30..33 (width 3), 15% margin → le = 30, re = 34
+    assert(rot == 30 && offLo == 4 && offHi == nbins)
+    val rotVals = rotated.orderBy($"bin")
+      .select($"bin", $"value").as[(Int, Double)].collect().toMap
+    // pulse now occupies bins 0..3; everything from off_lo on is baseline
+    (0 to 3).foreach(b => assert(rotVals(b) == 10.0, s"bin $b"))
+    (offLo until nbins).foreach(b => assert(rotVals(b) == 0.0, s"bin $b"))
+  }
+
   test("fold recovers the phase of a periodic signal and is partition-stable") {
     val period = 0.7; val n = 20000; val t0 = 5.0
     val ts = (0 until n).map { i =>
