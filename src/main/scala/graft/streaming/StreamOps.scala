@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming analogs of the reference's incremental loops
@@ -62,6 +63,47 @@ object StreamOps {
       .withWatermark("event_time", watermark)
       .filter(col("status").isin("ready", "failed"))
       .dropDuplicates("url")
+
+  final case class StagingEvent(url: String, status: String,
+                                event_time: java.sql.Timestamp)
+  final case class UrlState(attempts: Int, done: Boolean)
+  final case class DrainAction(url: String, action: String, attempts: Int)
+
+  /** ST1 with CUSTOM per-url state (`flatMapGroupsWithState`): the retry
+    * bookkeeping of `LTA/lta-retrieve.py:279-282,549-555` as a keyed
+    * state machine. Each url accumulates failure attempts across
+    * micro-batches; a failure below `maxRetries` emits a 'retry' action
+    * (the reference's retry-file append), reaching `maxRetries` emits
+    * 'dead' (dead-letter), and the first 'ready' emits 'retrieve' exactly
+    * once — later events for a finished url are ignored. State is one
+    * tiny struct per in-flight url, dropped once terminal. */
+  def statefulDrain(events: Dataset[StagingEvent],
+                    maxRetries: Int = 3): Dataset[DrainAction] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.url)
+      .flatMapGroupsWithState[UrlState, DrainAction](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (url, evs, state: GroupState[UrlState]) =>
+          var st = state.getOption.getOrElse(UrlState(0, done = false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[DrainAction]
+          evs.toSeq.sortBy(_.event_time.getTime).foreach { e =>
+            if (!st.done) e.status match {
+              case "ready" =>
+                st = st.copy(done = true)
+                out += DrainAction(url, "retrieve", st.attempts)
+              case "failed" =>
+                st = st.copy(attempts = st.attempts + 1)
+                if (st.attempts >= maxRetries) {
+                  st = st.copy(done = true)
+                  out += DrainAction(url, "dead", st.attempts)
+                } else out += DrainAction(url, "retry", st.attempts)
+              case _ => () // staging progress ticks carry no action
+            }
+          }
+          if (st.done) state.remove() else state.update(st)
+          out.iterator
+      }
+  }
 
   /** ST1 sink half: route a drained micro-batch — retrievals to the
     * completed table, failures appended to the dead-letter/retry table

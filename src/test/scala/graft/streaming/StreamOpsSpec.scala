@@ -75,4 +75,30 @@ class StreamOpsSpec extends SparkSpecBase {
       assert(failed.toSeq == Seq("u2"))
     } finally q.stop()
   }
+
+  test("statefulDrain counts retries per url across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.{DrainAction, StagingEvent}
+    val input = MemoryStream[StagingEvent]
+    val drained = StreamOps.statefulDrain(input.toDS(), maxRetries = 2)
+    val q = drained.writeStream.format("memory")
+      .queryName("sdrain").outputMode("append").start()
+    try {
+      def ev(u: String, s: String, t: Long) =
+        StagingEvent(u, s, new Timestamp(t * 1000))
+      // batch 1: u1 fails once (retry #1); u2 ready (retrieve)
+      input.addData(ev("u1", "failed", 1), ev("u2", "ready", 2))
+      q.processAllAvailable()
+      // batch 2: u1 fails again → attempts reach 2 → dead; u2 re-reported
+      // ready (ignored — already done); u3 progress tick (no action)
+      input.addData(ev("u1", "failed", 3), ev("u2", "ready", 4),
+        ev("u3", "staged", 5))
+      q.processAllAvailable()
+      val got = spark.table("sdrain").as[DrainAction].collect().toSet
+      assert(got == Set(
+        DrainAction("u1", "retry", 1),
+        DrainAction("u2", "retrieve", 0),
+        DrainAction("u1", "dead", 2)), s"got $got")
+    } finally q.stop()
+  }
 }
