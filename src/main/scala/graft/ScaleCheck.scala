@@ -42,7 +42,8 @@ object ScaleCheck {
       synthesize(spark, "/root/testdata/sf0.1", big)
     val slice = Seq("q01_pricing_summary", "q02_superquery_union",
       "q11_islands", "q16_histogram", "q19_rollup", "q21_phase_fold",
-      "q25_nearest_key", "q57_gauss_moments", "q60_multires_spectrum")
+      "q25_nearest_key", "q57_gauss_moments", "q60_multires_spectrum",
+      "q63_transit_times", "q64_bilinear_gain")
     val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", big)
     // warm
     SparkEntry.queries("q09_catalog_totals")(spark, dirs.head).count()

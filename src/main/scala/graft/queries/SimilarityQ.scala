@@ -66,7 +66,17 @@ object SimilarityQ {
     * same plan shape, still no array shuffle on pairs.
     * .cache() on the signature is a materialization barrier: without it
     * CollapseProject re-evaluates the tokenize+hash chain per pair. */
-  private def q32(s: SparkSession, d: String): DataFrame = {
+  private def q32(s: SparkSession, d: String): DataFrame =
+    lshNearDupPairs(s, d, hinted = true)
+
+  /** `hinted = true` broadcasts the doc/signature dims (right below the
+    * ~8 GB broadcast ceiling this is the fastest plan); `hinted = false`
+    * drops the hints so Catalyst plans the co-located shuffle join — the
+    * documented 100 TB fallback, asserted result-identical by
+    * PlanContractSpec. */
+  private[queries] def lshNearDupPairs(s: SparkSession, d: String,
+                                       hinted: Boolean): DataFrame = {
+    def maybe(df: DataFrame): DataFrame = if (hinted) broadcast(df) else df
     // One row per doc: hashed distinct-token array + its size. Both
     // engines hash tokens identically, so intersection/union counts —
     // and thus the compared output — are unchanged by hashing.
@@ -117,7 +127,7 @@ object SimilarityQ {
       element_at(col("x.buckets"), b + 1) === element_at(col("y.buckets"), b + 1)
     val earlierMatch = (0 until numBands - 1).map(b =>
       col("x.band") > b && bandEq(b)).reduce(_ || _)
-    val cand = sigv.as("x").join(broadcast(sigv.as("y")),
+    val cand = sigv.as("x").join(maybe(sigv.as("y")),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id") &&
           least(col("x.n"), col("y.n")) * 2 >= greatest(col("x.n"), col("y.n")) &&
@@ -130,9 +140,9 @@ object SimilarityQ {
     // TWICE per pair (once as join residual, once for the projected
     // n_inter). The fence keeps it at one evaluation per pair.
     val verified = cand
-      .join(broadcast(docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+      .join(maybe(docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
         col("n").as("na"))), "doc_a")
-      .join(broadcast(docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+      .join(maybe(docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
         col("n").as("nb"))), "doc_b")
       .withColumn("pushdown_fence", monotonically_increasing_id())
       .withColumn("n_inter",

@@ -87,6 +87,32 @@ class PlanContractSpec extends SparkSpecBase {
     }
   }
 
+  test("q32's broadcast→shuffle join swap is result-identical (the 100 TB fallback)") {
+    // At fleet scale the per-doc token dim outgrows the broadcast limit
+    // and the candidate join becomes a co-located shuffle join — the swap
+    // the q32 docstring documents. Run the unhinted pipeline with
+    // auto-broadcast off: the plan must actually use a shuffle join AND
+    // produce exactly the broadcast plan's pair set.
+    val broadcastRows = Registry.byName("q32_lsh_neardup_pairs")
+      .run(spark, sf).collect().map(_.toString).sorted
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      spark.catalog.clearCache() // drop cached signatures planned pre-swap
+      val df = SimilarityQ.lshNearDupPairs(spark, sf, hinted = false)
+      val shuffleRows = df.collect().map(_.toString).sorted
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"fallback plan still broadcasts:\n$p")
+      assert(shuffleRows.sameElements(broadcastRows),
+        "pair set changed under shuffle-join planning")
+    } finally {
+      spark.conf.set(key, prev)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("flagship aggregation runs partial (map-side) aggregation (q01)") {
     val p = plan("q01_pricing_summary")
     // two HashAggregate levels around the exchange = partial + final
