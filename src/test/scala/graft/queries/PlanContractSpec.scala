@@ -113,6 +113,13 @@ class PlanContractSpec extends SparkSpecBase {
     }
   }
 
+  test("bilinear corner lookups broadcast; probes never shuffle (q64)") {
+    val p = plan("q64_bilinear_gain")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "grid corner joins must broadcast:\n" + p)
+  }
+
   test("flagship aggregation runs partial (map-side) aggregation (q01)") {
     val p = plan("q01_pricing_summary")
     // two HashAggregate levels around the exchange = partial + final
