@@ -34,9 +34,10 @@ object Snr {
 
   /** One row per (obs_id, pol, method): baseline estimate + S/N block.
     * `windowExpandFrac` widens the detected on-pulse island by that
-    * fraction of nbin on each side before the off-window stats — the
-    * reference's 15% expansion (`snr.py:104-146`) that keeps pulse wings
-    * out of the baseline. */
+    * fraction of the ISLAND WIDTH on each side before the off-window
+    * stats — the reference's 15% extra-caution margin (`snr.py:126-128`,
+    * `le = abins[0] - int(0.15*exclsize)`) that keeps pulse wings out of
+    * the baseline. */
   def compare(cube: Cube, thresholdSigma: Double = 2.5,
               polyDegree: Int = 3,
               windowExpandFrac: Double = 0.15): DataFrame = {
@@ -54,10 +55,11 @@ object Snr {
       .agg(max_by(struct(col("bin_lo"), col("bin_hi")),
         col("island_flux")).as("w"))
       .join(broadcast(nbins), keys)
+      .withColumn("excl", col("w.bin_hi") - col("w.bin_lo"))
       .select(col("obs_id"), col("pol"),
-        greatest(col("w.bin_lo") - ceil(col("nbin") * windowExpandFrac), lit(0))
+        greatest(col("w.bin_lo") - floor(col("excl") * windowExpandFrac), lit(0))
           .as("bin_lo"),
-        least(col("w.bin_hi") + ceil(col("nbin") * windowExpandFrac),
+        least(col("w.bin_hi") + floor(col("excl") * windowExpandFrac),
           col("nbin") - 1).as("bin_hi"))
 
     // method "qq"
