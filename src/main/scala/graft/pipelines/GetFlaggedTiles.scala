@@ -1,0 +1,62 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Flagged-tile accounting — the engine form of
+  * `fluxcal/get_flagged_tiles.py:79-131`: per-observation-date flagged
+  * counts joined to the used-station list (J9 membership), totals and
+  * bad-tile fraction with the station-class denominators (F10: CS/RS/intl
+  * → 24/48/96 for HBA sub-stations, 48/48/96 for LBA), and the worst
+  * station with ties kept and its class-priority worst fraction
+  * (CS beats RS beats international, `get_flagged_tiles.py:120-130`).
+  */
+object GetFlaggedTiles {
+
+  private def cs(c: Column) = substring(c, 1, 2) === "CS"
+  private def rs(c: Column) = substring(c, 1, 2) === "RS"
+
+  /** @param flagged rows (date, time, station, ntiles) — the S9 table
+    * @param used    rows (station) — stations of the observation
+    * @param date    observation date filter (F4)
+    * @param hba     antenna set: HBA denominators 24/48/96, LBA 48/48/96
+    * @return one row: n_flagged, total_tiles, fraction, worst_n,
+    *         worst_stations (sorted, ties kept), worst_fraction */
+  def run(flagged: DataFrame, used: DataFrame, date: String,
+          hba: Boolean): DataFrame = {
+    val st = col("station")
+    // per used station: its flagged count on this date; duplicate lines
+    // must agree (the reference aborts on conflict) — distinct keeps the
+    // agreeing form
+    val rows = flagged.filter(col("date") === date)
+      .join(used, Seq("station"), "left_semi")
+      .select(st, col("ntiles").cast("int").as("ntiles"))
+      .distinct()
+    val denom =
+      if (hba) when(cs(st), 24).when(rs(st), 48).otherwise(96)
+      else when(cs(st) || rs(st), 48).otherwise(96)
+    val perStation = rows.withColumn("cap", denom)
+    val totals = perStation.agg(
+      sum(col("ntiles")).as("n_flagged"),
+      sum(col("cap")).as("total_tiles"),
+      (sum(col("ntiles")).cast("double") / sum(col("cap")).cast("double"))
+        .as("fraction"),
+      max(col("ntiles")).as("worst_n"))
+    val worstSet = perStation
+      .join(broadcast(totals.select(col("worst_n"))),
+        col("ntiles") === col("worst_n"))
+      .agg(sort_array(collect_list(st)).as("worst_stations"))
+    // worst fraction: class priority over the tied set (CS → 24 for HBA,
+    // else RS → 48, else 96; LBA folds CS into the 48 class)
+    val worstCap: Column =
+      if (hba)
+        when(exists(col("worst_stations"), s => cs(s)), 24.0)
+          .when(exists(col("worst_stations"), s => rs(s)), 48.0)
+          .otherwise(96.0)
+      else
+        when(exists(col("worst_stations"), s => cs(s) || rs(s)), 48.0)
+          .otherwise(96.0)
+    totals.crossJoin(broadcast(worstSet))
+      .withColumn("worst_fraction", col("worst_n").cast("double") / worstCap)
+  }
+}
