@@ -55,9 +55,6 @@ def arrow_types_spark(path):
     return types
 
 
-def arrow_types_duck(con, sql):
-    tbl = con.execute(sql).fetch_arrow_table()
-    return {name: _norm_type(t) for name, t in zip(tbl.schema.names, tbl.schema.types)}
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -144,7 +141,11 @@ def main():
             continue
         spark_df = load_spark_result(f"{out_dir}/{name}")
         try:
-            duck_df = con.execute(oracle[name]).fetchdf()
+            # ONE DuckDB execution per oracle: values and arrow dtypes both
+            # derive from the same fetched table (some oracles are
+            # quadratic pair joins — do not run them twice)
+            duck_tbl = con.execute(oracle[name]).fetch_arrow_table()
+            duck_df = duck_tbl.to_pandas()
         except Exception as e:
             print(f"  {name}: FAIL — duckdb error: {e}")
             n_fail += 1
@@ -154,7 +155,8 @@ def main():
         # values, so e.g. DuckDB HUGEINT vs Spark BIGINT hash-mismatches even
         # when values are numerically equal. Catch it here, pre-driver.
         st = arrow_types_spark(f"{out_dir}/{name}")
-        dt = arrow_types_duck(con, oracle[name])
+        dt = {n2: _norm_type(t) for n2, t in
+              zip(duck_tbl.schema.names, duck_tbl.schema.types)}
         for c in sorted(set(st) | set(dt)):
             a, b = st.get(c), dt.get(c)
             if a != b:

@@ -52,12 +52,18 @@ object GridInterp {
 
     // np.interp order (lofar_gain.py:121-123): interpolate in freq at the
     // lower and upper elevation rows, then in elevation between those.
+    // Weights CLAMP to [0, 1]: probes outside the grid domain take the
+    // edge value like np.interp, never a negative-weight extrapolation
+    // (an LBA-band probe below flow would otherwise wildly extrapolate).
+    def clamp01(c: Column): Column = least(greatest(c, lit(0.0)), lit(1.0))
     val wf: Column = when(col("__f1") > col("__f0"),
-      (col(freqCol) - col("__f0")) / (col("__f1") - col("__f0"))).otherwise(0.0)
+      clamp01((col(freqCol) - col("__f0")) / (col("__f1") - col("__f0"))))
+      .otherwise(0.0)
     val lo = col("__g00") + wf * (col("__g10") - col("__g00"))
     val hi = col("__g01") + wf * (col("__g11") - col("__g01"))
     val we: Column = when(col("__ei1") > col("__ei0"),
-      (col(elCol) - col("__ei0")) / (col("__ei1") - col("__ei0"))).otherwise(0.0)
+      clamp01((col(elCol) - col("__ei0")) / (col("__ei1") - col("__ei0"))))
+      .otherwise(0.0)
 
     joined
       .withColumn(out, lo + we * (hi - lo))

@@ -25,13 +25,22 @@ object GetFlaggedTiles {
   def run(flagged: DataFrame, used: DataFrame, date: String,
           hba: Boolean): DataFrame = {
     val st = col("station")
-    // per used station: its flagged count on this date; duplicate lines
-    // must agree (the reference aborts on conflict) — distinct keeps the
-    // agreeing form
     val rows = flagged.filter(col("date") === date)
       .join(used, Seq("station"), "left_semi")
       .select(st, col("ntiles").cast("int").as("ntiles"))
       .distinct()
+    // The reference ABORTS when a used station has no flagged-info line
+    // (`get_flagged_tiles.py:86-88`) — silently dropping it would inflate
+    // the bad-tile fraction (denominator loses the station's tiles) —
+    // and when duplicate lines disagree (`:89-92`). Station lists are
+    // tiny dims, so these coverage gates are cheap driver actions.
+    val missing = used.select(st).distinct()
+      .join(rows, Seq("station"), "left_anti").count()
+    require(missing == 0,
+      s"$missing used station(s) missing flagged-tile info for $date")
+    val conflicts = rows.groupBy(st).count().filter(col("count") > 1).count()
+    require(conflicts == 0,
+      s"$conflicts station(s) with conflicting flagged-tile lines for $date")
     val denom =
       if (hba) when(cs(st), 24).when(rs(st), 48).otherwise(96)
       else when(cs(st) || rs(st), 48).otherwise(96)

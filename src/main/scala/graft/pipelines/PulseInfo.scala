@@ -23,11 +23,18 @@ object PulseInfo {
 
   /** W3: best (width, offset) per profile — moving sums at each width,
     * score = sum/√width, argmax across widths and positions with a
-    * deterministic (score, width, bin) tie-break. */
-  def bestBoxcar(profile: DataFrame,
+    * deterministic (score, width, bin) tie-break. The profile is FOLDED,
+    * so the boxcar is circular: the first maxWidth−1 bins are appended
+    * once more past nbins so a window starting near the end wraps around
+    * the phase boundary instead of truncating. */
+  def bestBoxcar(profile: DataFrame, nbins: Int,
                  widths: Seq[Int] = DefaultWidths): DataFrame = {
+    val maxW = widths.max
+    val ext = profile.unionByName(
+      profile.filter(col("bin") < maxW - 1)
+        .withColumn("bin", col("bin") + nbins))
     val w = Window.partitionBy(col("obs_id"), col("pol")).orderBy(col("bin"))
-    val scored = widths.foldLeft(profile) { (df, wd) =>
+    val scored = widths.foldLeft(ext) { (df, wd) =>
       df.withColumn(s"__s$wd",
         sum(col("value")).over(w.rowsBetween(0, wd - 1)) /
           math.sqrt(wd.toDouble))
@@ -36,26 +43,26 @@ object PulseInfo {
       struct(col(s"__s$wd").as("score"), lit(wd).as("width"),
         col("bin").as("toffset")))
     val best = scored
+      .filter(col("bin") < nbins) // each circular start exactly once
       .withColumn("__cand", greatest(cands: _*))
       .groupBy(col("obs_id"), col("pol"))
       .agg(max(col("__cand")).as("b"))
       .select(col("obs_id"), col("pol"), col("b.width").as("width"),
         col("b.toffset").as("toffset"), col("b.score").as("aver_prof_snr"))
-    // peak SNR inside the chosen window (`pulse_info.py:184`)
+    // peak SNR inside the chosen (circular) window (`pulse_info.py:184`)
     profile.join(broadcast(best), Seq("obs_id", "pol"))
-      .filter(col("bin") >= col("toffset") &&
-        col("bin") < col("toffset") + col("width"))
+      .filter(pmod(col("bin") - col("toffset"), lit(nbins)) < col("width"))
       .groupBy(col("obs_id"), col("pol"), col("width"), col("toffset"),
         col("aver_prof_snr"))
       .agg(max(col("value")).as("peak_prof_snr"))
   }
 
   /** Per-pulse spectrum over the detected window: per-channel sum of the
-    * cube inside [toffset, toffset+width) (`pulse_info.py:189`). */
-  def pulseSpectrum(cube: Cube, best: DataFrame): DataFrame =
+    * cube inside the circular window [toffset, toffset+width)
+    * (`pulse_info.py:189`). */
+  def pulseSpectrum(cube: Cube, best: DataFrame, nbins: Int): DataFrame =
     cube.samples.join(broadcast(best), Seq("obs_id", "pol"))
-      .filter(col("bin") >= col("toffset") &&
-        col("bin") < col("toffset") + col("width"))
+      .filter(pmod(col("bin") - col("toffset"), lit(nbins)) < col("width"))
       .groupBy(col("obs_id"), col("pol"), col("chan"), col("width"))
       .agg(sum(col("value")).as("spec"))
 
@@ -81,12 +88,12 @@ object PulseInfo {
   }
 
   /** Full pipeline: profile search → window spectrum → channel islands. */
-  def run(cube: Cube, threshold: Double,
+  def run(cube: Cube, threshold: Double, nbins: Int,
           widths: Seq[Int] = DefaultWidths): (DataFrame, DataFrame) = {
     val profile = graft.operators.ProfileOps.totalProfile(cube)
       .select(col("obs_id"), col("pol"), col("bin"), col("value"))
-    val best = bestBoxcar(profile, widths)
-    val islands = spectrumIslands(pulseSpectrum(cube, best), threshold)
+    val best = bestBoxcar(profile, nbins, widths)
+    val islands = spectrumIslands(pulseSpectrum(cube, best, nbins), threshold)
     (best, islands)
   }
 }

@@ -26,11 +26,15 @@ object PulseStack {
       detrendChunk: Int = 1000)
 
   /** W7: remove a per-chunk least-squares line (closed-form from sums —
-    * no collect, no UDF). */
-  def detrend(ts: DataFrame, chunkLen: Int): DataFrame = {
+    * no collect, no UDF). `seriesCols` keys the chunks when several
+    * independent series (e.g. one per file) share the frame — chunk ids
+    * are file-relative, so pooling them would fit one line through
+    * unrelated samples. */
+  def detrend(ts: DataFrame, chunkLen: Int,
+              seriesCols: Seq[String] = Nil): DataFrame = {
     val x = col("idx").cast(DoubleType)
     val g = ts.withColumn("chunk", (col("idx") / chunkLen).cast(LongType))
-    val fits = g.groupBy(col("chunk")).agg(
+    val fits = g.groupBy((seriesCols.map(col) :+ col("chunk")): _*).agg(
       count(lit(1)).cast(DoubleType).as("n"),
       sum(x).as("sx"), sum(x * x).as("sxx"),
       sum(col("value")).as("sy"), sum(x * col("value")).as("sxy"))
@@ -38,8 +42,9 @@ object PulseStack {
         (col("n") * col("sxy") - col("sx") * col("sy")) /
           (col("n") * col("sxx") - col("sx") * col("sx")))
       .withColumn("intercept", (col("sy") - col("slope") * col("sx")) / col("n"))
-      .select(col("chunk"), col("slope"), col("intercept"))
-    g.join(fits, Seq("chunk"))
+      .select((seriesCols.map(col) :+ col("chunk") :+ col("slope") :+
+        col("intercept")): _*)
+    g.join(fits, seriesCols :+ "chunk")
       .withColumn("value",
         col("value") - (col("intercept") + col("slope") * x))
       .drop("slope", "intercept", "chunk")
@@ -47,15 +52,30 @@ object PulseStack {
 
   /** Full pipeline from a sigproc tim-file glob: tsamp and start MJD come
     * from the embedded header (S6, `pulsestack.py:292-301`) instead of a
-    * hand-fed Config — only the fold ephemeris stays external. */
+    * hand-fed Config — only the fold ephemeris stays external.
+    *
+    * Each FILE is an independent series: detrend chunks key on (path,
+    * chunk) and the fold emits one profile per path, with phase computed
+    * from the file's own absolute start time (tstart − refMjd) so
+    * profiles from different epochs stay phase-aligned to the same
+    * reference — a multi-file glob never pools samples across files. */
   def runTim(spark: SparkSession, timGlob: String, periodSec: Double,
-             nbins: Int, detrendChunk: Int = 1000): DataFrame = {
+             nbins: Int, detrendChunk: Int = 1000,
+             refMjd: Double = 0.0): DataFrame = {
     val raw = graft.sources.SigprocHeader.timFileStream(spark, timGlob)
-      .withColumn("t", col("idx").cast(DoubleType) * col("tsamp_sec"))
-      .select(col("idx"), col("t"), col("value").cast(DoubleType).as("value"))
-    val flat = detrend(raw, detrendChunk)
-    ProfileOps.fold(flat, "t", "value", 0.0, periodSec, nbins)
-      .orderBy(col("ibin"))
+      .withColumn("t",
+        (col("tstart_mjd") - refMjd) * 86400.0 +
+          col("idx").cast(DoubleType) * col("tsamp_sec"))
+      .select(col("path"), col("idx"), col("t"),
+        col("value").cast(DoubleType).as("value"))
+    val flat = detrend(raw, detrendChunk, Seq("path"))
+    val turns = col("t") / periodSec
+    val phase = turns - floor(turns)
+    flat.withColumn("ibin", floor(phase * nbins).cast(IntegerType))
+      .groupBy(col("path"), col("ibin"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"),
+        avg(col("value")).as("profile"))
+      .orderBy(col("path"), col("ibin"))
   }
 
   /** Full pipeline from a `.dat` glob. */

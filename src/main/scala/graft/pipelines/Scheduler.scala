@@ -181,6 +181,9 @@ object Scheduler {
     * scan inside a project folder — `bfscheduler.py:753-788` shape). */
   def renderScheduleXml(project: String, cfg: Config,
                         placements: Seq[Placement]): String = {
+    def esc(s: String): String = s
+      .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
     def minToUtc(m: Int): String = {
       val mjd = cfg.startMjd + m / 1440.0
       val unixSec = math.round((mjd - 40587.0) * 86400.0)
@@ -188,13 +191,13 @@ object Scheduler {
     }
     val items = placements.zipWithIndex.map { case (p, i) =>
       s"""    <item index="$i">
-         |      <name>${p.name}</name>
+         |      <name>${esc(p.name)}</name>
          |      <startTime>${minToUtc(p.startMin)}</startTime>
          |      <endTime>${minToUtc(p.endMin)}</endTime>
          |      <midElevation>${f"${p.midElevationDeg}%.2f"}</midElevation>
          |    </item>""".stripMargin
     }.mkString("\n")
-    s"""<schedule project="$project">
+    s"""<schedule project="${esc(project)}">
        |  <children>
        |$items
        |  </children>

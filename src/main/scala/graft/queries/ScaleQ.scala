@@ -309,6 +309,10 @@ object ScaleQ {
       col("embedding").as("b_emb"), col("norm").as("b_norm"))
     a.join(b, Seq("cid"))
       .filter(col("a_id") < col("b_id"))
+      // pushdown fence (same hazard q32 documents): without it Catalyst
+      // folds the threshold filter into the join residual and evaluates
+      // the float_dot kernel TWICE per candidate pair
+      .withColumn("pushdown_fence", monotonically_increasing_id())
       .withColumn("cos",
         dotFold(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
       .filter(col("cos") >= 0.35)

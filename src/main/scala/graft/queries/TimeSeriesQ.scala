@@ -238,8 +238,8 @@ object TimeSeriesQ {
       |    JOIN grid g01 ON fi0 = g01.fi AND ei1 = g01.ei
       |    JOIN grid g11 ON fi1 = g11.fi AND ei1 = g11.ei),
       |w AS (SELECT *,
-      |    CASE WHEN f1 > f0 THEN (freq - f0) / (f1 - f0) ELSE 0.0 END AS wf,
-      |    CASE WHEN ei1 > ei0 THEN (el - ei0) / (ei1 - ei0) ELSE 0.0 END AS we
+      |    CASE WHEN f1 > f0 THEN least(greatest((freq - f0) / (f1 - f0), 0.0), 1.0) ELSE 0.0 END AS wf,
+      |    CASE WHEN ei1 > ei0 THEN least(greatest((el - ei0) / (ei1 - ei0), 0.0), 1.0) ELSE 0.0 END AS we
       |  FROM joined),
       |lohi AS (SELECT *, g00 + wf * (g10 - g00) AS lo, g01 + wf * (g11 - g01) AS hi FROM w)
       |SELECT okey, pkey, freq, el, lo + we * (hi - lo) AS aeff

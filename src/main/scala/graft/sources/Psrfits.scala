@@ -162,23 +162,46 @@ object Psrfits {
     }
   }
 
+  /** Weights-only decode: reads just the DAT_WTS vector per subint row —
+    * the weights relation is nbin·npol times smaller than the samples, so
+    * its plan must not pay the full cube decode. */
+  def decodeWeights(obsId: String, bytes: Array[Byte]): Iterator[(String, Int, Int, Double)] = {
+    val sub = hdus(bytes).find(_.cards.get("EXTNAME").contains("SUBINT"))
+      .getOrElse(throw new IllegalArgumentException("no SUBINT HDU"))
+    val c = sub.cards
+    val nrows = c("NAXIS2").toInt
+    val rowBytes = c("NAXIS1").toInt
+    val cols = columns(c)
+    val buf = ByteBuffer.wrap(bytes)
+    (0 until nrows).iterator.flatMap { r =>
+      val wts = readFloats(buf, sub.dataStart + r * rowBytes, cols("DAT_WTS"))
+      wts.iterator.zipWithIndex.map { case (w, chan) =>
+        (obsId, r, chan, w.toDouble)
+      }
+    }
+  }
+
+  private def obsIdOf(path: String, bytes: Array[Byte]): String =
+    hdus(bytes).headOption.flatMap(_.cards.get("OBS_ID"))
+      .getOrElse(path.split('/').last)
+
   /** Archive glob → Cube. obs_id comes from the primary header's OBS_ID
-    * card, falling back to the file name. */
+    * card, falling back to the file name. The two relations are two
+    * independent scans of the same files, but the weights scan decodes
+    * ONLY the DAT_WTS vectors — the expensive cube decode runs once per
+    * samples action, never for weights. */
   def subintCube(spark: SparkSession, glob: String): Cube = {
     import spark.implicits._
-    val rows = spark.read.format("binaryFile").load(glob)
+    def files = spark.read.format("binaryFile").load(glob)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        val obsId = hdus(bytes).headOption
-          .flatMap(_.cards.get("OBS_ID"))
-          .getOrElse(path.split('/').last)
-        decodeSubint(obsId, bytes)
-      }
+    val samples = files
+      .flatMap { case (path, bytes) => decodeSubint(obsIdOf(path, bytes), bytes) }
       .toDF("obs_id", "subint", "pol", "chan", "bin", "value", "weight")
-    val samples = rows.select("obs_id", "subint", "pol", "chan", "bin", "value")
-    val weights = rows.filter(col("pol") === 0 && col("bin") === 0)
-      .select(col("obs_id"), col("subint"), col("chan"), col("weight"))
+      .drop("weight")
+    val weights = files
+      .flatMap { case (path, bytes) => decodeWeights(obsIdOf(path, bytes), bytes) }
+      .toDF("obs_id", "subint", "chan", "weight")
     Cube(samples, weights)
   }
 }

@@ -100,7 +100,11 @@ object StreamOps {
               case _ => () // staging progress ticks carry no action
             }
           }
-          if (st.done) state.remove() else state.update(st)
+          // Terminal state is KEPT, not removed: the staging poller
+          // re-reports 'ready' on every tick, and dropping the state would
+          // resurrect the url and re-emit 'retrieve' (or re-open retries
+          // past the cap). The tombstone is one tiny struct per url seen.
+          state.update(st)
           out.iterator
       }
   }

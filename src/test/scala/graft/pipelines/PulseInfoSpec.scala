@@ -20,7 +20,7 @@ class PulseInfoSpec extends SparkSpecBase {
   }
 
   test("best boxcar finds the matched width and offset") {
-    val (best, _) = PulseInfo.run(cube, threshold = 10.0, widths = Seq(2, 3, 4))
+    val (best, _) = PulseInfo.run(cube, threshold = 10.0, nbins = 32, widths = Seq(2, 3, 4))
     val row = best.select($"width", $"toffset", $"aver_prof_snr", $"peak_prof_snr")
       .as[(Int, Int, Double, Double)].head()
     // profile value 15 at bins 10..12: width 3 at offset 10 scores
@@ -31,12 +31,28 @@ class PulseInfoSpec extends SparkSpecBase {
   }
 
   test("spectrum islands sessionize the emission channels (W2)") {
-    val (_, islands) = PulseInfo.run(cube, threshold = 10.0, widths = Seq(2, 3, 4))
+    val (_, islands) = PulseInfo.run(cube, threshold = 10.0, nbins = 32, widths = Seq(2, 3, 4))
     val got = islands.select($"foffset", $"fwidth", $"aver_snr")
       .as[(Int, Long, Double)].collect().toSeq
     // chans 2..4 each sum 15 over the window; island = one patch,
     // aver = 45 / (width 3 × fwidth 3) = 5
     assert(got == Seq((2, 3L, 5.0)))
+  }
+
+  test("a pulse straddling the phase wrap is found by the circular boxcar") {
+    val samples = (for {
+      chan <- 0 until 4; bin <- 0 until 32
+    } yield ("P3", 0, 0, chan, bin,
+      if (bin == 30 || bin == 31 || bin == 0) 5.0 else 0.0))
+      .toDF("obs_id", "subint", "pol", "chan", "bin", "value")
+    val weights = (0 until 4).map(ch => ("P3", 0, ch, 1.0))
+      .toDF("obs_id", "subint", "chan", "weight")
+    val (best, _) = PulseInfo.run(Cube(samples, weights),
+      threshold = 10.0, nbins = 32, widths = Seq(2, 3, 4))
+    val row = best.select($"width", $"toffset").as[(Int, Int)].head()
+    // profile value 20 at bins 30, 31, 0 — the wrap window (3, 30) must
+    // beat any truncated non-wrapping candidate
+    assert(row == ((3, 30)), s"got $row")
   }
 
   test("two separated emission patches yield two islands") {
@@ -49,7 +65,7 @@ class PulseInfoSpec extends SparkSpecBase {
     val weights = (0 until 8).map(ch => ("P2", 0, ch, 1.0))
       .toDF("obs_id", "subint", "chan", "weight")
     val (_, islands) = PulseInfo.run(Cube(samples, weights),
-      threshold = 10.0, widths = Seq(2, 3, 4))
+      threshold = 10.0, nbins = 32, widths = Seq(2, 3, 4))
     val got = islands.orderBy($"foffset").select($"foffset", $"fwidth")
       .as[(Int, Long)].collect().toSeq
     assert(got == Seq((1, 1L), (5, 2L)))

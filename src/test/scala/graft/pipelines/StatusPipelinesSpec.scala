@@ -26,6 +26,24 @@ class StatusPipelinesSpec extends SparkSpecBase {
     assert(math.abs(row._6 - 5.0 / 48.0) < 1e-12)
   }
 
+  test("GetFlaggedTiles aborts on missing coverage and conflicting lines") {
+    val flagged = Seq(("2013-05-01", "12:00", "CS001", "3"))
+      .toDF("date", "time", "station", "ntiles")
+    val used = Seq("CS001", "CS002").toDF("station")
+    // CS002 has no flagged-info line → the reference exits; we throw
+    intercept[IllegalArgumentException] {
+      GetFlaggedTiles.run(flagged, used, "2013-05-01", hba = true).collect()
+    }
+    val conflicting = Seq(
+      ("2013-05-01", "12:00", "CS001", "3"),
+      ("2013-05-01", "13:00", "CS001", "4"))
+      .toDF("date", "time", "station", "ntiles")
+    intercept[IllegalArgumentException] {
+      GetFlaggedTiles.run(conflicting, Seq("CS001").toDF("station"),
+        "2013-05-01", hba = true).collect()
+    }
+  }
+
   test("GetState: as-of state per element, OFF above value 10") {
     val lines = Seq(
       "LOFAR.PIC.Core.CS002.HBA01.status|20|2020-01-01 10:00:00|x",

@@ -90,15 +90,22 @@ class StreamOpsSpec extends SparkSpecBase {
       input.addData(ev("u1", "failed", 1), ev("u2", "ready", 2))
       q.processAllAvailable()
       // batch 2: u1 fails again → attempts reach 2 → dead; u2 re-reported
-      // ready (ignored — already done); u3 progress tick (no action)
+      // ready (ignored — terminal state is a kept tombstone, so NO second
+      // retrieve row); u3 progress tick (no action)
       input.addData(ev("u1", "failed", 3), ev("u2", "ready", 4),
         ev("u3", "staged", 5))
       q.processAllAvailable()
-      val got = spark.table("sdrain").as[DrainAction].collect().toSet
-      assert(got == Set(
+      // batch 3: u1 fails after dead — must NOT resurrect retries
+      input.addData(ev("u1", "failed", 6), ev("u2", "ready", 7))
+      q.processAllAvailable()
+      // compare as a sorted SEQ, not a set — a duplicate retrieve row is
+      // exactly the regression this test exists to catch
+      val got = spark.table("sdrain").as[DrainAction].collect()
+        .sortBy(a => (a.url, a.action)).toSeq
+      assert(got == Seq(
+        DrainAction("u1", "dead", 2),
         DrainAction("u1", "retry", 1),
-        DrainAction("u2", "retrieve", 0),
-        DrainAction("u1", "dead", 2)), s"got $got")
+        DrainAction("u2", "retrieve", 0)), s"got $got")
     } finally q.stop()
   }
 }
