@@ -145,7 +145,10 @@ def main():
             # derive from the same fetched table (some oracles are
             # quadratic pair joins — do not run them twice)
             duck_tbl = con.execute(oracle[name]).fetch_arrow_table()
-            duck_df = duck_tbl.to_pandas()
+            # date_as_object=False keeps DATE as datetime64 — the same
+            # pandas dtype fetchdf() produced, so the comparison branch
+            # (and thus the gate's calibration) does not shift
+            duck_df = duck_tbl.to_pandas(date_as_object=False)
         except Exception as e:
             print(f"  {name}: FAIL — duckdb error: {e}")
             n_fail += 1

@@ -191,13 +191,16 @@ object ProfileOps {
 
   /** A2 phase folding of a time series against a constant period (the
     * polyco-segment variant joins period as-of first — see q22):
-    * `pulsestack.py:583-620`. */
+    * `pulsestack.py:583-620`. `groupCols` prepends extra fold keys (one
+    * profile per file/series) — the single fold implementation serves
+    * both the single-series and per-file pipelines. */
   def fold(ts: DataFrame, tCol: String, vCol: String,
-           t0: Double, periodSec: Double, nbins: Int): DataFrame = {
+           t0: Double, periodSec: Double, nbins: Int,
+           groupCols: Seq[String] = Nil): DataFrame = {
     val turns = (col(tCol) - t0) / periodSec
     val phase = turns - floor(turns)
     ts.withColumn("ibin", floor(phase * nbins).cast(IntegerType))
-      .groupBy(col("ibin"))
+      .groupBy((groupCols.map(col) :+ col("ibin")): _*)
       .agg(count(lit(1)).as("n"), sum(col(vCol)).as("total"),
         avg(col(vCol)).as("profile"))
   }

@@ -25,22 +25,30 @@ object GetFlaggedTiles {
   def run(flagged: DataFrame, used: DataFrame, date: String,
           hba: Boolean): DataFrame = {
     val st = col("station")
+    // per-station rows are bounded by the station count (tens) — persist
+    // so the abort gates and the aggregations below share ONE scan of the
+    // flagged table
     val rows = flagged.filter(col("date") === date)
       .join(used, Seq("station"), "left_semi")
       .select(st, col("ntiles").cast("int").as("ntiles"))
       .distinct()
-    // The reference ABORTS when a used station has no flagged-info line
-    // (`get_flagged_tiles.py:86-88`) — silently dropping it would inflate
-    // the bad-tile fraction (denominator loses the station's tiles) —
-    // and when duplicate lines disagree (`:89-92`). Station lists are
-    // tiny dims, so these coverage gates are cheap driver actions.
+      .persist()
+    // The reference ABORTS on: a used station with no flagged-info line
+    // (`get_flagged_tiles.py:86-88` — silently dropping it would inflate
+    // the bad-tile fraction), conflicting duplicate lines (`:89-92`), and
+    // an unparseable count (its int() raises; a null from a lenient cast
+    // must not silently deflate the totals). Eager gates ARE the
+    // reference's semantic; the sets involved are tiny.
+    val bad = rows.groupBy(st).agg(
+      count(lit(1)).as("c"),
+      sum(when(col("ntiles").isNull, 1).otherwise(0)).as("nulls"))
+      .filter(col("c") > 1 || col("nulls") > 0).count()
+    require(bad == 0,
+      s"$bad station(s) with conflicting or unparseable flagged-tile lines for $date")
     val missing = used.select(st).distinct()
       .join(rows, Seq("station"), "left_anti").count()
     require(missing == 0,
       s"$missing used station(s) missing flagged-tile info for $date")
-    val conflicts = rows.groupBy(st).count().filter(col("count") > 1).count()
-    require(conflicts == 0,
-      s"$conflicts station(s) with conflicting flagged-tile lines for $date")
     val denom =
       if (hba) when(cs(st), 24).when(rs(st), 48).otherwise(96)
       else when(cs(st) || rs(st), 48).otherwise(96)

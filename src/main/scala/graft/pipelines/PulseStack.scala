@@ -55,36 +55,42 @@ object PulseStack {
     * hand-fed Config — only the fold ephemeris stays external.
     *
     * Each FILE is an independent series: detrend chunks key on (path,
-    * chunk) and the fold emits one profile per path, with phase computed
-    * from the file's own absolute start time (tstart − refMjd) so
-    * profiles from different epochs stay phase-aligned to the same
-    * reference — a multi-file glob never pools samples across files. */
+    * chunk) and the fold emits one profile per path — a multi-file glob
+    * never pools samples across files. Phase is computed from the file's
+    * absolute start time minus `refMjd`; the default (NaN) references
+    * each file to ITS OWN integer MJD, keeping the phase argument small
+    * enough that double precision holds even for millisecond periods
+    * (absolute-MJD seconds ≈ 5e9 would cost ~0.1 bin of jitter at
+    * P = 5 ms). Pass an explicit epoch near the data to phase-align
+    * profiles across files. */
   def runTim(spark: SparkSession, timGlob: String, periodSec: Double,
              nbins: Int, detrendChunk: Int = 1000,
-             refMjd: Double = 0.0): DataFrame = {
+             refMjd: Double = Double.NaN): DataFrame = {
+    val ref =
+      if (refMjd.isNaN) floor(col("tstart_mjd")) else lit(refMjd)
     val raw = graft.sources.SigprocHeader.timFileStream(spark, timGlob)
       .withColumn("t",
-        (col("tstart_mjd") - refMjd) * 86400.0 +
+        (col("tstart_mjd") - ref) * 86400.0 +
           col("idx").cast(DoubleType) * col("tsamp_sec"))
       .select(col("path"), col("idx"), col("t"),
         col("value").cast(DoubleType).as("value"))
     val flat = detrend(raw, detrendChunk, Seq("path"))
-    val turns = col("t") / periodSec
-    val phase = turns - floor(turns)
-    flat.withColumn("ibin", floor(phase * nbins).cast(IntegerType))
-      .groupBy(col("path"), col("ibin"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"),
-        avg(col("value")).as("profile"))
+    ProfileOps.fold(flat, "t", "value", 0.0, periodSec, nbins, Seq("path"))
       .orderBy(col("path"), col("ibin"))
   }
 
-  /** Full pipeline from a `.dat` glob. */
+  /** Full pipeline from a `.dat` glob. Like runTim, each file is its own
+    * series: detrend and fold key on path so multi-file globs never pool
+    * unrelated samples (all files share cfg's tsamp/t0 — the `.dat`
+    * format carries no header; per-file epochs need the tim path). */
   def run(spark: SparkSession, datGlob: String, cfg: Config): DataFrame = {
     val raw = BinarySources.float32Stream(spark, datGlob)
       .withColumn("t", col("idx").cast(DoubleType) * cfg.tsampSec)
-      .select(col("idx"), col("t"), col("value").cast(DoubleType).as("value"))
-    val flat = detrend(raw, cfg.detrendChunk)
-    ProfileOps.fold(flat, "t", "value", cfg.t0Sec, cfg.periodSec, cfg.nbins)
-      .orderBy(col("ibin"))
+      .select(col("path"), col("idx"), col("t"),
+        col("value").cast(DoubleType).as("value"))
+    val flat = detrend(raw, cfg.detrendChunk, Seq("path"))
+    ProfileOps.fold(flat, "t", "value", cfg.t0Sec, cfg.periodSec, cfg.nbins,
+      Seq("path"))
+      .orderBy(col("path"), col("ibin"))
   }
 }

@@ -75,37 +75,50 @@ object StreamOps {
     * micro-batches; a failure below `maxRetries` emits a 'retry' action
     * (the reference's retry-file append), reaching `maxRetries` emits
     * 'dead' (dead-letter), and the first 'ready' emits 'retrieve' exactly
-    * once — later events for a finished url are ignored. State is one
-    * tiny struct per in-flight url, dropped once terminal. */
+    * once — later events for a finished url are ignored.
+    *
+    * State bounding: terminal urls keep a TOMBSTONE (dropping the state
+    * would let the poller's re-reported 'ready' re-emit 'retrieve'), but
+    * every url's state carries an event-time timeout of `watermark +
+    * tombstoneMs`, so state expires once the poller's re-report horizon
+    * has passed — bounded by the in-flight window, not the stream's
+    * lifetime. */
   def statefulDrain(events: Dataset[StagingEvent],
-                    maxRetries: Int = 3): Dataset[DrainAction] = {
+                    maxRetries: Int = 3,
+                    watermark: String = "30 seconds",
+                    tombstoneMs: Long = 3600L * 1000L): Dataset[DrainAction] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.url)
+    events.withWatermark("event_time", watermark)
+      .groupByKey(_.url)
       .flatMapGroupsWithState[UrlState, DrainAction](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (url, evs, state: GroupState[UrlState]) =>
-          var st = state.getOption.getOrElse(UrlState(0, done = false))
-          val out = scala.collection.mutable.ArrayBuffer.empty[DrainAction]
-          evs.toSeq.sortBy(_.event_time.getTime).foreach { e =>
-            if (!st.done) e.status match {
-              case "ready" =>
-                st = st.copy(done = true)
-                out += DrainAction(url, "retrieve", st.attempts)
-              case "failed" =>
-                st = st.copy(attempts = st.attempts + 1)
-                if (st.attempts >= maxRetries) {
+          if (state.hasTimedOut) {
+            state.remove() // re-report horizon passed — tombstone expires
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(UrlState(0, done = false))
+            val out = scala.collection.mutable.ArrayBuffer.empty[DrainAction]
+            val sorted = evs.toSeq.sortBy(_.event_time.getTime)
+            sorted.foreach { e =>
+              if (!st.done) e.status match {
+                case "ready" =>
                   st = st.copy(done = true)
-                  out += DrainAction(url, "dead", st.attempts)
-                } else out += DrainAction(url, "retry", st.attempts)
-              case _ => () // staging progress ticks carry no action
+                  out += DrainAction(url, "retrieve", st.attempts)
+                case "failed" =>
+                  st = st.copy(attempts = st.attempts + 1)
+                  if (st.attempts >= maxRetries) {
+                    st = st.copy(done = true)
+                    out += DrainAction(url, "dead", st.attempts)
+                  } else out += DrainAction(url, "retry", st.attempts)
+                case _ => () // staging progress ticks carry no action
+              }
             }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              sorted.map(_.event_time.getTime).max + tombstoneMs)
+            out.iterator
           }
-          // Terminal state is KEPT, not removed: the staging poller
-          // re-reports 'ready' on every tick, and dropping the state would
-          // resurrect the url and re-emit 'retrieve' (or re-open retries
-          // past the cap). The tombstone is one tiny struct per url seen.
-          state.update(st)
-          out.iterator
       }
   }
 

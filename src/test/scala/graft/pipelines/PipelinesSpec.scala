@@ -31,6 +31,32 @@ class PipelinesSpec extends SparkSpecBase {
     assert(peak >= 20 && peak <= 22, s"folded peak at bin $peak, expected ~phase 0.42")
   }
 
+  test("PulseStack: a multi-file glob folds each file separately") {
+    val dir = Files.createTempDirectory("graft-ps2")
+    val tsamp = 0.001; val period = 0.2; val n = 20000
+    def write(name: String, phaseCenter: Double): Unit = {
+      val vals = Array.tabulate(n) { i =>
+        val phase = (i * tsamp / period) % 1.0
+        (if (math.abs(phase - phaseCenter) < 0.03) 50.0 else 0.0).toFloat
+      }
+      val buf = ByteBuffer.allocate(n * 4).order(ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(buf.putFloat)
+      Files.write(dir.resolve(name), buf.array())
+    }
+    write("a.dat", 0.25) // pulse at phase 0.25
+    write("b.dat", 0.75) // pulse at phase 0.75
+    val prof = PulseStack.run(spark, dir.toString + "/*.dat",
+      PulseStack.Config(tsampSec = tsamp, t0Sec = 0.0, periodSec = period,
+        nbins = 20, detrendChunk = 20000)) // single chunk: keep the pulse
+      .select($"path", $"ibin", $"profile").as[(String, Int, Double)].collect()
+    val peaks = prof.groupBy(_._1).map { case (p, rows) =>
+      p.split('/').last -> rows.maxBy(_._3)._2
+    }
+    // each file's profile peaks at ITS OWN phase — pooling would smear both
+    assert(peaks("a.dat") == 5, s"got $peaks")
+    assert(peaks("b.dat") == 15, s"got $peaks")
+  }
+
   test("SubDyn: clean vs RFI-loaded subbands separate in the report") {
     val dir = Files.createTempDirectory("graft-sd")
     val rng = new scala.util.Random(6)
