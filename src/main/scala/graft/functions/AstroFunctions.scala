@@ -254,9 +254,12 @@ object AstroFunctions {
   /** LST advance rate, degrees per solar day (sid.pl sidereal rate). */
   val LstRateDegPerDay = 360.98564736629
 
-  /** SQL pmod over doubles matching Spark's pmod exactly. */
+  /** SQL pmod over doubles matching Spark's pmod exactly — including the
+    * SECOND modulo Spark applies on the negative branch ((r + m) % m),
+    * which matters when a tiny negative r makes r + m round to exactly m:
+    * Spark then returns 0, a bare r + m would return m. */
   def sqlPmod(x: String, m: String): String =
-    s"(CASE WHEN fmod($x, $m) < 0 THEN fmod($x, $m) + $m ELSE fmod($x, $m) END)"
+    s"(CASE WHEN fmod($x, $m) < 0 THEN fmod(fmod($x, $m) + $m, $m) ELSE fmod($x, $m) END)"
 
   // NOTE: the e0 suffix forces DuckDB to read these literals as DOUBLE —
   // its default DECIMAL literals overflow on the sidereal-rate multiply

@@ -60,7 +60,10 @@ object Islands {
     val wl = Window.partitionBy(col("__b")).orderBy(col("__k"))
     val wls = wl.rowsBetween(Window.unboundedPreceding, 0)
     keys.select(col(keyCol).as("__k"))
-      .withColumn("__b", floor(col("__k") / bucketSize))
+      // integral division: a double quotient loses exactness for keys
+      // ≥ 2^53 (64-bit hash-derived ids), mis-bucketing them so the edge
+      // filter would miss a genuine cross-bucket merge
+      .withColumn("__b", expr(s"__k div ${bucketSize}L"))
       .withColumn("gap",
         when(col("__k") - lag(col("__k"), 1).over(wl) === 1, 0).otherwise(1))
       .withColumn("lisl", sum(col("gap")).over(wls))

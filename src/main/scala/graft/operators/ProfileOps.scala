@@ -222,11 +222,35 @@ object ProfileOps {
         count(lit(1)).as("width"), sum(col("value")).as("island_flux"))
   }
 
+  /** Shared W4 window selection (`snr.py:126-128`): the highest-flux
+    * on-pulse island widened by `expandFrac` of the ISLAND width on each
+    * side. One row per (obs_id, pol): [le, re) with re EXCLUSIVE —
+    * consumed clamped-unrotated by Snr and rotated by autoOffWindow, so
+    * the expansion arithmetic lives in exactly one place. */
+  private[graft] def expandedWindow(profile: DataFrame,
+                                    thresholdSigma: Double,
+                                    expandFrac: Double): DataFrame = {
+    val keys = Seq("obs_id", "pol")
+    onPulseWindow(profile, thresholdSigma)
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(struct(col("bin_lo"), col("bin_hi")),
+        col("island_flux")).as("w"))
+      .withColumn("excl", col("w.bin_hi") - col("w.bin_lo"))
+      .select(keys.map(col) :+
+        (col("w.bin_lo") - floor(col("excl") * expandFrac)).cast(IntegerType).as("le") :+
+        (col("w.bin_hi") + 1 + floor(col("excl") * expandFrac)).cast(IntegerType).as("re"): _*)
+  }
+
   /** W4 in full (`snr.py:104-146` auto_find_off_window): detect the
     * on-pulse island, widen it by `expandFrac` of the ISLAND width on
     * each side (the reference's extra-caution margin), then ROTATE each
     * (obs_id, pol) profile so the window's left edge lands at bin 0 —
     * after which the off-pulse region is simply `[off_lo, nbins)`.
+    *
+    * Profiles with NO bin above the threshold keep rotation 0 and an
+    * empty on-window (off region = the whole profile), matching the
+    * reference's no-signal branch (`snr.py:140-144`) — they are NOT
+    * silently dropped.
     *
     * Returns (rotated profile, bounds) where bounds carries one row per
     * profile: `rot_bins` (the applied rotation, the reference's running
@@ -237,21 +261,16 @@ object ProfileOps {
                     thresholdSigma: Double = 2.5,
                     expandFrac: Double = 0.15): (DataFrame, DataFrame) = {
     val keys = Seq("obs_id", "pol")
-    val win = onPulseWindow(profile, thresholdSigma)
-      .groupBy(keys.map(col): _*)
-      .agg(max_by(struct(col("bin_lo"), col("bin_hi")),
-        col("island_flux")).as("w"))
-      .withColumn("excl", col("w.bin_hi") - col("w.bin_lo"))
-      .select(keys.map(col) :+
-        (col("w.bin_lo") - floor(col("excl") * expandFrac)).cast(IntegerType).as("le") :+
-        (col("w.bin_hi") + 1 + floor(col("excl") * expandFrac)).cast(IntegerType).as("re"): _*)
-    val rotated = profile.join(broadcast(win), keys)
-      .withColumn("bin", pmod(col("bin") - col("le"), lit(nbins)))
+    val win = expandedWindow(profile, thresholdSigma, expandFrac)
+    val rotated = profile.join(broadcast(win), keys, "left")
+      .withColumn("bin", pmod(col("bin") - coalesce(col("le"), lit(0)), lit(nbins)))
       .drop("le", "re")
-    val bounds = win.select(keys.map(col) :+
-      col("le").as("rot_bins") :+
-      (col("re") - col("le")).as("off_lo") :+
-      lit(nbins).as("off_hi"): _*)
+    val bounds = profile.select(keys.map(col): _*).distinct()
+      .join(broadcast(win), keys, "left")
+      .select(keys.map(col) :+
+        coalesce(col("le"), lit(0)).as("rot_bins") :+
+        coalesce(col("re") - col("le"), lit(0)).as("off_lo") :+
+        lit(nbins).as("off_hi"): _*)
     (rotated, bounds)
   }
 }

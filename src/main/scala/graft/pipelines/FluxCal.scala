@@ -53,8 +53,14 @@ object FluxCal {
     *    decision the reference took. */
   sealed trait AeffModel
   case object ArisN extends AeffModel
-  /** @param gain dim (freq, el, v) from GainCube.ingest */
-  final case class TableGain(gain: DataFrame, elDeg: Double) extends AeffModel
+  /** @param gain dim (freq, el, v) from GainCube.ingest; the grid
+    * geometry MUST match the ingest parameters (the HBA defaults here
+    * mirror GainCube's) — a mismatched geometry would compute corner
+    * indices that miss the grid rows entirely. */
+  final case class TableGain(gain: DataFrame, elDeg: Double,
+                             flowMhz: Double = 110.0, fstepMhz: Double = 5.0,
+                             fhighMhz: Double = 250.0, elMax: Int = 90)
+      extends AeffModel
   /** @param beamcorr dim (freq, factor): bc_psr/casa_factor per grid freq */
   final case class HamakerCarozzi(beamcorr: DataFrame) extends AeffModel
 
@@ -77,9 +83,10 @@ object FluxCal {
     val withAeff = model match {
       case ArisN =>
         base.withColumn("aeff", aeffMax(lit(true), lit(tiles), col("freq")))
-      case TableGain(gain, elDeg) =>
+      case TableGain(gain, elDeg, flow, fstep, fhigh, elMax) =>
         graft.operators.GridInterp.bilinear(
-          base.withColumn("el", lit(elDeg)), gain, "freq", "el", "aeff")
+          base.withColumn("el", lit(elDeg)), gain, "freq", "el", "aeff",
+          flow = flow, fstep = fstep, fhigh = fhigh, elMax = elMax)
           .drop("el")
       case HamakerCarozzi(bc) =>
         // nearest-frequency factor per channel (J4): tiny dims, broadcast

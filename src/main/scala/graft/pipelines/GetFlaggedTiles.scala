@@ -73,7 +73,13 @@ object GetFlaggedTiles {
       else
         when(exists(col("worst_stations"), s => cs(s) || rs(s)), 48.0)
           .otherwise(96.0)
-    totals.crossJoin(broadcast(worstSet))
+    val result = totals.crossJoin(broadcast(worstSet))
       .withColumn("worst_fraction", col("worst_n").cast("double") / worstCap)
+    // the output is ONE summary row — materialize it and release the
+    // per-station cache instead of leaking a pinned dataset per call
+    val out = result.collect()
+    rows.unpersist()
+    flagged.sparkSession.createDataFrame(
+      java.util.Arrays.asList(out: _*), result.schema)
   }
 }

@@ -148,14 +148,18 @@ object Scheduler {
           }
           if (math.abs(scanstart + 0.5 * obstime - transitMin) > tol)
             schedule = false
-          // per-minute elevation check over the chosen scan
-          if (schedule) {
-            val minEl = (scanstart to scanend).map { mm =>
-              elevationDeg(cfg.startMjd + mm / 1440.0, s.raDeg, s.decDeg, cfg)
-            }.min
-            if (minEl < cfg.horizonDeg) schedule = false
-          }
         }
+      }
+
+      // per-minute horizon check for EVERY candidate placement — stricter
+      // than the reference, which only checks conflict-relocated scans
+      // (`bfscheduler.py:437-445`): a transit-anchored scan clamped by the
+      // slot edge can still dip below the horizon mid-scan.
+      if (schedule) {
+        val minEl = (scanstart to scanend).map { mm =>
+          elevationDeg(cfg.startMjd + mm / 1440.0, s.raDeg, s.decDeg, cfg)
+        }.min
+        if (minEl < cfg.horizonDeg) schedule = false
       }
 
       if (schedule) {

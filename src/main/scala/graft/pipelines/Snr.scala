@@ -49,18 +49,14 @@ object Snr {
     val nbins = profile.groupBy(keys.map(col): _*)
       .agg((max(col("bin")) + 1).as("nbin"))
 
-    // on-pulse window = the island with the largest flux, expanded
-    val win = ProfileOps.onPulseWindow(profile, thresholdSigma)
-      .groupBy(col("obs_id"), col("pol"))
-      .agg(max_by(struct(col("bin_lo"), col("bin_hi")),
-        col("island_flux")).as("w"))
+    // on-pulse window = the island with the largest flux, expanded —
+    // selection/expansion shared with autoOffWindow (ProfileOps), here
+    // clamped into [0, nbin) in unrotated coordinates
+    val win = ProfileOps.expandedWindow(profile, thresholdSigma, windowExpandFrac)
       .join(broadcast(nbins), keys)
-      .withColumn("excl", col("w.bin_hi") - col("w.bin_lo"))
       .select(col("obs_id"), col("pol"),
-        greatest(col("w.bin_lo") - floor(col("excl") * windowExpandFrac), lit(0))
-          .as("bin_lo"),
-        least(col("w.bin_hi") + floor(col("excl") * windowExpandFrac),
-          col("nbin") - 1).as("bin_hi"))
+        greatest(col("le"), lit(0)).as("bin_lo"),
+        least(col("re") - 1, col("nbin") - 1).as("bin_hi"))
 
     // method "qq"
     val qq = profile.groupBy(keys.map(col): _*)

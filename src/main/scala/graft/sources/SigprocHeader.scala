@@ -18,10 +18,12 @@ import org.apache.spark.sql.functions._
 object SigprocHeader {
 
   private val DoubleKeys = Set("tsamp", "tstart", "fch1", "foff", "refdm",
-    "az_start", "za_start", "src_raj", "src_dej", "period")
+    "az_start", "za_start", "src_raj", "src_dej", "period", "fchannel")
   private val IntKeys = Set("nchans", "nbits", "nifs", "telescope_id",
     "machine_id", "data_type", "barycentric", "pulsarcentric", "nbeams",
-    "ibeam")
+    "ibeam", "nsamples", "nbins")
+  private val LongKeys = Set("npuls")
+  private val ByteKeys = Set("signed")
   private val StringKeys = Set("source_name", "rawdatafile")
 
   final case class Header(values: Map[String, Any], sizeBytes: Int) {
@@ -47,6 +49,8 @@ object SigprocHeader {
       if (key == "HEADER_END") done = true
       else if (DoubleKeys(key)) values += key -> buf.getDouble()
       else if (IntKeys(key)) values += key -> buf.getInt()
+      else if (LongKeys(key)) values += key -> buf.getLong()
+      else if (ByteKeys(key)) values += key -> buf.get()
       else if (StringKeys(key)) values += key -> token()
       else throw new IllegalArgumentException(s"unknown sigproc key '$key'")
     }
@@ -67,7 +71,10 @@ object SigprocHeader {
       v match {
         case d: Double => out.write(
           ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putDouble(d).array())
+        case l: Long => out.write(
+          ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(l).array())
         case i: Int => putInt(i)
+        case b: Byte => out.write(b.toInt)
         case s: String => putToken(s)
         case other => throw new IllegalArgumentException(s"unsupported $other")
       }

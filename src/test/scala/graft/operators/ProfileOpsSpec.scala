@@ -183,6 +183,19 @@ class ProfileOpsSpec extends SparkSpecBase {
     (offLo until nbins).foreach(b => assert(rotVals(b) == 0.0, s"bin $b"))
   }
 
+  test("autoOffWindow keeps windowless (flat) profiles with zero rotation") {
+    val nbins = 16
+    val flat = (0 until nbins).map(b => ("F1", 0, b, 1.0))
+      .toDF("obs_id", "pol", "bin", "value")
+    val (rotated, bounds) = ProfileOps.autoOffWindow(flat, nbins)
+    // no bin exceeds mean + 2.5σ on a constant profile → reference's
+    // no-signal branch: rotation 0, whole profile is off-pulse
+    assert(rotated.count() == nbins)
+    val (rot, offLo, offHi) = bounds
+      .select($"rot_bins", $"off_lo", $"off_hi").as[(Int, Int, Int)].head()
+    assert(rot == 0 && offLo == 0 && offHi == nbins)
+  }
+
   test("fold recovers the phase of a periodic signal and is partition-stable") {
     val period = 0.7; val n = 20000; val t0 = 5.0
     val ts = (0 until n).map { i =>
