@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-dup PAIRS → dedup DECISIONS: connected components over the pair
+  * graph, each document assigned the minimum doc id of its component as
+  * canonical representative; `doc_id == canonical_id` is the keep rule.
+  *
+  * The component structure is computed by iterative min-label
+  * propagation (a join-based Pregel analog): every vertex starts as its
+  * own label, each round takes the minimum label among itself and its
+  * neighbors, and the loop stops when a round changes nothing. Rounds
+  * needed = component diameter — near-dup clusters are small and
+  * chain-like at worst, so convergence is a handful of rounds; each
+  * round is ONE shuffle join keyed on doc id, so the operator scales
+  * with the pair set, never materializing anything quadratic.
+  */
+object DedupGroups {
+
+  /** @param pairs near-dup pairs (from LSH/SimHash/cosine verification)
+    * @return (doc_id, canonical_id) for every doc appearing in a pair */
+  def canonicalize(pairs: DataFrame, aCol: String, bCol: String,
+                   maxIters: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .cache()
+    var verts = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .cache()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val nbrMin = edges.join(verts, edges("dst") === verts("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr"))
+        .select(col("src").as("id"), col("nbr"))
+      val updated = verts.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("next"))
+        .cache()
+      changed = updated.filter(col("next") =!= col("label")).count()
+      val old = verts
+      verts = updated.select(col("id"), col("next").as("label")).cache()
+      old.unpersist()
+      updated.unpersist()
+      i += 1
+    }
+    edges.unpersist()
+    verts.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+  }
+
+  /** Full keep/drop decision over a corpus: docs in no pair keep
+    * themselves; paired docs keep only the component minimum. */
+  def keepDecisions(docs: DataFrame, idCol: String,
+                    pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val canon = canonicalize(pairs, aCol, bCol)
+    docs.select(col(idCol).as("doc_id"))
+      .join(canon, Seq("doc_id"), "left")
+      .withColumn("canonical_id", coalesce(col("canonical_id"), col("doc_id")))
+      .withColumn("keep", col("doc_id") === col("canonical_id"))
+  }
+}

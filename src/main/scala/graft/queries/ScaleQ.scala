@@ -338,11 +338,45 @@ object ScaleQ {
        |WHERE ${sqlDotFold("x.embedding", "y.embedding")} / (x.norm * y.norm) >= 0.35
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Dedup pairs → dedup DECISIONS: connected components over a pair
+    * graph via `DedupGroups.canonicalize` (iterative min-label
+    * propagation, one shuffle join per round, rounds = component
+    * diameter). The synthetic pair graph is chains of five 5-doc star
+    * blocks (diameter 6), so convergence genuinely iterates; the oracle
+    * re-derives components with a recursive CTE — an independent
+    * fixpoint formulation of the same semantics. */
+  private def q66(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val starEdges = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id").as("a"), (col("doc_id") - col("doc_id") % 5).as("b"))
+    val chainEdges = docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 25 =!= 0)
+      .select(col("doc_id").as("a"), (col("doc_id") - 5).as("b"))
+    graft.operators.DedupGroups
+      .canonicalize(starEdges.unionByName(chainEdges), "a", "b")
+      .orderBy(col("doc_id"))
+  }
+
+  private val q66Sql =
+    """WITH RECURSIVE
+      |e AS (
+      |  SELECT doc_id AS a, doc_id - doc_id % 5 AS b FROM documents WHERE doc_id % 5 <> 0
+      |  UNION ALL
+      |  SELECT doc_id AS a, doc_id - 5 AS b FROM documents WHERE doc_id % 5 = 0 AND doc_id % 25 <> 0),
+      |und AS (SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e),
+      |verts AS (SELECT DISTINCT src AS id FROM und),
+      |reach(id, lab) AS (
+      |  SELECT id, id FROM verts
+      |  UNION
+      |  SELECT u.src, r.lab FROM und u JOIN reach r ON u.dst = r.id)
+      |SELECT id AS doc_id, MIN(lab) AS canonical_id
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   val queries: Seq[GQuery] = Seq(
     GQuery("q55_ivf_ann", q55, Some(q55Sql), Seq("O1", "O4", "A16")),
     GQuery("q56_ngram_jaccard", q56, Some(q56Sql), Seq("A16", "J7")),
     GQuery("q57_gauss_moments", q57, Some(q57Sql), Seq("A18", "A19")),
     GQuery("q61_multimodal_meta", q61, Some(q61Sql), Seq("S3", "F11")),
     GQuery("q62_simhash_neardup", q62, Some(q62Sql), Seq("A16", "J7")),
-    GQuery("q65_cosine_neardup", q65, Some(q65Sql), Seq("A16", "J7", "O1")))
+    GQuery("q65_cosine_neardup", q65, Some(q65Sql), Seq("A16", "J7", "O1")),
+    GQuery("q66_dedup_groups", q66, Some(q66Sql), Seq("A16", "U3", "W2")))
 }
