@@ -369,6 +369,77 @@ object DomainQ2 {
        |FROM h ORDER BY c_custkey""".stripMargin
   }
 
+  // --- q67: A7 weight re-normalization through the REAL operator -------
+  // ProfileOps.normalizeWeights (`lofar_fluxcal.py:409-431`): weights
+  // scale by max(subint duration)/duration, then divide by the global
+  // max — both global scalars broadcast 1-row joins. The events table
+  // stands in as the cube's weight relation (cell weight = event count,
+  // subint duration = active time span), so the driver's oracle verifies
+  // the operator itself, not a re-derivation.
+
+  private def q67(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("hour_bin", ((col("ts_sec") % 86400L) / 3600L).cast(IntegerType))
+    val weights = ev.groupBy(col("user_id"), col("hour_bin"))
+      .agg(count(lit(1)).cast(DoubleType).as("weight"))
+      .select(lit("E").as("obs_id"), col("user_id").as("subint"),
+        col("hour_bin").as("chan"), col("weight"))
+    val durations = ev.groupBy(col("user_id"))
+      .agg((max(col("ts_sec")) - min(col("ts_sec")) + 1L).cast(DoubleType).as("dur"))
+      .select(lit("E").as("obs_id"), col("user_id").as("subint"), col("dur"))
+    val cube = graft.operators.Cube(weights, weights) // samples unused here
+    graft.operators.ProfileOps.normalizeWeights(cube, durations).weights
+      .select(col("subint").as("user_id"), col("chan").as("hour_bin"),
+        col("weight"))
+      .orderBy(col("user_id"), col("hour_bin"))
+  }
+
+  private val q67Sql =
+    """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS ts_sec FROM events),
+      |w AS (SELECT user_id, CAST((ts_sec % 86400) // 3600 AS INT) AS hour_bin,
+      |    CAST(COUNT(*) AS DOUBLE) AS weight
+      |  FROM e GROUP BY 1, 2),
+      |d AS (SELECT user_id, CAST(MAX(ts_sec) - MIN(ts_sec) + 1 AS DOUBLE) AS dur
+      |  FROM e GROUP BY 1),
+      |md AS (SELECT MAX(dur) AS max_dur FROM d),
+      |scaled AS (SELECT w.user_id, w.hour_bin, w.weight * md.max_dur / d.dur AS weight
+      |  FROM w JOIN d ON w.user_id = d.user_id CROSS JOIN md),
+      |mw AS (SELECT MAX(weight) AS max_w FROM scaled)
+      |SELECT user_id, hour_bin,
+      |  CASE WHEN mw.max_w > 0 THEN weight / mw.max_w ELSE 0.0 END AS weight
+      |FROM scaled CROSS JOIN mw ORDER BY user_id, hour_bin""".stripMargin
+
+  // --- q68: the analytic SEFD dimension, end-to-end --------------------
+  // FluxCal.sefdDim with the ArisN model — the per-channel Tinst + Tsky +
+  // Aeff radiometer algebra that scales every calibrated sample
+  // (`lofar_fluxcal.py:662-749`). The oracle recomposes the same chain
+  // from the sql* mirrors, so the flagship dimension is driver-verified
+  // bit-for-bit, not just spec-checked.
+
+  private def q68(s: SparkSession, d: String): DataFrame = {
+    import graft.pipelines.FluxCal
+    val cfg = FluxCal.Config(dm = 0.0, f0Mhz = 110.0, chanBwMhz = 0.1953125,
+      nchan = 400, nbins = 1, tbinSec = 1.0, tsubSec = 10.0)
+    FluxCal.sefdDim(s, cfg)
+      .select(col("chan"), col("freq"), col("tinst"), col("tsky"),
+        col("tsys"), col("aeff"), col("sefd"))
+      .orderBy(col("chan"))
+  }
+
+  private val q68Sql = {
+    import graft.functions.AstroFunctions._
+    val f = "(110.0e0 + CAST(i AS DOUBLE) * 0.1953125e0)"
+    val tinst = sqlTinstHba(f)
+    val tsky = sqlTskyPortable("25.0e0", f)
+    val aeff = sqlAeffMax("TRUE", "(24.0e0 * 24.0e0)", f)
+    s"""SELECT CAST(i AS INT) AS chan, $f AS freq,
+       |  $tinst AS tinst, $tsky AS tsky,
+       |  ($tinst + $tsky) AS tsys,
+       |  $aeff AS aeff,
+       |  2.0e0 * 1380.6485279e0 * ($tinst + $tsky) / ((1.0e0 - 0.05e0) * $aeff) AS sefd
+       |FROM range(0, 400) t(i) ORDER BY chan""".stripMargin
+  }
+
   val queries: Seq[GQuery] = Seq(
     GQuery("q48_flagged_tiles", q48, Some(q48Sql), Seq("F10", "A15", "J9")),
     GQuery("q49_scheduler_score", q49, Some(q49Sql), Seq("A24", "W5", "O4")),
@@ -377,5 +448,7 @@ object DomainQ2 {
     GQuery("q52_rotate_rekey", q52, Some(q52Sql), Seq("R1", "A2")),
     GQuery("q53_dedisperse_rekey", q53, Some(q53Sql), Seq("R2", "A4")),
     GQuery("q54_offwindow_stats", q54, Some(q54Sql), Seq("A9", "F8")),
-    GQuery("q63_transit_times", q63, Some(q63Sql), Seq("C4", "C3", "A24")))
+    GQuery("q63_transit_times", q63, Some(q63Sql), Seq("C4", "C3", "A24")),
+    GQuery("q67_weight_renorm", q67, Some(q67Sql), Seq("A7", "A6")),
+    GQuery("q68_sefd_dim", q68, Some(q68Sql), Seq("C6", "C7", "C8", "C9", "F11")))
 }
