@@ -21,53 +21,61 @@ import graft.operators.ProfileOps
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def reg(ext: SparkSessionExtensions, name: String,
-                  builder: Seq[Expression] => Expression): Unit =
+  private def reg(ext: SparkSessionExtensions, name: String, arity: Int,
+                  builder: Seq[Expression] => Expression,
+                  implClass: Class[_] = classOf[GraftExtensions]): Unit =
     ext.injectFunction((
       new FunctionIdentifier(name),
-      new ExpressionInfo(classOf[GraftExtensions].getName, name),
-      builder))
+      new ExpressionInfo(implClass.getName, name),
+      (children: Seq[Expression]) => {
+        // arity guard: a wrong-arity SQL call must fail with the function
+        // name, not a raw IndexOutOfBoundsException from the builder
+        if (children.length != arity)
+          throw new IllegalArgumentException(
+            s"$name expects $arity argument(s), got ${children.length}")
+        builder(children)
+      }))
 
   private def lift(f: Seq[Column] => Column): Seq[Expression] => Expression =
     children => ColumnBridge.catalystExpression(f(children.map(ColumnBridge.column)))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     // native codegen kernels
-    reg(ext, "poly_hash", children => PolyHash(children.head))
-    reg(ext, "float_dot", children => FloatDot(children(0), children(1)))
-    reg(ext, "sorted_intersect_count",
-      children => SortedIntersectCount(children(0), children(1)))
-    reg(ext, "simhash32", children => SimHash32(children.head))
+    reg(ext, "poly_hash", 1, c => PolyHash(c.head), classOf[PolyHash])
+    reg(ext, "float_dot", 2, c => FloatDot(c(0), c(1)), classOf[FloatDot])
+    reg(ext, "sorted_intersect_count", 2,
+      c => SortedIntersectCount(c(0), c(1)), classOf[SortedIntersectCount])
+    reg(ext, "simhash32", 1, c => SimHash32(c.head), classOf[SimHash32])
 
     // C6-C11 calibration/physics pack
     import AstroFunctions._
-    reg(ext, "tinst_hba", lift(a => tinstHba(a(0))))
-    reg(ext, "tsky_portable", lift(a => tskyPortable(a(0), a(1))))
-    reg(ext, "chan_freq", lift(a => chanFreq(a(0), a(1), a(2))))
-    reg(ext, "aeff_max", lift(a => aeffMax(a(0), a(1), a(2))))
-    reg(ext, "dispersion_delay_ms", lift(a => dispersionDelayMs(a(0), a(1), a(2))))
-    reg(ext, "dispersion_pair_ms", lift(a => dispersionPairMs(a(0), a(1), a(2))))
+    reg(ext, "tinst_hba", 1, lift(a => tinstHba(a(0))))
+    reg(ext, "tsky_portable", 2, lift(a => tskyPortable(a(0), a(1))))
+    reg(ext, "chan_freq", 3, lift(a => chanFreq(a(0), a(1), a(2))))
+    reg(ext, "aeff_max", 3, lift(a => aeffMax(a(0), a(1), a(2))))
+    reg(ext, "dispersion_delay_ms", 3, lift(a => dispersionDelayMs(a(0), a(1), a(2))))
+    reg(ext, "dispersion_pair_ms", 3, lift(a => dispersionPairMs(a(0), a(1), a(2))))
     // C1 sexagesimal
-    reg(ext, "ra_to_deg", lift(a => raToDeg(a(0))))
-    reg(ext, "dec_to_deg", lift(a => decToDeg(a(0))))
+    reg(ext, "ra_to_deg", 1, lift(a => raToDeg(a(0))))
+    reg(ext, "dec_to_deg", 1, lift(a => decToDeg(a(0))))
     // C3/C4 sidereal + transit pack
-    reg(ext, "lst_deg", lift(a => lstDeg(a(0), a(1))))
-    reg(ext, "previous_transit_mjd", lift(a => previousTransitMjd(a(0), a(1), a(2))))
-    reg(ext, "next_transit_mjd", lift(a => nextTransitMjd(a(0), a(1), a(2))))
-    reg(ext, "transit_elevation", lift(a => transitElevation(a(0), a(1))))
-    reg(ext, "never_sets", lift(a => neverSets(a(0), a(1), a(2))))
-    reg(ext, "never_rises", lift(a => neverRises(a(0), a(1), a(2))))
-    reg(ext, "transit_approach_min", lift(a => transitApproachMin(a(0), a(1), a(2), a(3))))
-    reg(ext, "chosen_transit_mjd", lift(a => chosenTransitMjd(a(0), a(1), a(2), a(3))))
-    reg(ext, "ha_at_elevation", lift(a => haAtElevation(a(0), a(1), a(2))))
-    reg(ext, "eq_to_gal", lift(a => eqToGal(a(0), a(1))))
-    reg(ext, "az_el", lift(a => azEl(a(0), a(1), a(2), a(3))))
+    reg(ext, "lst_deg", 2, lift(a => lstDeg(a(0), a(1))))
+    reg(ext, "previous_transit_mjd", 3, lift(a => previousTransitMjd(a(0), a(1), a(2))))
+    reg(ext, "next_transit_mjd", 3, lift(a => nextTransitMjd(a(0), a(1), a(2))))
+    reg(ext, "transit_elevation", 2, lift(a => transitElevation(a(0), a(1))))
+    reg(ext, "never_sets", 3, lift(a => neverSets(a(0), a(1), a(2))))
+    reg(ext, "never_rises", 3, lift(a => neverRises(a(0), a(1), a(2))))
+    reg(ext, "transit_approach_min", 4, lift(a => transitApproachMin(a(0), a(1), a(2), a(3))))
+    reg(ext, "chosen_transit_mjd", 4, lift(a => chosenTransitMjd(a(0), a(1), a(2), a(3))))
+    reg(ext, "ha_at_elevation", 3, lift(a => haAtElevation(a(0), a(1), a(2))))
+    reg(ext, "eq_to_gal", 2, lift(a => eqToGal(a(0), a(1))))
+    reg(ext, "az_el", 4, lift(a => azEl(a(0), a(1), a(2), a(3))))
     // C5 time helpers
-    reg(ext, "mjd_to_dublin", lift(a => mjdToDublin(a(0))))
-    reg(ext, "mjd_to_unix_sec", lift(a => mjdToUnixSec(a(0))))
-    reg(ext, "mjd_round_to_minute", lift(a => mjdRoundToMinute(a(0))))
-    reg(ext, "mjd_to_utc", lift(a => mjdToUtc(a(0))))
+    reg(ext, "mjd_to_dublin", 1, lift(a => mjdToDublin(a(0))))
+    reg(ext, "mjd_to_unix_sec", 1, lift(a => mjdToUnixSec(a(0))))
+    reg(ext, "mjd_round_to_minute", 1, lift(a => mjdRoundToMinute(a(0))))
+    reg(ext, "mjd_to_utc", 1, lift(a => mjdToUtc(a(0))))
     // F9 finite cleanup
-    reg(ext, "finite_or", lift(a => ProfileOps.finiteOr(a(0))))
+    reg(ext, "finite_or", 1, lift(a => ProfileOps.finiteOr(a(0))))
   }
 }

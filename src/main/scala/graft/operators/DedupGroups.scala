@@ -19,9 +19,13 @@ import org.apache.spark.sql.functions._
 object DedupGroups {
 
   /** @param pairs near-dup pairs (from LSH/SimHash/cosine verification)
-    * @return (doc_id, canonical_id) for every doc appearing in a pair */
+    * @return (doc_id, canonical_id) for every doc appearing in a pair
+    * @throws IllegalStateException when the label propagation has not
+    *         converged within maxIters — silently returning 20-hop-ball
+    *         minima would yield multiple keepers per component and
+    *         canonical ids pointing at dropped docs */
   def canonicalize(pairs: DataFrame, aCol: String, bCol: String,
-                   maxIters: Int = 20): DataFrame = {
+                   maxIters: Int = 50): DataFrame = {
     // Iterative algorithms MUST truncate lineage each round: verts_n's
     // plan references verts_{n-1} twice (once directly, once through the
     // neighbor aggregate), so with plain caching the logical plan tree —
@@ -52,6 +56,10 @@ object DedupGroups {
       verts = updated.select(col("id"), col("next").as("label"))
       i += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"component labels not converged after $maxIters rounds " +
+          s"($changed still changing) — component diameter exceeds maxIters")
     verts.select(col("id").as("doc_id"), col("label").as("canonical_id"))
   }
 

@@ -23,7 +23,8 @@ import org.apache.spark.sql.functions._
   *  3. everything else passes through untouched.
   *
   * Output: `(island_start, island_end, n_members)`, one row per island.
-  * Keys must be distinct and non-negative (partkey-like identifiers).
+  * Keys must be distinct; negative keys (64-bit hash ids) are handled —
+  * bucketing uses floor division so bucket edges stay pmod-aligned.
   */
 object Islands {
 
@@ -59,11 +60,16 @@ object Islands {
                            bucketSize: Long): DataFrame = {
     val wl = Window.partitionBy(col("__b")).orderBy(col("__k"))
     val wls = wl.rowsBetween(Window.unboundedPreceding, 0)
+    // integral FLOOR division: a double quotient loses exactness for keys
+    // ≥ 2^53 (64-bit hash-derived ids), and SQL `div` alone truncates
+    // toward zero — for negative hash ids that would misalign bucket
+    // boundaries with the pmod-based edge filter and silently split
+    // cross-bucket islands. floorDiv = div minus one when the remainder
+    // is negative (bucketSize > 0).
+    val d = expr(s"__k div ${bucketSize}L")
     keys.select(col(keyCol).as("__k"))
-      // integral division: a double quotient loses exactness for keys
-      // ≥ 2^53 (64-bit hash-derived ids), mis-bucketing them so the edge
-      // filter would miss a genuine cross-bucket merge
-      .withColumn("__b", expr(s"__k div ${bucketSize}L"))
+      .withColumn("__b",
+        when(col("__k") % bucketSize < 0, d - 1).otherwise(d))
       .withColumn("gap",
         when(col("__k") - lag(col("__k"), 1).over(wl) === 1, 0).otherwise(1))
       .withColumn("lisl", sum(col("gap")).over(wls))

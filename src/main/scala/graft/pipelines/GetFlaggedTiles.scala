@@ -38,17 +38,22 @@ object GetFlaggedTiles {
     // the bad-tile fraction), conflicting duplicate lines (`:89-92`), and
     // an unparseable count (its int() raises; a null from a lenient cast
     // must not silently deflate the totals). Eager gates ARE the
-    // reference's semantic; the sets involved are tiny.
-    val bad = rows.groupBy(st).agg(
-      count(lit(1)).as("c"),
-      sum(when(col("ntiles").isNull, 1).otherwise(0)).as("nulls"))
-      .filter(col("c") > 1 || col("nulls") > 0).count()
-    require(bad == 0,
-      s"$bad station(s) with conflicting or unparseable flagged-tile lines for $date")
-    val missing = used.select(st).distinct()
-      .join(rows, Seq("station"), "left_anti").count()
-    require(missing == 0,
-      s"$missing used station(s) missing flagged-tile info for $date")
+    // reference's semantic; the sets involved are tiny. try/finally so
+    // the abort path releases the cache too.
+    try {
+      val bad = rows.groupBy(st).agg(
+        count(lit(1)).as("c"),
+        sum(when(col("ntiles").isNull, 1).otherwise(0)).as("nulls"))
+        .filter(col("c") > 1 || col("nulls") > 0).count()
+      require(bad == 0,
+        s"$bad station(s) with conflicting or unparseable flagged-tile lines for $date")
+      val missing = used.select(st).distinct()
+        .join(rows, Seq("station"), "left_anti").count()
+      require(missing == 0,
+        s"$missing used station(s) missing flagged-tile info for $date")
+    } catch {
+      case e: Throwable => rows.unpersist(); throw e
+    }
     val denom =
       if (hba) when(cs(st), 24).when(rs(st), 48).otherwise(96)
       else when(cs(st) || rs(st), 48).otherwise(96)

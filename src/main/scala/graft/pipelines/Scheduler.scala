@@ -29,7 +29,12 @@ object Scheduler {
       lonDeg: Double = 6.869883,
       horizonDeg: Double = 0.0,
       transitToleranceMin: Double = 60.0,
-      gapMin: Int = 1)
+      gapMin: Int = 1,
+      /** true (default): per-minute horizon check on EVERY placement;
+        * false: reference parity — the reference only horizon-checks
+        * conflict-relocated scans (`bfscheduler.py:437-445`), accepting
+        * edge-clamped scans that dip below the horizon mid-scan. */
+      strictHorizonCheck: Boolean = true)
 
   final case class Target(name: String, raDeg: Double, decDeg: Double,
                           obstimeMin: Int, priority: Double = 0.0)
@@ -120,6 +125,7 @@ object Scheduler {
       }
 
       val overlaps = reserved.exists(m => m >= scanstart && m <= scanend)
+      var relocated = false
       if (overlaps && schedule) {
         // open gaps between consecutive reserved minutes, large enough for
         // the scan plus setup gaps on both sides
@@ -148,14 +154,17 @@ object Scheduler {
           }
           if (math.abs(scanstart + 0.5 * obstime - transitMin) > tol)
             schedule = false
+          relocated = true
         }
       }
 
-      // per-minute horizon check for EVERY candidate placement — stricter
-      // than the reference, which only checks conflict-relocated scans
-      // (`bfscheduler.py:437-445`): a transit-anchored scan clamped by the
-      // slot edge can still dip below the horizon mid-scan.
-      if (schedule) {
+      // per-minute horizon check: by default for EVERY candidate
+      // placement — stricter than the reference, which only checks
+      // conflict-relocated scans (`bfscheduler.py:437-445`); a
+      // transit-anchored scan clamped by the slot edge can still dip
+      // below the horizon mid-scan. strictHorizonCheck=false restores
+      // exact reference parity.
+      if (schedule && (cfg.strictHorizonCheck || relocated)) {
         val minEl = (scanstart to scanend).map { mm =>
           elevationDeg(cfg.startMjd + mm / 1440.0, s.raDeg, s.decDeg, cfg)
         }.min

@@ -82,10 +82,13 @@ object StreamOps {
     * every url's state carries an event-time timeout of `watermark +
     * tombstoneMs`, so state expires once the poller's re-report horizon
     * has passed — bounded by the in-flight window, not the stream's
-    * lifetime. */
+    * lifetime. The bound has a price: events later than `watermark` are
+    * DROPPED before the state machine (an event-time timeout requires a
+    * lateness bound), so size the watermark to the poller's worst
+    * re-report delay — the default matches the tombstone horizon. */
   def statefulDrain(events: Dataset[StagingEvent],
                     maxRetries: Int = 3,
-                    watermark: String = "30 seconds",
+                    watermark: String = "1 hour",
                     tombstoneMs: Long = 3600L * 1000L): Dataset[DrainAction] = {
     import events.sparkSession.implicits._
     events.withWatermark("event_time", watermark)

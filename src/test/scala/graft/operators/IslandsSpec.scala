@@ -38,6 +38,18 @@ class IslandsSpec extends SparkSpecBase {
     }
   }
 
+  test("negative keys (hash-id range) match the global form across bucket edges") {
+    val rnd = new scala.util.Random(7)
+    val keys = (-300 until 200).filter(_ => rnd.nextInt(3) > 0).map(_.toLong)
+    val df = keys.toDF("k")
+    Seq(7L, 16L).foreach { b =>
+      assert(twoLevel(df, b) === globalForm(df), s"bucket $b diverged")
+    }
+    // runs straddling zero and negative bucket boundaries merge
+    val straddle = (-10L to 10L).toDF("k")
+    assert(twoLevel(straddle, 8) === Set((-10L, 10L, 21L)))
+  }
+
   test("a run spanning several whole buckets chain-merges into one island") {
     val df = ((30L to 70L) ++ Seq(100L)).toDF("k")
     assert(twoLevel(df, 8) === Set((30L, 70L, 41L), (100L, 100L, 1L)))
