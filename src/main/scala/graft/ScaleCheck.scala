@@ -19,7 +19,9 @@ object ScaleCheck {
       "lineitem" -> Seq("l_orderkey"),
       "orders" -> Seq("o_orderkey", "o_custkey"),
       "customer" -> Seq("c_custkey"),
-      "events" -> Seq("event_id"))
+      "events" -> Seq("event_id"),
+      "documents" -> Seq("doc_id"),
+      "embeddings" -> Seq("vec_id"))
     for (t <- Tables.names) {
       val df = Tables.load(spark, src, t)
       val out =
@@ -43,7 +45,10 @@ object ScaleCheck {
     val slice = Seq("q01_pricing_summary", "q02_superquery_union",
       "q11_islands", "q16_histogram", "q19_rollup", "q21_phase_fold",
       "q25_nearest_key", "q57_gauss_moments", "q60_multires_spectrum",
-      "q63_transit_times", "q64_bilinear_gain")
+      "q63_transit_times", "q64_bilinear_gain",
+      // iterative CC: rounds stay constant (component diameter is a graph
+      // property, not a data-size property), per-round work linear
+      "q66_dedup_groups")
     val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", big)
     // warm
     SparkEntry.queries("q09_catalog_totals")(spark, dirs.head).count()
