@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify drivers parse the LAST stdout line as JSON; sbt's
+// "[success] Total time: ..." trailer after `run` breaks that. Suppress it
+// so graft.Bench's final println(json) is the last line sbt emits.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+// Pass the forked JVM's stdout/stderr through verbatim instead of logging
+// them with "[info] "/"[error] " prefixes — the driver json-parses stdout.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
