@@ -1,0 +1,349 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Training-data curation operators: corpus-level term statistics,
+  * benchmark decontamination, deterministic train/val/test splitting,
+  * ANN recall measurement, quality-aware dedup decisions, and
+  * language-balanced sampling. These extend the reference's dedup/
+  * filename-hygiene surface (`LTA/lta-retrieve.py:422-468`) to the
+  * operations a 100 TB training-data pipeline runs daily.
+  *
+  * Scale discipline shared by all six: per-document work is map-side
+  * Column algebra; the only shuffles are keyed on analysis keys that
+  * grow with the corpus (doc_id, term) — never on low-cardinality keys;
+  * small derived dimensions (vocabulary document frequencies, benchmark
+  * shingle sets, probe vectors) are broadcast.
+  */
+object CurationQ {
+
+  // ---------------------------------------------------------------- q69
+
+  /** TF-IDF top terms per document. idf is kept in exact rational form
+    * tf·N/df — integer products with ONE final IEEE division, so the
+    * score is bitwise portable (no ln()). The document-frequency table
+    * is a derived dimension orders of magnitude smaller than the corpus
+    * (vocabulary-sized): broadcast. */
+  private def q69(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast(DoubleType) / col("df").cast(DoubleType))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  private val q69Sql =
+    s"""WITH tk AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |scored AS (SELECT doc_id, tf.term AS term, tf, df,
+       |    CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+       |ranked AS (SELECT doc_id, term, tf, df, score,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+       |  FROM scored)
+       |SELECT doc_id, rk, term, tf, df, score FROM ranked WHERE rk <= 3
+       |ORDER BY doc_id, rk""".stripMargin
+
+  // ---------------------------------------------------------------- q70
+
+  /** Benchmark decontamination: flag corpus documents sharing word-3-gram
+    * shingles with a benchmark set (docs with doc_id % 97 = 0 stand in
+    * for the eval suite). The benchmark shingle set is collapsed to ONE
+    * sorted array broadcast to every task, so the corpus side is pure
+    * map work — zero shuffle on the fact table, the right shape when the
+    * benchmark is millions of shingles and the corpus is 100 TB. Overlap
+    * is counted with the `sorted_intersect_count` codegen kernel. */
+  private def q70(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        when(size(col("tk")) >= 3,
+          array_sort(array_distinct(transform(sequence(lit(1), size(col("tk")) - 2),
+            g => strHash(concat_ws(" ",
+              element_at(col("tk"), g),
+              element_at(col("tk"), g + 1),
+              element_at(col("tk"), g + 2)))))))
+          .otherwise(array().cast(ArrayType(LongType))).as("sh"))
+    val benchArr = sh.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("sh")).as("h")).distinct()
+      .agg(array_sort(collect_set(col("h"))).as("bench_sh"))
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .crossJoin(broadcast(benchArr))
+      .withColumn("n_sh", size(col("sh")).cast(LongType))
+      .withColumn("n_overlap",
+        call_function("sorted_intersect_count", col("sh"), col("bench_sh")).cast(LongType))
+      .filter(col("n_overlap") > 0)
+      .withColumn("contam_ratio",
+        col("n_overlap").cast(DoubleType) / col("n_sh").cast(DoubleType))
+      .select(col("doc_id"), col("n_sh"), col("n_overlap"), col("contam_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q70Sql = {
+    val gram = "concat_ws(' ', tk[g], tk[g+1], tk[g+2])"
+    s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS tk FROM documents),
+       |sh AS (SELECT doc_id,
+       |    CASE WHEN len(tk) >= 3 THEN list_sort(list_distinct(list_transform(
+       |      range(1, len(tk) - 1), g -> ${sqlStrHash(gram)})))
+       |    ELSE CAST([] AS BIGINT[]) END AS sh
+       |  FROM tk),
+       |bench AS (SELECT DISTINCT unnest(sh) AS h FROM sh WHERE doc_id % 97 = 0),
+       |bench_arr AS (SELECT list(h ORDER BY h) AS ba FROM bench),
+       |scored AS (SELECT doc_id,
+       |    CAST(len(sh) AS BIGINT) AS n_sh,
+       |    CAST(len(list_intersect(sh, ba)) AS BIGINT) AS n_overlap
+       |  FROM sh CROSS JOIN bench_arr WHERE doc_id % 97 <> 0)
+       |SELECT doc_id, n_sh, n_overlap,
+       |  CAST(n_overlap AS DOUBLE) / CAST(n_sh AS DOUBLE) AS contam_ratio
+       |FROM scored WHERE n_overlap > 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q71
+
+  /** Deterministic stratified train/val/test split: the split is a pure
+    * function of the document id (poly-hash mod 10 → 80/10/10), so the
+    * assignment is reproducible on any engine and any run — the property
+    * a training pipeline needs for auditable splits. Per (lang, split)
+    * counts + within-language shares; the share divides two exact
+    * integers, so it is bitwise portable. */
+  private def q71(s: SparkSession, d: String): DataFrame = {
+    val h = strHash(concat(lit("split:"), col("doc_id").cast(StringType))) % 10
+    val split = when(h < 8, "train").when(h === 8, "val").otherwise("test")
+    val agg = Tables.documents(s, d)
+      .withColumn("split", split)
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    // lang totals: window over the ≤ (n_langs × 3)-row aggregate
+    val w = Window.partitionBy(col("lang"))
+    agg.withColumn("lang_share",
+        col("n_docs").cast(DoubleType) / sum(col("n_docs")).over(w).cast(DoubleType))
+      .select(col("lang"), col("split"), col("n_docs"), col("sum_chars"), col("lang_share"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  private val q71Sql = {
+    val h = sqlStrHash("concat('split:', CAST(doc_id AS VARCHAR))")
+    s"""WITH tagged AS (SELECT lang, n_chars,
+       |    CASE WHEN ($h) % 10 < 8 THEN 'train'
+       |         WHEN ($h) % 10 = 8 THEN 'val' ELSE 'test' END AS split
+       |  FROM documents),
+       |agg AS (SELECT lang, split, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |  FROM tagged GROUP BY lang, split)
+       |SELECT lang, split, n_docs, sum_chars,
+       |  CAST(n_docs AS DOUBLE) /
+       |    CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE) AS lang_share
+       |FROM agg ORDER BY lang, split""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q72
+
+  /** ANN quality harness: recall@10 of the IVF-bucketed search (q55's
+    * plan) against the exact brute-force top-10 (q34's plan), per probe.
+    * Ground truth is inherently a full scan — the harness runs it over
+    * the probe SAMPLE (broadcast), which is how recall is measured on
+    * real corpora; the production path stays the IVF plan. */
+  private def q72(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .withColumn("norm", sqrt(graft.queries.SimilarityQ.dotFold(col("embedding"), col("embedding"))))
+    val cent = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"), col("norm").as("c_norm"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cid").asc)
+    val assign = emb.crossJoin(broadcast(cent))
+      .withColumn("cos_c",
+        graft.queries.SimilarityQ.dotFold(col("embedding"), col("c_emb")) / (col("norm") * col("c_norm")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("embedding"), col("norm"))
+    val probes = assign.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("cid").as("q_cid"),
+        col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    val ivf = assign.join(broadcast(probes),
+        col("cid") === col("q_cid") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        graft.queries.SimilarityQ.dotFold(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 10)
+      .select(col("q_id"), col("vec_id"))
+    val exact = emb.crossJoin(broadcast(probes.select(col("q_id"), col("q_emb"), col("q_norm"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        graft.queries.SimilarityQ.dotFold(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 10)
+      .select(col("q_id"), col("vec_id"))
+    exact.join(ivf.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast(DoubleType) / col("n_exact").cast(DoubleType))
+      .orderBy(col("q_id"))
+  }
+
+  private val q72Sql = {
+    import SimilarityQ.sqlDotFold
+    s"""WITH emb AS (SELECT vec_id, embedding,
+       |    sqrt(${sqlDotFold("embedding", "embedding")}) AS norm FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, embedding AS c_emb, norm AS c_norm
+       |  FROM emb WHERE vec_id < 16),
+       |cand AS (SELECT e.vec_id, e.embedding, e.norm, c.cid,
+       |    ${sqlDotFold("e.embedding", "c.c_emb")} / (e.norm * c.c_norm) AS cos_c
+       |  FROM emb e CROSS JOIN cent c),
+       |asg AS (SELECT vec_id, embedding, norm, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cid ASC) AS rn
+       |  FROM cand),
+       |a AS (SELECT vec_id, cid, embedding, norm FROM asg WHERE rn = 1),
+       |probes AS (SELECT vec_id AS q_id, cid AS q_cid, embedding AS q_emb, norm AS q_norm
+       |  FROM a WHERE vec_id < 8),
+       |ivf0 AS (SELECT q_id, a.vec_id AS vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+       |      ${sqlDotFold("a.embedding", "q_emb")} / (a.norm * q_norm) DESC, a.vec_id ASC) AS rk
+       |  FROM a JOIN probes ON a.cid = q_cid AND a.vec_id <> q_id),
+       |ivf AS (SELECT q_id, vec_id FROM ivf0 WHERE rk <= 10),
+       |ex0 AS (SELECT q_id, e.vec_id AS vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+       |      ${sqlDotFold("e.embedding", "q_emb")} / (e.norm * q_norm) DESC, e.vec_id ASC) AS rk
+       |  FROM emb e CROSS JOIN probes WHERE e.vec_id <> q_id),
+       |exact AS (SELECT q_id, vec_id FROM ex0 WHERE rk <= 10)
+       |SELECT x.q_id AS q_id, COUNT(*) AS n_exact,
+       |  CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  CAST(CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS recall
+       |FROM exact x LEFT JOIN ivf i ON x.q_id = i.q_id AND x.vec_id = i.vec_id
+       |GROUP BY x.q_id ORDER BY q_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q73
+
+  /** Quality-aware dedup decisions: near-dup components (the q66 pair
+    * graph, `DedupGroups.canonicalize`) keep their HIGHEST-QUALITY
+    * member (q28's quality score; ties → lowest doc id) instead of the
+    * lowest id — what a curation pipeline actually ships. Unpaired
+    * documents keep themselves. */
+  private def q73(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val starEdges = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id").as("a"), (col("doc_id") - col("doc_id") % 5).as("b"))
+    val chainEdges = docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 25 =!= 0)
+      .select(col("doc_id").as("a"), (col("doc_id") - 5).as("b"))
+    val canon = graft.operators.DedupGroups
+      .canonicalize(starEdges.unionByName(chainEdges), "a", "b")
+    val stop = Seq("the", "a", "of", "and", "is")
+    val quality = docs
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast(LongType))
+      .withColumn("sum_len", aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => t.isin(stop.map(lit(_)): _*))).cast(LongType))
+      .withColumn("n_punct", (length(col("text")) -
+        length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast(LongType))
+      .withColumn("quality",
+        col("sum_len").cast(DoubleType) / col("n_tokens").cast(DoubleType) * 0.25 +
+          (lit(1.0) - col("n_stop").cast(DoubleType) / col("n_tokens").cast(DoubleType)) * 2.0 -
+          col("n_punct").cast(DoubleType) * 0.1)
+      .select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    quality.join(canon, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("canonical_id"), col("doc_id")))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("component"), col("quality"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q73Sql = {
+    val qual =
+      """CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.25
+        |    + (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 2.0
+        |    - CAST(n_punct AS DOUBLE) * 0.1""".stripMargin
+    s"""WITH RECURSIVE
+       |e AS (
+       |  SELECT doc_id AS a, doc_id - doc_id % 5 AS b FROM documents WHERE doc_id % 5 <> 0
+       |  UNION ALL
+       |  SELECT doc_id AS a, doc_id - 5 AS b FROM documents WHERE doc_id % 5 = 0 AND doc_id % 25 <> 0),
+       |und AS (SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e),
+       |verts AS (SELECT DISTINCT src AS id FROM und),
+       |reach(id, lab) AS (
+       |  SELECT id, id FROM verts
+       |  UNION
+       |  SELECT u.src, r.lab FROM und u JOIN reach r ON u.dst = r.id),
+       |canon AS (SELECT id AS doc_id, MIN(lab) AS canonical_id FROM reach GROUP BY id),
+       |t AS (SELECT doc_id, text, ${sqlTokens("text")} AS toks FROM documents),
+       |m AS (SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> CAST(length(x) AS BIGINT))), (acc, x) -> acc + x) AS sum_len,
+       |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS BIGINT) AS n_stop,
+       |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+       |FROM t),
+       |quality AS (SELECT doc_id, $qual AS quality FROM m),
+       |joined AS (SELECT q.doc_id AS doc_id,
+       |    COALESCE(c.canonical_id, q.doc_id) AS component, q.quality AS quality
+       |  FROM quality q LEFT JOIN canon c ON q.doc_id = c.doc_id)
+       |SELECT doc_id, component, quality,
+       |  ROW_NUMBER() OVER (PARTITION BY component ORDER BY quality DESC, doc_id ASC) = 1 AS keep
+       |FROM joined ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q74
+
+  /** Language-balanced deterministic sample: top-20 documents per
+    * language ordered by a reproducible poly-hash — a seeded shuffle any
+    * engine replays identically. The per-language rank runs TWO-LEVEL
+    * (local top-20 within (lang, doc_id%32) buckets, then rank over the
+    * ≤ 640 survivors per language) so no window ever partitions on the
+    * low-cardinality language key over the raw corpus. */
+  private def q74(s: SparkSession, d: String): DataFrame = {
+    val hashed = Tables.documents(s, d)
+      .withColumn("h", strHash(concat(lit("sample:"), col("doc_id").cast(StringType))))
+    val local = Window.partitionBy(col("lang"), col("doc_id") % 32)
+      .orderBy(col("h").asc, col("doc_id").asc)
+    val global = Window.partitionBy(col("lang"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    hashed
+      .withColumn("lrk", row_number().over(local))
+      .filter(col("lrk") <= 20)
+      .withColumn("rk", row_number().over(global))
+      .filter(col("rk") <= 20)
+      .select(col("lang"), col("rk"), col("doc_id"), col("h"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  private val q74Sql = {
+    val h = sqlStrHash("concat('sample:', CAST(doc_id AS VARCHAR))")
+    s"""WITH hashed AS (SELECT lang, doc_id, $h AS h FROM documents),
+       |ranked AS (SELECT lang, doc_id, h,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS rk
+       |  FROM hashed)
+       |SELECT lang, rk, doc_id, h FROM ranked WHERE rk <= 20
+       |ORDER BY lang, rk""".stripMargin
+  }
+
+  val queries: Seq[GQuery] = Seq(
+    GQuery("q69_tfidf_terms", q69, Some(q69Sql), Seq("A16", "A17", "F11")),
+    GQuery("q70_decontam_overlap", q70, Some(q70Sql), Seq("A16", "J9")),
+    GQuery("q71_stratified_split", q71, Some(q71Sql), Seq("A17", "F11")),
+    GQuery("q72_ann_recall", q72, Some(q72Sql), Seq("A16", "O1", "O4")),
+    GQuery("q73_dedup_keep_best", q73, Some(q73Sql), Seq("A16", "W2", "U3")),
+    GQuery("q74_lang_sample", q74, Some(q74Sql), Seq("W5", "O4")))
+}
