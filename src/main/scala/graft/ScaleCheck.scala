@@ -48,7 +48,10 @@ object ScaleCheck {
       "q63_transit_times", "q64_bilinear_gain",
       // iterative CC: rounds stay constant (component diameter is a graph
       // property, not a data-size property), per-round work linear
-      "q66_dedup_groups")
+      "q66_dedup_groups",
+      // curation battery: corpus-side work is map + scalable-key shuffles
+      "q69_tfidf_terms", "q70_decontam_overlap", "q71_stratified_split",
+      "q74_lang_sample")
     val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", big)
     // warm
     SparkEntry.queries("q09_catalog_totals")(spark, dirs.head).count()
