@@ -31,10 +31,16 @@ object CurationQ {
     * (vocabulary-sized): broadcast. */
   private def q69(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // Cached: the document-frequency branch reads tf AGAIN — without the
+    // cache Catalyst plans two full tokenize+aggregate chains over the
+    // corpus (no exchange reuse across the aggregation), doubling the
+    // most expensive scan. tf is (id, term, count) — far smaller than
+    // re-reading and re-exploding the raw text.
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .cache()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
@@ -309,20 +315,18 @@ object CurationQ {
 
   /** Language-balanced deterministic sample: top-20 documents per
     * language ordered by a reproducible poly-hash — a seeded shuffle any
-    * engine replays identically. The per-language rank runs TWO-LEVEL
-    * (local top-20 within (lang, doc_id%32) buckets, then rank over the
-    * ≤ 640 survivors per language) so no window ever partitions on the
-    * low-cardinality language key over the raw corpus. */
+    * engine replays identically. The window partitions on the
+    * low-cardinality language key, which is safe ONLY because Spark's
+    * InferWindowGroupLimit inserts a PARTIAL WindowGroupLimit below the
+    * exchange: every input partition pre-prunes to its local top-20 per
+    * language, so the shuffle moves ≤ 20·partitions·languages rows, not
+    * the corpus (asserted by PlanContractSpec). */
   private def q74(s: SparkSession, d: String): DataFrame = {
     val hashed = Tables.documents(s, d)
       .withColumn("h", strHash(concat(lit("sample:"), col("doc_id").cast(StringType))))
-    val local = Window.partitionBy(col("lang"), col("doc_id") % 32)
-      .orderBy(col("h").asc, col("doc_id").asc)
     val global = Window.partitionBy(col("lang"))
       .orderBy(col("h").asc, col("doc_id").asc)
     hashed
-      .withColumn("lrk", row_number().over(local))
-      .filter(col("lrk") <= 20)
       .withColumn("rk", row_number().over(global))
       .filter(col("rk") <= 20)
       .select(col("lang"), col("rk"), col("doc_id"), col("h"))

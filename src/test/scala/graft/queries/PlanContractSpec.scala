@@ -64,6 +64,18 @@ class PlanContractSpec extends SparkSpecBase {
     }
   }
 
+  test("low-cardinality-key top-k windows pre-prune map-side (q74)") {
+    // q74 partitions its rank window by `lang` (a handful of values). That
+    // is only scale-safe because InferWindowGroupLimit plants a Partial
+    // WindowGroupLimit below the exchange, so each input partition ships
+    // at most k rows per language instead of the whole corpus. If a future
+    // edit breaks the rank-filter shape this rule keys on, the window
+    // silently degrades to moving the corpus through n_lang partitions.
+    val p = plan("q74_lang_sample")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"q74 lost the partial window group limit:\n$p")
+  }
+
   test("partition-less windows only ever run over pre-reduced inputs") {
     // A Window with no partitionSpec moves its whole input to ONE partition.
     // That is only acceptable when the input has already been reduced by an
