@@ -228,17 +228,22 @@ object DomainQ2 {
        |FROM ranked CROSS JOIN cuts CROSS JOIN med ORDER BY chunk""".stripMargin
 
   // --- q52: R1 circular rotation as a stateless re-key ------------------
-  // Profile cube synthesized from lineitem; rotation happens BEFORE the
+  // Profile cube synthesized from lineitem, rotated by the REAL
+  // `ProfileOps.rotate` operator (not a re-derivation) BEFORE the
   // aggregation — the re-key costs nothing extra because the groupBy
   // shuffle keys on the rotated bin directly (`fluxcal/snr.py:36-46`).
 
-  private def q52(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+  private def q52(s: SparkSession, d: String): DataFrame = {
+    val samples = Tables.lineitem(s, d)
       .withColumn("chan", (col("l_suppkey") % 8).cast(IntegerType))
-      .withColumn("bin", pmod(col("l_partkey") % 64 + 17, lit(64)).cast(IntegerType))
+      .withColumn("bin", (col("l_partkey") % 64).cast(IntegerType))
+    val rotated = graft.operators.ProfileOps
+      .rotate(graft.operators.Cube(samples, samples), shiftBins = 17, nbins = 64)
+    rotated.samples
       .groupBy(col("chan"), col("bin"))
       .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("value"))
       .orderBy(col("chan"), col("bin"))
+  }
 
   private val q52Sql =
     s"""SELECT CAST(l_suppkey % 8 AS INT) AS chan,
@@ -247,28 +252,31 @@ object DomainQ2 {
        |FROM lineitem GROUP BY 1, 2 ORDER BY chan, bin""".stripMargin
 
   // --- q53: R2 incoherent dedispersion as a per-channel re-key ----------
-  // Shift = floor(delay/tbin + 0.5) from the `dide`/`tau` delay formula;
-  // the dedispersed total profile is one aggregation over the re-keyed
-  // bin — zero extra shuffle vs the undedispersed fold.
+  // Driven by the REAL `ProfileOps.dedisperse` operator: shift =
+  // round(delay_sec/tbin) from the `dide`/`tau` delay formula; the
+  // dedispersed total profile is one aggregation over the re-keyed
+  // bin — zero extra shuffle vs the undedispersed fold. The oracle
+  // replays the operator's exact expression tree (same division chain,
+  // same round) so the compare stays bitwise.
 
   private def q53(s: SparkSession, d: String): DataFrame = {
-    val dm = 30.0; val tbinMs = 10.0; val fTop = 150.0
-    val fChan = lit(110.0) + (col("l_suppkey") % 8).cast(DoubleType) * lit(5.0)
-    val delayMs = (lit(1.0e7) * dm / lit(2.41)) *
-      (lit(1.0) / (fChan * fChan) - lit(1.0) / (lit(fTop) * lit(fTop)))
-    val shift = floor(delayMs / tbinMs + lit(0.5)).cast(LongType)
-    Tables.lineitem(s, d)
-      .withColumn("bin",
-        pmod(col("l_partkey") % 64 - shift, lit(64L)).cast(IntegerType))
+    val samples = Tables.lineitem(s, d)
+      .withColumn("chan", (col("l_suppkey") % 8).cast(IntegerType))
+      .withColumn("bin", (col("l_partkey") % 64).cast(IntegerType))
+    val dedispersed = graft.operators.ProfileOps.dedisperse(
+      graft.operators.Cube(samples, samples),
+      dm = 30.0, f0Mhz = 110.0, chanBwMhz = 5.0, fRefMhz = 150.0,
+      tbinSec = 0.01, nbins = 64)
+    dedispersed.samples
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("value"))
       .orderBy(col("bin"))
   }
 
   private val q53Sql = {
-    val f = "110.0 + CAST(l_suppkey % 8 AS DOUBLE) * 5.0"
+    val f = "110.0 + CAST(CAST(l_suppkey % 8 AS INT) AS DOUBLE) * 5.0"
     val delay = s"(1.0e7 * 30.0 / 2.41) * (1.0 / (($f) * ($f)) - 1.0 / (150.0 * 150.0))"
-    s"""SELECT CAST(((l_partkey % 64 - CAST(floor(($delay) / 10.0 + 0.5) AS BIGINT)) % 64 + 64) % 64 AS INT) AS bin,
+    s"""SELECT CAST(((l_partkey % 64 - CAST(round(($delay) / 1000.0 / 0.01) AS INT)) % 64 + 64) % 64 AS INT) AS bin,
        |  COUNT(*) AS n, ${sqlDsum("l_extendedprice")} AS value
        |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin
   }
