@@ -7,6 +7,7 @@ import org.apache.spark.sql.types._
 import graft.Tables
 import graft.functions.TextFunctions._
 import SimilarityQ.{dotFold, sqlDotFold}
+import QueryDsl.{dsum, sqlDsum}
 
 /** The 100 TB scale-path batch: IVF-bucketed ANN (the index an exact
   * brute-force top-k like q34 validates), word-n-gram shingle Jaccard
@@ -371,6 +372,32 @@ object ScaleQ {
       |SELECT id AS doc_id, MIN(lab) AS canonical_id
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** Skew-mitigated dimension join: lineitem collapsed onto THREE hot
+    * keys (worst-case power law — every row is hot) joined to a 3-row
+    * dim through `SkewJoin.saltedEquiJoin`, which splits each hot key
+    * into 8 deterministic sub-keys so the join parallelizes across 24
+    * tasks instead of 3. The oracle is the PLAIN join — salting must be
+    * row-for-row semantics-preserving, and the driver's hash compare
+    * proves it on real data. */
+  private def q75(s: SparkSession, d: String): DataFrame = {
+    val fact = Tables.lineitem(s, d).withColumn("k", col("l_suppkey") % 3)
+    val dim = Tables.nation(s, d)
+      .groupBy((col("n_nationkey") % 3).as("k"))
+      .agg(min(col("n_name")).as("grp"))
+    graft.operators.SkewJoin
+      .saltedEquiJoin(fact, dim, Seq("k"), col("l_orderkey"), nSalts = 8)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("grp"))
+  }
+
+  private val q75Sql =
+    s"""WITH dim AS (SELECT n_nationkey % 3 AS k, MIN(n_name) AS grp
+       |  FROM nation GROUP BY n_nationkey % 3)
+       |SELECT grp, COUNT(*) AS n, ${sqlDsum("l_extendedprice")} AS revenue
+       |FROM lineitem JOIN dim ON l_suppkey % 3 = k
+       |GROUP BY grp ORDER BY grp""".stripMargin
+
   val queries: Seq[GQuery] = Seq(
     GQuery("q55_ivf_ann", q55, Some(q55Sql), Seq("O1", "O4", "A16")),
     GQuery("q56_ngram_jaccard", q56, Some(q56Sql), Seq("A16", "J7")),
@@ -378,5 +405,6 @@ object ScaleQ {
     GQuery("q61_multimodal_meta", q61, Some(q61Sql), Seq("S3", "F11")),
     GQuery("q62_simhash_neardup", q62, Some(q62Sql), Seq("A16", "J7")),
     GQuery("q65_cosine_neardup", q65, Some(q65Sql), Seq("A16", "J7", "O1")),
-    GQuery("q66_dedup_groups", q66, Some(q66Sql), Seq("A16", "U3", "W2")))
+    GQuery("q66_dedup_groups", q66, Some(q66Sql), Seq("A16", "U3", "W2")),
+    GQuery("q75_salted_join", q75, Some(q75Sql), Seq("J6", "A17")))
 }
