@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
 
 /** Deterministic, engine-portable text primitives.
   *
@@ -54,6 +55,43 @@ object TextFunctions {
 
   def sqlTokens(e: String): String =
     s"list_filter(string_split($e, ' '), t -> length(t) > 0)"
+
+  val QualityStopwords: Seq[String] = Seq("the", "a", "of", "and", "is")
+
+  /** Quality counter pack (q28 semantics): token count, summed token
+    * length, stopword hits, punctuation count — exact integers, shared by
+    * the batch queries and the curation pipeline so there is exactly one
+    * definition of "quality". */
+  def qualityCounters(text: Column): (Column, Column, Column, Column) = {
+    val toks = tokens(text)
+    val nTokens = size(toks).cast(LongType)
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val nStop = size(filter(toks,
+      t => t.isin(QualityStopwords.map(lit(_)): _*))).cast(LongType)
+    val nPunct = (length(text) -
+      length(regexp_replace(text, "[.,!?;:]", ""))).cast(LongType)
+    (nTokens, sumLen, nStop, nPunct)
+  }
+
+  /** Composite quality score over the counters — plain IEEE arithmetic
+    * with a fixed op order, so it is bitwise portable across engines. */
+  def qualityScore(nTokens: Column, sumLen: Column,
+                   nStop: Column, nPunct: Column): Column =
+    sumLen.cast(DoubleType) / nTokens.cast(DoubleType) * 0.25 +
+      (lit(1.0) - nStop.cast(DoubleType) / nTokens.cast(DoubleType)) * 2.0 -
+      nPunct.cast(DoubleType) * 0.1
+
+  /** Sorted distinct poly-hashed word-3-gram shingles (q56/q70 form).
+    * Sorted so downstream intersection uses the zero-allocation
+    * `sorted_intersect_count` kernel; < 3 tokens → empty set. */
+  def wordShingles3(text: Column): Column = {
+    val tk = tokens(text)
+    when(size(tk) >= 3,
+      array_sort(array_distinct(transform(sequence(lit(1), size(tk) - 2),
+        g => strHash(concat_ws(" ",
+          element_at(tk, g), element_at(tk, g + 1), element_at(tk, g + 2)))))))
+      .otherwise(array().cast(ArrayType(LongType)))
+  }
 
   /** MinHash permutation parameters: h_k(x) = (a_k * x + b_k) mod p.
     * Small odd multipliers; k is 0-based. */

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-dup PAIRS → dedup DECISIONS: connected components over the pair
@@ -72,5 +73,24 @@ object DedupGroups {
       .join(canon, Seq("doc_id"), "left")
       .withColumn("canonical_id", coalesce(col("canonical_id"), col("doc_id")))
       .withColumn("keep", col("doc_id") === col("canonical_id"))
+  }
+
+  /** Keep decision with an explicit preference: each component keeps the
+    * member MAXIMIZING `prefCol` (ties → lowest id) — what a curation
+    * pipeline ships when the near-dups differ in quality. `docs` must
+    * carry (idCol, prefCol); every input column passes through, plus
+    * `component` and `keep`. The per-component window is scale-safe:
+    * component ids grow with the corpus. */
+  def keepBest(docs: DataFrame, idCol: String, prefCol: String,
+               pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val canon = canonicalize(pairs, aCol, bCol)
+      .withColumnRenamed("doc_id", idCol)
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col(prefCol).desc, col(idCol).asc)
+    docs
+      .join(canon, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("canonical_id"), col(idCol)))
+      .drop("canonical_id")
+      .withColumn("keep", row_number().over(w) === 1)
   }
 }

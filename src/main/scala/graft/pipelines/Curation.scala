@@ -1,0 +1,81 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import graft.functions.TextFunctions._
+
+/** End-to-end training-data curation: the batch battery's stages
+  * (quality q28, decontamination q70, LSH near-dup q32 + keep-best q73,
+  * stratified split q71) composed into the pipeline a corpus owner
+  * actually runs. Each stage is the SAME operator the oracle-paired
+  * query verifies — this file only sequences them.
+  *
+  * Decision semantics (each doc gets every verdict, so downstream
+  * auditing can ask "why was this dropped"):
+  *  - `quality_pass`   — composite score ≥ cfg.minQuality;
+  *  - `contam_pass`    — shingle overlap ratio with the benchmark set
+  *    ≤ cfg.maxContamRatio (benchmark docs themselves never pass);
+  *  - `dedup_keep`     — the doc is its near-dup component's
+  *    best-quality member. Near-dup pairing runs over the docs that
+  *    passed quality+contamination (dropped docs must not keep a good
+  *    doc out of the corpus);
+  *  - `split`          — deterministic hash split for the final keeps,
+  *    null otherwise.
+  *
+  * Scale shape: quality + contamination are map-side (the benchmark
+  * shingle set broadcasts as one sorted array); near-dup is the bucketed
+  * LSH join; the component decision is the iterative min-label
+  * propagation; the split is a pure row function. No stage collects.
+  */
+object Curation {
+
+  final case class Config(
+      minQuality: Double = 0.0,
+      maxContamRatio: Double = 0.5,
+      jaccardThreshold: Double = 0.5,
+      trainBuckets: Int = 8, // of 10: 8/1/1 train/val/test
+      splitSalt: String = "split:")
+
+  /** @param docs      corpus (doc_id, text, …) — extra columns pass through
+    * @param benchmark eval-suite documents (doc_id, text)
+    * @return one row per corpus doc with quality, contam_ratio,
+    *         component, the three verdicts, `split`, and `keep` */
+  def curate(docs: DataFrame, benchmark: DataFrame, cfg: Config = Config()): DataFrame = {
+    val (nTokens, sumLen, nStop, nPunct) = qualityCounters(col("text"))
+    val benchArr = benchmark
+      .select(explode(wordShingles3(col("text"))).as("h")).distinct()
+      .agg(array_sort(collect_set(col("h"))).as("bench_sh"))
+    val scored = docs
+      .withColumn("quality", qualityScore(nTokens, sumLen, nStop, nPunct))
+      .withColumn("sh", wordShingles3(col("text")))
+      .crossJoin(broadcast(benchArr))
+      .withColumn("n_overlap",
+        call_function("sorted_intersect_count", col("sh"), col("bench_sh")).cast(LongType))
+      .withColumn("contam_ratio",
+        when(size(col("sh")) > 0,
+          col("n_overlap").cast(DoubleType) / size(col("sh")).cast(DoubleType))
+          .otherwise(0.0))
+      .drop("sh", "bench_sh", "n_overlap")
+      .withColumn("quality_pass", col("quality") >= cfg.minQuality)
+      .withColumn("contam_pass", col("contam_ratio") <= cfg.maxContamRatio)
+    val candidates = scored.filter(col("quality_pass") && col("contam_pass"))
+    val pairs = graft.queries.SimilarityQ
+      .lshNearDupPairsFrom(candidates.select(col("doc_id"), col("text")), hinted = true)
+      .filter(col("jaccard") >= cfg.jaccardThreshold)
+    val kept = graft.operators.DedupGroups
+      .keepBest(candidates, "doc_id", "quality", pairs, "doc_a", "doc_b")
+      .withColumnRenamed("keep", "dedup_keep")
+    val failed = scored.filter(!(col("quality_pass") && col("contam_pass")))
+      .withColumn("component", col("doc_id"))
+      .withColumn("dedup_keep", lit(false))
+    val h = strHash(concat(lit(cfg.splitSalt), col("doc_id").cast(StringType))) % 10
+    kept.unionByName(failed)
+      .withColumn("keep", col("quality_pass") && col("contam_pass") && col("dedup_keep"))
+      .withColumn("split",
+        when(!col("keep"), lit(null).cast(StringType))
+          .when(h < cfg.trainBuckets, "train")
+          .when(h === cfg.trainBuckets, "val")
+          .otherwise("test"))
+  }
+}

@@ -80,15 +80,7 @@ object CurationQ {
     * is counted with the `sorted_intersect_count` codegen kernel. */
   private def q70(s: SparkSession, d: String): DataFrame = {
     val sh = Tables.documents(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("tk"))
-      .select(col("doc_id"),
-        when(size(col("tk")) >= 3,
-          array_sort(array_distinct(transform(sequence(lit(1), size(col("tk")) - 2),
-            g => strHash(concat_ws(" ",
-              element_at(col("tk"), g),
-              element_at(col("tk"), g + 1),
-              element_at(col("tk"), g + 2)))))))
-          .otherwise(array().cast(ArrayType(LongType))).as("sh"))
+      .select(col("doc_id"), wordShingles3(col("text")).as("sh"))
     val benchArr = sh.filter(col("doc_id") % 97 === 0)
       .select(explode(col("sh")).as("h")).distinct()
       .agg(array_sort(collect_set(col("h"))).as("bench_sh"))
@@ -253,27 +245,13 @@ object CurationQ {
       .select(col("doc_id").as("a"), (col("doc_id") - col("doc_id") % 5).as("b"))
     val chainEdges = docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 25 =!= 0)
       .select(col("doc_id").as("a"), (col("doc_id") - 5).as("b"))
-    val canon = graft.operators.DedupGroups
-      .canonicalize(starEdges.unionByName(chainEdges), "a", "b")
-    val stop = Seq("the", "a", "of", "and", "is")
+    val (nTokens, sumLen, nStop, nPunct) = qualityCounters(col("text"))
     val quality = docs
-      .withColumn("toks", tokens(col("text")))
-      .withColumn("n_tokens", size(col("toks")).cast(LongType))
-      .withColumn("sum_len", aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)))
-      .withColumn("n_stop",
-        size(filter(col("toks"), t => t.isin(stop.map(lit(_)): _*))).cast(LongType))
-      .withColumn("n_punct", (length(col("text")) -
-        length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast(LongType))
-      .withColumn("quality",
-        col("sum_len").cast(DoubleType) / col("n_tokens").cast(DoubleType) * 0.25 +
-          (lit(1.0) - col("n_stop").cast(DoubleType) / col("n_tokens").cast(DoubleType)) * 2.0 -
-          col("n_punct").cast(DoubleType) * 0.1)
+      .withColumn("quality", qualityScore(nTokens, sumLen, nStop, nPunct))
       .select(col("doc_id"), col("quality"))
-    val w = Window.partitionBy(col("component"))
-      .orderBy(col("quality").desc, col("doc_id").asc)
-    quality.join(canon, Seq("doc_id"), "left")
-      .withColumn("component", coalesce(col("canonical_id"), col("doc_id")))
-      .withColumn("keep", row_number().over(w) === 1)
+    graft.operators.DedupGroups
+      .keepBest(quality, "doc_id", "quality",
+        starEdges.unionByName(chainEdges), "a", "b")
       .select(col("doc_id"), col("component"), col("quality"), col("keep"))
       .orderBy(col("doc_id"))
   }

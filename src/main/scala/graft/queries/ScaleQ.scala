@@ -83,17 +83,9 @@ object ScaleQ {
     * size-ratio prune inside the join. The shingle dim is one hashed
     * fixed-width array per doc, broadcast into the pair join. */
   private def q56(s: SparkSession, d: String): DataFrame = {
-    val tk = Tables.documents(s, d)
+    val sh = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
-        tokens(col("text")).as("tk"))
-    val sh = tk.select(col("doc_id"), col("lang"), col("source"),
-        when(size(col("tk")) >= 3,
-          array_sort(array_distinct(transform(sequence(lit(1), size(col("tk")) - 2),
-            g => strHash(concat_ws(" ",
-              element_at(col("tk"), g),
-              element_at(col("tk"), g + 1),
-              element_at(col("tk"), g + 2)))))))
-          .otherwise(array().cast(ArrayType(LongType))).as("sh"))
+        wordShingles3(col("text")).as("sh"))
       .withColumn("n", size(col("sh")).cast(LongType))
       // probe side of the pair join: re-spread the few-partition doc scan
       // so the quadratic block-pair fan-out uses every core (AQE would

@@ -75,7 +75,14 @@ object SimilarityQ {
     * documented 100 TB fallback, asserted result-identical by
     * PlanContractSpec. */
   private[queries] def lshNearDupPairs(s: SparkSession, d: String,
-                                       hinted: Boolean): DataFrame = {
+                                       hinted: Boolean): DataFrame =
+    lshNearDupPairsFrom(Tables.documents(s, d), hinted)
+
+  /** DataFrame-input form of the q32 pipeline (input: doc_id, text) —
+    * the near-dup stage of `pipelines.Curation` runs over an already
+    * filtered corpus, not a table path. */
+  private[graft] def lshNearDupPairsFrom(corpus: DataFrame,
+                                         hinted: Boolean): DataFrame = {
     def maybe(df: DataFrame): DataFrame = if (hinted) broadcast(df) else df
     // One row per doc: hashed distinct-token array + its size. Both
     // engines hash tokens identically, so intersection/union counts —
@@ -83,7 +90,7 @@ object SimilarityQ {
     // Arrays sorted ONCE here so the per-pair verifier can merge-count
     // with the zero-allocation sorted_intersect_count kernel; cardinality
     // (and so Jaccard) is order-independent.
-    val docs = Tables.documents(s, d)
+    val docs = corpus
       .select(col("doc_id"),
         array_sort(array_distinct(transform(array_distinct(tokens(col("text"))), strHash(_))))
           .as("toks"))

@@ -59,22 +59,18 @@ object TextQ {
   /** Quality scoring: token count, mean token length, stopword ratio,
     * punctuation count → composite score. */
   private def q28(s: SparkSession, d: String): DataFrame = {
-    val stop = Seq("the", "a", "of", "and", "is")
+    val (nTokens, sumLen, nStop, nPunct) = qualityCounters(col("text"))
     Tables.documents(s, d)
-      .withColumn("toks", tokens(col("text")))
-      .withColumn("n_tokens", size(col("toks")).cast(LongType))
-      .withColumn("sum_len", aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)))
-      .withColumn("n_stop",
-        size(filter(col("toks"), t => t.isin(stop.map(lit(_)): _*))).cast(LongType))
-      .withColumn("n_punct", (length(col("text")) -
-        length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast(LongType))
+      .withColumn("n_tokens", nTokens)
+      .withColumn("sum_len", sumLen)
+      .withColumn("n_stop", nStop)
+      .withColumn("n_punct", nPunct)
       .withColumn("mean_tok_len",
         col("sum_len").cast(DoubleType) / col("n_tokens").cast(DoubleType))
       .withColumn("stop_ratio",
         col("n_stop").cast(DoubleType) / col("n_tokens").cast(DoubleType))
       .withColumn("quality",
-        col("mean_tok_len") * 0.25 + (lit(1.0) - col("stop_ratio")) * 2.0 -
-          col("n_punct").cast(DoubleType) * 0.1)
+        qualityScore(col("n_tokens"), col("sum_len"), col("n_stop"), col("n_punct")))
       .select(col("doc_id"), col("n_tokens"), col("mean_tok_len"),
         col("stop_ratio"), col("n_punct"), col("quality"))
       .orderBy(col("doc_id"))

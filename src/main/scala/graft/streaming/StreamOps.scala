@@ -125,6 +125,24 @@ object StreamOps {
       }
   }
 
+  /** Streaming document ingestion for the curation pipeline: fingerprint
+    * each arriving document with the engine-portable poly-hash (the same
+    * exact-dedup key as q30), drop re-crawls of identical content, and
+    * tag the token count inline — the streaming front of the batch
+    * curation battery (q69-q74). State is bounded:
+    * `dropDuplicatesWithinWatermark` evicts a fingerprint once the
+    * watermark passes it, so the dedup set tracks the re-crawl horizon,
+    * not the stream's lifetime (a plain `dropDuplicates` would grow
+    * forever). Per-row work is the same codegen'd Column algebra as the
+    * batch path — no extra shuffle beyond the dedup's keyed exchange. */
+  def streamingDocIngest(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fingerprint", graft.functions.TextFunctions.strHash(col("text")))
+      .withColumn("n_tokens",
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast(LongType))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   /** ST1 sink half: route a drained micro-batch — retrievals to the
     * completed table, failures appended to the dead-letter/retry table
     * (both idempotent by url, giving exactly-once completion markers). */

@@ -108,4 +108,33 @@ class StreamOpsSpec extends SparkSpecBase {
         DrainAction("u2", "retrieve", 0)), s"got $got")
     } finally q.stop()
   }
+
+  test("streamingDocIngest dedups re-crawled content by portable fingerprint") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamOps.streamingDocIngest(
+      input.toDF().toDF("event_time", "doc_id", "text"))
+    val q = out.writeStream.format("memory")
+      .queryName("ingest").outputMode("append").start()
+    try {
+      def ts(s: Long) = new Timestamp(s * 1000)
+      input.addData(Seq(
+        (ts(10), 1L, "the quick fox"),
+        (ts(11), 2L, "a slow dog"),
+        (ts(12), 3L, "the quick fox"))) // re-crawl of doc 1's content
+      q.processAllAvailable()
+      input.addData(Seq((ts(20), 4L, "the quick fox"))) // still within watermark
+      q.processAllAvailable()
+      val rows = spark.table("ingest")
+        .select($"doc_id", $"fingerprint", $"n_tokens")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      assert(rows.map(_._1).toSeq == Seq(1L, 2L), s"got ${rows.toSeq}")
+      // fingerprint matches the batch-path hash (one dedup key everywhere)
+      val batchHash = spark.range(1)
+        .select(graft.functions.TextFunctions.strHash(lit("the quick fox")))
+        .as[Long].head()
+      assert(rows.find(_._1 == 1L).get._2 == batchHash)
+      assert(rows.find(_._1 == 1L).get._3 == 3L)
+    } finally q.stop()
+  }
 }
