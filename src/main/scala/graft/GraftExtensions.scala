@@ -77,5 +77,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg(ext, "mjd_to_utc", 1, lift(a => mjdToUtc(a(0))))
     // F9 finite cleanup
     reg(ext, "finite_or", 1, lift(a => ProfileOps.finiteOr(a(0))))
+
+    // curation text pack: the q28/q56/q70 primitives as SQL functions
+    import graft.functions.TextFunctions
+    reg(ext, "word_shingles3", 1, lift(a => TextFunctions.wordShingles3(a(0))))
+    reg(ext, "quality_score", 1, lift { a =>
+      val (nTokens, sumLen, nStop, nPunct) = TextFunctions.qualityCounters(a(0))
+      TextFunctions.qualityScore(nTokens, sumLen, nStop, nPunct)
+    })
   }
 }

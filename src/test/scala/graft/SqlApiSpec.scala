@@ -68,4 +68,17 @@ class SqlApiSpec extends SparkSpecBase {
       .as[Double].head()
     assert(math.abs(el - 90.0) < 1e-6) // zenith at transit when dec = lat
   }
+
+  test("curation text pack from SQL matches the Column API") {
+    val t = "the quick fox jumps, over the lazy dog."
+    both(s"quality_score('$t')", {
+      val (a, b, c, d) = graft.functions.TextFunctions.qualityCounters(lit(t))
+      graft.functions.TextFunctions.qualityScore(a, b, c, d)
+    })
+    val (s, c) = spark.range(1).select(
+      expr(s"word_shingles3('$t')").as("s"),
+      graft.functions.TextFunctions.wordShingles3(lit(t)).as("c"))
+      .as[(Seq[Long], Seq[Long])].head()
+    assert(s == c && s.nonEmpty)
+  }
 }
