@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+
+/** Deterministic Lloyd k-means over embedding columns — the trainer for
+  * the IVF coarse quantizer (q55 demonstrates the SEARCH plan with fixed
+  * centroids; this produces trained ones from the corpus itself).
+  *
+  * RNG-free by construction: initialization takes the k lowest-id
+  * vectors, assignment breaks cosine ties toward the lowest cell id.
+  * The one nondeterminism left is IEEE reduction order inside the
+  * per-cell mean (partial-aggregate order over partitions) — last-bit
+  * jitter, the same caveat as any distributed float mean; cell
+  * MEMBERSHIP is stable because assignments compare cosines whose gaps
+  * dwarf that jitter on real corpora.
+  *
+  * Scale shape per round: centroids BROADCAST to the assignment (map
+  * work, same as q55's plan); the update is one shuffle keyed on
+  * (cell, dim index) — both grow with data/k, never with iteration
+  * count; each round is localCheckpoint-ed so the logical plan stays
+  * constant-size across iterations (the DedupGroups lesson).
+  */
+object KMeans {
+
+  /** @param emb     (idCol, vecCol: array<float>) input vectors
+    * @param k       number of cells
+    * @param iters   Lloyd rounds (fixed count — IVF trainers run a small
+    *                constant number; convergence detection would add one
+    *                action per round for little benefit)
+    * @return trained centroids (cid, centroid: array<float>) */
+  def lloyd(emb: DataFrame, idCol: String, vecCol: String,
+            k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
+    val vecs = emb
+      .select(col(idCol).as("__id"), col(vecCol).cast(ArrayType(FloatType)).as("__v"))
+      .withColumn("__norm", sqrt(callDot(col("__v"), col("__v"))))
+      .filter(col("__norm") > 0.0)
+      .localCheckpoint()
+    val w = Window.orderBy(col("__id").asc)
+    var centroids = vecs
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select((col("__rn") - 1).cast("int").as("cid"), col("__v").as("c_vec"),
+        col("__norm").as("c_norm"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val wAssign = Window.partitionBy(col("__id"))
+        .orderBy(col("__cos").desc, col("cid").asc)
+      val assigned = vecs.crossJoin(broadcast(centroids))
+        .withColumn("__cos",
+          callDot(col("__v"), col("c_vec")) / (col("__norm") * col("c_norm")))
+        .withColumn("__rn", row_number().over(wAssign))
+        .filter(col("__rn") === 1)
+        .select(col("cid"), col("__v"))
+      // elementwise mean via posexplode: one shuffle keyed on (cid, dim)
+      val means = assigned
+        .select(col("cid"), posexplode(col("__v")).as(Seq("__d", "__x")))
+        .groupBy(col("cid"), col("__d"))
+        .agg(avg(col("__x")).as("__m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("__d"), col("__m")))).as("__dm"))
+        .select(col("cid"),
+          transform(col("__dm"), e => e.getField("__m").cast(FloatType)).as("c_vec"))
+      centroids = means
+        .withColumn("c_norm", sqrt(callDot(col("c_vec"), col("c_vec"))))
+        .localCheckpoint()
+    }
+    centroids.select(col("cid"), col("c_vec").as("centroid"))
+  }
+
+  /** Cell assignment with trained centroids — the q55 plan's front half,
+    * exposed so an index build can persist (vec, cell) partitioned by
+    * cell. */
+  def assign(emb: DataFrame, idCol: String, vecCol: String,
+             centroids: DataFrame): DataFrame = {
+    val cents = centroids
+      .select(col("cid"), col("centroid").as("c_vec"))
+      .withColumn("c_norm", sqrt(callDot(col("c_vec"), col("c_vec"))))
+    val w = Window.partitionBy(col("__id")).orderBy(col("__cos").desc, col("cid").asc)
+    emb.select(col(idCol).as("__id"), col(vecCol).cast(ArrayType(FloatType)).as("__v"))
+      .withColumn("__norm", sqrt(callDot(col("__v"), col("__v"))))
+      .filter(col("__norm") > 0.0)
+      .crossJoin(broadcast(cents))
+      .withColumn("__cos",
+        callDot(col("__v"), col("c_vec")) / (col("__norm") * col("c_norm")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__id").as(idCol), col("cid"), col("__cos").as("cos"))
+  }
+
+  private def callDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    call_function("float_dot", a, b)
+}

@@ -321,11 +321,72 @@ object CurationQ {
        |ORDER BY lang, rk""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q76
+
+  /** Feature-hashing embedder: each document becomes a dense 16-bucket
+    * hashed token-count vector (the classic hashing trick), then cosine
+    * top-5 against 8 probe documents — text entering the SAME similarity
+    * machinery the float embeddings use (`float_dot` kernel). The
+    * vectorization is pure map work: transform over a constant index
+    * range filtering the per-doc hash array, no explode, no shuffle;
+    * counts are < 2²⁴ so the float32 cast is exact and the double
+    * accumulation matches the oracle bitwise. */
+  private def q76(s: SparkSession, d: String): DataFrame = {
+    val dim = 16
+    val docs = Tables.documents(s, d)
+      .withColumn("hs", transform(tokens(col("text")), strHash(_)))
+      .withColumn("vec",
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => size(filter(col("hs"), h => h % dim === i)))
+          .cast(ArrayType(FloatType)))
+      .withColumn("norm",
+        sqrt(graft.queries.SimilarityQ.dotFold(col("vec"), col("vec"))))
+      .filter(col("norm") > 0.0)
+      .select(col("doc_id"), col("vec"), col("norm"))
+    val probes = docs.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("q_doc"), col("vec").as("q_vec"), col("norm").as("q_norm"))
+    val w = Window.partitionBy(col("q_doc")).orderBy(col("cos").desc, col("doc_id").asc)
+    docs.crossJoin(broadcast(probes))
+      .filter(col("doc_id") =!= col("q_doc"))
+      .withColumn("cos",
+        graft.queries.SimilarityQ.dotFold(col("vec"), col("q_vec")) /
+          (col("norm") * col("q_norm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_doc"), col("rk"), col("doc_id"), col("cos"))
+      .orderBy(col("q_doc"), col("rk"))
+  }
+
+  private val q76Sql = {
+    import SimilarityQ.sqlDotFold
+    val vec = "list_transform(range(0, 16), i -> " +
+      "CAST(len(list_filter(hs, h -> h % 16 = i)) AS DOUBLE))"
+    s"""WITH hs AS (SELECT doc_id,
+       |    list_transform(${sqlTokens("text")}, t -> ${sqlStrHash("t")}) AS hs
+       |  FROM documents),
+       |vecs AS (SELECT doc_id, $vec AS vec FROM hs),
+       |normed AS (SELECT doc_id, vec,
+       |    sqrt(${sqlDotFold("vec", "vec")}) AS norm
+       |  FROM vecs),
+       |docs AS (SELECT * FROM normed WHERE norm > 0.0),
+       |probes AS (SELECT doc_id AS q_doc, vec AS q_vec, norm AS q_norm
+       |  FROM docs WHERE doc_id < 8),
+       |scored AS (SELECT q_doc, d.doc_id AS doc_id,
+       |    ${sqlDotFold("d.vec", "q_vec")} / (d.norm * q_norm) AS cos
+       |  FROM docs d CROSS JOIN probes WHERE d.doc_id <> q_doc),
+       |ranked AS (SELECT q_doc, doc_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_doc ORDER BY cos DESC, doc_id ASC) AS rk
+       |  FROM scored)
+       |SELECT q_doc, rk, doc_id, cos FROM ranked WHERE rk <= 5
+       |ORDER BY q_doc, rk""".stripMargin
+  }
+
   val queries: Seq[GQuery] = Seq(
     GQuery("q69_tfidf_terms", q69, Some(q69Sql), Seq("A16", "A17", "F11")),
     GQuery("q70_decontam_overlap", q70, Some(q70Sql), Seq("A16", "J9")),
     GQuery("q71_stratified_split", q71, Some(q71Sql), Seq("A17", "F11")),
     GQuery("q72_ann_recall", q72, Some(q72Sql), Seq("A16", "O1", "O4")),
     GQuery("q73_dedup_keep_best", q73, Some(q73Sql), Seq("A16", "W2", "U3")),
-    GQuery("q74_lang_sample", q74, Some(q74Sql), Seq("W5", "O4")))
+    GQuery("q74_lang_sample", q74, Some(q74Sql), Seq("W5", "O4")),
+    GQuery("q76_hash_embed_topk", q76, Some(q76Sql), Seq("A16", "F11", "O4")))
 }
