@@ -78,8 +78,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // F9 finite cleanup
     reg(ext, "finite_or", 1, lift(a => ProfileOps.finiteOr(a(0))))
 
-    // curation text pack: the q28/q56/q70 primitives as SQL functions
+    // curation text pack: the q28/q56/q70 primitives as SQL functions.
+    // word_shingles3 takes the TOKEN ARRAY (materialize ws_tokens(text)
+    // in a subquery first — see the wordShingles3 scaladoc on lambda
+    // re-evaluation of inline expressions).
     import graft.functions.TextFunctions
+    reg(ext, "ws_tokens", 1, lift(a => TextFunctions.tokens(a(0))))
     reg(ext, "word_shingles3", 1, lift(a => TextFunctions.wordShingles3(a(0))))
     reg(ext, "quality_score", 1, lift { a =>
       val (nTokens, sumLen, nStop, nPunct) = TextFunctions.qualityCounters(a(0))

@@ -81,17 +81,24 @@ object TextFunctions {
       (lit(1.0) - nStop.cast(DoubleType) / nTokens.cast(DoubleType)) * 2.0 -
       nPunct.cast(DoubleType) * 0.1
 
-  /** Sorted distinct poly-hashed word-3-gram shingles (q56/q70 form).
-    * Sorted so downstream intersection uses the zero-allocation
-    * `sorted_intersect_count` kernel; < 3 tokens → empty set. */
-  def wordShingles3(text: Column): Column = {
-    val tk = tokens(text)
+  /** Sorted distinct poly-hashed word-3-gram shingles (q56/q70 form)
+    * over an ALREADY MATERIALIZED token-array column. Sorted so
+    * downstream intersection uses the zero-allocation
+    * `sorted_intersect_count` kernel; < 3 tokens → empty set.
+    *
+    * The input MUST be an attribute (a prior select/withColumn), not an
+    * inline `tokens(text)` expression: `tk` is referenced inside
+    * per-element transform lambdas, where Catalyst re-evaluates a
+    * non-attribute subtree PER SHINGLE INDEX — re-splitting the document
+    * O(L) times (measured 7× wall blowup at sf0.1). The two-step select
+    * is safe: CollapseProject keeps a multiply-referenced non-cheap
+    * projection materialized rather than inlining it. */
+  def wordShingles3(tk: Column): Column =
     when(size(tk) >= 3,
       array_sort(array_distinct(transform(sequence(lit(1), size(tk) - 2),
         g => strHash(concat_ws(" ",
           element_at(tk, g), element_at(tk, g + 1), element_at(tk, g + 2)))))))
       .otherwise(array().cast(ArrayType(LongType)))
-  }
 
   /** MinHash permutation parameters: h_k(x) = (a_k * x + b_k) mod p.
     * Small odd multipliers; k is 0-based. */

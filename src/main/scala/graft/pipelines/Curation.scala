@@ -44,11 +44,14 @@ object Curation {
   def curate(docs: DataFrame, benchmark: DataFrame, cfg: Config = Config()): DataFrame = {
     val (nTokens, sumLen, nStop, nPunct) = qualityCounters(col("text"))
     val benchArr = benchmark
-      .select(explode(wordShingles3(col("text"))).as("h")).distinct()
+      .select(tokens(col("text")).as("tk"))
+      .select(explode(wordShingles3(col("tk"))).as("h")).distinct()
       .agg(array_sort(collect_set(col("h"))).as("bench_sh"))
     val scored = docs
       .withColumn("quality", qualityScore(nTokens, sumLen, nStop, nPunct))
-      .withColumn("sh", wordShingles3(col("text")))
+      .withColumn("tk", tokens(col("text")))
+      .withColumn("sh", wordShingles3(col("tk")))
+      .drop("tk")
       .crossJoin(broadcast(benchArr))
       .withColumn("n_overlap",
         call_function("sorted_intersect_count", col("sh"), col("bench_sh")).cast(LongType))

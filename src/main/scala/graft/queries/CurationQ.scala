@@ -80,7 +80,8 @@ object CurationQ {
     * is counted with the `sorted_intersect_count` codegen kernel. */
   private def q70(s: SparkSession, d: String): DataFrame = {
     val sh = Tables.documents(s, d)
-      .select(col("doc_id"), wordShingles3(col("text")).as("sh"))
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), wordShingles3(col("tk")).as("sh"))
     val benchArr = sh.filter(col("doc_id") % 97 === 0)
       .select(explode(col("sh")).as("h")).distinct()
       .agg(array_sort(collect_set(col("h"))).as("bench_sh"))
@@ -335,14 +336,26 @@ object CurationQ {
     val dim = 16
     val docs = Tables.documents(s, d)
       .withColumn("hs", transform(tokens(col("text")), strHash(_)))
+      // The size() guard (always true: text is non-null) is a SECOND
+      // top-level reference to `hs`. With only the lambda reference,
+      // CollapseProject inlines the whole tokenize+hash chain into the
+      // bucket-count lambda, where it is re-evaluated PER BUCKET INDEX —
+      // 16× the tokenize cost (measured 3.5s vs 0.9s at sf0.1). A
+      // multiply-referenced non-cheap producer is kept materialized.
       .withColumn("vec",
-        transform(sequence(lit(0), lit(dim - 1)),
-          i => size(filter(col("hs"), h => h % dim === i)))
+        when(size(col("hs")) >= 0,
+          transform(sequence(lit(0), lit(dim - 1)),
+            i => size(filter(col("hs"), h => h % dim === i))))
+          .otherwise(lit(null))
           .cast(ArrayType(FloatType)))
       .withColumn("norm",
         sqrt(graft.queries.SimilarityQ.dotFold(col("vec"), col("vec"))))
       .filter(col("norm") > 0.0)
       .select(col("doc_id"), col("vec"), col("norm"))
+      // cached: consumed twice (corpus side + probe side), and the cache
+      // boundary stops the norm filter's pushdown from re-deriving the
+      // vector straight from text inside the scan predicate
+      .cache()
     val probes = docs.filter(col("doc_id") < 8)
       .select(col("doc_id").as("q_doc"), col("vec").as("q_vec"), col("norm").as("q_norm"))
     val w = Window.partitionBy(col("q_doc")).orderBy(col("cos").desc, col("doc_id").asc)

@@ -85,7 +85,9 @@ object ScaleQ {
   private def q56(s: SparkSession, d: String): DataFrame = {
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
-        wordShingles3(col("text")).as("sh"))
+        tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        wordShingles3(col("tk")).as("sh"))
       .withColumn("n", size(col("sh")).cast(LongType))
       // probe side of the pair join: re-spread the few-partition doc scan
       // so the quadratic block-pair fan-out uses every core (AQE would

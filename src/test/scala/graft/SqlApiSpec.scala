@@ -76,8 +76,9 @@ class SqlApiSpec extends SparkSpecBase {
       graft.functions.TextFunctions.qualityScore(a, b, c, d)
     })
     val (s, c) = spark.range(1).select(
-      expr(s"word_shingles3('$t')").as("s"),
-      graft.functions.TextFunctions.wordShingles3(lit(t)).as("c"))
+      expr(s"word_shingles3(ws_tokens('$t'))").as("s"),
+      graft.functions.TextFunctions.wordShingles3(
+        graft.functions.TextFunctions.tokens(lit(t))).as("c"))
       .as[(Seq[Long], Seq[Long])].head()
     assert(s == c && s.nonEmpty)
   }
