@@ -51,7 +51,7 @@ object ScaleCheck {
       "q66_dedup_groups",
       // curation battery: corpus-side work is map + scalable-key shuffles
       "q69_tfidf_terms", "q70_decontam_overlap", "q71_stratified_split",
-      "q74_lang_sample")
+      "q74_lang_sample", "q75_salted_join", "q76_hash_embed_topk")
     val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", big)
     // warm
     SparkEntry.queries("q09_catalog_totals")(spark, dirs.head).count()
