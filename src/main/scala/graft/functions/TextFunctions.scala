@@ -61,9 +61,14 @@ object TextFunctions {
   /** Quality counter pack (q28 semantics): token count, summed token
     * length, stopword hits, punctuation count — exact integers, shared by
     * the batch queries and the curation pipeline so there is exactly one
-    * definition of "quality". */
-  def qualityCounters(text: Column): (Column, Column, Column, Column) = {
-    val toks = tokens(text)
+    * definition of "quality".
+    *
+    * `toks` should be a MATERIALIZED token-array column (a prior
+    * select/withColumn of [[tokens]]): three of the four counters read
+    * it, so an inline `tokens(text)` argument would re-split the
+    * document three times per row. With an attribute, CollapseProject
+    * keeps the multiply-referenced split materialized. */
+  def qualityCounters(toks: Column, text: Column): (Column, Column, Column, Column) = {
     val nTokens = size(toks).cast(LongType)
     val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
     val nStop = size(filter(toks,

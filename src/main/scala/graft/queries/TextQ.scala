@@ -59,8 +59,9 @@ object TextQ {
   /** Quality scoring: token count, mean token length, stopword ratio,
     * punctuation count → composite score. */
   private def q28(s: SparkSession, d: String): DataFrame = {
-    val (nTokens, sumLen, nStop, nPunct) = qualityCounters(col("text"))
+    val (nTokens, sumLen, nStop, nPunct) = qualityCounters(col("toks"), col("text"))
     Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
       .withColumn("n_tokens", nTokens)
       .withColumn("sum_len", sumLen)
       .withColumn("n_stop", nStop)
