@@ -85,8 +85,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     import graft.functions.TextFunctions
     reg(ext, "ws_tokens", 1, lift(a => TextFunctions.tokens(a(0))))
     reg(ext, "word_shingles3", 1, lift(a => TextFunctions.wordShingles3(a(0))))
+    // 1-arg SQL form: tokenizes inline (3 of the 4 counters re-split the
+    // row — acceptable per-row cost for the SQL surface; the Column API
+    // callers materialize the token array first, per the contract at
+    // TextFunctions.qualityCounters).
     reg(ext, "quality_score", 1, lift { a =>
-      val (nTokens, sumLen, nStop, nPunct) = TextFunctions.qualityCounters(a(0))
+      val (nTokens, sumLen, nStop, nPunct) =
+        TextFunctions.qualityCounters(TextFunctions.tokens(a(0)), a(0))
       TextFunctions.qualityScore(nTokens, sumLen, nStop, nPunct)
     })
   }

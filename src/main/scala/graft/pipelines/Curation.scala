@@ -42,14 +42,14 @@ object Curation {
     * @return one row per corpus doc with quality, contam_ratio,
     *         component, the three verdicts, `split`, and `keep` */
   def curate(docs: DataFrame, benchmark: DataFrame, cfg: Config = Config()): DataFrame = {
-    val (nTokens, sumLen, nStop, nPunct) = qualityCounters(col("text"))
+    val (nTokens, sumLen, nStop, nPunct) = qualityCounters(col("tk"), col("text"))
     val benchArr = benchmark
       .select(tokens(col("text")).as("tk"))
       .select(explode(wordShingles3(col("tk"))).as("h")).distinct()
       .agg(array_sort(collect_set(col("h"))).as("bench_sh"))
     val scored = docs
-      .withColumn("quality", qualityScore(nTokens, sumLen, nStop, nPunct))
       .withColumn("tk", tokens(col("text")))
+      .withColumn("quality", qualityScore(nTokens, sumLen, nStop, nPunct))
       .withColumn("sh", wordShingles3(col("tk")))
       .drop("tk")
       .crossJoin(broadcast(benchArr))

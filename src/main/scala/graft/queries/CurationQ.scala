@@ -246,8 +246,9 @@ object CurationQ {
       .select(col("doc_id").as("a"), (col("doc_id") - col("doc_id") % 5).as("b"))
     val chainEdges = docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 25 =!= 0)
       .select(col("doc_id").as("a"), (col("doc_id") - 5).as("b"))
-    val (nTokens, sumLen, nStop, nPunct) = qualityCounters(col("text"))
+    val (nTokens, sumLen, nStop, nPunct) = qualityCounters(col("toks"), col("text"))
     val quality = docs
+      .withColumn("toks", tokens(col("text")))
       .withColumn("quality", qualityScore(nTokens, sumLen, nStop, nPunct))
       .select(col("doc_id"), col("quality"))
     graft.operators.DedupGroups

@@ -72,7 +72,8 @@ class SqlApiSpec extends SparkSpecBase {
   test("curation text pack from SQL matches the Column API") {
     val t = "the quick fox jumps, over the lazy dog."
     both(s"quality_score('$t')", {
-      val (a, b, c, d) = graft.functions.TextFunctions.qualityCounters(lit(t))
+      val (a, b, c, d) = graft.functions.TextFunctions.qualityCounters(
+        graft.functions.TextFunctions.tokens(lit(t)), lit(t))
       graft.functions.TextFunctions.qualityScore(a, b, c, d)
     })
     val (s, c) = spark.range(1).select(
