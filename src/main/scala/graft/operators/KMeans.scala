@@ -34,18 +34,8 @@ object KMeans {
   def lloyd(emb: DataFrame, idCol: String, vecCol: String,
             k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
-    val vecs = emb
-      .select(col(idCol).as("__id"), col(vecCol).cast(ArrayType(FloatType)).as("__v"))
-      .withColumn("__norm", sqrt(callDot(col("__v"), col("__v"))))
-      .filter(col("__norm") > 0.0)
-      .localCheckpoint()
-    val w = Window.orderBy(col("__id").asc)
-    var centroids = vecs
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .select((col("__rn") - 1).cast("int").as("cid"), col("__v").as("c_vec"),
-        col("__norm").as("c_norm"))
-      .localCheckpoint()
+    val vecs = prep(emb, idCol, vecCol).localCheckpoint()
+    var centroids = initCentroids(vecs, k).localCheckpoint()
     for (_ <- 0 until iters) {
       val wAssign = Window.partitionBy(col("__id"))
         .orderBy(col("__cos").desc, col("cid").asc)
@@ -69,6 +59,29 @@ object KMeans {
         .localCheckpoint()
     }
     centroids.select(col("cid"), col("c_vec").as("centroid"))
+  }
+
+  /** Normalized training input: (__id, __v: array<float>, __norm), zero
+    * vectors dropped. Exposed (package-private) so PlanContractSpec can
+    * audit the un-checkpointed init plan. */
+  private[graft] def prep(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb
+      .select(col(idCol).as("__id"), col(vecCol).cast(ArrayType(FloatType)).as("__v"))
+      .withColumn("__norm", sqrt(callDot(col("__v"), col("__v"))))
+      .filter(col("__norm") > 0.0)
+
+  /** Init = the k lowest-id vectors. orderBy(..).limit(k) plans as a
+    * distributed TakeOrdered (per-partition top-k + driver merge of k·P
+    * rows) — the earlier row_number() over a partition-less window pulled
+    * EVERY vector through one task. The window below runs over the
+    * already-reduced k rows only, so its single partition is bounded. */
+  private[graft] def initCentroids(vecs: DataFrame, k: Int): DataFrame = {
+    val w = Window.orderBy(col("__id").asc)
+    vecs
+      .orderBy(col("__id").asc).limit(k)
+      .withColumn("__rn", row_number().over(w))
+      .select((col("__rn") - 1).cast("int").as("cid"), col("__v").as("c_vec"),
+        col("__norm").as("c_norm"))
   }
 
   /** Cell assignment with trained centroids — the q55 plan's front half,

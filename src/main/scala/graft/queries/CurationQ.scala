@@ -335,7 +335,14 @@ object CurationQ {
     * accumulation matches the oracle bitwise. */
   private def q76(s: SparkSession, d: String): DataFrame = {
     val dim = 16
-    val docs = Tables.documents(s, d)
+    // Vectorize a (doc_id, text) relation: dense 16-bucket hashed
+    // token-count vector + L2 norm. The norm>0 corpus filter is replaced
+    // by an EARLY size(tokens)>0 filter — equivalent (every token lands in
+    // some bucket, so norm = 0 iff zero tokens) and it costs one tokenize
+    // in the predicate instead of re-deriving the whole vector chain when
+    // Catalyst substitutes a norm>0 predicate through the projection.
+    def hashEmbed(in: DataFrame): DataFrame = in
+      .filter(size(tokens(col("text"))) > 0)
       .withColumn("hs", transform(tokens(col("text")), strHash(_)))
       // The size() guard (always true: text is non-null) is a SECOND
       // top-level reference to `hs`. With only the lambda reference,
@@ -351,13 +358,14 @@ object CurationQ {
           .cast(ArrayType(FloatType)))
       .withColumn("norm",
         sqrt(graft.queries.SimilarityQ.dotFold(col("vec"), col("vec"))))
-      .filter(col("norm") > 0.0)
       .select(col("doc_id"), col("vec"), col("norm"))
-      // cached: consumed twice (corpus side + probe side), and the cache
-      // boundary stops the norm filter's pushdown from re-deriving the
-      // vector straight from text inside the scan predicate
-      .cache()
-    val probes = docs.filter(col("doc_id") < 8)
+    // No corpus-sized cache: the corpus side streams through ONCE; the
+    // probe side re-derives its 8 vectors from a doc_id<8 scan whose
+    // filter pushes into the parquet read. At 100 TB a cache here IS the
+    // corpus — a persistent index build belongs in KMeans.assign +
+    // partitioned write, not in the query.
+    val docs = hashEmbed(Tables.documents(s, d))
+    val probes = hashEmbed(Tables.documents(s, d).filter(col("doc_id") < 8))
       .select(col("doc_id").as("q_doc"), col("vec").as("q_vec"), col("norm").as("q_norm"))
     val w = Window.partitionBy(col("q_doc")).orderBy(col("cos").desc, col("doc_id").asc)
     docs.crossJoin(broadcast(probes))

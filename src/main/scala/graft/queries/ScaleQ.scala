@@ -392,6 +392,79 @@ object ScaleQ {
        |FROM lineitem JOIN dim ON l_suppkey % 3 = k
        |GROUP BY grp ORDER BY grp""".stripMargin
 
+  /** Train-then-search: `KMeans.lloyd` trains the IVF coarse quantizer on
+    * the corpus itself (k=4, 2 Lloyd rounds — deterministic: lowest-id
+    * init, lowest-cid tie-break, float32 centroid rounding drowning the
+    * last-ulp jitter of distributed means), `KMeans.assign` builds the
+    * (vector, cell) index, and probes search only their own cell — q55's
+    * search plan with TRAINED centroids instead of fixed ones.
+    *
+    * Scale shape: training is iters × (broadcast-assign + one (cell,dim)
+    * shuffle); the assignment joined back to the corpus is a co-partitioned
+    * equi-join on the id (at fleet scale the index build persists this
+    * partitioned by cell); the search join shuffles only on cell id. */
+  private def q77(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = graft.operators.KMeans.lloyd(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val asg = graft.operators.KMeans.assign(emb, "vec_id", "embedding", cents)
+      .select(col("vec_id"), col("cid"))
+    val vecs = emb
+      .withColumn("norm", sqrt(dotFold(col("embedding"), col("embedding"))))
+      .filter(col("norm") > 0.0)
+      .join(asg, "vec_id")
+    val probes = vecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("cid").as("q_cid"),
+        col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val scored = vecs.join(broadcast(probes),
+        col("cid") === col("q_cid") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        dotFold(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("q_cid"), col("rk"), col("vec_id"), col("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** The oracle unrolls the two Lloyd rounds as CTE pairs (assign aN,
+    * re-estimate cN): identical init, identical tie-breaks, per-dimension
+    * AVG cast to float32 exactly as the trainer does. */
+  private val q77Sql = {
+    def round(prev: String, n: Int): String =
+      s"""a$n AS (SELECT id, v, nrm, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY id
+         |      ORDER BY ${sqlDotFold("v", "c_vec")} / (nrm * c_norm) DESC, cid ASC) AS rn
+         |  FROM vecs CROSS JOIN $prev),
+         |m$n AS (SELECT cid, i, CAST(AVG(v[i + 1]) AS FLOAT) AS m
+         |  FROM a$n, range(64) t(i) WHERE rn = 1 GROUP BY cid, i),
+         |c$n AS (SELECT cid, c_vec, sqrt(${sqlDotFold("c_vec", "c_vec")}) AS c_norm
+         |  FROM (SELECT cid, list(m ORDER BY i) AS c_vec FROM m$n GROUP BY cid))"""
+        .stripMargin
+    s"""WITH emb AS (SELECT vec_id AS id, embedding AS v,
+       |    sqrt(${sqlDotFold("embedding", "embedding")}) AS nrm FROM embeddings),
+       |vecs AS (SELECT * FROM emb WHERE nrm > 0.0),
+       |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS cid,
+       |    v AS c_vec, nrm AS c_norm
+       |  FROM (SELECT * FROM vecs ORDER BY id LIMIT 4)),
+       |${round("c0", 1)},
+       |${round("c1", 2)},
+       |af AS (SELECT id, v, nrm, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY id
+       |      ORDER BY ${sqlDotFold("v", "c_vec")} / (nrm * c_norm) DESC, cid ASC) AS rn
+       |  FROM vecs CROSS JOIN c2),
+       |asg AS (SELECT id, v, nrm, cid FROM af WHERE rn = 1),
+       |probes AS (SELECT id AS q_id, cid AS q_cid, v AS q_v, nrm AS q_nrm
+       |  FROM asg WHERE id < 8),
+       |scored AS (SELECT q_id, q_cid, a.id AS vec_id,
+       |    ${sqlDotFold("a.v", "q_v")} / (a.nrm * q_nrm) AS cos
+       |  FROM asg a JOIN probes ON a.cid = q_cid AND a.id <> q_id),
+       |ranked AS (SELECT q_id, q_cid, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
+       |  FROM scored)
+       |SELECT q_id, q_cid, rk, vec_id, cos FROM ranked WHERE rk <= 5
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   val queries: Seq[GQuery] = Seq(
     GQuery("q55_ivf_ann", q55, Some(q55Sql), Seq("O1", "O4", "A16")),
     GQuery("q56_ngram_jaccard", q56, Some(q56Sql), Seq("A16", "J7")),
@@ -400,5 +473,6 @@ object ScaleQ {
     GQuery("q62_simhash_neardup", q62, Some(q62Sql), Seq("A16", "J7")),
     GQuery("q65_cosine_neardup", q65, Some(q65Sql), Seq("A16", "J7", "O1")),
     GQuery("q66_dedup_groups", q66, Some(q66Sql), Seq("A16", "U3", "W2")),
-    GQuery("q75_salted_join", q75, Some(q75Sql), Seq("J6", "A17")))
+    GQuery("q75_salted_join", q75, Some(q75Sql), Seq("J6", "A17")),
+    GQuery("q77_ivf_trained_ann", q77, Some(q77Sql), Seq("A16", "O1", "O4")))
 }

@@ -99,6 +99,47 @@ class PlanContractSpec extends SparkSpecBase {
     }
   }
 
+  test("operator entry points obey the window/cartesian contracts") {
+    // The registry sweep above misses library operators that aren't
+    // registry queries (the round-3 KMeans init scale-killer was invisible
+    // to it). Audit their un-checkpointed plans directly.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Window => LWindow}
+    import org.apache.spark.sql.functions._
+    import graft.operators.{DedupGroups, KMeans, SkewJoin}
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val cents = KMeans.lloyd(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val entries: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "KMeans.initCentroids" ->
+        KMeans.initCentroids(KMeans.prep(emb, "vec_id", "embedding"), 4),
+      "KMeans.assign" -> KMeans.assign(emb, "vec_id", "embedding", cents),
+      "DedupGroups.keepBest" -> DedupGroups.keepBest(
+        docs.withColumn("qual", length(col("text")).cast("double")),
+        "doc_id", "qual", pairs, "doc_a", "doc_b"),
+      "SkewJoin.saltedEquiJoin" -> SkewJoin.saltedEquiJoin(
+        spark.read.parquet(s"$sf/lineitem.parquet")
+          .withColumn("k", col("l_suppkey") % 3),
+        spark.read.parquet(s"$sf/nation.parquet")
+          .select((col("n_nationkey") % 3).as("k"), col("n_name")),
+        Seq("k"), col("l_orderkey"), nSalts = 4))
+    entries.foreach { case (name, df) =>
+      val lp = df.queryExecution.optimizedPlan
+      lp.foreach {
+        case w: LWindow if w.partitionSpec.isEmpty =>
+          val reduced = w.child.collectFirst {
+            case a: Aggregate => a: Any
+            case l: GlobalLimit => l: Any
+          }.isDefined
+          assert(reduced, s"$name: partition-less window over un-reduced input:\n$lp")
+        case _ => ()
+      }
+      assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+        s"$name planned a cartesian product")
+    }
+  }
+
   test("q32's broadcast→shuffle join swap is result-identical (the 100 TB fallback)") {
     // At fleet scale the per-doc token dim outgrows the broadcast limit
     // and the candidate join becomes a co-located shuffle join — the swap
