@@ -27,8 +27,18 @@ object ScaleCheck {
       val out =
         if (keyCols.contains(t)) {
           val shifted = (0 until factor).map { i =>
-            keyCols(t).foldLeft(df)((d, k) =>
+            val keyed = keyCols(t).foldLeft(df)((d, k) =>
               d.withColumn(k, col(k) + lit(i.toLong * 100000000L)))
+            // Documents: token-prefix every copy > 0 so the 10× corpus is
+            // 10× DISTINCT documents. Verbatim copies would make every doc
+            // a 10-way near-dup family and the near-dup queries' PAIR
+            // OUTPUT would grow ~45× by construction — measuring output
+            // explosion, not candidate-generation scaling.
+            if (t == "documents" && i > 0)
+              keyed.withColumn("text",
+                array_join(transform(split(col("text"), " "),
+                  tk => concat(lit(s"c$i"), tk)), " "))
+            else keyed
           }
           shifted.reduce(_ union _)
         } else df // dims stay dims — that is the point of a dimension
@@ -51,7 +61,17 @@ object ScaleCheck {
       "q66_dedup_groups",
       // curation battery: corpus-side work is map + scalable-key shuffles
       "q69_tfidf_terms", "q70_decontam_overlap", "q71_stratified_split",
-      "q74_lang_sample", "q75_salted_join", "q76_hash_embed_topk")
+      "q74_lang_sample", "q75_salted_join", "q76_hash_embed_topk",
+      // remaining >1s queries: window/mask chains, 2-D ACF lag join,
+      // ANN recall harness, trained-IVF train+search
+      "q46_acf2d", "q51_badchunk_mask", "q72_ann_recall",
+      "q77_ivf_trained_ann",
+      // bucketed near-dup: NOTE the 10× synthetic replicates every doc
+      // verbatim (ids shifted), so each doc gains 10 near-identical
+      // copies and the PAIR OUTPUT grows ~quadratically in copy count by
+      // construction — read these rows as candidate-generation cost, not
+      // plan growth
+      "q32_lsh_neardup_pairs", "q62_simhash_neardup")
     val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", big)
     // warm
     SparkEntry.queries("q09_catalog_totals")(spark, dirs.head).count()
