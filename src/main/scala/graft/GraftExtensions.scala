@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import graft.expressions.{FloatDot, PolyHash, SimHash32, SortedIntersectCount}
+import graft.expressions.{FloatDot, PolyHash, PolyHash2, SimHash32, SimHash60, SortedIntersectCount}
 import graft.functions.AstroFunctions
 import graft.operators.ProfileOps
 
@@ -46,6 +46,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg(ext, "sorted_intersect_count", 2,
       c => SortedIntersectCount(c(0), c(1)), classOf[SortedIntersectCount])
     reg(ext, "simhash32", 1, c => SimHash32(c.head), classOf[SimHash32])
+    reg(ext, "simhash60", 1, c => SimHash60(c.head), classOf[SimHash60])
+    reg(ext, "poly_hash2", 1, c => PolyHash2(c.head), classOf[PolyHash2])
 
     // C6-C11 calibration/physics pack
     import AstroFunctions._

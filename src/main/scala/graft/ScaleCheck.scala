@@ -71,7 +71,9 @@ object ScaleCheck {
       // copies and the PAIR OUTPUT grows ~quadratically in copy count by
       // construction — read these rows as candidate-generation cost, not
       // plan growth
-      "q32_lsh_neardup_pairs", "q62_simhash_neardup")
+      "q32_lsh_neardup_pairs", "q62_simhash_neardup",
+      // the wide-signature mitigation for q62's occupancy growth
+      "q78_simhash60_neardup")
     val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", big)
     // warm
     SparkEntry.queries("q09_catalog_totals")(spark, dirs.head).count()

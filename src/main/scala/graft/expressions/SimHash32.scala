@@ -36,16 +36,49 @@ case class SimHash32(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash32"
 }
 
+/** 60-bit SimHash — the corpus-size scaling knob the 32-bit form lacks:
+  * with W bits split into B pigeonhole blocks, distance ≤ B−1 pairs must
+  * share a block, and per-bucket occupancy is n / 2^(W/B). 60 bits over
+  * 4 fifteen-bit blocks keeps the Hamming-≤3 guarantee at 2⁷× lower
+  * occupancy than 4×8-bit blocking — candidate pairs per bucket drop
+  * ~2¹⁴× at the same corpus size (README "Measured scaling", q62 vs
+  * q78). Input tokens must carry 60 meaningful bits:
+  * `poly_hash · 2³⁰ + poly_hash2`.
+  */
+case class SimHash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash60 needs an array<bigint> input, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash32.hashW(input.asInstanceOf[ArrayData], 60)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.SimHash32.hashW($c, 60)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash60"
+}
+
 object SimHash32 {
   /** Single pass over the token hashes; called from generated code. */
-  def hash(toks: ArrayData): Long = {
-    val votes = new Array[Int](32)
+  def hash(toks: ArrayData): Long = hashW(toks, 32)
+
+  /** Width-parametric majority vote; called from generated code. */
+  def hashW(toks: ArrayData, width: Int): Long = {
+    val votes = new Array[Int](width)
     val n = toks.numElements()
     var i = 0
     while (i < n) {
       val h = toks.getLong(i)
       var j = 0
-      while (j < 32) {
+      while (j < width) {
         if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
         j += 1
       }
@@ -53,7 +86,7 @@ object SimHash32 {
     }
     var out = 0L
     var j = 0
-    while (j < 32) {
+    while (j < width) {
       if (votes(j) > 0) out |= 1L << j
       j += 1
     }

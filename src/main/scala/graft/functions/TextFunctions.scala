@@ -32,6 +32,21 @@ object TextFunctions {
       graft.expressions.PolyHash(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
 
+  /** Independent second polynomial hash (mult 37, mod 998244353 < 2³⁰) —
+    * combined with [[strHash]] as `strHash(t)·2³⁰ + strHash2(t)` it
+    * yields a 60-bit token fingerprint with every op exact in 64-bit
+    * integers on both engines (the wide-SimHash dedup path, q78). */
+  def strHash2(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.PolyHash2(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
+
+  /** DuckDB-equivalent SQL fragment for [[strHash2]]. */
+  def sqlStrHash2(e: String): String =
+    s"CASE WHEN length($e) = 0 THEN 0 ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length($e)+1), i -> CAST(ascii(substring($e, i, 1)) AS BIGINT))), " +
+      s"(acc, x) -> (acc * 37 + x) % ${graft.expressions.PolyHash.Mod2}) END"
+
   /** Pure Column-algebra form of [[strHash]] — engine-portable reference
     * implementation (kept for cross-checking and for engines without the
     * extension installed). */

@@ -465,6 +465,62 @@ object ScaleQ {
        |ORDER BY q_id, rk""".stripMargin
   }
 
+  /** Wide-SimHash near-dup pairs — q62's corpus-size scaling knob made
+    * real: 60-bit signatures (tokens double-poly-hashed to 60 meaningful
+    * bits) split into 4 fifteen-bit pigeonhole bands. Any pair within
+    * Hamming distance 3 shares a band (exactly the threshold we filter
+    * at), while per-band bucket occupancy drops 2⁷× vs q62's 8-bit
+    * bands — candidate pairs per bucket drop ~2¹⁴×, the same band count,
+    * so the bucket-join fan-out that makes q62 grow super-linearly
+    * (README scaling table) stays pair-output-bound here. All signature
+    * arithmetic is exact 64-bit integer work on both engines. */
+  private def q78(s: SparkSession, d: String): DataFrame = {
+    val sig = Tables.documents(s, d)
+      .select(col("doc_id"),
+        call_function("simhash60",
+          transform(array_distinct(tokens(col("text"))),
+            t => strHash(t) * lit(1073741824L) + strHash2(t))).as("simhash"))
+    def bandOf(c: Column, b: Int): Column =
+      shiftright(c, 15 * b).bitwiseAND(lit(32767L))
+    val sigb = sig
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(b => bandOf(col("simhash"), b)): _*))
+          .as(Seq("band", "key")))
+      // fan-out probe side: same AQE-coalescing blind spot as q32/q56/q62
+      .repartition(32, col("doc_id"))
+      .cache()
+    def bandEq(b: Int): Column =
+      bandOf(col("x.simhash"), b) === bandOf(col("y.simhash"), b)
+    val earlier = (0 until 3).map(b => col("x.band") > b && bandEq(b)).reduce(_ || _)
+    val ham = bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast(LongType)
+    sigb.as("x").join(broadcast(sigb.as("y")),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id") && !earlier)
+      .withColumn("hamming", ham)
+      .filter(col("hamming") <= 3)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val q78Sql = {
+    val h60 = s"${sqlStrHash("tok")} * 1073741824 + ${sqlStrHash2("tok")}"
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_distinct(${sqlTokens("text")})) AS tok FROM documents),
+       |hashed AS (SELECT doc_id, $h60 AS th FROM toks),
+       |bits AS (SELECT unnest(range(0, 60)) AS j),
+       |votes AS (SELECT doc_id, j,
+       |    SUM(CASE WHEN (th >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM hashed CROSS JOIN bits GROUP BY doc_id, j),
+       |sig AS (SELECT doc_id,
+       |    SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) ELSE 0 END * CAST(pow(2.0, j) AS BIGINT)) AS simhash
+       |  FROM votes GROUP BY doc_id)
+       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+       |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+       |WHERE CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: Seq[GQuery] = Seq(
     GQuery("q55_ivf_ann", q55, Some(q55Sql), Seq("O1", "O4", "A16")),
     GQuery("q56_ngram_jaccard", q56, Some(q56Sql), Seq("A16", "J7")),
@@ -474,5 +530,6 @@ object ScaleQ {
     GQuery("q65_cosine_neardup", q65, Some(q65Sql), Seq("A16", "J7", "O1")),
     GQuery("q66_dedup_groups", q66, Some(q66Sql), Seq("A16", "U3", "W2")),
     GQuery("q75_salted_join", q75, Some(q75Sql), Seq("J6", "A17")),
-    GQuery("q77_ivf_trained_ann", q77, Some(q77Sql), Seq("A16", "O1", "O4")))
+    GQuery("q77_ivf_trained_ann", q77, Some(q77Sql), Seq("A16", "O1", "O4")),
+    GQuery("q78_simhash60_neardup", q78, Some(q78Sql), Seq("A16", "J7")))
 }
