@@ -403,6 +403,115 @@ object CurationQ {
        |ORDER BY q_doc, rk""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q79
+
+  /** The END-TO-END curation pipeline (`pipelines.Curation.curate`) as an
+    * oracle-paired query: quality gate + benchmark decontamination + LSH
+    * near-dup keep-best + deterministic split, one DAG, verified
+    * cross-engine. The oracle unrolls every stage in SQL — the quality
+    * counters of q73, the shingle-overlap contam of q70, q32's banded
+    * MinHash candidate generation, a recursive-CTE connected-components
+    * pass for the dedup graph, and the split hash of q71. Benchmark =
+    * every 50th document (verbatim corpus members, so they must fail
+    * contamination); quality bar 2.95 ≈ the corpus lower quartile so both
+    * quality verdicts occur (same config as the golden pipeline test). */
+  private def q79(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bench = docs.filter(col("doc_id") % 50 === 0).select("doc_id", "text")
+    graft.pipelines.Curation.curate(docs, bench,
+      graft.pipelines.Curation.Config(minQuality = 2.95))
+      .select(col("doc_id"), col("quality"), col("contam_ratio"),
+        col("quality_pass"), col("contam_pass"), col("component"),
+        col("dedup_keep"), col("keep"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q79Sql = {
+    val qual =
+      """CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.25
+        |    + (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 2.0
+        |    - CAST(n_punct AS DOUBLE) * 0.1""".stripMargin
+    val gram = "concat_ws(' ', tk[g], tk[g+1], tk[g+2])"
+    val a = graft.functions.TextFunctions.MinhashA.mkString("[", ", ", "]")
+    val b = graft.functions.TextFunctions.MinhashB.mkString("[", ", ", "]")
+    val p = graft.functions.TextFunctions.HashMod
+    val splitHash = sqlStrHash("concat('split:', CAST(doc_id AS VARCHAR))")
+    s"""WITH RECURSIVE
+       |tk AS (SELECT doc_id, text, ${sqlTokens("text")} AS tk FROM documents),
+       |m AS (SELECT doc_id,
+       |  CAST(len(tk) AS BIGINT) AS n_tokens,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(tk, x -> CAST(length(x) AS BIGINT))), (acc, x) -> acc + x) AS sum_len,
+       |  CAST(len(list_filter(tk, x -> list_contains(['the','a','of','and','is'], x))) AS BIGINT) AS n_stop,
+       |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+       |FROM tk),
+       |quality AS (SELECT doc_id, $qual AS quality FROM m),
+       |sh AS (SELECT doc_id,
+       |    CASE WHEN len(tk) >= 3 THEN list_sort(list_distinct(list_transform(
+       |      range(1, len(tk) - 1), g -> ${sqlStrHash(gram)})))
+       |    ELSE CAST([] AS BIGINT[]) END AS sh
+       |  FROM tk),
+       |bench AS (SELECT DISTINCT unnest(sh) AS h FROM sh WHERE doc_id % 50 = 0),
+       |bench_arr AS (SELECT list(h ORDER BY h) AS ba FROM bench),
+       |contam AS (SELECT doc_id,
+       |    CASE WHEN len(sh) > 0
+       |      THEN CAST(len(list_intersect(sh, ba)) AS DOUBLE) / CAST(len(sh) AS DOUBLE)
+       |      ELSE 0.0 END AS contam_ratio
+       |  FROM sh CROSS JOIN bench_arr),
+       |flags AS (SELECT q.doc_id AS doc_id, q.quality AS quality, c.contam_ratio AS contam_ratio,
+       |    q.quality >= 2.95 AS quality_pass, c.contam_ratio <= 0.5 AS contam_pass
+       |  FROM quality q JOIN contam c USING (doc_id)),
+       |cand_ids AS (SELECT doc_id FROM flags WHERE quality_pass AND contam_pass),
+       |ctoks AS (SELECT doc_id, unnest(list_distinct(tk)) AS tok FROM tk
+       |  WHERE doc_id IN (SELECT doc_id FROM cand_ids)),
+       |hashed AS (SELECT doc_id, ${sqlStrHash("tok")} AS th FROM ctoks),
+       |ks AS (SELECT unnest(range(0, 8)) AS k),
+       |sig AS (SELECT doc_id, CAST(k AS INT) AS k,
+       |    MIN(($a[CAST(k AS INT) + 1] * th + $b[CAST(k AS INT) + 1]) % $p) AS minhash
+       |  FROM hashed CROSS JOIN ks GROUP BY doc_id, k),
+       |bands AS (SELECT doc_id, k // 4 AS band,
+       |    (((MAX(CASE WHEN k % 4 = 0 THEN minhash END) * 31
+       |      + MAX(CASE WHEN k % 4 = 1 THEN minhash END) % $p) % $p * 31
+       |      + MAX(CASE WHEN k % 4 = 2 THEN minhash END) % $p) % $p * 31
+       |      + MAX(CASE WHEN k % 4 = 3 THEN minhash END) % $p) AS bucket
+       |  FROM sig GROUP BY doc_id, k // 4),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |sets AS (SELECT doc_id, list_distinct(list_transform(
+       |    list_distinct(tk), t -> ${sqlStrHash("t")})) AS toks
+       |  FROM tk WHERE doc_id IN (SELECT doc_id FROM cand_ids)),
+       |pairs AS (SELECT doc_a, doc_b
+       |  FROM cand JOIN sets sa ON cand.doc_a = sa.doc_id
+       |            JOIN sets sb ON cand.doc_b = sb.doc_id
+       |  WHERE CAST(len(list_intersect(sa.toks, sb.toks)) AS DOUBLE)
+       |      / CAST(len(sa.toks) + len(sb.toks) - len(list_intersect(sa.toks, sb.toks)) AS DOUBLE) >= 0.5),
+       |und AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+       |verts AS (SELECT DISTINCT src AS id FROM und),
+       |reach(id, lab) AS (
+       |  SELECT id, id FROM verts
+       |  UNION
+       |  SELECT u.src, r.lab FROM und u JOIN reach r ON u.dst = r.id),
+       |canon AS (SELECT id AS doc_id, MIN(lab) AS canonical_id FROM reach GROUP BY id),
+       |kept AS (SELECT f.doc_id AS doc_id, f.quality AS quality, f.contam_ratio AS contam_ratio,
+       |    f.quality_pass AS quality_pass, f.contam_pass AS contam_pass,
+       |    COALESCE(c.canonical_id, f.doc_id) AS component,
+       |    ROW_NUMBER() OVER (PARTITION BY COALESCE(c.canonical_id, f.doc_id)
+       |      ORDER BY f.quality DESC, f.doc_id ASC) = 1 AS dedup_keep
+       |  FROM flags f LEFT JOIN canon c USING (doc_id)
+       |  WHERE f.quality_pass AND f.contam_pass),
+       |failed AS (SELECT doc_id, quality, contam_ratio, quality_pass, contam_pass,
+       |    doc_id AS component, FALSE AS dedup_keep
+       |  FROM flags WHERE NOT (quality_pass AND contam_pass)),
+       |unioned AS (SELECT * FROM kept UNION ALL SELECT * FROM failed),
+       |final AS (SELECT *,
+       |    quality_pass AND contam_pass AND dedup_keep AS keep,
+       |    $splitHash % 10 AS hb
+       |  FROM unioned)
+       |SELECT doc_id, quality, contam_ratio, quality_pass, contam_pass, component, dedup_keep, keep,
+       |  CASE WHEN NOT keep THEN NULL
+       |       WHEN hb < 8 THEN 'train' WHEN hb = 8 THEN 'val' ELSE 'test' END AS split
+       |FROM final ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Seq[GQuery] = Seq(
     GQuery("q69_tfidf_terms", q69, Some(q69Sql), Seq("A16", "A17", "F11")),
     GQuery("q70_decontam_overlap", q70, Some(q70Sql), Seq("A16", "J9")),
@@ -410,5 +519,6 @@ object CurationQ {
     GQuery("q72_ann_recall", q72, Some(q72Sql), Seq("A16", "O1", "O4")),
     GQuery("q73_dedup_keep_best", q73, Some(q73Sql), Seq("A16", "W2", "U3")),
     GQuery("q74_lang_sample", q74, Some(q74Sql), Seq("W5", "O4")),
-    GQuery("q76_hash_embed_topk", q76, Some(q76Sql), Seq("A16", "F11", "O4")))
+    GQuery("q76_hash_embed_topk", q76, Some(q76Sql), Seq("A16", "F11", "O4")),
+    GQuery("q79_curation_e2e", q79, Some(q79Sql), Seq("A16", "W2", "U3", "F11")))
 }
