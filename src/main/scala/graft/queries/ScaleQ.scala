@@ -77,6 +77,64 @@ object ScaleQ {
        |SELECT q_id, rk, vec_id, cos FROM ranked WHERE rk <= 10
        |ORDER BY q_id, rk""".stripMargin
 
+  /** Multi-probe IVF search — the recall/cost knob of q55: corpus
+    * vectors still live in exactly ONE cell (the index build is
+    * unchanged), but each probe searches its `nprobe = 2` nearest cells.
+    * Probe cell lists stay a broadcast dimension (8 probes × 2 cells);
+    * the search join still shuffles only on the cell id, reading ~2/k of
+    * the corpus per probe instead of 1/k — the standard way to buy
+    * recall without touching the index. */
+  private def q80(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .withColumn("norm", sqrt(dotFold(col("embedding"), col("embedding"))))
+    val cent = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("cid").asc)
+    val ranked = emb.crossJoin(broadcast(cent))
+      .withColumn("cos_c",
+        dotFold(col("embedding"), col("c_emb")) / (col("norm") * col("c_norm")))
+      .withColumn("rn", row_number().over(wAssign))
+    val assign = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("embedding"), col("norm"))
+    val probeCells = ranked.filter(col("vec_id") < 8 && col("rn") <= 2)
+      .select(col("vec_id").as("q_id"), col("cid").as("q_cid"),
+        col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val scored = assign.join(broadcast(probeCells),
+        col("cid") === col("q_cid") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        dotFold(col("embedding"), col("q_emb")) / (col("norm") * col("q_norm")))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 10)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  private val q80Sql =
+    s"""WITH emb AS (SELECT vec_id, embedding,
+       |    sqrt(${sqlDotFold("embedding", "embedding")}) AS norm FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, embedding AS c_emb, norm AS c_norm
+       |  FROM emb WHERE vec_id < 16),
+       |ranked AS (SELECT e.vec_id, e.embedding, e.norm, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${sqlDotFold("e.embedding", "c.c_emb")} / (e.norm * c.c_norm) DESC,
+       |        c.cid ASC) AS rn
+       |  FROM emb e CROSS JOIN cent c),
+       |a AS (SELECT vec_id, cid, embedding, norm FROM ranked WHERE rn = 1),
+       |probes AS (SELECT vec_id AS q_id, cid AS q_cid, embedding AS q_emb, norm AS q_norm
+       |  FROM ranked WHERE vec_id < 8 AND rn <= 2),
+       |scored AS (SELECT q_id, a.vec_id AS vec_id,
+       |    ${sqlDotFold("a.embedding", "q_emb")} / (a.norm * q_norm) AS cos
+       |  FROM a JOIN probes ON a.cid = q_cid AND a.vec_id <> q_id),
+       |rankedq AS (SELECT q_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
+       |  FROM scored)
+       |SELECT q_id, rk, vec_id, cos FROM rankedq WHERE rk <= 10
+       |ORDER BY q_id, rk""".stripMargin
+
   /** Word-3-gram shingle Jaccard near-dup, blocked on (lang, source):
     * shingles are poly-hashed token trigrams (order-sensitive, unlike the
     * token-set view of q32), pairs form only inside a block, with the
@@ -531,5 +589,6 @@ object ScaleQ {
     GQuery("q66_dedup_groups", q66, Some(q66Sql), Seq("A16", "U3", "W2")),
     GQuery("q75_salted_join", q75, Some(q75Sql), Seq("J6", "A17")),
     GQuery("q77_ivf_trained_ann", q77, Some(q77Sql), Seq("A16", "O1", "O4")),
-    GQuery("q78_simhash60_neardup", q78, Some(q78Sql), Seq("A16", "J7")))
+    GQuery("q78_simhash60_neardup", q78, Some(q78Sql), Seq("A16", "J7")),
+    GQuery("q80_ivf_multiprobe", q80, Some(q80Sql), Seq("A16", "O1", "O4")))
 }
