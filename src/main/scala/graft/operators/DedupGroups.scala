@@ -35,9 +35,40 @@ object DedupGroups {
     // localCheckpoint materializes the round eagerly and replaces the
     // plan with the materialized RDD: constant plan size, constant
     // per-round cost.
-    val edges = pairs
-      .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // Round 0 + CONTRACTION, computed in PAIR space (one row per pair,
+    // not per direction). Near-dup graphs are clique-heavy (a k-way
+    // duplicate family contributes k² pairs: sf0.1 measured 6.4M pairs
+    // over 4.9k docs), and iterating over the raw edge set pays that k²
+    // every round (13 s for 8 rounds at sf0.1). One round of
+    // label₀ = min(id, min neighbor) collapses every clique onto its
+    // minimum, so re-keying pairs to label space and dropping self-loops
+    // shrinks the edge set by orders of magnitude before the loop runs
+    // (8 rounds × 12.7M edge-joins → 1 pre-pass + 2 rounds × ~1k).
+    // Correct because contraction preserves connectivity, labels are
+    // original vertex ids, a component's minimum m always survives as
+    // its own label (all of m's neighbors exceed m), and duplicate or
+    // bidirectional input pairs only feed idempotent mins.
+    val p = pairs
+      .select(col(aCol).as("a"), col(bCol).as("b"))
+      .localCheckpoint()
+    val label0 = p.select(col("a").as("id"), col("b").as("nbr"))
+      .union(p.select(col("b").as("id"), col("a").as("nbr")))
+      .groupBy(col("id")).agg(min(col("nbr")).as("nbr"))
+      .select(col("id"), least(col("id"), col("nbr")).as("label"))
+      .localCheckpoint()
+    // label0 is vertex-sized (one row per distinct doc in any pair) —
+    // broadcast it into the relabel joins: the checkpointed pair set has
+    // no stats, so Catalyst would otherwise sort-merge the full pair
+    // relation twice. At vertex counts beyond the broadcast ceiling drop
+    // the hints for the co-located shuffle join (the q32 pattern).
+    val contracted = p
+      .join(broadcast(label0.select(col("id").as("a"), col("label").as("la"))), "a")
+      .join(broadcast(label0.select(col("id").as("b"), col("label").as("lb"))), "b")
+      .select(col("la").as("src"), col("lb").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val edges = contracted
+      .union(contracted.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
     var verts = edges.select(col("src").as("id")).distinct()
@@ -61,7 +92,12 @@ object DedupGroups {
       throw new IllegalStateException(
         s"component labels not converged after $maxIters rounds " +
           s"($changed still changing) — component diameter exceeds maxIters")
-    verts.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+    // compose: doc → round-0 label → contracted-graph component minimum
+    label0
+      .join(verts.select(col("id").as("label"), col("label").as("canon")),
+        Seq("label"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("canon"), col("label")).as("canonical_id"))
   }
 
   /** Full keep/drop decision over a corpus: docs in no pair keep

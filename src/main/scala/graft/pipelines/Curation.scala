@@ -62,6 +62,15 @@ object Curation {
       .drop("sh", "bench_sh", "n_overlap")
       .withColumn("quality_pass", col("quality") >= cfg.minQuality)
       .withColumn("contam_pass", col("contam_ratio") <= cfg.maxContamRatio)
+      // Stage boundary, materialized: three consumers (near-dup pair
+      // generation, the keep-best side, the failed branch) would each
+      // re-run the tokenize + shingle + benchmark-intersect chain
+      // (measured 10.6 s → 4 s at sf0.1). At fleet scale this is the
+      // point where a corpus pipeline WRITES the scored relation to
+      // storage between stages — a persisted intermediate is the honest
+      // in-session analog, unlike a query-side corpus cache (the q76
+      // lesson: queries over an index must not own corpus-sized state).
+      .persist()
     val candidates = scored.filter(col("quality_pass") && col("contam_pass"))
     val pairs = graft.queries.SimilarityQ
       .lshNearDupPairsFrom(candidates.select(col("doc_id"), col("text")), hinted = true)
