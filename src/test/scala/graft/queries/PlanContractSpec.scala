@@ -166,6 +166,19 @@ class PlanContractSpec extends SparkSpecBase {
     }
   }
 
+  test("wide-simhash band join broadcasts; no shuffle on the pair stream (q78)") {
+    val p = plan("q78_simhash60_neardup")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "q78 fell back to a shuffle join — the band-bucket probe side must broadcast:\n" + p)
+  }
+
+  test("multi-probe IVF search joins broadcast the probe cell list (q80)") {
+    val p = plan("q80_ivf_multiprobe")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("bilinear corner lookups broadcast; probes never shuffle (q64)") {
     val p = plan("q64_bilinear_gain")
     assert(p.contains("BroadcastHashJoin"), p)
