@@ -143,6 +143,29 @@ object StreamOps {
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Streaming front of the curation QUALITY gate: the same
+    * counters/score the batch battery verifies (q28, q79 — one
+    * definition of "quality" everywhere) applied per micro-batch,
+    * sub-threshold rows dropped before the fingerprint dedup, so junk
+    * never occupies dedup state. Everything stays codegen'd Column
+    * algebra per row; the only stateful op is the watermark-bounded
+    * dedup, exactly as [[streamingDocIngest]]. */
+  def streamingCurate(docs: DataFrame, minQuality: Double,
+                      watermark: String = "1 hour"): DataFrame = {
+    import graft.functions.TextFunctions
+    val (nTokens, sumLen, nStop, nPunct) =
+      TextFunctions.qualityCounters(col("tk"), col("text"))
+    docs
+      .withColumn("tk", TextFunctions.tokens(col("text")))
+      .withColumn("quality",
+        TextFunctions.qualityScore(nTokens, sumLen, nStop, nPunct))
+      .drop("tk")
+      .filter(col("quality") >= minQuality)
+      .withColumn("fingerprint", TextFunctions.strHash(col("text")))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+  }
+
   /** ST1 sink half: route a drained micro-batch — retrievals to the
     * completed table, failures appended to the dead-letter/retry table
     * (both idempotent by url, giving exactly-once completion markers). */

@@ -137,4 +137,33 @@ class StreamOpsSpec extends SparkSpecBase {
       assert(rows.find(_._1 == 1L).get._3 == 3L)
     } finally q.stop()
   }
+
+  test("streamingCurate gates quality before the dedup state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamOps.streamingCurate(
+      input.toDF().toDF("event_time", "doc_id", "text"), minQuality = 1.0)
+    val q = out.writeStream.format("memory")
+      .queryName("scurate").outputMode("append").start()
+    try {
+      def ts(s: Long) = new Timestamp(s * 1000)
+      input.addData(Seq(
+        (ts(10), 1L, "catalyst rewrites logical plans before execution"),
+        (ts(11), 2L, "the the the the the !!! ;;; ..."), // junk: fails quality
+        (ts(12), 3L, "catalyst rewrites logical plans before execution"))) // dup of 1
+      q.processAllAvailable()
+      val rows = spark.table("scurate")
+        .select($"doc_id", $"quality").as[(Long, Double)].collect().sortBy(_._1)
+      assert(rows.map(_._1).toSeq == Seq(1L), s"got ${rows.toSeq}")
+      // the streaming score IS the batch score — one quality definition
+      val batchQ = {
+        import graft.functions.TextFunctions._
+        val (nT, sL, nS, nP) = qualityCounters(col("tk"), col("text"))
+        spark.createDataset(Seq("catalyst rewrites logical plans before execution"))
+          .toDF("text").withColumn("tk", tokens(col("text")))
+          .select(qualityScore(nT, sL, nS, nP)).as[Double].head()
+      }
+      assert(rows.head._2 == batchQ)
+    } finally q.stop()
+  }
 }
