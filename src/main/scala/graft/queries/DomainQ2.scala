@@ -448,6 +448,104 @@ object DomainQ2 {
        |FROM range(0, 400) t(i) ORDER BY chan""".stripMargin
   }
 
+  // --- q81: R3 period doubling + wrap-crossing boxcar -------------------
+  // Driven by the REAL `ProfileOps.periodDouble` operator (the q52/q53
+  // pattern): the folded profile is appended to itself with bins shifted
+  // one period (`pulsestack.py:735-737`), exactly so a matched-filter
+  // boxcar can cross the wrap boundary — a boxcar anchored at bin 60 of
+  // 64 reads bins 60..67, i.e. into the doubled half. The profile values
+  // stay DECIMAL through the window sum (exact + associative, so Spark's
+  // sliding add/remove frame and the oracle's per-frame sum agree
+  // bitwise) and surface as double only at the end.
+
+  private def q81(s: SparkSession, d: String): DataFrame = {
+    val samples = Tables.lineitem(s, d)
+      .withColumn("bin", (col("l_partkey") % 64).cast(IntegerType))
+    val doubled = graft.operators.ProfileOps.periodDouble(
+      graft.operators.Cube(samples, samples), nbins = 64)
+    val prof = doubled.samples
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(d2(col("l_extendedprice"))).as("dval"))
+    val w = Window.orderBy(col("bin")).rowsBetween(0, 7)
+    prof
+      .withColumn("boxcar", sum(col("dval")).over(w).cast(DoubleType))
+      .filter(col("bin") < 64)
+      .select(col("bin"), col("n"), col("dval").cast(DoubleType).as("value"),
+        col("boxcar"))
+      .orderBy(col("bin"))
+  }
+
+  private val q81Sql =
+    s"""WITH s AS (SELECT CAST(l_partkey % 64 AS INT) AS bin, l_extendedprice FROM lineitem
+       |  UNION ALL
+       |  SELECT CAST(l_partkey % 64 AS INT) + 64 AS bin, l_extendedprice FROM lineitem),
+       |prof AS (SELECT bin, COUNT(*) AS n, SUM(${sqlD2("l_extendedprice")}) AS dval
+       |  FROM s GROUP BY bin),
+       |box AS (SELECT bin, n, dval,
+       |    CAST(SUM(dval) OVER (ORDER BY bin ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS DOUBLE) AS boxcar
+       |  FROM prof)
+       |SELECT bin, n, CAST(dval AS DOUBLE) AS value, boxcar
+       |FROM box WHERE bin < 64 ORDER BY bin""".stripMargin
+
+  // --- q82: W4 auto off-window through the REAL operator ----------------
+  // `ProfileOps.autoOffWindow` (snr.py:104-146) driven end-to-end: a
+  // profile synthesized from lineitem with a planted pulse (bins 20..24
+  // spiked by (bin−19)·10⁹ — three orders above the base sums, so the
+  // μ+2.5σ threshold decisions carry ~20% margins and survive last-ulp
+  // float differences between engines), island-detected, expanded, and
+  // rotated so the window's left edge lands at bin 0. Integer outputs
+  // (rotation, window bounds, re-keyed bins) + pass-through values make
+  // the compare exact even though μ/σ differ in the last bits.
+  private def q82(s: SparkSession, d: String): DataFrame = {
+    val prof = Tables.lineitem(s, d)
+      .withColumn("obs_id", concat(lit("obs"), (col("l_suppkey") % 2).cast(StringType)))
+      .withColumn("pol", (col("l_linenumber") % 2).cast(IntegerType))
+      .withColumn("bin", (col("l_partkey") % 64).cast(IntegerType))
+      .groupBy(col("obs_id"), col("pol"), col("bin"))
+      .agg(dsum(col("l_extendedprice")).as("base"))
+      .withColumn("value",
+        col("base") + when(col("bin").between(20, 24),
+          (col("bin") - 19).cast(DoubleType) * 1e9).otherwise(0.0))
+      .select(col("obs_id"), col("pol"), col("bin"), col("value"))
+    val (rotated, bounds) =
+      graft.operators.ProfileOps.autoOffWindow(prof, nbins = 64)
+    rotated.join(bounds, Seq("obs_id", "pol"))
+      .filter(col("bin") < 10)
+      .select(col("obs_id"), col("pol"), col("bin"), col("value"),
+        col("rot_bins"), col("off_lo"), col("off_hi"))
+      .orderBy(col("obs_id"), col("pol"), col("bin"))
+  }
+
+  /** Oracle: by construction the flagged bins form ONE consecutive
+    * island, so min/max over flagged bins IS the best island; expansion
+    * and rotation replay the operator's integer arithmetic. */
+  private val q82Sql =
+    s"""WITH prof AS (SELECT 'obs' || CAST(l_suppkey % 2 AS VARCHAR) AS obs_id,
+       |    CAST(l_linenumber % 2 AS INT) AS pol, CAST(l_partkey % 64 AS INT) AS bin,
+       |    ${sqlDsum("l_extendedprice")} AS base
+       |  FROM lineitem GROUP BY 1, 2, 3),
+       |v AS (SELECT obs_id, pol, bin,
+       |    base + CASE WHEN bin BETWEEN 20 AND 24
+       |      THEN CAST(bin - 19 AS DOUBLE) * 1e9 ELSE 0.0 END AS value
+       |  FROM prof),
+       |stats AS (SELECT obs_id, pol, AVG(value) AS m, STDDEV_POP(value) AS sd
+       |  FROM v GROUP BY 1, 2),
+       |flagged AS (SELECT v.obs_id, v.pol, v.bin
+       |  FROM v JOIN stats USING (obs_id, pol) WHERE value > m + sd * 2.5),
+       |isl AS (SELECT obs_id, pol, MIN(bin) AS bin_lo, MAX(bin) AS bin_hi
+       |  FROM flagged GROUP BY 1, 2),
+       |win AS (SELECT obs_id, pol,
+       |    CAST(bin_lo - FLOOR((bin_hi - bin_lo) * 0.15) AS INT) AS le,
+       |    CAST(bin_hi + 1 + FLOOR((bin_hi - bin_lo) * 0.15) AS INT) AS re
+       |  FROM isl)
+       |SELECT v.obs_id AS obs_id, v.pol AS pol,
+       |  CAST(((v.bin - COALESCE(w.le, 0)) % 64 + 64) % 64 AS INT) AS bin, v.value AS value,
+       |  COALESCE(w.le, 0) AS rot_bins,
+       |  COALESCE(w.re - w.le, 0) AS off_lo, 64 AS off_hi
+       |FROM v LEFT JOIN win w USING (obs_id, pol)
+       |WHERE ((v.bin - COALESCE(w.le, 0)) % 64 + 64) % 64 < 10
+       |ORDER BY obs_id, pol, bin""".stripMargin
+
   val queries: Seq[GQuery] = Seq(
     GQuery("q48_flagged_tiles", q48, Some(q48Sql), Seq("F10", "A15", "J9")),
     GQuery("q49_scheduler_score", q49, Some(q49Sql), Seq("A24", "W5", "O4")),
@@ -455,6 +553,8 @@ object DomainQ2 {
     GQuery("q51_badchunk_mask", q51, Some(q51Sql), Seq("A13", "W6")),
     GQuery("q52_rotate_rekey", q52, Some(q52Sql), Seq("R1", "A2")),
     GQuery("q53_dedisperse_rekey", q53, Some(q53Sql), Seq("R2", "A4")),
+    GQuery("q81_period_double_boxcar", q81, Some(q81Sql), Seq("R3", "W3")),
+    GQuery("q82_auto_off_window", q82, Some(q82Sql), Seq("W4", "W1", "R1")),
     GQuery("q54_offwindow_stats", q54, Some(q54Sql), Seq("A9", "F8")),
     GQuery("q63_transit_times", q63, Some(q63Sql), Seq("C4", "C3", "A24")),
     GQuery("q67_weight_renorm", q67, Some(q67Sql), Seq("A7", "A6")),
