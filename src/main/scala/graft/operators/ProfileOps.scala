@@ -256,7 +256,13 @@ object ProfileOps {
     * profile: `rot_bins` (the applied rotation, the reference's running
     * rot_bins bookkeeping) and `off_lo` (= window width). The rotation
     * is the R1 re-key with a per-profile shift joined in broadcast —
-    * no window over samples, no collect. */
+    * no window over samples, no collect.
+    *
+    * CONTRACT: `profile` is read FOUR times (stats, flagged, rotated,
+    * bounds) and Spark shares no plan subtrees across those reads — a
+    * caller deriving it from an expensive upstream (a fold, a groupBy)
+    * must persist it first. The folded profile is nprofiles*nbins rows
+    * at any corpus size, so caching is always safe. */
   def autoOffWindow(profile: DataFrame, nbins: Int,
                     thresholdSigma: Double = 2.5,
                     expandFrac: Double = 0.15): (DataFrame, DataFrame) = {

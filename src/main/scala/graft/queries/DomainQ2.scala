@@ -507,6 +507,12 @@ object DomainQ2 {
         col("base") + when(col("bin").between(20, 24),
           (col("bin") - 19).cast(DoubleType) * 1e9).otherwise(0.0))
       .select(col("obs_id"), col("pol"), col("bin"), col("value"))
+      // autoOffWindow reads its profile input four times (stats, flagged,
+      // rotated, bounds) and DataFrame plans share no subtrees — without
+      // this the lineitem aggregation above runs once per read. The
+      // aggregated profile is nobs*npol*nbins rows at ANY corpus size, so
+      // caching it is scale-safe.
+      .cache()
     val (rotated, bounds) =
       graft.operators.ProfileOps.autoOffWindow(prof, nbins = 64)
     rotated.join(bounds, Seq("obs_id", "pol"))
