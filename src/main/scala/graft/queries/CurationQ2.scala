@@ -1,0 +1,361 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.TextFunctions._
+import SimilarityQ.{dotFold, sqlDotFold}
+
+/** Second batch of training-data curation operators: repetition-based
+  * quality filtering (the Gopher/RefinedWeb rule family), fixed-size
+  * token chunking, PII scrubbing, domain mixture weighting, and
+  * product-quantization ANN — the remaining operations a 100 TB corpus
+  * pipeline runs between raw crawl and tokenized shards.
+  *
+  * Same scale discipline as [[CurationQ]]: per-document work is map-side
+  * Column algebra; shuffles are keyed only on grains that grow with the
+  * corpus (doc_id, (doc_id, term), (q_id, vec_id)); every derived
+  * dimension (codebooks, per-source weights, probe distance tables) is
+  * broadcast.
+  */
+object CurationQ2 {
+
+  // ---------------------------------------------------------------- q83
+
+  /** Repetition-based quality stats per document (the Gopher rule set,
+    * re-expressed relationally): most-frequent unigram / bigram count
+    * fractions and the distinct-token ratio, each the division of two
+    * exact integers (bitwise-portable), plus the composite keep verdict.
+    * Two keyed aggregations at the (doc, term) grain and a doc-grain
+    * join — no corpus-wide state, no window wider than one document. */
+  private def q83(s: SparkSession, d: String): DataFrame = {
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+    val uni = tk.select(col("doc_id"), explode(col("tk")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val wUni = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("term").asc)
+    // Stats and argmax in ONE pass over `uni`: the rank window and the
+    // doc-grain aggregate share the doc_id partitioning (exchange
+    // reuse), where separate stats/top branches would each replay the
+    // explode + (doc, term) shuffle.
+    val uniStats = uni.withColumn("rk", row_number().over(wUni))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max(when(col("rk") === 1, col("term"))).as("top_term"),
+        max(when(col("rk") === 1, col("tf"))).as("top_tf"))
+    // bigrams from the MATERIALIZED token array (HOF-lambda contract)
+    val bg = tk.withColumn("n", size(col("tk")))
+      .filter(col("n") >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), col("n") - 1),
+          g => concat_ws(" ", element_at(col("tk"), g), element_at(col("tk"), g + 1))))
+          .as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("btf"))
+    val wBg = Window.partitionBy(col("doc_id"))
+      .orderBy(col("btf").desc, col("bg").asc)
+    val bgTop = bg.withColumn("rk", row_number().over(wBg))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("bg").as("top_bigram"), col("btf").as("top_bg_tf"))
+    uniStats.join(bgTop, Seq("doc_id"))
+      .withColumn("top_frac",
+        col("top_tf").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+      .withColumn("bg_frac",
+        col("top_bg_tf").cast(DoubleType) / (col("n_tokens") - 1).cast(DoubleType))
+      .withColumn("distinct_ratio",
+        col("n_distinct").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+      .withColumn("repetition_pass",
+        col("top_frac") <= 0.15 && col("bg_frac") <= 0.08 && col("distinct_ratio") >= 0.25)
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("top_term"), col("top_tf"), col("top_frac"),
+        col("top_bigram"), col("top_bg_tf"), col("bg_frac"),
+        col("distinct_ratio"), col("repetition_pass"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q83Sql =
+    s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS tk FROM documents),
+       |uni AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM uni GROUP BY doc_id, term),
+       |stats AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct FROM tf GROUP BY doc_id),
+       |unitop AS (SELECT doc_id, term AS top_term, tf AS top_tf FROM (
+       |    SELECT doc_id, term, tf,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS rk
+       |    FROM tf) WHERE rk = 1),
+       |bgl AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+       |    g -> concat_ws(' ', tk[g], tk[g+1]))) AS bg
+       |  FROM tk WHERE len(tk) >= 2),
+       |btf AS (SELECT doc_id, bg, COUNT(*) AS btf FROM bgl GROUP BY doc_id, bg),
+       |bgtop AS (SELECT doc_id, bg AS top_bigram, btf AS top_bg_tf FROM (
+       |    SELECT doc_id, bg, btf,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY btf DESC, bg ASC) AS rk
+       |    FROM btf) WHERE rk = 1),
+       |j AS (SELECT s.doc_id AS doc_id, n_tokens, n_distinct, top_term, top_tf,
+       |    CAST(top_tf AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_frac,
+       |    top_bigram, top_bg_tf,
+       |    CAST(top_bg_tf AS DOUBLE) / CAST(n_tokens - 1 AS DOUBLE) AS bg_frac,
+       |    CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_ratio
+       |  FROM stats s JOIN unitop u ON s.doc_id = u.doc_id
+       |       JOIN bgtop b ON s.doc_id = b.doc_id)
+       |SELECT doc_id, n_tokens, n_distinct, top_term, top_tf, top_frac,
+       |  top_bigram, top_bg_tf, bg_frac, distinct_ratio,
+       |  (top_frac <= 0.15 AND bg_frac <= 0.08 AND distinct_ratio >= 0.25) AS repetition_pass
+       |FROM j ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q84
+
+  /** Fixed-size token chunking with overlap (size 32, stride 24) — the
+    * tokenize-and-chunk step that turns documents into training
+    * sequences. Chunk starts come from an integer sequence over the
+    * materialized token array, so the whole operator is one map-side
+    * explode: zero shuffle, chunk grain ∝ corpus tokens. Each chunk
+    * carries its poly-hash so shard contents are verifiable downstream. */
+  private def q84(s: SparkSession, d: String): DataFrame = {
+    val size_ = 32
+    val stride = 24
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("tk"), col("n"),
+        explode(sequence(lit(0), col("n") - 1, lit(stride))).as("start"))
+      .withColumn("chunk_idx", (col("start") / stride).cast(IntegerType))
+      .withColumn("chunk", slice(col("tk"), col("start") + 1, lit(size_)))
+      .withColumn("chunk_text", concat_ws(" ", col("chunk")))
+      .select(col("doc_id"), col("chunk_idx"), col("start").cast(IntegerType).as("start"),
+        size(col("chunk")).as("chunk_len"),
+        element_at(col("chunk"), 1).as("first_tok"),
+        element_at(col("chunk"), -1).as("last_tok"),
+        strHash(col("chunk_text")).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  private val q84Sql =
+    s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS tk FROM documents),
+       |w AS (SELECT doc_id, tk, len(tk) AS n FROM tk WHERE len(tk) > 0),
+       |st AS (SELECT doc_id, tk, n, unnest(range(0, n, 24)) AS start FROM w),
+       |ch AS (SELECT doc_id, CAST(start // 24 AS INT) AS chunk_idx,
+       |    CAST(start AS INT) AS start,
+       |    list_slice(tk, start + 1, least(start + 32, n)) AS chunk
+       |  FROM st),
+       |cs AS (SELECT doc_id, chunk_idx, start, chunk,
+       |    array_to_string(chunk, ' ') AS ctext FROM ch)
+       |SELECT doc_id, chunk_idx, start, CAST(len(chunk) AS INT) AS chunk_len,
+       |  chunk[1] AS first_tok, chunk[len(chunk)] AS last_tok,
+       |  ${sqlStrHash("ctext")} AS chunk_hash
+       |FROM cs ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------------------- q85
+
+  /** PII scrubbing: email / phone redaction as pure map-side regex work.
+    * The synthetic corpus carries no PII, so deterministic fixtures are
+    * injected first (doc_id-derived, so both engines inject the same
+    * strings) — the query verifies the detection counts AND the scrubbed
+    * output (length + poly-hash) byte-for-byte. Patterns stay inside the
+    * common Java-regex/RE2 subset: character classes and counted
+    * repetition only, no lookaround. */
+  private def q85(s: SparkSession, d: String): DataFrame = {
+    val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phonePat = "[0-9]{3}-[0-9]{4}"
+    Tables.documents(s, d)
+      .withColumn("text2",
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact admin"), col("doc_id").cast(StringType),
+              lit("@example.com now"))).otherwise(""),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" call 555-"),
+              lpad((col("doc_id") % 10000).cast(StringType), 4, "0"))).otherwise("")))
+      .withColumn("n_emails", regexp_count(col("text2"), lit(emailPat)).cast(LongType))
+      .withColumn("n_phones", regexp_count(col("text2"), lit(phonePat)).cast(LongType))
+      .filter(col("n_emails") > 0 || col("n_phones") > 0)
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col("text2"), emailPat, "<EMAIL>"),
+          phonePat, "<PHONE>"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        length(col("scrubbed")).cast(LongType).as("scrub_len"),
+        strHash(col("scrubbed")).as("scrub_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q85Sql = {
+    val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phonePat = "[0-9]{3}-[0-9]{4}"
+    s"""WITH inj AS (SELECT doc_id, text
+       |    || CASE WHEN doc_id % 7 = 0
+       |         THEN ' contact admin' || CAST(doc_id AS VARCHAR) || '@example.com now'
+       |         ELSE '' END
+       |    || CASE WHEN doc_id % 11 = 0
+       |         THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |         ELSE '' END AS text2
+       |  FROM documents),
+       |cnt AS (SELECT doc_id, text2,
+       |    CAST(len(regexp_extract_all(text2, '$emailPat')) AS BIGINT) AS n_emails,
+       |    CAST(len(regexp_extract_all(text2, '$phonePat')) AS BIGINT) AS n_phones
+       |  FROM inj),
+       |scr AS (SELECT doc_id, n_emails, n_phones,
+       |    regexp_replace(regexp_replace(text2, '$emailPat', '<EMAIL>', 'g'),
+       |      '$phonePat', '<PHONE>', 'g') AS scrubbed
+       |  FROM cnt WHERE n_emails > 0 OR n_phones > 0)
+       |SELECT doc_id, n_emails, n_phones,
+       |  CAST(length(scrubbed) AS BIGINT) AS scrub_len,
+       |  ${sqlStrHash("scrubbed")} AS scrub_hash
+       |FROM scr ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q86
+
+  /** Domain mixture weighting: re-weight each source toward a uniform
+    * token share (weight = tok_tot / (n_sources · tok_s), one IEEE
+    * division over exact integers), then plan per-doc copy counts —
+    * ⌊weight⌋ guaranteed epochs plus one extra copy for the
+    * deterministic hash fraction of docs (the engine-reproducible form
+    * of fractional-epoch sampling). The per-source dimension is tiny and
+    * broadcast; the corpus side stays map-side + one source-keyed agg. */
+  private def q86(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast(LongType).as("n_tok"))
+    val bySrc = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_s"))
+    val tot = bySrc.agg(sum(col("tok_s")).as("tok_tot"),
+      count(lit(1)).as("n_sources"))
+    val dim = bySrc.crossJoin(broadcast(tot))
+      .withColumn("share",
+        col("tok_s").cast(DoubleType) / col("tok_tot").cast(DoubleType))
+      .withColumn("weight",
+        col("tok_tot").cast(DoubleType) / (col("n_sources") * col("tok_s")).cast(DoubleType))
+      .withColumn("epochs", floor(col("weight")))
+      .withColumn("frac_scaled",
+        floor((col("weight") - floor(col("weight"))) * 1000000.0))
+    val planned = docs
+      .join(broadcast(dim.select(col("source"), col("epochs"), col("frac_scaled"))),
+        Seq("source"))
+      .withColumn("extra",
+        (strHash(concat(lit("mix:"), col("doc_id").cast(StringType))) % 1000000L
+          < col("frac_scaled")).cast(LongType))
+      .withColumn("n_copies", col("epochs") + col("extra"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_copies")).as("planned_copies"))
+    dim.join(planned, Seq("source"))
+      .select(col("source"), col("n_docs"), col("tok_s").as("n_tokens"),
+        col("share"), col("weight"), col("epochs"), col("planned_copies"))
+      .orderBy(col("source"))
+  }
+
+  private val q86Sql =
+    s"""WITH docs AS (SELECT doc_id, source,
+       |    CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tok FROM documents),
+       |by_src AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_s
+       |  FROM docs GROUP BY source),
+       |tot AS (SELECT CAST(SUM(tok_s) AS BIGINT) AS tok_tot, COUNT(*) AS n_sources FROM by_src),
+       |dim AS (SELECT source, n_docs, tok_s,
+       |    CAST(tok_s AS DOUBLE) / CAST(tok_tot AS DOUBLE) AS share,
+       |    CAST(tok_tot AS DOUBLE) / CAST(n_sources * tok_s AS DOUBLE) AS weight
+       |  FROM by_src CROSS JOIN tot),
+       |dim2 AS (SELECT source, n_docs, tok_s, share, weight,
+       |    CAST(FLOOR(weight) AS BIGINT) AS epochs,
+       |    CAST(FLOOR((weight - FLOOR(weight)) * 1000000.0) AS BIGINT) AS frac_scaled
+       |  FROM dim),
+       |planned AS (SELECT d.source AS source,
+       |    CAST(SUM(m.epochs + CASE WHEN
+       |      ${sqlStrHash("'mix:' || CAST(d.doc_id AS VARCHAR)")} % 1000000 < m.frac_scaled
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS planned_copies
+       |  FROM docs d JOIN dim2 m ON d.source = m.source GROUP BY d.source)
+       |SELECT m.source AS source, n_docs, tok_s AS n_tokens, share, weight, epochs,
+       |  planned_copies
+       |FROM dim2 m JOIN planned p ON m.source = p.source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q87
+
+  /** Product-quantization ANN with asymmetric distance computation
+    * (ADC) — the memory-scale complement to the IVF path (q55/q77/q80):
+    * 64-dim vectors → 8 subspaces × 8 dims, 16 centroids per subspace
+    * (codebook = the lowest-id vectors, the q55 deterministic-init
+    * convention). Encoding is a broadcast codebook join + per-(vec,
+    * subspace) argmin; search never touches raw corpus vectors — the
+    * probe-to-centroid distance table (8 probes × 8 subspaces × 16
+    * centroids) broadcasts and ADC is a keyed sum over codes. Per-pair
+    * distances fold over the j-sorted per-subspace array so the IEEE
+    * add order is engine-identical (the q58/q59 sorted-fold rule). */
+  private def q87(s: SparkSession, d: String): DataFrame = {
+    val m = 8
+    val dsub = 8
+    val nCent = 16
+    val sub = Tables.embeddings(s, d)
+      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("j"),
+        col("embedding"))
+      .withColumn("sub", slice(col("embedding"), col("j") * dsub + 1, lit(dsub)))
+      .drop("embedding")
+      .withColumn("ss", dotFold(col("sub"), col("sub")))
+    val cb = sub.filter(col("vec_id") < nCent)
+      .select(col("j"), col("vec_id").as("c_id"), col("sub").as("cent"),
+        col("ss").as("cc"))
+    val wEnc = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("d2").asc, col("c_id").asc)
+    val enc = sub.join(broadcast(cb), Seq("j"))
+      .withColumn("d2",
+        (col("ss") - lit(2.0) * dotFold(col("sub"), col("cent"))) + col("cc"))
+      .withColumn("rk", row_number().over(wEnc))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("j"), col("c_id").as("code"))
+    val qdist = sub.filter(col("vec_id") >= nCent && col("vec_id") < nCent + 8)
+      .join(cb, Seq("j"))
+      .withColumn("qd2",
+        (col("ss") - lit(2.0) * dotFold(col("sub"), col("cent"))) + col("cc"))
+      .select(col("vec_id").as("q_id"), col("j"), col("c_id").as("code"), col("qd2"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_d2").asc, col("vec_id").asc)
+    enc.join(broadcast(qdist), Seq("j", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("j"), col("qd2")))).as("ds"))
+      .withColumn("approx_d2",
+        aggregate(col("ds"), lit(0.0), (acc, x) => acc + x.getField("qd2")))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 10)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("approx_d2"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  private val q87Sql =
+    s"""WITH sub0 AS (SELECT vec_id, unnest(range(0, 8)) AS j, embedding FROM embeddings),
+       |sub AS (SELECT vec_id, CAST(j AS INT) AS j,
+       |    list_slice(embedding, j * 8 + 1, j * 8 + 8) AS sub FROM sub0),
+       |s2 AS (SELECT vec_id, j, sub, ${sqlDotFold("sub", "sub")} AS ss FROM sub),
+       |cb AS (SELECT j, vec_id AS c_id, sub AS cent, ss AS cc FROM s2 WHERE vec_id < 16),
+       |enc0 AS (SELECT s.vec_id AS vec_id, s.j AS j, c.c_id AS c_id,
+       |    (s.ss - 2.0 * ${sqlDotFold("s.sub", "c.cent")}) + c.cc AS d2
+       |  FROM s2 s JOIN cb c ON s.j = c.j),
+       |encr AS (SELECT vec_id, j, c_id,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, c_id ASC) AS rk
+       |  FROM enc0),
+       |enc AS (SELECT vec_id, j, c_id AS code FROM encr WHERE rk = 1),
+       |qd AS (SELECT s.vec_id AS q_id, s.j AS j, c.c_id AS code,
+       |    (s.ss - 2.0 * ${sqlDotFold("s.sub", "c.cent")}) + c.cc AS qd2
+       |  FROM s2 s JOIN cb c ON s.j = c.j
+       |  WHERE s.vec_id >= 16 AND s.vec_id < 24),
+       |adc0 AS (SELECT q.q_id AS q_id, e.vec_id AS vec_id,
+       |    list(q.qd2 ORDER BY e.j) AS ds
+       |  FROM enc e JOIN qd q ON e.j = q.j AND e.code = q.code
+       |  GROUP BY q.q_id, e.vec_id),
+       |adc AS (SELECT q_id, vec_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ds), (acc, x) -> acc + x)
+       |      AS approx_d2
+       |  FROM adc0),
+       |r AS (SELECT q_id, vec_id, approx_d2,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY approx_d2 ASC, vec_id ASC) AS rk
+       |  FROM adc)
+       |SELECT q_id, rk, vec_id, approx_d2 FROM r WHERE rk <= 10
+       |ORDER BY q_id, rk""".stripMargin
+
+  val queries: Seq[GQuery] = Seq(
+    GQuery("q83_repetition_stats", q83, Some(q83Sql), Seq("A16", "A17", "F11")),
+    GQuery("q84_token_chunks", q84, Some(q84Sql), Seq("F11", "A17")),
+    GQuery("q85_pii_scrub", q85, Some(q85Sql), Seq("F1", "F11", "C12")),
+    GQuery("q86_domain_mixture", q86, Some(q86Sql), Seq("A17", "J6")),
+    GQuery("q87_pq_adc_ann", q87, Some(q87Sql), Seq("A16", "O1", "O4")))
+}

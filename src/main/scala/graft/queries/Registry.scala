@@ -17,7 +17,8 @@ object Registry {
   lazy val all: Seq[GQuery] =
     Relational.queries ++ WindowsQ.queries ++ TimeSeriesQ.queries ++
       TextQ.queries ++ SimilarityQ.queries ++ DomainQ.queries ++
-      DomainQ2.queries ++ ScaleQ.queries ++ FitQ.queries ++ CurationQ.queries
+      DomainQ2.queries ++ ScaleQ.queries ++ FitQ.queries ++ CurationQ.queries ++
+      CurationQ2.queries
 
   lazy val byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

@@ -76,6 +76,20 @@ class PlanContractSpec extends SparkSpecBase {
       s"q74 lost the partial window group limit:\n$p")
   }
 
+  test("argmin-assign windows pre-prune map-side (q55, q87)") {
+    // The IVF/PQ assignment windows (row_number over (vec[, subspace])
+    // filtered to rn = 1) are only scale-safe because
+    // InferWindowGroupLimit plants a Partial WindowGroupLimit below the
+    // exchange — each input partition ships ≤ 1 row per vector instead
+    // of the full vector×candidate fan-out (with its embedding arrays).
+    // Same mechanism q74 relies on for its language top-k.
+    Seq("q55_ivf_ann", "q87_pq_adc_ann").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+        s"$n lost the partial window group limit below the assign exchange:\n$p")
+    }
+  }
+
   test("partition-less windows only ever run over pre-reduced inputs") {
     // A Window with no partitionSpec moves its whole input to ONE partition.
     // That is only acceptable when the input has already been reduced by an
