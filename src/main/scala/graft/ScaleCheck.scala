@@ -73,7 +73,13 @@ object ScaleCheck {
       // plan growth
       "q32_lsh_neardup_pairs", "q62_simhash_neardup",
       // the wide-signature mitigation for q62's occupancy growth
-      "q78_simhash60_neardup")
+      "q78_simhash60_neardup",
+      // curation battery 2: repetition stats (two doc-grain shuffles),
+      // chunking (map-side explode), PII scrub (map-side regex), mixture
+      // weights (source-keyed agg + broadcast dim), PQ-ADC (broadcast
+      // codebook/probe tables, (q,vec)-keyed sum)
+      "q83_repetition_stats", "q84_token_chunks", "q85_pii_scrub",
+      "q86_domain_mixture", "q87_pq_adc_ann")
     val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", big)
     // warm
     SparkEntry.queries("q09_catalog_totals")(spark, dirs.head).count()

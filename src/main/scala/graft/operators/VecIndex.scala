@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persistent IVF vector index: the storage half of the ANN family.
+  *
+  * q55/q77/q80 demonstrate the SEARCH plan with the index built inline;
+  * at fleet scale an ANN index is not a query-local relation but a
+  * PARTITIONED TABLE — build once, then every search reads only its
+  * probed cells through partition pruning. This operator owns that
+  * lifecycle (the q76 lesson: queries over an index must not own
+  * corpus-sized state — the index lives in storage, partitioned, and
+  * the cell filter prunes at the file-listing level, so a search over a
+  * 100 TB corpus reads nprobe/k of it).
+  *
+  * Layout: `path/cid=N/part-*.parquet`, one directory per coarse cell,
+  * rows = (id, vec, norm). Search cost per probe = the probed cells'
+  * bytes only; the scan's PartitionFilters prove it (asserted by
+  * VecIndexSpec, not just documented).
+  */
+object VecIndex {
+
+  /** Assign every vector to its nearest-by-cosine centroid and persist
+    * partitioned by cell id. One broadcast join + the map-side-pruned
+    * assign window (InferWindowGroupLimit) + one partitioned write — no
+    * corpus-sized cache, no collect. */
+  def build(emb: DataFrame, idCol: String, vecCol: String,
+            centroids: DataFrame, path: String): Unit = {
+    val cents = centroids
+      .select(col("cid"), col("centroid").as("c_vec"))
+      .withColumn("c_norm", sqrt(callDot(col("c_vec"), col("c_vec"))))
+    val w = Window.partitionBy(col("__id")).orderBy(col("__cos").desc, col("cid").asc)
+    KMeans.prep(emb, idCol, vecCol)
+      .crossJoin(broadcast(cents))
+      .withColumn("__cos",
+        callDot(col("__v"), col("c_vec")) / (col("__norm") * col("c_norm")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__id").as(idCol), col("__v").as(vecCol),
+        col("__norm").as("norm"), col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+  }
+
+  def open(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** In-cell exact-cosine top-k over the persisted index.
+    *
+    * @param index  `open(...)` result
+    * @param probes (q_id, q_vec, q_cid) — the probe set with its cell
+    *               assignments (one row per (probe, probed cell) for
+    *               multi-probe). BOUNDED by definition of a probe batch;
+    *               its cell list is collected (tiny) to drive partition
+    *               pruning — the pushed `cid IN (...)` is what keeps the
+    *               scan to nprobe/k of the corpus. */
+  def search(index: DataFrame, probes: DataFrame,
+             idCol: String, vecCol: String, k: Int): DataFrame = {
+    val cells = probes.select(col("q_cid")).distinct()
+      .collect().map(_.get(0))
+    val pr = probes
+      .withColumn("q_norm", sqrt(callDot(col("q_vec"), col("q_vec"))))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+    index
+      // literal IN list → partition pruning at file listing; the
+      // broadcast-join residual below re-checks per-probe membership
+      .filter(col("cid").isin(cells: _*))
+      .join(broadcast(pr), col("cid") === col("q_cid") && col(idCol) =!= col("q_id"))
+      .withColumn("cos",
+        callDot(col(vecCol), col("q_vec")) / (col("norm") * col("q_norm")))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col(idCol), col("cos"))
+  }
+
+  /** Streaming-safe cell assignment: a map-side fold over the collected
+    * centroid array — no window and no aggregation on the vector stream,
+    * so it composes with any streaming sink (rank windows are illegal in
+    * streaming plans). Semantics match the window-based assign exactly:
+    * highest cosine wins, ties break toward the lowest cell id (the
+    * fold compares `struct(cos, -cid)` structs, so the comparison is
+    * one lexicographic op per centroid). Works on batch frames too —
+    * VecIndexSpec asserts batch equivalence against `KMeans.assign`. */
+  def assignFold(emb: DataFrame, idCol: String, vecCol: String,
+                 centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val centArr = centroids
+      .select(col("cid").cast("int").as("cid"), col("centroid").as("c_vec"))
+      .withColumn("c_norm", sqrt(callDot(col("c_vec"), col("c_vec"))))
+      .agg(collect_list(struct(col("cid"), col("c_vec"), col("c_norm"))).as("__cents"))
+    val init = struct(lit(Double.NegativeInfinity).as("cos"),
+      lit(Int.MinValue).as("neg"))
+    emb
+      .select(col(idCol), col(vecCol).cast(ArrayType(FloatType)).as(vecCol))
+      .withColumn("norm", sqrt(callDot(col(vecCol), col(vecCol))))
+      .filter(col("norm") > 0.0)
+      .crossJoin(broadcast(centArr))
+      .withColumn("__best", aggregate(col("__cents"), init, (acc, c) => {
+        val cand = struct(
+          (callDot(col(vecCol), c.getField("c_vec")) /
+            (col("norm") * c.getField("c_norm"))).as("cos"),
+          (-c.getField("cid")).as("neg"))
+        when(cand > acc, cand).otherwise(acc)
+      }))
+      .withColumn("cid", (-col("__best.neg")).cast("int"))
+      .withColumn("cos", col("__best.cos"))
+      .drop("__cents", "__best")
+  }
+
+  /** Incremental index maintenance: assign arriving vectors with
+    * [[assignFold]] and append them to the partitioned layout through
+    * the exactly-once parquet file sink. New rows land in their
+    * `cid=N/` directories, so searches over `open(path)` keep pruning
+    * correctly as the index grows — compaction stays an offline
+    * `build` rerun, exactly like any LSM-flavored index. */
+  def appendStream(embStream: DataFrame, idCol: String, vecCol: String,
+                   centroids: DataFrame, path: String,
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    assignFold(embStream, idCol, vecCol, centroids)
+      .select(col(idCol), col(vecCol), col("norm"), col("cid"))
+      .writeStream.format("parquet")
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("cid")
+      .outputMode("append")
+      .start(path)
+
+  private def callDot(a: Column, b: Column): Column =
+    call_function("float_dot", a, b)
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** The persistent IVF index's scale contracts: partitioned layout on
+  * disk, partition-pruned search scans, and search results identical to
+  * the inline in-cell plan (q55's shape) over the same assignments.
+  */
+class VecIndexSpec extends SparkSpecBase {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val path = {
+    val dir = java.nio.file.Files.createTempDirectory("vecindex").toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = KMeans.lloyd(emb, "vec_id", "embedding", k = 4, iters = 1)
+    VecIndex.build(emb, "vec_id", "embedding", cents, dir)
+    dir
+  }
+
+  test("build lays the index out partitioned by cell id") {
+    val cellDirs = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cid=")).sorted
+    assert(cellDirs.nonEmpty, "no cid= partition directories")
+    val idx = VecIndex.open(spark, path)
+    val nVec = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(idx.count() == nVec, "index row count != corpus size")
+    assert(idx.select(col("cid")).distinct().count() == cellDirs.length.toLong)
+  }
+
+  test("search prunes to the probed cells' partitions") {
+    val idx = VecIndex.open(spark, path)
+    val probes = idx.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("cid").as("q_cid"))
+    val res = VecIndex.search(idx, probes, "vec_id", "embedding", k = 5)
+    val scan = res.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cid"),
+      s"search scan is not partition-pruned on cid:\n$scan")
+    // the pushed filter must not be the trivial always-true one
+    assert(!scan.contains("PartitionFilters: []"),
+      s"empty partition filter — the whole index would be read:\n$scan")
+  }
+
+  test("search equals the inline in-cell exact plan") {
+    val idx = VecIndex.open(spark, path)
+    val probes = idx.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("cid").as("q_cid"))
+    val got = VecIndex.search(idx, probes, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    // reference: same cells, brute-force cosine rerank via DataFrame ops
+    val exact = idx.as("x").join(probes.as("p"),
+        col("x.cid") === col("p.q_cid") && col("x.vec_id") =!= col("p.q_id"))
+      .withColumn("cos",
+        call_function("float_dot", col("x.embedding"), col("p.q_vec")) /
+          (col("x.norm") * sqrt(call_function("float_dot", col("p.q_vec"), col("p.q_vec")))))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("x.vec_id").asc)))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("x.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(got.sameElements(exact), "persisted-index search diverged from inline plan")
+  }
+
+  test("assignFold matches the window-based assign on batch input") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = KMeans.lloyd(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val viaWindow = KMeans.assign(emb, "vec_id", "embedding", cents)
+      .select(col("vec_id"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    val viaFold = VecIndex.assignFold(emb, "vec_id", "embedding", cents)
+      .select(col("vec_id"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(viaFold.sameElements(viaWindow), "fold assign diverged from window assign")
+  }
+
+  test("appendStream lands new vectors in their cell partitions (exactly-once sink)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = KMeans.lloyd(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("vecappend").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("vecappend-ckpt").toString
+    val batch = emb.limit(32)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val q = VecIndex.appendStream(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      cents, dir, ckpt)
+    try {
+      input.addData(batch.take(16))
+      q.processAllAvailable()
+      input.addData(batch.drop(16))
+      q.processAllAvailable()
+    } finally q.stop()
+    val idx = VecIndex.open(spark, dir)
+    assert(idx.count() == 32, "streamed rows missing from the index")
+    val streamed = idx.select(col("vec_id"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    val expected = VecIndex.assignFold(emb.limit(32), "vec_id", "embedding", cents)
+      .select(col("vec_id"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(streamed.sameElements(expected), "streamed assignments diverged from batch")
+    val cellDirs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).count(_.startsWith("cid="))
+    assert(cellDirs >= 1, "no cid= partition directories in the streamed index")
+  }
+
+  test("multi-probe: a probe row per extra cell widens recall, stays pruned") {
+    val idx = VecIndex.open(spark, path)
+    // probe 0 searches its own cell plus cell (cid+1) mod nCells
+    val nCells = idx.select(col("cid")).distinct().count()
+    val base = idx.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("cid"))
+    val probes = base.select(col("q_id"), col("q_vec"), col("cid").as("q_cid"))
+      .unionByName(base.select(col("q_id"), col("q_vec"),
+        ((col("cid") + 1) % nCells).cast("int").as("q_cid")))
+    val single = VecIndex.search(idx,
+      probes.limit(1), "vec_id", "embedding", k = 50).count()
+    val multi = VecIndex.search(idx, probes, "vec_id", "embedding", k = 50).count()
+    assert(multi >= single, "multi-probe returned fewer candidates")
+  }
+}
