@@ -79,7 +79,10 @@ object ScaleCheck {
       // weights (source-keyed agg + broadcast dim), PQ-ADC (broadcast
       // codebook/probe tables, (q,vec)-keyed sum)
       "q83_repetition_stats", "q84_token_chunks", "q85_pii_scrub",
-      "q86_domain_mixture", "q87_pq_adc_ann")
+      "q86_domain_mixture", "q87_pq_adc_ann",
+      // the end-to-end curation pipeline (quality + decontam + LSH +
+      // keep-best CC + split in one DAG) — the heaviest single query
+      "q79_curation_e2e")
     val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", big)
     // warm
     SparkEntry.queries("q09_catalog_totals")(spark, dirs.head).count()
