@@ -78,47 +78,61 @@ object SimilarityQ {
                                        hinted: Boolean): DataFrame =
     lshNearDupPairsFrom(Tables.documents(s, d), hinted)
 
+  /** One row per doc: sorted distinct hashed token array + its size —
+    * the shared signature base of the batch LSH pipeline AND the
+    * streaming dedup-on-ingest path (both engines hash identically, so
+    * intersection/union counts are unchanged by hashing; sorted ONCE so
+    * verification merge-counts with `sorted_intersect_count`). */
+  private[graft] def hashedTokenSets(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("doc_id"),
+        array_sort(array_distinct(transform(array_distinct(tokens(col("text"))), strHash(_))))
+          .as("toks"))
+      .withColumn("n", size(col("toks")).cast(LongType))
+
+  /** MinHash k over a MATERIALIZED `toks` attribute — map-side array
+    * fold, no explode, no shuffle. */
+  private def mh(k: Int): Column = array_min(transform(col("toks"),
+    t => (lit(MinhashA(k)) * t + lit(MinhashB(k))) % P))
+
+  /** Deterministic band key (base-31 fold over the band's 4 minhashes). */
+  private def bucket(b: Int): Column = {
+    val ks = (4 * b until 4 * b + 4).map(mh)
+    (((ks(0) * 31L + ks(1) % P) % P * 31L + ks(2) % P) % P * 31L + ks(3) % P)
+  }
+
+  private[graft] val numBands = MinhashK / 4
+
+  /** Full band→bucket signature vector over a materialized `toks`
+    * attribute. Carrying the vector on every row is what lets candidate
+    * joins emit a pair only in its FIRST matching band — replacing a
+    * distinct() over the near-quadratic raw candidate set (batch q32)
+    * and replacing stateful dedup entirely in the streaming path. */
+  private[graft] def bucketVector: Column =
+    array((0 until numBands).map(bucket): _*)
+
+  /** "No earlier band matched" predicate between two signature vectors,
+    * spelled with element_at so the whole join condition stays inside
+    * whole-stage codegen. */
+  private[graft] def earlierBandMatch(xBuckets: Column, xBand: Column,
+                                      yBuckets: Column): Column =
+    (0 until numBands - 1).map(b =>
+      xBand > b && element_at(xBuckets, b + 1) === element_at(yBuckets, b + 1))
+      .reduce(_ || _)
+
   /** DataFrame-input form of the q32 pipeline (input: doc_id, text) —
     * the near-dup stage of `pipelines.Curation` runs over an already
     * filtered corpus, not a table path. */
   private[graft] def lshNearDupPairsFrom(corpus: DataFrame,
                                          hinted: Boolean): DataFrame = {
     def maybe(df: DataFrame): DataFrame = if (hinted) broadcast(df) else df
-    // One row per doc: hashed distinct-token array + its size. Both
-    // engines hash tokens identically, so intersection/union counts —
-    // and thus the compared output — are unchanged by hashing.
-    // Arrays sorted ONCE here so the per-pair verifier can merge-count
-    // with the zero-allocation sorted_intersect_count kernel; cardinality
-    // (and so Jaccard) is order-independent.
-    val docs = corpus
-      .select(col("doc_id"),
-        array_sort(array_distinct(transform(array_distinct(tokens(col("text"))), strHash(_))))
-          .as("toks"))
-      .withColumn("n", size(col("toks")).cast(LongType))
-      .cache()
-    // MinHash computed MAP-SIDE from the per-doc hashed token array —
-    // min over (a_k·h + b_k) mod p is an array fold, so the whole
-    // signature needs no explode and no shuffle (the equivalent
-    // exploded groupBy form is what q31 exposes as its own query).
-    def mh(k: Int): Column = array_min(transform(col("toks"),
-      t => (lit(MinhashA(k)) * t + lit(MinhashB(k))) % P))
-    // order inside band fixed by k: deterministic band key (base-31 fold)
-    def bucket(b: Int): Column = {
-      val ks = (4 * b until 4 * b + 4).map(mh)
-      (((ks(0) * 31L + ks(1) % P) % P * 31L + ks(2) % P) % P * 31L + ks(3) % P)
-    }
-    // One row per doc carrying its full band→bucket vector, re-exploded to
-    // (band, bucket) join rows. The vector lets the candidate join emit a
-    // pair ONLY in its first matching band — replacing a distinct() that
-    // would otherwise shuffle the near-quadratic raw candidate set.
-    val numBands = MinhashK / 4
+    val docs = hashedTokenSets(corpus).cache()
     // repartition: the docs scan is few partitions (small file), but this
     // row set is the probe side of the pair-generating join — the whole
     // candidate+verify codegen stage inherits ITS parallelism. 10k rows
     // shuffled so millions of pairs fan out across all cores.
     val sigv = docs
-      .select(col("doc_id"), col("n"),
-        array((0 until numBands).map(bucket): _*).as("buckets"))
+      .select(col("doc_id"), col("n"), bucketVector.as("buckets"))
       .select(col("doc_id"), col("n"), col("buckets"),
         posexplode(col("buckets")).as(Seq("band", "bucket")))
       // explicit N: AQE would coalesce a 10k-row shuffle to one partition
@@ -127,13 +141,8 @@ object SimilarityQ {
       // cost. Pin to the core count.
       .repartition(32, col("doc_id"))
       .cache()
-    // "No earlier band matched" spelled with element_at so the whole join
-    // condition stays inside whole-stage codegen (zip_with/array_position
-    // are interpreted higher-order functions — too slow per raw pair).
-    def bandEq(b: Int) =
-      element_at(col("x.buckets"), b + 1) === element_at(col("y.buckets"), b + 1)
-    val earlierMatch = (0 until numBands - 1).map(b =>
-      col("x.band") > b && bandEq(b)).reduce(_ || _)
+    val earlierMatch =
+      earlierBandMatch(col("x.buckets"), col("x.band"), col("y.buckets"))
     val cand = sigv.as("x").join(maybe(sigv.as("y")),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id") &&

@@ -166,6 +166,58 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("fingerprint")
   }
 
+  /** Dedup-on-ingest against a persisted corpus: the streaming analog of
+    * the q32 LSH pipeline. Arriving documents build the SAME MinHash
+    * band signature (map-side fold, shared definition in SimilarityQ),
+    * stream-static join the signature index on (band, bucket), and
+    * verify candidates with the exact sorted-intersect Jaccard — all
+    * STATELESS (no watermark state, append mode), because the
+    * first-matching-band trick dedups candidate pairs structurally
+    * instead of with a stateful distinct.
+    *
+    * @param docs  streaming (doc_id, text, …)
+    * @param index static signature relation from [[signatureIndex]] —
+    *              at fleet scale a bucketed table on (band, bucket)
+    * @return append-safe (doc_id, dup_of, n_inter, n_union, jaccard) —
+    *         one row per (new doc, matched corpus doc) at or above the
+    *         threshold; downstream routes matches to a reject/link sink */
+  def streamingNearDup(docs: DataFrame, index: DataFrame,
+                       threshold: Double = 0.5): DataFrame = {
+    import graft.queries.SimilarityQ
+    val sig = SimilarityQ.hashedTokenSets(docs)
+      .withColumn("buckets", SimilarityQ.bucketVector)
+      .select(col("doc_id"), col("toks"), col("n"), col("buckets"),
+        posexplode(col("buckets")).as(Seq("band_s", "bucket_s")))
+    val idx = index.select(col("doc_id").as("dup_of"), col("toks").as("toks_i"),
+      col("n").as("ni"), col("buckets").as("buckets_i"),
+      posexplode(col("buckets")).as(Seq("band_i", "bucket_i")))
+    val earlier = SimilarityQ.earlierBandMatch(
+      col("buckets"), col("band_s"), col("buckets_i"))
+    sig.join(idx,
+        col("band_s") === col("band_i") && col("bucket_s") === col("bucket_i") &&
+          col("doc_id") =!= col("dup_of") &&
+          least(col("n"), col("ni")) * 2 >= greatest(col("n"), col("ni")) &&
+          !earlier)
+      .withColumn("n_inter",
+        call_function("sorted_intersect_count", col("toks"), col("toks_i")).cast(LongType))
+      .withColumn("n_union", col("n") + col("ni") - col("n_inter"))
+      .withColumn("jaccard",
+        col("n_inter").cast(DoubleType) / col("n_union").cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("dup_of"), col("n_inter"), col("n_union"),
+        col("jaccard"))
+  }
+
+  /** The signature index [[streamingNearDup]] probes: one row per corpus
+    * doc with its hashed token set and band→bucket vector. Persist it
+    * (optionally bucketed on doc_id) and rebuild incrementally by
+    * appending the signatures of accepted new docs. */
+  def signatureIndex(corpus: DataFrame): DataFrame = {
+    import graft.queries.SimilarityQ
+    SimilarityQ.hashedTokenSets(corpus)
+      .withColumn("buckets", SimilarityQ.bucketVector)
+  }
+
   /** ST1 sink half: route a drained micro-batch — retrievals to the
     * completed table, failures appended to the dead-letter/retry table
     * (both idempotent by url, giving exactly-once completion markers). */
