@@ -352,10 +352,72 @@ object CurationQ2 {
        |SELECT q_id, rk, vec_id, approx_d2 FROM r WHERE rk <= 10
        |ORDER BY q_id, rk""".stripMargin
 
+  // ---------------------------------------------------------------- q88
+
+  /** Deterministic sequence packing: whole documents grouped into
+    * fixed-token context bins (ctx = 256) by a running token count over
+    * a hash-shuffled order — the document-contiguous packing step that
+    * turns a curated corpus into training sequences (q84 chunks WITHIN
+    * documents; this packs ACROSS them). A document whose span crosses
+    * a bin boundary overflows its bin (fill > 1) and is truncated at
+    * training time — the standard contiguous-packing tradeoff.
+    *
+    * Scale shape: packing is per (lang, shard) with shard = doc-hash
+    * bucket, so the running-sum window never sees more than one shard's
+    * rows — production sizes nShards ∝ corpus / target-partition-size;
+    * the per-shard cost of independent packing is at most one partial
+    * tail bin per shard. */
+  private def q88(s: SparkSession, d: String): DataFrame = {
+    val ctx = 256
+    val nShards = 4
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast(LongType).as("n_tok"))
+      .withColumn("shard",
+        (strHash(concat(lit("pack:"), col("doc_id").cast(StringType))) % nShards)
+          .cast(IntegerType))
+      .withColumn("h",
+        strHash(concat(lit("order:"), col("doc_id").cast(StringType))))
+    val w = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      // floor, not a bigint cast: DuckDB's double→int cast ROUNDS where
+      // Spark's truncates — FLOOR is the portable spelling
+      .withColumn("bin", floor((col("cum") - col("n_tok")) / lit(ctx.toDouble)))
+      .groupBy(col("lang"), col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("fill", col("n_tokens").cast(DoubleType) / lit(ctx.toDouble))
+      .orderBy(col("lang"), col("shard"), col("bin"))
+  }
+
+  private val q88Sql = {
+    val shardHash = sqlStrHash("'pack:' || CAST(doc_id AS VARCHAR)")
+    val orderHash = sqlStrHash("'order:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (SELECT doc_id, lang,
+       |    CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tok,
+       |    CAST($shardHash % 4 AS INT) AS shard,
+       |    $orderHash AS h
+       |  FROM documents),
+       |c AS (SELECT lang, shard, n_tok,
+       |    SUM(n_tok) OVER (PARTITION BY lang, shard ORDER BY h ASC, doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM d),
+       |b AS (SELECT lang, shard, n_tok,
+       |    CAST(FLOOR((cum - n_tok) / 256.0) AS BIGINT) AS bin FROM c)
+       |SELECT lang, shard, bin, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(n_tok) AS DOUBLE) / 256.0 AS fill
+       |FROM b GROUP BY lang, shard, bin
+       |ORDER BY lang, shard, bin""".stripMargin
+  }
+
   val queries: Seq[GQuery] = Seq(
     GQuery("q83_repetition_stats", q83, Some(q83Sql), Seq("A16", "A17", "F11")),
     GQuery("q84_token_chunks", q84, Some(q84Sql), Seq("F11", "A17")),
     GQuery("q85_pii_scrub", q85, Some(q85Sql), Seq("F1", "F11", "C12")),
     GQuery("q86_domain_mixture", q86, Some(q86Sql), Seq("A17", "J6")),
-    GQuery("q87_pq_adc_ann", q87, Some(q87Sql), Seq("A16", "O1", "O4")))
+    GQuery("q87_pq_adc_ann", q87, Some(q87Sql), Seq("A16", "O1", "O4")),
+    GQuery("q88_sequence_packing", q88, Some(q88Sql), Seq("W5", "A17", "F11")))
 }

@@ -77,6 +77,22 @@ class CurationQ2Spec extends SparkSpecBase {
     }
   }
 
+  test("q88: packing conserves every token and bins are contiguous per shard") {
+    val rows = run("q88_sequence_packing").collect()
+    val totalPacked = rows.map(_.getAs[Long]("n_tokens")).sum
+    val totalCorpus = graft.Tables.documents(spark, sf)
+      .select(sum(size(graft.functions.TextFunctions.tokens(col("text"))))
+        .cast("long")).collect()(0).getLong(0)
+    assert(totalPacked == totalCorpus, s"packing lost tokens: $totalPacked != $totalCorpus")
+    rows.groupBy(r => (r.getAs[String]("lang"), r.getAs[Int]("shard")))
+      .foreach { case (ls, rs) =>
+        val bins = rs.map(_.getAs[Long]("bin")).sorted
+        assert(bins.head == 0L, s"$ls: first bin is ${bins.head}")
+        assert(bins.zip(bins.tail).forall { case (a, b) => b == a + 1 },
+          s"$ls: bins not contiguous: ${bins.mkString(",")}")
+      }
+  }
+
   test("q87: ADC self-distance ranks a codebook vector first for its own probe") {
     // A probe IS a corpus vector, and ADC distance of a vector to itself
     // uses its own codes — the minimum possible ADC value for that probe.
