@@ -61,11 +61,18 @@ object CurationQ2 {
     val bgTop = bg.withColumn("rk", row_number().over(wBg))
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("bg").as("top_bigram"), col("btf").as("top_bg_tf"))
-    uniStats.join(bgTop, Seq("doc_id"))
+    // LEFT join: a 1-token document has no bigram row but still needs a
+    // verdict (it is maximally repetitive on the unigram axis — an inner
+    // join would silently exempt it from filtering)
+    uniStats.join(bgTop, Seq("doc_id"), "left")
+      .withColumn("top_bigram", coalesce(col("top_bigram"), lit("")))
+      .withColumn("top_bg_tf", coalesce(col("top_bg_tf"), lit(0L)))
       .withColumn("top_frac",
         col("top_tf").cast(DoubleType) / col("n_tokens").cast(DoubleType))
       .withColumn("bg_frac",
-        col("top_bg_tf").cast(DoubleType) / (col("n_tokens") - 1).cast(DoubleType))
+        when(col("n_tokens") > 1,
+          col("top_bg_tf").cast(DoubleType) / (col("n_tokens") - 1).cast(DoubleType))
+          .otherwise(0.0))
       .withColumn("distinct_ratio",
         col("n_distinct").cast(DoubleType) / col("n_tokens").cast(DoubleType))
       .withColumn("repetition_pass",
@@ -96,11 +103,14 @@ object CurationQ2 {
        |    FROM btf) WHERE rk = 1),
        |j AS (SELECT s.doc_id AS doc_id, n_tokens, n_distinct, top_term, top_tf,
        |    CAST(top_tf AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_frac,
-       |    top_bigram, top_bg_tf,
-       |    CAST(top_bg_tf AS DOUBLE) / CAST(n_tokens - 1 AS DOUBLE) AS bg_frac,
+       |    COALESCE(top_bigram, '') AS top_bigram,
+       |    COALESCE(top_bg_tf, 0) AS top_bg_tf,
+       |    CASE WHEN n_tokens > 1
+       |      THEN CAST(COALESCE(top_bg_tf, 0) AS DOUBLE) / CAST(n_tokens - 1 AS DOUBLE)
+       |      ELSE 0.0 END AS bg_frac,
        |    CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_ratio
        |  FROM stats s JOIN unitop u ON s.doc_id = u.doc_id
-       |       JOIN bgtop b ON s.doc_id = b.doc_id)
+       |       LEFT JOIN bgtop b ON s.doc_id = b.doc_id)
        |SELECT doc_id, n_tokens, n_distinct, top_term, top_tf, top_frac,
        |  top_bigram, top_bg_tf, bg_frac, distinct_ratio,
        |  (top_frac <= 0.15 AND bg_frac <= 0.08 AND distinct_ratio >= 0.25) AS repetition_pass
@@ -123,6 +133,11 @@ object CurationQ2 {
       .filter(col("n") > 0)
       .select(col("doc_id"), col("tk"), col("n"),
         explode(sequence(lit(0), col("n") - 1, lit(stride))).as("start"))
+      // drop degenerate tails: a start within the previous chunk's
+      // overlap region (start + size − stride ≥ n) yields a chunk that
+      // is a strict suffix of the previous one — a duplicate training
+      // sequence, not new coverage
+      .filter(col("start") === 0 || col("start") + lit(size_ - stride) < col("n"))
       .withColumn("chunk_idx", (col("start") / stride).cast(IntegerType))
       .withColumn("chunk", slice(col("tk"), col("start") + 1, lit(size_)))
       .withColumn("chunk_text", concat_ws(" ", col("chunk")))
@@ -137,7 +152,8 @@ object CurationQ2 {
   private val q84Sql =
     s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS tk FROM documents),
        |w AS (SELECT doc_id, tk, len(tk) AS n FROM tk WHERE len(tk) > 0),
-       |st AS (SELECT doc_id, tk, n, unnest(range(0, n, 24)) AS start FROM w),
+       |st0 AS (SELECT doc_id, tk, n, unnest(range(0, n, 24)) AS start FROM w),
+       |st AS (SELECT * FROM st0 WHERE start = 0 OR start + 8 < n),
        |ch AS (SELECT doc_id, CAST(start // 24 AS INT) AS chunk_idx,
        |    CAST(start AS INT) AS start,
        |    list_slice(tk, start + 1, least(start + 32, n)) AS chunk

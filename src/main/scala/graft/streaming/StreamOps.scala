@@ -188,16 +188,27 @@ object StreamOps {
       .withColumn("buckets", SimilarityQ.bucketVector)
       .select(col("doc_id"), col("toks"), col("n"), col("buckets"),
         posexplode(col("buckets")).as(Seq("band_s", "bucket_s")))
-    val idx = index.select(col("doc_id").as("dup_of"), col("toks").as("toks_i"),
+    // signatures ONLY in the exploded band relation — the token arrays
+    // would otherwise ride every one of the numBands copies per corpus
+    // doc (the same array-shuffle hazard the batch pipeline avoids by
+    // splitting sigv from docs); candidates join the token sets back
+    // from the un-exploded index below, after the band match prunes
+    val idx = index.select(col("doc_id").as("dup_of"),
       col("n").as("ni"), col("buckets").as("buckets_i"),
       posexplode(col("buckets")).as(Seq("band_i", "bucket_i")))
     val earlier = SimilarityQ.earlierBandMatch(
       col("buckets"), col("band_s"), col("buckets_i"))
+    // size-ratio prune derived from the threshold (jaccard ≤ min/max, so
+    // min < t·max can never reach t) — a hardcoded 0.5 bound would
+    // silently drop true matches for any lower threshold
+    val sizePrune = least(col("n"), col("ni")).cast(DoubleType) >=
+      lit(threshold) * greatest(col("n"), col("ni")).cast(DoubleType)
     sig.join(idx,
         col("band_s") === col("band_i") && col("bucket_s") === col("bucket_i") &&
-          col("doc_id") =!= col("dup_of") &&
-          least(col("n"), col("ni")) * 2 >= greatest(col("n"), col("ni")) &&
-          !earlier)
+          col("doc_id") =!= col("dup_of") && sizePrune && !earlier)
+      .select(col("doc_id"), col("toks"), col("n"), col("dup_of"), col("ni"))
+      .join(index.select(col("doc_id").as("dup_of"), col("toks").as("toks_i")),
+        Seq("dup_of"))
       .withColumn("n_inter",
         call_function("sorted_intersect_count", col("toks"), col("toks_i")).cast(LongType))
       .withColumn("n_union", col("n") + col("ni") - col("n_inter"))

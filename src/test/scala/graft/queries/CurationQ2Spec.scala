@@ -43,22 +43,32 @@ class CurationQ2Spec extends SparkSpecBase {
     }
   }
 
-  test("q85: scrubbing is idempotent and removes every detected match") {
-    // Re-scrubbing the scrubbed text must find zero PII: run the same
-    // injection + scrub chain, then count matches on the output.
+  test("q85: scrubbing removes every detected match for BOTH patterns") {
+    // Rebuild the exact q85 chain (both injections, both scrub passes in
+    // order) and assert the scrubbed text carries zero residual matches
+    // of either pattern — the full-chain idempotence contract.
     val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phonePat = "[0-9]{3}-[0-9]{4}"
     val out = run("q85_pii_scrub").collect()
     assert(out.nonEmpty)
-    // Rebuild scrubbed text independently and assert no residual matches.
+    assert(out.exists(_.getAs[Long]("n_phones") > 0),
+      "fixture produced no phone injections — phone path untested")
     val docs = graft.Tables.documents(spark, sf)
       .withColumn("text2", concat(col("text"),
         when(col("doc_id") % 7 === 0,
           concat(lit(" contact admin"), col("doc_id").cast("string"),
-            lit("@example.com now"))).otherwise("")))
-      .withColumn("scrubbed", regexp_replace(col("text2"), emailPat, "<EMAIL>"))
-      .withColumn("residual", regexp_count(col("scrubbed"), lit(emailPat)))
+            lit("@example.com now"))).otherwise(""),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise("")))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col("text2"), emailPat, "<EMAIL>"),
+          phonePat, "<PHONE>"))
+      .withColumn("residual",
+        regexp_count(col("scrubbed"), lit(emailPat)) +
+          regexp_count(col("scrubbed"), lit(phonePat)))
     assert(docs.agg(sum(col("residual"))).collect()(0).getLong(0) == 0L,
-      "scrub left a matchable email behind")
+      "scrub left a matchable email or phone behind")
   }
 
   test("q86: shares sum to 1 and epochs-vs-weight arithmetic holds") {
@@ -86,10 +96,16 @@ class CurationQ2Spec extends SparkSpecBase {
     assert(totalPacked == totalCorpus, s"packing lost tokens: $totalPacked != $totalCorpus")
     rows.groupBy(r => (r.getAs[String]("lang"), r.getAs[Int]("shard")))
       .foreach { case (ls, rs) =>
-        val bins = rs.map(_.getAs[Long]("bin")).sorted
-        assert(bins.head == 0L, s"$ls: first bin is ${bins.head}")
-        assert(bins.zip(bins.tail).forall { case (a, b) => b == a + 1 },
-          s"$ls: bins not contiguous: ${bins.mkString(",")}")
+        val byBin = rs.map(r => r.getAs[Long]("bin") -> r.getAs[Long]("n_tokens"))
+          .sortBy(_._1)
+        assert(byBin.head._1 == 0L, s"$ls: first bin is ${byBin.head._1}")
+        // a doc spanning multiple full contexts overflows its bin
+        // (fill > 1) and legitimately skips bins — a gap is only legal
+        // after a bin that overflowed by at least the gap's width
+        byBin.zip(byBin.tail).foreach { case ((a, aTok), (b, _)) =>
+          assert(b == a + 1 || aTok > (b - a) * 256L,
+            s"$ls: gap $a→$b not explained by overflow (bin $a holds $aTok tokens)")
+        }
       }
   }
 
