@@ -37,17 +37,23 @@ object Curation {
       trainBuckets: Int = 8, // of 10: 8/1/1 train/val/test
       splitSalt: String = "split:")
 
-  /** @param docs      corpus (doc_id, text, …) — extra columns pass through
-    * @param benchmark eval-suite documents (doc_id, text)
-    * @return one row per corpus doc with quality, contam_ratio,
-    *         component, the three verdicts, `split`, and `keep` */
-  def curate(docs: DataFrame, benchmark: DataFrame, cfg: Config = Config()): DataFrame = {
+  /** Shared scoring stage (quality + contamination verdicts) — the
+    * map-side front of both the full and the incremental pipeline.
+    * Returned PERSISTED: every caller fans out into multiple consumers
+    * (near-dup pair generation, the keep-best side, the failed branch)
+    * that would each re-run the tokenize + shingle + benchmark-intersect
+    * chain (measured 10.6 s → 4 s at sf0.1). At fleet scale this is the
+    * point where a corpus pipeline WRITES the scored relation to
+    * storage between stages — a persisted intermediate is the honest
+    * in-session analog, unlike a query-side corpus cache (the q76
+    * lesson: queries over an index must not own corpus-sized state). */
+  private def score(docs: DataFrame, benchmark: DataFrame, cfg: Config): DataFrame = {
     val (nTokens, sumLen, nStop, nPunct) = qualityCounters(col("tk"), col("text"))
     val benchArr = benchmark
       .select(tokens(col("text")).as("tk"))
       .select(explode(wordShingles3(col("tk"))).as("h")).distinct()
       .agg(array_sort(collect_set(col("h"))).as("bench_sh"))
-    val scored = docs
+    docs
       .withColumn("tk", tokens(col("text")))
       .withColumn("quality", qualityScore(nTokens, sumLen, nStop, nPunct))
       .withColumn("sh", wordShingles3(col("tk")))
@@ -62,15 +68,15 @@ object Curation {
       .drop("sh", "bench_sh", "n_overlap")
       .withColumn("quality_pass", col("quality") >= cfg.minQuality)
       .withColumn("contam_pass", col("contam_ratio") <= cfg.maxContamRatio)
-      // Stage boundary, materialized: three consumers (near-dup pair
-      // generation, the keep-best side, the failed branch) would each
-      // re-run the tokenize + shingle + benchmark-intersect chain
-      // (measured 10.6 s → 4 s at sf0.1). At fleet scale this is the
-      // point where a corpus pipeline WRITES the scored relation to
-      // storage between stages — a persisted intermediate is the honest
-      // in-session analog, unlike a query-side corpus cache (the q76
-      // lesson: queries over an index must not own corpus-sized state).
       .persist()
+  }
+
+  /** @param docs      corpus (doc_id, text, …) — extra columns pass through
+    * @param benchmark eval-suite documents (doc_id, text)
+    * @return one row per corpus doc with quality, contam_ratio,
+    *         component, the three verdicts, `split`, and `keep` */
+  def curate(docs: DataFrame, benchmark: DataFrame, cfg: Config = Config()): DataFrame = {
+    val scored = score(docs, benchmark, cfg)
     val candidates = scored.filter(col("quality_pass") && col("contam_pass"))
     val pairs = graft.queries.SimilarityQ
       .lshNearDupPairsFrom(candidates.select(col("doc_id"), col("text")), hinted = true)
@@ -81,13 +87,95 @@ object Curation {
     val failed = scored.filter(!(col("quality_pass") && col("contam_pass")))
       .withColumn("component", col("doc_id"))
       .withColumn("dedup_keep", lit(false))
+    finalizeDecisions(kept.unionByName(failed), cfg)
+  }
+
+  /** keep + deterministic split over assembled verdict rows — one
+    * definition shared by the full and incremental pipelines. */
+  private def finalizeDecisions(rows: DataFrame, cfg: Config): DataFrame = {
     val h = strHash(concat(lit(cfg.splitSalt), col("doc_id").cast(StringType))) % 10
-    kept.unionByName(failed)
+    rows
       .withColumn("keep", col("quality_pass") && col("contam_pass") && col("dedup_keep"))
       .withColumn("split",
         when(!col("keep"), lit(null).cast(StringType))
           .when(h < cfg.trainBuckets, "train")
           .when(h === cfg.trainBuckets, "val")
           .otherwise("test"))
+  }
+
+  private val DecisionCols = Seq("doc_id", "quality", "contam_ratio",
+    "quality_pass", "contam_pass", "component", "dedup_keep", "keep", "split")
+
+  /** Daily-delta curation: yesterday's decision table + today's new
+    * documents → the updated decision table, recomputing ONLY the new
+    * docs and the existing components they touch. The incremental run
+    * never re-reads old corpus text: old docs participate through the
+    * persisted signature index (near-dup pairing) and their prior
+    * decision rows (quality for keep-best, flags for assembly) — daily
+    * work is ∝ new data + touched components, not corpus size.
+    *
+    * Equivalence contract (asserted by IncrementalCurationSpec):
+    * `curateIncremental(curate(A), index(A-candidates), B)` row-equals
+    * `curate(A ∪ B)`. It holds because (a) scoring is per-doc, (b) LSH
+    * band signatures are per-doc, so A-internal pairs are unchanged and
+    * A–B pairs are exactly the index probes, and (c) connectivity of
+    * touched components is preserved by star edges (member → component
+    * id): a component's min id always survives as its own label.
+    *
+    * @param prev      prior decision table (the 9 decision columns;
+    *                  doc ids disjoint from `newDocs`)
+    * @param prevIndex `StreamOps.signatureIndex` over the prior run's
+    *                  CANDIDATES (docs passing quality + contamination)
+    * @param newDocs   today's arrivals (doc_id, text)
+    * @param benchmark the SAME eval-suite set the prior run used */
+  def curateIncremental(prev: DataFrame, prevIndex: DataFrame,
+                        newDocs: DataFrame, benchmark: DataFrame,
+                        cfg: Config = Config()): DataFrame = {
+    val scored = score(newDocs, benchmark, cfg)
+    val candNew = scored.filter(col("quality_pass") && col("contam_pass"))
+    val pairsNewNew = graft.queries.SimilarityQ
+      .lshNearDupPairsFrom(candNew.select(col("doc_id"), col("text")), hinted = true)
+      .filter(col("jaccard") >= cfg.jaccardThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    val pairsNewOld = graft.streaming.StreamOps
+      .streamingNearDup(candNew.select(col("doc_id"), col("text")), prevIndex,
+        cfg.jaccardThreshold)
+      .select(col("doc_id").as("doc_a"), col("dup_of").as("doc_b"))
+      .persist() // consumed by the affected-component scan AND the edge set
+    val prevCand = prev.filter(col("quality_pass") && col("contam_pass"))
+    val affected = pairsNewOld.select(col("doc_b").as("doc_id")).distinct()
+      .join(prevCand.select(col("doc_id"), col("component")), Seq("doc_id"))
+      .select(col("component")).distinct()
+    val touchedOld = prevCand.join(affected, Seq("component"))
+      .select(col("doc_id"), col("quality"), col("component"),
+        col("contam_ratio"), col("quality_pass"), col("contam_pass"))
+      .persist()
+    // star edges preserve old-component connectivity without re-verifying
+    // old-old pairs: the component id IS a member (its min), so
+    // member→component edges reproduce the original component exactly
+    val starEdges = touchedOld.filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as("doc_a"), col("component").as("doc_b"))
+    val allPairs = pairsNewNew.unionByName(pairsNewOld).unionByName(starEdges)
+    val members = candNew.select(col("doc_id"), col("quality"))
+      .unionByName(touchedOld.select(col("doc_id"), col("quality")))
+    val kept = graft.operators.DedupGroups
+      .keepBest(members, "doc_id", "quality", allPairs, "doc_a", "doc_b")
+      .withColumnRenamed("keep", "dedup_keep")
+      .persist() // consumed by the new-rows and old-rows assemblies
+    val keptNew = kept.join(candNew.select(col("doc_id"), col("contam_ratio"),
+      col("quality_pass"), col("contam_pass")), Seq("doc_id"))
+    val keptOld = kept.join(touchedOld.select(col("doc_id"), col("contam_ratio"),
+      col("quality_pass"), col("contam_pass")), Seq("doc_id"))
+    val failedNew = scored
+      .filter(!(col("quality_pass") && col("contam_pass")))
+      .select(col("doc_id"), col("quality"), col("contam_ratio"),
+        col("quality_pass"), col("contam_pass"))
+      .withColumn("component", col("doc_id"))
+      .withColumn("dedup_keep", lit(false))
+    val untouchedOld = prev
+      .join(touchedOld.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    finalizeDecisions(keptNew.unionByName(keptOld).unionByName(failedNew), cfg)
+      .select(DecisionCols.map(col): _*)
+      .unionByName(untouchedOld.select(DecisionCols.map(col): _*))
   }
 }
