@@ -79,8 +79,8 @@ object Curation {
     val scored = score(docs, benchmark, cfg)
     val candidates = scored.filter(col("quality_pass") && col("contam_pass"))
     val pairs = graft.queries.SimilarityQ
-      .lshNearDupPairsFrom(candidates.select(col("doc_id"), col("text")), hinted = true)
-      .filter(col("jaccard") >= cfg.jaccardThreshold)
+      .lshNearDupPairsFrom(candidates.select(col("doc_id"), col("text")),
+        hinted = true, threshold = cfg.jaccardThreshold)
     val kept = graft.operators.DedupGroups
       .keepBest(candidates, "doc_id", "quality", pairs, "doc_a", "doc_b")
       .withColumnRenamed("keep", "dedup_keep")
@@ -103,7 +103,10 @@ object Curation {
           .otherwise("test"))
   }
 
-  private val DecisionCols = Seq("doc_id", "quality", "contam_ratio",
+  /** The decision-table schema — the one definition q89 and the
+    * equivalence spec select against (drift between the three call
+    * sites would silently narrow the cross-engine compare). */
+  private[graft] val DecisionCols = Seq("doc_id", "quality", "contam_ratio",
     "quality_pass", "contam_pass", "component", "dedup_keep", "keep", "split")
 
   /** Daily-delta curation: yesterday's decision table + today's new
@@ -122,8 +125,16 @@ object Curation {
     * touched components is preserved by star edges (member → component
     * id): a component's min id always survives as its own label.
     *
+    * The persisted intermediates (score(), pair sets, keep decisions)
+    * stay cached for the session; a long-lived daily driver should
+    * `spark.catalog.clearCache()` after materializing each run's output
+    * (the Bench/Verify harnesses already do).
+    *
     * @param prev      prior decision table (the 9 decision columns;
-    *                  doc ids disjoint from `newDocs`)
+    *                  doc ids disjoint from `newDocs`), produced with
+    *                  the SAME cfg — a changed quality bar, threshold,
+    *                  split salt, or bucket count would silently mix
+    *                  two policies in one table
     * @param prevIndex `StreamOps.signatureIndex` over the prior run's
     *                  CANDIDATES (docs passing quality + contamination)
     * @param newDocs   today's arrivals (doc_id, text)
@@ -134,8 +145,8 @@ object Curation {
     val scored = score(newDocs, benchmark, cfg)
     val candNew = scored.filter(col("quality_pass") && col("contam_pass"))
     val pairsNewNew = graft.queries.SimilarityQ
-      .lshNearDupPairsFrom(candNew.select(col("doc_id"), col("text")), hinted = true)
-      .filter(col("jaccard") >= cfg.jaccardThreshold)
+      .lshNearDupPairsFrom(candNew.select(col("doc_id"), col("text")),
+        hinted = true, threshold = cfg.jaccardThreshold)
       .select(col("doc_a"), col("doc_b"))
     val pairsNewOld = graft.streaming.StreamOps
       .streamingNearDup(candNew.select(col("doc_id"), col("text")), prevIndex,
@@ -162,10 +173,13 @@ object Curation {
       .keepBest(members, "doc_id", "quality", allPairs, "doc_a", "doc_b")
       .withColumnRenamed("keep", "dedup_keep")
       .persist() // consumed by the new-rows and old-rows assemblies
-    val keptNew = kept.join(candNew.select(col("doc_id"), col("contam_ratio"),
-      col("quality_pass"), col("contam_pass")), Seq("doc_id"))
-    val keptOld = kept.join(touchedOld.select(col("doc_id"), col("contam_ratio"),
-      col("quality_pass"), col("contam_pass")), Seq("doc_id"))
+    // one flag source for both member kinds — new candidates and touched
+    // old docs contribute the same flag columns
+    val flags = candNew.select(col("doc_id"), col("contam_ratio"),
+        col("quality_pass"), col("contam_pass"))
+      .unionByName(touchedOld.select(col("doc_id"), col("contam_ratio"),
+        col("quality_pass"), col("contam_pass")))
+    val keptRows = kept.join(flags, Seq("doc_id"))
     val failedNew = scored
       .filter(!(col("quality_pass") && col("contam_pass")))
       .select(col("doc_id"), col("quality"), col("contam_ratio"),
@@ -174,7 +188,7 @@ object Curation {
       .withColumn("dedup_keep", lit(false))
     val untouchedOld = prev
       .join(touchedOld.select(col("doc_id")), Seq("doc_id"), "left_anti")
-    finalizeDecisions(keptNew.unionByName(keptOld).unionByName(failedNew), cfg)
+    finalizeDecisions(keptRows.unionByName(failedNew), cfg)
       .select(DecisionCols.map(col): _*)
       .unionByName(untouchedOld.select(DecisionCols.map(col): _*))
   }

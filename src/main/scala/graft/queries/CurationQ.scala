@@ -426,7 +426,10 @@ object CurationQ {
       .orderBy(col("doc_id"))
   }
 
-  private val q79Sql = {
+  // shared with q89: the incremental pipeline is PROVEN row-equal to the
+  // full rerun (IncrementalCurationSpec), so both paths verify against
+  // the same full-corpus oracle
+  private[queries] val q79Sql = {
     val qual =
       """CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.25
         |    + (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 2.0

@@ -429,11 +429,42 @@ object CurationQ2 {
        |ORDER BY lang, shard, bin""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q89
+
+  /** The INCREMENTAL curation pipeline under the driver's oracle gate:
+    * run yesterday's full pipeline over 75% of the corpus (doc_id % 4
+    * ≠ 0), build the candidate signature index, then process the
+    * remaining 25% as today's delta with
+    * `Curation.curateIncremental` — scoring only new docs, pairing them
+    * against the index, rebuilding only touched components.
+    *
+    * The oracle is q79's full-corpus SQL VERBATIM: the incremental path
+    * is proven row-equal to the full rerun (IncrementalCurationSpec),
+    * so DuckDB independently re-derives the same decision table from
+    * scratch — the strongest cross-engine check the delta path can get. */
+  private def q89(s: SparkSession, d: String): DataFrame = {
+    val all = Tables.documents(s, d)
+    val a = all.filter(col("doc_id") % 4 =!= 0)
+    val b = all.filter(col("doc_id") % 4 === 0)
+    val bench = all.filter(col("doc_id") % 50 === 0).select("doc_id", "text")
+    val cfg = graft.pipelines.Curation.Config(minQuality = 2.95)
+    val cols = graft.pipelines.Curation.DecisionCols
+    val prev = graft.pipelines.Curation.curate(a, bench, cfg)
+      .select(cols.head, cols.tail: _*).cache()
+    val prevIndex = graft.streaming.StreamOps.signatureIndex(
+      a.join(prev.filter(col("quality_pass") && col("contam_pass"))
+        .select("doc_id"), Seq("doc_id"))).cache()
+    graft.pipelines.Curation.curateIncremental(prev, prevIndex, b, bench, cfg)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Seq[GQuery] = Seq(
     GQuery("q83_repetition_stats", q83, Some(q83Sql), Seq("A16", "A17", "F11")),
     GQuery("q84_token_chunks", q84, Some(q84Sql), Seq("F11", "A17")),
     GQuery("q85_pii_scrub", q85, Some(q85Sql), Seq("F1", "F11", "C12")),
     GQuery("q86_domain_mixture", q86, Some(q86Sql), Seq("A17", "J6")),
     GQuery("q87_pq_adc_ann", q87, Some(q87Sql), Seq("A16", "O1", "O4")),
-    GQuery("q88_sequence_packing", q88, Some(q88Sql), Seq("W5", "A17", "F11")))
+    GQuery("q88_sequence_packing", q88, Some(q88Sql), Seq("W5", "A17", "F11")),
+    GQuery("q89_incremental_curation", q89, Some(CurationQ.q79Sql),
+      Seq("A16", "W2", "U3", "F11")))
 }

@@ -122,9 +122,15 @@ object SimilarityQ {
 
   /** DataFrame-input form of the q32 pipeline (input: doc_id, text) —
     * the near-dup stage of `pipelines.Curation` runs over an already
-    * filtered corpus, not a table path. */
+    * filtered corpus, not a table path. `threshold` drives BOTH the
+    * in-join size-ratio prune (jaccard ≤ min/max, so min < t·max can
+    * never reach t) and the verification filter, so every consumer
+    * judges pairs at one threshold (for t = 0.5 the prune is exactly
+    * the historical `least·2 ≥ greatest` integer form). */
   private[graft] def lshNearDupPairsFrom(corpus: DataFrame,
-                                         hinted: Boolean): DataFrame = {
+                                         hinted: Boolean,
+                                         threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]; got $threshold")
     def maybe(df: DataFrame): DataFrame = if (hinted) broadcast(df) else df
     val docs = hashedTokenSets(corpus).cache()
     // repartition: the docs scan is few partitions (small file), but this
@@ -143,11 +149,11 @@ object SimilarityQ {
       .cache()
     val earlierMatch =
       earlierBandMatch(col("x.buckets"), col("x.band"), col("y.buckets"))
+    val sizePrune = least(col("x.n"), col("y.n")).cast(DoubleType) >=
+      lit(threshold) * greatest(col("x.n"), col("y.n")).cast(DoubleType)
     val cand = sigv.as("x").join(maybe(sigv.as("y")),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id") &&
-          least(col("x.n"), col("y.n")) * 2 >= greatest(col("x.n"), col("y.n")) &&
-          !earlierMatch)
+          col("x.doc_id") < col("y.doc_id") && sizePrune && !earlierMatch)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
     // n_union = na + nb − n_inter avoids materializing the union array.
     // The monotonically_increasing_id column (dropped before output) is a
@@ -165,7 +171,7 @@ object SimilarityQ {
         call_function("sorted_intersect_count", col("toks_a"), col("toks_b")).cast(LongType))
       .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
       .withColumn("jaccard", col("n_inter").cast(DoubleType) / col("n_union").cast(DoubleType))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= threshold)
     verified.select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }

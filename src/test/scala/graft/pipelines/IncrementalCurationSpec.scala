@@ -12,8 +12,7 @@ import org.apache.spark.sql.functions._
   */
 class IncrementalCurationSpec extends SparkSpecBase {
   private val sf = "/root/testdata/sf0.001"
-  private val cols = Seq("doc_id", "quality", "contam_ratio", "quality_pass",
-    "contam_pass", "component", "dedup_keep", "keep", "split")
+  private val cols = Curation.DecisionCols
 
   test("incremental(A then B) row-equals full curate(A ∪ B)") {
     val all = spark.read.parquet(s"$sf/documents.parquet")
@@ -39,7 +38,50 @@ class IncrementalCurationSpec extends SparkSpecBase {
     inc.zip(full).zipWithIndex.find { case ((i, f), _) => i != f }.foreach {
       case ((i, f), idx) => fail(s"first divergence at $idx:\ninc =$i\nfull=$f")
     }
-    assert(inc.sameElements(full))
+  }
+
+  test("a new doc merging TWO old components matches the full rerun (t = 0.4)") {
+    import spark.implicits._
+    // Hand-built corpus: A-components {1,2} (tokens x) and {3,4}
+    // (x1..x10 ∪ y) overlap at jaccard 10/30 = 0.33 — BELOW threshold,
+    // so they stay separate in the prior run. The B doc holds x ∪ y:
+    // jaccard 20/30 ≈ 0.67 to each side, high enough for the 2×4
+    // MinHash bands to collide, so it merges both old components.
+    // Threshold 0.4 (non-default) proves the parameter reaches every
+    // pair path consistently.
+    // token names chosen so the band argmins of B fall in both halves
+    // (checked against the shared hash constants — deterministic forever)
+    val x = (1 to 20).map(i => s"x$i")
+    val y = (1 to 10).map(i => s"y$i")
+    val a3Tokens = x.take(10) ++ y
+    val bTokens = x ++ y
+    val mk = (id: Long, toks: Seq[String]) => (id, toks.mkString(" "))
+    val a = Seq(mk(1, x), mk(2, x), mk(3, a3Tokens), mk(4, a3Tokens),
+      mk(5, (1 to 20).map(i => s"gamma$i"))).toDF("doc_id", "text")
+    val b = Seq(mk(101, bTokens)).toDF("doc_id", "text")
+    val bench = Seq((900L, "nothing shared here at all")).toDF("doc_id", "text")
+    val cfg = Curation.Config(minQuality = -1e9, jaccardThreshold = 0.4)
+
+    val full = Curation.curate(a.unionByName(b), bench, cfg)
+      .select(cols.head, cols.tail: _*).collect().map(_.toString).sorted
+    val prev = Curation.curate(a, bench, cfg)
+      .select(cols.head, cols.tail: _*).cache()
+    val prevIndex = StreamOps.signatureIndex(
+      a.join(prev.filter(col("quality_pass") && col("contam_pass"))
+        .select("doc_id"), Seq("doc_id"))).cache()
+    val inc = Curation.curateIncremental(prev, prevIndex, b, bench, cfg)
+      .select(cols.head, cols.tail: _*).collect().map(_.toString).sorted
+    assert(inc.sameElements(full),
+      s"merge divergence:\ninc =${inc.mkString(";")}\nfull=${full.mkString(";")}")
+    // the prior run really had TWO components, and the merge really
+    // happened: docs 1-4 and 101 share one component after the delta
+    val prevComps = prev.filter(col("doc_id").isin(1L, 2L, 3L, 4L))
+      .select(col("component")).distinct().count()
+    assert(prevComps == 2L, s"fixture broke: prior run has $prevComps comps, want 2")
+    val comps = Curation.curate(a.unionByName(b), bench, cfg)
+      .filter(col("doc_id").isin(1L, 2L, 3L, 4L, 101L))
+      .select(col("component")).distinct().count()
+    assert(comps == 1L, s"expected one merged component, got $comps")
   }
 
   test("the delta actually links across the A/B boundary (non-vacuous)") {
