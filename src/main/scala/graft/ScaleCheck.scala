@@ -82,7 +82,9 @@ object ScaleCheck {
       "q86_domain_mixture", "q87_pq_adc_ann",
       // the end-to-end curation pipeline (quality + decontam + LSH +
       // keep-best CC + split in one DAG) — the heaviest single query
-      "q79_curation_e2e")
+      "q79_curation_e2e",
+      // sharded sequence packing; the incremental (prev + delta) pipeline
+      "q88_sequence_packing", "q89_incremental_curation")
     val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", big)
     // warm
     SparkEntry.queries("q09_catalog_totals")(spark, dirs.head).count()
