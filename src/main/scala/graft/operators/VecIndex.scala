@@ -59,8 +59,14 @@ object VecIndex {
              idCol: String, vecCol: String, k: Int): DataFrame = {
     val cells = probes.select(col("q_cid")).distinct()
       .collect().map(_.get(0))
+    // zero-norm guard, matching build/assignFold's indexed-side filter:
+    // an unguarded zero probe makes cos = 0/0 = NaN, and Spark sorts NaN
+    // ABOVE every double, so the descending top-k window would rank the
+    // garbage rows first — a degenerate probe must return no rows, not
+    // arbitrary ones
     val pr = probes
       .withColumn("q_norm", sqrt(callDot(col("q_vec"), col("q_vec"))))
+      .filter(col("q_norm") > 0.0)
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col(idCol).asc)
     index

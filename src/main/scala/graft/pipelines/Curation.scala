@@ -78,8 +78,13 @@ object Curation {
   def curate(docs: DataFrame, benchmark: DataFrame, cfg: Config = Config()): DataFrame = {
     val scored = score(docs, benchmark, cfg)
     val candidates = scored.filter(col("quality_pass") && col("contam_pass"))
-    val pairs = graft.queries.SimilarityQ
-      .lshNearDupPairsFrom(candidates.select(col("doc_id"), col("text")),
+    // scoped (unsorted) pair form: keepBest consumes the pairs as an edge
+    // set, so the registry query's output ordering would be a wasted
+    // shuffle here; the cleanup thunk is intentionally NOT invoked — the
+    // full pipeline's result is lazy (callers write/compare it once per
+    // session) and the harnesses clearCache() between runs
+    val (pairs, _) = graft.queries.SimilarityQ
+      .lshNearDupPairsScoped(candidates.select(col("doc_id"), col("text")),
         hinted = true, threshold = cfg.jaccardThreshold)
     val kept = graft.operators.DedupGroups
       .keepBest(candidates, "doc_id", "quality", pairs, "doc_a", "doc_b")
@@ -125,10 +130,12 @@ object Curation {
     * touched components is preserved by star edges (member → component
     * id): a component's min id always survives as its own label.
     *
-    * The persisted intermediates (score(), pair sets, keep decisions)
-    * stay cached for the session; a long-lived daily driver should
-    * `spark.catalog.clearCache()` after materializing each run's output
-    * (the Bench/Verify harnesses already do).
+    * Storage lifecycle: the returned table is materialized eagerly
+    * (localCheckpoint) and every per-call cache — score(), both pair
+    * sets, the keep decisions — is released before returning, so a
+    * long-lived daily driver can invoke this per delta without
+    * accumulating executor storage. `prev`/`prevIndex` are caller-owned
+    * and untouched.
     *
     * @param prev      prior decision table (the 9 decision columns;
     *                  doc ids disjoint from `newDocs`), produced with
@@ -144,10 +151,10 @@ object Curation {
                         cfg: Config = Config()): DataFrame = {
     val scored = score(newDocs, benchmark, cfg)
     val candNew = scored.filter(col("quality_pass") && col("contam_pass"))
-    val pairsNewNew = graft.queries.SimilarityQ
-      .lshNearDupPairsFrom(candNew.select(col("doc_id"), col("text")),
+    val (pairsNewNewRaw, releasePairs) = graft.queries.SimilarityQ
+      .lshNearDupPairsScoped(candNew.select(col("doc_id"), col("text")),
         hinted = true, threshold = cfg.jaccardThreshold)
-      .select(col("doc_a"), col("doc_b"))
+    val pairsNewNew = pairsNewNewRaw.select(col("doc_a"), col("doc_b"))
     val pairsNewOld = graft.streaming.StreamOps
       .streamingNearDup(candNew.select(col("doc_id"), col("text")), prevIndex,
         cfg.jaccardThreshold)
@@ -188,8 +195,22 @@ object Curation {
       .withColumn("dedup_keep", lit(false))
     val untouchedOld = prev
       .join(touchedOld.select(col("doc_id")), Seq("doc_id"), "left_anti")
-    finalizeDecisions(keptRows.unionByName(failedNew), cfg)
+    val result = finalizeDecisions(keptRows.unionByName(failedNew), cfg)
       .select(DecisionCols.map(col): _*)
       .unionByName(untouchedOld.select(DecisionCols.map(col): _*))
+    // Materialize the delta run's decision table ONCE (9 narrow columns,
+    // no text — localCheckpoint is the in-session analog of the storage
+    // write a fleet pipeline does here, and it truncates the lineage that
+    // referenced the per-call caches), then release every intermediate
+    // this invocation pinned. A daily driver calls this per delta;
+    // without the release each run would leak executor storage
+    // (the GetFlaggedTiles discipline, at corpus scale).
+    val out = result.localCheckpoint(true)
+    releasePairs()
+    pairsNewOld.unpersist()
+    touchedOld.unpersist()
+    kept.unpersist()
+    scored.unpersist()
+    out
   }
 }

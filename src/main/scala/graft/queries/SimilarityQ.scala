@@ -123,13 +123,27 @@ object SimilarityQ {
   /** DataFrame-input form of the q32 pipeline (input: doc_id, text) —
     * the near-dup stage of `pipelines.Curation` runs over an already
     * filtered corpus, not a table path. `threshold` drives BOTH the
-    * in-join size-ratio prune (jaccard ≤ min/max, so min < t·max can
-    * never reach t) and the verification filter, so every consumer
-    * judges pairs at one threshold (for t = 0.5 the prune is exactly
-    * the historical `least·2 ≥ greatest` integer form). */
+    * in-join size-ratio prune (jaccard ≤ min/max, so min/max < t can
+    * never reach t; spelled as the same rounded division the verify
+    * filter uses, so the two never disagree at the float boundary) and
+    * the verification filter, so every consumer judges pairs at one
+    * threshold. */
   private[graft] def lshNearDupPairsFrom(corpus: DataFrame,
                                          hinted: Boolean,
-                                         threshold: Double = 0.5): DataFrame = {
+                                         threshold: Double = 0.5): DataFrame =
+    lshNearDupPairsScoped(corpus, hinted, threshold)._1
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[lshNearDupPairsFrom]] minus the output sort (pair consumers that
+    * treat the result as an edge set don't pay a shuffle for ordering),
+    * plus a cleanup thunk releasing the two per-invocation caches (token
+    * dim + banded signatures). Callers that materialize the pair set —
+    * the daily incremental driver above all — invoke the thunk so
+    * repeated runs don't accumulate executor storage; registry queries
+    * use the sorted form and let the harness's clearCache() reap. */
+  private[graft] def lshNearDupPairsScoped(corpus: DataFrame,
+                                           hinted: Boolean,
+                                           threshold: Double = 0.5): (DataFrame, () => Unit) = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]; got $threshold")
     def maybe(df: DataFrame): DataFrame = if (hinted) broadcast(df) else df
     val docs = hashedTokenSets(corpus).cache()
@@ -149,8 +163,11 @@ object SimilarityQ {
       .cache()
     val earlierMatch =
       earlierBandMatch(col("x.buckets"), col("x.band"), col("y.buckets"))
-    val sizePrune = least(col("x.n"), col("y.n")).cast(DoubleType) >=
-      lit(threshold) * greatest(col("x.n"), col("y.n")).cast(DoubleType)
+    // spelled as a DIVISION so the prune rounds exactly like the final
+    // `jaccard >= threshold` comparison: `min >= t·max` can drop a true
+    // boundary pair when t·max rounds up (t=0.4, n=2 vs 5 → 2.0000…4 > 2)
+    val sizePrune = least(col("x.n"), col("y.n")).cast(DoubleType) /
+      greatest(col("x.n"), col("y.n")).cast(DoubleType) >= lit(threshold)
     val cand = sigv.as("x").join(maybe(sigv.as("y")),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id") && sizePrune && !earlierMatch)
@@ -172,8 +189,9 @@ object SimilarityQ {
       .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
       .withColumn("jaccard", col("n_inter").cast(DoubleType) / col("n_union").cast(DoubleType))
       .filter(col("jaccard") >= threshold)
-    verified.select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    val out = verified.select(col("doc_a"), col("doc_b"), col("n_inter"),
+      col("n_union"), col("jaccard"))
+    (out, () => { docs.unpersist(); sigv.unpersist(); () })
   }
 
   private val q32Sql = {

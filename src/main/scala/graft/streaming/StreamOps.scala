@@ -199,10 +199,12 @@ object StreamOps {
     val earlier = SimilarityQ.earlierBandMatch(
       col("buckets"), col("band_s"), col("buckets_i"))
     // size-ratio prune derived from the threshold (jaccard ≤ min/max, so
-    // min < t·max can never reach t) — a hardcoded 0.5 bound would
-    // silently drop true matches for any lower threshold
-    val sizePrune = least(col("n"), col("ni")).cast(DoubleType) >=
-      lit(threshold) * greatest(col("n"), col("ni")).cast(DoubleType)
+    // min/max < t can never reach t) — a hardcoded 0.5 bound would
+    // silently drop true matches for any lower threshold. Division, not
+    // `min >= t·max`: the quotient rounds exactly like the jaccard
+    // comparison below, so the prune never disagrees at the boundary.
+    val sizePrune = least(col("n"), col("ni")).cast(DoubleType) /
+      greatest(col("n"), col("ni")).cast(DoubleType) >= lit(threshold)
     sig.join(idx,
         col("band_s") === col("band_i") && col("bucket_s") === col("bucket_i") &&
           col("doc_id") =!= col("dup_of") && sizePrune && !earlier)

@@ -11,18 +11,24 @@ import org.apache.spark.sql.functions._
 class BucketingSpec extends SparkSpecBase {
   private val sf = "/root/testdata/sf0.001"
 
+  // per-run table names: the warehouse is shared state, so a fixed name
+  // would collide across parallel suites or with an aborted run's leftovers
+  private val tDocs = s"b_docs_$runTag"
+  private val tPairs = s"b_pairs_$runTag"
+  private val tLookup = s"b_lookup_$runTag"
+
   test("co-bucketed join plans without any shuffle exchange") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("lang"), length(col("text")).as("len"))
     // a pair-like relation keyed on doc_id (the verify-stage probe side)
     val pairs = docs.select(col("doc_id"), (col("doc_id") % 7).as("grp"))
-    Bucketing.persistBucketed(docs, "b_docs", "doc_id", 4)
-    Bucketing.persistBucketed(pairs, "b_pairs", "doc_id", 4)
+    Bucketing.persistBucketed(docs, tDocs, "doc_id", 4)
+    Bucketing.persistBucketed(pairs, tPairs, "doc_id", 4)
     try {
       val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       try {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        val joined = spark.table("b_docs").join(spark.table("b_pairs"), "doc_id")
+        val joined = spark.table(tDocs).join(spark.table(tPairs), "doc_id")
         assert(joined.count() == docs.count(), "join lost rows")
         val p = joined.queryExecution.executedPlan.toString
         assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
@@ -33,15 +39,15 @@ class BucketingSpec extends SparkSpecBase {
           s"scan did not use the bucket layout:\n$p")
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     } finally {
-      spark.sql("DROP TABLE IF EXISTS b_docs")
-      spark.sql("DROP TABLE IF EXISTS b_pairs")
+      spark.sql(s"DROP TABLE IF EXISTS $tDocs")
+      spark.sql(s"DROP TABLE IF EXISTS $tPairs")
     }
   }
 
   test("bucket-pruned point lookup reads a single bucket") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("lang"))
-    Bucketing.persistBucketed(docs, "b_lookup", "doc_id", 4)
+    Bucketing.persistBucketed(docs, tLookup, "doc_id", 4)
     // a bare filter imposes no distribution requirement, so the planner's
     // auto-bucketed-scan heuristic would drop the bucket layout — and with
     // it the pruning this test demonstrates
@@ -49,7 +55,7 @@ class BucketingSpec extends SparkSpecBase {
     val prev = spark.conf.get(key)
     try {
       spark.conf.set(key, "false")
-      val q = spark.table("b_lookup").filter(col("doc_id") === 42L)
+      val q = spark.table(tLookup).filter(col("doc_id") === 42L)
       assert(q.count() == 1)
       val p = q.queryExecution.executedPlan.toString
       // SelectedBucketsCount: 1 out of 4 proves bucket pruning fired
@@ -57,7 +63,7 @@ class BucketingSpec extends SparkSpecBase {
         s"point lookup did not prune to one bucket:\n$p")
     } finally {
       spark.conf.set(key, prev)
-      spark.sql("DROP TABLE IF EXISTS b_lookup")
+      spark.sql(s"DROP TABLE IF EXISTS $tLookup")
     }
   }
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 class VecIndexSpec extends SparkSpecBase {
   private val sf = "/root/testdata/sf0.001"
   private lazy val path = {
-    val dir = java.nio.file.Files.createTempDirectory("vecindex").toString
+    val dir = tempDir("vecindex")
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val cents = KMeans.lloyd(emb, "vec_id", "embedding", k = 4, iters = 1)
     VecIndex.build(emb, "vec_id", "embedding", cents, dir)
@@ -80,8 +80,8 @@ class VecIndexSpec extends SparkSpecBase {
     implicit val sqlCtx = spark.sqlContext
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val cents = KMeans.lloyd(emb, "vec_id", "embedding", k = 4, iters = 1)
-    val dir = java.nio.file.Files.createTempDirectory("vecappend").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("vecappend-ckpt").toString
+    val dir = tempDir("vecappend")
+    val ckpt = tempDir("vecappend-ckpt")
     val batch = emb.limit(32)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])].collect()
