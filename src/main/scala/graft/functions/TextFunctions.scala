@@ -121,8 +121,32 @@ object TextFunctions {
       .otherwise(array().cast(ArrayType(LongType)))
 
   /** MinHash permutation parameters: h_k(x) = (a_k * x + b_k) mod p.
-    * Small odd multipliers; k is 0-based. */
+    * Small odd multipliers; k is 0-based.
+    *
+    * Two signature grains share these arrays:
+    *  - the NARROW form, the first [[MinhashK]] permutations banded as
+    *    2×4 — q31's per-doc signature contract and the spec-pinned
+    *    legacy banding;
+    *  - the WIDE form, [[MinhashWideK]] permutations banded as
+    *    [[MinhashBands]] bands × [[MinhashBandRows]] rows — the DEFAULT
+    *    candidate-generation scheme everywhere pairs are produced
+    *    (q32, the curation pipelines, the streaming index). Wider bands
+    *    collapse the per-band collision probability from J⁴ to J⁸, which
+    *    is what keeps bucket fan-out from growing quadratically with the
+    *    corpus (the fixed-width-blocking scale killer: README §scaling);
+    *    the extra band keeps recall at high J comparable. */
   val MinhashK = 8
-  val MinhashA: Seq[Long] = Seq(769, 1543, 3079, 6151, 12289, 24593, 49157, 98317)
-  val MinhashB: Seq[Long] = Seq(12, 345, 6789, 101112, 131415, 161718, 192021, 222324)
+  val MinhashWideK = 24
+  val MinhashBands = 3
+  val MinhashBandRows = 8
+  val MinhashA: Seq[Long] = Seq(
+    769L, 1543L, 3079L, 6151L, 12289L, 24593L, 49157L, 98317L,
+    196613L, 393241L, 786433L, 1572869L, 3145739L, 6291469L,
+    12582917L, 25165843L, 50331653L, 100663319L, 201326611L,
+    402653189L, 805306457L, 899809363L, 920419813L, 961748927L)
+  val MinhashB: Seq[Long] = Seq(
+    12L, 345L, 6789L, 101112L, 131415L, 161718L, 192021L, 222324L,
+    252627L, 282930L, 313233L, 343536L, 373839L, 404142L, 434445L,
+    464748L, 495051L, 525354L, 555657L, 585960L, 616263L, 646566L,
+    676869L, 707172L)
 }

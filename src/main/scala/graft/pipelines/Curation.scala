@@ -30,12 +30,19 @@ import graft.functions.TextFunctions._
   */
 object Curation {
 
+  /** @param broadcastPairDims force-broadcast the near-dup stage's
+    *        doc/signature dims (measured fastest through the sf1-eq
+    *        probe; candidate sets are quality-filtered, so they run
+    *        well below the raw corpus). Set false past the broadcast
+    *        ceiling: Catalyst then plans the co-located shuffle join,
+    *        proven result-identical by PlanContractSpec. */
   final case class Config(
       minQuality: Double = 0.0,
       maxContamRatio: Double = 0.5,
       jaccardThreshold: Double = 0.5,
       trainBuckets: Int = 8, // of 10: 8/1/1 train/val/test
-      splitSalt: String = "split:")
+      splitSalt: String = "split:",
+      broadcastPairDims: Boolean = true)
 
   /** Shared scoring stage (quality + contamination verdicts) — the
     * map-side front of both the full and the incremental pipeline.
@@ -80,12 +87,12 @@ object Curation {
     val candidates = scored.filter(col("quality_pass") && col("contam_pass"))
     // scoped (unsorted) pair form: keepBest consumes the pairs as an edge
     // set, so the registry query's output ordering would be a wasted
-    // shuffle here; the cleanup thunk is intentionally NOT invoked — the
+    // shuffle here. The cleanup thunk is intentionally NOT invoked — the
     // full pipeline's result is lazy (callers write/compare it once per
     // session) and the harnesses clearCache() between runs
     val (pairs, _) = graft.queries.SimilarityQ
       .lshNearDupPairsScoped(candidates.select(col("doc_id"), col("text")),
-        hinted = true, threshold = cfg.jaccardThreshold)
+        hinted = cfg.broadcastPairDims, threshold = cfg.jaccardThreshold)
     val kept = graft.operators.DedupGroups
       .keepBest(candidates, "doc_id", "quality", pairs, "doc_a", "doc_b")
       .withColumnRenamed("keep", "dedup_keep")
@@ -153,7 +160,7 @@ object Curation {
     val candNew = scored.filter(col("quality_pass") && col("contam_pass"))
     val (pairsNewNewRaw, releasePairs) = graft.queries.SimilarityQ
       .lshNearDupPairsScoped(candNew.select(col("doc_id"), col("text")),
-        hinted = true, threshold = cfg.jaccardThreshold)
+        hinted = cfg.broadcastPairDims, threshold = cfg.jaccardThreshold)
     val pairsNewNew = pairsNewNewRaw.select(col("doc_a"), col("doc_b"))
     val pairsNewOld = graft.streaming.StreamOps
       .streamingNearDup(candNew.select(col("doc_id"), col("text")), prevIndex,

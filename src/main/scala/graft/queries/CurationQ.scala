@@ -467,16 +467,13 @@ object CurationQ {
        |ctoks AS (SELECT doc_id, unnest(list_distinct(tk)) AS tok FROM tk
        |  WHERE doc_id IN (SELECT doc_id FROM cand_ids)),
        |hashed AS (SELECT doc_id, ${sqlStrHash("tok")} AS th FROM ctoks),
-       |ks AS (SELECT unnest(range(0, 8)) AS k),
+       |ks AS (SELECT unnest(range(0, ${graft.functions.TextFunctions.MinhashWideK})) AS k),
        |sig AS (SELECT doc_id, CAST(k AS INT) AS k,
        |    MIN(($a[CAST(k AS INT) + 1] * th + $b[CAST(k AS INT) + 1]) % $p) AS minhash
        |  FROM hashed CROSS JOIN ks GROUP BY doc_id, k),
-       |bands AS (SELECT doc_id, k // 4 AS band,
-       |    (((MAX(CASE WHEN k % 4 = 0 THEN minhash END) * 31
-       |      + MAX(CASE WHEN k % 4 = 1 THEN minhash END) % $p) % $p * 31
-       |      + MAX(CASE WHEN k % 4 = 2 THEN minhash END) % $p) % $p * 31
-       |      + MAX(CASE WHEN k % 4 = 3 THEN minhash END) % $p) AS bucket
-       |  FROM sig GROUP BY doc_id, k // 4),
+       |bands AS (SELECT doc_id, k // ${graft.functions.TextFunctions.MinhashBandRows} AS band,
+       |    ${SimilarityQ.sqlBandFold(graft.functions.TextFunctions.MinhashBandRows)} AS bucket
+       |  FROM sig GROUP BY doc_id, k // ${graft.functions.TextFunctions.MinhashBandRows}),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
        |sets AS (SELECT doc_id, list_distinct(list_transform(

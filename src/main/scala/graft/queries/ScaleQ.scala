@@ -276,19 +276,59 @@ object ScaleQ {
       |FROM base JOIN frames ON base.kind = frames.kind
       |ORDER BY kind""".stripMargin
 
-  /** SimHash near-dup pairs: hamming distance ≤ 3 over the 32-bit
-    * signatures of q33, found via pigeonhole byte-band blocking — split
-    * the signature into 4 disjoint 8-bit bands; any pair within distance
-    * 3 differs in ≤ 3 bands, so it MUST agree on at least one band.
-    * The blocked join is therefore exactly equivalent to the brute-force
-    * all-pairs scan the oracle runs, but shuffles only (band, key)
-    * bucket collisions. Pairs are emitted once via first-matching-band
-    * (same dedup-in-join trick as q32). */
-  private def q62(s: SparkSession, d: String): DataFrame = {
-    // signature construction is MAP-SIDE via the simhash32 kernel — one
-    // pass per doc over the hashed distinct-token array, bit-identical to
-    // the exploded ±1-vote aggregation that q33 exposes as its contract
-    val sig = Tables.documents(s, d)
+  /** SimHash near-dup pairs via pigeonhole band blocking over the WIDE
+    * 60-bit signature (the scale-safe default — round-4's measured
+    * scale-killer was the 32-bit/8-bit-band form, which is retained as
+    * the spec-pinned narrow contract, [[simhash32Pairs]]): split the
+    * signature into `bands` disjoint `bits`-bit bands; any pair within
+    * Hamming distance ≤ bands−1 differs in at most bands−1 bands, so it
+    * MUST agree on at least one. The blocked join is therefore exactly
+    * equivalent to the brute-force all-pairs scan the oracle runs, but
+    * shuffles only (band, key) bucket collisions — and band WIDTH is the
+    * corpus-size scaling knob: per-band occupancy is n/2^bits, so wider
+    * bands hold the bucket fan-out linear where fixed 8-bit blocks grew
+    * it quadratically (README scaling table). Pairs are emitted once via
+    * first-matching-band (same dedup-in-join trick as q32). */
+  private[queries] def simhash60Pairs(docs: DataFrame, bands: Int, bits: Int,
+                                      maxHam: Int): DataFrame = {
+    require(bands * bits == 60, s"bands·bits must cover the 60-bit signature; got $bands×$bits")
+    require(maxHam < bands, s"pigeonhole needs maxHam < bands; got $maxHam vs $bands")
+    val sig = docs
+      .select(col("doc_id"),
+        call_function("simhash60",
+          transform(array_distinct(tokens(col("text"))),
+            t => strHash(t) * lit(1073741824L) + strHash2(t))).as("simhash"))
+    def bandOf(c: Column, b: Int): Column =
+      shiftright(c, bits * b).bitwiseAND(lit((1L << bits) - 1))
+    val sigb = sig
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until bands).map(b => bandOf(col("simhash"), b)): _*))
+          .as(Seq("band", "key")))
+      // fan-out probe side: same AQE-coalescing blind spot as q32/q56
+      .repartition(32, col("doc_id"))
+      .cache()
+    def bandEq(b: Int): Column =
+      bandOf(col("x.simhash"), b) === bandOf(col("y.simhash"), b)
+    val earlier = (0 until bands - 1).map(b => col("x.band") > b && bandEq(b))
+      .reduce(_ || _)
+    val ham = bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast(LongType)
+    sigb.as("x").join(broadcast(sigb.as("y")),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id") && !earlier)
+      .withColumn("hamming", ham)
+      .filter(col("hamming") <= maxHam)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The round-4 scale-killer, kept as the NARROW CONTRACT (not
+    * registered): 32-bit signatures in 4×8-bit bands — 256 bucket values
+    * per band lets occupancy grow linearly with the corpus, so candidate
+    * pairs grow quadratically. SimilaritySpec pins its exact equivalence
+    * to the brute-force scan so the pigeonhole algebra stays proven at
+    * every width. */
+  private[queries] def simhash32Pairs(docs: DataFrame): DataFrame = {
+    val sig = docs
       .select(col("doc_id"),
         call_function("simhash32",
           transform(array_distinct(tokens(col("text"))), strHash(_))).as("simhash"))
@@ -297,7 +337,6 @@ object ScaleQ {
       .select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(b => byteOf(col("simhash"), b)): _*))
           .as(Seq("band", "key")))
-      // fan-out probe side: same AQE-coalescing blind spot as q32/q56
       .repartition(32, col("doc_id"))
       .cache()
     def bandEq(b: Int): Column =
@@ -313,25 +352,36 @@ object ScaleQ {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  private val q62Sql = {
-    val sigCte =
-      s"""toks AS (
-         |  SELECT doc_id, unnest(list_distinct(${sqlTokens("text")})) AS tok FROM documents),
-         |hashed AS (SELECT doc_id, ${sqlStrHash("tok")} AS th FROM toks),
-         |bits AS (SELECT unnest(range(0, 32)) AS j),
-         |votes AS (SELECT doc_id, j,
-         |    SUM(CASE WHEN (th >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
-         |  FROM hashed CROSS JOIN bits GROUP BY doc_id, j),
-         |sig AS (SELECT doc_id,
-         |    SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) ELSE 0 END * CAST(pow(2.0, j) AS BIGINT)) AS simhash
-         |  FROM votes GROUP BY doc_id)""".stripMargin
-    s"""WITH $sigCte
+  /** q62: the DEFAULT SimHash near-dup generator — 4×15-bit bands,
+    * Hamming ≤ 3 (the guarantee the narrow form gave, at 2⁷× lower
+    * per-band occupancy). */
+  private def q62(s: SparkSession, d: String): DataFrame =
+    simhash60Pairs(Tables.documents(s, d), bands = 4, bits = 15, maxHam = 3)
+
+  /** Brute-force 60-bit oracle at a given Hamming threshold — shared by
+    * q62 (≤3) and q78 (≤4): DuckDB re-derives the pairs with no banding
+    * at all, so the blocked join's exact-equivalence claim is what the
+    * driver checks. */
+  private def simhash60Sql(maxHam: Int): String = {
+    val h60 = s"${sqlStrHash("tok")} * 1073741824 + ${sqlStrHash2("tok")}"
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_distinct(${sqlTokens("text")})) AS tok FROM documents),
+       |hashed AS (SELECT doc_id, $h60 AS th FROM toks),
+       |bits AS (SELECT unnest(range(0, 60)) AS j),
+       |votes AS (SELECT doc_id, j,
+       |    SUM(CASE WHEN (th >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM hashed CROSS JOIN bits GROUP BY doc_id, j),
+       |sig AS (SELECT doc_id,
+       |    SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) ELSE 0 END * CAST(pow(2.0, j) AS BIGINT)) AS simhash
+       |  FROM votes GROUP BY doc_id)
        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
        |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
        |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
-       |WHERE CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) <= 3
+       |WHERE CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) <= $maxHam
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  private val q62Sql = simhash60Sql(3)
 
   /** Embedding-cosine near-dup PAIRS — the embedding leg of the dedup
     * family (token-set MinHash q32, shingle Jaccard q56, SimHash q62):
@@ -523,61 +573,18 @@ object ScaleQ {
        |ORDER BY q_id, rk""".stripMargin
   }
 
-  /** Wide-SimHash near-dup pairs — q62's corpus-size scaling knob made
-    * real: 60-bit signatures (tokens double-poly-hashed to 60 meaningful
-    * bits) split into 4 fifteen-bit pigeonhole bands. Any pair within
-    * Hamming distance 3 shares a band (exactly the threshold we filter
-    * at), while per-band bucket occupancy drops 2⁷× vs q62's 8-bit
-    * bands — candidate pairs per bucket drop ~2¹⁴×, the same band count,
-    * so the bucket-join fan-out that makes q62 grow super-linearly
-    * (README scaling table) stays pair-output-bound here. All signature
-    * arithmetic is exact 64-bit integer work on both engines. */
-  private def q78(s: SparkSession, d: String): DataFrame = {
-    val sig = Tables.documents(s, d)
-      .select(col("doc_id"),
-        call_function("simhash60",
-          transform(array_distinct(tokens(col("text"))),
-            t => strHash(t) * lit(1073741824L) + strHash2(t))).as("simhash"))
-    def bandOf(c: Column, b: Int): Column =
-      shiftright(c, 15 * b).bitwiseAND(lit(32767L))
-    val sigb = sig
-      .select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until 4).map(b => bandOf(col("simhash"), b)): _*))
-          .as(Seq("band", "key")))
-      // fan-out probe side: same AQE-coalescing blind spot as q32/q56/q62
-      .repartition(32, col("doc_id"))
-      .cache()
-    def bandEq(b: Int): Column =
-      bandOf(col("x.simhash"), b) === bandOf(col("y.simhash"), b)
-    val earlier = (0 until 3).map(b => col("x.band") > b && bandEq(b)).reduce(_ || _)
-    val ham = bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast(LongType)
-    sigb.as("x").join(broadcast(sigb.as("y")),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id") && !earlier)
-      .withColumn("hamming", ham)
-      .filter(col("hamming") <= 3)
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"), col("hamming"))
-      .orderBy(col("doc_a"), col("doc_b"))
-  }
+  /** q78: the far end of the same generator's scale dial — 3×20-bit
+    * bands, Hamming ≤ 2. Fewer, wider bands mean 2²⁰ bucket values per
+    * band (32× q62's occupancy headroom) at a tighter distance
+    * guarantee: the high-precision / minimum-fan-out setting a corpus
+    * owner dials toward as the corpus grows past what 15-bit bands
+    * hold. Same kernel, same oracle shape — the band-count/width pair
+    * is an explicit knob, not a new operator. */
+  private def q78(s: SparkSession, d: String): DataFrame =
+    simhash60Pairs(Tables.documents(s, d), bands = 3, bits = 20, maxHam = 2)
 
-  private val q78Sql = {
-    val h60 = s"${sqlStrHash("tok")} * 1073741824 + ${sqlStrHash2("tok")}"
-    s"""WITH toks AS (
-       |  SELECT doc_id, unnest(list_distinct(${sqlTokens("text")})) AS tok FROM documents),
-       |hashed AS (SELECT doc_id, $h60 AS th FROM toks),
-       |bits AS (SELECT unnest(range(0, 60)) AS j),
-       |votes AS (SELECT doc_id, j,
-       |    SUM(CASE WHEN (th >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
-       |  FROM hashed CROSS JOIN bits GROUP BY doc_id, j),
-       |sig AS (SELECT doc_id,
-       |    SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) ELSE 0 END * CAST(pow(2.0, j) AS BIGINT)) AS simhash
-       |  FROM votes GROUP BY doc_id)
-       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-       |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
-       |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
-       |WHERE CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) <= 3
-       |ORDER BY doc_a, doc_b""".stripMargin
-  }
+  private val q78Sql = simhash60Sql(2)
+
 
   val queries: Seq[GQuery] = Seq(
     GQuery("q55_ivf_ann", q55, Some(q55Sql), Seq("O1", "O4", "A16")),

@@ -50,9 +50,16 @@ object SimilarityQ {
        |FROM hashed CROSS JOIN ks GROUP BY doc_id, k ORDER BY doc_id, k""".stripMargin
   }
 
-  /** MinHash-LSH near-dup pipeline: band the K=8 signature into 2 bands of
-    * 4 rows, bucket-join candidate pairs, verify with exact token-set
-    * Jaccard, keep pairs ≥ 0.5.
+  /** MinHash-LSH near-dup pipeline: band the K=24 signature into 3 bands
+    * of 8 rows, bucket-join candidate pairs, verify with exact token-set
+    * Jaccard, keep pairs ≥ 0.5. 8-row bands are the corpus-size scaling
+    * fix (the q78 move applied to MinHash): a band collides with
+    * probability J⁸ instead of the legacy 2×4 scheme's J⁴, so
+    * moderately-similar doc clusters — the population that grows
+    * quadratically with the corpus — stop flooding the candidate join,
+    * while the third band keeps recall at high J comparable. The narrow
+    * 2×4 scheme stays available (bands/rows parameters) as the
+    * spec-pinned legacy contract.
     *
     * Shuffle budget: ONE shuffle builds the signature (token explode →
     * groupBy), ONE dedups candidate pairs; everything else is broadcast.
@@ -67,13 +74,17 @@ object SimilarityQ {
     * .cache() on the signature is a materialization barrier: without it
     * CollapseProject re-evaluates the tokenize+hash chain per pair. */
   private def q32(s: SparkSession, d: String): DataFrame =
-    lshNearDupPairs(s, d, hinted = true)
+    lshNearDupPairs(s, d, hinted = false)
 
-  /** `hinted = true` broadcasts the doc/signature dims (right below the
-    * ~8 GB broadcast ceiling this is the fastest plan); `hinted = false`
-    * drops the hints so Catalyst plans the co-located shuffle join — the
-    * documented 100 TB fallback, asserted result-identical by
-    * PlanContractSpec. */
+  /** `hinted = false` (the registered default) leaves the join strategy
+    * to Catalyst: below the broadcast threshold the dims broadcast —
+    * PlanContractSpec asserts that at small SF — and past it the plan
+    * degrades to the co-located shuffle join instead of an
+    * over-the-ceiling broadcast, which is exactly the 100 TB behavior
+    * (measured: unhinted is also no slower at sf0.1/sf1eq — the forced
+    * broadcast's serial build cost was q32's residual growth term).
+    * `hinted = true` forces the broadcasts; kept as the explicit
+    * contract form and proven result-identical by PlanContractSpec. */
   private[queries] def lshNearDupPairs(s: SparkSession, d: String,
                                        hinted: Boolean): DataFrame =
     lshNearDupPairsFrom(Tables.documents(s, d), hinted)
@@ -95,28 +106,48 @@ object SimilarityQ {
   private def mh(k: Int): Column = array_min(transform(col("toks"),
     t => (lit(MinhashA(k)) * t + lit(MinhashB(k))) % P))
 
-  /** Deterministic band key (base-31 fold over the band's 4 minhashes). */
-  private def bucket(b: Int): Column = {
-    val ks = (4 * b until 4 * b + 4).map(mh)
-    (((ks(0) * 31L + ks(1) % P) % P * 31L + ks(2) % P) % P * 31L + ks(3) % P)
+  /** Deterministic band key: base-31 fold over the band's `rows`
+    * minhashes (mod-P after every step but the last — the historical
+    * 4-row fold's exact shape, generalized). */
+  private def bucket(b: Int, rows: Int): Column = {
+    val ks = (rows * b until rows * b + rows).map(mh)
+    ks.tail.zipWithIndex.foldLeft(ks.head) { case (acc, (k, i)) =>
+      val step = acc * 31L + k % P
+      if (i < rows - 2) step % P else step
+    }
   }
 
-  private[graft] val numBands = MinhashK / 4
+  /** The DuckDB spelling of the same fold, over `MAX(CASE WHEN k % rows
+    * = i …)` pivot terms — one generator for every oracle that replicates
+    * the banding (q32 here, q79/q89 in CurationQ). */
+  private[queries] def sqlBandFold(rows: Int): String = {
+    def t(i: Int) = s"MAX(CASE WHEN k % $rows = $i THEN minhash END)"
+    (1 until rows).foldLeft(t(0)) { (acc, i) =>
+      val step = s"$acc * 31 + ${t(i)} % $P"
+      if (i < rows - 1) s"($step) % $P" else s"($step)"
+    }
+  }
+
+  private[graft] val numBands = MinhashBands
 
   /** Full band→bucket signature vector over a materialized `toks`
-    * attribute. Carrying the vector on every row is what lets candidate
-    * joins emit a pair only in its FIRST matching band — replacing a
-    * distinct() over the near-quadratic raw candidate set (batch q32)
-    * and replacing stateful dedup entirely in the streaming path. */
-  private[graft] def bucketVector: Column =
-    array((0 until numBands).map(bucket): _*)
+    * attribute (wide banding by default). Carrying the vector on every
+    * row is what lets candidate joins emit a pair only in its FIRST
+    * matching band — replacing a distinct() over the near-quadratic raw
+    * candidate set (batch q32) and replacing stateful dedup entirely in
+    * the streaming path. */
+  private[graft] def bucketVector: Column = bucketVectorOf(numBands, MinhashBandRows)
+
+  private[graft] def bucketVectorOf(bands: Int, rows: Int): Column =
+    array((0 until bands).map(bucket(_, rows)): _*)
 
   /** "No earlier band matched" predicate between two signature vectors,
     * spelled with element_at so the whole join condition stays inside
     * whole-stage codegen. */
   private[graft] def earlierBandMatch(xBuckets: Column, xBand: Column,
-                                      yBuckets: Column): Column =
-    (0 until numBands - 1).map(b =>
+                                      yBuckets: Column,
+                                      bands: Int = numBands): Column =
+    (0 until bands - 1).map(b =>
       xBand > b && element_at(xBuckets, b + 1) === element_at(yBuckets, b + 1))
       .reduce(_ || _)
 
@@ -143,8 +174,11 @@ object SimilarityQ {
     * use the sorted form and let the harness's clearCache() reap. */
   private[graft] def lshNearDupPairsScoped(corpus: DataFrame,
                                            hinted: Boolean,
-                                           threshold: Double = 0.5): (DataFrame, () => Unit) = {
+                                           threshold: Double = 0.5,
+                                           bands: Int = numBands,
+                                           rows: Int = MinhashBandRows): (DataFrame, () => Unit) = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]; got $threshold")
+    require(bands * rows <= MinhashWideK, s"banding $bands×$rows exceeds $MinhashWideK hashes")
     def maybe(df: DataFrame): DataFrame = if (hinted) broadcast(df) else df
     val docs = hashedTokenSets(corpus).cache()
     // repartition: the docs scan is few partitions (small file), but this
@@ -152,7 +186,7 @@ object SimilarityQ {
     // candidate+verify codegen stage inherits ITS parallelism. 10k rows
     // shuffled so millions of pairs fan out across all cores.
     val sigv = docs
-      .select(col("doc_id"), col("n"), bucketVector.as("buckets"))
+      .select(col("doc_id"), col("n"), bucketVectorOf(bands, rows).as("buckets"))
       .select(col("doc_id"), col("n"), col("buckets"),
         posexplode(col("buckets")).as(Seq("band", "bucket")))
       // explicit N: AQE would coalesce a 10k-row shuffle to one partition
@@ -162,7 +196,7 @@ object SimilarityQ {
       .repartition(32, col("doc_id"))
       .cache()
     val earlierMatch =
-      earlierBandMatch(col("x.buckets"), col("x.band"), col("y.buckets"))
+      earlierBandMatch(col("x.buckets"), col("x.band"), col("y.buckets"), bands)
     // spelled as a DIVISION so the prune rounds exactly like the final
     // `jaccard >= threshold` comparison: `min >= t·max` can drop a true
     // boundary pair when t·max rounds up (t=0.4, n=2 vs 5 → 2.0000…4 > 2)
@@ -197,19 +231,17 @@ object SimilarityQ {
   private val q32Sql = {
     val a = MinhashA.mkString("[", ", ", "]")
     val b = MinhashB.mkString("[", ", ", "]")
+    val r = MinhashBandRows
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(list_distinct(${sqlTokens("text")})) AS tok FROM documents),
        |hashed AS (SELECT doc_id, ${sqlStrHash("tok")} AS th FROM toks),
-       |ks AS (SELECT unnest(range(0, $MinhashK)) AS k),
+       |ks AS (SELECT unnest(range(0, $MinhashWideK)) AS k),
        |sig AS (SELECT doc_id, CAST(k AS INT) AS k,
        |    MIN(($a[CAST(k AS INT) + 1] * th + $b[CAST(k AS INT) + 1]) % $P) AS minhash
        |  FROM hashed CROSS JOIN ks GROUP BY doc_id, k),
-       |bands AS (SELECT doc_id, k // 4 AS band,
-       |    (((MAX(CASE WHEN k % 4 = 0 THEN minhash END) * 31
-       |      + MAX(CASE WHEN k % 4 = 1 THEN minhash END) % $P) % $P * 31
-       |      + MAX(CASE WHEN k % 4 = 2 THEN minhash END) % $P) % $P * 31
-       |      + MAX(CASE WHEN k % 4 = 3 THEN minhash END) % $P) AS bucket
-       |  FROM sig GROUP BY doc_id, k // 4),
+       |bands AS (SELECT doc_id, k // $r AS band,
+       |    ${sqlBandFold(r)} AS bucket
+       |  FROM sig GROUP BY doc_id, k // $r),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
        |sets AS (SELECT doc_id, list_distinct(list_transform(

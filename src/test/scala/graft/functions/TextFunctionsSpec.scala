@@ -32,9 +32,16 @@ class TextFunctionsSpec extends SparkSpecBase {
       Seq(), Seq(), Seq("one")))
   }
 
-  test("minhash parameters are pairwise distinct and sized K") {
-    assert(MinhashA.size == MinhashK && MinhashB.size == MinhashK)
-    assert(MinhashA.distinct.size == MinhashK)
-    assert(MinhashB.distinct.size == MinhashK)
+  test("minhash parameters are pairwise distinct and cover both grains") {
+    assert(MinhashA.size == MinhashWideK && MinhashB.size == MinhashWideK)
+    assert(MinhashA.distinct.size == MinhashWideK)
+    assert(MinhashB.distinct.size == MinhashWideK)
+    // the wide banding consumes the whole array in full bands; the
+    // narrow grain is a prefix of it
+    assert(MinhashBands * MinhashBandRows == MinhashWideK)
+    assert(MinhashK <= MinhashWideK)
+    // multipliers stay below the modulus: a·x with x < p must not
+    // overflow 63 bits on either engine
+    assert(MinhashA.forall(a => a > 0 && a < HashMod))
   }
 }

@@ -155,13 +155,20 @@ class PlanContractSpec extends SparkSpecBase {
   }
 
   test("q32's broadcast→shuffle join swap is result-identical (the 100 TB fallback)") {
-    // At fleet scale the per-doc token dim outgrows the broadcast limit
-    // and the candidate join becomes a co-located shuffle join — the swap
-    // the q32 docstring documents. Run the unhinted pipeline with
-    // auto-broadcast off: the plan must actually use a shuffle join AND
-    // produce exactly the broadcast plan's pair set.
-    val broadcastRows = Registry.byName("q32_lsh_neardup_pairs")
+    // The registered q32 is UNHINTED: Catalyst broadcasts below the
+    // threshold (the small-SF contract asserted above) and swaps to the
+    // co-located shuffle join past it — the 100 TB behavior. Pin both
+    // ends of the swap: the forced-broadcast form (hinted = true, the
+    // explicit contract plan) and the forced-shuffle form (threshold -1)
+    // must each produce exactly the registered pair set.
+    val registeredRows = Registry.byName("q32_lsh_neardup_pairs")
       .run(spark, sf).collect().map(_.toString).sorted
+    val forced = SimilarityQ.lshNearDupPairs(spark, sf, hinted = true)
+    val forcedRows = forced.collect().map(_.toString).sorted
+    assert(forced.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "hinted form did not broadcast")
+    assert(forcedRows.sameElements(registeredRows),
+      "pair set changed under forced-broadcast planning")
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val prev = spark.conf.get(key)
     try {
@@ -172,7 +179,7 @@ class PlanContractSpec extends SparkSpecBase {
       val p = df.queryExecution.executedPlan.toString
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
         s"fallback plan still broadcasts:\n$p")
-      assert(shuffleRows.sameElements(broadcastRows),
+      assert(shuffleRows.sameElements(registeredRows),
         "pair set changed under shuffle-join planning")
     } finally {
       spark.conf.set(key, prev)
