@@ -88,6 +88,11 @@ object ScaleCheck {
     val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", big)
     // warm
     SparkEntry.queries("q09_catalog_totals")(spark, dirs.head).count()
+    if (args.contains("delta")) { // delta section only, for iteration
+      incrementalDeltaCheck(spark, dirs)
+      spark.stop()
+      return
+    }
     val times = for (d <- dirs) yield {
       slice.map { n =>
         spark.catalog.clearCache()
@@ -101,6 +106,55 @@ object ScaleCheck {
       val Seq(a, b, c) = times.map(_(n))
       println(f"$n%-24s $a%8.2f $b%8.2f $c%8.2f  ${c / b}%8.1fx")
     }
+    incrementalDeltaCheck(spark, dirs)
     spark.stop()
+  }
+
+  /** The incremental pipeline's PRODUCTION shape, which the registered
+    * q89 cannot exhibit: its oracle gate needs the full-corpus
+    * equivalence, so the harness form rebuilds yesterday's run inline
+    * and the headline number hides the operator's actual win. Here
+    * `prev`/`prevIndex` are what they are in production — PARQUET READS
+    * written by yesterday's run — and only the delta invocation is
+    * timed, next to the full rerun over the same total corpus. Daily
+    * work ∝ new docs + touched components is the claim; this prints the
+    * measurement. */
+  private def incrementalDeltaCheck(spark: SparkSession, dirs: Seq[String]): Unit = {
+    import graft.pipelines.Curation
+    val cfg = Curation.Config(minQuality = 2.95)
+    val cols = Curation.DecisionCols
+    println()
+    println(f"${"incremental curation"}%-24s ${"delta"}%8s ${"full"}%8s  full/delta")
+    for (d <- dirs) {
+      spark.catalog.clearCache()
+      val all = Tables.load(spark, d, "documents")
+      // a PRODUCTION-SHAPED split: the daily delta is ~1% of the corpus
+      // (q89's registered 25% split exists to make the oracle's
+      // equivalence non-vacuous, not to model a day's arrivals)
+      val a = all.filter(col("doc_id") % 100 =!= 0)
+      val b = all.filter(col("doc_id") % 100 === 0)
+      val bench = all.filter(col("doc_id") % 50 === 0).select("doc_id", "text")
+      // untimed setup: yesterday's run, written to storage like a real
+      // daily driver would
+      val prevDir = s"target/scalecheck_prev/${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      Curation.curate(a, bench, cfg).select(cols.map(col): _*)
+        .write.mode("overwrite").parquet(s"$prevDir/decisions")
+      val prevDecisions = spark.read.parquet(s"$prevDir/decisions")
+      graft.streaming.StreamOps.signatureIndex(
+          a.join(prevDecisions.filter(col("quality_pass") && col("contam_pass"))
+            .select("doc_id"), Seq("doc_id")))
+        .write.mode("overwrite").parquet(s"$prevDir/sig_index")
+      spark.catalog.clearCache()
+      val prev = spark.read.parquet(s"$prevDir/decisions")
+      val prevIndex = spark.read.parquet(s"$prevDir/sig_index")
+      val t0 = System.nanoTime()
+      Curation.curateIncremental(prev, prevIndex, b, bench, cfg).count()
+      val tDelta = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      val t1 = System.nanoTime()
+      Curation.curate(all, bench, cfg).count()
+      val tFull = (System.nanoTime() - t1) / 1e9
+      println(f"${d.split('/').last}%-24s $tDelta%8.2f $tFull%8.2f  ${tFull / tDelta}%8.1fx")
+    }
   }
 }
