@@ -35,14 +35,24 @@ object Curation {
     *        probe; candidate sets are quality-filtered, so they run
     *        well below the raw corpus). Set false past the broadcast
     *        ceiling: Catalyst then plans the co-located shuffle join,
-    *        proven result-identical by PlanContractSpec. */
+    *        proven result-identical by PlanContractSpec.
+    * @param maxBroadcastShingles size switch for the decontamination
+    *        stage: a benchmark whose DISTINCT shingle set fits under
+    *        this count collapses to one sorted broadcast array (pure
+    *        map work on the corpus); past it — a real eval-suite union
+    *        can exceed any single-row/broadcast ceiling — the overlap
+    *        runs as a shingle-keyed join instead (see
+    *        [[Curation.overlapJoin]]), proven result-identical by
+    *        DecontamFallbackSpec. 5M longs ≈ 40 MB serialized, an
+    *        order of magnitude under the broadcast limit. */
   final case class Config(
       minQuality: Double = 0.0,
       maxContamRatio: Double = 0.5,
       jaccardThreshold: Double = 0.5,
       trainBuckets: Int = 8, // of 10: 8/1/1 train/val/test
       splitSalt: String = "split:",
-      broadcastPairDims: Boolean = true)
+      broadcastPairDims: Boolean = true,
+      maxBroadcastShingles: Long = 5000000L)
 
   /** Shared scoring stage (quality + contamination verdicts) — the
     * map-side front of both the full and the incremental pipeline.
@@ -56,26 +66,66 @@ object Curation {
     * lesson: queries over an index must not own corpus-sized state). */
   private def score(docs: DataFrame, benchmark: DataFrame, cfg: Config): DataFrame = {
     val (nTokens, sumLen, nStop, nPunct) = qualityCounters(col("tk"), col("text"))
-    val benchArr = benchmark
-      .select(tokens(col("text")).as("tk"))
-      .select(explode(wordShingles3(col("tk"))).as("h")).distinct()
-      .agg(array_sort(collect_set(col("h"))).as("bench_sh"))
-    docs
+    val benchSh = benchShingles(benchmark)
+    val withSh = docs
       .withColumn("tk", tokens(col("text")))
       .withColumn("quality", qualityScore(nTokens, sumLen, nStop, nPunct))
       .withColumn("sh", wordShingles3(col("tk")))
       .drop("tk")
-      .crossJoin(broadcast(benchArr))
-      .withColumn("n_overlap",
-        call_function("sorted_intersect_count", col("sh"), col("bench_sh")).cast(LongType))
+    // the size switch: counting the DISTINCT benchmark shingles is an
+    // action, but on the small-by-definition side — the eval suite —
+    // and it is exactly the number the broadcast ceiling is about
+    val overlapped =
+      if (benchSh.count() <= cfg.maxBroadcastShingles) overlapBroadcast(withSh, benchSh)
+      else overlapJoin(withSh, benchSh)
+    overlapped
       .withColumn("contam_ratio",
         when(size(col("sh")) > 0,
           col("n_overlap").cast(DoubleType) / size(col("sh")).cast(DoubleType))
           .otherwise(0.0))
-      .drop("sh", "bench_sh", "n_overlap")
+      .drop("sh", "n_overlap")
       .withColumn("quality_pass", col("quality") >= cfg.minQuality)
       .withColumn("contam_pass", col("contam_ratio") <= cfg.maxContamRatio)
       .persist()
+  }
+
+  /** The benchmark's distinct shingle relation — one row per 3-gram
+    * hash. At fleet scale this is a table a suite owner maintains
+    * (optionally bucketed on `h`, which [[overlapJoin]] exploits). */
+  private[graft] def benchShingles(benchmark: DataFrame): DataFrame =
+    benchmark
+      .select(tokens(col("text")).as("tk"))
+      .select(explode(wordShingles3(col("tk"))).as("h")).distinct()
+
+  /** Overlap count, broadcast form: the shingle relation collapses to
+    * ONE sorted array broadcast to every task; the corpus side is pure
+    * map work through the `sorted_intersect_count` codegen kernel —
+    * zero corpus shuffle, the fastest shape while the benchmark fits. */
+  private[graft] def overlapBroadcast(withSh: DataFrame, benchSh: DataFrame): DataFrame =
+    withSh
+      .crossJoin(broadcast(benchSh.agg(array_sort(collect_set(col("h"))).as("bench_sh"))))
+      .withColumn("n_overlap",
+        call_function("sorted_intersect_count", col("sh"), col("bench_sh")).cast(LongType))
+      .drop("bench_sh")
+
+  /** Overlap count past the broadcast ceiling: explode the corpus
+    * shingles to (doc_id, h) grain and join the benchmark relation on
+    * the shingle hash — per-doc `sh` arrays are distinct, so one joined
+    * row per shared shingle and `count(*)` per doc IS the intersection
+    * size (bit-identical to the kernel; DecontamFallbackSpec asserts
+    * it). The corpus pays ONE keyed shuffle at shingle grain; a
+    * benchmark table bucketed on `h` (`Bucketing.persistBucketed`)
+    * joins without shuffling its own side. Docs sharing nothing drop
+    * out of the inner join and rejoin as n_overlap = 0. */
+  private[graft] def overlapJoin(withSh: DataFrame, benchSh: DataFrame): DataFrame = {
+    val counts = withSh
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+      .join(benchSh, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_overlap"))
+    withSh
+      .join(counts, Seq("doc_id"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
   }
 
   /** @param docs      corpus (doc_id, text, …) — extra columns pass through
