@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.FloatType
+
+/** Product-quantization codebook trainer — the "train" half of the
+  * PQ-ADC path (q87 scores against derived codebooks; q90 runs this
+  * trainer). Per-subspace Lloyd under L2, in ONE DAG for all subspaces:
+  * a driver loop over the m subspaces would launch m independent Lloyd
+  * jobs, but keying every stage by the subspace index j trains all
+  * codebooks simultaneously — assignment windows on (id, j), the mean
+  * update shuffles on (j, cid, dim) — so the round count, not m, is the
+  * number of passes over the data.
+  *
+  * Deterministic by the KMeans conventions: init = the k lowest-id
+  * sub-vectors per subspace (every id appears in every subspace, so the
+  * k lowest GLOBAL ids are the k lowest per subspace — one distributed
+  * TakeOrdered, no corpus-wide window), L2 ties break toward the lowest
+  * cid, per-dimension means cast to float32 (drowning the last-ulp
+  * jitter of distributed AVG, exactly the `KMeans.lloyd` caveat). Cells
+  * that lose every member simply drop out of the re-estimate — the same
+  * convention on any engine re-deriving the rounds.
+  */
+object PQ {
+
+  /** (id, vec) → (id, j, sub, ss): the m×dsub subspace decomposition
+    * with the sub-vector self-dot every L2 distance reuses. */
+  def subspaces(emb: DataFrame, idCol: String, vecCol: String,
+                m: Int, dsub: Int): DataFrame =
+    emb
+      .select(col(idCol).as("id"), explode(sequence(lit(0), lit(m - 1))).as("j"),
+        col(vecCol).as("__vec"))
+      .withColumn("sub", slice(col("__vec"), col("j") * dsub + 1, lit(dsub)))
+      .drop("__vec")
+      .withColumn("ss", callDot(col("sub"), col("sub")))
+
+  /** @param sub   output of [[subspaces]] (id, j, sub, ss)
+    * @param k     centroids per subspace
+    * @param iters Lloyd rounds (fixed count, as in `KMeans.lloyd`)
+    * @return trained codebooks (j, cid, cent: array<float>, cc = ‖cent‖²) */
+  def trainCodebooks(sub: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
+    val vecs = sub.select(col("id"), col("j"), col("sub"), col("ss")).localCheckpoint()
+    val initIds = vecs.select(col("id")).distinct()
+      .orderBy(col("id").asc).limit(k)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy(col("id").asc)) - 1).cast("int"))
+    var cents = vecs.join(broadcast(initIds), Seq("id"))
+      .select(col("j"), col("cid"), col("sub").as("cent"), col("ss").as("cc"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val wA = Window.partitionBy(col("id"), col("j"))
+        .orderBy(col("d2").asc, col("cid").asc)
+      val assigned = vecs.join(broadcast(cents), Seq("j"))
+        .withColumn("d2", d2Expr(col("ss"), col("sub"), col("cent"), col("cc")))
+        .withColumn("rn", row_number().over(wA))
+        .filter(col("rn") === 1)
+        .select(col("j"), col("cid"), col("sub"))
+      val means = assigned
+        .select(col("j"), col("cid"), posexplode(col("sub")).as(Seq("d", "x")))
+        .groupBy(col("j"), col("cid"), col("d"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("j"), col("cid"))
+        .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
+        .select(col("j"), col("cid"),
+          transform(col("dm"), e => e.getField("m").cast(FloatType)).as("cent"))
+      cents = means
+        .withColumn("cc", callDot(col("cent"), col("cent")))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** ‖x − c‖² expanded as (‖x‖² − 2⟨x,c⟩) + ‖c‖² — the exact expression
+    * tree (parenthesization included) q87's oracle spells, so trained
+    * and derived codebooks score through ONE arithmetic definition. */
+  def d2Expr(ss: Column, sub: Column, cent: Column, cc: Column): Column =
+    (ss - lit(2.0) * callDot(sub, cent)) + cc
+
+  private def callDot(a: Column, b: Column): Column =
+    call_function("float_dot", a, b)
+}

@@ -298,31 +298,33 @@ object CurationQ2 {
     * centroids) broadcasts and ADC is a keyed sum over codes. Per-pair
     * distances fold over the j-sorted per-subspace array so the IEEE
     * add order is engine-identical (the q58/q59 sorted-fold rule). */
-  private def q87(s: SparkSession, d: String): DataFrame = {
-    val m = 8
-    val dsub = 8
-    val nCent = 16
-    val sub = Tables.embeddings(s, d)
-      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("j"),
-        col("embedding"))
-      .withColumn("sub", slice(col("embedding"), col("j") * dsub + 1, lit(dsub)))
-      .drop("embedding")
-      .withColumn("ss", dotFold(col("sub"), col("sub")))
-    val cb = sub.filter(col("vec_id") < nCent)
-      .select(col("j"), col("vec_id").as("c_id"), col("sub").as("cent"),
-        col("ss").as("cc"))
+  private val pqM = 8
+  private val pqDsub = 8
+  private val pqNCent = 16
+
+  /** The PQ subspace relation (vec_id, j, sub, ss) — shared by the
+    * derived-codebook (q87) and trained-codebook (q90) variants. */
+  private def pqSub(s: SparkSession, d: String): DataFrame =
+    graft.operators.PQ.subspaces(Tables.embeddings(s, d), "vec_id", "embedding",
+        pqM, pqDsub)
+      .withColumnRenamed("id", "vec_id")
+
+  /** Encode + ADC tail shared by q87/q90: broadcast codebook join +
+    * per-(vec, subspace) argmin gives the codes; probes build a
+    * broadcast distance table; ADC is a keyed sum over codes with the
+    * j-sorted fold so the IEEE add order is engine-identical. */
+  private def pqAdcTopK(sub: DataFrame, cb: DataFrame): DataFrame = {
+    import graft.operators.PQ.d2Expr
     val wEnc = Window.partitionBy(col("vec_id"), col("j"))
       .orderBy(col("d2").asc, col("c_id").asc)
     val enc = sub.join(broadcast(cb), Seq("j"))
-      .withColumn("d2",
-        (col("ss") - lit(2.0) * dotFold(col("sub"), col("cent"))) + col("cc"))
+      .withColumn("d2", d2Expr(col("ss"), col("sub"), col("cent"), col("cc")))
       .withColumn("rk", row_number().over(wEnc))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("j"), col("c_id").as("code"))
-    val qdist = sub.filter(col("vec_id") >= nCent && col("vec_id") < nCent + 8)
+    val qdist = sub.filter(col("vec_id") >= pqNCent && col("vec_id") < pqNCent + 8)
       .join(cb, Seq("j"))
-      .withColumn("qd2",
-        (col("ss") - lit(2.0) * dotFold(col("sub"), col("cent"))) + col("cc"))
+      .withColumn("qd2", d2Expr(col("ss"), col("sub"), col("cent"), col("cc")))
       .select(col("vec_id").as("q_id"), col("j"), col("c_id").as("code"), col("qd2"))
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("approx_d2").asc, col("vec_id").asc)
@@ -335,6 +337,14 @@ object CurationQ2 {
       .filter(col("rk") <= 10)
       .select(col("q_id"), col("rk"), col("vec_id"), col("approx_d2"))
       .orderBy(col("q_id"), col("rk"))
+  }
+
+  private def q87(s: SparkSession, d: String): DataFrame = {
+    val sub = pqSub(s, d)
+    val cb = sub.filter(col("vec_id") < pqNCent)
+      .select(col("j"), col("vec_id").as("c_id"), col("sub").as("cent"),
+        col("ss").as("cc"))
+    pqAdcTopK(sub, cb)
   }
 
   private val q87Sql =
@@ -367,6 +377,71 @@ object CurationQ2 {
        |  FROM adc)
        |SELECT q_id, rk, vec_id, approx_d2 FROM r WHERE rk <= 10
        |ORDER BY q_id, rk""".stripMargin
+
+  // ---------------------------------------------------------------- q90
+
+  /** PQ-ADC with TRAINED codebooks — the production "train" half q87's
+    * derived codebooks stand in for: `PQ.trainCodebooks` runs
+    * per-subspace Lloyd (8 subspaces × 16 centroids, 2 rounds, ALL
+    * subspaces in one DAG — stages keyed by the subspace index, so the
+    * round count rather than the subspace count is the number of data
+    * passes), then the byte-identical encode + ADC tail of q87. The
+    * oracle unrolls the Lloyd rounds per (subspace, cell) exactly as
+    * q77's does for the IVF quantizer: lowest-id init, lowest-cid
+    * tie-breaks, per-dimension AVG cast to float32. */
+  private def q90(s: SparkSession, d: String): DataFrame = {
+    val sub = pqSub(s, d)
+    val cb = graft.operators.PQ.trainCodebooks(
+        sub.withColumnRenamed("vec_id", "id"), pqNCent, iters = 2)
+      .select(col("j"), col("cid").as("c_id"), col("cent"), col("cc"))
+    pqAdcTopK(sub, cb)
+  }
+
+  private val q90Sql = {
+    def round(prev: String, n: Int): String =
+      s"""a$n AS (SELECT id, j, v, ss, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY id, j
+         |      ORDER BY (ss - 2.0 * ${sqlDotFold("v", "cent")}) + cc ASC, cid ASC) AS rn
+         |  FROM s2 JOIN $prev USING (j)),
+         |m$n AS (SELECT j, cid, i, CAST(AVG(v[i + 1]) AS FLOAT) AS m
+         |  FROM a$n, range(8) t(i) WHERE rn = 1 GROUP BY j, cid, i),
+         |c$n AS (SELECT j, cid, cent, ${sqlDotFold("cent", "cent")} AS cc
+         |  FROM (SELECT j, cid, list(m ORDER BY i) AS cent FROM m$n GROUP BY j, cid))"""
+        .stripMargin
+    s"""WITH sub0 AS (SELECT vec_id AS id, unnest(range(0, 8)) AS j, embedding FROM embeddings),
+       |subv AS (SELECT id, CAST(j AS INT) AS j,
+       |    list_slice(embedding, j * 8 + 1, j * 8 + 8) AS v FROM sub0),
+       |s2 AS (SELECT id, j, v, ${sqlDotFold("v", "v")} AS ss FROM subv),
+       |inic AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS cid
+       |  FROM (SELECT DISTINCT id FROM s2 ORDER BY id LIMIT 16)),
+       |c0 AS (SELECT j, cid, v AS cent, ss AS cc FROM s2 JOIN inic USING (id)),
+       |${round("c0", 1)},
+       |${round("c1", 2)},
+       |enc0 AS (SELECT s.id AS vec_id, s.j AS j, c.cid AS c_id,
+       |    (s.ss - 2.0 * ${sqlDotFold("s.v", "c.cent")}) + c.cc AS d2
+       |  FROM s2 s JOIN c2 c ON s.j = c.j),
+       |encr AS (SELECT vec_id, j, c_id,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, c_id ASC) AS rk
+       |  FROM enc0),
+       |enc AS (SELECT vec_id, j, c_id AS code FROM encr WHERE rk = 1),
+       |qd AS (SELECT s.id AS q_id, s.j AS j, c.cid AS code,
+       |    (s.ss - 2.0 * ${sqlDotFold("s.v", "c.cent")}) + c.cc AS qd2
+       |  FROM s2 s JOIN c2 c ON s.j = c.j
+       |  WHERE s.id >= 16 AND s.id < 24),
+       |adc0 AS (SELECT q.q_id AS q_id, e.vec_id AS vec_id,
+       |    list(q.qd2 ORDER BY e.j) AS ds
+       |  FROM enc e JOIN qd q ON e.j = q.j AND e.code = q.code
+       |  GROUP BY q.q_id, e.vec_id),
+       |adc AS (SELECT q_id, vec_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ds), (acc, x) -> acc + x)
+       |      AS approx_d2
+       |  FROM adc0),
+       |r AS (SELECT q_id, vec_id, approx_d2,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY approx_d2 ASC, vec_id ASC) AS rk
+       |  FROM adc)
+       |SELECT q_id, rk, vec_id, approx_d2 FROM r WHERE rk <= 10
+       |ORDER BY q_id, rk""".stripMargin
+  }
 
   // ---------------------------------------------------------------- q88
 
@@ -466,5 +541,6 @@ object CurationQ2 {
     GQuery("q87_pq_adc_ann", q87, Some(q87Sql), Seq("A16", "O1", "O4")),
     GQuery("q88_sequence_packing", q88, Some(q88Sql), Seq("W5", "A17", "F11")),
     GQuery("q89_incremental_curation", q89, Some(CurationQ.q79Sql),
-      Seq("A16", "W2", "U3", "F11")))
+      Seq("A16", "W2", "U3", "F11")),
+    GQuery("q90_pq_trained_ann", q90, Some(q90Sql), Seq("A16", "O1", "O4")))
 }
