@@ -132,6 +132,36 @@ object VecIndex {
       .outputMode("append")
       .start(path)
 
+  /** Offline compaction for the streaming-append small-file growth:
+    * every micro-batch lands a file per touched `cid=N/` directory, so
+    * a long-running ingest accumulates files whose per-file overhead
+    * eventually dominates the scan. One range shuffle on (cid, id)
+    * clusters each cell into a contiguous run — a partition holds at
+    * most a couple of cells, a cell receives at most a couple of
+    * files — then the rewritten layout replaces the old one via a
+    * same-filesystem rename (never read-and-overwrite in place).
+    * Idempotent: rows and the cid partition layout are unchanged by a
+    * second run; VecIndexSpec asserts row identity and that searches
+    * keep pruning.
+    *
+    * LSM handoff discipline: run with NO active writer, and restart the
+    * append stream with a fresh checkpoint afterwards — the rewrite
+    * drops the file sink's `_spark_metadata` log (the compacted
+    * directory is a plain partitioned table again), so a resumed old
+    * checkpoint would reference files that no longer exist. */
+  def compact(spark: SparkSession, path: String, idCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dst = new Path(path)
+    val tmp = new Path(path + "__compacting")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(tmp, true) // debris from an aborted earlier run
+    spark.read.parquet(path)
+      .repartitionByRange(col("cid"), col(idCol))
+      .write.mode("overwrite").partitionBy("cid").parquet(tmp.toString)
+    require(fs.delete(dst, true), s"compaction could not remove $dst")
+    require(fs.rename(tmp, dst), s"compaction rename failed: $tmp -> $dst")
+  }
+
   private def callDot(a: Column, b: Column): Column =
     call_function("float_dot", a, b)
 }

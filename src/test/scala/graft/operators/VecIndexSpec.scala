@@ -108,6 +108,55 @@ class VecIndexSpec extends SparkSpecBase {
     assert(cellDirs >= 1, "no cid= partition directories in the streamed index")
   }
 
+  test("compact merges streamed small files; rows, layout, and pruning survive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = KMeans.lloyd(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val dir = tempDir("veccompact")
+    val ckpt = tempDir("veccompact-ckpt")
+    val batch = emb.limit(48)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val q = VecIndex.appendStream(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      cents, dir, ckpt)
+    try { // three micro-batches -> up to three files per touched cell
+      batch.grouped(16).foreach { g =>
+        input.addData(g)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def dataFiles(d: String): Map[String, Int] =
+      new java.io.File(d).listFiles().filter(_.isDirectory)
+        .filter(_.getName.startsWith("cid=")).map(c =>
+          c.getName -> c.listFiles().count(f =>
+            f.getName.endsWith(".parquet") && !f.getName.startsWith("."))).toMap
+    def rows(d: String): Array[(Long, Int)] =
+      VecIndex.open(spark, d).select(col("vec_id"), col("cid")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted
+    val before = dataFiles(dir)
+    val beforeRows = rows(dir)
+    assert(before.values.max > 1, s"setup is vacuous — no cell has multiple files: $before")
+    VecIndex.compact(spark, dir, "vec_id")
+    val after = dataFiles(dir)
+    assert(rows(dir).sameElements(beforeRows), "compaction changed the row set")
+    assert(after.keySet == before.keySet, "compaction changed the cell layout")
+    assert(after.values.sum < before.values.sum,
+      s"compaction did not reduce file count: $before -> $after")
+    VecIndex.compact(spark, dir, "vec_id") // idempotent: second run is a no-op reshuffle
+    assert(rows(dir).sameElements(beforeRows), "second compaction changed the row set")
+    assert(dataFiles(dir) == after, "second compaction changed the file layout")
+    val probes = VecIndex.open(spark, dir).filter(col("vec_id") < 2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("cid").as("q_cid"))
+    val res = VecIndex.search(VecIndex.open(spark, dir), probes, "vec_id", "embedding", k = 5)
+    val scan = res.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && !scan.contains("PartitionFilters: []"),
+      s"compacted index search lost partition pruning:\n$scan")
+  }
+
   test("multi-probe: a probe row per extra cell widens recall, stays pruned") {
     val idx = VecIndex.open(spark, path)
     // probe 0 searches its own cell plus cell (cid+1) mod nCells
