@@ -15,12 +15,26 @@ import org.apache.spark.sql.functions._
   * the cell filter prunes at the file-listing level, so a search over a
   * 100 TB corpus reads nprobe/k of it).
   *
-  * Layout: `path/cid=N/part-*.parquet`, one directory per coarse cell,
-  * rows = (id, vec, norm). Search cost per probe = the probed cells'
-  * bytes only; the scan's PartitionFilters prove it (asserted by
-  * VecIndexSpec, not just documented).
+  * Layout — an LSM pair of partitioned directories:
+  * {{{
+  *   path/base/cid=N/part-*.parquet    // bulk builds + compactions
+  *   path/delta/cid=N/part-*.parquet   // streaming appends (file sink)
+  * }}}
+  * rows = (id, vec, norm). The split is load-bearing, not cosmetic: the
+  * exactly-once file sink governs its output directory through a
+  * `_spark_metadata` log, and a reader honoring that log sees ONLY
+  * log-listed files — mixing bulk-written and sink-written files in one
+  * directory silently hides the bulk half (caught by DailyDriverSpec).
+  * So streams append to `delta/`, bulk writes own `base/`, [[open]]
+  * unions the two (the delta side read through its log, keeping the
+  * exactly-once guarantee), and [[compact]] merges delta into base.
+  * Search cost per probe = the probed cells' bytes only; the scan's
+  * PartitionFilters prove it (asserted by VecIndexSpec).
   */
 object VecIndex {
+
+  private def baseDir(path: String) = s"$path/base"
+  private def deltaDir(path: String) = s"$path/delta"
 
   /** Assign every vector to its nearest-by-cosine centroid and persist
     * partitioned by cell id. One broadcast join + the map-side-pruned
@@ -40,11 +54,24 @@ object VecIndex {
       .filter(col("__rn") === 1)
       .select(col("__id").as(idCol), col("__v").as(vecCol),
         col("__norm").as("norm"), col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(path)
+      .write.mode("overwrite").partitionBy("cid").parquet(baseDir(path))
   }
 
-  def open(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  /** The full index: base ∪ delta, whichever sides exist (a pure-stream
+    * index has no base until its first compaction; a never-appended one
+    * has no delta). Each side is a single-path read, so the delta side
+    * goes through the file sink's metadata log and an aborted
+    * micro-batch's orphan files stay invisible. */
+  def open(spark: SparkSession, path: String): DataFrame = {
+    val sides = Seq(baseDir(path), deltaDir(path)).filter(exists(spark, _))
+    require(sides.nonEmpty, s"no index layout under $path")
+    sides.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+  }
+
+  private def exists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   /** In-cell exact-cosine top-k over the persisted index.
     *
@@ -116,11 +143,11 @@ object VecIndex {
   }
 
   /** Incremental index maintenance: assign arriving vectors with
-    * [[assignFold]] and append them to the partitioned layout through
-    * the exactly-once parquet file sink. New rows land in their
-    * `cid=N/` directories, so searches over `open(path)` keep pruning
-    * correctly as the index grows — compaction stays an offline
-    * `build` rerun, exactly like any LSM-flavored index. */
+    * [[assignFold]] and append them to the DELTA side of the layout
+    * through the exactly-once parquet file sink. New rows land in their
+    * `delta/cid=N/` directories, so searches over `open(path)` keep
+    * pruning correctly as the index grows; [[compact]] folds the delta
+    * into the base offline, exactly like any LSM-flavored index. */
   def appendStream(embStream: DataFrame, idCol: String, vecCol: String,
                    centroids: DataFrame, path: String,
                    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
@@ -130,36 +157,38 @@ object VecIndex {
       .option("checkpointLocation", checkpoint)
       .partitionBy("cid")
       .outputMode("append")
-      .start(path)
+      .start(deltaDir(path))
 
-  /** Offline compaction for the streaming-append small-file growth:
-    * every micro-batch lands a file per touched `cid=N/` directory, so
-    * a long-running ingest accumulates files whose per-file overhead
+  /** Offline compaction: fold the streamed delta into the base and
+    * reset the layout to a single bulk-written side. Every micro-batch
+    * lands a file per touched `delta/cid=N/` directory, so a
+    * long-running ingest accumulates files whose per-file overhead
     * eventually dominates the scan. One range shuffle on (cid, id)
     * clusters each cell into a contiguous run — a partition holds at
     * most a couple of cells, a cell receives at most a couple of
-    * files — then the rewritten layout replaces the old one via a
-    * same-filesystem rename (never read-and-overwrite in place).
+    * files — written to a temp directory and swapped in via
+    * same-filesystem renames (never read-and-overwrite in place).
     * Idempotent: rows and the cid partition layout are unchanged by a
     * second run; VecIndexSpec asserts row identity and that searches
     * keep pruning.
     *
     * LSM handoff discipline: run with NO active writer, and restart the
-    * append stream with a fresh checkpoint afterwards — the rewrite
-    * drops the file sink's `_spark_metadata` log (the compacted
-    * directory is a plain partitioned table again), so a resumed old
-    * checkpoint would reference files that no longer exist. */
+    * append stream with a fresh checkpoint afterwards — the compaction
+    * consumes the delta directory and its sink log, so a resumed old
+    * checkpoint would re-govern a directory whose history is gone. */
   def compact(spark: SparkSession, path: String, idCol: String): Unit = {
     import org.apache.hadoop.fs.Path
-    val dst = new Path(path)
-    val tmp = new Path(path + "__compacting")
-    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = new Path(baseDir(path))
+    val delta = new Path(deltaDir(path))
+    val tmp = new Path(s"$path/__compacting")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(tmp, true) // debris from an aborted earlier run
-    spark.read.parquet(path)
+    open(spark, path)
       .repartitionByRange(col("cid"), col(idCol))
       .write.mode("overwrite").partitionBy("cid").parquet(tmp.toString)
-    require(fs.delete(dst, true), s"compaction could not remove $dst")
-    require(fs.rename(tmp, dst), s"compaction rename failed: $tmp -> $dst")
+    fs.delete(base, true) // false when absent (pure-stream index) — fine
+    fs.delete(delta, true)
+    require(fs.rename(tmp, base), s"compaction rename failed: $tmp -> $base")
   }
 
   private def callDot(a: Column, b: Column): Column =

@@ -18,7 +18,7 @@ class VecIndexSpec extends SparkSpecBase {
   }
 
   test("build lays the index out partitioned by cell id") {
-    val cellDirs = new java.io.File(path).listFiles()
+    val cellDirs = new java.io.File(s"$path/base").listFiles()
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cid=")).sorted
     assert(cellDirs.nonEmpty, "no cid= partition directories")
     val idx = VecIndex.open(spark, path)
@@ -103,9 +103,9 @@ class VecIndexSpec extends SparkSpecBase {
       .select(col("vec_id"), col("cid")).collect()
       .map(r => (r.getLong(0), r.getInt(1))).sorted
     assert(streamed.sameElements(expected), "streamed assignments diverged from batch")
-    val cellDirs = new java.io.File(dir).listFiles()
+    val cellDirs = new java.io.File(s"$dir/delta").listFiles()
       .filter(_.isDirectory).map(_.getName).count(_.startsWith("cid="))
-    assert(cellDirs >= 1, "no cid= partition directories in the streamed index")
+    assert(cellDirs >= 1, "no cid= partition directories in the streamed delta")
   }
 
   test("compact merges streamed small files; rows, layout, and pruning survive") {
@@ -128,11 +128,15 @@ class VecIndexSpec extends SparkSpecBase {
         q.processAllAvailable()
       }
     } finally q.stop()
+    // cid → data-file count, summed across the base and delta sides
     def dataFiles(d: String): Map[String, Int] =
-      new java.io.File(d).listFiles().filter(_.isDirectory)
-        .filter(_.getName.startsWith("cid=")).map(c =>
-          c.getName -> c.listFiles().count(f =>
-            f.getName.endsWith(".parquet") && !f.getName.startsWith("."))).toMap
+      Seq(s"$d/base", s"$d/delta").map(new java.io.File(_))
+        .filter(_.isDirectory)
+        .flatMap(_.listFiles().filter(_.isDirectory)
+          .filter(_.getName.startsWith("cid=")).map(c =>
+            c.getName -> c.listFiles().count(f =>
+              f.getName.endsWith(".parquet") && !f.getName.startsWith("."))))
+        .groupMapReduce(_._1)(_._2)(_ + _)
     def rows(d: String): Array[(Long, Int)] =
       VecIndex.open(spark, d).select(col("vec_id"), col("cid")).collect()
         .map(r => (r.getLong(0), r.getInt(1))).sorted
