@@ -63,4 +63,35 @@ class CatalogJdbcSpec extends SparkSpecBase {
     assert(df.select(sum(col("filesize"))).collect().head.getLong(0) ==
       (0 until 40).map(1000000L + _).sum)
   }
+
+  test("partitioned fetch pushes the WHERE clause and prunes columns remotely") {
+    seeded
+    // the archive-wide shape: a project filter over the parallel fetch —
+    // each stride's remote query must carry the WHERE (PushedFilters is
+    // the exact predicate list JDBCRDD compiles into the remote SQL), or
+    // every executor transfers its full stride and filters Spark-side
+    val df = CatalogJdbc.tablePartitioned(spark, url, "fileobject",
+        "file_id", lower = 0L, upper = 40L, numPartitions = 4)
+      .filter(col("project") === "LC0_011" && col("filesize") > 1000010L)
+      .select(col("filename"), col("filesize"))
+    assert(df.count() == 14) // even ids 12..38
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:"), s"no pushed-filter section:\n$plan")
+    assert(plan.contains("EqualTo(PROJECT,LC0_011)") ||
+        plan.contains("EqualTo(project,LC0_011)"),
+      s"project filter not pushed into the partitioned JDBC scan:\n$plan")
+    // prefix match: executedPlan.toString truncates long filter lists
+    assert(plan.contains("GreaterThan(FILESIZE,1000") ||
+        plan.contains("GreaterThan(filesize,1000"),
+      s"filesize range not pushed into the partitioned JDBC scan:\n$plan")
+    // parallel fetch retained alongside the pushdown
+    assert(plan.contains("numPartitions=4"),
+      s"partitioned fetch lost its strides:\n$plan")
+    // column pruning reaches the remote SELECT list: the scan's output
+    // must not carry unprojected catalog columns (URI/OBSERVATION_ID)
+    val scanLine = plan.linesIterator.find(_.contains("JDBCRelation")).getOrElse("")
+    assert(!scanLine.toUpperCase.contains("URI") &&
+        !scanLine.toUpperCase.contains("OBSERVATION_ID"),
+      s"remote scan fetches unprojected columns:\n$scanLine")
+  }
 }
