@@ -84,7 +84,10 @@ object ScaleCheck {
       // keep-best CC + split in one DAG) — the heaviest single query
       "q79_curation_e2e",
       // sharded sequence packing; the incremental (prev + delta) pipeline
-      "q88_sequence_packing", "q89_incremental_curation")
+      "q88_sequence_packing", "q89_incremental_curation",
+      // chunk-grain boilerplate detection: map-side explode + two keyed
+      // shuffles at grains that grow linearly with the corpus
+      "q91_chunk_boilerplate")
     val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", big)
     // warm
     SparkEntry.queries("q09_catalog_totals")(spark, dirs.head).count()

@@ -378,6 +378,79 @@ object CurationQ2 {
        |SELECT q_id, rk, vec_id, approx_d2 FROM r WHERE rk <= 10
        |ORDER BY q_id, rk""".stripMargin
 
+  // ---------------------------------------------------------------- q91
+
+  private val chunkLen = 20
+  private val chunkStride = 10
+
+  /** Cross-document repeated-chunk detection — the chunk-granular
+    * approximation of exact-substring dedup (the boilerplate problem:
+    * license headers, navigation chrome, templated paragraphs shared
+    * across otherwise-distinct documents, which document-level near-dup
+    * never sees). Each doc is cut into 20-token chunks at stride 10
+    * (short docs contribute themselves as one chunk), each chunk is one
+    * poly-hash; a chunk seen in ≥ 2 DISTINCT docs is boilerplate, and
+    * the per-doc report (n_chunks, n_dup_chunks, dup_ratio) is what a
+    * curation policy thresholds on.
+    *
+    * Scale shape: chunking is a map-side explode (≤ n/stride chunks per
+    * doc — linear in corpus tokens); the boilerplate set is ONE groupBy
+    * at chunk-hash grain; the flag-back is a keyed join at the same
+    * grain and a doc-grain aggregate. No broadcast of anything
+    * corpus-sized, no window, nothing quadratic — every stage keys on a
+    * grain that grows linearly with the corpus. */
+  private def q91(s: SparkSession, d: String): DataFrame = {
+    val c = chunkLen
+    val st = chunkStride
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")))
+    val starts = when(col("n") >= c,
+        sequence(lit(0), ((col("n") - c) / st).cast(IntegerType) * st, lit(st)))
+      .when(col("n") > 0, array(lit(0)))
+      .otherwise(array().cast(ArrayType(IntegerType)))
+    val chunks = tk
+      .select(col("doc_id"), col("tk"), col("n"), explode(starts).as("g"))
+      .withColumn("chunk_hash",
+        strHash(concat_ws(" ", slice(col("tk"), col("g") + 1, least(lit(c), col("n"))))))
+      .select(col("doc_id"), col("chunk_hash"))
+    val boiler = chunks.groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("chunk_hash"), lit(1).as("dup"))
+    chunks.join(boiler, Seq("chunk_hash"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_chunks"),
+        count(col("dup")).cast(LongType).as("n_dup_chunks"))
+      .withColumn("dup_ratio",
+        col("n_dup_chunks").cast(DoubleType) / col("n_chunks").cast(DoubleType))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q91Sql = {
+    val c = chunkLen
+    val st = chunkStride
+    s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS tk FROM documents),
+       |sized AS (SELECT doc_id, tk, CAST(len(tk) AS INT) AS n FROM tk),
+       |gs AS (SELECT doc_id, tk, n,
+       |    unnest(CASE WHEN n >= $c THEN range(0, ((n - $c) // $st) * $st + 1, $st)
+       |                WHEN n > 0 THEN [CAST(0 AS BIGINT)]
+       |                ELSE CAST([] AS BIGINT[]) END) AS g
+       |  FROM sized),
+       |ch AS (SELECT doc_id,
+       |    ${sqlStrHash(s"array_to_string(list_slice(tk, g + 1, g + least($c, n)), ' ')")} AS chunk_hash
+       |  FROM gs),
+       |boiler AS (SELECT chunk_hash FROM ch GROUP BY chunk_hash
+       |  HAVING COUNT(DISTINCT doc_id) >= 2),
+       |flagged AS (SELECT c.doc_id AS doc_id, b.chunk_hash IS NOT NULL AS dup
+       |  FROM ch c LEFT JOIN boiler b USING (chunk_hash))
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       |  CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
+       |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q90
 
   /** PQ-ADC with TRAINED codebooks — the production "train" half q87's
@@ -542,5 +615,6 @@ object CurationQ2 {
     GQuery("q88_sequence_packing", q88, Some(q88Sql), Seq("W5", "A17", "F11")),
     GQuery("q89_incremental_curation", q89, Some(CurationQ.q79Sql),
       Seq("A16", "W2", "U3", "F11")),
-    GQuery("q90_pq_trained_ann", q90, Some(q90Sql), Seq("A16", "O1", "O4")))
+    GQuery("q90_pq_trained_ann", q90, Some(q90Sql), Seq("A16", "O1", "O4")),
+    GQuery("q91_chunk_boilerplate", q91, Some(q91Sql), Seq("A16", "A17", "F11")))
 }
