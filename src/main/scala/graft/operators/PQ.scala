@@ -43,10 +43,7 @@ object PQ {
   def trainCodebooks(sub: DataFrame, k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
     val vecs = sub.select(col("id"), col("j"), col("sub"), col("ss")).localCheckpoint()
-    val initIds = vecs.select(col("id")).distinct()
-      .orderBy(col("id").asc).limit(k)
-      .withColumn("cid",
-        (row_number().over(Window.orderBy(col("id").asc)) - 1).cast("int"))
+    val initIds = initCodebookIds(vecs, k)
     var cents = vecs.join(broadcast(initIds), Seq("id"))
       .select(col("j"), col("cid"), col("sub").as("cent"), col("ss").as("cc"))
       .localCheckpoint()
@@ -72,6 +69,18 @@ object PQ {
     }
     cents
   }
+
+  /** Init = the k lowest GLOBAL ids with their cell numbers. The
+    * orderBy(..).limit(k) plans as a distributed TakeOrdered and the
+    * partition-less numbering window runs over the already-reduced k
+    * rows only (the KMeans.initCentroids discipline). Exposed
+    * (package-private) so PlanContractSpec can audit the
+    * un-checkpointed plan. */
+  private[graft] def initCodebookIds(vecs: DataFrame, k: Int): DataFrame =
+    vecs.select(col("id")).distinct()
+      .orderBy(col("id").asc).limit(k)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy(col("id").asc)) - 1).cast("int"))
 
   /** ‖x − c‖² expanded as (‖x‖² − 2⟨x,c⟩) + ‖c‖² — the exact expression
     * tree (parenthesization included) q87's oracle spells, so trained

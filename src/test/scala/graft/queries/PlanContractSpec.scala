@@ -119,7 +119,7 @@ class PlanContractSpec extends SparkSpecBase {
     // to it). Audit their un-checkpointed plans directly.
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Window => LWindow}
     import org.apache.spark.sql.functions._
-    import graft.operators.{DedupGroups, KMeans, SkewJoin}
+    import graft.operators.{DedupGroups, KMeans, PQ, SkewJoin}
     import spark.implicits._
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val docs = spark.read.parquet(s"$sf/documents.parquet")
@@ -129,6 +129,8 @@ class PlanContractSpec extends SparkSpecBase {
       "KMeans.initCentroids" ->
         KMeans.initCentroids(KMeans.prep(emb, "vec_id", "embedding"), 4),
       "KMeans.assign" -> KMeans.assign(emb, "vec_id", "embedding", cents),
+      "PQ.initCodebookIds" -> PQ.initCodebookIds(
+        PQ.subspaces(emb, "vec_id", "embedding", m = 8, dsub = 8), 16),
       "DedupGroups.keepBest" -> DedupGroups.keepBest(
         docs.withColumn("qual", length(col("text")).cast("double")),
         "doc_id", "qual", pairs, "doc_a", "doc_b"),
