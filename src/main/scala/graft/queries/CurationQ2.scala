@@ -298,13 +298,14 @@ object CurationQ2 {
     * centroids) broadcasts and ADC is a keyed sum over codes. Per-pair
     * distances fold over the j-sorted per-subspace array so the IEEE
     * add order is engine-identical (the q58/q59 sorted-fold rule). */
-  private val pqM = 8
-  private val pqDsub = 8
-  private val pqNCent = 16
+  private[queries] val pqM = 8
+  private[queries] val pqDsub = 8
+  private[queries] val pqNCent = 16
 
   /** The PQ subspace relation (vec_id, j, sub, ss) — shared by the
-    * derived-codebook (q87) and trained-codebook (q90) variants. */
-  private def pqSub(s: SparkSession, d: String): DataFrame =
+    * derived-codebook (q87) and trained-codebook (q90) variants, and by
+    * the q93 recall harness. */
+  private[queries] def pqSub(s: SparkSession, d: String): DataFrame =
     graft.operators.PQ.subspaces(Tables.embeddings(s, d), "vec_id", "embedding",
         pqM, pqDsub)
       .withColumnRenamed("id", "vec_id")
@@ -313,7 +314,7 @@ object CurationQ2 {
     * per-(vec, subspace) argmin gives the codes; probes build a
     * broadcast distance table; ADC is a keyed sum over codes with the
     * j-sorted fold so the IEEE add order is engine-identical. */
-  private def pqAdcTopK(sub: DataFrame, cb: DataFrame): DataFrame = {
+  private[queries] def pqAdcTopK(sub: DataFrame, cb: DataFrame): DataFrame = {
     import graft.operators.PQ.d2Expr
     val wEnc = Window.partitionBy(col("vec_id"), col("j"))
       .orderBy(col("d2").asc, col("c_id").asc)

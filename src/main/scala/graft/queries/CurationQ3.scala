@@ -1,0 +1,326 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+import SimilarityQ.{dotFold, sqlDotFold}
+
+/** Third batch of training-data curation operators: semantic
+  * (embedding-space) deduplication, the PQ recall harness, and
+  * substring-grain dedup with document REWRITE — the three operations
+  * that close the loop between candidate generation (near-dup pairs,
+  * ANN indexes) and what a corpus owner actually ships (a smaller,
+  * cleaner corpus).
+  *
+  * Same scale discipline as [[CurationQ]]/[[CurationQ2]]: broadcast
+  * only derived dimensions (centroids, codebooks, probe tables),
+  * shuffle only on grains that grow with the corpus, and prefer
+  * partial-aggregatable reductions over windows wherever a
+  * first-occurrence/min is all that is needed.
+  */
+object CurationQ3 {
+
+  // ---------------------------------------------------------------- q92
+
+  private val semK = 4
+  private val semIters = 2
+  private val semThreshold = 0.35
+
+  /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the trained
+    * coarse quantizer ([[graft.operators.KMeans.lloyd]] — deterministic:
+    * lowest-id init, lowest-cid tie-break), generate candidate pairs
+    * ONLY within a cluster (the IVF blocking that keeps candidate
+    * generation off the all-pairs cliff), verify exact cosine ≥ t, take
+    * connected components, and keep each component's member FARTHEST
+    * from its cluster centroid (the paper's keep rule: the least
+    * prototypical member preserves the most diversity; ties → lowest
+    * id). Unpaired vectors keep themselves.
+    *
+    * Scale shape: training/assignment broadcast k centroids (map work);
+    * the pair stage shuffles each vector once on its cell id and the
+    * size of a cell is controlled by k (a corpus owner grows k with the
+    * corpus exactly as an IVF index does, so per-cell candidate volume
+    * stays bounded); components run on the pair set
+    * ([[graft.operators.DedupGroups]] — work ∝ pairs, clique-contracted);
+    * the keep-best window partitions on component id, a corpus-growing
+    * grain. Nothing corpus-sized is ever broadcast or single-partition. */
+  private def q92(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = graft.operators.KMeans.lloyd(emb, "vec_id", "embedding",
+      k = semK, iters = semIters)
+    val asg = graft.operators.KMeans.assign(emb, "vec_id", "embedding", cents)
+    val vecs = emb
+      .withColumn("norm", sqrt(dotFold(col("embedding"), col("embedding"))))
+      .filter(col("norm") > 0.0)
+      .join(asg.select(col("vec_id"), col("cid")), "vec_id")
+    val a = vecs.select(col("vec_id").as("a_id"), col("cid"),
+      col("embedding").as("a_emb"), col("norm").as("a_norm"))
+    val b = vecs.select(col("vec_id").as("b_id"), col("cid"),
+      col("embedding").as("b_emb"), col("norm").as("b_norm"))
+    val pairs = a.join(b, Seq("cid"))
+      .filter(col("a_id") < col("b_id"))
+      // pushdown fence (the q32/q65 hazard): without it Catalyst folds
+      // the threshold filter into the join residual and evaluates the
+      // float_dot kernel TWICE per candidate pair
+      .withColumn("pushdown_fence", monotonically_increasing_id())
+      .withColumn("p_cos",
+        dotFold(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
+      .filter(col("p_cos") >= semThreshold)
+      .select(col("a_id"), col("b_id"))
+    // keepBest maximizes the preference; SemDeDup keeps the member
+    // farthest from its centroid, so the preference is the NEGATED
+    // centroid cosine (IEEE negation is exact — ordering −x desc ≡ x asc)
+    val docs = asg.select(col("vec_id"), col("cid"), col("cos").as("cent_cos"),
+      (-col("cos")).as("farness"))
+    graft.operators.DedupGroups
+      .keepBest(docs, "vec_id", "farness", pairs, "a_id", "b_id")
+      .select(col("vec_id"), col("cid"), col("cent_cos"), col("component"),
+        col("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The oracle unrolls the two Lloyd rounds exactly as q77's does
+    * (identical init, tie-breaks, float32 centroid rounding), re-derives
+    * the within-cell pair set, runs components as a recursive CTE (the
+    * q66 fixpoint form), and applies the farthest-from-centroid keep
+    * rule as a window. */
+  private val q92Sql = {
+    def round(prev: String, n: Int): String =
+      s"""a$n AS (SELECT id, v, nrm, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY id
+         |      ORDER BY ${sqlDotFold("v", "c_vec")} / (nrm * c_norm) DESC, cid ASC) AS rn
+         |  FROM vecs CROSS JOIN $prev),
+         |m$n AS (SELECT cid, i, CAST(AVG(v[i + 1]) AS FLOAT) AS m
+         |  FROM a$n, range(64) t(i) WHERE rn = 1 GROUP BY cid, i),
+         |c$n AS (SELECT cid, c_vec, sqrt(${sqlDotFold("c_vec", "c_vec")}) AS c_norm
+         |  FROM (SELECT cid, list(m ORDER BY i) AS c_vec FROM m$n GROUP BY cid))"""
+        .stripMargin
+    s"""WITH RECURSIVE emb AS (SELECT vec_id AS id, embedding AS v,
+       |    sqrt(${sqlDotFold("embedding", "embedding")}) AS nrm FROM embeddings),
+       |vecs AS (SELECT * FROM emb WHERE nrm > 0.0),
+       |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS cid,
+       |    v AS c_vec, nrm AS c_norm
+       |  FROM (SELECT * FROM vecs ORDER BY id LIMIT $semK)),
+       |${round("c0", 1)},
+       |${round("c1", 2)},
+       |af AS (SELECT id, v, nrm, cid,
+       |    ${sqlDotFold("v", "c_vec")} / (nrm * c_norm) AS cent_cos,
+       |    ROW_NUMBER() OVER (PARTITION BY id
+       |      ORDER BY ${sqlDotFold("v", "c_vec")} / (nrm * c_norm) DESC, cid ASC) AS rn
+       |  FROM vecs CROSS JOIN c2),
+       |asg AS (SELECT id, v, nrm, cid, cent_cos FROM af WHERE rn = 1),
+       |p AS (SELECT x.id AS a, y.id AS b
+       |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.id < y.id
+       |  WHERE ${sqlDotFold("x.v", "y.v")} / (x.nrm * y.nrm) >= $semThreshold),
+       |und AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+       |verts AS (SELECT DISTINCT src AS vid FROM und),
+       |reach(vid, lab) AS (
+       |  SELECT vid, vid FROM verts
+       |  UNION
+       |  SELECT u.src, r.lab FROM und u JOIN reach r ON u.dst = r.vid),
+       |canon AS (SELECT vid, MIN(lab) AS comp FROM reach GROUP BY vid),
+       |j AS (SELECT a.id, a.cid, a.cent_cos,
+       |    COALESCE(c.comp, a.id) AS component
+       |  FROM asg a LEFT JOIN canon c ON a.id = c.vid)
+       |SELECT id AS vec_id, cid, cent_cos, component,
+       |  ROW_NUMBER() OVER (PARTITION BY component
+       |    ORDER BY cent_cos ASC, id ASC) = 1 AS keep
+       |FROM j ORDER BY vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q93
+
+  /** PQ recall harness: recall@10 of the PQ-ADC search (q87's plan,
+    * derived codebooks) against the EXACT L2 top-10, per probe — the
+    * quantization-quality counterpart of q72 (which measures the IVF
+    * coarse quantizer's recall). The exact side computes the full 64-dim
+    * squared distance as the j-ordered fold of per-subspace distances
+    * (Σⱼ‖xⱼ−qⱼ‖² = ‖x−q‖², and the sorted fold makes the IEEE add order
+    * engine-identical — the q58/q59 rule). Ground truth is inherently a
+    * full scan; the harness runs it over the broadcast probe SAMPLE,
+    * which is how recall is measured on real corpora — the production
+    * path stays ADC over codes.
+    *
+    * Scale shape: both sides broadcast only probe-sized relations (8
+    * probes × subspaces); the per-(q, vec) grain grows with the corpus
+    * and carries the shuffles; top-k windows partition on q_id. */
+  private def q93(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DoubleType
+    import graft.operators.PQ.d2Expr
+    val sub = CurationQ2.pqSub(s, d)
+    val cb = sub.filter(col("vec_id") < CurationQ2.pqNCent)
+      .select(col("j"), col("vec_id").as("c_id"), col("sub").as("cent"),
+        col("ss").as("cc"))
+    val approx = CurationQ2.pqAdcTopK(sub, cb)
+      .select(col("q_id"), col("vec_id"))
+    val probes = sub
+      .filter(col("vec_id") >= CurationQ2.pqNCent &&
+        col("vec_id") < CurationQ2.pqNCent + 8)
+      .select(col("vec_id").as("q_id"), col("j"), col("sub").as("q_sub"),
+        col("ss").as("q_ss"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("exact_d2").asc, col("vec_id").asc)
+    val exact = sub.join(broadcast(probes), Seq("j"))
+      .withColumn("dj", d2Expr(col("ss"), col("sub"), col("q_sub"), col("q_ss")))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("j"), col("dj")))).as("ds"))
+      .withColumn("exact_d2",
+        aggregate(col("ds"), lit(0.0), (acc, x) => acc + x.getField("dj")))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 10)
+      .select(col("q_id"), col("vec_id"))
+    exact.join(approx.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast(DoubleType) / col("n_exact").cast(DoubleType))
+      .orderBy(col("q_id"))
+  }
+
+  private val q93Sql =
+    s"""WITH sub0 AS (SELECT vec_id, unnest(range(0, 8)) AS j, embedding FROM embeddings),
+       |sub AS (SELECT vec_id, CAST(j AS INT) AS j,
+       |    list_slice(embedding, j * 8 + 1, j * 8 + 8) AS sub FROM sub0),
+       |s2 AS (SELECT vec_id, j, sub, ${sqlDotFold("sub", "sub")} AS ss FROM sub),
+       |cb AS (SELECT j, vec_id AS c_id, sub AS cent, ss AS cc FROM s2 WHERE vec_id < 16),
+       |enc0 AS (SELECT s.vec_id AS vec_id, s.j AS j, c.c_id AS c_id,
+       |    (s.ss - 2.0 * ${sqlDotFold("s.sub", "c.cent")}) + c.cc AS d2
+       |  FROM s2 s JOIN cb c ON s.j = c.j),
+       |encr AS (SELECT vec_id, j, c_id,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, c_id ASC) AS rk
+       |  FROM enc0),
+       |enc AS (SELECT vec_id, j, c_id AS code FROM encr WHERE rk = 1),
+       |qd AS (SELECT s.vec_id AS q_id, s.j AS j, c.c_id AS code,
+       |    (s.ss - 2.0 * ${sqlDotFold("s.sub", "c.cent")}) + c.cc AS qd2
+       |  FROM s2 s JOIN cb c ON s.j = c.j
+       |  WHERE s.vec_id >= 16 AND s.vec_id < 24),
+       |adc0 AS (SELECT q.q_id AS q_id, e.vec_id AS vec_id,
+       |    list(q.qd2 ORDER BY e.j) AS ds
+       |  FROM enc e JOIN qd q ON e.j = q.j AND e.code = q.code
+       |  GROUP BY q.q_id, e.vec_id),
+       |adc AS (SELECT q_id, vec_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ds), (acc, x) -> acc + x)
+       |      AS approx_d2
+       |  FROM adc0),
+       |ar AS (SELECT q_id, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY approx_d2 ASC, vec_id ASC) AS rk
+       |  FROM adc),
+       |approx AS (SELECT q_id, vec_id FROM ar WHERE rk <= 10),
+       |probes AS (SELECT vec_id AS q_id, j, sub AS q_sub, ss AS q_ss
+       |  FROM s2 WHERE vec_id >= 16 AND vec_id < 24),
+       |ex0 AS (SELECT p.q_id AS q_id, s.vec_id AS vec_id,
+       |    list((s.ss - 2.0 * ${sqlDotFold("s.sub", "p.q_sub")}) + p.q_ss
+       |      ORDER BY s.j) AS ds
+       |  FROM s2 s JOIN probes p ON s.j = p.j
+       |  GROUP BY p.q_id, s.vec_id),
+       |ex1 AS (SELECT q_id, vec_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ds), (acc, x) -> acc + x)
+       |      AS exact_d2
+       |  FROM ex0),
+       |er AS (SELECT q_id, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY exact_d2 ASC, vec_id ASC) AS rk
+       |  FROM ex1),
+       |exact AS (SELECT q_id, vec_id FROM er WHERE rk <= 10)
+       |SELECT x.q_id AS q_id, COUNT(*) AS n_exact,
+       |  CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  CAST(CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS recall
+       |FROM exact x LEFT JOIN approx a ON x.q_id = a.q_id AND x.vec_id = a.vec_id
+       |GROUP BY x.q_id ORDER BY q_id""".stripMargin
+
+  // ---------------------------------------------------------------- q94
+
+  private val rwChunk = 20
+  /** g < 2²⁰ packs (doc_id, g) into one BIGINT key for the
+    * first-occurrence min — exact while docs stay under ~10⁶ chunks
+    * (a 20M-token document; far past any real document). */
+  private val rwPack = 1L << 20
+
+  /** Substring-grain dedup with document REWRITE (the Lee et al. 2021
+    * "Deduplicating Training Data Makes Language Models Better" shape,
+    * at chunk granularity): documents are cut into NON-overlapping
+    * 20-token chunks (the tail keeps its short remainder; q91's
+    * overlapping chunks DETECT boilerplate — non-overlapping ones
+    * partition the document, so dropping a chunk is a well-defined
+    * edit), every chunk that repeats anywhere in the corpus keeps only
+    * its globally FIRST occurrence (lowest (doc_id, position)), and
+    * each document is re-assembled from its surviving chunks in
+    * position order. The output is the cleaned corpus a tokenizer
+    * actually consumes, not just a report.
+    *
+    * Scale shape: chunking is a map-side explode, linear in corpus
+    * tokens. First-occurrence is deliberately NOT a window over
+    * chunk_hash — a license header appearing in 10⁹ documents would
+    * make that one window partition hold 10⁹ rows (unbounded skew).
+    * Instead it is min(packed position) per chunk_hash: a
+    * partial-aggregatable reduce (map-side combine collapses each
+    * partition's occurrences to one row before the shuffle) followed by
+    * a keyed join back at the same grain. Re-assembly is one doc-grain
+    * aggregation; the HOF pipeline (array_sort → filter → transform)
+    * runs over each doc's own materialized chunk array. */
+  private def q94(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType}
+    val c = rwChunk
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")))
+      .filter(col("n") > 0)
+    val chunks = tk
+      .select(col("doc_id"), col("tk"), col("n"),
+        explode(sequence(lit(0), col("n") - 1, lit(c))).as("g"))
+      .withColumn("chunk_text",
+        concat_ws(" ", slice(col("tk"), col("g") + 1, lit(c))))
+      .withColumn("chunk_hash", strHash(col("chunk_text")))
+      .withColumn("pos_key", col("doc_id") * rwPack + col("g"))
+      .select(col("doc_id"), col("g"), col("chunk_text"), col("chunk_hash"),
+        col("pos_key"))
+    val firsts = chunks.groupBy(col("chunk_hash"))
+      .agg(min(col("pos_key")).as("first_key"))
+    chunks.join(firsts, Seq("chunk_hash"))
+      .withColumn("kept", col("pos_key") === col("first_key"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_sort(collect_list(struct(col("g"), col("kept"), col("chunk_text"))))
+          .as("cs"))
+      .withColumn("cleaned",
+        concat_ws(" ", transform(
+          filter(col("cs"), x => x.getField("kept")),
+          x => x.getField("chunk_text"))))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"), col("cleaned"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q94Sql = {
+    val c = rwChunk
+    s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS tk FROM documents),
+       |sized AS (SELECT doc_id, tk, CAST(len(tk) AS INT) AS n FROM tk WHERE len(tk) > 0),
+       |gs AS (SELECT doc_id, tk, n, CAST(unnest(range(0, n, $c)) AS INT) AS g FROM sized),
+       |ch0 AS (SELECT doc_id, g,
+       |    array_to_string(list_slice(tk, g + 1, g + $c), ' ') AS chunk_text
+       |  FROM gs),
+       |ch AS (SELECT doc_id, g, chunk_text,
+       |    ${sqlStrHash("chunk_text")} AS chunk_hash,
+       |    doc_id * $rwPack + g AS pos_key
+       |  FROM ch0),
+       |firsts AS (SELECT chunk_hash, MIN(pos_key) AS first_key
+       |  FROM ch GROUP BY chunk_hash),
+       |flag AS (SELECT doc_id, g, chunk_text, pos_key = first_key AS kept
+       |  FROM ch JOIN firsts USING (chunk_hash))
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  COALESCE(string_agg(CASE WHEN kept THEN chunk_text END, ' ' ORDER BY g), '')
+       |    AS cleaned
+       |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Seq[GQuery] = Seq(
+    GQuery("q92_semantic_dedup", q92, Some(q92Sql), Seq("A16", "O1", "U3")),
+    GQuery("q93_pq_recall", q93, Some(q93Sql), Seq("A16", "O1", "O4")),
+    GQuery("q94_chunk_rewrite", q94, Some(q94Sql), Seq("A16", "J7", "C12")))
+}
