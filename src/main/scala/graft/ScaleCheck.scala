@@ -87,7 +87,13 @@ object ScaleCheck {
       "q88_sequence_packing", "q89_incremental_curation",
       // chunk-grain boilerplate detection: map-side explode + two keyed
       // shuffles at grains that grow linearly with the corpus
-      "q91_chunk_boilerplate")
+      "q91_chunk_boilerplate",
+      // semantic dedup: NOTE the 10× synthetic replicates embeddings
+      // VERBATIM (ids shifted), so every vector gains 9 identical copies
+      // and the cos=1 pair output grows ~45× by construction — read this
+      // row as candidate-generation cost (train + blocked pair join +
+      // CC), not plan growth; k grows with the corpus in production
+      "q92_semantic_dedup")
     val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", big)
     // warm
     SparkEntry.queries("q09_catalog_totals")(spark, dirs.head).count()
