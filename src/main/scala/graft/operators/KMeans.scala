@@ -88,7 +88,20 @@ object KMeans {
     * exposed so an index build can persist (vec, cell) partitioned by
     * cell. */
   def assign(emb: DataFrame, idCol: String, vecCol: String,
-             centroids: DataFrame): DataFrame = {
+             centroids: DataFrame): DataFrame =
+    assignTop(emb, idCol, vecCol, centroids, nprobe = 1).drop("prb")
+
+  /** Top-`nprobe` cell assignment: each vector's `nprobe` nearest cells
+    * with their probe rank (`prb` = 1 is the primary cell [[assign]]
+    * returns). Multi-cell assignment is the recall knob for
+    * cluster-BLOCKED operators ([[SemanticDedup]]): a pair straddling a
+    * cell boundary still co-locates when either member's second-nearest
+    * cell is the other's — the dedup-side analog of q80's multi-probe
+    * IVF search. Candidate volume grows ~nprobe², so the knob trades
+    * exactly like LSH band width. */
+  def assignTop(emb: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"need nprobe >= 1; got $nprobe")
     val cents = centroids
       .select(col("cid"), col("centroid").as("c_vec"))
       .withColumn("c_norm", sqrt(callDot(col("c_vec"), col("c_vec"))))
@@ -100,8 +113,9 @@ object KMeans {
       .withColumn("__cos",
         callDot(col("__v"), col("c_vec")) / (col("__norm") * col("c_norm")))
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("__id").as(idCol), col("cid"), col("__cos").as("cos"))
+      .filter(col("__rn") <= nprobe)
+      .select(col("__id").as(idCol), col("cid"), col("__cos").as("cos"),
+        col("__rn").as("prb"))
   }
 
   private def callDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =

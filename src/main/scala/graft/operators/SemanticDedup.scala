@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Semantic (embedding-space) deduplication — the SemDeDup recipe
+  * (Abbas et al. 2023, arXiv:2303.09540) as a library operator: cluster
+  * the embedding space with the trained coarse quantizer
+  * ([[KMeans.lloyd]]), generate candidate pairs only where two vectors
+  * SHARE one of their `nprobe` nearest cells, verify exact cosine
+  * against the threshold, take connected components ([[DedupGroups]]),
+  * and keep each component's member FARTHEST from its primary-cell
+  * centroid (the least prototypical member preserves the most
+  * diversity; ties → lowest id).
+  *
+  * Multi-cell blocking (`nprobe` = 3 by default) is the recall knob:
+  * single-cell SemDeDup misses every pair straddling a cell boundary —
+  * measured at 27% overall / 14% high-tier recall on the diffuse
+  * sf0.001 corpus, where nprobe=2 recovers 61%/57% and nprobe=3
+  * 84%/100% (SemDedupRecallSpec pins both tiers against brute-force
+  * ground truth). Candidate volume is ~nprobe²/k of all-pairs, so the
+  * knob trades exactly like LSH band width. A pair sharing several
+  * cells is emitted ONCE, from the lowest shared cell id (the
+  * first-matching-band discipline of the LSH pair generators, applied
+  * to cells — no distinct-shuffle over the pair stream).
+  *
+  * Scale shape: training/assignment broadcast k centroids (map work);
+  * the pair stage shuffles each vector `nprobe` times on cell ids, and
+  * per-cell candidate volume is (nprobe·n/k)²/2 — a corpus owner grows
+  * k with the corpus exactly as an IVF index does, so the blocked
+  * self-join never degenerates toward all-pairs; components run on the
+  * pair set (work ∝ pairs, clique-contracted); the keep-best window
+  * partitions on component id, a corpus-growing grain. Nothing
+  * corpus-sized is broadcast or single-partition. q92 runs this
+  * operator under the DuckDB oracle gate (Lloyd rounds unrolled,
+  * components as a recursive CTE).
+  */
+object SemanticDedup {
+
+  /** Shared-cell candidate pairs verified at exact cosine ≥ threshold.
+    *
+    * @param asgTop multi-cell assignment (idCol, cid, cos, prb) from
+    *               [[KMeans.assignTop]]
+    * @return (a_id, b_id) with a_id < b_id, each pair exactly once */
+  def pairs(emb: DataFrame, idCol: String, vecCol: String,
+            asgTop: DataFrame, threshold: Double): DataFrame = {
+    // per-id cell set, ascending cid — the canonical order the
+    // first-matching-cell predicate below is defined against
+    val cells = asgTop.groupBy(col(idCol))
+      .agg(array_sort(collect_list(col("cid"))).as("__cells"))
+    val vecs = emb
+      .withColumn("__norm", sqrt(callDot(col(vecCol), col(vecCol))))
+      .filter(col("__norm") > 0.0)
+      .join(cells, idCol)
+      .select(col(idCol), col(vecCol), col("__norm"), col("__cells"),
+        explode(col("__cells")).as("cid"))
+    val a = vecs.select(col(idCol).as("a_id"), col("cid"),
+      col(vecCol).as("__a_emb"), col("__norm").as("__a_norm"),
+      col("__cells").as("__a_cells"))
+    val b = vecs.select(col(idCol).as("b_id"), col("cid"),
+      col(vecCol).as("__b_emb"), col("__norm").as("__b_norm"),
+      col("__cells").as("__b_cells"))
+    // a pair sharing several cells would be emitted once per shared
+    // cell; the predicate keeps only the emission from the LOWEST
+    // shared cid (both cell arrays are tiny — nprobe elements)
+    val earlierSharedCell = size(filter(
+      array_intersect(col("__a_cells"), col("__b_cells")),
+      c => c < col("cid"))) > 0
+    a.join(b, Seq("cid"))
+      .filter(col("a_id") < col("b_id") && !earlierSharedCell)
+      // pushdown fence (the q32/q65 hazard): without it Catalyst folds
+      // the threshold filter into the join residual and evaluates the
+      // float_dot kernel TWICE per candidate pair
+      .withColumn("__pushdown_fence", monotonically_increasing_id())
+      .withColumn("__p_cos",
+        callDot(col("__a_emb"), col("__b_emb")) / (col("__a_norm") * col("__b_norm")))
+      .filter(col("__p_cos") >= threshold)
+      .select(col("a_id"), col("b_id"))
+  }
+
+  /** Full train → block → verify → components → keep decision.
+    *
+    * @return (idCol, cid, cent_cos, component, keep) — every input id,
+    *         its primary cell, its cosine to that cell's centroid, its
+    *         near-dup component (itself when unpaired), and whether it
+    *         survives */
+  def dedup(emb: DataFrame, idCol: String, vecCol: String,
+            k: Int, iters: Int, threshold: Double,
+            nprobe: Int = 3): DataFrame = {
+    val cents = KMeans.lloyd(emb, idCol, vecCol, k, iters)
+    val asgTop = KMeans.assignTop(emb, idCol, vecCol, cents, nprobe)
+    val p = pairs(emb, idCol, vecCol, asgTop, threshold)
+    // keepBest maximizes the preference; SemDeDup keeps the member
+    // farthest from its centroid, so the preference is the NEGATED
+    // centroid cosine (IEEE negation is exact — ordering −x desc ≡ x asc)
+    val docs = asgTop.filter(col("prb") === 1)
+      .select(col(idCol), col("cid"), col("cos").as("cent_cos"),
+        (-col("cos")).as("__farness"))
+    DedupGroups.keepBest(docs, idCol, "__farness", p, "a_id", "b_id")
+      .select(col(idCol), col("cid"), col("cent_cos"), col("component"),
+        col("keep"))
+  }
+
+  private def callDot(a: Column, b: Column): Column =
+    call_function("float_dot", a, b)
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
-import SimilarityQ.{dotFold, sqlDotFold}
+import SimilarityQ.sqlDotFold
 
 /** Third batch of training-data curation operators: semantic
   * (embedding-space) deduplication, the PQ recall harness, and
@@ -30,60 +30,21 @@ object CurationQ3 {
   private val semK = 16
   private val semIters = 2
   private val semThreshold = 0.35
+  // measured on sf0.001 vs brute-force ground truth (SemDedupRecallSpec):
+  // single-cell 27% overall / 14% high-tier recall; nprobe=3 → 84% / 100%
+  private val semNprobe = 3
 
-  /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023,
-    * arXiv:2303.09540): cluster the embedding space with the trained
-    * coarse quantizer ([[graft.operators.KMeans.lloyd]] — deterministic:
-    * lowest-id init, lowest-cid tie-break), generate candidate pairs
-    * ONLY within a cluster (the IVF blocking that keeps candidate
-    * generation off the all-pairs cliff), verify exact cosine ≥ t, take
-    * connected components, and keep each component's member FARTHEST
-    * from its cluster centroid (the paper's keep rule: the least
-    * prototypical member preserves the most diversity; ties → lowest
-    * id). Unpaired vectors keep themselves.
-    *
-    * Scale shape: training/assignment broadcast k centroids (map work);
-    * the pair stage shuffles each vector once on its cell id and the
-    * size of a cell is controlled by k (a corpus owner grows k with the
-    * corpus exactly as an IVF index does, so per-cell candidate volume
-    * stays bounded); components run on the pair set
-    * ([[graft.operators.DedupGroups]] — work ∝ pairs, clique-contracted);
-    * the keep-best window partitions on component id, a corpus-growing
-    * grain. Nothing corpus-sized is ever broadcast or single-partition. */
-  private def q92(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    val cents = graft.operators.KMeans.lloyd(emb, "vec_id", "embedding",
-      k = semK, iters = semIters)
-    val asg = graft.operators.KMeans.assign(emb, "vec_id", "embedding", cents)
-    val vecs = emb
-      .withColumn("norm", sqrt(dotFold(col("embedding"), col("embedding"))))
-      .filter(col("norm") > 0.0)
-      .join(asg.select(col("vec_id"), col("cid")), "vec_id")
-    val a = vecs.select(col("vec_id").as("a_id"), col("cid"),
-      col("embedding").as("a_emb"), col("norm").as("a_norm"))
-    val b = vecs.select(col("vec_id").as("b_id"), col("cid"),
-      col("embedding").as("b_emb"), col("norm").as("b_norm"))
-    val pairs = a.join(b, Seq("cid"))
-      .filter(col("a_id") < col("b_id"))
-      // pushdown fence (the q32/q65 hazard): without it Catalyst folds
-      // the threshold filter into the join residual and evaluates the
-      // float_dot kernel TWICE per candidate pair
-      .withColumn("pushdown_fence", monotonically_increasing_id())
-      .withColumn("p_cos",
-        dotFold(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
-      .filter(col("p_cos") >= semThreshold)
-      .select(col("a_id"), col("b_id"))
-    // keepBest maximizes the preference; SemDeDup keeps the member
-    // farthest from its centroid, so the preference is the NEGATED
-    // centroid cosine (IEEE negation is exact — ordering −x desc ≡ x asc)
-    val docs = asg.select(col("vec_id"), col("cid"), col("cos").as("cent_cos"),
-      (-col("cos")).as("farness"))
-    graft.operators.DedupGroups
-      .keepBest(docs, "vec_id", "farness", pairs, "a_id", "b_id")
-      .select(col("vec_id"), col("cid"), col("cent_cos"), col("component"),
-        col("keep"))
+  /** Semantic deduplication — [[graft.operators.SemanticDedup]] (the
+    * SemDeDup recipe: trained-cluster blocking → exact-cosine verify →
+    * connected components → keep the member farthest from its centroid)
+    * run under the oracle gate. Scale shape and keep-rule rationale live
+    * on the operator; recall vs brute force is pinned by
+    * SemDedupRecallSpec. */
+  private def q92(s: SparkSession, d: String): DataFrame =
+    graft.operators.SemanticDedup
+      .dedup(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = semK, iters = semIters, threshold = semThreshold, nprobe = semNprobe)
       .orderBy(col("vec_id"))
-  }
 
   /** The oracle unrolls the two Lloyd rounds exactly as q77's does
     * (identical init, tie-breaks, float32 centroid rounding), re-derives
@@ -115,8 +76,9 @@ object CurationQ3 {
        |      ORDER BY ${sqlDotFold("v", "c_vec")} / (nrm * c_norm) DESC, cid ASC) AS rn
        |  FROM vecs CROSS JOIN c2),
        |asg AS (SELECT id, v, nrm, cid, cent_cos FROM af WHERE rn = 1),
-       |p AS (SELECT x.id AS a, y.id AS b
-       |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.id < y.id
+       |asg2 AS (SELECT id, v, nrm, cid FROM af WHERE rn <= $semNprobe),
+       |p AS (SELECT DISTINCT x.id AS a, y.id AS b
+       |  FROM asg2 x JOIN asg2 y ON x.cid = y.cid AND x.id < y.id
        |  WHERE ${sqlDotFold("x.v", "y.v")} / (x.nrm * y.nrm) >= $semThreshold),
        |und AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
        |verts AS (SELECT DISTINCT src AS vid FROM und),
