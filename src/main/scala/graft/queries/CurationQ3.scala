@@ -201,65 +201,19 @@ object CurationQ3 {
   // ---------------------------------------------------------------- q94
 
   private val rwChunk = 20
-  /** g < 2²⁰ packs (doc_id, g) into one BIGINT key for the
-    * first-occurrence min — exact while docs stay under ~10⁶ chunks
-    * (a 20M-token document; far past any real document). */
-  private val rwPack = 1L << 20
+  private val rwPack = graft.operators.ChunkDedup.PosPack
 
-  /** Substring-grain dedup with document REWRITE (the Lee et al. 2021
-    * "Deduplicating Training Data Makes Language Models Better" shape,
-    * at chunk granularity): documents are cut into NON-overlapping
-    * 20-token chunks (the tail keeps its short remainder; q91's
-    * overlapping chunks DETECT boilerplate — non-overlapping ones
-    * partition the document, so dropping a chunk is a well-defined
-    * edit), every chunk that repeats anywhere in the corpus keeps only
-    * its globally FIRST occurrence (lowest (doc_id, position)), and
-    * each document is re-assembled from its surviving chunks in
-    * position order. The output is the cleaned corpus a tokenizer
-    * actually consumes, not just a report.
-    *
-    * Scale shape: chunking is a map-side explode, linear in corpus
-    * tokens. First-occurrence is deliberately NOT a window over
-    * chunk_hash — a license header appearing in 10⁹ documents would
-    * make that one window partition hold 10⁹ rows (unbounded skew).
-    * Instead it is min(packed position) per chunk_hash: a
-    * partial-aggregatable reduce (map-side combine collapses each
-    * partition's occurrences to one row before the shuffle) followed by
-    * a keyed join back at the same grain. Re-assembly is one doc-grain
-    * aggregation; the HOF pipeline (array_sort → filter → transform)
-    * runs over each doc's own materialized chunk array. */
-  private def q94(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType}
-    val c = rwChunk
-    val tk = Tables.documents(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("tk"))
-      .withColumn("n", size(col("tk")))
-      .filter(col("n") > 0)
-    val chunks = tk
-      .select(col("doc_id"), col("tk"), col("n"),
-        explode(sequence(lit(0), col("n") - 1, lit(c))).as("g"))
-      .withColumn("chunk_text",
-        concat_ws(" ", slice(col("tk"), col("g") + 1, lit(c))))
-      .withColumn("chunk_hash", strHash(col("chunk_text")))
-      .withColumn("pos_key", col("doc_id") * rwPack + col("g"))
-      .select(col("doc_id"), col("g"), col("chunk_text"), col("chunk_hash"),
-        col("pos_key"))
-    val firsts = chunks.groupBy(col("chunk_hash"))
-      .agg(min(col("pos_key")).as("first_key"))
-    chunks.join(firsts, Seq("chunk_hash"))
-      .withColumn("kept", col("pos_key") === col("first_key"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast(LongType).as("n_chunks"),
-        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-        array_sort(collect_list(struct(col("g"), col("kept"), col("chunk_text"))))
-          .as("cs"))
-      .withColumn("cleaned",
-        concat_ws(" ", transform(
-          filter(col("cs"), x => x.getField("kept")),
-          x => x.getField("chunk_text"))))
-      .select(col("doc_id"), col("n_chunks"), col("n_kept"), col("cleaned"))
+  /** Substring-grain dedup with document REWRITE —
+    * [[graft.operators.ChunkDedup.rewrite]] (globally-first chunk
+    * occurrence survives; documents re-assemble in position order) run
+    * under the oracle gate. Scale shape (partial-aggregatable min, no
+    * chunk-hash window — asserted by PlanContractSpec) lives on the
+    * operator; the streaming ingest analog is
+    * `StreamOps.streamingChunkRewrite`. */
+  private def q94(s: SparkSession, d: String): DataFrame =
+    graft.operators.ChunkDedup
+      .rewrite(Tables.documents(s, d), "doc_id", "text", c = rwChunk)
       .orderBy(col("doc_id"))
-  }
 
   private val q94Sql = {
     val c = rwChunk

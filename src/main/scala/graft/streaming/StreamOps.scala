@@ -231,6 +231,46 @@ object StreamOps {
       .withColumn("buckets", SimilarityQ.bucketVector)
   }
 
+  /** Chunk-grain dedup-on-ingest with REWRITE: the streaming analog of
+    * q94 ([[graft.operators.ChunkDedup]]). Arriving documents chunk
+    * map-side with the SAME non-overlapping definition, stream-static
+    * LEFT join the persisted corpus [[graft.operators.ChunkDedup.chunkIndex]]
+    * (any corpus occurrence precedes the stream, so membership alone
+    * decides), and each document re-assembles from its surviving chunks
+    * in position order. Within-doc repeats drop via the map-side
+    * `first_in_doc` flag (computed inside the doc's own chunk array —
+    * no window, no state). CROSS-stream repeats within one delta are,
+    * by the same contract as [[streamingNearDup]], the daily batch
+    * run's job — ingest-time state for them would grow with the stream.
+    *
+    * The per-doc re-assembly is a streaming aggregation grouped on
+    * (doc_id, event_time) with the watermark column IN the grouping
+    * keys, which keeps it append-mode-finalizable and its state
+    * watermark-evicted: a group finalizes (and frees) once the
+    * watermark passes its event time.
+    *
+    * @return append-safe (doc_id, event_time, n_chunks, n_kept, cleaned) */
+  def streamingChunkRewrite(docs: DataFrame, index: DataFrame,
+                            c: Int = 20,
+                            watermark: String = "1 hour"): DataFrame = {
+    val ch = graft.operators.ChunkDedup
+      .chunked(docs.withWatermark("event_time", watermark), "text", c)
+    ch.join(index.select(col("chunk_hash"), lit(1).as("__hit")),
+        Seq("chunk_hash"), "left")
+      .withColumn("kept", col("first_in_doc") && col("__hit").isNull)
+      .groupBy(col("doc_id"), col("event_time"))
+      .agg(count(lit(1)).cast(LongType).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_sort(collect_list(struct(col("g"), col("kept"), col("chunk_text"))))
+          .as("__cs"))
+      .withColumn("cleaned",
+        concat_ws(" ", transform(
+          filter(col("__cs"), x => x.getField("kept")),
+          x => x.getField("chunk_text"))))
+      .select(col("doc_id"), col("event_time"), col("n_chunks"), col("n_kept"),
+        col("cleaned"))
+  }
+
   /** ST1 sink half: route a drained micro-batch — retrievals to the
     * completed table, failures appended to the dead-letter/retry table
     * (both idempotent by url, giving exactly-once completion markers). */

@@ -214,4 +214,20 @@ class PlanContractSpec extends SparkSpecBase {
     // two HashAggregate levels around the exchange = partial + final
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("chunk-rewrite first-occurrence is a partial-aggregatable min, not a window (q94)") {
+    // The deliberate design point of q94: first-global-occurrence per
+    // chunk_hash as min(packed (doc_id, pos)) — map-side combine
+    // collapses each partition's occurrences of a boilerplate chunk to
+    // ONE row before the shuffle. The window formulation would put a
+    // chunk repeated in 10⁹ documents into one window partition.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val lp = Registry.byName("q94_chunk_rewrite").run(spark, sf)
+      .queryExecution.optimizedPlan
+    assert(!lp.exists(_.isInstanceOf[LWindow]),
+      "q94 must not contain any Window — first-occurrence is an aggregation")
+    val p = plan("q94_chunk_rewrite")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"q94 lost the partial (map-side) first-occurrence aggregation:\n$p")
+  }
 }
