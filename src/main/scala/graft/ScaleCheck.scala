@@ -38,6 +38,17 @@ object ScaleCheck {
               keyed.withColumn("text",
                 array_join(transform(split(col("text"), " "),
                   tk => concat(lit(s"c$i"), tk)), " "))
+            // Embeddings: rotate every copy > 0 by i positions so the 10×
+            // corpus is 10× DISTINCT vectors (same rationale as the
+            // document token-prefix). Verbatim copies would give every
+            // vector 9 identical twins — 45× cos=1 pair families for the
+            // dedup queries and degenerate self-matches for ANN — so the
+            // rows would measure manufactured output, not plan growth.
+            // Rotation preserves the norm and the marginal distribution.
+            else if (t == "embeddings" && i > 0)
+              keyed.withColumn("embedding",
+                concat(slice(col("embedding"), i + 1, 64 - i),
+                  slice(col("embedding"), 1, i)))
             else keyed
           }
           shifted.reduce(_ union _)
@@ -88,11 +99,10 @@ object ScaleCheck {
       // chunk-grain boilerplate detection: map-side explode + two keyed
       // shuffles at grains that grow linearly with the corpus
       "q91_chunk_boilerplate",
-      // semantic dedup: NOTE the 10× synthetic replicates embeddings
-      // VERBATIM (ids shifted), so every vector gains 9 identical copies
-      // and the cos=1 pair output grows ~45× by construction — read this
-      // row as candidate-generation cost (train + blocked pair join +
-      // CC), not plan growth; k grows with the corpus in production
+      // semantic dedup: the registered query derives k FROM the corpus
+      // (constant per-cell occupancy — dedupAuto), so this row measures
+      // the production shape; a fixed k=16 measured 20.7× here before
+      // the occupancy-targeted default (the fixed-width-blocking trap)
       "q92_semantic_dedup")
     val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", big)
     // warm

@@ -84,11 +84,30 @@ object SemanticDedup {
     *         its primary cell, its cosine to that cell's centroid, its
     *         near-dup component (itself when unpaired), and whether it
     *         survives */
+  /** [[dedup]] with k chosen FROM the corpus: k = max(kMin,
+    * n/occupancy), holding per-cell occupancy — and with it per-cell
+    * candidate volume — constant as the corpus grows. A FIXED k is the
+    * fixed-width-blocking trap (occupancy grows linearly, candidates
+    * quadratically — measured 20.7× wall at 10× data, vs ~5× with k ∝
+    * corpus). Costs one count() action for the scalar k — the same
+    * bounded driver involvement as VecIndex's probed-cell collect. */
+  def dedupAuto(emb: DataFrame, idCol: String, vecCol: String,
+                iters: Int, threshold: Double, nprobe: Int = 3,
+                occupancy: Long = 312L, kMin: Int = 4): DataFrame = {
+    val k = math.max(kMin, (KMeans.prep(emb, idCol, vecCol).count() / occupancy).toInt)
+    dedup(emb, idCol, vecCol, k, iters, threshold, nprobe)
+  }
+
   def dedup(emb: DataFrame, idCol: String, vecCol: String,
             k: Int, iters: Int, threshold: Double,
             nprobe: Int = 3): DataFrame = {
     val cents = KMeans.lloyd(emb, idCol, vecCol, k, iters)
+    // two consumers below (pair stage + keep-rule docs) — materialize the
+    // SMALL (id, cid, cos, prb) relation once rather than replaying the
+    // corpus × centroid cross join per branch (the DedupGroups lineage
+    // discipline; nprobe·n narrow rows, no embedding arrays)
     val asgTop = KMeans.assignTop(emb, idCol, vecCol, cents, nprobe)
+      .localCheckpoint()
     val p = pairs(emb, idCol, vecCol, asgTop, threshold)
     // keepBest maximizes the preference; SemDeDup keeps the member
     // farthest from its centroid, so the preference is the NEGATED

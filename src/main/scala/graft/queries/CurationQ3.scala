@@ -23,15 +23,19 @@ object CurationQ3 {
 
   // ---------------------------------------------------------------- q92
 
-  // k controls the blocking: per-cell candidate volume is (n/k)²/2, so a
-  // corpus owner grows k with the corpus exactly as an IVF index does
-  // (k=4 measured 4.2 s at sf0.1 — 3M candidate pairs; k=16 holds the
-  // same recall shape at a quarter of the candidates)
-  private val semK = 16
+  // k is chosen FROM the corpus (k = max(4, n/312), SemanticDedup
+  // .dedupAuto): a fixed k is the fixed-width-blocking trap — occupancy
+  // grows linearly with the corpus, candidates quadratically (measured
+  // 20.7× wall at 10× data with k=16, vs ~5× with k ∝ corpus). The
+  // oracle computes the same k with a dynamic LIMIT subquery.
+  private val semOcc = 312L
+  private val semKMin = 4
   private val semIters = 2
   private val semThreshold = 0.35
-  // measured on sf0.001 vs brute-force ground truth (SemDedupRecallSpec):
-  // single-cell 27% overall / 14% high-tier recall; nprobe=3 → 84% / 100%
+  // measured on sf0.001 vs brute-force ground truth (SemDedupRecallSpec,
+  // pinned at the tighter k=16 blocking): single-cell 27% overall / 14%
+  // high-tier recall; nprobe=3 → 84% / 100%. Occupancy-targeted k blocks
+  // coarser than that spec setting, so those floors are conservative.
   private val semNprobe = 3
 
   /** Semantic deduplication — [[graft.operators.SemanticDedup]] (the
@@ -42,8 +46,9 @@ object CurationQ3 {
     * SemDedupRecallSpec. */
   private def q92(s: SparkSession, d: String): DataFrame =
     graft.operators.SemanticDedup
-      .dedup(Tables.embeddings(s, d), "vec_id", "embedding",
-        k = semK, iters = semIters, threshold = semThreshold, nprobe = semNprobe)
+      .dedupAuto(Tables.embeddings(s, d), "vec_id", "embedding",
+        iters = semIters, threshold = semThreshold, nprobe = semNprobe,
+        occupancy = semOcc, kMin = semKMin)
       .orderBy(col("vec_id"))
 
   /** The oracle unrolls the two Lloyd rounds exactly as q77's does
@@ -67,7 +72,8 @@ object CurationQ3 {
        |vecs AS (SELECT * FROM emb WHERE nrm > 0.0),
        |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS cid,
        |    v AS c_vec, nrm AS c_norm
-       |  FROM (SELECT * FROM vecs ORDER BY id LIMIT $semK)),
+       |  FROM (SELECT * FROM vecs ORDER BY id
+       |        LIMIT (SELECT GREATEST($semKMin, COUNT(*) // $semOcc) FROM vecs))),
        |${round("c0", 1)},
        |${round("c1", 2)},
        |af AS (SELECT id, v, nrm, cid,
