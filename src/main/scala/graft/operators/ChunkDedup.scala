@@ -96,6 +96,46 @@ object ChunkDedup {
       .select(col(idCol), col("n_chunks"), col("n_kept"), col("cleaned"))
   }
 
+  /** Delta rewrite against a persisted corpus [[chunkIndex]]: a chunk
+    * survives iff it is the delta-global FIRST occurrence (the same
+    * packed-min as [[rewrite]], over the delta only) AND its hash is not
+    * in the index. Because every indexed chunk precedes every delta
+    * chunk, this equals [[rewrite]] over corpus ∪ delta restricted to
+    * the delta — the day-end batch form of the ingest-time
+    * [[graft.streaming.StreamOps.streamingChunkRewrite]] (which, being
+    * stateless, handles only within-doc repeats; THIS covers cross-doc
+    * repeats within the delta). DailyDriver.chunkStep drives it and
+    * appends the survivors to the index.
+    *
+    * @return (idCol, n_chunks, n_kept, cleaned) */
+  def rewriteAgainst(docs: DataFrame, idCol: String, textCol: String,
+                     index: DataFrame, c: Int = 20): DataFrame = {
+    val chunks = chunked(docs.select(col(idCol), col(textCol)), textCol, c)
+      .withColumn("pos_key", col(idCol) * PosPack + col("g"))
+      .select(col(idCol), col("g"), col("chunk_text"), col("chunk_hash"),
+        col("pos_key"))
+    val firsts = chunks.groupBy(col("chunk_hash"))
+      .agg(min(col("pos_key")).as("first_key"))
+    // distinct: a duplicated index row (an aborted append retried) would
+    // otherwise fan out this join and inflate the per-doc chunk counts
+    chunks.join(firsts, Seq("chunk_hash"))
+      .join(index.select(col("chunk_hash")).distinct()
+          .withColumn("__hit", lit(1)),
+        Seq("chunk_hash"), "left")
+      .withColumn("kept",
+        col("pos_key") === col("first_key") && col("__hit").isNull)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast(LongType).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_sort(collect_list(struct(col("g"), col("kept"), col("chunk_text"))))
+          .as("cs"))
+      .withColumn("cleaned",
+        concat_ws(" ", transform(
+          filter(col("cs"), x => x.getField("kept")),
+          x => x.getField("chunk_text"))))
+      .select(col(idCol), col("n_chunks"), col("n_kept"), col("cleaned"))
+  }
+
   /** The persisted probe side for ingest-time chunk dedup: the corpus's
     * distinct chunk hashes. Any corpus occurrence precedes anything that
     * arrives later, so membership alone decides — no position needed. At

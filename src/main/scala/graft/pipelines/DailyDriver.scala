@@ -78,4 +78,61 @@ object DailyDriver {
     require(fs.rename(tmp, dst), s"decision-table swap failed: $tmp -> $dst")
     spark.read.parquet(decisionsDir(dir))
   }
+
+  // ------------------------------------------------- chunk-grain loop
+
+  /** Chunk-grain (substring) dedup runs as its OWN daily protocol,
+    * deliberately not entangled with the decision table: rewriting text
+    * before quality scoring would change the decisions' equivalence to a
+    * full rerun, so corpus owners sequence the two loops explicitly.
+    * Layout under `dir`:
+    *  - `chunk_index/` — distinct chunk hashes of everything processed
+    *  - `cleaned/`     — the rewritten corpus, appended per step
+    *
+    * Day N rewrites arrivals with [[graft.operators.ChunkDedup
+    * .rewriteAgainst]] (delta-global first occurrence AND index miss —
+    * covers cross-doc repeats within the delta that the stateless
+    * ingest-time `streamingChunkRewrite` leaves to the day end) and
+    * appends the delta's NEW chunk hashes. The index holds hashes at
+    * ORIGINAL chunk boundaries (re-chunking cleaned text would shift
+    * boundaries mid-document and break the equivalence), and since
+    * every distinct hash has exactly one surviving occurrence, "all
+    * distinct hashes processed" IS the survivor set. The append is
+    * anti-joined against the index first, keeping it duplicate-free by
+    * construction — a duplicated hash row would fan out the probe join.
+    * DailyChunkSpec proves multi-step ≡ one full
+    * [[graft.operators.ChunkDedup.rewrite]] over the union (arrival ids
+    * must ascend across days — the same disjointness contract as
+    * [[step]]). */
+  private def chunkIndexDir(dir: String) = s"$dir/chunk_index"
+  private def cleanedDir(dir: String) = s"$dir/cleaned"
+
+  /** Day 0: full rewrite; persist the cleaned corpus and the corpus's
+    * chunk-hash index. */
+  def chunkInit(spark: SparkSession, docs: DataFrame, dir: String,
+                c: Int = 20): Unit = {
+    import graft.operators.ChunkDedup
+    ChunkDedup.rewrite(docs, "doc_id", "text", c)
+      .write.mode("overwrite").parquet(cleanedDir(dir))
+    ChunkDedup.chunkIndex(docs, "text", c)
+      .write.mode("overwrite").parquet(chunkIndexDir(dir))
+  }
+
+  /** Day N: rewrite arrivals against the index, append their cleaned
+    * rows and their new chunk hashes.
+    * @return the arrivals' cleaned rows (read back from storage) */
+  def chunkStep(spark: SparkSession, newDocs: DataFrame, dir: String,
+                c: Int = 20): DataFrame = {
+    import graft.operators.ChunkDedup
+    val index = spark.read.parquet(chunkIndexDir(dir))
+    val ids = newDocs.agg(min(col("doc_id"))).collect()(0)
+    require(!ids.isNullAt(0), "chunkStep needs a non-empty delta")
+    val minId = ids.getLong(0)
+    ChunkDedup.rewriteAgainst(newDocs, "doc_id", "text", index, c)
+      .write.mode("append").parquet(cleanedDir(dir))
+    ChunkDedup.chunkIndex(newDocs, "text", c)
+      .join(index, Seq("chunk_hash"), "left_anti")
+      .write.mode("append").parquet(chunkIndexDir(dir))
+    spark.read.parquet(cleanedDir(dir)).filter(col("doc_id") >= minId)
+  }
 }

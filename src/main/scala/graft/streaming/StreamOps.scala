@@ -249,6 +249,13 @@ object StreamOps {
     * watermark-evicted: a group finalizes (and frees) once the
     * watermark passes its event time.
     *
+    * `index` must be duplicate-free (ChunkDedup.chunkIndex and
+    * DailyDriver.chunkStep keep it so by construction) — a duplicated
+    * hash row would fan out the probe join; the batch
+    * ChunkDedup.rewriteAgainst distincts defensively, but a per-batch
+    * distinct on the static side of a stream would re-shuffle the index
+    * every micro-batch.
+    *
     * @return append-safe (doc_id, event_time, n_chunks, n_kept, cleaned) */
   def streamingChunkRewrite(docs: DataFrame, index: DataFrame,
                             c: Int = 20,
