@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import graft.expressions.{FloatDot, PolyHash, PolyHash2, SimHash32, SimHash60, SortedIntersectCount}
+import graft.expressions.{FloatDot, PolyHash, PolyHash2, PqAdc, PqDistTable, PqEncode, SimHash32, SimHash60, SortedIntersectCount, SubspaceL2}
 import graft.functions.AstroFunctions
 import graft.operators.ProfileOps
 
@@ -48,6 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg(ext, "simhash32", 1, c => SimHash32(c.head), classOf[SimHash32])
     reg(ext, "simhash60", 1, c => SimHash60(c.head), classOf[SimHash60])
     reg(ext, "poly_hash2", 1, c => PolyHash2(c.head), classOf[PolyHash2])
+    reg(ext, "pq_encode", 3, c => PqEncode(c(0), c(1), c(2)), classOf[PqEncode])
+    reg(ext, "pq_dtab", 3, c => PqDistTable(c(0), c(1), c(2)), classOf[PqDistTable])
+    reg(ext, "pq_adc", 2, c => PqAdc(c(0), c(1)), classOf[PqAdc])
+    reg(ext, "subspace_l2", 3, c => SubspaceL2(c(0), c(1), c(2)), classOf[SubspaceL2])
 
     // C6-C11 calibration/physics pack
     import AstroFunctions._

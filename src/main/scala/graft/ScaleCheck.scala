@@ -112,8 +112,13 @@ object ScaleCheck {
       spark.stop()
       return
     }
+    // Optional args: query-name substrings re-measure a subset while
+    // iterating (no args → the full slice, the committed-table protocol).
+    val wanted =
+      if (args.isEmpty) slice
+      else slice.filter(n => args.exists(n.contains))
     val times = for (d <- dirs) yield {
-      slice.map { n =>
+      wanted.map { n =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, d).count()
@@ -121,11 +126,11 @@ object ScaleCheck {
       }.toMap
     }
     println(f"${"query"}%-24s ${"sf0.01"}%8s ${"sf0.1"}%8s ${"sf1eq"}%8s  x(0.1->1)")
-    for (n <- slice) {
+    for (n <- wanted) {
       val Seq(a, b, c) = times.map(_(n))
       println(f"$n%-24s $a%8.2f $b%8.2f $c%8.2f  ${c / b}%8.1fx")
     }
-    incrementalDeltaCheck(spark, dirs)
+    if (args.isEmpty) incrementalDeltaCheck(spark, dirs)
     spark.stop()
   }
 

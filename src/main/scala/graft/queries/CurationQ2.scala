@@ -310,43 +310,66 @@ object CurationQ2 {
         pqM, pqDsub)
       .withColumnRenamed("id", "vec_id")
 
-  /** Encode + ADC tail shared by q87/q90: broadcast codebook join +
-    * per-(vec, subspace) argmin gives the codes; probes build a
-    * broadcast distance table; ADC is a keyed sum over codes with the
-    * j-sorted fold so the IEEE add order is engine-identical. */
-  private[queries] def pqAdcTopK(sub: DataFrame, cb: DataFrame): DataFrame = {
-    import graft.operators.PQ.d2Expr
-    val wEnc = Window.partitionBy(col("vec_id"), col("j"))
-      .orderBy(col("d2").asc, col("c_id").asc)
-    val enc = sub.join(broadcast(cb), Seq("j"))
-      .withColumn("d2", d2Expr(col("ss"), col("sub"), col("cent"), col("cc")))
-      .withColumn("rk", row_number().over(wEnc))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("j"), col("c_id").as("code"))
-    val qdist = sub.filter(col("vec_id") >= pqNCent && col("vec_id") < pqNCent + 8)
-      .join(cb, Seq("j"))
-      .withColumn("qd2", d2Expr(col("ss"), col("sub"), col("cent"), col("cc")))
-      .select(col("vec_id").as("q_id"), col("j"), col("c_id").as("code"), col("qd2"))
+  /** Collapse a codebook relation (j, c_id, cent, cc) into ONE broadcast
+    * row of j-ordered, cid-ordered nested arrays — the shape the pq_*
+    * codegen kernels consume. Stays in the DAG (two aggregations over
+    * the m×k codebook rows); no driver collect. */
+  private[graft] def pqCodebookRow(cb: DataFrame): DataFrame =
+    cb.groupBy(col("j"))
+      .agg(array_sort(collect_list(struct(col("c_id"), col("cent"), col("cc"))))
+        .as("cells"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("j"), col("cells")))).as("js"))
+      .select(
+        transform(col("js"), x =>
+          transform(x.getField("cells"), c => c.getField("cent"))).as("cents"),
+        transform(col("js"), x =>
+          transform(x.getField("cells"), c => c.getField("cc"))).as("ccs"))
+
+  /** Encode + ADC tail shared by q87/q90 (and q93's approx side), all
+    * map-side via the pq_* codegen kernels: the codebook collapses to
+    * one broadcast row; encoding is `pq_encode` over raw vectors at
+    * corpus grain — no subspace explode, no ×k join blowup, no (vec, j)
+    * argmin window (the former plan's two super-linear shuffles); each
+    * probe carries its broadcast distance table and ADC is `pq_adc`
+    * under the per-probe top-k window (map-side WindowGroupLimit prunes
+    * before the shuffle). Arithmetic is bitwise-identical to the join
+    * form — same expanded d2 tree, same ascending-j fold. */
+  private[queries] def pqAdcTopK(emb: DataFrame, cb: DataFrame): DataFrame = {
+    val cbRow = pqCodebookRow(cb)
+    val enc = emb.crossJoin(broadcast(cbRow))
+      .select(col("vec_id"),
+        call_function("pq_encode", col("embedding"), col("cents"), col("ccs"))
+          .as("codes"))
+    val probes = emb
+      .filter(col("vec_id") >= pqNCent && col("vec_id") < pqNCent + 8)
+      .crossJoin(broadcast(cbRow))
+      .select(col("vec_id").as("q_id"),
+        call_function("pq_dtab", col("embedding"), col("cents"), col("ccs"))
+          .as("dtab"))
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("approx_d2").asc, col("vec_id").asc)
-    enc.join(broadcast(qdist), Seq("j", "code"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(array_sort(collect_list(struct(col("j"), col("qd2")))).as("ds"))
+    enc.crossJoin(broadcast(probes))
       .withColumn("approx_d2",
-        aggregate(col("ds"), lit(0.0), (acc, x) => acc + x.getField("qd2")))
+        call_function("pq_adc", col("codes"), col("dtab")))
       .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= 10)
       .select(col("q_id"), col("rk"), col("vec_id"), col("approx_d2"))
       .orderBy(col("q_id"), col("rk"))
   }
 
-  private def q87(s: SparkSession, d: String): DataFrame = {
-    val sub = pqSub(s, d)
-    val cb = sub.filter(col("vec_id") < pqNCent)
-      .select(col("j"), col("vec_id").as("c_id"), col("sub").as("cent"),
+  /** q87's derived codebook: the pqNCent lowest-id vectors' subspace
+    * slices (the q55 deterministic-init convention). The source filter
+    * pushes to the scan — the codebook build reads pqNCent rows. */
+  private[queries] def pqDerivedCb(s: SparkSession, d: String): DataFrame =
+    graft.operators.PQ.subspaces(
+        Tables.embeddings(s, d).filter(col("vec_id") < pqNCent),
+        "vec_id", "embedding", pqM, pqDsub)
+      .select(col("j"), col("id").as("c_id"), col("sub").as("cent"),
         col("ss").as("cc"))
-    pqAdcTopK(sub, cb)
-  }
+
+  private def q87(s: SparkSession, d: String): DataFrame =
+    pqAdcTopK(Tables.embeddings(s, d), pqDerivedCb(s, d))
 
   private val q87Sql =
     s"""WITH sub0 AS (SELECT vec_id, unnest(range(0, 8)) AS j, embedding FROM embeddings),
@@ -468,7 +491,7 @@ object CurationQ2 {
     val cb = graft.operators.PQ.trainCodebooks(
         sub.withColumnRenamed("vec_id", "id"), pqNCent, iters = 2)
       .select(col("j"), col("cid").as("c_id"), col("cent"), col("cc"))
-    pqAdcTopK(sub, cb)
+    pqAdcTopK(Tables.embeddings(s, d), cb)
   }
 
   private val q90Sql = {

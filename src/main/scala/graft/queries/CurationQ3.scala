@@ -115,32 +115,28 @@ object CurationQ3 {
     * which is how recall is measured on real corpora — the production
     * path stays ADC over codes.
     *
-    * Scale shape: both sides broadcast only probe-sized relations (8
-    * probes × subspaces); the per-(q, vec) grain grows with the corpus
-    * and carries the shuffles; top-k windows partition on q_id. */
+    * Scale shape: both sides broadcast only probe-sized relations (the
+    * codebook row and 8 probes with their distance tables / raw
+    * vectors); approx = the q87 kernel plan (map-side pq_encode +
+    * pq_adc), exact = map-side subspace_l2 — the only shuffles are the
+    * per-probe top-k windows (WindowGroupLimit-pruned) and the final
+    * q_id-grain aggregate. */
   private def q93(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DoubleType
-    import graft.operators.PQ.d2Expr
-    val sub = CurationQ2.pqSub(s, d)
-    val cb = sub.filter(col("vec_id") < CurationQ2.pqNCent)
-      .select(col("j"), col("vec_id").as("c_id"), col("sub").as("cent"),
-        col("ss").as("cc"))
-    val approx = CurationQ2.pqAdcTopK(sub, cb)
+    val emb = graft.Tables.embeddings(s, d)
+    val approx = CurationQ2.pqAdcTopK(emb, CurationQ2.pqDerivedCb(s, d))
       .select(col("q_id"), col("vec_id"))
-    val probes = sub
+    val probes = emb
       .filter(col("vec_id") >= CurationQ2.pqNCent &&
         col("vec_id") < CurationQ2.pqNCent + 8)
-      .select(col("vec_id").as("q_id"), col("j"), col("sub").as("q_sub"),
-        col("ss").as("q_ss"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("exact_d2").asc, col("vec_id").asc)
-    val exact = sub.join(broadcast(probes), Seq("j"))
-      .withColumn("dj", d2Expr(col("ss"), col("sub"), col("q_sub"), col("q_ss")))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(array_sort(collect_list(struct(col("j"), col("dj")))).as("ds"))
+    val exact = emb.crossJoin(broadcast(probes))
       .withColumn("exact_d2",
-        aggregate(col("ds"), lit(0.0), (acc, x) => acc + x.getField("dj")))
+        call_function("subspace_l2", col("embedding"), col("q_vec"),
+          lit(CurationQ2.pqM)))
       .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= 10)
       .select(col("q_id"), col("vec_id"))

@@ -76,18 +76,31 @@ class PlanContractSpec extends SparkSpecBase {
       s"q74 lost the partial window group limit:\n$p")
   }
 
-  test("argmin-assign windows pre-prune map-side (q55, q87)") {
-    // The IVF/PQ assignment windows (row_number over (vec[, subspace])
-    // filtered to rn = 1) are only scale-safe because
-    // InferWindowGroupLimit plants a Partial WindowGroupLimit below the
-    // exchange — each input partition ships ≤ 1 row per vector instead
-    // of the full vector×candidate fan-out (with its embedding arrays).
+  test("argmin/top-k windows pre-prune map-side (q55, q87)") {
+    // q55's IVF assignment window (row_number over vec filtered to
+    // rn = 1) and q87's per-probe ADC top-k window are only scale-safe
+    // because InferWindowGroupLimit plants a Partial WindowGroupLimit
+    // below the exchange — each input partition ships ≤ k rows per
+    // window key instead of the full fan-out. (q87's former argmin
+    // ENCODE window is gone entirely: pq_encode runs map-side.)
     // Same mechanism q74 relies on for its language top-k.
     Seq("q55_ivf_ann", "q87_pq_adc_ann").foreach { n =>
       val p = plan(n)
       assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
-        s"$n lost the partial window group limit below the assign exchange:\n$p")
+        s"$n lost the partial window group limit below the top-k exchange:\n$p")
     }
+  }
+
+  test("the PQ family plans carry the map-side codegen kernels (q87)") {
+    // The join+window PQ encode was the engine's worst measured growth
+    // row (2.6× at 10×). The kernel plan must keep: pq_encode over the
+    // raw scan (no subspace explode of the corpus), pq_adc under the
+    // top-k window, and NO row_number at (vec, subspace) grain.
+    val p = plan("q87_pq_adc_ann")
+    assert(p.contains("pq_encode") && p.contains("pq_adc"),
+      s"q87 lost the PQ codegen kernels:\n$p")
+    assert(!p.contains("windowspecdefinition(vec_id"),
+      s"q87 regrew an encode-side window at (vec, subspace) grain:\n$p")
   }
 
   test("partition-less windows only ever run over pre-reduced inputs") {
