@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import graft.expressions.{FloatDot, PolyHash, PolyHash2, PqAdc, PqDistTable, PqEncode, SimHash32, SimHash60, SortedIntersectCount, SubspaceL2}
+import graft.expressions.{FloatDot, FloatSub, PolyHash, PolyHash2, PqAdc, PqDistTable, PqEncode, SimHash32, SimHash60, SortedIntersectCount, SubspaceL2}
 import graft.functions.AstroFunctions
 import graft.operators.ProfileOps
 
@@ -52,6 +52,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg(ext, "pq_dtab", 3, c => PqDistTable(c(0), c(1), c(2)), classOf[PqDistTable])
     reg(ext, "pq_adc", 2, c => PqAdc(c(0), c(1)), classOf[PqAdc])
     reg(ext, "subspace_l2", 3, c => SubspaceL2(c(0), c(1), c(2)), classOf[SubspaceL2])
+    reg(ext, "float_sub", 2, c => FloatSub(c(0), c(1)), classOf[FloatSub])
 
     // C6-C11 calibration/physics pack
     import AstroFunctions._

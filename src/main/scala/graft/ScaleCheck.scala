@@ -99,6 +99,9 @@ object ScaleCheck {
       // chunk-grain boilerplate detection: map-side explode + two keyed
       // shuffles at grains that grow linearly with the corpus
       "q91_chunk_boilerplate",
+      // IVF-PQ: corpus side is one kernel scan; search reads nprobe/nc
+      // of the code table through the broadcast cell join
+      "q95_ivfpq_ann",
       // semantic dedup: the registered query derives k FROM the corpus
       // (constant per-cell occupancy — dedupAuto), so this row measures
       // the production shape; a fixed k=16 measured 20.7× here before

@@ -290,6 +290,58 @@ case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
   override def prettyName: String = "pq_adc"
 }
 
+/** `float_sub(a, b)` → elementwise float32 difference — the residual
+  * step of IVF-PQ (vec − coarse centroid). Single-rounded float
+  * subtraction, bitwise equal to `CAST(a[i] − b[i] AS FLOAT)` whether an
+  * engine subtracts in float or promotes to double first (a double
+  * difference of two floats rounds to the same float). Mismatched
+  * lengths / null elements → null. */
+case class FloatSub(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(FloatType)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"float_sub needs two array<float> inputs, got " +
+          s"${l.catalogString} and ${r.catalogString}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    FloatSub.sub(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData r =
+         |  graft.expressions.FloatSub.sub($a, $b);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatSub =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "float_sub"
+}
+
+object FloatSub {
+  def sub(a: ArrayData, b: ArrayData): ArrayData = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      out(i) = a.getFloat(i) - b.getFloat(i)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** `subspace_l2(vec, qvec, m)` → exact ‖x−q‖² folded per-subspace in
   * ascending-j order (the recall harness's ground-truth arithmetic). */
 case class SubspaceL2(first: Expression, second: Expression, third: Expression)

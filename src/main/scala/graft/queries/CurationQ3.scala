@@ -241,8 +241,157 @@ object CurationQ3 {
        |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q95
+
+  private val ivfNc = 16
+  private val ivfNprobe = 2
+
+  /** IVF-PQ (IVFADC) — the production 100 TB ANN shape, composing the
+    * q55/q80 coarse blocking with q87's code-compressed scoring: a
+    * coarse quantizer partitions the corpus into cells, each vector
+    * stores the PQ codes of its RESIDUAL (vec − coarse centroid), and a
+    * probe searches its nprobe nearest cells with a per-cell asymmetric
+    * distance table over the probe's residual. Memory per corpus vector
+    * is m code bytes + a cell id; a search reads ~nprobe/nc of the code
+    * table; nothing corpus-sized is ever broadcast.
+    *
+    * All corpus-side arithmetic is the map-side kernel family — ONE
+    * scan, zero corpus shuffles before the top-k: `pq_encode` with a
+    * single 64-dim subspace IS the coarse assignment (argmin over the
+    * broadcast centroid row), `float_sub` forms the residual, and
+    * `pq_encode` over the 8×8 sub-codebooks yields the codes. Probe
+    * tables (8 probes × nprobe cells, each with an m×k dtab) stay a
+    * broadcast dimension into the cell-keyed search join.
+    *
+    * Determinism: coarse centroids = the nc lowest-id vectors (whole
+    * vector as one subspace); sub-codebooks = the RESIDUALS of ids
+    * nc..nc+15 (cid = vec_id − nc); ties break to the lowest cid
+    * everywhere (the kernel convention = ROW_NUMBER's). */
+  private def q95(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import CurationQ2.{pqDsub, pqM, pqNCent}
+    val dim = pqM * pqDsub
+    val emb = Tables.embeddings(s, d)
+    val coarse = CurationQ2.pqCodebookRow(
+        graft.operators.PQ.subspaces(emb.filter(col("vec_id") < ivfNc),
+            "vec_id", "embedding", 1, dim)
+          .select(col("j"), col("id").as("c_id"), col("sub").as("cent"),
+            col("ss").as("cc")))
+      .select(col("cents").as("g_cents"), col("ccs").as("g_ccs"))
+    // residual of a vector wrt its own (or a given) cell's centroid
+    def residual(vec: org.apache.spark.sql.Column, cell: org.apache.spark.sql.Column) =
+      call_function("float_sub", vec,
+        element_at(element_at(col("g_cents"), 1), cell + lit(1)))
+    val donors = emb
+      .filter(col("vec_id") >= ivfNc && col("vec_id") < ivfNc + pqNCent)
+      .crossJoin(broadcast(coarse))
+      .withColumn("cell",
+        element_at(call_function("pq_encode", col("embedding"),
+          col("g_cents"), col("g_ccs")), 1))
+      .select(col("vec_id"), residual(col("embedding"), col("cell")).as("res"))
+    val subCb = graft.operators.PQ.subspaces(donors, "vec_id", "res", pqM, pqDsub)
+      .select(col("j"), (col("id") - ivfNc).cast("int").as("c_id"),
+        col("sub").as("cent"), col("ss").as("cc"))
+    val both = coarse.crossJoin(CurationQ2.pqCodebookRow(subCb))
+    val enc = emb.crossJoin(broadcast(both))
+      .withColumn("cell",
+        element_at(call_function("pq_encode", col("embedding"),
+          col("g_cents"), col("g_ccs")), 1))
+      .withColumn("codes",
+        call_function("pq_encode", residual(col("embedding"), col("cell")),
+          col("cents"), col("ccs")))
+      .select(col("vec_id"), col("cell"), col("codes"))
+    val wCell = Window.partitionBy(col("q_id"))
+      .orderBy(col("qc_d2").asc, col("cell").asc)
+    val probeCells = emb
+      .filter(col("vec_id") >= ivfNc && col("vec_id") < ivfNc + 8)
+      .crossJoin(broadcast(both))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("g_cents"), col("cents"), col("ccs"),
+        posexplode(element_at(call_function("pq_dtab", col("embedding"),
+          col("g_cents"), col("g_ccs")), 1)).as(Seq("cell", "qc_d2")))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") <= ivfNprobe)
+      .withColumn("dtab",
+        call_function("pq_dtab", residual(col("q_emb"), col("cell")),
+          col("cents"), col("ccs")))
+      .select(col("q_id"), col("cell"), col("dtab"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_d2").asc, col("vec_id").asc)
+    enc.join(broadcast(probeCells), Seq("cell"))
+      .withColumn("approx_d2",
+        call_function("pq_adc", col("codes"), col("dtab")))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 10)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cell"),
+        col("approx_d2"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  private val q95Sql = {
+    val nc = ivfNc
+    val np = ivfNprobe
+    val dim1 = 8 * 8 + 1
+    s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+       |cc0 AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS c_emb,
+       |    ${sqlDotFold("embedding", "embedding")} AS cc FROM emb WHERE vec_id < $nc),
+       |asg0 AS (SELECT e.vec_id AS vec_id, e.embedding AS embedding, c.cid AS cid,
+       |    (${sqlDotFold("e.embedding", "e.embedding")}
+       |      - 2.0 * ${sqlDotFold("e.embedding", "c.c_emb")}) + c.cc AS d2
+       |  FROM emb e CROSS JOIN cc0 c),
+       |asgr AS (SELECT vec_id, embedding, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+       |  FROM asg0),
+       |asg AS (SELECT a.vec_id AS vec_id, a.cid AS cell,
+       |    list_transform(range(1, $dim1),
+       |      i -> CAST(a.embedding[i] - c.c_emb[i] AS FLOAT)) AS res
+       |  FROM asgr a JOIN cc0 c ON a.cid = c.cid WHERE a.rn = 1),
+       |sub0 AS (SELECT vec_id, cell, unnest(range(0, 8)) AS j, res FROM asg),
+       |subv AS (SELECT vec_id, cell, CAST(j AS INT) AS j,
+       |    list_slice(res, j * 8 + 1, j * 8 + 8) AS v FROM sub0),
+       |s2 AS (SELECT vec_id, cell, j, v, ${sqlDotFold("v", "v")} AS ss FROM subv),
+       |scb AS (SELECT j, CAST(vec_id - $nc AS INT) AS c_id, v AS cent, ss AS cc
+       |  FROM s2 WHERE vec_id >= $nc AND vec_id < $nc + 16),
+       |enc0 AS (SELECT s.vec_id AS vec_id, s.cell AS cell, s.j AS j, c.c_id AS c_id,
+       |    (s.ss - 2.0 * ${sqlDotFold("s.v", "c.cent")}) + c.cc AS d2
+       |  FROM s2 s JOIN scb c ON s.j = c.j),
+       |encr AS (SELECT vec_id, cell, j, c_id,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, c_id ASC) AS rk
+       |  FROM enc0),
+       |enc AS (SELECT vec_id, cell, j, c_id AS code FROM encr WHERE rk = 1),
+       |pc AS (SELECT vec_id AS q_id, cid AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+       |  FROM asg0 WHERE vec_id >= $nc AND vec_id < $nc + 8),
+       |qres AS (SELECT p.q_id AS q_id, p.cell AS cell,
+       |    list_transform(range(1, $dim1),
+       |      i -> CAST(e.embedding[i] - c.c_emb[i] AS FLOAT)) AS qr
+       |  FROM pc p JOIN emb e ON e.vec_id = p.q_id JOIN cc0 c ON c.cid = p.cell
+       |  WHERE p.rn <= $np),
+       |qsub AS (SELECT q_id, cell, CAST(j AS INT) AS j,
+       |    list_slice(qr, j * 8 + 1, j * 8 + 8) AS qv
+       |  FROM (SELECT q_id, cell, unnest(range(0, 8)) AS j, qr FROM qres)),
+       |qd AS (SELECT q.q_id AS q_id, q.cell AS cell, q.j AS j, c.c_id AS code,
+       |    (${sqlDotFold("q.qv", "q.qv")} - 2.0 * ${sqlDotFold("q.qv", "c.cent")})
+       |      + c.cc AS qd2
+       |  FROM qsub q JOIN scb c ON q.j = c.j),
+       |adc0 AS (SELECT q.q_id AS q_id, e.vec_id AS vec_id, e.cell AS cell,
+       |    list(q.qd2 ORDER BY e.j) AS ds
+       |  FROM enc e JOIN qd q ON e.cell = q.cell AND e.j = q.j AND e.code = q.code
+       |  GROUP BY q.q_id, e.vec_id, e.cell),
+       |adc AS (SELECT q_id, vec_id, cell,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ds), (acc, x) -> acc + x)
+       |      AS approx_d2
+       |  FROM adc0),
+       |r AS (SELECT q_id, vec_id, cell, approx_d2,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY approx_d2 ASC, vec_id ASC) AS rk
+       |  FROM adc)
+       |SELECT q_id, rk, vec_id, cell, approx_d2 FROM r WHERE rk <= 10
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   val queries: Seq[GQuery] = Seq(
     GQuery("q92_semantic_dedup", q92, Some(q92Sql), Seq("A16", "O1", "U3")),
     GQuery("q93_pq_recall", q93, Some(q93Sql), Seq("A16", "O1", "O4")),
-    GQuery("q94_chunk_rewrite", q94, Some(q94Sql), Seq("A16", "J7", "C12")))
+    GQuery("q94_chunk_rewrite", q94, Some(q94Sql), Seq("A16", "J7", "C12")),
+    GQuery("q95_ivfpq_ann", q95, Some(q95Sql), Seq("A16", "J6", "O1")))
 }

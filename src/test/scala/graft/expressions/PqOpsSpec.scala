@@ -126,6 +126,29 @@ class PqOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("float_sub is bitwise equal to the HOF zip_with difference") {
+    val rows = (0 until 200).map { i =>
+      val n = 1 + rng.nextInt(64)
+      (i.toLong, randVec(n), randVec(n))
+    }
+    val got = rows.toDF("id", "a", "b")
+      .select($"id",
+        call_function("float_sub", $"a", $"b").as("native"),
+        expr("zip_with(a, b, (x, y) -> cast(x - y as float))").as("fold"))
+      .as[(Long, Seq[Float], Seq[Float])].collect()
+    got.foreach { case (id, n, f) =>
+      assert(n.length == f.length, s"row $id")
+      n.zip(f).foreach { case (x, y) =>
+        assert(java.lang.Float.floatToIntBits(x) ==
+          java.lang.Float.floatToIntBits(y), s"row $id")
+      }
+    }
+    // mismatched lengths → null
+    val mism = Seq((1L, Array(1.0f), Array(1.0f, 2.0f))).toDF("id", "a", "b")
+      .select(call_function("float_sub", $"a", $"b")).collect()
+    assert(mism.head.isNullAt(0))
+  }
+
   test("ragged/invalid inputs yield null, not wrong answers") {
     val bad = Seq(
       // vec length not m×dsub (and not divisible by the subspace_l2 m)

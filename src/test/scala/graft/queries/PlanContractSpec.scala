@@ -103,6 +103,22 @@ class PlanContractSpec extends SparkSpecBase {
       s"q87 regrew an encode-side window at (vec, subspace) grain:\n$p")
   }
 
+  test("IVF-PQ search joins on the cell id via broadcast only (q95)") {
+    // The production ANN shape: the corpus side is one kernel scan
+    // (coarse assign + residual + codes, all map-side); the probe-cell
+    // table broadcasts into the cell-keyed join. A SortMergeJoin here
+    // would shuffle the full code table per query batch; an encode-side
+    // window would re-grow the ×k blowup q87 shed.
+    val p = plan("q95_ivfpq_ann")
+    assert(p.contains("pq_encode") && p.contains("float_sub") &&
+      p.contains("pq_adc"), s"q95 lost the kernel plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"q95 shuffled the code table instead of broadcasting probe cells:\n$p")
+    assert(!p.contains("windowspecdefinition(vec_id"),
+      s"q95 has an encode-side window at corpus grain:\n$p")
+  }
+
   test("partition-less windows only ever run over pre-reduced inputs") {
     // A Window with no partitionSpec moves its whole input to ONE partition.
     // That is only acceptable when the input has already been reduced by an
