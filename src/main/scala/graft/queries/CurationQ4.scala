@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
+import graft.Tables
+import graft.functions.TextFunctions._
+import SimilarityQ.sqlDotFold
+
+/** Fourth batch of training-data curation operators: model-based quality
+  * filtering (a reference-corpus unigram LM, the CCNet recipe's shape),
+  * tokenizer-vocabulary induction statistics (BPE), embedding-space
+  * benchmark decontamination (the q70 recipe in vector clothing), and
+  * semantic-cluster-balanced sampling (the q74 recipe keyed on derived
+  * semantic cells instead of a stored language column).
+  *
+  * Numeric discipline: every score is exact integer arithmetic up to ONE
+  * final IEEE division (the q69 rule — no ln(), so no libm divergence
+  * between engines), or a dot-product fold whose add order is pinned
+  * (`float_dot` ≡ the oracle's list_reduce fold).
+  */
+object CurationQ4 {
+
+  // ---------------------------------------------------------------- q96
+
+  /** Every 7th document stands in for the high-quality reference corpus
+    * the LM is trained on (the CCNet shape: score web text against a
+    * Wikipedia-trained LM). */
+  private val lmRefMod = 7L
+
+  /** Unigram-LM quality scoring. Train: token counts over the reference
+    * slice (a vocabulary-sized derived dimension — broadcast). Score:
+    * each non-reference document's mean smoothed token probability
+    * p(t) = (c_t + 1)/(C + V) with c_t = 0 for OOV, plus its OOV rate;
+    * `keep` drops documents where OOV tokens are the majority.
+    *
+    * The ln-free rational form: mean_p = Σ tf·(c_t+1) / (n·(C+V)) is an
+    * exact integer numerator and ONE integer product in the denominator
+    * before the single IEEE division — bitwise portable, and monotone in
+    * the add-1-smoothed likelihood the perplexity filter thresholds.
+    * Headroom: c_t ≤ corpus tokens (~10¹³ at 100 TB) times n ~10⁴ stays
+    * under 2⁶³.
+    *
+    * Scale shape: the (doc, term) tf grain is the only corpus shuffle
+    * (shared by train and score branches via cache — the q69 contract);
+    * the LM itself is vocabulary-sized and broadcasts; scoring is a
+    * doc-grain aggregate. */
+  private def q96(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .cache() // read twice: LM-count branch + scoring branch (q69 rule)
+    val ref = tf.filter(col("doc_id") % lmRefMod === 0)
+      .groupBy(col("term")).agg(sum(col("tf")).as("c_t"))
+    val tot = ref.agg(sum(col("c_t")).as("c_total"), count(lit(1)).as("v_size"))
+    tf.filter(col("doc_id") % lmRefMod =!= 0)
+      .join(broadcast(ref), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * (coalesce(col("c_t"), lit(0L)) + lit(1L))).as("l_num"),
+        sum(when(col("c_t").isNull, col("tf")).otherwise(lit(0L))).as("n_oov"))
+      .crossJoin(broadcast(tot))
+      .withColumn("mean_p", col("l_num").cast(DoubleType) /
+        (col("n_tokens") * (col("c_total") + col("v_size"))).cast(DoubleType))
+      .withColumn("oov_frac",
+        col("n_oov").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+      .withColumn("keep", col("n_oov") * lit(2L) <= col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"), col("mean_p"),
+        col("oov_frac"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q96Sql =
+    s"""WITH tk AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY doc_id, term),
+       |ref AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS c_t
+       |  FROM tf WHERE doc_id % $lmRefMod = 0 GROUP BY term),
+       |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS c_total, COUNT(*) AS v_size FROM ref),
+       |sc AS (SELECT doc_id,
+       |    CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(tf * (COALESCE(c_t, 0) + 1)) AS BIGINT) AS l_num,
+       |    CAST(SUM(CASE WHEN c_t IS NULL THEN tf ELSE 0 END) AS BIGINT) AS n_oov
+       |  FROM tf LEFT JOIN ref USING (term)
+       |  WHERE doc_id % $lmRefMod <> 0 GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, n_oov,
+       |  CAST(l_num AS DOUBLE) / CAST(n_tokens * (c_total + v_size) AS DOUBLE) AS mean_p,
+       |  CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_frac,
+       |  n_oov * 2 <= n_tokens AS keep
+       |FROM sc CROSS JOIN tot ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q97
+
+  private val bpeTopMerges = 20
+
+  /** BPE vocabulary-induction statistics: the first-round adjacent
+    * character-pair counts over the word-frequency table, top candidate
+    * merges by (count DESC, pair ASC) — [[graft.operators.Bpe]]'s
+    * statistics round under the oracle gate (the full sequential trainer
+    * is spec-verified; merge selection is inherently round-sequential so
+    * only round 1 is SQL-expressible).
+    *
+    * Scale shape: ONE corpus pass (the word-frequency aggregation);
+    * everything after runs over the vocabulary table — map-side pair
+    * explode, pair-grain count, TakeOrdered top-k. All-integer. */
+  private def q97(s: SparkSession, d: String): DataFrame =
+    graft.operators.Bpe
+      .pairCounts(graft.operators.Bpe.initVocab(Tables.documents(s, d), "text"))
+      .orderBy(col("cnt").desc, col("lft").asc, col("rgt").asc)
+      .limit(bpeTopMerges)
+
+  private val q97Sql =
+    s"""WITH tk AS (SELECT unnest(${sqlTokens("text")}) AS w FROM documents),
+       |wf AS (SELECT w, COUNT(*) AS freq FROM tk GROUP BY w),
+       |p AS (SELECT w, freq, CAST(unnest(range(1, length(w))) AS INT) AS i
+       |  FROM wf WHERE length(w) >= 2)
+       |SELECT substring(w, i, 1) AS lft, substring(w, i + 1, 1) AS rgt,
+       |  CAST(SUM(freq) AS BIGINT) AS cnt
+       |FROM p GROUP BY 1, 2
+       |ORDER BY cnt DESC, lft ASC, rgt ASC LIMIT $bpeTopMerges""".stripMargin
+
+  // ---------------------------------------------------------------- q98
+
+  /** Every 97th vector stands in for the benchmark embedding set (same
+    * slice rule as q70's shingle decontamination). */
+  private val sdBenchMod = 97L
+  /** Flag threshold, chosen above the corpus's inter-cluster cosine
+    * floor (max observed cosine at sf0.01 is 0.47; 0.30 flags ~5%). */
+  private val sdThreshold = 0.30
+
+  /** Semantic decontamination: flag corpus vectors within cosine
+    * `sdThreshold` of ANY benchmark vector — q70's benchmark-overlap
+    * recipe in embedding space (eval-set contamination that survives
+    * paraphrase, which shingle overlap misses).
+    *
+    * The benchmark set collapses to ONE id-sorted array broadcast to
+    * every task; the corpus side is pure map work — an `aggregate` fold
+    * over the broadcast array taking the (cos, bench_id) max with
+    * strict-> first-wins semantics (ties resolve to the lowest bench id,
+    * matching the oracle's ROW_NUMBER tie-break). Zero corpus shuffle —
+    * exactly the q70 shape, the right one when the corpus is 100 TB and
+    * the benchmark is thousands of vectors. Past the broadcast ceiling
+    * the bucketed fallback pattern (Curation.score's size switch)
+    * applies unchanged. */
+  private def q98(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(call_function("float_dot", col("embedding"), col("embedding")))
+          .as("nrm"))
+      .filter(col("nrm") > 0.0)
+    val benchArr = emb.filter(col("vec_id") % sdBenchMod === 0)
+      .agg(array_sort(collect_list(struct(col("vec_id").as("b_id"),
+        col("embedding").as("b_vec"), col("nrm").as("b_nrm")))).as("bench"))
+    emb.filter(col("vec_id") % sdBenchMod =!= 0)
+      .crossJoin(broadcast(benchArr))
+      .withColumn("best",
+        aggregate(col("bench"),
+          struct(lit(-2.0).as("cos"), lit(-1L).as("b_id")),
+          (acc, b) => {
+            val c = call_function("float_dot", col("embedding"),
+              b.getField("b_vec")) / (col("nrm") * b.getField("b_nrm"))
+            when(c > acc.getField("cos"),
+              struct(c.as("cos"), b.getField("b_id").as("b_id")))
+              .otherwise(acc)
+          }))
+      .withColumn("max_cos", col("best").getField("cos"))
+      .withColumn("bench_id", col("best").getField("b_id"))
+      .filter(col("max_cos") >= sdThreshold)
+      .select(col("vec_id"), col("bench_id"), col("max_cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q98Sql =
+    s"""WITH emb AS (SELECT vec_id, embedding,
+       |    sqrt(${sqlDotFold("embedding", "embedding")}) AS nrm FROM embeddings),
+       |vecs AS (SELECT * FROM emb WHERE nrm > 0.0),
+       |bench AS (SELECT vec_id AS b_id, embedding AS b_vec, nrm AS b_nrm
+       |  FROM vecs WHERE vec_id % $sdBenchMod = 0),
+       |sc AS (SELECT c.vec_id AS vec_id, b.b_id AS b_id,
+       |    ${sqlDotFold("c.embedding", "b.b_vec")} / (c.nrm * b.b_nrm) AS cos
+       |  FROM vecs c CROSS JOIN bench b WHERE c.vec_id % $sdBenchMod <> 0),
+       |r AS (SELECT vec_id, b_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY cos DESC, b_id ASC) AS rn
+       |  FROM sc)
+       |SELECT vec_id, b_id AS bench_id, cos AS max_cos
+       |FROM r WHERE rn = 1 AND cos >= $sdThreshold
+       |ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- q99
+
+  private val csCells = 8
+  private val csPerCell = 5
+
+  /** Semantic-cluster-balanced sampling: assign every vector to its
+    * nearest of `csCells` cells ([[graft.operators.KMeans.assign]], the
+    * q55 quantizer with the lowest-id derived centroids) and keep
+    * `csPerCell` per cell in deterministic split-hash order — q74's
+    * balanced-sample recipe keyed on a DERIVED semantic cell instead of
+    * a stored language column (diversity-preserving downsampling when no
+    * taxonomy column exists).
+    *
+    * Scale shape: centroids broadcast; the assignment argmin and the
+    * per-cell rank both plan Partial WindowGroupLimit (each input
+    * partition ships ≤ k rows per key — asserted for this family by
+    * PlanContractSpec), so nothing corpus-sized crosses an exchange. */
+  private def q99(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = emb.filter(col("vec_id") < csCells)
+      .select(col("vec_id").cast(IntegerType).as("cid"),
+        col("embedding").as("centroid"))
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(col("h").asc, col("vec_id").asc)
+    graft.operators.KMeans.assign(emb, "vec_id", "embedding", cents)
+      .withColumn("h",
+        strHash(concat(lit("csample:"), col("vec_id").cast(StringType))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= csPerCell)
+      .select(col("cid"), col("rk"), col("vec_id"), col("h"))
+      .orderBy(col("cid"), col("rk"))
+  }
+
+  private val q99Sql = {
+    val h = sqlStrHash("concat('csample:', CAST(vec_id AS VARCHAR))")
+    s"""WITH emb AS (SELECT vec_id, embedding,
+       |    sqrt(${sqlDotFold("embedding", "embedding")}) AS nrm FROM embeddings),
+       |vecs AS (SELECT * FROM emb WHERE nrm > 0.0),
+       |c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS c_vec, nrm AS c_norm
+       |  FROM vecs WHERE vec_id < $csCells),
+       |a0 AS (SELECT v.vec_id AS vec_id, c.cid AS cid,
+       |    ${sqlDotFold("v.embedding", "c.c_vec")} / (v.nrm * c.c_norm) AS cos
+       |  FROM vecs v CROSS JOIN c),
+       |ar AS (SELECT vec_id, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+       |  FROM a0),
+       |asg AS (SELECT vec_id, cid FROM ar WHERE rn = 1),
+       |hs AS (SELECT vec_id, cid, $h AS h FROM asg),
+       |r AS (SELECT cid, vec_id, h,
+       |    ROW_NUMBER() OVER (PARTITION BY cid ORDER BY h ASC, vec_id ASC) AS rk
+       |  FROM hs)
+       |SELECT cid, rk, vec_id, h FROM r WHERE rk <= $csPerCell
+       |ORDER BY cid, rk""".stripMargin
+  }
+
+  val queries: Seq[GQuery] = Seq(
+    GQuery("q96_unigram_lm", q96, Some(q96Sql), Seq("A16", "A17", "F6")),
+    GQuery("q97_bpe_pairs", q97, Some(q97Sql), Seq("A17", "O4", "C12")),
+    GQuery("q98_semantic_decontam", q98, Some(q98Sql), Seq("A16", "J9")),
+    GQuery("q99_cluster_sample", q99, Some(q99Sql), Seq("W5", "A16", "O4")))
+}

@@ -259,4 +259,34 @@ class PlanContractSpec extends SparkSpecBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       s"q94 lost the partial (map-side) first-occurrence aggregation:\n$p")
   }
+
+  test("unigram-LM vocabulary dimension broadcasts; corpus shuffles only at tf grain (q96)") {
+    // The LM (term → count) is vocabulary-sized — a derived dimension.
+    // If it ever plans as a SortMergeJoin the (doc, term) relation
+    // re-shuffles on term, a second corpus-sized exchange for a
+    // dimension lookup.
+    val p = plan("q96_unigram_lm")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"q96 shuffled the corpus to join the vocabulary dimension:\n$p")
+  }
+
+  test("semantic decontamination is map-side over a broadcast bench array (q98)") {
+    // q70's contract in embedding space: the benchmark collapses to one
+    // broadcast row; the corpus side must not shuffle AT ALL before the
+    // final sort — no join of any kind on a corpus-grain key.
+    val p = plan("q98_semantic_decontam")
+    assert(p.contains("float_dot"), s"q98 lost the native dot kernel:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"q98 shuffled the corpus for the benchmark lookup:\n$p")
+  }
+
+  test("cluster-sample windows pre-prune map-side (q99)") {
+    // Both windows (assignment argmin, per-cell rank) key on a handful
+    // of cells / corpus-grain ids — scale-safe only via the Partial
+    // WindowGroupLimit (the q74 mechanism).
+    val p = plan("q99_cluster_sample")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"q99 lost the partial window group limit:\n$p")
+  }
 }
