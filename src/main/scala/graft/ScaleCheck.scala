@@ -106,7 +106,14 @@ object ScaleCheck {
       // (constant per-cell occupancy — dedupAuto), so this row measures
       // the production shape; a fixed k=16 measured 20.7× here before
       // the occupancy-targeted default (the fixed-width-blocking trap)
-      "q92_semantic_dedup")
+      "q92_semantic_dedup",
+      // curation battery 4: unigram-LM scoring (one tf-grain shuffle +
+      // broadcast vocab dim), BPE pair stats (one corpus pass, then
+      // vocab-grain), semantic decontam (map-side over a broadcast bench
+      // array — the q70 shape in embedding space), cluster-balanced
+      // sample (broadcast centroids + group-limit windows)
+      "q96_unigram_lm", "q97_bpe_pairs", "q98_semantic_decontam",
+      "q99_cluster_sample")
     val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", big)
     // warm
     SparkEntry.queries("q09_catalog_totals")(spark, dirs.head).count()
