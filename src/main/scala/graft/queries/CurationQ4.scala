@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
+import org.apache.spark.sql.types.{IntegerType, StringType}
 import graft.Tables
 import graft.functions.TextFunctions._
 import SimilarityQ.sqlDotFold
@@ -29,47 +29,17 @@ object CurationQ4 {
     * Wikipedia-trained LM). */
   private val lmRefMod = 7L
 
-  /** Unigram-LM quality scoring. Train: token counts over the reference
-    * slice (a vocabulary-sized derived dimension — broadcast). Score:
-    * each non-reference document's mean smoothed token probability
-    * p(t) = (c_t + 1)/(C + V) with c_t = 0 for OOV, plus its OOV rate;
-    * `keep` drops documents where OOV tokens are the majority.
-    *
-    * The ln-free rational form: mean_p = Σ tf·(c_t+1) / (n·(C+V)) is an
-    * exact integer numerator and ONE integer product in the denominator
-    * before the single IEEE division — bitwise portable, and monotone in
-    * the add-1-smoothed likelihood the perplexity filter thresholds.
-    * Headroom: c_t ≤ corpus tokens (~10¹³ at 100 TB) times n ~10⁴ stays
-    * under 2⁶³.
-    *
-    * Scale shape: the (doc, term) tf grain is the only corpus shuffle
-    * (shared by train and score branches via cache — the q69 contract);
-    * the LM itself is vocabulary-sized and broadcasts; scoring is a
-    * doc-grain aggregate. */
+  /** Unigram-LM quality scoring — [[graft.operators.UnigramLm]] run
+    * under the oracle gate: the model trains on the reference slice and
+    * scores everything else. Rational-arithmetic rationale and scale
+    * shape live on the operator; the tf relation is cached because the
+    * train and score branches both read it (the q69 contract). */
   private def q96(s: SparkSession, d: String): DataFrame = {
-    val tf = Tables.documents(s, d)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    import graft.operators.UnigramLm
+    val tf = UnigramLm.termFreq(Tables.documents(s, d), "doc_id", "text")
       .cache() // read twice: LM-count branch + scoring branch (q69 rule)
-    val ref = tf.filter(col("doc_id") % lmRefMod === 0)
-      .groupBy(col("term")).agg(sum(col("tf")).as("c_t"))
-    val tot = ref.agg(sum(col("c_t")).as("c_total"), count(lit(1)).as("v_size"))
-    tf.filter(col("doc_id") % lmRefMod =!= 0)
-      .join(broadcast(ref), Seq("term"), "left")
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(col("tf")).as("n_tokens"),
-        sum(col("tf") * (coalesce(col("c_t"), lit(0L)) + lit(1L))).as("l_num"),
-        sum(when(col("c_t").isNull, col("tf")).otherwise(lit(0L))).as("n_oov"))
-      .crossJoin(broadcast(tot))
-      .withColumn("mean_p", col("l_num").cast(DoubleType) /
-        (col("n_tokens") * (col("c_total") + col("v_size"))).cast(DoubleType))
-      .withColumn("oov_frac",
-        col("n_oov").cast(DoubleType) / col("n_tokens").cast(DoubleType))
-      .withColumn("keep", col("n_oov") * lit(2L) <= col("n_tokens"))
-      .select(col("doc_id"), col("n_tokens"), col("n_oov"), col("mean_p"),
-        col("oov_frac"), col("keep"))
+    val lm = UnigramLm.train(tf.filter(col("doc_id") % lmRefMod === 0))
+    UnigramLm.score(tf.filter(col("doc_id") % lmRefMod =!= 0), lm, "doc_id")
       .orderBy(col("doc_id"))
   }
 
@@ -130,45 +100,16 @@ object CurationQ4 {
     * floor (max observed cosine at sf0.01 is 0.47; 0.30 flags ~5%). */
   private val sdThreshold = 0.30
 
-  /** Semantic decontamination: flag corpus vectors within cosine
-    * `sdThreshold` of ANY benchmark vector — q70's benchmark-overlap
-    * recipe in embedding space (eval-set contamination that survives
-    * paraphrase, which shingle overlap misses).
-    *
-    * The benchmark set collapses to ONE id-sorted array broadcast to
-    * every task; the corpus side is pure map work — an `aggregate` fold
-    * over the broadcast array taking the (cos, bench_id) max with
-    * strict-> first-wins semantics (ties resolve to the lowest bench id,
-    * matching the oracle's ROW_NUMBER tie-break). Zero corpus shuffle —
-    * exactly the q70 shape, the right one when the corpus is 100 TB and
-    * the benchmark is thousands of vectors. Past the broadcast ceiling
-    * the bucketed fallback pattern (Curation.score's size switch)
-    * applies unchanged. */
+  /** Semantic decontamination — [[graft.operators.SemanticDecontam]]
+    * run under the oracle gate: every 97th vector is the benchmark set,
+    * the rest is the corpus. Broadcast/fold scale shape and tie-break
+    * semantics live on the operator. */
   private def q98(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
-        sqrt(call_function("float_dot", col("embedding"), col("embedding")))
-          .as("nrm"))
-      .filter(col("nrm") > 0.0)
-    val benchArr = emb.filter(col("vec_id") % sdBenchMod === 0)
-      .agg(array_sort(collect_list(struct(col("vec_id").as("b_id"),
-        col("embedding").as("b_vec"), col("nrm").as("b_nrm")))).as("bench"))
-    emb.filter(col("vec_id") % sdBenchMod =!= 0)
-      .crossJoin(broadcast(benchArr))
-      .withColumn("best",
-        aggregate(col("bench"),
-          struct(lit(-2.0).as("cos"), lit(-1L).as("b_id")),
-          (acc, b) => {
-            val c = call_function("float_dot", col("embedding"),
-              b.getField("b_vec")) / (col("nrm") * b.getField("b_nrm"))
-            when(c > acc.getField("cos"),
-              struct(c.as("cos"), b.getField("b_id").as("b_id")))
-              .otherwise(acc)
-          }))
-      .withColumn("max_cos", col("best").getField("cos"))
-      .withColumn("bench_id", col("best").getField("b_id"))
-      .filter(col("max_cos") >= sdThreshold)
-      .select(col("vec_id"), col("bench_id"), col("max_cos"))
+    graft.operators.SemanticDecontam.flag(
+        emb.filter(col("vec_id") % sdBenchMod =!= 0),
+        emb.filter(col("vec_id") % sdBenchMod === 0),
+        "vec_id", "embedding", sdThreshold)
       .orderBy(col("vec_id"))
   }
 
