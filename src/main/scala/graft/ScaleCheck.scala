@@ -122,6 +122,11 @@ object ScaleCheck {
       spark.stop()
       return
     }
+    if (args.contains("bpe")) { // BPE trainer section only, for iteration
+      bpeTrainCheck(spark, dirs)
+      spark.stop()
+      return
+    }
     // Optional args: query-name substrings re-measure a subset while
     // iterating (no args → the full slice, the committed-table protocol).
     val wanted =
@@ -140,8 +145,48 @@ object ScaleCheck {
       val Seq(a, b, c) = times.map(_(n))
       println(f"$n%-24s $a%8.2f $b%8.2f $c%8.2f  ${c / b}%8.1fx")
     }
-    if (args.isEmpty) incrementalDeltaCheck(spark, dirs)
+    if (args.isEmpty) { incrementalDeltaCheck(spark, dirs); bpeTrainCheck(spark, dirs) }
     spark.stop()
+  }
+
+  /** BPE training cost split into its two regimes: the ONE corpus pass
+    * (initVocab's word-frequency aggregation) vs the merge rounds, which
+    * run over the VOCABULARY table — sublinear in the corpus (new text
+    * mostly repeats known words; the 10× synthetic's token-prefixing is
+    * adversarial here, inflating vocab ~10×, so the printed round cost
+    * is an upper bound on real-corpus growth). The claim a tokenizer
+    * owner cares about at 100 TB: adding corpus grows the ONE-PASS cost
+    * linearly, NOT the per-round cost × rounds (vocabularies train with
+    * 10⁴-10⁵ merges). */
+  private def bpeTrainCheck(spark: SparkSession, dirs: Seq[String]): Unit = {
+    import graft.operators.Bpe
+    println()
+    println(f"${"bpe (8 rounds)"}%-24s ${"init"}%8s ${"rounds"}%8s  vocab")
+    for (d <- dirs) {
+      spark.catalog.clearCache()
+      val docs = Tables.load(spark, d, "documents")
+      val t0 = System.nanoTime()
+      val vocab0 = Bpe.initVocab(docs, "text").localCheckpoint()
+      val nVocab = vocab0.count()
+      val tInit = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      var vocab = vocab0
+      var r = 0
+      while (r < 8) {
+        val top = Bpe.pairCounts(vocab)
+          .orderBy(col("cnt").desc, col("lft").asc, col("rgt").asc)
+          .limit(1).collect()
+        val prev = vocab
+        vocab = vocab.withColumn("syms", Bpe.applyMerge(col("syms"),
+          top.head.getAs[String]("lft"), top.head.getAs[String]("rgt")))
+          .localCheckpoint()
+        prev.unpersist()
+        r += 1
+      }
+      val tRounds = (System.nanoTime() - t1) / 1e9
+      vocab.unpersist()
+      println(f"${d.split('/').last}%-24s $tInit%8.2f $tRounds%8.2f  $nVocab")
+    }
   }
 
   /** The incremental pipeline's PRODUCTION shape, which the registered
