@@ -113,7 +113,11 @@ object ScaleCheck {
       // array — the q70 shape in embedding space), cluster-balanced
       // sample (broadcast centroids + group-limit windows)
       "q96_unigram_lm", "q97_bpe_pairs", "q98_semantic_decontam",
-      "q99_cluster_sample")
+      "q99_cluster_sample",
+      // the battery-4 composition: LM keep ⨝ semantic-decontam flag on
+      // the shared doc/vec id — verdict join keyed on a corpus-growing
+      // grain, flagged side output-sized
+      "q100_joint_curation")
     val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", big)
     // warm
     SparkEntry.queries("q09_catalog_totals")(spark, dirs.head).count()

@@ -185,9 +185,89 @@ object CurationQ4 {
        |ORDER BY cid, rk""".stripMargin
   }
 
+  // --------------------------------------------------------------- q100
+
+  /** Joint text+vector curation: the battery-4 operators composed the
+    * way a corpus owner runs them — [[graft.operators.UnigramLm]] keeps
+    * the text side (reference-LM likelihood + OOV gate),
+    * [[graft.operators.SemanticDecontam]] flags the embedding side
+    * (cosine proximity to the benchmark set), and the per-document
+    * verdict joins the two on the shared id (`vec_id` is the document's
+    * embedding id). `final_keep` = LM keep AND not contaminated — the
+    * multimodal analog of q79's quality→decontam→dedup verdict chain.
+    *
+    * Scale shape: both stages keep their own contracts (broadcast vocab
+    * dim; broadcast bench array, zero corpus shuffle); the verdict join
+    * is keyed on the doc id — a corpus-growing grain, linear — and the
+    * flagged side is output-sized (contaminated docs only). Nullable
+    * join columns are coalesced to sentinel values so the verdict table
+    * is dense (and the oracle compare bitwise). */
+  private def q100(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{SemanticDecontam, UnigramLm}
+    val tf = UnigramLm.termFreq(Tables.documents(s, d), "doc_id", "text")
+      .cache() // read twice: LM-count branch + scoring branch (q69 rule)
+    val lm = UnigramLm.train(tf.filter(col("doc_id") % lmRefMod === 0))
+    val scored =
+      UnigramLm.score(tf.filter(col("doc_id") % lmRefMod =!= 0), lm, "doc_id")
+    val emb = Tables.embeddings(s, d)
+    val flagged = SemanticDecontam.flag(
+        emb.filter(col("vec_id") % sdBenchMod =!= 0),
+        emb.filter(col("vec_id") % sdBenchMod === 0),
+        "vec_id", "embedding", sdThreshold)
+      .withColumnRenamed("vec_id", "doc_id")
+    scored.withColumnRenamed("keep", "keep_lm")
+      .join(flagged, Seq("doc_id"), "left")
+      .withColumn("contaminated", col("bench_id").isNotNull)
+      .withColumn("final_keep", col("keep_lm") && !col("contaminated"))
+      .select(col("doc_id"), col("n_tokens"), col("mean_p"), col("keep_lm"),
+        col("contaminated"), coalesce(col("bench_id"), lit(-1L)).as("bench_id"),
+        coalesce(col("max_cos"), lit(-1.0)).as("max_cos"), col("final_keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q100Sql =
+    s"""WITH tk AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY doc_id, term),
+       |ref AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS c_t
+       |  FROM tf WHERE doc_id % $lmRefMod = 0 GROUP BY term),
+       |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS c_total, COUNT(*) AS v_size FROM ref),
+       |sc AS (SELECT doc_id,
+       |    CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(tf * (COALESCE(c_t, 0) + 1)) AS BIGINT) AS l_num,
+       |    CAST(SUM(CASE WHEN c_t IS NULL THEN tf ELSE 0 END) AS BIGINT) AS n_oov
+       |  FROM tf LEFT JOIN ref USING (term)
+       |  WHERE doc_id % $lmRefMod <> 0 GROUP BY doc_id),
+       |scored AS (SELECT doc_id, n_tokens,
+       |    CAST(l_num AS DOUBLE) / CAST(n_tokens * (c_total + v_size) AS DOUBLE) AS mean_p,
+       |    n_oov * 2 <= n_tokens AS keep_lm
+       |  FROM sc CROSS JOIN tot),
+       |emb AS (SELECT vec_id, embedding,
+       |    sqrt(${sqlDotFold("embedding", "embedding")}) AS nrm FROM embeddings),
+       |vecs AS (SELECT * FROM emb WHERE nrm > 0.0),
+       |bench AS (SELECT vec_id AS b_id, embedding AS b_vec, nrm AS b_nrm
+       |  FROM vecs WHERE vec_id % $sdBenchMod = 0),
+       |cosr AS (SELECT c.vec_id AS vec_id, b.b_id AS b_id,
+       |    ${sqlDotFold("c.embedding", "b.b_vec")} / (c.nrm * b.b_nrm) AS cos
+       |  FROM vecs c CROSS JOIN bench b WHERE c.vec_id % $sdBenchMod <> 0),
+       |rk AS (SELECT vec_id, b_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY cos DESC, b_id ASC) AS rn
+       |  FROM cosr),
+       |flagged AS (SELECT vec_id AS doc_id, b_id AS bench_id, cos AS max_cos
+       |  FROM rk WHERE rn = 1 AND cos >= $sdThreshold)
+       |SELECT s.doc_id AS doc_id, s.n_tokens AS n_tokens, s.mean_p AS mean_p,
+       |  s.keep_lm AS keep_lm,
+       |  f.bench_id IS NOT NULL AS contaminated,
+       |  COALESCE(f.bench_id, -1) AS bench_id,
+       |  COALESCE(f.max_cos, -1.0) AS max_cos,
+       |  s.keep_lm AND f.bench_id IS NULL AS final_keep
+       |FROM scored s LEFT JOIN flagged f USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Seq[GQuery] = Seq(
     GQuery("q96_unigram_lm", q96, Some(q96Sql), Seq("A16", "A17", "F6")),
     GQuery("q97_bpe_pairs", q97, Some(q97Sql), Seq("A17", "O4", "C12")),
     GQuery("q98_semantic_decontam", q98, Some(q98Sql), Seq("A16", "J9")),
-    GQuery("q99_cluster_sample", q99, Some(q99Sql), Seq("W5", "A16", "O4")))
+    GQuery("q99_cluster_sample", q99, Some(q99Sql), Seq("W5", "A16", "O4")),
+    GQuery("q100_joint_curation", q100, Some(q100Sql), Seq("A16", "J6", "U1")))
 }
