@@ -143,6 +143,49 @@ object StreamOps {
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Streaming front of the reference-LM quality gate
+    * ([[graft.operators.UnigramLm]], q96): score arriving documents
+    * against a TRAINED static model with zero streaming state — the LM
+    * collapses to one broadcast row (term→count map + totals) and the
+    * per-document sums run as a map-side `aggregate` fold over the
+    * token array, so no (doc, term) shuffle ever forms in the stream.
+    *
+    * Stream ≡ batch is EXACT, not approximate: both forms accumulate
+    * the same integers (Σ tf·(c_t+1) grouped by term ≡ Σ over token
+    * positions of (c_t+1) — integer addition commutes) and divide once,
+    * so mean_p/oov_frac are bitwise equal to `UnigramLm.score` on the
+    * same rows (StreamLmScoreSpec). Tokenless documents are dropped,
+    * matching the batch grain (no tf rows → no verdict row).
+    *
+    * Stateless by construction: append mode, no watermark needed —
+    * callers compose [[streamingCurate]]'s watermarked dedup downstream
+    * when re-crawl suppression is wanted. */
+  def streamingLmScore(docs: DataFrame, lm: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions
+    val lmRow = lm.agg(
+      map_from_entries(array_sort(collect_list(
+        struct(col("term"), col("c_t"))))).as("lm_map"),
+      sum(col("c_t")).as("c_total"),
+      count(lit(1)).as("v_size"))
+    docs
+      .withColumn("tk", TextFunctions.tokens(col("text")))
+      .filter(size(col("tk")) > 0)
+      .crossJoin(broadcast(lmRow)) // stream-static, one row
+      .withColumn("n_tokens", size(col("tk")).cast(LongType))
+      .withColumn("l_num",
+        aggregate(col("tk"), lit(0L),
+          (acc, t) => acc + coalesce(element_at(col("lm_map"), t), lit(0L)) + lit(1L)))
+      .withColumn("n_oov",
+        size(filter(col("tk"), t => element_at(col("lm_map"), t).isNull))
+          .cast(LongType))
+      .withColumn("mean_p", col("l_num").cast(DoubleType) /
+        (col("n_tokens") * (col("c_total") + col("v_size"))).cast(DoubleType))
+      .withColumn("oov_frac",
+        col("n_oov").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+      .withColumn("keep", col("n_oov") * lit(2L) <= col("n_tokens"))
+      .drop("tk", "lm_map", "c_total", "v_size", "l_num")
+  }
+
   /** Streaming front of the curation QUALITY gate: the same
     * counters/score the batch battery verifies (q28, q79 — one
     * definition of "quality" everywhere) applied per micro-batch,
