@@ -57,4 +57,41 @@ object SemanticDecontam {
       .filter(col("max_cos") >= threshold)
       .select(col("__id").as(idCol), col("bench_id"), col("max_cos"))
   }
+
+  /** Index-backed decontamination: probe the persisted [[VecIndex]]
+    * with the BENCHMARK vectors instead of scanning the corpus — a
+    * range search over each bench vector's `nprobe` nearest cells, then
+    * a per-corpus-row max. Work ∝ bench × (probed fraction of the
+    * corpus), and the scan partition-prunes to the probed cells at file
+    * listing — the right shape when the corpus is 100 TB, the bench is
+    * thousands of vectors, and the index already exists for ANN serving
+    * ([[flag]]'s one-pass scan never reads non-probed cells here).
+    *
+    * APPROXIMATE by cell blocking, exactly like the index's top-k
+    * search: a contaminated row whose bench partners all live outside
+    * the probed cells is missed — recall vs the exact [[flag]] is
+    * pinned by SemanticDecontamSpec (every reported row is a TRUE
+    * match; `max_cos` can only understate). Ties resolve to the lowest
+    * bench id via the max over (cos, −bench_id) structs — the same
+    * tie-break as [[flag]]. The index must hold only corpus rows (build
+    * it from the corpus side; a bench row indexed as corpus would flag
+    * itself — which IS contamination semantics, but of the index, not
+    * the corpus). */
+  def flagIndexed(index: DataFrame, centroids: DataFrame, bench: DataFrame,
+                  idCol: String, vecCol: String, threshold: Double,
+                  nprobe: Int = 3): DataFrame = {
+    val probes = KMeans
+      .assignTop(bench, idCol, vecCol, centroids, nprobe)
+      .select(col(idCol).as("q_id"), col("cid").as("q_cid"))
+      .join(bench.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")),
+        Seq("q_id"))
+    VecIndex.rangeSearch(index, probes, idCol, vecCol, threshold)
+      // multi-probe can surface the same (corpus, bench) pair through
+      // several cells; the max-struct aggregate dedups and argmaxes in
+      // one partial-aggregatable pass (no window)
+      .groupBy(col(idCol))
+      .agg(max(struct(col("cos").as("cos"), (-col("q_id")).as("nb"))).as("m"))
+      .select(col(idCol), (-col("m.nb")).as("bench_id"),
+        col("m.cos").as("max_cos"))
+  }
 }

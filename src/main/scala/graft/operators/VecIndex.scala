@@ -108,6 +108,34 @@ object VecIndex {
       .select(col("q_id"), col("rk"), col(idCol), col("cos"))
   }
 
+  /** In-cell cosine RANGE search: every indexed vector at or above
+    * `minCos` of a probe, in the probe's cells — the threshold-query
+    * sibling of [[search]] (ANN range query). Same partition-pruned
+    * scan (`cid IN (...)` at file listing, ~nprobe/k of the corpus),
+    * but NO window at all: the result is an open-ended match set, so
+    * the plan is scan → broadcast probe join → filter — strictly
+    * map-side after the pruned read. Unlike [[search]] there is no
+    * self-exclusion: a probe finding its own stored copy IS a match
+    * (the decontamination semantics — [[SemanticDecontam.flagIndexed]]).
+    *
+    * @param probes (q_id, q_vec, q_cid), one row per (probe, probed
+    *               cell) for multi-probe — bounded by definition */
+  def rangeSearch(index: DataFrame, probes: DataFrame,
+                  idCol: String, vecCol: String, minCos: Double): DataFrame = {
+    val cells = probes.select(col("q_cid")).distinct()
+      .collect().map(_.get(0))
+    val pr = probes
+      .withColumn("q_norm", sqrt(callDot(col("q_vec"), col("q_vec"))))
+      .filter(col("q_norm") > 0.0)
+    index
+      .filter(col("cid").isin(cells: _*))
+      .join(broadcast(pr), col("cid") === col("q_cid"))
+      .withColumn("cos",
+        callDot(col(vecCol), col("q_vec")) / (col("norm") * col("q_norm")))
+      .filter(col("cos") >= minCos)
+      .select(col("q_id"), col(idCol), col("cos"))
+  }
+
   /** Streaming-safe cell assignment: a map-side fold over the collected
     * centroid array — no window and no aggregation on the vector stream,
     * so it composes with any streaming sink (rank windows are illegal in

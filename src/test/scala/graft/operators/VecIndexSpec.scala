@@ -63,6 +63,32 @@ class VecIndexSpec extends SparkSpecBase {
     assert(got.sameElements(exact), "persisted-index search diverged from inline plan")
   }
 
+  test("rangeSearch equals the inline in-cell threshold filter, self included") {
+    val idx = VecIndex.open(spark, path)
+    val probes = idx.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("cid").as("q_cid"))
+    val minCos = 0.25
+    val got = VecIndex.rangeSearch(idx, probes, "vec_id", "embedding", minCos)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val exact = idx.as("x").join(probes.as("p"), col("x.cid") === col("p.q_cid"))
+      .withColumn("cos",
+        call_function("float_dot", col("x.embedding"), col("p.q_vec")) /
+          (col("x.norm") * sqrt(call_function("float_dot", col("p.q_vec"), col("p.q_vec")))))
+      .filter(col("cos") >= minCos)
+      .select(col("q_id"), col("x.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.sameElements(exact), "rangeSearch diverged from inline threshold plan")
+    // a probe in the index must find its own copy (cos = 1): range search
+    // keeps self-matches — the decontamination semantics
+    assert(got.exists { case (q, v) => q == v },
+      "rangeSearch dropped self-matches")
+    val p = VecIndex.rangeSearch(idx, probes, "vec_id", "embedding", minCos)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && !p.contains("PartitionFilters: []"),
+      s"rangeSearch scan is not partition-pruned:\n$p")
+  }
+
   test("assignFold matches the window-based assign on batch input") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val cents = KMeans.lloyd(emb, "vec_id", "embedding", k = 4, iters = 1)
