@@ -117,7 +117,10 @@ object ScaleCheck {
       // the battery-4 composition: LM keep ⨝ semantic-decontam flag on
       // the shared doc/vec id — verdict join keyed on a corpus-growing
       // grain, flagged side output-sized
-      "q100_joint_curation")
+      "q100_joint_curation",
+      // cell-blocked range search: assignment argmin + broadcast probe
+      // cells + filter — no top-k window; output is the open match set
+      "q101_cell_range_search")
     val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", big)
     // warm
     SparkEntry.queries("q09_catalog_totals")(spark, dirs.head).count()

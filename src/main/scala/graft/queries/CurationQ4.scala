@@ -264,10 +264,89 @@ object CurationQ4 {
        |FROM scored s LEFT JOIN flagged f USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q101
+
+  private val rsProbeLo = 8L
+  private val rsProbeN = 4
+  private val rsNprobe = 2
+  private val rsThreshold = 0.30
+
+  /** Cell-blocked cosine RANGE search — the inline form of
+    * [[graft.operators.VecIndex.rangeSearch]] under the oracle gate
+    * (VecIndexSpec proves persisted ≡ inline): corpus vectors assign to
+    * their nearest cell (the q55 quantizer), probes take their
+    * `rsNprobe` nearest cells, and every in-cell pair at or above the
+    * threshold is emitted — an open-ended match set, so there is NO
+    * top-k window anywhere, just the assignment argmin and a filter.
+    * Self-matches are kept (the decontamination semantics).
+    *
+    * Scale shape: centroids and the probe-cell table broadcast; on the
+    * persisted index the same plan partition-prunes to the probed
+    * cells. */
+  private def q101(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(call_function("float_dot", col("embedding"), col("embedding")))
+          .as("nrm"))
+      .filter(col("nrm") > 0.0)
+    val cents = emb.filter(col("vec_id") < csCells)
+      .select(col("vec_id").cast(IntegerType).as("cid"),
+        col("embedding").as("c_vec"), col("nrm").as("c_norm"))
+    def assigned(df: DataFrame, nprobe: Int) = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c_cos").desc, col("cid").asc)
+      df.crossJoin(broadcast(cents))
+        .withColumn("c_cos",
+          call_function("float_dot", col("embedding"), col("c_vec")) /
+            (col("nrm") * col("c_norm")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= nprobe)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
+    }
+    val corpus = assigned(emb, 1)
+    val probes = assigned(
+        emb.filter(col("vec_id") >= rsProbeLo &&
+          col("vec_id") < rsProbeLo + rsProbeN), rsNprobe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("nrm").as("q_nrm"), col("cid"))
+    corpus.join(broadcast(probes), Seq("cid"))
+      .withColumn("cos",
+        call_function("float_dot", col("embedding"), col("q_vec")) /
+          (col("nrm") * col("q_nrm")))
+      .filter(col("cos") >= rsThreshold)
+      .select(col("q_id"), col("vec_id"), col("cid"), col("cos"))
+      .orderBy(col("q_id"), col("vec_id"))
+  }
+
+  private val q101Sql =
+    s"""WITH emb AS (SELECT vec_id, embedding,
+       |    sqrt(${sqlDotFold("embedding", "embedding")}) AS nrm FROM embeddings),
+       |vecs AS (SELECT * FROM emb WHERE nrm > 0.0),
+       |c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS c_vec, nrm AS c_norm
+       |  FROM vecs WHERE vec_id < $csCells),
+       |a0 AS (SELECT v.vec_id AS vec_id, v.embedding AS embedding, v.nrm AS nrm,
+       |    c.cid AS cid,
+       |    ${sqlDotFold("v.embedding", "c.c_vec")} / (v.nrm * c.c_norm) AS c_cos
+       |  FROM vecs v CROSS JOIN c),
+       |ar AS (SELECT vec_id, embedding, nrm, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY c_cos DESC, cid ASC) AS rn
+       |  FROM a0),
+       |corpus AS (SELECT vec_id, embedding, nrm, cid FROM ar WHERE rn = 1),
+       |probes AS (SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_nrm, cid
+       |  FROM ar WHERE rn <= $rsNprobe
+       |    AND vec_id >= $rsProbeLo AND vec_id < $rsProbeLo + $rsProbeN),
+       |m AS (SELECT p.q_id AS q_id, x.vec_id AS vec_id, x.cid AS cid,
+       |    ${sqlDotFold("x.embedding", "p.q_vec")} / (x.nrm * p.q_nrm) AS cos
+       |  FROM corpus x JOIN probes p ON x.cid = p.cid)
+       |SELECT q_id, vec_id, cid, cos FROM m WHERE cos >= $rsThreshold
+       |ORDER BY q_id, vec_id""".stripMargin
+
   val queries: Seq[GQuery] = Seq(
     GQuery("q96_unigram_lm", q96, Some(q96Sql), Seq("A16", "A17", "F6")),
     GQuery("q97_bpe_pairs", q97, Some(q97Sql), Seq("A17", "O4", "C12")),
     GQuery("q98_semantic_decontam", q98, Some(q98Sql), Seq("A16", "J9")),
     GQuery("q99_cluster_sample", q99, Some(q99Sql), Seq("W5", "A16", "O4")),
-    GQuery("q100_joint_curation", q100, Some(q100Sql), Seq("A16", "J6", "U1")))
+    GQuery("q100_joint_curation", q100, Some(q100Sql), Seq("A16", "J6", "U1")),
+    GQuery("q101_cell_range_search", q101, Some(q101Sql), Seq("A16", "J9", "J10")))
 }

@@ -281,6 +281,31 @@ class PlanContractSpec extends SparkSpecBase {
       s"q98 shuffled the corpus for the benchmark lookup:\n$p")
   }
 
+  test("BPE pair counting is aggregation-only: partial combines, no window (q97)") {
+    // The pair round must stay a pair-grain count with map-side partial
+    // aggregation (word-freq agg + pair agg = two partial/final pairs) —
+    // a window formulation would move the vocab through rank partitions.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val lp = Registry.byName("q97_bpe_pairs").run(spark, sf)
+      .queryExecution.optimizedPlan
+    assert(!lp.exists(_.isInstanceOf[LWindow]),
+      "q97 must not contain any Window — pair stats are aggregations")
+    val p = plan("q97_bpe_pairs")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"q97 lost a partial (map-side) aggregation level:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q97 top-k must plan TakeOrdered, not a global sort:\n$p")
+  }
+
+  test("joint curation keeps both stage contracts composed (q100)") {
+    // Composition must not degrade either stage: the LM dimension and
+    // the bench array stay broadcast, and the only shuffle joins allowed
+    // are on the doc-grain verdict key.
+    val p = plan("q100_joint_curation")
+    assert(p.contains("float_dot"), s"q100 lost the native dot kernel:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("cluster-sample windows pre-prune map-side (q99)") {
     // Both windows (assignment argmin, per-cell rank) key on a handful
     // of cells / corpus-grain ids — scale-safe only via the Partial
