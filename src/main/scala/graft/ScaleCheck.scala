@@ -120,7 +120,10 @@ object ScaleCheck {
       "q100_joint_curation",
       // cell-blocked range search: assignment argmin + broadcast probe
       // cells + filter — no top-k window; output is the open match set
-      "q101_cell_range_search")
+      "q101_cell_range_search",
+      // temperature mixture: one source-keyed corpus pass, then
+      // source-dimension arithmetic (sorted-fold Σ√p)
+      "q102_temperature_mixture")
     val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", big)
     // warm
     SparkEntry.queries("q09_catalog_totals")(spark, dirs.head).count()

@@ -342,11 +342,71 @@ object CurationQ4 {
        |SELECT q_id, vec_id, cid, cos FROM m WHERE cos >= $rsThreshold
        |ORDER BY q_id, vec_id""".stripMargin
 
+  // --------------------------------------------------------------- q102
+
+  /** Temperature-scaled mixture weights — the multilingual/multi-domain
+    * α-sampling recipe (q_s ∝ p_s^α): up-weight low-resource sources,
+    * down-weight dominant ones, α = 1/2 so the power IS `sqrt` — the
+    * one transcendental-free exponent, correctly rounded by IEEE 754 in
+    * every engine (the C2-tier ln/pow divergence never arises). The
+    * renormalizing Σ√p folds over the source-ORDERED weight array (the
+    * q58/q59 sorted-fold rule) so the IEEE add order is
+    * engine-identical; everything upstream is exact integers with one
+    * division per ratio.
+    *
+    * Scale shape: one corpus pass (source-keyed token totals, partial
+    * aggregation); everything after runs on the source dimension —
+    * a handful of rows. `boost` = q_s/p_s is the per-source replication
+    * factor a sampler (q86's copy planner) consumes. */
+  private def q102(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val bySrc = Tables.documents(s, d)
+      .select(col("source"), size(tokens(col("text"))).cast(LongType).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val tot = bySrc.agg(sum(col("n_tokens")).as("tok_tot"))
+    val dim = bySrc.crossJoin(broadcast(tot))
+      .withColumn("share",
+        col("n_tokens").cast(DoubleType) / col("tok_tot").cast(DoubleType))
+      .withColumn("temp_w", sqrt(col("share")))
+    // Σ√p in source order: sorted fold, bitwise-portable
+    val wSum = dim
+      .agg(array_sort(collect_list(struct(col("source"), col("temp_w")))).as("ws"))
+      .select(aggregate(col("ws"), lit(0.0),
+        (acc, x) => acc + x.getField("temp_w")).as("w_sum"))
+    dim.crossJoin(broadcast(wSum))
+      .withColumn("q_share", col("temp_w") / col("w_sum"))
+      .withColumn("boost", col("q_share") / col("share"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("share"),
+        col("temp_w"), col("q_share"), col("boost"))
+      .orderBy(col("source"))
+  }
+
+  private val q102Sql =
+    s"""WITH docs AS (SELECT source,
+       |    CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tok FROM documents),
+       |by_src AS (SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+       |  FROM docs GROUP BY source),
+       |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tok_tot FROM by_src),
+       |dim AS (SELECT source, n_docs, n_tokens,
+       |    CAST(n_tokens AS DOUBLE) / CAST(tok_tot AS DOUBLE) AS share,
+       |    sqrt(CAST(n_tokens AS DOUBLE) / CAST(tok_tot AS DOUBLE)) AS temp_w
+       |  FROM by_src CROSS JOIN tot),
+       |ws AS (SELECT list_reduce(
+       |    list_prepend(CAST(0.0 AS DOUBLE), list(temp_w ORDER BY source)),
+       |    (acc, x) -> acc + x) AS w_sum FROM dim)
+       |SELECT source, n_docs, n_tokens, share, temp_w,
+       |  temp_w / w_sum AS q_share,
+       |  (temp_w / w_sum) / share AS boost
+       |FROM dim CROSS JOIN ws ORDER BY source""".stripMargin
+
   val queries: Seq[GQuery] = Seq(
     GQuery("q96_unigram_lm", q96, Some(q96Sql), Seq("A16", "A17", "F6")),
     GQuery("q97_bpe_pairs", q97, Some(q97Sql), Seq("A17", "O4", "C12")),
     GQuery("q98_semantic_decontam", q98, Some(q98Sql), Seq("A16", "J9")),
     GQuery("q99_cluster_sample", q99, Some(q99Sql), Seq("W5", "A16", "O4")),
     GQuery("q100_joint_curation", q100, Some(q100Sql), Seq("A16", "J6", "U1")),
-    GQuery("q101_cell_range_search", q101, Some(q101Sql), Seq("A16", "J9", "J10")))
+    GQuery("q101_cell_range_search", q101, Some(q101Sql), Seq("A16", "J9", "J10")),
+    GQuery("q102_temperature_mixture", q102, Some(q102Sql), Seq("A16", "A17", "J6")))
 }
