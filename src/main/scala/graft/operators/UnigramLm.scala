@@ -42,6 +42,18 @@ object UnigramLm {
   def train(refTf: DataFrame): DataFrame =
     refTf.groupBy(col("term")).agg(sum(col("tf")).as("c_t"))
 
+  /** Merge two trained models — term counts are a MONOID, so daily LM
+    * maintenance is an exact union-sum over the vocabulary dimension:
+    * `merge(train(A), train(B)) ≡ train(A ∪ B)` row-for-row (integer
+    * addition, no approximation — UnigramLmSpec). The incremental-
+    * curation counterpart for the LM: a daily driver re-trains on the
+    * delta only and merges, never re-reading old reference text. Both
+    * inputs are vocabulary-sized; the merge is one vocab-grain
+    * aggregation. */
+  def merge(lmA: DataFrame, lmB: DataFrame): DataFrame =
+    lmA.unionByName(lmB)
+      .groupBy(col("term")).agg(sum(col("c_t")).as("c_t"))
+
   /** Score a tf relation against a trained model: per document, the
     * mean add-1-smoothed token probability p(t) = (c_t + 1)/(C + V)
     * (c_t = 0 for OOV), the OOV fraction, and a `keep` verdict that

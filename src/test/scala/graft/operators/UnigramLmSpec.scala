@@ -49,6 +49,32 @@ class UnigramLmSpec extends SparkSpecBase {
     assert(UnigramLm.score(tf, lm, "doc_id").head().getAs[Boolean]("keep"))
   }
 
+  test("merge(train(A), train(B)) equals train(A ∪ B) exactly") {
+    val a = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val b = Seq((3L, "b b d"), (4L, "a")).toDF("doc_id", "text")
+    val merged = UnigramLm.merge(
+        UnigramLm.train(UnigramLm.termFreq(a, "doc_id", "text")),
+        UnigramLm.train(UnigramLm.termFreq(b, "doc_id", "text")))
+      .orderBy("term").collect().map(r => (r.getString(0), r.getLong(1)))
+    val full = UnigramLm.train(
+        UnigramLm.termFreq(a.unionByName(b), "doc_id", "text"))
+      .orderBy("term").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(merged.sameElements(full),
+      s"merged=${merged.mkString(",")} full=${full.mkString(",")}")
+    // and the SCORES agree too — same model ⇒ bitwise-equal verdicts
+    val probe = UnigramLm.termFreq(
+      Seq((10L, "a b zz")).toDF("doc_id", "text"), "doc_id", "text")
+    val sMerged = UnigramLm.score(probe,
+      UnigramLm.merge(
+        UnigramLm.train(UnigramLm.termFreq(a, "doc_id", "text")),
+        UnigramLm.train(UnigramLm.termFreq(b, "doc_id", "text"))),
+      "doc_id").collect().map(_.toString)
+    val sFull = UnigramLm.score(probe,
+      UnigramLm.train(UnigramLm.termFreq(a.unionByName(b), "doc_id", "text")),
+      "doc_id").collect().map(_.toString)
+    assert(sMerged.sameElements(sFull))
+  }
+
   test("the LM joins broadcast; no corpus shuffle on the term key") {
     val lm = UnigramLm.train(refTf)
     val tf = UnigramLm.termFreq(Seq((30L, "a b")).toDF("doc_id", "text"),
