@@ -123,7 +123,10 @@ object ScaleCheck {
       "q101_cell_range_search",
       // temperature mixture: one source-keyed corpus pass, then
       // source-dimension arithmetic (sorted-fold Σ√p)
-      "q102_temperature_mixture")
+      "q102_temperature_mixture",
+      // filtered ANN: the label predicate is a join residual BEFORE the
+      // top-k window (pre-filter semantics); q55's broadcast/cell shape
+      "q103_filtered_ann")
     val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", big)
     // warm
     SparkEntry.queries("q09_catalog_totals")(spark, dirs.head).count()

@@ -401,6 +401,94 @@ object CurationQ4 {
        |  (temp_w / w_sum) / share AS boost
        |FROM dim CROSS JOIN ws ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q103
+
+  private val faCells = 16
+  private val faProbeLo = 16L
+  private val faProbeN = 8
+  private val faTopK = 10
+
+  /** Filtered ANN: IVF top-k where each probe searches only corpus
+    * vectors satisfying a metadata predicate — here `label = the
+    * probe's own label` (nearest neighbors within my class, the
+    * within-language-dedup shape). PRE-filter semantics: the predicate
+    * lands in the search join's condition, BEFORE the top-k window, so
+    * the result is the true top-k of the filtered set (post-filtering a
+    * plain top-k would silently return < k rows and miss matches — the
+    * classic vector-DB recall bug).
+    *
+    * Scale shape: q55's exactly — centroids and probes broadcast, the
+    * only shuffle is the cell-keyed search join, and the predicate is a
+    * join residual evaluated on the (partition-pruned, on the persisted
+    * index) cell scan; WindowGroupLimit still pre-prunes the top-k. On
+    * a `VecIndex` layout a high-selectivity label could be a second
+    * partition column, turning the residual into more pruning. */
+  private def q103(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"),
+        sqrt(call_function("float_dot", col("embedding"), col("embedding")))
+          .as("nrm"))
+      .filter(col("nrm") > 0.0)
+    val cents = emb.filter(col("vec_id") < faCells)
+      .select(col("vec_id").cast(IntegerType).as("cid"),
+        col("embedding").as("c_vec"), col("nrm").as("c_norm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("cid").asc)
+    val assign = emb.crossJoin(broadcast(cents))
+      .withColumn("c_cos",
+        call_function("float_dot", col("embedding"), col("c_vec")) /
+          (col("nrm") * col("c_norm")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("label"), col("nrm"),
+        col("cid"))
+    val probes = assign
+      .filter(col("vec_id") >= faProbeLo && col("vec_id") < faProbeLo + faProbeN)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("label").as("q_label"), col("nrm").as("q_nrm"),
+        col("cid").as("q_cid"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    assign.join(broadcast(probes),
+        col("cid") === col("q_cid") && col("vec_id") =!= col("q_id") &&
+          col("label") === col("q_label"))
+      .withColumn("cos",
+        call_function("float_dot", col("embedding"), col("q_vec")) /
+          (col("nrm") * col("q_nrm")))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= faTopK)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("label"), col("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  private val q103Sql =
+    s"""WITH emb AS (SELECT vec_id, embedding, label,
+       |    sqrt(${sqlDotFold("embedding", "embedding")}) AS nrm FROM embeddings),
+       |vecs AS (SELECT * FROM emb WHERE nrm > 0.0),
+       |c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS c_vec, nrm AS c_norm
+       |  FROM vecs WHERE vec_id < $faCells),
+       |a0 AS (SELECT v.vec_id AS vec_id, v.embedding AS embedding,
+       |    v.label AS label, v.nrm AS nrm, c.cid AS cid,
+       |    ${sqlDotFold("v.embedding", "c.c_vec")} / (v.nrm * c.c_norm) AS c_cos
+       |  FROM vecs v CROSS JOIN c),
+       |ar AS (SELECT vec_id, embedding, label, nrm, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY c_cos DESC, cid ASC) AS rn
+       |  FROM a0),
+       |asg AS (SELECT vec_id, embedding, label, nrm, cid FROM ar WHERE rn = 1),
+       |probes AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label,
+       |    nrm AS q_nrm, cid AS q_cid
+       |  FROM asg WHERE vec_id >= $faProbeLo AND vec_id < $faProbeLo + $faProbeN),
+       |scored AS (SELECT p.q_id AS q_id, x.vec_id AS vec_id, x.label AS label,
+       |    ${sqlDotFold("x.embedding", "p.q_vec")} / (x.nrm * p.q_nrm) AS cos
+       |  FROM asg x JOIN probes p ON x.cid = p.q_cid AND x.vec_id <> p.q_id
+       |    AND x.label = p.q_label),
+       |ranked AS (SELECT q_id, vec_id, label, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
+       |  FROM scored)
+       |SELECT q_id, rk, vec_id, label, cos FROM ranked WHERE rk <= $faTopK
+       |ORDER BY q_id, rk""".stripMargin
+
   val queries: Seq[GQuery] = Seq(
     GQuery("q96_unigram_lm", q96, Some(q96Sql), Seq("A16", "A17", "F6")),
     GQuery("q97_bpe_pairs", q97, Some(q97Sql), Seq("A17", "O4", "C12")),
@@ -408,5 +496,6 @@ object CurationQ4 {
     GQuery("q99_cluster_sample", q99, Some(q99Sql), Seq("W5", "A16", "O4")),
     GQuery("q100_joint_curation", q100, Some(q100Sql), Seq("A16", "J6", "U1")),
     GQuery("q101_cell_range_search", q101, Some(q101Sql), Seq("A16", "J9", "J10")),
-    GQuery("q102_temperature_mixture", q102, Some(q102Sql), Seq("A16", "A17", "J6")))
+    GQuery("q102_temperature_mixture", q102, Some(q102Sql), Seq("A16", "A17", "J6")),
+    GQuery("q103_filtered_ann", q103, Some(q103Sql), Seq("A16", "J9", "O1")))
 }
