@@ -65,6 +65,61 @@ class KernelPropertySpec extends SparkSpecBase {
     }
   }
 
+  // ----------------------------------------------------------- float kernels
+
+  test("float_dot equals the index-order double fold on random float arrays") {
+    val f = Gen.choose(-8.0f, 8.0f)
+    val pair = for {
+      n <- Gen.choose(0, 64)
+      a <- Gen.listOfN(n, f)
+      b <- Gen.listOfN(n, f)
+    } yield (a, b)
+    val rows = samples(pair, 200, seed = 21L).toDF("a", "b")
+      .select(col("a"), col("b"),
+        call_function("float_dot", col("a"), col("b")).as("d"))
+      .collect()
+    rows.foreach { r =>
+      val a = r.getSeq[Float](0); val b = r.getSeq[Float](1)
+      // the model accumulates in the SAME index order — bitwise equality
+      // is the claim (it is what makes oracle folds engine-identical)
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      assert(r.getDouble(2) === acc, s"float_dot over ${a.length} dims")
+    }
+  }
+
+  // --------------------------------------------------------------- simhash
+
+  private def refSimHash(toks: Seq[Long], width: Int): Long = {
+    val votes = Array.fill(width)(0)
+    toks.foreach { h =>
+      (0 until width).foreach { j =>
+        if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+      }
+    }
+    (0 until width).foldLeft(0L)((out, j) =>
+      if (votes(j) > 0) out | (1L << j) else out)
+  }
+
+  test("simhash32/simhash60 match the majority-vote model on random token sets") {
+    val tok60 = Gen.choose(0L, (1L << 60) - 1)
+    val arr = for {
+      n <- Gen.choose(0, 30)
+      xs <- Gen.listOfN(n, tok60)
+    } yield xs
+    val rows = samples(arr, 200, seed = 31L).toDF("toks")
+      .select(col("toks"),
+        call_function("simhash32", col("toks")).as("h32"),
+        call_function("simhash60", col("toks")).as("h60"))
+      .collect()
+    rows.foreach { r =>
+      val toks = r.getSeq[Long](0)
+      assert(r.getLong(1) === refSimHash(toks, 32), s"simhash32(${toks.take(4)})")
+      assert(r.getLong(2) === refSimHash(toks, 60), s"simhash60(${toks.take(4)})")
+    }
+  }
+
   // ------------------------------------------------------------- BPE merge
 
   private def refMerge(syms: Seq[String], l: String, r: String): Seq[String] = {
