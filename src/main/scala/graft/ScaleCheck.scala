@@ -126,7 +126,9 @@ object ScaleCheck {
       "q102_temperature_mixture",
       // filtered ANN: the label predicate is a join residual BEFORE the
       // top-k window (pre-filter semantics); q55's broadcast/cell shape
-      "q103_filtered_ann")
+      "q103_filtered_ann",
+      // chunked packing: map-side chunk explode + the q88 sharded window
+      "q104_chunked_packing")
     val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", big)
     // warm
     SparkEntry.queries("q09_catalog_totals")(spark, dirs.head).count()

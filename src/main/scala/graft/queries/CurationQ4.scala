@@ -489,6 +489,85 @@ object CurationQ4 {
        |SELECT q_id, rk, vec_id, label, cos FROM ranked WHERE rk <= $faTopK
        |ORDER BY q_id, rk""".stripMargin
 
+  // --------------------------------------------------------------- q104
+
+  private val spCtx = 256
+  private val spChunk = 32
+  private val spShards = 4
+
+  /** Chunked sequence packing — the split-documents packing mode: q84's
+    * non-overlapping token chunking feeds q88's sharded running-sum
+    * bin-fill, so a long document SPLITS across context bins instead of
+    * overflowing one (q88 packs whole docs; the contiguous-packing
+    * tradeoff there is `fill > 1` truncation). With chunk ≤ 32 and
+    * ctx = 256, a bin's fill can exceed 1 by at most one chunk tail —
+    * the per-bin waste bound a training-data owner actually budgets.
+    * A document's chunks stay contiguous within its shard (ordered by
+    * doc hash, then chunk start).
+    *
+    * Scale shape: chunking is a map-side explode (zero shuffle, q84's
+    * contract); packing is the q88 sharded window — the running sum
+    * never sees more than one (lang, shard) slice, with shard count ∝
+    * corpus / target-partition-size in production. */
+  private def q104(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val w = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("h").asc, col("doc_id").asc, col("start").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("lang"), col("n"),
+        explode(sequence(lit(0), col("n") - 1, lit(spChunk))).as("start"))
+      .withColumn("chunk_len",
+        least(lit(spChunk), col("n") - col("start")).cast(LongType))
+      .withColumn("shard",
+        (strHash(concat(lit("pack:"), col("doc_id").cast(StringType))) % spShards)
+          .cast(IntegerType))
+      .withColumn("h",
+        strHash(concat(lit("order:"), col("doc_id").cast(StringType))))
+      .withColumn("cum", sum(col("chunk_len")).over(w))
+      // FLOOR, not a cast: DuckDB's double→int cast rounds, Spark's
+      // truncates — FLOOR is the portable spelling (the q88 rule)
+      .withColumn("bin",
+        floor((col("cum") - col("chunk_len")) / lit(spCtx.toDouble)))
+      .groupBy(col("lang"), col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("chunk_len")).as("n_tokens"))
+      .withColumn("fill",
+        col("n_tokens").cast(DoubleType) / lit(spCtx.toDouble))
+      .orderBy(col("lang"), col("shard"), col("bin"))
+  }
+
+  private val q104Sql = {
+    val shardHash = sqlStrHash("'pack:' || CAST(doc_id AS VARCHAR)")
+    val orderHash = sqlStrHash("'order:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH tk AS (SELECT doc_id, lang, ${sqlTokens("text")} AS tk FROM documents),
+       |d AS (SELECT doc_id, lang, len(tk) AS n FROM tk WHERE len(tk) > 0),
+       |ch AS (SELECT doc_id, lang, n,
+       |    CAST(unnest(range(0, n, $spChunk)) AS BIGINT) AS start FROM d),
+       |cl AS (SELECT doc_id, lang, start,
+       |    CAST(LEAST($spChunk, n - start) AS BIGINT) AS chunk_len,
+       |    CAST($shardHash % $spShards AS INT) AS shard,
+       |    $orderHash AS h
+       |  FROM ch),
+       |c AS (SELECT lang, shard, doc_id, chunk_len,
+       |    SUM(chunk_len) OVER (PARTITION BY lang, shard
+       |      ORDER BY h ASC, doc_id ASC, start ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM cl),
+       |b AS (SELECT lang, shard, doc_id, chunk_len,
+       |    CAST(FLOOR((cum - chunk_len) / $spCtx.0) AS BIGINT) AS bin FROM c)
+       |SELECT lang, shard, bin, COUNT(*) AS n_chunks,
+       |  COUNT(DISTINCT doc_id) AS n_docs,
+       |  CAST(SUM(chunk_len) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(chunk_len) AS DOUBLE) / $spCtx.0 AS fill
+       |FROM b GROUP BY lang, shard, bin
+       |ORDER BY lang, shard, bin""".stripMargin
+  }
+
   val queries: Seq[GQuery] = Seq(
     GQuery("q96_unigram_lm", q96, Some(q96Sql), Seq("A16", "A17", "F6")),
     GQuery("q97_bpe_pairs", q97, Some(q97Sql), Seq("A17", "O4", "C12")),
@@ -497,5 +576,6 @@ object CurationQ4 {
     GQuery("q100_joint_curation", q100, Some(q100Sql), Seq("A16", "J6", "U1")),
     GQuery("q101_cell_range_search", q101, Some(q101Sql), Seq("A16", "J9", "J10")),
     GQuery("q102_temperature_mixture", q102, Some(q102Sql), Seq("A16", "A17", "J6")),
-    GQuery("q103_filtered_ann", q103, Some(q103Sql), Seq("A16", "J9", "O1")))
+    GQuery("q103_filtered_ann", q103, Some(q103Sql), Seq("A16", "J9", "O1")),
+    GQuery("q104_chunked_packing", q104, Some(q104Sql), Seq("W5", "A17", "F11")))
 }
