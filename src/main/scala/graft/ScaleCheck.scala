@@ -128,7 +128,14 @@ object ScaleCheck {
       // top-k window (pre-filter semantics); q55's broadcast/cell shape
       "q103_filtered_ann",
       // chunked packing: map-side chunk explode + the q88 sharded window
-      "q104_chunked_packing")
+      "q104_chunked_packing",
+      // curation battery 5: DSIR importance (one pass to the (doc,bucket)
+      // grain + broadcast B-row dim), NB classifier (tf-grain shuffle +
+      // broadcast class×term model), balanced shards ((lang,grp)-keyed
+      // rank + source-dim arithmetic), CDC chunking (map-side O(L·w)
+      // boundary scan + chunk_hash-keyed occurrence count)
+      "q105_dsir_sample", "q106_nb_classifier", "q107_balanced_shards",
+      "q108_cdc_chunks")
     val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", big)
     // warm
     SparkEntry.queries("q09_catalog_totals")(spark, dirs.head).count()
