@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import graft.expressions.{FloatDot, FloatSub, PolyHash, PolyHash2, PqAdc, PqDistTable, PqEncode, SimHash32, SimHash60, SortedIntersectCount, SubspaceL2}
+import graft.expressions.{CdcBounds, FloatDot, FloatSub, PolyHash, PolyHash2, PqAdc, PqDistTable, PqEncode, SimHash32, SimHash60, SortedIntersectCount, SubspaceL2}
 import graft.functions.AstroFunctions
 import graft.operators.ProfileOps
 
@@ -53,6 +53,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg(ext, "pq_adc", 2, c => PqAdc(c(0), c(1)), classOf[PqAdc])
     reg(ext, "subspace_l2", 3, c => SubspaceL2(c(0), c(1), c(2)), classOf[SubspaceL2])
     reg(ext, "float_sub", 2, c => FloatSub(c(0), c(1)), classOf[FloatSub])
+    // cdc_bounds(text, w, d): w and d must be foldable integer literals
+    reg(ext, "cdc_bounds", 3, { c =>
+      def litInt(e: Expression, name: String): Long = e match {
+        case f if f.foldable => f.eval() match {
+          case i: Int => i.toLong
+          case l: Long => l
+          case other => throw new IllegalArgumentException(
+            s"cdc_bounds $name must be an integer literal, got $other")
+        }
+        case _ => throw new IllegalArgumentException(
+          s"cdc_bounds $name must be a literal")
+      }
+      CdcBounds(c(0), litInt(c(1), "window").toInt, litInt(c(2), "divisor"))
+    }, classOf[CdcBounds])
 
     // C6-C11 calibration/physics pack
     import AstroFunctions._

@@ -64,6 +64,15 @@ object TextFunctions {
       s"list_transform(range(1, length($e)+1), i -> CAST(ascii(substring($e, i, 1)) AS BIGINT))), " +
       s"(acc, x) -> (acc * 31 + x) % $HashMod) END"
 
+  /** Content-defined-chunking boundary positions (1-based window-end
+    * positions where the rolling w-code-point poly-hash ≡ 0 mod d) —
+    * the O(L) [[graft.expressions.CdcBounds]] kernel, value-identical
+    * to filtering `sequence(w, length)` on the per-window hash. */
+  def cdcBounds(c: Column, w: Int, d: Long): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.CdcBounds(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c), w, d))
+
   /** Whitespace tokens with empties dropped (trailing-space safe). */
   def tokens(c: Column): Column =
     filter(split(c, " "), t => length(t) > 0)

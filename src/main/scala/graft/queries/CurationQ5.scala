@@ -333,20 +333,19 @@ object CurationQ5 {
     * how many chunks corpus-wide share the fingerprint (> 1 ⇒ repeated
     * content).
     *
-    * Scale shape: boundary detection and chunk emission are map-side
-    * (per-row HOF algebra — O(L·w) per doc, no shuffle); the only
-    * shuffle is the chunk_hash-keyed occurrence count, a grain that
-    * grows linearly with the corpus. The window hash here recomputes
-    * the w-char substring hash per position (engine-portable Column
-    * algebra, provably identical to the oracle); a native rolling-hash
-    * kernel would be O(L) — the CurationQ5Spec cross-model test pins
-    * these semantics so that swap stays result-identical. */
+    * Scale shape: boundary detection is the O(L) rolling-hash kernel
+    * [[graft.expressions.CdcBounds]] (one code-point walk per doc,
+    * zero shuffle — the oracle's per-window O(L·w) recompute is the
+    * engine-portable reference the kernel is proven against, both by
+    * the DuckDB gate and by CurationQ5Spec's independent Scala model);
+    * chunk emission is a map-side explode; the only shuffle is the
+    * chunk_hash-keyed occurrence count, a grain that grows linearly
+    * with the corpus. */
   private def q108(s: SparkSession, d: String): DataFrame = {
     val txt = col("text")
-    val bounds = when(length(txt) >= cdcW,
-      filter(sequence(lit(cdcW), length(txt)),
-        i => strHash(txt.substr(i - (cdcW - 1), lit(cdcW))) % cdcD === 0))
-      .otherwise(array().cast(ArrayType(IntegerType)))
+    // O(L) rolling-hash kernel (CdcBounds); the O(L·w) per-window
+    // recompute it replaces is the spec's independent model
+    val bounds = cdcBounds(txt, cdcW, cdcD)
     val ends = array_sort(array_distinct(concat(bounds, array(length(txt)))))
     Tables.documents(s, d)
       .filter(length(txt) > 0)

@@ -190,4 +190,39 @@ class KernelPropertySpec extends SparkSpecBase {
       assert(r.getAs[Boolean]("keep") === (nOov * 2 <= toks.length))
     }
   }
+
+  // ------------------------------------------------------------ cdc_bounds
+
+  /** Per-window recompute — the O(L·w) model the rolling kernel must
+    * reproduce exactly (shares no state-update code with CdcBounds). */
+  private def refCdcBounds(s: String, w: Int, d: Long): Seq[Int] =
+    (w to s.length).filter { i =>
+      refPolyHash(s.substring(i - w, i), 31L, PolyHash.Mod) % d == 0
+    }
+
+  test("cdc_bounds matches the per-window recompute model on random " +
+    "strings across window widths and divisors") {
+    val gen = for {
+      n <- Gen.choose(0, 120)
+      cs <- Gen.listOfN(n, Gen.frequency(
+        9 -> Gen.choose(32.toChar, 126.toChar),
+        1 -> Gen.const('a'))) // runs of 'a' stress repeated windows
+      w <- Gen.choose(1, 12)
+      d <- Gen.oneOf(1L, 2L, 4L, 16L, 64L)
+    } yield (cs.mkString, w, d)
+    val inputs = samples(gen, 250, seed = 17L)
+    // one whole-batch job per (w, d) combo present in the sample
+    inputs.groupBy { case (_, w, d) => (w, d) }.foreach { case ((w, d), xs) =>
+      val rows = xs.map(_._1).toDF("s")
+        .select(col("s"),
+          call_function("cdc_bounds", col("s"), lit(w), lit(d)).as("b"))
+        .collect()
+      rows.foreach { r =>
+        val s = r.getString(0)
+        val got = r.getSeq[Int](1).toList
+        assert(got === refCdcBounds(s, w, d).toList,
+          s"cdc_bounds('$s', w=$w, d=$d)")
+      }
+    }
+  }
 }
