@@ -135,7 +135,10 @@ object ScaleCheck {
       // rank + source-dim arithmetic), CDC chunking (map-side O(L·w)
       // boundary scan + chunk_hash-keyed occurrence count)
       "q105_dsir_sample", "q106_nb_classifier", "q107_balanced_shards",
-      "q108_cdc_chunks")
+      "q108_cdc_chunks",
+      // CCNet terciles (q96's LM scoring + lang-keyed rank); CDC rewrite
+      // (map-side kernel chunking + chunk_hash-keyed min + doc reassembly)
+      "q109_ccnet_buckets", "q110_cdc_rewrite")
     val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", big)
     // warm
     SparkEntry.queries("q09_catalog_totals")(spark, dirs.head).count()

@@ -396,9 +396,172 @@ object CurationQ5 {
        |FROM h ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
+  // --------------------------------------------------------------- q109
+
+  /** Same reference-slice rule as q96 (every 7th doc trains the LM). */
+  private val ccRefMod = 7L
+
+  /** CCNet-style per-language quality terciles: score every non-
+    * reference document against the reference LM ([[UnigramLm]] via the
+    * q96 recipe), rank WITHIN language, and bucket into head/middle/
+    * tail thirds — the CCNet percentile-bucketing step that makes
+    * quality thresholds per-language (a global threshold would keep
+    * only high-resource languages). Tercile membership is the exact
+    * integer comparison rk·3 ≤ n / rk·3 ≤ 2n — no float percentile.
+    *
+    * Scale shape: q96's exactly (one tf-grain shuffle, broadcast vocab
+    * dim), plus a doc-grain lang join, a lang-keyed rank window and a
+    * broadcast per-lang count dim. The lang partition grows with the
+    * corpus — at fleet scale CCNet derives the two thresholds from a
+    * SAMPLE and maps them over the corpus (the same two-pass shape as
+    * q82's auto-off-window); the exact-rank form here is the oracle-
+    * provable contract that sampled variant is validated against. */
+  private def q109(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.UnigramLm
+    val docs = Tables.documents(s, d)
+    val tf = UnigramLm.termFreq(docs, "doc_id", "text")
+      .cache() // read twice: LM-count branch + scoring branch (q69 rule)
+    val lm = UnigramLm.train(tf.filter(col("doc_id") % ccRefMod === 0))
+    val scored =
+      UnigramLm.score(tf.filter(col("doc_id") % ccRefMod =!= 0), lm, "doc_id")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("mean_p").desc, col("doc_id").asc)
+    val counts = scored.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    scored
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .join(broadcast(counts), Seq("lang"))
+      .withColumn("bucket",
+        when(col("rk") * 3 <= col("n_lang"), lit("head"))
+          .when(col("rk") * 3 <= col("n_lang") * 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col("lang"), col("mean_p"), col("rk"),
+        col("n_lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q109Sql =
+    s"""WITH tk AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY doc_id, term),
+       |ref AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS c_t
+       |  FROM tf WHERE doc_id % $ccRefMod = 0 GROUP BY term),
+       |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS c_total, COUNT(*) AS v_size FROM ref),
+       |sc AS (SELECT doc_id,
+       |    CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(tf * (COALESCE(c_t, 0) + 1)) AS BIGINT) AS l_num
+       |  FROM tf LEFT JOIN ref USING (term)
+       |  WHERE doc_id % $ccRefMod <> 0 GROUP BY doc_id),
+       |scored AS (SELECT s.doc_id AS doc_id, d.lang AS lang,
+       |    CAST(l_num AS DOUBLE) / CAST(n_tokens * (c_total + v_size) AS DOUBLE)
+       |      AS mean_p
+       |  FROM sc s CROSS JOIN tot JOIN documents d ON d.doc_id = s.doc_id),
+       |r AS (SELECT doc_id, lang, mean_p,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY mean_p DESC, doc_id ASC) AS BIGINT) AS rk,
+       |    CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+       |  FROM scored)
+       |SELECT doc_id, lang, mean_p, rk, n_lang,
+       |  CASE WHEN rk * 3 <= n_lang THEN 'head'
+       |       WHEN rk * 3 <= n_lang * 2 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM r ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q110
+
+  /** Position packing for the global-first rule (q94's pos_key form);
+    * must exceed the max chunks per document (chunks ≤ n_chars). */
+  private val cdcPack = 1000000L
+
+  /** CDC-chunk document rewrite — q94's dedup-and-reassemble semantics
+    * on q108's content-defined chunks: the globally FIRST occurrence of
+    * each chunk fingerprint survives (min pos_key — a partial-
+    * aggregatable aggregate, deliberately NOT a chunk_hash window: a
+    * billion-document boilerplate chunk would pile one partition), and
+    * each document is re-assembled from its surviving chunks in
+    * position order. Because the chunks are content-defined, an edit
+    * early in a repeated document still leaves every chunk after the
+    * next boundary resync identical — so near-identical boilerplate
+    * dedupes through this path where q94's fixed token grid would
+    * re-key it.
+    *
+    * Scale shape: chunking is the map-side `cdc_bounds` kernel + an
+    * explode; the shuffles are the chunk_hash-keyed min and the
+    * doc-keyed reassembly — both corpus-linear grains. */
+  private def q110(s: SparkSession, d: String): DataFrame = {
+    val txt = col("text")
+    val ends = array_sort(array_distinct(
+      concat(cdcBounds(txt, cdcW, cdcD), array(length(txt)))))
+    val chunks = Tables.documents(s, d)
+      .filter(length(txt) > 0)
+      .select(col("doc_id"), txt, ends.as("ends"))
+      .select(col("doc_id"), txt, col("ends"),
+        concat(array(lit(0)), slice(col("ends"), lit(1), size(col("ends")) - 1))
+          .as("starts"))
+      .select(col("doc_id"), txt,
+        posexplode(arrays_zip(col("starts"), col("ends"))))
+      .select(col("doc_id"), col("pos"),
+        col("col.starts").as("start"),
+        txt.substr(col("col.starts") + 1, col("col.ends") - col("col.starts"))
+          .as("ctext"))
+      .withColumn("chunk_hash", strHash(col("ctext")))
+      .withColumn("pos_key", col("doc_id") * cdcPack + col("pos"))
+    val firsts = chunks.groupBy(col("chunk_hash"))
+      .agg(min(col("pos_key")).as("first_key"))
+    chunks.join(firsts, Seq("chunk_hash"))
+      .withColumn("kept", col("pos_key") === col("first_key"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(when(col("kept"),
+            struct(col("start"), col("ctext"))))),
+          x => x.getField("ctext")), "").as("cleaned"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q110Sql = {
+    val wh = sqlStrHash(s"substring(text, p - ${cdcW - 1}, $cdcW)")
+    val ch = sqlStrHash("ctext")
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+       |b0 AS (SELECT doc_id, text,
+       |    CASE WHEN length(text) >= $cdcW THEN
+       |      list_filter(range($cdcW, length(text) + 1), p -> $wh % $cdcD = 0)
+       |    ELSE CAST([] AS BIGINT[]) END AS bl
+       |  FROM d),
+       |e AS (SELECT doc_id, text,
+       |    list_sort(list_distinct(list_append(bl,
+       |      CAST(length(text) AS BIGINT)))) AS ends
+       |  FROM b0),
+       |j AS (SELECT doc_id, text, ends,
+       |    CAST(unnest(range(1, len(ends) + 1)) AS INT) AS ci
+       |  FROM e),
+       |c0 AS (SELECT doc_id, ci - 1 AS pos,
+       |    CASE WHEN ci = 1 THEN 0 ELSE ends[ci - 1] END AS start,
+       |    ends[ci] AS endp, text
+       |  FROM j),
+       |c AS (SELECT doc_id, pos, start,
+       |    substring(text, start + 1, endp - start) AS ctext
+       |  FROM c0),
+       |h AS (SELECT doc_id, pos, start, ctext, $ch AS chunk_hash,
+       |    doc_id * $cdcPack + pos AS pos_key
+       |  FROM c),
+       |firsts AS (SELECT chunk_hash, MIN(pos_key) AS first_key
+       |  FROM h GROUP BY chunk_hash),
+       |flag AS (SELECT doc_id, start, ctext, pos_key = first_key AS kept
+       |  FROM h JOIN firsts USING (chunk_hash))
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  COALESCE(string_agg(CASE WHEN kept THEN ctext END, '' ORDER BY start), '')
+       |    AS cleaned
+       |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Seq[GQuery] = Seq(
     GQuery("q105_dsir_sample", q105, Some(q105Sql), Seq("A16", "A17", "W5")),
     GQuery("q106_nb_classifier", q106, Some(q106Sql), Seq("F10", "A16", "J6")),
     GQuery("q107_balanced_shards", q107, Some(q107Sql), Seq("W5", "A17", "O1")),
-    GQuery("q108_cdc_chunks", q108, Some(q108Sql), Seq("A16", "C12", "W1")))
+    GQuery("q108_cdc_chunks", q108, Some(q108Sql), Seq("A16", "C12", "W1")),
+    GQuery("q109_ccnet_buckets", q109, Some(q109Sql), Seq("F6", "W5", "A16")),
+    GQuery("q110_cdc_rewrite", q110, Some(q110Sql), Seq("A16", "C12", "J7")))
 }

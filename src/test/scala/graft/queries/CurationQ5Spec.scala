@@ -144,4 +144,52 @@ class CurationQ5Spec extends SparkSpecBase {
     graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .select("text").orderBy("doc_id").limit(1)
       .collect().head.getString(0)
+
+  // ------------------------------------------------------------- q109
+
+  test("q109: per-language terciles have floor(n/3) heads, ordered " +
+    "score bands, and cover every scored doc") {
+    val rows = run("q109_ccnet_buckets")
+      .select("lang", "mean_p", "rk", "n_lang", "bucket").collect()
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val n = rs.head.getLong(3)
+      assert(rs.length.toLong == n, s"$lang: rows != n_lang")
+      val byBucket = rs.groupBy(_.getString(4)).view.mapValues(_.length).toMap
+      assert(byBucket.getOrElse("head", 0).toLong == n / 3, s"$lang head size")
+      assert(byBucket.getOrElse("middle", 0).toLong == 2 * n / 3 - n / 3,
+        s"$lang middle size")
+      // score bands: every head score >= every tail score
+      val heads = rs.filter(_.getString(4) == "head").map(_.getDouble(1))
+      val tails = rs.filter(_.getString(4) == "tail").map(_.getDouble(1))
+      if (heads.nonEmpty && tails.nonEmpty)
+        assert(heads.min >= tails.max, s"$lang band overlap")
+    }
+  }
+
+  // ------------------------------------------------------------- q110
+
+  test("q110: cleaned docs replay the independent global-first CDC " +
+    "dedup model over the full corpus") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .filter(_._2.nonEmpty)
+      .sortBy(_._1)
+    // independent model: chunk every doc, first (doc, pos) owns a hash
+    val seen = scala.collection.mutable.Set[Long]()
+    val expected = docs.map { case (id, text) =>
+      val kept = cdcModel(text, 8, 16L).flatMap { case (s, l, h) =>
+        if (seen.add(h)) Some(text.substring(s, s + l)) else None
+      }
+      id -> kept.mkString("")
+    }.toMap
+    val got = run("q110_cdc_rewrite")
+      .select("doc_id", "n_chunks", "n_kept", "cleaned").collect()
+    assert(got.length == docs.length)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(3) == expected(id), s"doc $id cleaned mismatch")
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+  }
 }
