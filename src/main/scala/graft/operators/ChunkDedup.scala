@@ -144,4 +144,113 @@ object ChunkDedup {
   def chunkIndex(corpus: DataFrame, textCol: String, c: Int = 20): DataFrame =
     chunked(corpus.select(col(textCol)), textCol, c)
       .select(col("chunk_hash")).distinct()
+
+  // ------------------------------------------------------ CDC variants
+
+  /** Content-defined counterpart of [[chunked]]: chunk boundaries come
+    * from the O(L) rolling-hash kernel [[graft.expressions.CdcBounds]]
+    * (poly-hash of the trailing `w` code points ≡ 0 mod `d`, forced
+    * boundary at end-of-document) instead of a fixed token grid — an
+    * edit early in a document resyncs at the next boundary, so repeated
+    * boilerplate keeps its fingerprints under local edits (q110; the
+    * robustness property fixed-offset chunking lacks). Emits the same
+    * column shape as [[chunked]] (`g` = chunk ordinal, plus the char
+    * `start`), so the rewrite/index/streaming plumbing is shared.
+    *
+    * `minLen` enforces a MINIMUM chunk length (the LBFS/FastCDC min-size
+    * rule): without it the boundary process emits pathological
+    * micro-chunks (two adjacent hash hits ⇒ a 1-char chunk) whose
+    * fingerprints collide with unrelated corpus content — a rewrite
+    * would cut single spaces out of novel documents. The rule here is
+    * set-wise, not LBFS's greedy last-KEPT rule: a candidate boundary
+    * closer than `minLen` to its predecessor CANDIDATE (or to 0) is
+    * suppressed. Chosen because it is a one-pass array filter expressible
+    * identically in Column algebra and oracle SQL (greedy suppression is
+    * inherently sequential), it still guarantees every chunk ≥ `minLen`
+    * (a kept boundary's predecessor candidate lower-bounds the previous
+    * kept boundary, so kept-to-kept gaps ≥ `minLen`), and a keep decision
+    * depends only on content within the trailing window — the resync
+    * property survives edits exactly as plain CDC does. The forced
+    * end-of-document boundary is exempt (the final chunk may be short).
+    * `minLen = 1` degenerates to the plain kernel contract q108 pins.
+    *
+    * Same map-side discipline: one kernel walk + HOF algebra per row,
+    * `first_in_doc` an in-array prefix scan (no window, streaming-safe),
+    * every lambda referencing only materialized attributes. */
+  def cdcChunked(docs: DataFrame, textCol: String,
+                 w: Int = 8, d: Long = 16L, minLen: Int = 4): DataFrame = {
+    import graft.functions.TextFunctions.cdcBounds
+    val txt = col(textCol)
+    docs
+      .filter(length(txt) > 0)
+      .withColumn("__cand", cdcBounds(txt, w, d))
+      .withColumn("__keptb",
+        filter(col("__cand"), (b, i) =>
+          b - when(i === 0, lit(0L))
+            .otherwise(element_at(col("__cand"), i)) >= minLen))
+      .withColumn("__ends", array_sort(array_distinct(
+        concat(col("__keptb"), array(length(txt))))))
+      .withColumn("__starts",
+        concat(array(lit(0)), slice(col("__ends"), lit(1), size(col("__ends")) - 1)))
+      // hash each chunk ONCE into a long array; the O(m²) first_in_doc
+      // prefix scan then compares longs, never strings — flagging by
+      // fingerprint is also what the global rule and the streaming index
+      // probe key on. (A struct-array-of-chunk-texts variant measured
+      // 13× slower here: the flag lambda's per-element prefix slice
+      // re-evaluated the substring construction.)
+      .withColumn("__hs",
+        zip_with(col("__starts"), col("__ends"),
+          (s, e) => strHash(txt.substr(s + 1, e - s))))
+      .withColumn("__flags",
+        transform(col("__hs"), (h, i) =>
+          !exists(slice(col("__hs"), lit(1), i), p => p === h)))
+      .select(col("*"),
+        posexplode(arrays_zip(col("__starts"), col("__ends"), col("__hs"),
+          col("__flags"))).as(Seq("g", "__e")))
+      .withColumn("start", col("__e.__starts"))
+      .withColumn("chunk_text",
+        txt.substr(col("__e.__starts") + 1,
+          col("__e.__ends") - col("__e.__starts")))
+      .withColumn("chunk_hash", col("__e.__hs"))
+      .withColumn("first_in_doc", col("__e.__flags"))
+      .drop("__cand", "__keptb", "__ends", "__starts", "__hs", "__flags", "__e")
+  }
+
+  /** [[rewrite]] over content-defined chunks: globally-first fingerprint
+    * occurrences survive (the same partial-aggregatable packed-min — no
+    * chunk_hash window), documents re-assemble by concatenating
+    * surviving chunks WITHOUT a separator (CDC chunks partition the
+    * character stream, not a token list). q110 runs this under the
+    * DuckDB oracle gate.
+    *
+    * @return (idCol, n_chunks, n_kept, cleaned) */
+  def cdcRewrite(docs: DataFrame, idCol: String, textCol: String,
+                 w: Int = 8, d: Long = 16L, minLen: Int = 4): DataFrame = {
+    val chunks =
+      cdcChunked(docs.select(col(idCol), col(textCol)), textCol, w, d, minLen)
+      .withColumn("pos_key", col(idCol) * PosPack + col("g"))
+      .select(col(idCol), col("g"), col("chunk_text"), col("chunk_hash"),
+        col("pos_key"))
+    val firsts = chunks.groupBy(col("chunk_hash"))
+      .agg(min(col("pos_key")).as("first_key"))
+    chunks.join(firsts, Seq("chunk_hash"))
+      .withColumn("kept", col("pos_key") === col("first_key"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast(LongType).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_sort(collect_list(struct(col("g"), col("kept"), col("chunk_text"))))
+          .as("cs"))
+      .withColumn("cleaned",
+        array_join(transform(
+          filter(col("cs"), x => x.getField("kept")),
+          x => x.getField("chunk_text")), ""))
+      .select(col(idCol), col("n_chunks"), col("n_kept"), col("cleaned"))
+  }
+
+  /** Corpus fingerprint set for the CDC chunking — the persisted index
+    * [[graft.streaming.StreamOps.streamingCdcRewrite]] probes. */
+  def cdcChunkIndex(corpus: DataFrame, textCol: String,
+                    w: Int = 8, d: Long = 16L, minLen: Int = 4): DataFrame =
+    cdcChunked(corpus.select(col(textCol)), textCol, w, d, minLen)
+      .select(col("chunk_hash")).distinct()
 }

@@ -472,52 +472,34 @@ object CurationQ5 {
     * must exceed the max chunks per document (chunks ≤ n_chars). */
   private val cdcPack = 1000000L
 
+  /** Min chunk length for the rewrite path (the LBFS/FastCDC min-size
+    * rule, d/4 — see [[graft.operators.ChunkDedup.cdcChunked]]): q108
+    * pins the PLAIN kernel contract (every hash hit a boundary); q110
+    * gates the operator's default min-size path, whose suppression rule
+    * (candidate closer than minLen to its predecessor candidate drops)
+    * is mirrored set-wise in the oracle below. */
+  private val cdcMin = 4L
+
   /** CDC-chunk document rewrite — q94's dedup-and-reassemble semantics
-    * on q108's content-defined chunks: the globally FIRST occurrence of
-    * each chunk fingerprint survives (min pos_key — a partial-
-    * aggregatable aggregate, deliberately NOT a chunk_hash window: a
-    * billion-document boilerplate chunk would pile one partition), and
-    * each document is re-assembled from its surviving chunks in
-    * position order. Because the chunks are content-defined, an edit
-    * early in a repeated document still leaves every chunk after the
-    * next boundary resync identical — so near-identical boilerplate
-    * dedupes through this path where q94's fixed token grid would
-    * re-key it.
+    * on content-defined chunks (q108's boundary process + the min-size
+    * rule): the globally FIRST occurrence of each chunk fingerprint
+    * survives (min pos_key — a partial-aggregatable aggregate,
+    * deliberately NOT a chunk_hash window: a billion-document
+    * boilerplate chunk would pile one partition), and each document is
+    * re-assembled from its surviving chunks in position order. Because
+    * the chunks are content-defined, an edit early in a repeated
+    * document still leaves every chunk after the next boundary resync
+    * identical — so near-identical boilerplate dedupes through this
+    * path where q94's fixed token grid would re-key it.
     *
     * Scale shape: chunking is the map-side `cdc_bounds` kernel + an
     * explode; the shuffles are the chunk_hash-keyed min and the
     * doc-keyed reassembly — both corpus-linear grains. */
-  private def q110(s: SparkSession, d: String): DataFrame = {
-    val txt = col("text")
-    val ends = array_sort(array_distinct(
-      concat(cdcBounds(txt, cdcW, cdcD), array(length(txt)))))
-    val chunks = Tables.documents(s, d)
-      .filter(length(txt) > 0)
-      .select(col("doc_id"), txt, ends.as("ends"))
-      .select(col("doc_id"), txt, col("ends"),
-        concat(array(lit(0)), slice(col("ends"), lit(1), size(col("ends")) - 1))
-          .as("starts"))
-      .select(col("doc_id"), txt,
-        posexplode(arrays_zip(col("starts"), col("ends"))))
-      .select(col("doc_id"), col("pos"),
-        col("col.starts").as("start"),
-        txt.substr(col("col.starts") + 1, col("col.ends") - col("col.starts"))
-          .as("ctext"))
-      .withColumn("chunk_hash", strHash(col("ctext")))
-      .withColumn("pos_key", col("doc_id") * cdcPack + col("pos"))
-    val firsts = chunks.groupBy(col("chunk_hash"))
-      .agg(min(col("pos_key")).as("first_key"))
-    chunks.join(firsts, Seq("chunk_hash"))
-      .withColumn("kept", col("pos_key") === col("first_key"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-        array_join(transform(
-          sort_array(collect_list(when(col("kept"),
-            struct(col("start"), col("ctext"))))),
-          x => x.getField("ctext")), "").as("cleaned"))
+  private def q110(s: SparkSession, d: String): DataFrame =
+    graft.operators.ChunkDedup
+      .cdcRewrite(Tables.documents(s, d), "doc_id", "text", cdcW, cdcD,
+        cdcMin.toInt)
       .orderBy(col("doc_id"))
-  }
 
   private val q110Sql = {
     val wh = sqlStrHash(s"substring(text, p - ${cdcW - 1}, $cdcW)")
@@ -528,10 +510,17 @@ object CurationQ5 {
        |      list_filter(range($cdcW, length(text) + 1), p -> $wh % $cdcD = 0)
        |    ELSE CAST([] AS BIGINT[]) END AS bl
        |  FROM d),
-       |e AS (SELECT doc_id, text,
-       |    list_sort(list_distinct(list_append(bl,
-       |      CAST(length(text) AS BIGINT)))) AS ends
+       |b1 AS (SELECT doc_id, text,
+       |    list_transform(
+       |      list_filter(range(1, len(bl) + 1),
+       |        i -> bl[i] - (CASE WHEN i = 1 THEN 0 ELSE bl[i - 1] END)
+       |          >= $cdcMin),
+       |      i -> bl[i]) AS blk
        |  FROM b0),
+       |e AS (SELECT doc_id, text,
+       |    list_sort(list_distinct(list_append(blk,
+       |      CAST(length(text) AS BIGINT)))) AS ends
+       |  FROM b1),
        |j AS (SELECT doc_id, text, ends,
        |    CAST(unnest(range(1, len(ends) + 1)) AS INT) AS ci
        |  FROM e),

@@ -321,6 +321,40 @@ object StreamOps {
         col("cleaned"))
   }
 
+  /** Ingest-time CDC rewrite — [[streamingChunkRewrite]] over
+    * content-defined chunks ([[graft.operators.ChunkDedup.cdcChunked]]):
+    * a chunk whose fingerprint is in the persisted corpus index (or
+    * repeats within the arriving document) is cut out, and the document
+    * re-assembles from the survivors by plain concatenation (CDC chunks
+    * partition the character stream). Same stateless contract: the
+    * stream-static left join and the in-array first_in_doc flag need no
+    * state store; cross-stream repeats are the daily batch run's job
+    * (`ChunkDedup.cdcRewrite`). Because the chunks are content-defined,
+    * a re-crawl with a small edit still drops every chunk past the
+    * boundary resync — the fixed token grid would keep the whole
+    * re-keyed tail. */
+  def streamingCdcRewrite(docs: DataFrame, index: DataFrame,
+                          w: Int = 8, d: Long = 16L, minLen: Int = 4,
+                          watermark: String = "1 hour"): DataFrame = {
+    val ch = graft.operators.ChunkDedup
+      .cdcChunked(docs.withWatermark("event_time", watermark), "text", w, d,
+        minLen)
+    ch.join(index.select(col("chunk_hash"), lit(1).as("__hit")),
+        Seq("chunk_hash"), "left")
+      .withColumn("kept", col("first_in_doc") && col("__hit").isNull)
+      .groupBy(col("doc_id"), col("event_time"))
+      .agg(count(lit(1)).cast(LongType).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_sort(collect_list(struct(col("g"), col("kept"), col("chunk_text"))))
+          .as("__cs"))
+      .withColumn("cleaned",
+        array_join(transform(
+          filter(col("__cs"), x => x.getField("kept")),
+          x => x.getField("chunk_text")), ""))
+      .select(col("doc_id"), col("event_time"), col("n_chunks"), col("n_kept"),
+        col("cleaned"))
+  }
+
   /** ST1 sink half: route a drained micro-batch — retrievals to the
     * completed table, failures appended to the dead-letter/retry table
     * (both idempotent by url, giving exactly-once completion markers). */

@@ -83,12 +83,19 @@ class CurationQ5Spec extends SparkSpecBase {
   // ------------------------------------------------------------- q108
 
   /** Independent CDC model: plain Scala, no Spark — the PolyHashSpec
-    * fold replayed over every w-char window. */
-  private def cdcModel(text: String, w: Int, d: Long): Seq[(Int, Int, Long)] = {
+    * fold replayed over every w-char window. `minLen` replays the
+    * set-wise min-size rule (candidate closer than minLen to its
+    * predecessor candidate drops; minLen = 1 is the plain q108
+    * contract, minLen = 4 the q110 default path). */
+  private def cdcModel(text: String, w: Int, d: Long,
+                       minLen: Int = 1): Seq[(Int, Int, Long)] = {
     def h(s: String): Long =
       s.foldLeft(0L)((acc, ch) => (acc * 31 + ch) % PolyHash.Mod)
-    val bounds = (w to text.length)
+    val cand = (w to text.length)
       .filter(i => h(text.substring(i - w, i)) % d == 0)
+    val bounds = cand.indices
+      .filter(i => cand(i) - (if (i == 0) 0 else cand(i - 1)) >= minLen)
+      .map(cand)
     val ends = (bounds :+ text.length).distinct.sorted
     val starts = 0 +: ends.dropRight(1)
     starts.zip(ends).map { case (s, e) =>
@@ -178,7 +185,7 @@ class CurationQ5Spec extends SparkSpecBase {
     // independent model: chunk every doc, first (doc, pos) owns a hash
     val seen = scala.collection.mutable.Set[Long]()
     val expected = docs.map { case (id, text) =>
-      val kept = cdcModel(text, 8, 16L).flatMap { case (s, l, h) =>
+      val kept = cdcModel(text, 8, 16L, minLen = 4).flatMap { case (s, l, h) =>
         if (seen.add(h)) Some(text.substring(s, s + l)) else None
       }
       id -> kept.mkString("")
