@@ -1,0 +1,24 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Exact 64-bit integer helpers for the fixed-point score discipline:
+  * where a score cannot be kept as a single integer ratio (BM25's
+  * per-term sum, interpolated LM mixtures), the engine quantizes each
+  * term with an INTEGER division at a documented scale instead of
+  * summing IEEE doubles — integer ops are exact and associative on
+  * every engine, so the quantized scores are order-free and bitwise
+  * portable, with only the caller's final display division producing a
+  * double.
+  */
+object IntOps {
+
+  /** Integer division `a div b` (Spark `div`, DuckDB `//`) as a Column —
+    * exact in 64-bit, null on b = 0 (non-ANSI). Both engines agree for
+    * the non-negative operands the fixed-point discipline produces. */
+  def idiv(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -46,26 +46,32 @@ object Bm25 {
   /** Per-query rarest-term pruning depth (see [[queryTerms]]). */
   val TermsPerQuery = 8
 
-  /** Integer floor division (Spark's `div`; `//` in the oracle). */
-  private def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    call_function("div", a, b)
+  import graft.functions.IntOps.idiv
+
+  /** Production default for [[queryTerms]]' df prune: drop terms
+    * matching over 10% (100‰) of the corpus. */
+  val DefaultMaxDfPermille = 100L
 
   /** Select the retrieval terms for each query document: the
     * [[TermsPerQuery]] rarest corpus terms (df ascending, term
     * ascending as the deterministic tie-break), dropping terms matching
-    * over 10% of the corpus. Rarest-first is the classic
-    * candidate-bounding move: the candidate set is ∝ Σ df over chosen
-    * terms, so stopword-df terms would make every query scan the whole
-    * corpus. The rank window is keyed by query — workload-bounded.
+    * more than `maxDfPermille`‰ of the corpus. Rarest-first is the
+    * classic candidate-bounding move: the candidate set is ∝ Σ df over
+    * chosen terms, so stopword-df terms would make every query scan the
+    * whole corpus; the df prune is the hard cap behind it (at the
+    * default 100‰ no query can touch more than TermsPerQuery·N/10
+    * candidate rows). The rank window is keyed by query —
+    * workload-bounded.
     *
     * `qdocs` is (q_id, term) distinct; `dfreq` is the vocabulary-sized
     * (term, df) dimension; `nDocs` a 1-row (n_docs) relation. */
-  def queryTerms(qdocs: DataFrame, dfreq: DataFrame, nDocs: DataFrame): DataFrame = {
+  def queryTerms(qdocs: DataFrame, dfreq: DataFrame, nDocs: DataFrame,
+                 maxDfPermille: Long = DefaultMaxDfPermille): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("q_id")).orderBy(col("df").asc, col("term").asc)
     qdocs.join(dfreq, Seq("term"))
       .crossJoin(broadcast(nDocs))
-      .filter(col("df") * 10L <= col("n_docs"))
+      .filter(col("df") * 1000L <= col("n_docs") * maxDfPermille)
       .withColumn("trk", row_number().over(w))
       .filter(col("trk") <= TermsPerQuery)
       .select(col("q_id"), col("term"), col("df"))
