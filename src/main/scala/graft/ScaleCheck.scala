@@ -138,7 +138,12 @@ object ScaleCheck {
       "q108_cdc_chunks",
       // CCNet terciles (q96's LM scoring + lang-keyed rank); CDC rewrite
       // (map-side kernel chunking + chunk_hash-keyed min + doc reassembly)
-      "q109_ccnet_buckets", "q110_cdc_rewrite")
+      "q109_ccnet_buckets", "q110_cdc_rewrite",
+      // retrieval battery: BM25 (tf shuffle + broadcast query terms +
+      // output-sized dl re-key), bigram LM (one bigram-tf-grain shuffle +
+      // broadcast models), RRF (two workload×depth lists fused) — the
+      // query sets are id-capped, so the synthetic grows only the corpus
+      "q111_bm25_topk", "q112_bigram_lm", "q113_rrf_hybrid")
     val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", big)
     // warm
     SparkEntry.queries("q09_catalog_totals")(spark, dirs.head).count()

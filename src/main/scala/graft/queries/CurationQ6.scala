@@ -141,33 +141,36 @@ object CurationQ6 {
     * majority — an exact integer comparison, q96's OOV rule one order
     * up.
     *
-    * Scale shape: ONE corpus pass to the (doc, prev, cur) bigram-tf
-    * grain (cached — the reference-count branch and the scoring branch
-    * both read it); both trained models are vocabulary-sized derived
-    * dimensions and broadcast. The honest ceiling: a 100 TB reference
-    * slice's BIGRAM vocabulary can outgrow the broadcast threshold —
-    * the same ceiling as q70's benchmark array, with the same known
-    * fallback (the bucketed-decontam swap pattern: key both sides by
-    * the bigram and co-locate). */
+    * Scale shape: the corpus is scored at the bigram-OCCURRENCE grain —
+    * map-side explode, broadcast model joins, then ONE doc-keyed
+    * shuffle whose map-side partial aggregate compresses occurrences to
+    * documents before any exchange (a first cut pre-aggregated to a
+    * (doc, prev, cur) tf grain, which cost a second corpus-grain
+    * shuffle on string-pair keys and measured 5.5× wall at 10× data;
+    * scoring per occurrence is value-identical because the mixture
+    * components depend only on the bigram). The trained models are
+    * reference-vocabulary-sized derived dimensions built from the
+    * reference slice alone, and broadcast. The honest ceiling: a 100 TB
+    * reference slice's BIGRAM vocabulary can outgrow the broadcast
+    * threshold — the same ceiling as q70's benchmark array, with the
+    * same known fallback (the bucketed-decontam swap pattern: key both
+    * sides by the bigram and co-locate). */
   private def q112(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("tk"))
-    val btf = docs.filter(size(col("tk")) >= 2)
+    def bigrams(in: DataFrame): DataFrame = in.filter(size(col("tk")) >= 2)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("tk")) - 1),
           i => struct(element_at(col("tk"), i).as("pv"),
             element_at(col("tk"), i + 1).as("cr")))).as("bg"))
       .select(col("doc_id"), col("bg.pv").as("pv"), col("bg.cr").as("cr"))
-      .groupBy(col("doc_id"), col("pv"), col("cr"))
-      .agg(count(lit(1)).as("btf"))
-      .cache() // read twice: reference bigram counts + scoring (q69 rule)
     val uniRef = docs.filter(col("doc_id") % biRefMod === 0)
       .select(explode(col("tk")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("c1"))
-    val biRef = btf.filter(col("doc_id") % biRefMod === 0)
-      .groupBy(col("pv"), col("cr")).agg(sum(col("btf")).as("c2"))
+    val biRef = bigrams(docs.filter(col("doc_id") % biRefMod === 0))
+      .groupBy(col("pv"), col("cr")).agg(count(lit(1)).as("c2"))
     val tot = uniRef.agg(sum(col("c1")).as("c_tot"), count(lit(1)).as("v_size"))
-    btf.filter(col("doc_id") % biRefMod =!= 0)
+    bigrams(docs.filter(col("doc_id") % biRefMod =!= 0))
       .join(broadcast(biRef), Seq("pv", "cr"), "left")
       .join(broadcast(uniRef.toDF("pv", "c1_pv")), Seq("pv"), "left")
       .join(broadcast(uniRef.toDF("cr", "c1_cr")), Seq("cr"), "left")
@@ -177,9 +180,9 @@ object CurationQ6 {
       .withColumn("p1_s", idiv((coalesce(col("c1_cr"), lit(0L)) + 1L) * lmScale,
         col("c_tot") + col("v_size")))
       .groupBy(col("doc_id"))
-      .agg(sum(col("btf")).as("n_bi"),
-        sum(col("btf") * (col("p2_s") + col("p1_s"))).as("mix_sum"),
-        sum(when(col("c2").isNull, col("btf")).otherwise(lit(0L))).as("n_oov_bi"))
+      .agg(count(lit(1)).as("n_bi"),
+        sum(col("p2_s") + col("p1_s")).as("mix_sum"),
+        sum(when(col("c2").isNull, 1L).otherwise(lit(0L))).as("n_oov_bi"))
       .withColumn("mean_mix", col("mix_sum").cast(DoubleType) /
         (lit(2L * lmScale) * col("n_bi")).cast(DoubleType))
       .withColumn("keep", col("n_oov_bi") * 2L <= col("n_bi"))
