@@ -143,7 +143,11 @@ object ScaleCheck {
       // output-sized dl re-key), bigram LM (one bigram-tf-grain shuffle +
       // broadcast models), RRF (two workload×depth lists fused) — the
       // query sets are id-capped, so the synthetic grows only the corpus
-      "q111_bm25_topk", "q112_bigram_lm", "q113_rrf_hybrid")
+      "q111_bm25_topk", "q112_bigram_lm", "q113_rrf_hybrid",
+      // two-tier decontam: bloom gate (map-side bit probe) before the
+      // exact sorted-intersect — q70's semantics, bench side grows with
+      // the corpus in this synthetic (the q98 convention)
+      "q114_bloom_decontam")
     val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", big)
     // warm
     SparkEntry.queries("q09_catalog_totals")(spark, dirs.head).count()

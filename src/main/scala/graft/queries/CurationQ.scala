@@ -97,7 +97,7 @@ object CurationQ {
       .orderBy(col("doc_id"))
   }
 
-  private val q70Sql = {
+  private[queries] val q70Sql = {
     val gram = "concat_ws(' ', tk[g], tk[g+1], tk[g+2])"
     s"""WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS tk FROM documents),
        |sh AS (SELECT doc_id,

@@ -332,8 +332,55 @@ object CurationQ6 {
        |  rrf_s, CAST(rrf_s AS DOUBLE) / $rrfScale.0 AS rrf
        |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
+  // --------------------------------------------------------------- q114
+
+  /** Two-tier benchmark decontamination: q70's exact semantics with a
+    * Bloom-filter gate ([[graft.operators.BloomDecontam]]) in front of
+    * the exact sorted-intersect tier. The gate has no false negatives,
+    * so the result is IDENTICAL to the exact tier alone — the oracle is
+    * q70's SQL verbatim, the same proven-exact-by-shared-oracle move as
+    * q89. The corpus side stays pure map work: a short-circuiting
+    * per-shingle bit probe, then the merge-intersect only on gated
+    * survivors (true overlaps + the ~1% fpp sliver). Bench side is read
+    * twice (filter build + exact array) — both benchmark-set-sized. */
+  private def q114(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.BloomDecontam
+    import org.apache.spark.sql.types.LongType
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), wordShingles3(col("tk")).as("sh"))
+    val benchHashes = sh.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("sh")).as("h")).distinct()
+    // ~10 bits/item at the registered scale's bench-set size; at fleet
+    // scale size from a bench count() — the layout must only be
+    // deterministic, not tuned
+    val bloom = BloomDecontam.trainBits(benchHashes, "h", 100000L, 1000000L)
+    val benchArr = benchHashes.agg(array_sort(collect_set(col("h"))).as("bench_sh"))
+    // Gate and exact tier live in ONE projection above the broadcast
+    // join: a standalone `.filter(anyHit)` below the join gets
+    // predicate-pushed through the shingle/token projections, where the
+    // substitution re-inlines the tokenizer into per-element lambdas —
+    // the O(L²) re-evaluation trap (measured 6.7× the shingle pass).
+    // Behind the join barrier the shingle array stays a multiply-
+    // referenced attribute (evaluated once), and the conditional skips
+    // the merge-intersect for every undated document.
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .crossJoin(broadcast(benchArr))
+      .withColumn("n_sh", size(col("sh")).cast(LongType))
+      .withColumn("n_overlap",
+        when(BloomDecontam.anyHit(bloom, col("sh")),
+          call_function("sorted_intersect_count", col("sh"), col("bench_sh")))
+          .otherwise(lit(0)).cast(LongType))
+      .filter(col("n_overlap") > 0)
+      .withColumn("contam_ratio",
+        col("n_overlap").cast(DoubleType) / col("n_sh").cast(DoubleType))
+      .select(col("doc_id"), col("n_sh"), col("n_overlap"), col("contam_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Seq[GQuery] = Seq(
     GQuery("q111_bm25_topk", q111, Some(q111Sql), Seq("A16", "O4", "W5")),
     GQuery("q112_bigram_lm", q112, Some(q112Sql), Seq("F6", "A16", "J6")),
-    GQuery("q113_rrf_hybrid", q113, Some(q113Sql), Seq("A16", "O4", "U1")))
+    GQuery("q113_rrf_hybrid", q113, Some(q113Sql), Seq("A16", "O4", "U1")),
+    GQuery("q114_bloom_decontam", q114, Some(CurationQ.q70Sql), Seq("A16", "J9")))
 }
