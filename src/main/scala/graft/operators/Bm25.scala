@@ -77,6 +77,15 @@ object Bm25 {
       .select(col("q_id"), col("term"), col("df"))
   }
 
+  /** Corpus statistics for the saturation term: a 1-row (n_docs,
+    * t_total, avgdl_s) relation derived from a tf relation. Public so a
+    * STREAMING scorer can pin the stats of the indexed corpus snapshot
+    * while scoring arriving documents against it. */
+  def stats(tf: DataFrame): DataFrame =
+    tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_total"))
+      .withColumn("avgdl_s", idiv(col("t_total") * Scale, col("n_docs")))
+
   /** Score every (query, document) candidate pair: documents sharing at
     * least one retrieval term with the query, scored by the fixed-point
     * BM25 sum over matched terms. `tf` is the corpus (doc_id, term, tf)
@@ -85,10 +94,13 @@ object Bm25 {
     *
     * Returns (q_id, doc_id, n_hit, bm25_s) with `bm25_s` the integer
     * score at scale [[Scale]]. */
-  def scorePairs(tf: DataFrame, qterms: DataFrame): DataFrame = {
+  def scorePairs(tf: DataFrame, qterms: DataFrame): DataFrame =
+    scorePairs(tf, qterms, stats(tf))
+
+  /** [[scorePairs]] with pinned corpus statistics (the streaming-parity
+    * form: batch and stream must saturate against the same snapshot). */
+  def scorePairs(tf: DataFrame, qterms: DataFrame, st: DataFrame): DataFrame = {
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val st = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_total"))
-      .withColumn("avgdl_s", idiv(col("t_total") * Scale, col("n_docs")))
     val cand = tf.join(broadcast(qterms), Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(st))
