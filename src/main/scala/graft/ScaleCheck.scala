@@ -147,7 +147,10 @@ object ScaleCheck {
       // two-tier decontam: bloom gate (map-side bit probe) before the
       // exact sorted-intersect — q70's semantics, bench side grows with
       // the corpus in this synthetic (the q98 convention)
-      "q114_bloom_decontam")
+      "q114_bloom_decontam",
+      // tokenizer loop: one corpus word-freq pass + vocab-grain merge
+      // rounds, then a chain of map-side encode folds over the corpus
+      "q115_bpe_encode")
     val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", big)
     // warm
     SparkEntry.queries("q09_catalog_totals")(spark, dirs.head).count()

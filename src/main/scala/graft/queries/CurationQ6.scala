@@ -378,9 +378,89 @@ object CurationQ6 {
       .orderBy(col("doc_id"))
   }
 
+  // --------------------------------------------------------------- q115
+
+  /** Merge rounds for the end-to-end tokenizer query. Low enough that
+    * every round's argmax count is ≫ the trainer's minCount on this
+    * corpus (no early stop — the oracle unrolls exactly this many
+    * rounds); the Spark side asserts the merge count so a pathological
+    * corpus fails loudly instead of silently diverging. */
+  private val bpeRounds = 4
+
+  /** The full tokenizer loop, train + APPLY: learn [[bpeRounds]] BPE
+    * merges on the corpus ([[graft.operators.Bpe.train]] — one corpus
+    * pass, then vocabulary-sized merge rounds each ending in a bounded
+    * TakeOrdered(1)), then ENCODE every document with the learned
+    * sequence ([[graft.operators.Bpe.encode]] — a chain of map-side
+    * `aggregate` folds, zero shuffle) and report per-document token
+    * statistics. The oracle unrolls the training rounds as CTEs (the
+    * q77 move) and replays each merge with a separator-string
+    * `replace` — greedy left-to-right non-re-merging, the same
+    * single-pass semantics as the operator's fold (both turn
+    * "aaaa" into [aa, aa] under an (a,a) merge). */
+  private def q115(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Bpe
+    val docs = Tables.documents(s, d)
+    val (merges, _) = Bpe.train(docs, "text", bpeRounds)
+    require(merges.size == bpeRounds,
+      s"trainer stopped early (${merges.size}/$bpeRounds merges) — oracle unrolls $bpeRounds")
+    Bpe.encode(docs, "text", merges)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).as("n_wchars"),
+        sum(size(col("syms"))).as("n_bpe"))
+      .withColumn("ratio",
+        col("n_wchars").cast(DoubleType) / col("n_bpe").cast(DoubleType))
+      .select(col("doc_id"), col("n_words"), col("n_wchars"), col("n_bpe"),
+        col("ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q115Sql = {
+    val sep = "chr(1)"
+    val sb = new StringBuilder
+    sb ++= s"""WITH tk AS (SELECT unnest(${sqlTokens("text")}) AS w FROM documents),
+              |wf AS (SELECT w, COUNT(*) AS freq FROM tk GROUP BY w),
+              |v0 AS (SELECT w, freq, array_to_string(string_split(w, ''), $sep) AS sy FROM wf),
+              |""".stripMargin
+    for (r <- 0 until bpeRounds) {
+      sb ++= s"""p$r AS (SELECT string_split(bg, $sep)[1] AS lft,
+                |    string_split(bg, $sep)[2] AS rgt, CAST(SUM(freq) AS BIGINT) AS cnt
+                |  FROM (SELECT freq, unnest(list_transform(range(1, len(sl)),
+                |      i -> sl[i] || $sep || sl[i + 1])) AS bg
+                |    FROM (SELECT freq, string_split(sy, $sep) AS sl FROM v$r)
+                |    WHERE len(sl) >= 2)
+                |  GROUP BY 1, 2),
+                |m$r AS (SELECT lft, rgt FROM p$r
+                |  ORDER BY cnt DESC, lft ASC, rgt ASC LIMIT 1),
+                |v${r + 1} AS (SELECT w, freq,
+                |    replace(sy, lft || $sep || rgt, lft || rgt) AS sy
+                |  FROM v$r CROSS JOIN m$r),
+                |""".stripMargin
+    }
+    sb ++= s"""e0 AS (SELECT doc_id, w, array_to_string(string_split(w, ''), $sep) AS sy
+              |  FROM (SELECT doc_id, unnest(${sqlTokens("text")}) AS w FROM documents)),
+              |""".stripMargin
+    for (r <- 0 until bpeRounds) {
+      sb ++= s"""e${r + 1} AS (SELECT doc_id, w,
+                |    replace(sy, lft || $sep || rgt, lft || rgt) AS sy
+                |  FROM e$r CROSS JOIN m$r),
+                |""".stripMargin
+    }
+    sb ++= s"""agg AS (SELECT doc_id, COUNT(*) AS n_words,
+              |    CAST(SUM(length(w)) AS BIGINT) AS n_wchars,
+              |    CAST(SUM(len(string_split(sy, $sep))) AS BIGINT) AS n_bpe
+              |  FROM e$bpeRounds GROUP BY doc_id)
+              |SELECT doc_id, n_words, n_wchars, n_bpe,
+              |  CAST(n_wchars AS DOUBLE) / CAST(n_bpe AS DOUBLE) AS ratio
+              |FROM agg ORDER BY doc_id""".stripMargin
+    sb.toString
+  }
+
   val queries: Seq[GQuery] = Seq(
     GQuery("q111_bm25_topk", q111, Some(q111Sql), Seq("A16", "O4", "W5")),
     GQuery("q112_bigram_lm", q112, Some(q112Sql), Seq("F6", "A16", "J6")),
     GQuery("q113_rrf_hybrid", q113, Some(q113Sql), Seq("A16", "O4", "U1")),
-    GQuery("q114_bloom_decontam", q114, Some(CurationQ.q70Sql), Seq("A16", "J9")))
+    GQuery("q114_bloom_decontam", q114, Some(CurationQ.q70Sql), Seq("A16", "J9")),
+    GQuery("q115_bpe_encode", q115, Some(q115Sql), Seq("A17", "C12", "F11")))
 }
