@@ -150,7 +150,10 @@ object ScaleCheck {
       "q114_bloom_decontam",
       // tokenizer loop: one corpus word-freq pass + vocab-grain merge
       // rounds, then a chain of map-side encode folds over the corpus
-      "q115_bpe_encode")
+      "q115_bpe_encode",
+      // split-hygiene audit: q78's banded pair generator + two map-side
+      // split hashes on the pair output
+      "q116_split_leakage")
     val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", big)
     // warm
     SparkEntry.queries("q09_catalog_totals")(spark, dirs.head).count()

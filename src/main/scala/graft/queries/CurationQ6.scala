@@ -457,10 +457,64 @@ object CurationQ6 {
     sb.toString
   }
 
+  // --------------------------------------------------------------- q116
+
+  /** Train/test leakage audit — the split-hygiene check a corpus owner
+    * runs after splitting: near-duplicate pairs (the q78 SimHash60
+    * generator, 3×20-bit bands, Hamming ≤ 2) whose members landed in
+    * DIFFERENT q71 splits. Each such pair leaks evaluation signal into
+    * training. The oracle re-derives the pairs with no banding at all
+    * (brute force over signatures) and re-tags both sides — so the
+    * audit's pair set and its split arithmetic are both gate-checked.
+    * Scale shape: the pair generator's (q78's, banded + broadcast);
+    * split tagging is two map-side hashes on the pair output. */
+  private def q116(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    def splitOf(id: org.apache.spark.sql.Column) = {
+      val h = strHash(concat(lit("split:"), id.cast(StringType))) % 10
+      when(h < 8, "train").when(h === 8, "val").otherwise("test")
+    }
+    ScaleQ.simhash60Pairs(Tables.documents(s, d), bands = 3, bits = 20, maxHam = 2)
+      .withColumn("split_a", splitOf(col("doc_a")))
+      .withColumn("split_b", splitOf(col("doc_b")))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        col("split_a"), col("split_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val q116Sql = {
+    val h60 = s"${sqlStrHash("tok")} * 1073741824 + ${sqlStrHash2("tok")}"
+    def splitSql(id: String) = {
+      val h = sqlStrHash(s"concat('split:', CAST($id AS VARCHAR))")
+      s"CASE WHEN ($h) % 10 < 8 THEN 'train' WHEN ($h) % 10 = 8 THEN 'val' ELSE 'test' END"
+    }
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_distinct(${sqlTokens("text")})) AS tok FROM documents),
+       |hashed AS (SELECT doc_id, $h60 AS th FROM toks),
+       |bits AS (SELECT unnest(range(0, 60)) AS j),
+       |votes AS (SELECT doc_id, j,
+       |    SUM(CASE WHEN (th >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM hashed CROSS JOIN bits GROUP BY doc_id, j),
+       |sig AS (SELECT doc_id,
+       |    SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) ELSE 0 END * CAST(pow(2.0, j) AS BIGINT)) AS simhash
+       |  FROM votes GROUP BY doc_id),
+       |pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+       |  FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+       |  WHERE CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) <= 2)
+       |SELECT doc_a, doc_b, hamming,
+       |  ${splitSql("doc_a")} AS split_a, ${splitSql("doc_b")} AS split_b
+       |FROM pairs
+       |WHERE (${splitSql("doc_a")}) <> (${splitSql("doc_b")})
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: Seq[GQuery] = Seq(
     GQuery("q111_bm25_topk", q111, Some(q111Sql), Seq("A16", "O4", "W5")),
     GQuery("q112_bigram_lm", q112, Some(q112Sql), Seq("F6", "A16", "J6")),
     GQuery("q113_rrf_hybrid", q113, Some(q113Sql), Seq("A16", "O4", "U1")),
     GQuery("q114_bloom_decontam", q114, Some(CurationQ.q70Sql), Seq("A16", "J9")),
-    GQuery("q115_bpe_encode", q115, Some(q115Sql), Seq("A17", "C12", "F11")))
+    GQuery("q115_bpe_encode", q115, Some(q115Sql), Seq("A17", "C12", "F11")),
+    GQuery("q116_split_leakage", q116, Some(q116Sql), Seq("A16", "U1", "F10")))
 }
