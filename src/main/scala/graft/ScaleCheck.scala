@@ -153,7 +153,10 @@ object ScaleCheck {
       "q115_bpe_encode",
       // split-hygiene audit: q78's banded pair generator + two map-side
       // split hashes on the pair output
-      "q116_split_leakage")
+      "q116_split_leakage",
+      // decontam rewrite: map-side gram explode probed by the broadcast
+      // bench set; only contaminated grams shuffle (output-sized)
+      "q117_decontam_rewrite")
     val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", big)
     // warm
     SparkEntry.queries("q09_catalog_totals")(spark, dirs.head).count()

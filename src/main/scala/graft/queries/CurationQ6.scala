@@ -510,11 +510,85 @@ object CurationQ6 {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // --------------------------------------------------------------- q117
+
+  /** Decontamination REWRITE — the span-surgery alternative to q70's
+    * document-level flag: instead of dropping a contaminated document,
+    * drop exactly the tokens covered by benchmark-overlapping word
+    * 3-grams and keep the rest. A token at position i survives unless
+    * some contaminated gram start g covers it (g ≤ i ≤ g+2).
+    *
+    * Scale shape: the corpus side is one map-side gram explode probed
+    * by the broadcast benchmark hash set — only CONTAMINATED (doc,
+    * gram) rows shuffle (output-sized), collected to a per-doc gram
+    * list; the rewrite is a per-row filter/join over the token array
+    * against that (small) list. The doc-keyed join bringing the gram
+    * list back is left unhinted — a production benchmark contaminates
+    * a sliver of the corpus (AQE broadcasts the sliver); this synthetic
+    * corpus shares a 31-word vocabulary, so a third of it overlaps. */
+  private def q117(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+    val gram3 = (tk: org.apache.spark.sql.Column, g: org.apache.spark.sql.Column) =>
+      strHash(concat_ws(" ", element_at(tk, g), element_at(tk, g + 1),
+        element_at(tk, g + 2)))
+    val grams = docs.filter(size(col("tk")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("tk")) - 2),
+          g => struct(g.as("g"), gram3(col("tk"), g).as("h")))).as("gr"))
+      .select(col("doc_id"), col("gr.g").as("g"), col("gr.h").as("h"))
+    val bench = grams.filter(col("doc_id") % 97 === 0)
+      .select(col("h")).distinct()
+    val cl = grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(col("g"))).as("cg"))
+    docs.filter(col("doc_id") % 97 =!= 0)
+      .join(cl, Seq("doc_id"), "left")
+      .withColumn("cg", coalesce(col("cg"), array().cast("array<int>")))
+      .withColumn("kept",
+        filter(sequence(lit(1), size(col("tk"))),
+          i => !exists(col("cg"), g => g <= i && i <= g + 2)))
+      .select(col("doc_id"),
+        size(col("tk")).cast(LongType).as("n_tok"),
+        size(col("cg")).cast(LongType).as("n_contam"),
+        (size(col("tk")) - size(col("kept"))).cast(LongType).as("n_dropped"),
+        array_join(transform(col("kept"), i => element_at(col("tk"), i)), " ")
+          .as("cleaned"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q117Sql = {
+    val gram = "concat_ws(' ', tk[g], tk[g+1], tk[g+2])"
+    s"""WITH tkl AS (SELECT doc_id, ${sqlTokens("text")} AS tk FROM documents),
+       |grams AS (SELECT doc_id, g, ${sqlStrHash(gram)} AS h
+       |  FROM (SELECT doc_id, tk, CAST(unnest(range(1, len(tk) - 1)) AS INT) AS g
+       |    FROM tkl WHERE len(tk) >= 3)),
+       |bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % 97 = 0),
+       |cl AS (SELECT doc_id, list(g ORDER BY g) AS cg
+       |  FROM grams JOIN bench USING (h)
+       |  WHERE doc_id % 97 <> 0 GROUP BY doc_id),
+       |joined AS (SELECT t.doc_id AS doc_id, tk, COALESCE(cg, []) AS cg
+       |  FROM tkl t LEFT JOIN cl ON t.doc_id = cl.doc_id
+       |  WHERE t.doc_id % 97 <> 0),
+       |rw AS (SELECT doc_id, tk, cg,
+       |    list_filter(range(1, len(tk) + 1),
+       |      i -> len(list_filter(cg, g -> g <= i AND i <= g + 2)) = 0) AS kept
+       |  FROM joined)
+       |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
+       |  CAST(len(cg) AS BIGINT) AS n_contam,
+       |  CAST(len(tk) - len(kept) AS BIGINT) AS n_dropped,
+       |  array_to_string(list_transform(kept, i -> tk[i]), ' ') AS cleaned
+       |FROM rw ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Seq[GQuery] = Seq(
     GQuery("q111_bm25_topk", q111, Some(q111Sql), Seq("A16", "O4", "W5")),
     GQuery("q112_bigram_lm", q112, Some(q112Sql), Seq("F6", "A16", "J6")),
     GQuery("q113_rrf_hybrid", q113, Some(q113Sql), Seq("A16", "O4", "U1")),
     GQuery("q114_bloom_decontam", q114, Some(CurationQ.q70Sql), Seq("A16", "J9")),
     GQuery("q115_bpe_encode", q115, Some(q115Sql), Seq("A17", "C12", "F11")),
-    GQuery("q116_split_leakage", q116, Some(q116Sql), Seq("A16", "U1", "F10")))
+    GQuery("q116_split_leakage", q116, Some(q116Sql), Seq("A16", "U1", "F10")),
+    GQuery("q117_decontam_rewrite", q117, Some(q117Sql), Seq("A16", "J9", "C12")))
 }
