@@ -156,7 +156,10 @@ object ScaleCheck {
       "q116_split_leakage",
       // decontam rewrite: map-side gram explode probed by the broadcast
       // bench set; only contaminated grams shuffle (output-sized)
-      "q117_decontam_rewrite")
+      "q117_decontam_rewrite",
+      // classifier scorecard: q106's prediction plan + classes²-bounded
+      // confusion cells + class-dimension arithmetic
+      "q118_nb_eval")
     val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", big)
     // warm
     SparkEntry.queries("q09_catalog_totals")(spark, dirs.head).count()

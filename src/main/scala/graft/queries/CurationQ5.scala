@@ -206,7 +206,7 @@ object CurationQ5 {
       .orderBy(col("doc_id"))
   }
 
-  private val q106Sql =
+  private[queries] val q106Sql =
     s"""WITH tk AS (SELECT doc_id, lang, unnest(${sqlTokens("text")}) AS term
        |  FROM documents),
        |tf AS (SELECT doc_id, lang, term, COUNT(*) AS tf

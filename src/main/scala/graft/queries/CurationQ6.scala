@@ -583,6 +583,71 @@ object CurationQ6 {
        |FROM rw ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q118
+
+  /** Classifier evaluation harness — the holdout scorecard a corpus
+    * owner reads before trusting q106's Naive-Bayes verdicts to gate
+    * data: per-class true positives, false positives/negatives, and
+    * precision/recall/F1 over the holdout predictions. Counts are exact
+    * integers; each metric is ONE guarded final division (F1 as
+    * 2·tp/(n_actual + n_pred) — the integer-rational form, no p·r
+    * composition), with absent denominators surfaced as −1 instead of
+    * engine-divergent division-by-zero behavior.
+    *
+    * Scale shape: q106's prediction plan (tf-grain shuffle + broadcast
+    * model), then confusion cells — a classes²-bounded aggregate — and
+    * class-dimension arithmetic. */
+  private def q118(s: SparkSession, d: String): DataFrame = {
+    val preds = Registry.byName("q106_nb_classifier").run(s, d)
+    val cells = preds.groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .cache() // classes²-bounded; three branches read it — without the
+               // cache each would re-run the full prediction plan (q69 rule)
+    val byActual = cells.groupBy(col("actual").as("cls"))
+      .agg(sum(col("n")).as("n_actual"))
+    val byPred = cells.groupBy(col("predicted").as("cls"))
+      .agg(sum(col("n")).as("n_pred"))
+    val tp = cells.filter(col("actual") === col("predicted"))
+      .select(col("actual").as("cls"), col("n").as("tp"))
+    def ratio(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      when(den > 0L, num.cast(DoubleType) / den.cast(DoubleType)).otherwise(lit(-1.0))
+    byActual.join(byPred, Seq("cls"), "full_outer")
+      .join(tp, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision", ratio(col("tp"), col("n_pred")))
+      .withColumn("recall", ratio(col("tp"), col("n_actual")))
+      .withColumn("f1", ratio(col("tp") * 2L, col("n_actual") + col("n_pred")))
+      .orderBy(col("cls"))
+  }
+
+  private val q118Sql =
+    s"""WITH preds AS (${CurationQ5.q106Sql}),
+       |cells AS (SELECT actual, predicted, COUNT(*) AS n
+       |  FROM preds GROUP BY actual, predicted),
+       |ba AS (SELECT actual AS cls, CAST(SUM(n) AS BIGINT) AS n_actual
+       |  FROM cells GROUP BY actual),
+       |bp AS (SELECT predicted AS cls, CAST(SUM(n) AS BIGINT) AS n_pred
+       |  FROM cells GROUP BY predicted),
+       |tp AS (SELECT actual AS cls, CAST(n AS BIGINT) AS tp FROM cells
+       |  WHERE actual = predicted),
+       |m AS (SELECT COALESCE(ba.cls, bp.cls) AS cls,
+       |    COALESCE(n_actual, 0) AS n_actual, COALESCE(n_pred, 0) AS n_pred,
+       |    COALESCE(tp, 0) AS tp
+       |  FROM ba FULL OUTER JOIN bp ON ba.cls = bp.cls
+       |    LEFT JOIN tp ON COALESCE(ba.cls, bp.cls) = tp.cls)
+       |SELECT cls, n_actual, n_pred, tp,
+       |  CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)
+       |    ELSE -1.0 END AS precision,
+       |  CASE WHEN n_actual > 0 THEN CAST(tp AS DOUBLE) / CAST(n_actual AS DOUBLE)
+       |    ELSE -1.0 END AS recall,
+       |  CASE WHEN n_actual + n_pred > 0 THEN
+       |    CAST(tp * 2 AS DOUBLE) / CAST(n_actual + n_pred AS DOUBLE)
+       |    ELSE -1.0 END AS f1
+       |FROM m ORDER BY cls""".stripMargin
+
   val queries: Seq[GQuery] = Seq(
     GQuery("q111_bm25_topk", q111, Some(q111Sql), Seq("A16", "O4", "W5")),
     GQuery("q112_bigram_lm", q112, Some(q112Sql), Seq("F6", "A16", "J6")),
@@ -590,5 +655,6 @@ object CurationQ6 {
     GQuery("q114_bloom_decontam", q114, Some(CurationQ.q70Sql), Seq("A16", "J9")),
     GQuery("q115_bpe_encode", q115, Some(q115Sql), Seq("A17", "C12", "F11")),
     GQuery("q116_split_leakage", q116, Some(q116Sql), Seq("A16", "U1", "F10")),
-    GQuery("q117_decontam_rewrite", q117, Some(q117Sql), Seq("A16", "J9", "C12")))
+    GQuery("q117_decontam_rewrite", q117, Some(q117Sql), Seq("A16", "J9", "C12")),
+    GQuery("q118_nb_eval", q118, Some(q118Sql), Seq("F10", "A17", "U1")))
 }
