@@ -382,7 +382,7 @@ object CurationQ4 {
       .orderBy(col("source"))
   }
 
-  private val q102Sql =
+  private[queries] val q102Sql =
     s"""WITH docs AS (SELECT source,
        |    CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tok FROM documents),
        |by_src AS (SELECT source, COUNT(*) AS n_docs,

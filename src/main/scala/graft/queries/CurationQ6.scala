@@ -648,6 +648,62 @@ object CurationQ6 {
        |    ELSE -1.0 END AS f1
        |FROM m ORDER BY cls""".stripMargin
 
+  // --------------------------------------------------------------- q119
+
+  /** Sampling budget for the apportionment schedule (tokens). */
+  private val apportionBudget = 1000000L
+
+  /** Token-budget apportionment — q102's temperature-scaled mixture
+    * turned into a CONCRETE sampling schedule: allocate an integer
+    * token budget across sources by largest-remainder (Hamilton)
+    * apportionment over the q_share weights. Every source gets
+    * ⌊B·q_share⌋; the B − Σ⌊·⌋ leftover tokens go to the largest
+    * remainders (source as the deterministic tie-break), so the
+    * allocations sum to B EXACTLY — the invariant a data-loader
+    * schedule needs and naive per-source rounding violates. `epochs` =
+    * allocation over available tokens (how many passes a source
+    * sustains — >1 flags upsampling).
+    *
+    * Scale shape: q102's one corpus pass to the source dimension; all
+    * apportionment arithmetic — including the unkeyed remainder-rank
+    * window — runs on the ≤ n_sources-row dimension (the q71 rule). */
+  private def q119(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val base = Registry.byName("q102_temperature_mixture").run(s, d)
+      .withColumn("quota", col("q_share") * apportionBudget)
+      .withColumn("base", floor(col("quota")).cast(LongType))
+      .withColumn("rem", col("quota") - col("base"))
+    val extra = base.agg((lit(apportionBudget) - sum(col("base"))).as("r_extra"))
+    val w = Window.orderBy(col("rem").desc, col("source").asc)
+    base.crossJoin(broadcast(extra))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("alloc",
+        col("base") + when(col("rk") <= col("r_extra"), 1L).otherwise(0L))
+      .withColumn("epochs",
+        col("alloc").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+      .select(col("source"), col("n_tokens"), col("q_share"), col("base"),
+        col("alloc"), col("epochs"))
+      .orderBy(col("source"))
+  }
+
+  private val q119Sql = {
+    val B = apportionBudget
+    s"""WITH mix AS (${CurationQ4.q102Sql}),
+       |b AS (SELECT source, n_tokens, q_share,
+       |    CAST(FLOOR(q_share * $B) AS BIGINT) AS base,
+       |    q_share * $B - CAST(FLOOR(q_share * $B) AS BIGINT) AS rem
+       |  FROM mix),
+       |x AS (SELECT $B - CAST(SUM(base) AS BIGINT) AS r_extra FROM b),
+       |r AS (SELECT source, n_tokens, q_share, base, rem,
+       |    ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rk
+       |  FROM b)
+       |SELECT source, n_tokens, q_share, base,
+       |  base + CASE WHEN rk <= r_extra THEN 1 ELSE 0 END AS alloc,
+       |  CAST(base + CASE WHEN rk <= r_extra THEN 1 ELSE 0 END AS DOUBLE) /
+       |    CAST(n_tokens AS DOUBLE) AS epochs
+       |FROM r CROSS JOIN x ORDER BY source""".stripMargin
+  }
+
   val queries: Seq[GQuery] = Seq(
     GQuery("q111_bm25_topk", q111, Some(q111Sql), Seq("A16", "O4", "W5")),
     GQuery("q112_bigram_lm", q112, Some(q112Sql), Seq("F6", "A16", "J6")),
@@ -656,5 +712,6 @@ object CurationQ6 {
     GQuery("q115_bpe_encode", q115, Some(q115Sql), Seq("A17", "C12", "F11")),
     GQuery("q116_split_leakage", q116, Some(q116Sql), Seq("A16", "U1", "F10")),
     GQuery("q117_decontam_rewrite", q117, Some(q117Sql), Seq("A16", "J9", "C12")),
-    GQuery("q118_nb_eval", q118, Some(q118Sql), Seq("F10", "A17", "U1")))
+    GQuery("q118_nb_eval", q118, Some(q118Sql), Seq("F10", "A17", "U1")),
+    GQuery("q119_token_apportion", q119, Some(q119Sql), Seq("A17", "W5", "O1")))
 }
