@@ -410,6 +410,42 @@ object StreamOps {
         (col("bm25_s").cast(DoubleType) / lit(Scale).cast(DoubleType)).as("bm25"))
   }
 
+  /** Stream-static decontamination REWRITE — q117's span surgery at
+    * ingest: tokens of an arriving document covered by any
+    * benchmark-overlapping word 3-gram (start g covers positions
+    * g..g+2) are dropped and the cleaned text re-emitted, so
+    * benchmark-contaminated spans never enter the corpus. The benchmark
+    * hash set collapses to ONE broadcast map row (the streamingLmScore
+    * pattern — O(1) per-gram membership); gram hashing, span flags, and
+    * the token filter are all per-row array algebra. ZERO streaming
+    * state, bitwise stream ≡ batch (StreamDecontamRewriteSpec). */
+  def streamingDecontamRewrite(docs: DataFrame, benchHashes: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions
+    val benchRow = benchHashes.agg(
+      map_from_entries(array_sort(collect_list(
+        struct(col("h"), lit(true))))).as("bench_map"))
+    val gram3 = (tk: org.apache.spark.sql.Column, g: org.apache.spark.sql.Column) =>
+      TextFunctions.strHash(concat_ws(" ", element_at(tk, g),
+        element_at(tk, g + 1), element_at(tk, g + 2)))
+    docs
+      .withColumn("tk", TextFunctions.tokens(col("text")))
+      .crossJoin(broadcast(benchRow)) // stream-static, one row
+      .withColumn("cg",
+        when(size(col("tk")) >= 3,
+          filter(sequence(lit(1), size(col("tk")) - 2),
+            g => element_at(col("bench_map"), gram3(col("tk"), g)).isNotNull))
+          .otherwise(array().cast("array<int>")))
+      .withColumn("kept",
+        filter(sequence(lit(1), size(col("tk"))),
+          i => !exists(col("cg"), g => g <= i && i <= g + 2)))
+      .select(col("doc_id"),
+        size(col("tk")).cast(LongType).as("n_tok"),
+        size(col("cg")).cast(LongType).as("n_contam"),
+        (size(col("tk")) - size(col("kept"))).cast(LongType).as("n_dropped"),
+        array_join(transform(col("kept"), i => element_at(col("tk"), i)), " ")
+          .as("cleaned"))
+  }
+
   /** ST1 sink half: route a drained micro-batch — retrievals to the
     * completed table, failures appended to the dead-letter/retry table
     * (both idempotent by url, giving exactly-once completion markers). */
