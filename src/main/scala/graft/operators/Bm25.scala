@@ -101,17 +101,26 @@ object Bm25 {
     * form: batch and stream must saturate against the same snapshot). */
   def scorePairs(tf: DataFrame, qterms: DataFrame, st: DataFrame): DataFrame = {
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val cand = tf.join(broadcast(qterms), Seq("term"))
+    tf.join(broadcast(qterms), Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(st))
-    val satNum = lit(8L) * col("tf") * col("avgdl_s") * Scale
-    val satDen = lit(4L) * col("tf") * col("avgdl_s") + col("avgdl_s") +
-      lit(3L) * col("dl") * Scale
-    val idfNum = lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)
-    val sc = idiv(idfNum * idiv(satNum, satDen), lit(2L) * col("df") + lit(1L))
-    cand.withColumn("sc", sc)
+      .withColumn("sc", scoreExpr(col("tf"), col("dl"), col("df"),
+        col("n_docs"), col("avgdl_s")))
       .groupBy(col("q_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_hit"), sum(col("sc")).as("bm25_s"))
+  }
+
+  /** The per-term fixed-point score as Column algebra — the ONE
+    * definition of the arithmetic, shared by [[scorePairs]], the
+    * streaming gate, and the persisted-index search so they cannot
+    * drift. */
+  def scoreExpr(tf: org.apache.spark.sql.Column, dl: org.apache.spark.sql.Column,
+                df: org.apache.spark.sql.Column, nDocs: org.apache.spark.sql.Column,
+                avgdlS: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val satNum = lit(8L) * tf * avgdlS * Scale
+    val satDen = lit(4L) * tf * avgdlS + avgdlS + lit(3L) * dl * Scale
+    val idfNum = lit(2L) * nDocs - lit(2L) * df + lit(1L)
+    idiv(idfNum * idiv(satNum, satDen), lit(2L) * df + lit(1L))
   }
 
   /** DuckDB fragments mirroring the fixed-point arithmetic: the

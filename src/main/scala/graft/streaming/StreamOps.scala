@@ -373,8 +373,8 @@ object StreamOps {
     * workload-terms) — workload-bounded map work, no shuffle. */
   def streamingBm25(docs: DataFrame, qterms: DataFrame,
                     stats: DataFrame): DataFrame = {
-    import graft.functions.IntOps.idiv
     import graft.functions.TextFunctions
+    import graft.operators.Bm25
     import graft.operators.Bm25.Scale
     val wl = qterms
       .groupBy(col("q_id"))
@@ -383,13 +383,8 @@ object StreamOps {
       .crossJoin(broadcast(stats))
     def tf(t: org.apache.spark.sql.Column) =
       size(filter(col("tk"), x => x === t)).cast(LongType)
-    def score(t: org.apache.spark.sql.Column, df: org.apache.spark.sql.Column) = {
-      val sat = idiv(lit(8L) * tf(t) * col("avgdl_s") * Scale,
-        lit(4L) * tf(t) * col("avgdl_s") + col("avgdl_s") +
-          lit(3L) * col("dl") * Scale)
-      idiv((lit(2L) * col("n_docs") - lit(2L) * df + lit(1L)) * sat,
-        lit(2L) * df + lit(1L))
-    }
+    def score(t: org.apache.spark.sql.Column, df: org.apache.spark.sql.Column) =
+      Bm25.scoreExpr(tf(t), col("dl"), df, col("n_docs"), col("avgdl_s"))
     docs
       .withColumn("tk", TextFunctions.tokens(col("text")))
       .filter(size(col("tk")) > 0)
