@@ -58,6 +58,61 @@ object LexIndex {
   def stats(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(statsDir(path))
 
+  /** Incremental maintenance: fold a DELTA tf relation (NEW documents
+    * only — ids must be disjoint from the indexed corpus) into the
+    * persisted index, touching only the delta's term buckets. The move
+    * is exact, not approximate: a term's bucket is deterministic, so
+    * every posting whose df changes lives in a touched bucket — those
+    * buckets are rebuilt (old rows ∪ delta rows, df recounted over the
+    * union), untouched buckets keep their rows AND their df, and the
+    * 1-row stats table advances by integer monoid sums. Daily cost is
+    * ∝ touched buckets + delta, never the full corpus;
+    * `merge(build(A), tf(B)) ≡ build(A ∪ B)` row-for-row
+    * (LexIndexSpec), the same exact-incremental discipline as
+    * `UnigramLm.merge` and `Curation.curateIncremental`. Bucket swap
+    * goes through a temp dir + rename (the VecIndex.compact pattern) —
+    * never an overwrite of a path being read. */
+  def merge(spark: SparkSession, path: String, deltaTf: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val touched = deltaTf.select(tb(col("term")).as("tb")).distinct()
+      .collect().map(_.getLong(0))
+    if (touched.isEmpty) return
+    val oldPost = spark.read.parquet(postingsDir(path))
+      .filter(col("tb").isin(touched: _*))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    val deltaDl = deltaTf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val unioned = oldPost.unionByName(
+      deltaTf.join(deltaDl, Seq("doc_id"))
+        .select(col("term"), col("doc_id"), col("tf"), col("dl")))
+    val dfreq = unioned.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val post = new Path(postingsDir(path))
+    val fs = post.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(s"$path/__merging")
+    fs.delete(tmp, true) // debris from an aborted earlier run
+    unioned.join(dfreq, Seq("term")).withColumn("tb", tb(col("term")))
+      .write.mode("overwrite").partitionBy("tb").parquet(tmp.toString)
+    val oldSt = stats(spark, path).select(col("n_docs"), col("t_total")).head()
+    val dSt = deltaDl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head()
+    val nDocs = oldSt.getLong(0) + dSt.getLong(0)
+    val tTotal = oldSt.getLong(1) + dSt.getLong(1)
+    val stTmp = new Path(s"$path/__merging_stats")
+    fs.delete(stTmp, true)
+    spark.range(1)
+      .select(lit(nDocs).as("n_docs"), lit(tTotal).as("t_total"),
+        lit(tTotal * Bm25.Scale / nDocs).as("avgdl_s"))
+      .write.mode("overwrite").parquet(stTmp.toString)
+    for (b <- touched) {
+      val dst = new Path(post, s"tb=$b")
+      fs.delete(dst, true) // absent for brand-new buckets — fine
+      require(fs.rename(new Path(tmp, s"tb=$b"), dst),
+        s"bucket swap failed: $tmp/tb=$b -> $dst")
+    }
+    fs.delete(tmp, true)
+    val stDir = new Path(statsDir(path))
+    fs.delete(stDir, true)
+    require(fs.rename(stTmp, stDir), s"stats swap failed: $stTmp -> $stDir")
+  }
+
   /** BM25 top-k over the persisted index. `qterms` is (q_id, term) —
     * workload-sized. The literal bucket IN-list prunes the posting scan
     * at file listing (asserted by LexIndexSpec); scoring is

@@ -39,6 +39,29 @@ class LexIndexSpec extends SparkSpecBase {
       s"postings scan is not partition-pruned on tb:\n${postingsLines.mkString("\n")}")
   }
 
+  test("merge(build(A), tf(B)) equals build(A ∪ B) — postings, df, and stats") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = docs.filter(col("doc_id") % 3 =!= 0)
+    val b = docs.filter(col("doc_id") % 3 === 0)
+    val tfA = UnigramLm.termFreq(a, "doc_id", "text")
+    val tfB = UnigramLm.termFreq(b, "doc_id", "text")
+    val tfAll = UnigramLm.termFreq(a.unionByName(b), "doc_id", "text")
+    val incPath = tempDir("lexmerge_inc")
+    val fullPath = tempDir("lexmerge_full")
+    LexIndex.build(tfA, incPath)
+    LexIndex.merge(spark, incPath, tfB)
+    LexIndex.build(tfAll, fullPath)
+    def rows(p: String) = spark.read.parquet(s"$p/postings")
+      .select("term", "doc_id", "tf", "dl", "df", "tb")
+      .collect().map(_.toString).sorted
+    val (inc, full) = (rows(incPath), rows(fullPath))
+    assert(inc.length === full.length, s"posting counts differ: ${inc.length} vs ${full.length}")
+    assert(inc.sameElements(full), "incremental postings diverge from full rebuild")
+    val si = LexIndex.stats(spark, incPath).collect().map(_.toString)
+    val sf2 = LexIndex.stats(spark, fullPath).collect().map(_.toString)
+    assert(si.sameElements(sf2), s"stats diverge: ${si.toSeq} vs ${sf2.toSeq}")
+  }
+
   test("search equals the inline scorer on the same tf relation") {
     val qterms = someQterms()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
