@@ -38,6 +38,7 @@ object DailyDriver {
 
   private def decisionsDir(dir: String) = s"$dir/decisions"
   private def indexDir(dir: String) = s"$dir/sig_index"
+  private def lexDir(dir: String) = s"$dir/lex_index"
 
   private def candidates(docs: DataFrame, decisions: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text"))
@@ -52,8 +53,17 @@ object DailyDriver {
       .select(Curation.DecisionCols.map(col): _*)
       .write.mode("overwrite").parquet(decisionsDir(dir))
     val decisions = spark.read.parquet(decisionsDir(dir))
-    graft.streaming.StreamOps.signatureIndex(candidates(docs, decisions))
+    val cand = candidates(docs, decisions)
+    graft.streaming.StreamOps.signatureIndex(cand)
       .write.mode("overwrite").parquet(indexDir(dir))
+    // Retrieval index over the CANDIDATES (quality + contamination
+    // pass): candidacy is a per-doc verdict that later steps never
+    // revisit — unlike final_keep, which component rebuilds can flip —
+    // so the lexical index only ever GROWS and LexIndex.merge's
+    // disjoint-delta contract holds. Near-dup refinement is a
+    // query-time join against the decision table.
+    graft.operators.LexIndex.build(
+      graft.operators.UnigramLm.termFreq(cand, "doc_id", "text"), lexDir(dir))
   }
 
   /** Day N: delta-curate the arrivals against the persisted state,
@@ -67,8 +77,14 @@ object DailyDriver {
     // eager (localCheckpoint inside): fully materialized before any
     // directory below is touched
     val updated = Curation.curateIncremental(prev, prevIndex, newDocs, benchmark, cfg)
-    graft.streaming.StreamOps.signatureIndex(candidates(newDocs, updated))
+    val newCand = candidates(newDocs, updated)
+    graft.streaming.StreamOps.signatureIndex(newCand)
       .write.mode("append").parquet(indexDir(dir))
+    // fold the day's candidates into the retrieval index — touches only
+    // the delta's term buckets (see LexIndex.merge; exact vs a full
+    // rebuild, DailyDriverApiSpec)
+    graft.operators.LexIndex.merge(spark, lexDir(dir),
+      graft.operators.UnigramLm.termFreq(newCand, "doc_id", "text"))
     val dst = new Path(decisionsDir(dir))
     val tmp = new Path(decisionsDir(dir) + "__new")
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -49,5 +49,23 @@ class DailyDriverApiSpec extends SparkSpecBase {
       .select(col("component")).distinct()
     assert(c1.join(c2, Seq("component")).count() > 0,
       "no component spans the day-1/day-2 boundary — index-append path untested")
+
+    // the retrieval index maintained across the two steps must equal a
+    // full LexIndex.build over the three-day corpus's candidates
+    import graft.operators.{LexIndex, UnigramLm}
+    val allCand = docs.join(
+      got.filter(col("quality_pass") && col("contam_pass")).select("doc_id"),
+      Seq("doc_id"))
+    val fullLex = tempDir("daily-driver-lex-full")
+    LexIndex.build(UnigramLm.termFreq(allCand, "doc_id", "text"), fullLex)
+    def postings(p: String): Array[String] =
+      spark.read.parquet(s"$p/postings")
+        .select("term", "doc_id", "tf", "dl", "df", "tb")
+        .collect().map(_.toString).sorted
+    val (inc, full) = (postings(s"$dir/lex_index"), postings(fullLex))
+    assert(inc.length == full.length,
+      s"lex posting counts differ: ${inc.length} vs ${full.length}")
+    assert(inc.sameElements(full),
+      "stepwise lexical index diverged from the full rebuild")
   }
 }
