@@ -159,7 +159,10 @@ object ScaleCheck {
       "q117_decontam_rewrite",
       // classifier scorecard: q106's prediction plan + classes²-bounded
       // confusion cells + class-dimension arithmetic
-      "q118_nb_eval")
+      "q118_nb_eval",
+      // retrieval-quality harness: q111's scoring plan at depth 10 +
+      // the banded pair generator + workload-sized list joins
+      "q120_bm25_mrr")
     val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", big)
     // warm
     SparkEntry.queries("q09_catalog_totals")(spark, dirs.head).count()

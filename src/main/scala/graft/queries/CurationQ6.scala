@@ -704,6 +704,99 @@ object CurationQ6 {
        |FROM r CROSS JOIN x ORDER BY source""".stripMargin
   }
 
+  // --------------------------------------------------------------- q120
+
+  /** Retrieval-quality harness — q72's role for the lexical path: score
+    * BM25's top-10 against near-duplicate ground truth. A query's
+    * RELEVANT set is its SimHash60 near-dups in the corpus (the q78
+    * generator — documents that genuinely share content); per query the
+    * harness reports how many relevants exist, how many BM25 retrieved
+    * in its top-10, and the reciprocal rank of the first hit (0 when
+    * none) — per-query rows, no order-dependent global mean. `rr` is
+    * one final division of small integers.
+    *
+    * Scale shape: q111's scoring plan at depth 10 + the banded pair
+    * generator + workload-sized joins over the two lists. */
+  private def q120(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isQ = (col("doc_id") % qMod === 0) && (col("doc_id") < qCap)
+    val tf = graft.operators.UnigramLm
+      .termFreq(docs.filter(!isQ), "doc_id", "text")
+      .cache()
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = tf.agg(count_distinct(col("doc_id")).as("n_docs"))
+    val qdocs = docs.filter(isQ)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(tokens(col("text")))).as("term"))
+    val wb = Window.partitionBy(col("q_id"))
+      .orderBy(col("bm25_s").desc, col("doc_id").asc)
+    val ranked = Bm25
+      .scorePairs(tf, Bm25.queryTerms(qdocs, dfreq, nDocs, dfPermille))
+      .withColumn("rk", row_number().over(wb))
+      .filter(col("rk") <= fuseDepth)
+      .select(col("q_id"), col("doc_id"), col("rk"))
+    val pairs = ScaleQ.simhash60Pairs(docs, bands = 3, bits = 20, maxHam = 2)
+    val qSide = (c: String) => (col(c) % qMod === 0) && (col(c) < qCap)
+    val rel = pairs.filter(qSide("doc_a") && !qSide("doc_b"))
+      .select(col("doc_a").as("q_id"), col("doc_b").as("doc_id"))
+      .unionByName(pairs.filter(qSide("doc_b") && !qSide("doc_a"))
+        .select(col("doc_b").as("q_id"), col("doc_a").as("doc_id")))
+    val relStats = rel.groupBy(col("q_id")).agg(count(lit(1)).as("n_rel"))
+    val hitStats = ranked.join(rel, Seq("q_id", "doc_id"))
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("rk")).as("first_rank"))
+    docs.filter(isQ).select(col("doc_id").as("q_id"))
+      .join(relStats, Seq("q_id"), "left")
+      .join(hitStats, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("first_rank"), lit(0)).as("first_rank"),
+        when(col("first_rank").isNotNull,
+          lit(1.0) / col("first_rank").cast(DoubleType)).otherwise(lit(0.0))
+          .as("rr"))
+      .orderBy(col("q_id"))
+  }
+
+  private val q120Sql = {
+    val h60 = s"${sqlStrHash("tok")} * 1073741824 + ${sqlStrHash2("tok")}"
+    def qs(c: String) = s"($c % $qMod = 0 AND $c < $qCap)"
+    s"""WITH $bm25SqlPrefix,
+       |ranked AS (SELECT q_id, doc_id, rk FROM (
+       |    SELECT q_id, doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id
+       |        ORDER BY bm25_s DESC, doc_id ASC) AS rk
+       |    FROM pairs) WHERE rk <= $fuseDepth),
+       |toks AS (
+       |  SELECT doc_id, unnest(list_distinct(${sqlTokens("text")})) AS tok FROM documents),
+       |hashed AS (SELECT doc_id, $h60 AS th FROM toks),
+       |bits AS (SELECT unnest(range(0, 60)) AS j),
+       |votes AS (SELECT doc_id, j,
+       |    SUM(CASE WHEN (th >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM hashed CROSS JOIN bits GROUP BY doc_id, j),
+       |sig AS (SELECT doc_id,
+       |    SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) ELSE 0 END * CAST(pow(2.0, j) AS BIGINT)) AS simhash
+       |  FROM votes GROUP BY doc_id),
+       |np AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+       |  WHERE CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) <= 2),
+       |rel AS (SELECT doc_a AS q_id, doc_b AS doc_id FROM np
+       |    WHERE ${qs("doc_a")} AND NOT ${qs("doc_b")}
+       |  UNION ALL
+       |  SELECT doc_b AS q_id, doc_a AS doc_id FROM np
+       |    WHERE ${qs("doc_b")} AND NOT ${qs("doc_a")}),
+       |rs AS (SELECT q_id, COUNT(*) AS n_rel FROM rel GROUP BY q_id),
+       |hs AS (SELECT q_id, COUNT(*) AS n_hits, MIN(rk) AS first_rank
+       |  FROM ranked JOIN rel USING (q_id, doc_id) GROUP BY q_id),
+       |base AS (SELECT doc_id AS q_id FROM documents WHERE ${qs("doc_id")})
+       |SELECT q_id, COALESCE(n_rel, 0) AS n_rel, COALESCE(n_hits, 0) AS n_hits,
+       |  COALESCE(first_rank, 0) AS first_rank,
+       |  CASE WHEN first_rank IS NOT NULL THEN 1.0 / CAST(first_rank AS DOUBLE)
+       |    ELSE 0.0 END AS rr
+       |FROM base LEFT JOIN rs USING (q_id) LEFT JOIN hs USING (q_id)
+       |ORDER BY q_id""".stripMargin
+  }
+
   val queries: Seq[GQuery] = Seq(
     GQuery("q111_bm25_topk", q111, Some(q111Sql), Seq("A16", "O4", "W5")),
     GQuery("q112_bigram_lm", q112, Some(q112Sql), Seq("F6", "A16", "J6")),
@@ -713,5 +806,6 @@ object CurationQ6 {
     GQuery("q116_split_leakage", q116, Some(q116Sql), Seq("A16", "U1", "F10")),
     GQuery("q117_decontam_rewrite", q117, Some(q117Sql), Seq("A16", "J9", "C12")),
     GQuery("q118_nb_eval", q118, Some(q118Sql), Seq("F10", "A17", "U1")),
-    GQuery("q119_token_apportion", q119, Some(q119Sql), Seq("A17", "W5", "O1")))
+    GQuery("q119_token_apportion", q119, Some(q119Sql), Seq("A17", "W5", "O1")),
+    GQuery("q120_bm25_mrr", q120, Some(q120Sql), Seq("A16", "O4", "A23")))
 }
