@@ -64,6 +64,6 @@ object AsOfJoin {
     unioned
       .withColumn("__asof", last(col("__pl"), ignoreNulls = true).over(w))
       .filter(col("__side") === lSide)
-      .select(lCols.map(col) ++ payload.map(p => col("__asof").getField(p).as(p)): _*)
+      .select((lCols.map(col) ++ payload.map(p => col("__asof").getField(p).as(p))).toIndexedSeq: _*)
   }
 }

@@ -78,7 +78,7 @@ object LexIndex {
       .collect().map(_.getLong(0))
     if (touched.isEmpty) return
     val oldPost = spark.read.parquet(postingsDir(path))
-      .filter(col("tb").isin(touched: _*))
+      .filter(col("tb").isin(touched.toIndexedSeq: _*))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
     val deltaDl = deltaTf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val unioned = oldPost.unionByName(
@@ -125,7 +125,7 @@ object LexIndex {
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("bm25_s").desc, col("doc_id").asc)
     spark.read.parquet(postingsDir(path))
-      .filter(col("tb").isin(buckets: _*))
+      .filter(col("tb").isin(buckets.toIndexedSeq: _*))
       .join(broadcast(qterms.select(col("q_id"), col("term"))), Seq("term"))
       .crossJoin(broadcast(stats(spark, path)))
       .withColumn("sc", Bm25.scoreExpr(col("tf"), col("dl"), col("df"),

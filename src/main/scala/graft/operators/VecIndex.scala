@@ -99,7 +99,7 @@ object VecIndex {
     index
       // literal IN list → partition pruning at file listing; the
       // broadcast-join residual below re-checks per-probe membership
-      .filter(col("cid").isin(cells: _*))
+      .filter(col("cid").isin(cells.toIndexedSeq: _*))
       .join(broadcast(pr), col("cid") === col("q_cid") && col(idCol) =!= col("q_id"))
       .withColumn("cos",
         callDot(col(vecCol), col("q_vec")) / (col("norm") * col("q_norm")))
@@ -128,7 +128,7 @@ object VecIndex {
       .withColumn("q_norm", sqrt(callDot(col("q_vec"), col("q_vec"))))
       .filter(col("q_norm") > 0.0)
     index
-      .filter(col("cid").isin(cells: _*))
+      .filter(col("cid").isin(cells.toIndexedSeq: _*))
       .join(broadcast(pr), col("cid") === col("q_cid"))
       .withColumn("cos",
         callDot(col(vecCol), col("q_vec")) / (col("norm") * col("q_norm")))
