@@ -156,21 +156,15 @@ object CurationQ6 {
     * same known fallback (the bucketed-decontam swap pattern: key both
     * sides by the bigram and co-locate). */
   private def q112(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("tk"))
-    def bigrams(in: DataFrame): DataFrame = in.filter(size(col("tk")) >= 2)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("tk")) - 1),
-          i => struct(element_at(col("tk"), i).as("pv"),
-            element_at(col("tk"), i + 1).as("cr")))).as("bg"))
-      .select(col("doc_id"), col("bg.pv").as("pv"), col("bg.cr").as("cr"))
-    val uniRef = docs.filter(col("doc_id") % biRefMod === 0)
-      .select(explode(col("tk")).as("term"))
+    import graft.operators.BigramLm
+    val raw = Tables.documents(s, d)
+    val uniRef = raw.filter(col("doc_id") % biRefMod === 0)
+      .select(explode(tokens(col("text"))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("c1"))
-    val biRef = bigrams(docs.filter(col("doc_id") % biRefMod === 0))
-      .groupBy(col("pv"), col("cr")).agg(count(lit(1)).as("c2"))
+    val biRef = BigramLm.train(
+      BigramLm.bigrams(raw.filter(col("doc_id") % biRefMod === 0), "doc_id", "text"))
     val tot = uniRef.agg(sum(col("c1")).as("c_tot"), count(lit(1)).as("v_size"))
-    bigrams(docs.filter(col("doc_id") % biRefMod =!= 0))
+    BigramLm.bigrams(raw.filter(col("doc_id") % biRefMod =!= 0), "doc_id", "text")
       .join(broadcast(biRef), Seq("pv", "cr"), "left")
       .join(broadcast(uniRef.toDF("pv", "c1_pv")), Seq("pv"), "left")
       .join(broadcast(uniRef.toDF("cr", "c1_cr")), Seq("cr"), "left")
