@@ -710,7 +710,17 @@ object CurationQ6 {
     * one final division of small integers.
     *
     * Scale shape: q111's scoring plan at depth 10 + the banded pair
-    * generator + workload-sized joins over the two lists. */
+    * generator + workload-sized joins over the two lists.
+    *
+    * Measured finding (sf0.01): MRR is LOW on this harness corpus — its
+    * 31-word vocabulary gives near-uniform df, so idf has almost no
+    * discrimination and the rarest-8 term selection is close to
+    * arbitrary, while SimHash ground truth reflects full token
+    * multisets. That is the harness doing its job (quantifying a
+    * retrieval/ground-truth mismatch), not a defect: on a Zipfian
+    * corpus rare-term overlap is precisely what surfaces near-dups. No
+    * recall floor is pinned here — it would encode a property of the
+    * synthetic vocabulary, not of the operator. */
   private def q120(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val isQ = (col("doc_id") % qMod === 0) && (col("doc_id") < qCap)
