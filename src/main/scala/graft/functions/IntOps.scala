@@ -15,8 +15,14 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 object IntOps {
 
   /** Integer division `a div b` (Spark `div`, DuckDB `//`) as a Column —
-    * exact in 64-bit, null on b = 0 (non-ANSI). Both engines agree for
-    * the non-negative operands the fixed-point discipline produces. */
+    * exact in 64-bit, null on b = 0 (non-ANSI). Both engines TRUNCATE
+    * TOWARD ZERO, so they agree for negative operands too — which the
+    * fixed-point discipline relies on: BM25's rational idf numerator
+    * (2N − 2df + 1) goes NEGATIVE whenever df > N/2 (the registered
+    * q111/q113/q120 hit this on the harness vocabulary with the df
+    * prune wide open), and the negative per-term scores still match the
+    * oracle bit-for-bit because both engines round the quotient toward
+    * zero rather than toward −∞. */
   def idiv(a: Column, b: Column): Column =
     ColumnBridge.column(
       new org.apache.spark.sql.catalyst.expressions.IntegralDivide(

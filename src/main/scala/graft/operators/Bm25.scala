@@ -83,8 +83,14 @@ object Bm25 {
     * while scoring arriving documents against it. */
   def stats(tf: DataFrame): DataFrame =
     tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_total"))
-      .withColumn("avgdl_s", idiv(col("t_total") * Scale, col("n_docs")))
+      // coalesce: a sum over zero rows is NULL — an EMPTY tf relation
+      // (an index built before any documents arrive) must yield the
+      // zero-corpus stats row, not nulls that NPE a later merge
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("t_total"))
+      .withColumn("avgdl_s",
+        when(col("n_docs") > 0L, idiv(col("t_total") * Scale, col("n_docs")))
+          .otherwise(lit(0L)))
 
   /** Score every (query, document) candidate pair: documents sharing at
     * least one retrieval term with the query, scored by the fixed-point

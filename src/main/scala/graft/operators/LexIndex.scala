@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -11,20 +12,40 @@ import org.apache.spark.sql.functions._
   * inline; at fleet scale retrieval does not re-shuffle a 100 TB corpus
   * per query batch — the postings live in storage, partitioned by a
   * term bucket, and every search reads only its query terms' buckets
-  * through partition pruning at the file listing (the VecIndex rule).
+  * (the VecIndex rule).
   *
-  * Layout:
+  * Layout — versioned bucket directories published by an immutable
+  * manifest, so every mutation is crash-atomic:
   * {{{
-  *   path/postings/tb=N/part-*.parquet  // (term, doc_id, tf, dl, df)
-  *   path/stats/part-*.parquet          // 1 row (n_docs, t_total, avgdl_s)
+  *   path/buckets/v=V/tb=B/part-*.parquet // bucket B as (re)written by version V
+  *   path/stats/v=V/part-*.parquet        // 1 row (n_docs, t_total, avgdl_s)
+  *   path/manifest/v=V.txt                // lines "B:V_B" — bucket → its live version
   * }}}
+  * The CURRENT index is defined by the highest-numbered manifest file,
+  * nothing else. A mutation ([[merge]]/[[delete]]/[[compact]]) writes
+  * its new bucket data and stats under the NEXT version — fresh paths
+  * the live index never references — and then publishes ONE new
+  * manifest file via a same-directory rename, the single atomic step.
+  * A crash anywhere before that rename leaves the old manifest as the
+  * maximum, so readers still see the old index fully consistent
+  * (buckets, df, stats all from one version set), and the interrupted
+  * mutation can simply be replayed: its orphan `v=N+1` data is
+  * overwritten, and no bucket it half-wrote was ever reachable.
+  * After the rename the mutation is COMPLETE — replaying a *published*
+  * merge would double-count its delta (the disjoint-ids contract), so
+  * "did my merge land?" is answered by [[currentVersion]], not by
+  * retrying blindly. Superseded version directories are garbage, not
+  * corruption; [[compact]] collects them.
+  *
   * Document length and document frequency are DENORMALIZED into the
   * posting rows — df is constant per term and dl per document, so
-  * search needs no doc-length join and no df dimension: one pruned
-  * scan, one broadcast probe join, one per-query top-k window. The
-  * denormalization is the classic posting-list trade: ~2 extra longs
-  * per posting buys a search plan whose only corpus-sized input is the
-  * pruned posting scan itself.
+  * search needs no doc-length join and no df dimension: one
+  * bucket-pruned scan, one broadcast probe join, one per-query top-k
+  * window. The denormalization is the classic posting-list trade: ~2
+  * extra longs per posting buys a search plan whose only corpus-sized
+  * input is the pruned posting scan itself. Because a term's bucket is
+  * deterministic, every posting whose df a mutation changes lives in a
+  * touched bucket — which is what makes bucket-grain rewrites exact.
   */
 object LexIndex {
 
@@ -33,99 +54,287 @@ object LexIndex {
     * partition directories. */
   val Buckets = 64L
 
-  private def postingsDir(path: String) = s"$path/postings"
+  private def bucketsDir(path: String) = s"$path/buckets"
   private def statsDir(path: String) = s"$path/stats"
+  private def manifestDir(path: String) = s"$path/manifest"
 
-  private def tb(term: org.apache.spark.sql.Column) =
+  private def tb(term: Column): Column =
     pmod(graft.functions.TextFunctions.strHash(term), lit(Buckets))
 
-  /** Build from a (doc_id, term, tf) relation: derive dl/df/stats,
-    * denormalize into postings, persist partitioned by term bucket.
-    * Three aggregations over tf (doc-grain, term-grain, 1-row) and one
-    * partitioned write — no collect, no corpus-sized driver state. */
-  def build(tf: DataFrame, path: String): Unit = {
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val st = Bm25.stats(tf)
-    tf.join(dl, Seq("doc_id"))
-      .join(dfreq, Seq("term"))
-      .withColumn("tb", tb(col("term")))
-      .write.mode("overwrite").partitionBy("tb").parquet(postingsDir(path))
-    st.write.mode("overwrite").parquet(statsDir(path))
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The published version the index currently reads at (0 = no
+    * successful build yet). */
+  def currentVersion(spark: SparkSession, path: String): Long = {
+    val dir = new Path(manifestDir(path))
+    val f = fs(spark, path)
+    if (!f.exists(dir)) 0L
+    else f.listStatus(dir).map(_.getPath.getName)
+      .collect { case ManifestName(v) => v.toLong }
+      .foldLeft(0L)(math.max)
   }
 
-  /** The pinned corpus statistics the index was built with. */
-  def stats(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(statsDir(path))
+  private val ManifestName = "v=(\\d+)\\.txt".r
+
+  /** bucket id → the version whose directory holds that bucket's live
+    * rows. Empty map = empty index (a build over zero documents). */
+  private def readManifest(spark: SparkSession, path: String, v: Long): Map[Long, Long] = {
+    if (v == 0L) return Map.empty
+    val in = fs(spark, path).open(new Path(manifestDir(path), s"v=$v.txt"))
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty)
+        .map { line =>
+          val Array(b, bv) = line.split(":")
+          b.toLong -> bv.toLong
+        }.toMap
+    } finally in.close()
+  }
+
+  /** Publish `entries` as manifest version `v`: write to a dot-prefixed
+    * temp name in the manifest directory, then rename — one atomic
+    * same-directory move, the only step that changes what readers see. */
+  private def publishManifest(spark: SparkSession, path: String, v: Long,
+                              entries: Map[Long, Long]): Unit = {
+    val f = fs(spark, path)
+    val dir = new Path(manifestDir(path))
+    f.mkdirs(dir)
+    val tmp = new Path(dir, s".tmp-v=$v.txt")
+    val out = f.create(tmp, true)
+    try out.write(entries.toSeq.sorted.map { case (b, bv) => s"$b:$bv" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    val dst = new Path(dir, s"v=$v.txt")
+    f.delete(dst, false) // only present if THIS version was already published
+    require(f.rename(tmp, dst), s"manifest publish failed: $tmp -> $dst")
+  }
+
+  private def bucketPath(path: String, b: Long, v: Long): String =
+    s"${bucketsDir(path)}/v=$v/tb=$b"
+
+  /** Read the given buckets at their manifest versions. `basePath`
+    * keeps v/tb as partition columns; the path list itself is the
+    * pruning — only the named bucket directories are ever listed. */
+  private def readBuckets(spark: SparkSession, path: String,
+                          manifest: Map[Long, Long], buckets: Seq[Long]): DataFrame = {
+    val live = buckets.filter(manifest.contains).sorted
+    require(live.nonEmpty, s"no live buckets to read under $path")
+    // The path list is the real pruning (unlisted buckets don't exist to
+    // the scan); the isin on the raw partition column keeps an explicit
+    // PartitionFilters entry in the plan (asserted by LexIndexSpec).
+    // Partition-column type inference reads tb back as int — filter
+    // first (predicates over partition attrs prune regardless of the
+    // literal widening), then pin long to match the written schema.
+    spark.read.option("basePath", bucketsDir(path))
+      .parquet(live.map(b => bucketPath(path, b, manifest(b))): _*)
+      .filter(col("tb").isin(live: _*))
+      .drop("v")
+      .withColumn("tb", col("tb").cast("long"))
+  }
+
+  /** Every live posting row (term, doc_id, tf, dl, df, tb) at the
+    * current manifest — the full-index accessor the equivalence specs
+    * compare with. Empty index → empty frame with the posting schema. */
+  def openPostings(spark: SparkSession, path: String): DataFrame = {
+    val man = readManifest(spark, path, currentVersion(spark, path))
+    if (man.isEmpty) emptyPostings(spark)
+    else readBuckets(spark, path, man, man.keys.toSeq)
+  }
+
+  private def emptyPostings(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("term", StringType), StructField("doc_id", LongType),
+        StructField("tf", LongType), StructField("dl", LongType),
+        StructField("df", LongType), StructField("tb", LongType))))
+  }
+
+  /** Write posting rows (already carrying term/doc_id/tf/dl/df) into
+    * version `v`'s directory, partitioned by term bucket; returns the
+    * bucket ids written. The write is to fresh paths — the live index
+    * is untouched until the caller publishes the manifest. */
+  private def writeVersion(spark: SparkSession, path: String, v: Long,
+                           rows: DataFrame, st: DataFrame): Array[Long] = {
+    val dst = s"${bucketsDir(path)}/v=$v"
+    rows.withColumn("tb", tb(col("term")))
+      .write.mode("overwrite").partitionBy("tb").parquet(dst)
+    st.write.mode("overwrite").parquet(s"${statsDir(path)}/v=$v")
+    // cheap driver-side listing (≤ Buckets dirs): which buckets the
+    // write actually produced — a bucket whose rows all vanished in a
+    // delete writes nothing and must leave the manifest
+    val f = fs(spark, path)
+    f.listStatus(new Path(dst)).map(_.getPath.getName)
+      .collect { case s if s.startsWith("tb=") => s.stripPrefix("tb=").toLong }
+  }
+
+  /** Build from a (doc_id, term, tf) relation: derive dl/df/stats,
+    * denormalize into postings, persist as version 1. Three
+    * aggregations over tf (doc-grain, term-grain, 1-row) and one
+    * partitioned write — no collect, no corpus-sized driver state. An
+    * EMPTY tf builds a valid empty index (zero-filled stats, empty
+    * manifest) that later merges grow. */
+  def build(tf: DataFrame, path: String): Unit = {
+    val spark = tf.sparkSession
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val rows = tf.join(dl, Seq("doc_id")).join(dfreq, Seq("term"))
+    val written = writeVersion(spark, path, 1L, rows, Bm25.stats(tf))
+    publishManifest(spark, path, 1L, written.map(_ -> 1L).toMap)
+  }
+
+  /** The pinned corpus statistics of the current version. */
+  def stats(spark: SparkSession, path: String): DataFrame = {
+    val v = currentVersion(spark, path)
+    require(v > 0L, s"no published index under $path")
+    spark.read.parquet(s"${statsDir(path)}/v=$v")
+  }
 
   /** Incremental maintenance: fold a DELTA tf relation (NEW documents
     * only — ids must be disjoint from the indexed corpus) into the
-    * persisted index, touching only the delta's term buckets. The move
-    * is exact, not approximate: a term's bucket is deterministic, so
-    * every posting whose df changes lives in a touched bucket — those
-    * buckets are rebuilt (old rows ∪ delta rows, df recounted over the
-    * union), untouched buckets keep their rows AND their df, and the
-    * 1-row stats table advances by integer monoid sums. Daily cost is
-    * ∝ touched buckets + delta, never the full corpus;
-    * `merge(build(A), tf(B)) ≡ build(A ∪ B)` row-for-row
-    * (LexIndexSpec), the same exact-incremental discipline as
-    * `UnigramLm.merge` and `Curation.curateIncremental`. Bucket swap
-    * goes through a temp dir + rename (the VecIndex.compact pattern) —
-    * never an overwrite of a path being read. */
+    * index, rewriting only the delta's term buckets. Exact, not
+    * approximate: touched buckets are rebuilt (old rows ∪ delta rows,
+    * df recounted over the union), untouched buckets keep their rows
+    * AND their df by keeping their old version directories, and the
+    * 1-row stats advance by integer monoid sums.
+    * `merge(build(A), tf(B)) ≡ build(A ∪ B)` row-for-row (LexIndexSpec),
+    * the same exact-incremental discipline as `UnigramLm.merge` and
+    * `Curation.curateIncremental`; daily cost ∝ touched buckets + delta,
+    * never the full corpus. Publication is the atomic manifest rename —
+    * see the object doc for the crash contract. */
   def merge(spark: SparkSession, path: String, deltaTf: DataFrame): Unit = {
-    import org.apache.hadoop.fs.Path
+    val cur = currentVersion(spark, path)
+    require(cur > 0L, s"no published index under $path — build first")
+    val man = readManifest(spark, path, cur)
     val touched = deltaTf.select(tb(col("term")).as("tb")).distinct()
       .collect().map(_.getLong(0))
     if (touched.isEmpty) return
-    val oldPost = spark.read.parquet(postingsDir(path))
-      .filter(col("tb").isin(touched.toIndexedSeq: _*))
-      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    val oldLive = touched.filter(man.contains)
+    val oldPost =
+      if (oldLive.isEmpty) emptyPostings(spark).select("term", "doc_id", "tf", "dl")
+      else readBuckets(spark, path, man, oldLive.toIndexedSeq)
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"))
     val deltaDl = deltaTf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val unioned = oldPost.unionByName(
       deltaTf.join(deltaDl, Seq("doc_id"))
         .select(col("term"), col("doc_id"), col("tf"), col("dl")))
     val dfreq = unioned.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val post = new Path(postingsDir(path))
-    val fs = post.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(s"$path/__merging")
-    fs.delete(tmp, true) // debris from an aborted earlier run
-    unioned.join(dfreq, Seq("term")).withColumn("tb", tb(col("term")))
-      .write.mode("overwrite").partitionBy("tb").parquet(tmp.toString)
     val oldSt = stats(spark, path).select(col("n_docs"), col("t_total")).head()
-    val dSt = deltaDl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head()
-    val nDocs = oldSt.getLong(0) + dSt.getLong(0)
-    val tTotal = oldSt.getLong(1) + dSt.getLong(1)
-    val stTmp = new Path(s"$path/__merging_stats")
-    fs.delete(stTmp, true)
-    spark.range(1)
-      .select(lit(nDocs).as("n_docs"), lit(tTotal).as("t_total"),
-        lit(tTotal * Bm25.Scale / nDocs).as("avgdl_s"))
-      .write.mode("overwrite").parquet(stTmp.toString)
-    for (b <- touched) {
-      val dst = new Path(post, s"tb=$b")
-      fs.delete(dst, true) // absent for brand-new buckets — fine
-      require(fs.rename(new Path(tmp, s"tb=$b"), dst),
-        s"bucket swap failed: $tmp/tb=$b -> $dst")
+    val dSt = deltaDl.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("dl")), lit(0L)).as("t")).head()
+    val written = writeVersion(spark, path, cur + 1L,
+      unioned.join(dfreq, Seq("term")),
+      statsRow(spark, oldSt.getLong(0) + dSt.getLong(0),
+        oldSt.getLong(1) + dSt.getLong(1)))
+    publishManifest(spark, path, cur + 1L,
+      man ++ written.map(_ -> (cur + 1L)))
+  }
+
+  /** Remove documents from the index — the retraction path a
+    * decontamination or takedown pipeline needs. Rewrites ONLY the
+    * buckets holding the victims' postings: remaining rows keep their
+    * dl, df is recounted over the survivors (exact — a term's rows all
+    * share its bucket), terms whose every document vanishes disappear,
+    * and a bucket left empty leaves the manifest. Stats shrink by the
+    * victims' document count and summed length, with `avgdl_s`
+    * recomputed by the same integer division as a fresh build — so
+    * `delete(build(A ∪ B), ids(B)) ≡ build(A)` row-for-row AND
+    * stats-for-stats (LexIndexSpec). Finding the victims' buckets costs
+    * one column-pruned (tb, doc_id) scan of the postings — the index
+    * has no doc→bucket sidecar; ids absent from the index are no-ops.
+    * Same atomic manifest publication as [[merge]]. */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    val cur = currentVersion(spark, path)
+    require(cur > 0L, s"no published index under $path — build first")
+    val man = readManifest(spark, path, cur)
+    if (man.isEmpty) return
+    val victims = ids.select(col("doc_id")).distinct()
+    val all = readBuckets(spark, path, man, man.keys.toSeq)
+    val touched = all.select(col("tb"), col("doc_id"))
+      .join(broadcast(victims), Seq("doc_id"))
+      .select(col("tb")).distinct().collect().map(_.getLong(0))
+    if (touched.isEmpty) return
+    val touchedRows = readBuckets(spark, path, man, touched.toIndexedSeq)
+    // one row per victim doc: its denormalized dl (constant across the
+    // doc's postings — min is just the deterministic pick)
+    val gone = touchedRows.join(broadcast(victims), Seq("doc_id"))
+      .groupBy(col("doc_id")).agg(min(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("t"))
+      .head()
+    val remaining = touchedRows
+      .join(broadcast(victims), Seq("doc_id"), "left_anti")
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    val dfreq = remaining.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val oldSt = stats(spark, path).select(col("n_docs"), col("t_total")).head()
+    val written = writeVersion(spark, path, cur + 1L,
+      remaining.join(dfreq, Seq("term")),
+      statsRow(spark, oldSt.getLong(0) - gone.getLong(0),
+        oldSt.getLong(1) - gone.getLong(1)))
+    publishManifest(spark, path, cur + 1L,
+      (man -- touched.filterNot(written.contains)) ++ written.map(_ -> (cur + 1L)))
+  }
+
+  private def statsRow(spark: SparkSession, nDocs: Long, tTotal: Long): DataFrame =
+    spark.range(1).select(lit(nDocs).as("n_docs"), lit(tTotal).as("t_total"),
+      lit(if (nDocs > 0L) tTotal * Bm25.Scale / nDocs else 0L).as("avgdl_s"))
+
+  /** Offline compaction: rewrite every live bucket into ONE fresh
+    * version and garbage-collect everything older. Two jobs for two
+    * kinds of growth: repeated merges/deletes (a) land several small
+    * files per rewritten bucket (one per write task) — the range
+    * shuffle on (tb, term, doc_id) clusters each bucket into a
+    * contiguous run so a bucket receives at most a couple of files —
+    * and (b) strand superseded `v=W` directories that no manifest
+    * references — deleted here, after the new manifest is live, so a
+    * crash mid-GC only leaves garbage (re-collected by the next
+    * compact), never a dangling reference. Rows, df, dl, and stats are
+    * all unchanged: `merge → compact → search` is row-identical to the
+    * uncompacted index (LexIndexSpec). */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val cur = currentVersion(spark, path)
+    require(cur > 0L, s"no published index under $path — build first")
+    val man = readManifest(spark, path, cur)
+    val next = cur + 1L
+    if (man.nonEmpty) {
+      val rows = readBuckets(spark, path, man, man.keys.toSeq)
+        .repartitionByRange(col("tb"), col("term"), col("doc_id"))
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("df"))
+      val st = stats(spark, path)
+      val written = writeVersion(spark, path, next, rows, st)
+      publishManifest(spark, path, next, written.map(_ -> next).toMap)
+    } else publishManifest(spark, path, next, Map.empty)
+    // GC: every version directory and manifest below the one just
+    // published is unreferenced now
+    val f = fs(spark, path)
+    def sweep(dir: String, keep: String): Unit = {
+      val d = new Path(dir)
+      if (f.exists(d)) f.listStatus(d).map(_.getPath)
+        .filter(p => p.getName != keep && !p.getName.startsWith("."))
+        .foreach(f.delete(_, true))
     }
-    fs.delete(tmp, true)
-    val stDir = new Path(statsDir(path))
-    fs.delete(stDir, true)
-    require(fs.rename(stTmp, stDir), s"stats swap failed: $stTmp -> $stDir")
+    sweep(bucketsDir(path), s"v=$next")
+    sweep(statsDir(path), s"v=$next")
+    sweep(manifestDir(path), s"v=$next.txt")
   }
 
   /** BM25 top-k over the persisted index. `qterms` is (q_id, term) —
-    * workload-sized. The literal bucket IN-list prunes the posting scan
-    * at file listing (asserted by LexIndexSpec); scoring is
-    * [[Bm25.scoreExpr]] — identical arithmetic to the inline and
-    * streaming forms. */
+    * workload-sized. The path list read is exactly the query terms'
+    * live buckets (pruning at its strongest: unprobed buckets are never
+    * listed, and the `tb` partition filter on top is asserted by
+    * LexIndexSpec); scoring is [[Bm25.scoreExpr]] — identical
+    * arithmetic to the inline and streaming forms. */
   def search(spark: SparkSession, path: String, qterms: DataFrame,
              k: Int): DataFrame = {
+    val man = readManifest(spark, path, currentVersion(spark, path))
     val buckets = qterms.select(tb(col("term")).as("tb")).distinct()
-      .collect().map(_.getLong(0))
+      .collect().map(_.getLong(0)).filter(man.contains)
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("bm25_s").desc, col("doc_id").asc)
-    spark.read.parquet(postingsDir(path))
-      .filter(col("tb").isin(buckets.toIndexedSeq: _*))
+    val post =
+      if (buckets.isEmpty) emptyPostings(spark)
+      else readBuckets(spark, path, man, buckets.toIndexedSeq)
+    post
       .join(broadcast(qterms.select(col("q_id"), col("term"))), Seq("term"))
       .crossJoin(broadcast(stats(spark, path)))
       .withColumn("sc", Bm25.scoreExpr(col("tf"), col("dl"), col("df"),

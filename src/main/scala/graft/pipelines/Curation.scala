@@ -66,19 +66,23 @@ object Curation {
     * lesson: queries over an index must not own corpus-sized state). */
   private def score(docs: DataFrame, benchmark: DataFrame, cfg: Config): DataFrame = {
     val (nTokens, sumLen, nStop, nPunct) = qualityCounters(col("tk"), col("text"))
-    val benchSh = benchShingles(benchmark)
+    // the size switch: counting the DISTINCT benchmark shingles is an
+    // action, but on the small-by-definition side — the eval suite —
+    // and it is exactly the number the broadcast ceiling is about. The
+    // relation is PERSISTED across the switch so the chosen branch reads
+    // the counted rows instead of re-running tokenize+shingle+distinct
+    // over the benchmark (one pass, not two).
+    val benchSh = benchShingles(benchmark).persist()
+    val useBroadcast = benchSh.count() <= cfg.maxBroadcastShingles
     val withSh = docs
       .withColumn("tk", tokens(col("text")))
       .withColumn("quality", qualityScore(nTokens, sumLen, nStop, nPunct))
       .withColumn("sh", wordShingles3(col("tk")))
       .drop("tk")
-    // the size switch: counting the DISTINCT benchmark shingles is an
-    // action, but on the small-by-definition side — the eval suite —
-    // and it is exactly the number the broadcast ceiling is about
     val overlapped =
-      if (benchSh.count() <= cfg.maxBroadcastShingles) overlapBroadcast(withSh, benchSh)
+      if (useBroadcast) overlapBroadcast(withSh, benchSh)
       else overlapJoin(withSh, benchSh)
-    overlapped
+    val scored = overlapped
       .withColumn("contam_ratio",
         when(size(col("sh")) > 0,
           col("n_overlap").cast(DoubleType) / size(col("sh")).cast(DoubleType))
@@ -87,6 +91,13 @@ object Curation {
       .withColumn("quality_pass", col("quality") >= cfg.minQuality)
       .withColumn("contam_pass", col("contam_ratio") <= cfg.maxContamRatio)
       .persist()
+    // Materialize the scored relation now (its first consumer would do
+    // this anyway — persist() is already the stage boundary) so the
+    // benchmark-shingle cache can be released immediately instead of
+    // leaking one entry per daily curateIncremental call.
+    scored.count()
+    benchSh.unpersist()
+    scored
   }
 
   /** The benchmark's distinct shingle relation — one row per 3-gram

@@ -416,7 +416,11 @@ object StreamOps {
     * state, bitwise stream ≡ batch (StreamDecontamRewriteSpec). */
   def streamingDecontamRewrite(docs: DataFrame, benchHashes: DataFrame): DataFrame = {
     import graft.functions.TextFunctions
-    val benchRow = benchHashes.agg(
+    // distinct() defensively: map_from_entries under the default
+    // mapKeyDedupPolicy=EXCEPTION fails at runtime on a duplicate key,
+    // so a caller passing a non-deduplicated benchmark hash relation
+    // must not blow up the ingest stream. Benchmark-set-sized — free.
+    val benchRow = benchHashes.select(col("h")).distinct().agg(
       map_from_entries(array_sort(collect_list(
         struct(col("h"), lit(true))))).as("bench_map"))
     val gram3 = (tk: org.apache.spark.sql.Column, g: org.apache.spark.sql.Column) =>

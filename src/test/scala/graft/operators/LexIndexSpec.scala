@@ -5,15 +5,19 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The persisted inverted index's contracts: search reads only the
-  * query terms' buckets (partition pruning at file listing) and its
-  * results are identical to the inline scorer on the same tf relation. */
+  * query terms' buckets (partition pruning at file listing), results
+  * are identical to the inline scorer, incremental maintenance
+  * (merge/delete) is exact vs a fresh build, compaction preserves rows
+  * while collecting garbage, and the versioned-manifest publication
+  * makes every mutation crash-atomic. */
 class LexIndexSpec extends SparkSpecBase {
+
+  private def docsAt(p: String) = spark.read.parquet(s"$p/documents.parquet")
 
   private lazy val path = tempDir("lexindex")
   private lazy val tf = {
     val t = UnigramLm.termFreq(
-      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-        .filter(col("doc_id") % 97 =!= 0),
+      docsAt("/root/testdata/sf0.001").filter(col("doc_id") % 97 =!= 0),
       "doc_id", "text").cache()
     LexIndex.build(t, path)
     t
@@ -28,38 +32,41 @@ class LexIndexSpec extends SparkSpecBase {
       .toSeq.toDF("q_id", "term")
   }
 
+  private def postingRows(p: String): Array[String] =
+    LexIndex.openPostings(spark, p)
+      .select("term", "doc_id", "tf", "dl", "df", "tb")
+      .collect().map(_.toString).sorted
+
+  private def statsRows(p: String): Array[String] =
+    LexIndex.stats(spark, p).collect().map(_.toString)
+
   test("search scan is partition-pruned on the term bucket") {
     val res = LexIndex.search(spark, path, someQterms(), k = 5)
     val scan = res.queryExecution.executedPlan.toString
-    // the POSTINGS scan must carry a non-trivial tb filter (the 1-row
+    // the BUCKET scan must carry a non-trivial tb filter (the 1-row
     // stats scan legitimately has none)
-    val postingsLines = scan.linesIterator.filter(_.contains("/postings")).toSeq
-    assert(postingsLines.nonEmpty, s"no postings scan in plan:\n$scan")
-    assert(postingsLines.forall(l => l.contains("PartitionFilters: [tb")),
-      s"postings scan is not partition-pruned on tb:\n${postingsLines.mkString("\n")}")
+    val bucketLines = scan.linesIterator.filter(_.contains("/buckets")).toSeq
+    assert(bucketLines.nonEmpty, s"no bucket scan in plan:\n$scan")
+    assert(bucketLines.forall(l => l.contains("PartitionFilters: [") &&
+      l.contains("tb")),
+      s"bucket scan is not partition-pruned on tb:\n${bucketLines.mkString("\n")}")
   }
 
   test("merge(build(A), tf(B)) equals build(A ∪ B) — postings, df, and stats") {
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val docs = docsAt("/root/testdata/sf0.001")
     val a = docs.filter(col("doc_id") % 3 =!= 0)
     val b = docs.filter(col("doc_id") % 3 === 0)
-    val tfA = UnigramLm.termFreq(a, "doc_id", "text")
-    val tfB = UnigramLm.termFreq(b, "doc_id", "text")
-    val tfAll = UnigramLm.termFreq(a.unionByName(b), "doc_id", "text")
     val incPath = tempDir("lexmerge_inc")
     val fullPath = tempDir("lexmerge_full")
-    LexIndex.build(tfA, incPath)
-    LexIndex.merge(spark, incPath, tfB)
-    LexIndex.build(tfAll, fullPath)
-    def rows(p: String) = spark.read.parquet(s"$p/postings")
-      .select("term", "doc_id", "tf", "dl", "df", "tb")
-      .collect().map(_.toString).sorted
-    val (inc, full) = (rows(incPath), rows(fullPath))
-    assert(inc.length === full.length, s"posting counts differ: ${inc.length} vs ${full.length}")
+    LexIndex.build(UnigramLm.termFreq(a, "doc_id", "text"), incPath)
+    LexIndex.merge(spark, incPath, UnigramLm.termFreq(b, "doc_id", "text"))
+    LexIndex.build(UnigramLm.termFreq(a.unionByName(b), "doc_id", "text"), fullPath)
+    val (inc, full) = (postingRows(incPath), postingRows(fullPath))
+    assert(inc.length === full.length,
+      s"posting counts differ: ${inc.length} vs ${full.length}")
     assert(inc.sameElements(full), "incremental postings diverge from full rebuild")
-    val si = LexIndex.stats(spark, incPath).collect().map(_.toString)
-    val sf2 = LexIndex.stats(spark, fullPath).collect().map(_.toString)
-    assert(si.sameElements(sf2), s"stats diverge: ${si.toSeq} vs ${sf2.toSeq}")
+    assert(statsRows(incPath).sameElements(statsRows(fullPath)),
+      s"stats diverge: ${statsRows(incPath).toSeq} vs ${statsRows(fullPath).toSeq}")
   }
 
   test("search equals the inline scorer on the same tf relation") {
@@ -78,5 +85,114 @@ class LexIndexSpec extends SparkSpecBase {
     assert(indexed.sameElements(inline),
       s"index/inline divergence:\nindex=${indexed.take(3).mkString(";")}\n" +
         s"inline=${inline.take(3).mkString(";")}")
+  }
+
+  test("delete(build(A ∪ B), ids(B)) equals build(A) — the merge discipline in reverse") {
+    val docs = docsAt("/root/testdata/sf0.001")
+    val a = docs.filter(col("doc_id") % 3 =!= 0)
+    val b = docs.filter(col("doc_id") % 3 === 0)
+    val delPath = tempDir("lexdel_inc")
+    val aPath = tempDir("lexdel_full")
+    LexIndex.build(
+      UnigramLm.termFreq(a.unionByName(b), "doc_id", "text"), delPath)
+    LexIndex.delete(spark, delPath, b.select("doc_id"))
+    LexIndex.build(UnigramLm.termFreq(a, "doc_id", "text"), aPath)
+    val (got, want) = (postingRows(delPath), postingRows(aPath))
+    assert(got.length === want.length,
+      s"posting counts differ after delete: ${got.length} vs ${want.length}")
+    assert(got.sameElements(want), "post-delete postings diverge from build(A)")
+    assert(statsRows(delPath).sameElements(statsRows(aPath)),
+      s"stats diverge after delete: ${statsRows(delPath).toSeq} vs ${statsRows(aPath).toSeq}")
+    // absent ids are no-ops
+    import spark.implicits._
+    val before = LexIndex.currentVersion(spark, delPath)
+    LexIndex.delete(spark, delPath, Seq(-1L, -2L).toDF("doc_id"))
+    assert(LexIndex.currentVersion(spark, delPath) === before,
+      "deleting absent ids published a new version")
+  }
+
+  test("merge → compact → search is row-identical and garbage-collects old versions") {
+    val docs = docsAt("/root/testdata/sf0.001")
+    val a = docs.filter(col("doc_id") % 3 =!= 0)
+    val b = docs.filter(col("doc_id") % 3 === 0)
+    val p = tempDir("lexcompact")
+    LexIndex.build(UnigramLm.termFreq(a, "doc_id", "text"), p)
+    LexIndex.merge(spark, p, UnigramLm.termFreq(b, "doc_id", "text"))
+    val beforeRows = postingRows(p)
+    val beforeStats = statsRows(p)
+    val qterms = someQterms()
+    val beforeSearch = LexIndex.search(spark, p, qterms, k = 5)
+      .collect().map(_.toString).sorted
+    LexIndex.compact(spark, p)
+    assert(postingRows(p).sameElements(beforeRows), "compaction changed rows")
+    assert(statsRows(p).sameElements(beforeStats), "compaction changed stats")
+    val afterSearch = LexIndex.search(spark, p, qterms, k = 5)
+      .collect().map(_.toString).sorted
+    assert(afterSearch.sameElements(beforeSearch), "compaction changed search results")
+    // GC: exactly one version directory left on each side
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def versions(dir: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$p/$dir")).map(_.getPath.getName)
+        .filter(_.startsWith("v=")).toSeq
+    assert(versions("buckets") === Seq("v=3"), s"stale bucket versions: ${versions("buckets")}")
+    assert(versions("stats") === Seq("v=3"), s"stale stats versions: ${versions("stats")}")
+    assert(versions("manifest") === Seq("v=3.txt"), s"stale manifests: ${versions("manifest")}")
+  }
+
+  test("a merge interrupted before the manifest flip leaves the old index readable; replay completes it") {
+    val docs = docsAt("/root/testdata/sf0.001")
+    val a = docs.filter(col("doc_id") % 3 =!= 0)
+    val b = docs.filter(col("doc_id") % 3 === 0)
+    val crashed = tempDir("lexcrash")
+    val aOnly = tempDir("lexcrash_a")
+    val fullPath = tempDir("lexcrash_full")
+    val tfB = UnigramLm.termFreq(b, "doc_id", "text")
+    LexIndex.build(UnigramLm.termFreq(a, "doc_id", "text"), crashed)
+    LexIndex.build(UnigramLm.termFreq(a, "doc_id", "text"), aOnly)
+    // Simulate the crash: everything a merge writes BEFORE the manifest
+    // rename is some subset of fresh v=2 data — publication is the only
+    // step that changes what readers see, so "partial v=2 data, no v=2
+    // manifest" is the complete space of mid-merge crash states. Plant
+    // a worst case: a full v=2 bucket set AND half-written garbage.
+    tfB.limit(50)
+      .withColumn("dl", lit(1L)).withColumn("df", lit(1L))
+      .withColumn("tb", lit(0L))
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$crashed/buckets/v=2")
+    // the old index must be untouched: same rows, stats, and search as
+    // the never-crashed twin
+    assert(LexIndex.currentVersion(spark, crashed) === 1L,
+      "crash debris changed the published version")
+    assert(postingRows(crashed).sameElements(postingRows(aOnly)),
+      "crash debris leaked into the read path")
+    assert(statsRows(crashed).sameElements(statsRows(aOnly)),
+      "crash debris changed stats")
+    // replay the merge — debris is overwritten, result exact
+    LexIndex.merge(spark, crashed, tfB)
+    LexIndex.build(UnigramLm.termFreq(a.unionByName(b), "doc_id", "text"), fullPath)
+    assert(postingRows(crashed).sameElements(postingRows(fullPath)),
+      "replayed merge diverges from full rebuild")
+    assert(statsRows(crashed).sameElements(statsRows(fullPath)),
+      "replayed merge stats diverge")
+  }
+
+  test("an empty build is a valid index that merges grow (zero-corpus stats, not nulls)") {
+    val p = tempDir("lexempty")
+    val docs = docsAt("/root/testdata/sf0.001").limit(20)
+    val tfAll = UnigramLm.termFreq(docs, "doc_id", "text")
+    LexIndex.build(tfAll.filter(lit(false)), p)
+    val st0 = LexIndex.stats(spark, p).collect()
+    assert(st0.length === 1 && st0(0).getLong(0) === 0L &&
+      st0(0).getLong(1) === 0L && st0(0).getLong(2) === 0L,
+      s"empty build's stats are not zero-filled: ${st0.toSeq}")
+    assert(LexIndex.openPostings(spark, p).count() === 0L)
+    LexIndex.merge(spark, p, tfAll)
+    val fullPath = tempDir("lexempty_full")
+    LexIndex.build(tfAll, fullPath)
+    assert(postingRows(p).sameElements(postingRows(fullPath)),
+      "merge into an empty index diverges from a fresh build")
+    assert(statsRows(p).sameElements(statsRows(fullPath)),
+      "stats after merging into an empty index diverge")
   }
 }

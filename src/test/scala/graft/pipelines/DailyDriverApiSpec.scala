@@ -59,7 +59,7 @@ class DailyDriverApiSpec extends SparkSpecBase {
     val fullLex = tempDir("daily-driver-lex-full")
     LexIndex.build(UnigramLm.termFreq(allCand, "doc_id", "text"), fullLex)
     def postings(p: String): Array[String] =
-      spark.read.parquet(s"$p/postings")
+      LexIndex.openPostings(spark, p)
         .select("term", "doc_id", "tf", "dl", "df", "tb")
         .collect().map(_.toString).sorted
     val (inc, full) = (postings(s"$dir/lex_index"), postings(fullLex))
