@@ -162,7 +162,20 @@ object ScaleCheck {
       "q118_nb_eval",
       // retrieval-quality harness: q111's scoring plan at depth 10 +
       // the banded pair generator + workload-sized list joins
-      "q120_bm25_mrr")
+      "q120_bm25_mrr",
+      // index-backed hybrid: the row includes the INLINE index builds
+      // (corpus-linear one-time cost the oracle gate requires in-query;
+      // production amortizes them through merge/appendStream) — the
+      // search halves are bucket/cell partition-pruned
+      "q121_indexed_hybrid",
+      // width-8 decontam audit: q70's broadcast-intersect shape, wider
+      // per-row gram fold, bench side corpus-scaling here (q98 convention)
+      "q122_decontam_width8",
+      // sampled terciles: q96-shape scoring + a sample-sized rank window
+      // + broadcast lang-keyed cuts — the no-corpus-window production form
+      "q123_sampled_terciles",
+      // nDCG: q120's plan + two literal-array lookups
+      "q124_bm25_ndcg")
     val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", big)
     // warm
     SparkEntry.queries("q09_catalog_totals")(spark, dirs.head).count()

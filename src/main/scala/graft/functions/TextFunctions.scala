@@ -122,12 +122,34 @@ object TextFunctions {
     * O(L) times (measured 7× wall blowup at sf0.1). The two-step select
     * is safe: CollapseProject keeps a multiply-referenced non-cheap
     * projection materialized rather than inlining it. */
-  def wordShingles3(tk: Column): Column =
-    when(size(tk) >= 3,
-      array_sort(array_distinct(transform(sequence(lit(1), size(tk) - 2),
+  def wordShingles3(tk: Column): Column = wordShingles(tk, 3)
+
+  /** Width-parameterized word-n-gram shingles — [[wordShingles3]]'s
+    * general form. n = 3 is the battery default; production benchmark
+    * decontamination typically runs 8–13-gram overlap (8 is the second
+    * oracle-paired width, q122), where a shorter width overclaims
+    * contamination on common phrases. Same input contract: `tk` MUST be
+    * a materialized attribute. */
+  def wordShingles(tk: Column, n: Int): Column = {
+    require(n >= 1, s"shingle width must be >= 1; got $n")
+    when(size(tk) >= n,
+      array_sort(array_distinct(transform(sequence(lit(1), size(tk) - (n - 1)),
         g => strHash(concat_ws(" ",
-          element_at(tk, g), element_at(tk, g + 1), element_at(tk, g + 2)))))))
+          (0 until n).map(j => element_at(tk, g + j)): _*))))))
       .otherwise(array().cast(ArrayType(LongType)))
+  }
+
+  /** DuckDB-equivalent fragment for [[wordShingles]] over a token-list
+    * column expression `tk` (n = 3 reproduces the q70 oracle form). */
+  def sqlWordShingles(tk: String, n: Int): String = {
+    val gram = s"concat_ws(' ', ${(0 until n).map {
+      case 0 => s"$tk[g]"
+      case j => s"$tk[g+$j]"
+    }.mkString(", ")})"
+    s"CASE WHEN len($tk) >= $n THEN list_sort(list_distinct(list_transform(" +
+      s"range(1, len($tk) - ${n - 2}), g -> ${sqlStrHash(gram)}))) " +
+      s"ELSE CAST([] AS BIGINT[]) END"
+  }
 
   /** MinHash permutation parameters: h_k(x) = (a_k * x + b_k) mod p.
     * Small odd multipliers; k is 0-based.

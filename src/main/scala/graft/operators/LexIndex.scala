@@ -158,7 +158,13 @@ object LexIndex {
   private def writeVersion(spark: SparkSession, path: String, v: Long,
                            rows: DataFrame, st: DataFrame): Array[Long] = {
     val dst = s"${bucketsDir(path)}/v=$v"
+    // Range-cluster on (tb, term, doc_id) before the partitioned write:
+    // an unclustered partitionBy emits one file per (task × bucket) —
+    // up to shufflePartitions small files per bucket directory, paid on
+    // every later search of that bucket. One shuffle buys ~1 file per
+    // bucket and postings sorted by term within it.
     rows.withColumn("tb", tb(col("term")))
+      .repartitionByRange(col("tb"), col("term"), col("doc_id"))
       .write.mode("overwrite").partitionBy("tb").parquet(dst)
     st.write.mode("overwrite").parquet(s"${statsDir(path)}/v=$v")
     // cheap driver-side listing (≤ Buckets dirs): which buckets the

@@ -44,7 +44,15 @@ object Curation {
     *        runs as a shingle-keyed join instead (see
     *        [[Curation.overlapJoin]]), proven result-identical by
     *        DecontamFallbackSpec. 5M longs ≈ 40 MB serialized, an
-    *        order of magnitude under the broadcast limit. */
+    *        order of magnitude under the broadcast limit.
+    * @param shingleWidth word-n-gram width for the decontamination
+    *        overlap (the [[graft.functions.TextFunctions.wordShingles]]
+    *        n). 3 is the battery default and the q70 contract;
+    *        production benchmark decontamination typically runs 8–13
+    *        (8 is oracle-paired as q122) — wider grams stop common
+    *        phrases from overclaiming contamination. Like every Config
+    *        knob, the width is a POLICY: prev tables and benchmarks
+    *        must have been produced with the same value. */
   final case class Config(
       minQuality: Double = 0.0,
       maxContamRatio: Double = 0.5,
@@ -52,7 +60,8 @@ object Curation {
       trainBuckets: Int = 8, // of 10: 8/1/1 train/val/test
       splitSalt: String = "split:",
       broadcastPairDims: Boolean = true,
-      maxBroadcastShingles: Long = 5000000L)
+      maxBroadcastShingles: Long = 5000000L,
+      shingleWidth: Int = 3)
 
   /** Shared scoring stage (quality + contamination verdicts) — the
     * map-side front of both the full and the incremental pipeline.
@@ -72,12 +81,12 @@ object Curation {
     // relation is PERSISTED across the switch so the chosen branch reads
     // the counted rows instead of re-running tokenize+shingle+distinct
     // over the benchmark (one pass, not two).
-    val benchSh = benchShingles(benchmark).persist()
+    val benchSh = benchShingles(benchmark, cfg.shingleWidth).persist()
     val useBroadcast = benchSh.count() <= cfg.maxBroadcastShingles
     val withSh = docs
       .withColumn("tk", tokens(col("text")))
       .withColumn("quality", qualityScore(nTokens, sumLen, nStop, nPunct))
-      .withColumn("sh", wordShingles3(col("tk")))
+      .withColumn("sh", wordShingles(col("tk"), cfg.shingleWidth))
       .drop("tk")
     val overlapped =
       if (useBroadcast) overlapBroadcast(withSh, benchSh)
@@ -100,13 +109,13 @@ object Curation {
     scored
   }
 
-  /** The benchmark's distinct shingle relation — one row per 3-gram
+  /** The benchmark's distinct shingle relation — one row per n-gram
     * hash. At fleet scale this is a table a suite owner maintains
     * (optionally bucketed on `h`, which [[overlapJoin]] exploits). */
-  private[graft] def benchShingles(benchmark: DataFrame): DataFrame =
+  private[graft] def benchShingles(benchmark: DataFrame, width: Int = 3): DataFrame =
     benchmark
       .select(tokens(col("text")).as("tk"))
-      .select(explode(wordShingles3(col("tk"))).as("h")).distinct()
+      .select(explode(wordShingles(col("tk"), width)).as("h")).distinct()
 
   /** Overlap count, broadcast form: the shingle relation collapses to
     * ONE sorted array broadcast to every task; the corpus side is pure

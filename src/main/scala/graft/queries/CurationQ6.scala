@@ -35,8 +35,8 @@ object CurationQ6 {
     * not a manufactured workload×corpus product (q98 measures the
     * other convention: bench side deliberately scaling with the
     * corpus). */
-  private val qMod = 97L
-  private val qCap = 10000000L
+  private[queries] val qMod = 97L
+  private[queries] val qCap = 10000000L
 
   // --------------------------------------------------------------- q111
 
@@ -46,7 +46,7 @@ object CurationQ6 {
     * set — the registered queries run the prune wide open (1000‰, a
     * tautology both engines evaluate identically) and rely on
     * rarest-first alone; production keeps the default cap. */
-  private val dfPermille = 1000L
+  private[queries] val dfPermille = 1000L
 
   /** BM25 top-5 per query over the corpus, queries = the capped doc_id
     * % 97 ≡ 0 slice, retrieval terms = each query's 8 rarest corpus
@@ -81,7 +81,7 @@ object CurationQ6 {
 
   /** Shared oracle CTE prefix: corpus tf/dl/stats/df + per-query rarest
     * retrieval terms + fixed-point BM25 pair scores (`pairs`). */
-  private def bm25SqlPrefix: String = {
+  private[queries] def bm25SqlPrefix: String = {
     val S = Bm25.Scale
     s"""corp AS (SELECT doc_id, ${sqlTokens("text")} AS tk FROM documents
        |  WHERE NOT (doc_id % $qMod = 0 AND doc_id < $qCap)),
@@ -222,9 +222,9 @@ object CurationQ6 {
   // --------------------------------------------------------------- q113
 
   /** Ranks fused per fusion constant 60 (the standard RRF k). */
-  private val rrfK = 60L
-  private val rrfScale = 1000000L
-  private val fuseDepth = 10
+  private[queries] val rrfK = 60L
+  private[queries] val rrfScale = 1000000L
+  private[queries] val fuseDepth = 10
 
   /** Hybrid retrieval: BM25 top-10 (q111's construction) and cosine
     * top-10 (q34's construction, queries = the capped vec_id % 97 ≡ 0

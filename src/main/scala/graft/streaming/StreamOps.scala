@@ -414,8 +414,10 @@ object StreamOps {
     * pattern — O(1) per-gram membership); gram hashing, span flags, and
     * the token filter are all per-row array algebra. ZERO streaming
     * state, bitwise stream ≡ batch (StreamDecontamRewriteSpec). */
-  def streamingDecontamRewrite(docs: DataFrame, benchHashes: DataFrame): DataFrame = {
+  def streamingDecontamRewrite(docs: DataFrame, benchHashes: DataFrame,
+                               gramWidth: Int = 3): DataFrame = {
     import graft.functions.TextFunctions
+    require(gramWidth >= 1, s"gram width must be >= 1; got $gramWidth")
     // distinct() defensively: map_from_entries under the default
     // mapKeyDedupPolicy=EXCEPTION fails at runtime on a duplicate key,
     // so a caller passing a non-deduplicated benchmark hash relation
@@ -423,20 +425,20 @@ object StreamOps {
     val benchRow = benchHashes.select(col("h")).distinct().agg(
       map_from_entries(array_sort(collect_list(
         struct(col("h"), lit(true))))).as("bench_map"))
-    val gram3 = (tk: org.apache.spark.sql.Column, g: org.apache.spark.sql.Column) =>
-      TextFunctions.strHash(concat_ws(" ", element_at(tk, g),
-        element_at(tk, g + 1), element_at(tk, g + 2)))
+    val gramN = (tk: org.apache.spark.sql.Column, g: org.apache.spark.sql.Column) =>
+      TextFunctions.strHash(concat_ws(" ",
+        (0 until gramWidth).map(j => element_at(tk, g + j)): _*))
     docs
       .withColumn("tk", TextFunctions.tokens(col("text")))
       .crossJoin(broadcast(benchRow)) // stream-static, one row
       .withColumn("cg",
-        when(size(col("tk")) >= 3,
-          filter(sequence(lit(1), size(col("tk")) - 2),
-            g => element_at(col("bench_map"), gram3(col("tk"), g)).isNotNull))
+        when(size(col("tk")) >= gramWidth,
+          filter(sequence(lit(1), size(col("tk")) - (gramWidth - 1)),
+            g => element_at(col("bench_map"), gramN(col("tk"), g)).isNotNull))
           .otherwise(array().cast("array<int>")))
       .withColumn("kept",
         filter(sequence(lit(1), size(col("tk"))),
-          i => !exists(col("cg"), g => g <= i && i <= g + 2)))
+          i => !exists(col("cg"), g => g <= i && i <= g + lit(gramWidth - 1))))
       .select(col("doc_id"),
         size(col("tk")).cast(LongType).as("n_tok"),
         size(col("cg")).cast(LongType).as("n_contam"),
