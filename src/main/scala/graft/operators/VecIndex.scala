@@ -61,11 +61,45 @@ object VecIndex {
     * index has no base until its first compaction; a never-appended one
     * has no delta). Each side is a single-path read, so the delta side
     * goes through the file sink's metadata log and an aborted
-    * micro-batch's orphan files stay invisible. */
+    * micro-batch's orphan files stay invisible. Opens begin with
+    * [[repair]]: an interrupted compaction/deletion that had already
+    * committed rolls forward to the new layout first, so readers never
+    * see a half-swapped index. */
   def open(spark: SparkSession, path: String): DataFrame = {
+    repair(spark, path)
     val sides = Seq(baseDir(path), deltaDir(path)).filter(exists(spark, _))
     require(sides.nonEmpty, s"no index layout under $path")
     sides.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+  }
+
+  private def tmpDir(path: String) = s"$path/__compacting"
+  private def markerPath(path: String) = s"$path/__compact_commit"
+
+  /** Crash recovery for the in-place swap [[compact]]/[[delete]] use.
+    * The commit MARKER is created only after the replacement data is
+    * completely written, and removed only after the swap finishes — so
+    * its presence means "the new layout is durable, finish the swap"
+    * (roll FORWARD: drop whatever remains of base/delta, move the
+    * replacement in). Its absence means any `__compacting` debris is an
+    * uncommitted partial write the next maintenance run overwrites
+    * (roll back by ignoring). Every step here is idempotent, so repair
+    * itself can crash and re-run. */
+  def repair(spark: SparkSession, path: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(markerPath(path))
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) return
+    val base = new org.apache.hadoop.fs.Path(baseDir(path))
+    val delta = new org.apache.hadoop.fs.Path(deltaDir(path))
+    val tmp = new org.apache.hadoop.fs.Path(tmpDir(path))
+    // tmp present → the swap's renames have not completed: re-drive them.
+    // tmp absent → the rename landed (base IS the new layout, delta was
+    // already dropped before it) and only the marker removal remained.
+    if (fs.exists(tmp)) {
+      fs.delete(base, true)
+      fs.delete(delta, true)
+      require(fs.rename(tmp, base), s"repair rename failed: $tmp -> $base")
+    }
+    fs.delete(marker, false)
   }
 
   private def exists(spark: SparkSession, dir: String): Boolean = {
@@ -204,19 +238,50 @@ object VecIndex {
     * append stream with a fresh checkpoint afterwards — the compaction
     * consumes the delta directory and its sink log, so a resumed old
     * checkpoint would re-govern a directory whose history is gone. */
-  def compact(spark: SparkSession, path: String, idCol: String): Unit = {
+  def compact(spark: SparkSession, path: String, idCol: String): Unit =
+    swapInPlace(spark, path,
+      open(spark, path).repartitionByRange(col("cid"), col(idCol)))
+
+  /** Remove vectors from the index — the retraction path (takedowns,
+    * decontamination) — [[graft.operators.LexIndex.delete]]'s vector
+    * counterpart. Implemented as a compaction that drops the victims:
+    * cell assignment is per-row, so surviving rows keep their cid and
+    * `delete(build(A ∪ B), ids(B))` row-equals `build(A)` (VecIndexSpec).
+    * Unlike LexIndex there is no per-bucket saving to chase: the cell
+    * count is small by design (a coarse quantizer), so victims touch
+    * most cells and a full clustered rewrite is the honest cost — and
+    * it shares [[compact]]'s crash contract (commit marker + repair)
+    * and its LSM handoff discipline (no active writer; restart streams
+    * on a fresh checkpoint). Ids absent from the index are no-ops. */
+  def delete(spark: SparkSession, path: String, idCol: String,
+             ids: DataFrame): Unit =
+    swapInPlace(spark, path,
+      open(spark, path)
+        .join(broadcast(ids.select(col(idCol)).distinct()), Seq(idCol), "left_anti")
+        .repartitionByRange(col("cid"), col(idCol)))
+
+  /** The guarded in-place swap behind [[compact]]/[[delete]]: write the
+    * full replacement under `__compacting`, create the COMMIT MARKER
+    * (the point of no return — from here [[repair]] rolls forward), then
+    * drop base+delta and rename the replacement in. A crash before the
+    * marker leaves the old index untouched (debris overwritten next
+    * run); a crash after it is finished by the next [[open]]. */
+  private def swapInPlace(spark: SparkSession, path: String,
+                          rows: DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
     val base = new Path(baseDir(path))
     val delta = new Path(deltaDir(path))
-    val tmp = new Path(s"$path/__compacting")
+    val tmp = new Path(tmpDir(path))
+    val marker = new Path(markerPath(path))
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(tmp, true) // debris from an aborted earlier run
-    open(spark, path)
-      .repartitionByRange(col("cid"), col(idCol))
-      .write.mode("overwrite").partitionBy("cid").parquet(tmp.toString)
+    repair(spark, path) // finish an interrupted predecessor first
+    fs.delete(tmp, true) // uncommitted debris from an aborted earlier run
+    rows.write.mode("overwrite").partitionBy("cid").parquet(tmp.toString)
+    fs.create(marker, true).close()
     fs.delete(base, true) // false when absent (pure-stream index) — fine
     fs.delete(delta, true)
     require(fs.rename(tmp, base), s"compaction rename failed: $tmp -> $base")
+    fs.delete(marker, false)
   }
 
   private def callDot(a: Column, b: Column): Column =

@@ -151,4 +151,38 @@ object DailyDriver {
       .write.mode("append").parquet(chunkIndexDir(dir))
     spark.read.parquet(cleanedDir(dir)).filter(col("doc_id") >= minId)
   }
+
+  // -------------------------------------------------- offline maintenance
+
+  /** Periodic maintenance for the driver's storage — run between steps
+    * (no step in flight), the way a corpus owner schedules weekly
+    * compaction next to the daily delta:
+    *
+    *  - `LexIndex.compact`: merges fold bucket rewrites into versioned
+    *    directories; compaction re-clusters the live buckets into ONE
+    *    version and garbage-collects everything superseded;
+    *  - the signature index: every [[step]] appends a few files, so an
+    *    N-day driver reads N file groups per near-dup probe — rewritten
+    *    here into one clustered layout via the same write-new →
+    *    atomic-swap discipline as the decision table (the index is
+    *    append-only content-wise, so the rewrite is a pure re-layout:
+    *    DailyDriverApiSpec asserts row identity).
+    *
+    * Decisions and the chunk-loop tables swap wholesale on their own
+    * writes and need no periodic pass. */
+  def maintain(spark: SparkSession, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    graft.operators.LexIndex.compact(spark, lexDir(dir))
+    val dst = new Path(indexDir(dir))
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dst)) {
+      val tmp = new Path(indexDir(dir) + "__new")
+      fs.delete(tmp, true)
+      spark.read.parquet(indexDir(dir))
+        .repartitionByRange(col("doc_id"))
+        .write.parquet(tmp.toString)
+      fs.delete(dst, true)
+      require(fs.rename(tmp, dst), s"sig-index swap failed: $tmp -> $dst")
+    }
+  }
 }

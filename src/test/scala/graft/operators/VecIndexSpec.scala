@@ -201,4 +201,56 @@ class VecIndexSpec extends SparkSpecBase {
     val multi = VecIndex.search(idx, probes, "vec_id", "embedding", k = 50).count()
     assert(multi >= single, "multi-probe returned fewer candidates")
   }
+
+  test("delete(build(A ∪ B), ids(B)) equals build(A) — the retraction path") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = KMeans.lloyd(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val a = emb.filter(col("vec_id") % 3 =!= 0)
+    val b = emb.filter(col("vec_id") % 3 === 0)
+    val delDir = tempDir("vecdel")
+    val aDir = tempDir("vecdel_a")
+    VecIndex.build(emb, "vec_id", "embedding", cents, delDir)
+    VecIndex.build(a, "vec_id", "embedding", cents, aDir)
+    VecIndex.delete(spark, delDir, "vec_id", b.select("vec_id"))
+    def rows(d: String) =
+      VecIndex.open(spark, d).select(col("vec_id"), col("cid")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(rows(delDir).sameElements(rows(aDir)),
+      "post-delete index diverges from build(A)")
+    // absent ids are no-ops
+    import spark.implicits._
+    VecIndex.delete(spark, delDir, "vec_id", Seq(-1L).toDF("vec_id"))
+    assert(rows(delDir).sameElements(rows(aDir)),
+      "deleting absent ids changed the index")
+  }
+
+  test("an interrupted swap repairs: pre-commit rolls back, post-commit rolls forward") {
+    import org.apache.hadoop.fs.Path
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = KMeans.lloyd(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val dir = tempDir("vecrepair")
+    VecIndex.build(emb, "vec_id", "embedding", cents, dir)
+    def rows() =
+      VecIndex.open(spark, dir).select(col("vec_id"), col("cid")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted
+    val before = rows()
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // --- crash BEFORE the commit marker: half-written replacement data,
+    // no marker — the old index must read unchanged (debris ignored)
+    emb.limit(3).write.parquet(s"$dir/__compacting")
+    assert(rows().sameElements(before), "uncommitted debris leaked into reads")
+    VecIndex.compact(spark, dir, "vec_id") // debris overwritten, compact lands
+    assert(rows().sameElements(before), "compact over debris changed rows")
+    // --- crash AFTER the commit marker: complete replacement + marker,
+    // base/delta still the old layout — open must roll FORWARD
+    val reassigned = VecIndex.open(spark, dir)
+    val tmp = s"$dir/__compacting"
+    reassigned.repartitionByRange(col("cid"), col("vec_id"))
+      .write.mode("overwrite").partitionBy("cid").parquet(tmp)
+    fs.create(new Path(s"$dir/__compact_commit"), true).close()
+    assert(rows().sameElements(before), "roll-forward lost rows")
+    assert(!fs.exists(new Path(tmp)), "roll-forward left the replacement dir")
+    assert(!fs.exists(new Path(s"$dir/__compact_commit")),
+      "roll-forward left the commit marker")
+  }
 }

@@ -67,5 +67,18 @@ class DailyDriverApiSpec extends SparkSpecBase {
       s"lex posting counts differ: ${inc.length} vs ${full.length}")
     assert(inc.sameElements(full),
       "stepwise lexical index diverged from the full rebuild")
+
+    // offline maintenance must be a pure re-layout: decision table,
+    // signature index, and lexical index all row-identical after it
+    def sigRows(): Array[String] =
+      spark.read.parquet(s"$dir/sig_index").collect().map(_.toString).sorted
+    val sigBefore = sigRows()
+    DailyDriver.maintain(spark, dir)
+    assert(sigRows().sameElements(sigBefore),
+      "maintain changed the signature index rows")
+    assert(postings(s"$dir/lex_index").sameElements(full),
+      "maintain changed the lexical index rows")
+    assert(canon(spark.read.parquet(s"$dir/decisions")).sameElements(w),
+      "maintain changed the decision table")
   }
 }
