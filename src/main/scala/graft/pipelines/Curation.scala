@@ -73,14 +73,21 @@ object Curation {
     * storage between stages — a persisted intermediate is the honest
     * in-session analog, unlike a query-side corpus cache (the q76
     * lesson: queries over an index must not own corpus-sized state). */
-  private def score(docs: DataFrame, benchmark: DataFrame, cfg: Config): DataFrame = {
+  private def score(docs: DataFrame, benchmark: DataFrame,
+                    cfg: Config): (DataFrame, DataFrame) = {
     val (nTokens, sumLen, nStop, nPunct) = qualityCounters(col("tk"), col("text"))
     // the size switch: counting the DISTINCT benchmark shingles is an
     // action, but on the small-by-definition side — the eval suite —
     // and it is exactly the number the broadcast ceiling is about. The
     // relation is PERSISTED across the switch so the chosen branch reads
     // the counted rows instead of re-running tokenize+shingle+distinct
-    // over the benchmark (one pass, not two).
+    // over the benchmark (one pass, not two — the count() materializes
+    // the cache). The scored relation itself stays LAZY: an eager
+    // materialization here was measured +4 s on q89 (it splits the first
+    // consumer's pipelined compute-and-cache job into a separate full
+    // pass), so the benchSh handle is returned for the caller to release
+    // once scored HAS materialized (curateIncremental) or left to the
+    // session-cache policy (curate — the pairs-cleanup convention).
     val benchSh = benchShingles(benchmark, cfg.shingleWidth).persist()
     val useBroadcast = benchSh.count() <= cfg.maxBroadcastShingles
     val withSh = docs
@@ -100,13 +107,7 @@ object Curation {
       .withColumn("quality_pass", col("quality") >= cfg.minQuality)
       .withColumn("contam_pass", col("contam_ratio") <= cfg.maxContamRatio)
       .persist()
-    // Materialize the scored relation now (its first consumer would do
-    // this anyway — persist() is already the stage boundary) so the
-    // benchmark-shingle cache can be released immediately instead of
-    // leaking one entry per daily curateIncremental call.
-    scored.count()
-    benchSh.unpersist()
-    scored
+    (scored, benchSh)
   }
 
   /** The benchmark's distinct shingle relation — one row per n-gram
@@ -153,7 +154,7 @@ object Curation {
     * @return one row per corpus doc with quality, contam_ratio,
     *         component, the three verdicts, `split`, and `keep` */
   def curate(docs: DataFrame, benchmark: DataFrame, cfg: Config = Config()): DataFrame = {
-    val scored = score(docs, benchmark, cfg)
+    val (scored, _) = score(docs, benchmark, cfg)
     val candidates = scored.filter(col("quality_pass") && col("contam_pass"))
     // scoped (unsorted) pair form: keepBest consumes the pairs as an edge
     // set, so the registry query's output ordering would be a wasted
@@ -226,7 +227,7 @@ object Curation {
   def curateIncremental(prev: DataFrame, prevIndex: DataFrame,
                         newDocs: DataFrame, benchmark: DataFrame,
                         cfg: Config = Config()): DataFrame = {
-    val scored = score(newDocs, benchmark, cfg)
+    val (scored, benchSh) = score(newDocs, benchmark, cfg)
     val candNew = scored.filter(col("quality_pass") && col("contam_pass"))
     val (pairsNewNewRaw, releasePairs) = graft.queries.SimilarityQ
       .lshNearDupPairsScoped(candNew.select(col("doc_id"), col("text")),
@@ -288,6 +289,7 @@ object Curation {
     touchedOld.unpersist()
     kept.unpersist()
     scored.unpersist()
+    benchSh.unpersist()
     out
   }
 }
