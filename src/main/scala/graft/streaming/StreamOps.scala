@@ -447,6 +447,27 @@ object StreamOps {
           .as("cleaned"))
   }
 
+  /** Ingest-time sessionization — the streaming form of q127's batch
+    * `session_window` aggregation, identical row-for-row once the
+    * watermark closes a session (SessionWindowSpec proves it against
+    * the batch plan). State is one open session per (user, gap-island),
+    * evicted when the watermark passes `last event + gap` — no per-user
+    * history, which is exactly why this operator (and not the lag/cumsum
+    * islands window, which needs a user's full sorted past) is the 100 TB
+    * streaming shape. `tsCol` must be a TimestampType column; money is
+    * summed in exact integer cents. */
+  def streamingSessionize(ev: DataFrame, tsCol: String, userCol: String,
+                          centsCol: String, gapSec: Long,
+                          watermark: String = "10 minutes"): DataFrame =
+    ev.withWatermark(tsCol, watermark)
+      .groupBy(col(userCol), session_window(col(tsCol), s"$gapSec seconds"))
+      .agg(min(unix_micros(col(tsCol))).as("start_us"),
+        max(unix_micros(col(tsCol))).as("end_us"),
+        count(lit(1)).as("n_events"),
+        sum(col(centsCol)).as("v_cents"))
+      .select(col(userCol), col("start_us"), col("end_us"),
+        col("n_events"), col("v_cents"))
+
   /** ST1 sink half: route a drained micro-batch — retrievals to the
     * completed table, failures appended to the dead-letter/retry table
     * (both idempotent by url, giving exactly-once completion markers). */
