@@ -175,7 +175,18 @@ object ScaleCheck {
       // + broadcast lang-keyed cuts — the no-corpus-window production form
       "q123_sampled_terciles",
       // nDCG: q120's plan + two literal-array lookups
-      "q124_bm25_ndcg")
+      "q124_bm25_ndcg",
+      // KMV sketches: one map-side-partial groupBy over the corpus,
+      // O(groups·k) shuffle bytes; q129 adds an S²-pair broadcast join
+      // of ~1 KiB sketch rows on top of the same scan
+      "q125_kmv_cardinality", "q129_source_overlap",
+      // value-grain quantiles: histogram groupBy + a window over distinct
+      // lengths (bounded by value cardinality, not corpus size)
+      "q126_exact_quantiles",
+      // native session windows: one user-keyed shuffle + session merge
+      "q127_session_window",
+      // repetition signals: zero shuffle, pure per-row array algebra
+      "q128_repetition_signals")
     val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", big)
     // warm
     SparkEntry.queries("q09_catalog_totals")(spark, dirs.head).count()

@@ -248,9 +248,80 @@ object CurationQ8 {
        |    ELSE 0.0 END AS dup_2g_frac
        |FROM m ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q129
+
+  /** Pairwise corpus-overlap matrix between sources, from KMV sketches
+    * alone — the "how much of source A is also in source B" question a
+    * mixture designer asks before weighting sources, answered WITHOUT a
+    * pairwise corpus join.
+    *
+    * Sketch theory: the k smallest of minK(A) ∪ minK(B) ARE minK(A ∪ B)
+    * (any hash that small is in its own set's min-k), so the union
+    * estimator needs only the two sketches; and an element of that
+    * merged min-k lies in A ∩ B iff it appears in BOTH sketches (it is
+    * ≤ h_k(A∪B) ≤ each sketch's own cutoff), so K∩/k' is an unbiased
+    * Jaccard estimate (Beyer et al. 2007). Below k the sketches are the
+    * exact distinct sets and both outputs are exact.
+    *
+    * Scale shape: the corpus is touched ONCE (the per-source sketch
+    * groupBy, map-side partial); the S² pair stage joins S sketch rows
+    * of ~1 KiB each — broadcast, array algebra only. The naive exact
+    * plan is S² shingle-grain joins over the corpus. */
+  private def q129(s: SparkSession, d: String): DataFrame = {
+    val tk = Tables.documents(s, d)
+      .select(col("source"), tokens(col("text")).as("tk"))
+    val sh = tk.select(col("source"), explode(wordShingles3(col("tk"))).as("h"))
+    val sk = sh.groupBy(col("source"))
+      .agg(Sketches.kmvMinK(col("h"), kmvK).as("mins"))
+    val a = sk.select(col("source").as("src_a"), col("mins").as("ma"))
+    val b = sk.select(col("source").as("src_b"), col("mins").as("mb"))
+    a.join(broadcast(b), col("src_a") < col("src_b"))
+      .withColumn("mu", slice(array_sort(array_union(col("ma"), col("mb"))), 1, kmvK))
+      .withColumn("k_union", size(col("mu")).cast(LongType))
+      .withColumn("h_k", element_at(col("mu"), size(col("mu"))))
+      .withColumn("k_inter",
+        size(filter(array_intersect(col("ma"), col("mb")),
+          v => v <= col("h_k"))).cast(LongType))
+      .withColumn("jac_est",
+        col("k_inter").cast(DoubleType) / col("k_union").cast(DoubleType))
+      .withColumn("union_est",
+        when(col("k_union") < kmvK, col("k_union").cast(DoubleType))
+          .otherwise(lit((kmvK - 1) * HashMod).cast(DoubleType) /
+            col("h_k").cast(DoubleType)))
+      .select(col("src_a"), col("src_b"), col("k_union"), col("h_k"),
+        col("k_inter"), col("jac_est"), col("union_est"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  private val q129Sql =
+    s"""WITH tk AS (SELECT source, ${sqlTokens("text")} AS tk FROM documents),
+       |sh AS (SELECT source, unnest(${sqlWordShingles("tk", 3)}) AS h FROM tk),
+       |d AS (SELECT DISTINCT source, h FROM sh),
+       |r AS (SELECT source, h,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h ASC) AS rn FROM d),
+       |sk AS (SELECT source, list(h ORDER BY h) AS mins
+       |  FROM r WHERE rn <= $kmvK GROUP BY source),
+       |p AS (SELECT a.source AS src_a, b.source AS src_b,
+       |    a.mins AS ma, b.mins AS mb
+       |  FROM sk a JOIN sk b ON a.source < b.source),
+       |c AS (SELECT src_a, src_b, ma, mb,
+       |    (list_sort(list_distinct(ma || mb)))[1:$kmvK] AS mu FROM p),
+       |e AS (SELECT src_a, src_b,
+       |    CAST(len(mu) AS BIGINT) AS k_union, mu[len(mu)] AS h_k,
+       |    CAST(len(list_filter(list_intersect(ma, mb),
+       |      v -> v <= mu[len(mu)])) AS BIGINT) AS k_inter
+       |  FROM c)
+       |SELECT src_a, src_b, k_union, h_k, k_inter,
+       |  CAST(k_inter AS DOUBLE) / CAST(k_union AS DOUBLE) AS jac_est,
+       |  CASE WHEN k_union < $kmvK THEN CAST(k_union AS DOUBLE)
+       |    ELSE CAST(${(kmvK - 1) * HashMod} AS DOUBLE) / CAST(h_k AS DOUBLE)
+       |  END AS union_est
+       |FROM e ORDER BY src_a, src_b""".stripMargin
+
   val queries: Seq[GQuery] = Seq(
     GQuery("q125_kmv_cardinality", q125, Some(q125Sql), Seq("A16", "A17")),
     GQuery("q126_exact_quantiles", q126, Some(q126Sql), Seq("A5", "A18")),
     GQuery("q127_session_window", q127, Some(q127Sql), Seq("W1", "W2", "ST2")),
-    GQuery("q128_repetition_signals", q128, Some(q128Sql), Seq("F6", "A16")))
+    GQuery("q128_repetition_signals", q128, Some(q128Sql), Seq("F6", "A16")),
+    GQuery("q129_source_overlap", q129, Some(q129Sql), Seq("A16", "A17", "J6")))
 }

@@ -447,6 +447,40 @@ object StreamOps {
           .as("cleaned"))
   }
 
+  /** Live distinct-cardinality tracking — the streaming form of q125's
+    * KMV sketch. State per group is the ≤k-element sorted min-hash array
+    * itself (~1 KiB); each micro-batch folds its hashes in with the SAME
+    * reduce the batch aggregator runs. Because the k smallest distinct
+    * values of a set are order-free, the emitted estimate after any
+    * prefix of the stream is BITWISE the batch sketch of that prefix —
+    * StreamingKmvSpec proves it. Update output mode: every trigger
+    * re-emits the groups it touched with their current n_min/h_k/
+    * est_distinct (the q125 estimator arithmetic verbatim). */
+  def streamingCardinality(rows: Dataset[(String, Long)],
+                           k: Int): DataFrame = {
+    import rows.sparkSession.implicits._
+    val agg = new graft.functions.Sketches.KmvAgg(k)
+    val m = graft.functions.TextFunctions.HashMod
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[graft.functions.Sketches.KmvBuf,
+        (String, Long, Long, Double)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (g, it, state) =>
+          var buf = state.getOption.getOrElse(agg.zero)
+          it.foreach { case (_, h) => buf = agg.reduce(buf, h) }
+          state.update(buf)
+          if (buf.n == 0) Iterator.empty
+          else {
+            val hk = buf.data(buf.n - 1)
+            val est =
+              if (buf.n < k) buf.n.toDouble
+              else ((k - 1) * m).toDouble / hk.toDouble
+            Iterator.single((g, buf.n.toLong, hk, est))
+          }
+      }
+      .toDF("group", "n_min", "h_k", "est_distinct")
+  }
+
   /** Ingest-time sessionization — the streaming form of q127's batch
     * `session_window` aggregation, identical row-for-row once the
     * watermark closes a session (SessionWindowSpec proves it against
