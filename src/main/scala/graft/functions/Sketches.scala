@@ -49,8 +49,12 @@ object Sketches {
         if (i >= 0) return b // already present — distinct-ness is the point
         -i - 1
       }
+      // copy only when genuinely growing: a saturated buffer (n == k ==
+      // data.length) shifts in place — the insert drops the last element,
+      // so no extra capacity is needed and the hot reduce path stays
+      // allocation-free once the buffer fills
       val out =
-        if (b.n < b.data.length) b.data
+        if (b.n < b.data.length || b.data.length == k) b.data
         else java.util.Arrays.copyOf(b.data, math.min(k, math.max(16, b.data.length * 2)))
       val keep = math.min(b.n + 1, k)
       // shift the tail right by one, dropping the last element if full

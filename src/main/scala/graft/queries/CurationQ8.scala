@@ -8,6 +8,7 @@ import graft.Tables
 import graft.functions.IntOps.idiv
 import graft.functions.Sketches
 import graft.functions.TextFunctions._
+import QueryDsl.{d2, sqlD2}
 
 /** Eighth batch — corpus-statistics and quality depth: bounded-memory
   * distinct-cardinality estimation (q125 — KMV sketch, the map-side
@@ -145,7 +146,7 @@ object CurationQ8 {
   private def q127(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).select(col("user_id"),
       idiv(col("ts_ns"), lit(1000L)).as("ts_us"),
-      round(col("value") * 100).cast(LongType).as("cents"))
+      (d2(col("value")) * 100).cast(LongType).as("cents"))
     ev.withColumn("ts", timestamp_micros(col("ts_us")))
       .groupBy(col("user_id"), session_window(col("ts"), s"$sessGapSec seconds"))
       .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
@@ -157,7 +158,7 @@ object CurationQ8 {
 
   private val q127Sql =
     s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us,
-       |    CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events),
+       |    CAST(${sqlD2("value")} * 100 AS BIGINT) AS cents FROM events),
        |o AS (SELECT user_id, ts_us, cents,
        |    CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id
        |        ORDER BY ts_us) <= ${sessGapSec * 1000000L} THEN 0 ELSE 1 END AS brk
