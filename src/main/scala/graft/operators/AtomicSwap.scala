@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Crash-atomic directory replacement — the [[VecIndex]] commit-marker +
+  * roll-forward discipline factored out for every whole-table swap in the
+  * storage layer (the daily driver's decision table and signature index
+  * re-layout; anything else that replaces a directory wholesale).
+  *
+  * Why delete-then-rename alone is not enough: a crash between the two
+  * leaves NO live copy of the table. The marker turns the swap into a
+  * two-phase commit against the filesystem:
+  *
+  *  1. write the replacement under `dst__new` (crash here: debris with no
+  *     marker — uncommitted, the old table still serves reads);
+  *  2. create the commit marker `dst__commit` (crash after: the
+  *     replacement is durable — every later open rolls FORWARD);
+  *  3. delete `dst`, rename `dst__new` → `dst` (crash between: repair
+  *     re-drives both — each step is idempotent);
+  *  4. remove the marker.
+  *
+  * [[repair]] is cheap (two existence probes when healthy) and must run
+  * before every read of a swap-managed directory — the open-repairs
+  * contract VecIndexSpec pins for the vector index and
+  * DailyDriverApiSpec pins for the driver tables.
+  */
+object AtomicSwap {
+
+  private def tmpPath(dst: String) = new Path(dst + "__new")
+  private def markerPath(dst: String) = new Path(dst + "__commit")
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Replace `dst` with whatever `write` puts under the temp directory,
+    * atomically under crashes. `write` receives the temp path and must
+    * fully materialize the replacement there (e.g.
+    * `df.write.parquet(tmp)` — Spark's job commit makes the directory
+    * complete-or-absent). */
+  def swap(spark: SparkSession, dst: String)(write: String => Unit): Unit = {
+    val dstP = new Path(dst)
+    val fs = fsOf(spark, dstP)
+    repair(spark, dst) // finish any interrupted predecessor first
+    val tmp = tmpPath(dst)
+    fs.delete(tmp, true) // uncommitted debris from an earlier crash
+    write(tmp.toString)
+    fs.create(markerPath(dst), false).close() // THE commit point
+    fs.delete(dstP, true)
+    require(fs.rename(tmp, dstP), s"swap rename failed: $tmp -> $dstP")
+    fs.delete(markerPath(dst), false)
+  }
+
+  /** Roll an interrupted [[swap]] forward. Marker present + tmp present →
+    * the replacement is durable but unpublished: re-drive delete+rename.
+    * Marker present + tmp absent → only the marker removal remained.
+    * Marker absent → any tmp debris is uncommitted and stays invisible
+    * (the next swap overwrites it). Idempotent — repair may itself crash
+    * and re-run. */
+  def repair(spark: SparkSession, dst: String): Unit = {
+    val dstP = new Path(dst)
+    val fs = fsOf(spark, dstP)
+    val marker = markerPath(dst)
+    if (!fs.exists(marker)) return
+    val tmp = tmpPath(dst)
+    if (fs.exists(tmp)) {
+      fs.delete(dstP, true)
+      require(fs.rename(tmp, dstP), s"repair rename failed: $tmp -> $dstP")
+    }
+    fs.delete(marker, false)
+  }
+}
+
+/** Single-writer fencing for a storage-protocol root: a lease FILE under
+  * the directory, acquired with create-no-overwrite (atomic on HDFS and
+  * object stores with conditional put; best-effort on a raw local fs —
+  * fine for the single-host test harness). A second writer fails FAST
+  * instead of interleaving its swaps/appends with a live step.
+  *
+  * Staleness: a crashed writer leaves its lease behind by design — the
+  * lease carries an epoch-millis heartbeat, and an acquirer may TAKE OVER
+  * a lease older than `staleMs` (default 30 min, an upper bound on any
+  * legitimate step at the deployment's scale — tune per fleet). Takeover
+  * deletes the stale file and retries the atomic create once, so two
+  * concurrent takeovers still collapse to one winner. Release verifies
+  * the stored nonce first: a writer that lost its lease to a takeover
+  * must not delete the new owner's lease.
+  */
+object Lease {
+
+  final case class Token(dir: String, nonce: String)
+
+  private def leasePath(dir: String) = new Path(dir + "/__lease")
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readLease(fs: FileSystem, p: Path): Option[(String, Long, String)] =
+    try {
+      val in = fs.open(p)
+      val bytes = try in.readAllBytes() finally in.close()
+      new String(bytes, "UTF-8").split('|') match {
+        case Array(owner, ts, nonce) => Some((owner, ts.toLong, nonce))
+        case _ => None // torn write → treat as stale garbage
+      }
+    } catch { case _: java.io.IOException => None } // vanished under us
+
+  private def tryCreate(fs: FileSystem, p: Path, body: String): Boolean =
+    try {
+      val out = fs.create(p, false)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.io.IOException => false // raw local fs throws plain IOE
+    }
+
+  /** Acquire the writer lease for `dir` or throw `IllegalStateException`
+    * naming the current holder (fail-fast — the caller's step must NOT
+    * queue behind a live writer; retries are an orchestrator decision). */
+  def acquire(spark: SparkSession, dir: String, owner: String,
+              staleMs: Long = 30L * 60 * 1000): Token = {
+    val p = leasePath(dir)
+    val fs = fsOf(spark, p)
+    val nonce = java.util.UUID.randomUUID().toString
+    def body = s"$owner|${System.currentTimeMillis()}|$nonce"
+    if (tryCreate(fs, p, body)) return Token(dir, nonce)
+    readLease(fs, p) match {
+      case Some((holder, ts, _)) if System.currentTimeMillis() - ts <= staleMs =>
+        throw new IllegalStateException(
+          s"writer lease for $dir held by '$holder' (age " +
+            s"${System.currentTimeMillis() - ts} ms); a step is in flight — " +
+            s"fail-fast by contract")
+      case other => // stale (or torn/vanished): take over, one retry
+        other.foreach(_ => fs.delete(p, false))
+        if (tryCreate(fs, p, body)) Token(dir, nonce)
+        else throw new IllegalStateException(
+          s"writer lease for $dir lost the takeover race — another writer won")
+    }
+  }
+
+  /** Release `token` if still ours; a lease lost to a stale takeover is
+    * left untouched (the new owner's fence must stand). */
+  def release(spark: SparkSession, token: Token): Unit = {
+    val p = leasePath(token.dir)
+    val fs = fsOf(spark, p)
+    readLease(fs, p) match {
+      case Some((_, _, n)) if n == token.nonce => fs.delete(p, false)
+      case _ => ()
+    }
+  }
+
+  /** Run `body` under the `dir` writer lease, releasing on every exit
+    * path. A process CRASH skips the release on purpose — that is what
+    * the staleness takeover is for. */
+  def withLease[T](spark: SparkSession, dir: String, owner: String,
+                   staleMs: Long = 30L * 60 * 1000)(body: => T): T = {
+    val t = acquire(spark, dir, owner, staleMs)
+    try body finally release(spark, t)
+  }
+}

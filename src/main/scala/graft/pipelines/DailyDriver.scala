@@ -21,20 +21,32 @@ import org.apache.spark.sql.functions._
   * Each step recomputes ONLY the arrivals and the prior components they
   * touch (`Curation.curateIncremental` — proven row-equal to a full
   * rerun), appends the new candidates' signatures to the index, and
-  * swaps the decision table in atomically (write-new → delete-old →
-  * rename, safe because curateIncremental materializes its result
-  * eagerly before the old table is touched). The index append is plain
-  * parquet append: an aborted step can leave it behind a partially
-  * duplicated day — duplicate signature rows only duplicate pair EDGES,
-  * which the connected-components decision absorbs, so a retried step
-  * converges; a transactional table format replaces this at fleet
-  * scale.
+  * swaps the decision table in CRASH-ATOMICALLY via
+  * [[graft.operators.AtomicSwap]] (write-new → commit marker →
+  * delete-old → rename; a crash at any point either leaves the old
+  * table serving reads or rolls forward to the new one on the next
+  * open — DailyDriverApiSpec injects both crash directions). The index
+  * append is plain parquet append: an aborted step can leave it behind
+  * a partially duplicated day — duplicate signature rows only duplicate
+  * pair EDGES, which the connected-components decision absorbs, so a
+  * retried step converges; a transactional table format replaces this
+  * at fleet scale.
+  *
+  * Writer fencing: every mutating entry point ([[init]]/[[step]]/
+  * [[maintain]]/[[chunkInit]]/[[chunkStep]]) runs under the
+  * [[graft.operators.Lease]] for `dir` — a second concurrent writer
+  * fails fast instead of interleaving appends and swaps with a live
+  * step; a CRASHED writer's lease is taken over after the staleness
+  * bound (see Lease's scaladoc for the takeover rules).
   *
   * Contract: arrivals' doc_ids are disjoint from every prior day's
   * (re-crawls are deduped upstream — `StreamOps.streamingCurate`), and
   * `cfg`/`benchmark` match day 0 — a changed policy means re-`init`.
+  * [[init]] is the recovery path for a crash MID-INIT (day 0 writes are
+  * wholesale overwrites, so re-running it converges).
   */
 object DailyDriver {
+  import graft.operators.{AtomicSwap, Lease}
 
   private def decisionsDir(dir: String) = s"$dir/decisions"
   private def indexDir(dir: String) = s"$dir/sig_index"
@@ -45,10 +57,26 @@ object DailyDriver {
       .join(decisions.filter(col("quality_pass") && col("contam_pass"))
         .select(col("doc_id")), Seq("doc_id"))
 
+  /** The live decision table — repairs an interrupted swap first, so an
+    * open after a crash always sees a consistent (old or fully-new)
+    * table. */
+  def openDecisions(spark: SparkSession, dir: String): DataFrame = {
+    AtomicSwap.repair(spark, decisionsDir(dir))
+    spark.read.parquet(decisionsDir(dir))
+  }
+
+  /** The live signature index (same open-repairs contract — [[maintain]]
+    * swaps this directory wholesale). */
+  def openSigIndex(spark: SparkSession, dir: String): DataFrame = {
+    AtomicSwap.repair(spark, indexDir(dir))
+    spark.read.parquet(indexDir(dir))
+  }
+
   /** Day 0: full `curate` over the corpus; persist the decision table
     * and the candidates' signature index. */
   def init(spark: SparkSession, docs: DataFrame, benchmark: DataFrame,
-           dir: String, cfg: Curation.Config = Curation.Config()): Unit = {
+           dir: String, cfg: Curation.Config = Curation.Config()): Unit =
+   Lease.withLease(spark, dir, "init") {
     Curation.curate(docs, benchmark, cfg)
       .select(Curation.DecisionCols.map(col): _*)
       .write.mode("overwrite").parquet(decisionsDir(dir))
@@ -70,10 +98,10 @@ object DailyDriver {
     * append their candidate signatures, swap the decision table.
     * @return the updated decision table (read back from storage) */
   def step(spark: SparkSession, newDocs: DataFrame, benchmark: DataFrame,
-           dir: String, cfg: Curation.Config = Curation.Config()): DataFrame = {
-    import org.apache.hadoop.fs.Path
-    val prev = spark.read.parquet(decisionsDir(dir))
-    val prevIndex = spark.read.parquet(indexDir(dir))
+           dir: String, cfg: Curation.Config = Curation.Config()): DataFrame =
+   Lease.withLease(spark, dir, "step") {
+    val prev = openDecisions(spark, dir)
+    val prevIndex = openSigIndex(spark, dir)
     // eager (localCheckpoint inside): fully materialized before any
     // directory below is touched
     val updated = Curation.curateIncremental(prev, prevIndex, newDocs, benchmark, cfg)
@@ -85,13 +113,9 @@ object DailyDriver {
     // rebuild, DailyDriverApiSpec)
     graft.operators.LexIndex.merge(spark, lexDir(dir),
       graft.operators.UnigramLm.termFreq(newCand, "doc_id", "text"))
-    val dst = new Path(decisionsDir(dir))
-    val tmp = new Path(decisionsDir(dir) + "__new")
-    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(tmp, true)
-    updated.write.parquet(tmp.toString)
-    fs.delete(dst, true)
-    require(fs.rename(tmp, dst), s"decision-table swap failed: $tmp -> $dst")
+    AtomicSwap.swap(spark, decisionsDir(dir)) { tmp =>
+      updated.write.parquet(tmp)
+    }
     spark.read.parquet(decisionsDir(dir))
   }
 
@@ -126,7 +150,8 @@ object DailyDriver {
   /** Day 0: full rewrite; persist the cleaned corpus and the corpus's
     * chunk-hash index. */
   def chunkInit(spark: SparkSession, docs: DataFrame, dir: String,
-                c: Int = 20): Unit = {
+                c: Int = 20): Unit =
+   Lease.withLease(spark, dir, "chunkInit") {
     import graft.operators.ChunkDedup
     ChunkDedup.rewrite(docs, "doc_id", "text", c)
       .write.mode("overwrite").parquet(cleanedDir(dir))
@@ -138,7 +163,8 @@ object DailyDriver {
     * rows and their new chunk hashes.
     * @return the arrivals' cleaned rows (read back from storage) */
   def chunkStep(spark: SparkSession, newDocs: DataFrame, dir: String,
-                c: Int = 20): DataFrame = {
+                c: Int = 20): DataFrame =
+   Lease.withLease(spark, dir, "chunkStep") {
     import graft.operators.ChunkDedup
     val index = spark.read.parquet(chunkIndexDir(dir))
     val ids = newDocs.agg(min(col("doc_id"))).collect()(0)
@@ -170,19 +196,21 @@ object DailyDriver {
     *
     * Decisions and the chunk-loop tables swap wholesale on their own
     * writes and need no periodic pass. */
-  def maintain(spark: SparkSession, dir: String): Unit = {
+  def maintain(spark: SparkSession, dir: String): Unit =
+   Lease.withLease(spark, dir, "maintain") {
     import org.apache.hadoop.fs.Path
     graft.operators.LexIndex.compact(spark, lexDir(dir))
     val dst = new Path(indexDir(dir))
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dst)) {
-      val tmp = new Path(indexDir(dir) + "__new")
-      fs.delete(tmp, true)
-      spark.read.parquet(indexDir(dir))
-        .repartitionByRange(col("doc_id"))
-        .write.parquet(tmp.toString)
-      fs.delete(dst, true)
-      require(fs.rename(tmp, dst), s"sig-index swap failed: $tmp -> $dst")
+      // re-layout under the same crash-atomic discipline as the decision
+      // table: the clustered copy is fully durable under tmp (and fenced
+      // by the commit marker) before the N-file-group layout it replaces
+      // is touched — swap writes tmp while dst still serves the lineage
+      val live = openSigIndex(spark, dir).repartitionByRange(col("doc_id"))
+      AtomicSwap.swap(spark, indexDir(dir)) { tmp =>
+        live.write.parquet(tmp)
+      }
     }
   }
 }

@@ -1,0 +1,144 @@
+package graft.pipelines
+
+import graft.SparkSpecBase
+import graft.operators.{AtomicSwap, Lease}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Crash + fencing contracts for the daily driver's storage protocol:
+  *
+  *  - the decision-table and sig-index swaps are CRASH-ATOMIC — a kill at
+  *    any point of [[graft.operators.AtomicSwap.swap]] leaves the next
+  *    open serving either the complete old or the complete new table
+  *    (both crash directions injected below, mirroring VecIndexSpec's
+  *    interrupted-swap test);
+  *  - a second concurrent writer FAILS FAST on the lease and mutates
+  *    nothing; a CRASHED writer's stale lease is taken over.
+  */
+class DailyDriverCrashSpec extends SparkSpecBase {
+  private val sf = "/root/testdata/sf0.001"
+  private val cfg = Curation.Config(minQuality = 2.95)
+
+  private def fsOf(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def canon(df: DataFrame): Array[String] =
+    df.collect().map(_.toString).sorted
+
+  private def freshDriver(): (String, DataFrame, DataFrame) = {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val a = docs.filter(col("doc_id") % 4 =!= 0)
+    val bench = docs.filter(col("doc_id") % 50 === 0).select("doc_id", "text")
+    val dir = tempDir("daily-crash")
+    DailyDriver.init(spark, a, bench, dir, cfg)
+    (dir, docs.filter(col("doc_id") % 4 === 0), bench)
+  }
+
+  test("interrupted decision-table swap: pre-commit rolls back, post-commit rolls forward") {
+    val (dir, _, _) = freshDriver()
+    val dec = s"$dir/decisions"
+    val fs = fsOf(dec)
+    val before = canon(DailyDriver.openDecisions(spark, dir))
+
+    // --- crash BEFORE the commit marker: replacement debris, no marker —
+    // the old table must serve reads unchanged (debris invisible)
+    spark.read.parquet(dec).limit(2).write.parquet(dec + "__new")
+    assert(canon(DailyDriver.openDecisions(spark, dir)).sameElements(before),
+      "uncommitted swap debris leaked into the decision table")
+
+    // --- crash AFTER the commit marker, before the delete: a complete
+    // distinguishable replacement + marker, old dst still present — the
+    // next open must roll FORWARD to the replacement
+    val repl = spark.read.parquet(dec)
+      .filter(col("doc_id") % 2 === 0).localCheckpoint()
+    val want = canon(repl)
+    fs.delete(new Path(dec + "__new"), true)
+    repl.write.parquet(dec + "__new")
+    fs.create(new Path(dec + "__commit"), true).close()
+    assert(canon(DailyDriver.openDecisions(spark, dir)).sameElements(want),
+      "post-marker crash did not roll forward")
+    assert(!fs.exists(new Path(dec + "__new")), "roll-forward left tmp")
+    assert(!fs.exists(new Path(dec + "__commit")), "roll-forward left marker")
+
+    // --- crash BETWEEN delete(dst) and rename: dst gone, tmp + marker
+    // remain — without the marker discipline this is the lost-table state
+    val repl2 = spark.read.parquet(dec).limit(3).localCheckpoint()
+    val want2 = canon(repl2)
+    repl2.write.parquet(dec + "__new")
+    fs.create(new Path(dec + "__commit"), true).close()
+    fs.delete(new Path(dec), true)
+    assert(canon(DailyDriver.openDecisions(spark, dir)).sameElements(want2),
+      "delete/rename gap lost the decision table")
+  }
+
+  test("interrupted sig-index re-layout (maintain) repairs on the next open") {
+    val (dir, _, _) = freshDriver()
+    val idx = s"$dir/sig_index"
+    val fs = fsOf(idx)
+    val before = canon(DailyDriver.openSigIndex(spark, dir))
+    // post-commit crash with dst already deleted — the worst direction
+    val repl = spark.read.parquet(idx).localCheckpoint()
+    repl.write.parquet(idx + "__new")
+    fs.create(new Path(idx + "__commit"), true).close()
+    fs.delete(new Path(idx), true)
+    assert(canon(DailyDriver.openSigIndex(spark, dir)).sameElements(before),
+      "sig-index roll-forward diverged (pure re-layout must keep rows)")
+    // and maintain itself still lands cleanly afterwards
+    DailyDriver.maintain(spark, dir)
+    assert(canon(DailyDriver.openSigIndex(spark, dir)).sameElements(before),
+      "maintain after repair changed the signature index rows")
+  }
+
+  test("second concurrent writer fails fast and mutates nothing") {
+    val (dir, delta, bench) = freshDriver()
+    val decBefore = canon(spark.read.parquet(s"$dir/decisions"))
+    val sigBefore = canon(spark.read.parquet(s"$dir/sig_index"))
+    val held = Lease.acquire(spark, dir, "in-flight-step")
+    val e = intercept[IllegalStateException] {
+      DailyDriver.step(spark, delta, bench, dir, cfg)
+    }
+    assert(e.getMessage.contains("in-flight-step"), s"lease holder not named: $e")
+    assert(canon(spark.read.parquet(s"$dir/decisions")).sameElements(decBefore),
+      "fenced-out step mutated the decision table")
+    assert(canon(spark.read.parquet(s"$dir/sig_index")).sameElements(sigBefore),
+      "fenced-out step mutated the signature index")
+    intercept[IllegalStateException] { DailyDriver.maintain(spark, dir) }
+    Lease.release(spark, held)
+    // with the lease released the same step succeeds
+    DailyDriver.step(spark, delta, bench, dir, cfg)
+  }
+
+  test("a crashed writer's stale lease is taken over; release is nonce-fenced") {
+    val (dir, delta, bench) = freshDriver()
+    val fs = fsOf(dir)
+    // forge a lease whose heartbeat is past the staleness bound — the
+    // on-disk state a killed step leaves behind
+    val p = new Path(s"$dir/__lease")
+    val out = fs.create(p, true)
+    out.write(s"dead-step|${System.currentTimeMillis() - 31L * 60 * 1000}|old-nonce"
+      .getBytes("UTF-8"))
+    out.close()
+    DailyDriver.step(spark, delta, bench, dir, cfg) // takes the lease over
+    assert(!fs.exists(p), "takeover step did not release its lease")
+    // nonce fencing: releasing a token that lost its lease must not
+    // delete the CURRENT holder's lease
+    val loser = Lease.Token(dir, "stale-nonce")
+    val winner = Lease.acquire(spark, dir, "live")
+    Lease.release(spark, loser)
+    assert(fs.exists(p), "release deleted a lease it no longer owns")
+    Lease.release(spark, winner)
+    assert(!fs.exists(p), "owner release failed")
+  }
+
+  test("AtomicSwap.swap survives repeated use and repair is idempotent") {
+    import spark.implicits._
+    val dir = tempDir("swap-unit")
+    val t = s"$dir/t"
+    AtomicSwap.swap(spark, t)(tmp => Seq(1, 2, 3).toDF("x").write.parquet(tmp))
+    AtomicSwap.swap(spark, t)(tmp => Seq(4, 5).toDF("x").write.parquet(tmp))
+    AtomicSwap.repair(spark, t); AtomicSwap.repair(spark, t)
+    assert(spark.read.parquet(t).as[Int].collect().sorted.sameElements(Array(4, 5)))
+  }
+}
