@@ -186,7 +186,14 @@ object ScaleCheck {
       // native session windows: one user-keyed shuffle + session merge
       "q127_session_window",
       // repetition signals: zero shuffle, pure per-row array algebra
-      "q128_repetition_signals")
+      "q128_repetition_signals",
+      // continuous-measure quantile sketch: one map-side-partial groupBy,
+      // O(groups·k) shuffle bytes (≤k (hash,value) pairs per language) —
+      // the bounded-state sibling of q126; growth here is the corpus scan
+      "q130_quantile_sketch",
+      // width-13 decontam: q70/q122's zero-corpus-shuffle broadcast
+      // intersect with the widest per-row gram fold of the ladder
+      "q131_decontam_width13")
     val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", big)
     // warm
     SparkEntry.queries("q09_catalog_totals")(spark, dirs.head).count()

@@ -90,4 +90,113 @@ object Sketches {
 
   /** kmv_min_k(h) → ascending array of the ≤k smallest distinct hashes. */
   def kmvMinK(h: Column, k: Int): Column = udaf(new KmvAgg(k)).apply(h)
+
+  // ------------------------------------------------- quantile sketch
+
+  /** Multiplier for the engine-portable row-sampling hash
+    * `(id % HashMod) · A mod HashMod` (Knuth's 2³²/φ constant). The
+    * product stays under 2⁶³ (10⁹ · 2.7·10⁹ ≈ 2.7·10¹⁸), so the same
+    * expression is exact BIGINT arithmetic in DuckDB — no overflow, no
+    * engine-specific hash. Consecutive ids land ~6.5·10⁸ apart mod P,
+    * so bottom-k by this hash is an unclumped uniform row sample even
+    * over sequential id ranges. */
+  val SampleHashA = 2654435761L
+
+  /** The portable row-sampling hash as a Column (and [[sqlSampleHash]]
+    * as its DuckDB mirror). */
+  def sampleHash(id: Column): Column =
+    (id % graft.functions.TextFunctions.HashMod) * SampleHashA %
+      graft.functions.TextFunctions.HashMod
+
+  def sqlSampleHash(e: String): String =
+    s"(($e % ${graft.functions.TextFunctions.HashMod}) * $SampleHashA) % " +
+      s"${graft.functions.TextFunctions.HashMod}"
+
+  /** Sorted by (h, v) ascending, MULTISET (duplicates kept — two rows
+    * with equal hash and value are two sample rows), at most k pairs.
+    * Parallel arrays; like [[KmvBuf]], `hs`/`vs` may carry slack past
+    * `n`. */
+  final case class QsBuf(n: Int, hs: Array[Long], vs: Array[Double])
+
+  private val qsEnc: Encoder[QsBuf] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[QsBuf]()
+
+  /** Mergeable quantile sketch for CONTINUOUS measures — the KMV
+    * discipline applied to row sampling: keep the k rows whose
+    * (portable) id-hash is smallest, lexicographic on (hash, value) so
+    * the kept multiset is order-free and bitwise reproducible. The
+    * finish is the sample's values sorted ascending; quantiles read off
+    * it by nearest rank. Below k rows the sample IS the group and the
+    * quantiles are exact; above, a bottom-k-by-hash sample is a uniform
+    * k-subset, so the p-quantile estimate's rank error concentrates as
+    * √(p(1−p)/k) (SketchesSpec bounds it at 3σ against the exact rank).
+    *
+    * Same scale shape as [[KmvAgg]]: a monoid (merge = bounded sorted
+    * union), so map-side partial aggregation ships ≤k (hash, value)
+    * pairs per group — O(groups·k) shuffle bytes — where an exact
+    * quantile of a continuous measure would sort the corpus (continuous
+    * values defeat q126's value-grain histogram: every value is its own
+    * grain). Deterministic, so the DuckDB oracle derives the identical
+    * sample with a rank window and the compare is bitwise. */
+  final class QuantileSketchAgg(k: Int)
+      extends Aggregator[(Long, Double), QsBuf, Seq[Double]] {
+    require(k >= 2, s"quantile sketch needs k >= 2, got $k")
+
+    def zero: QsBuf = QsBuf(0, Array.empty, Array.empty)
+
+    def reduce(b: QsBuf, in: (Long, Double)): QsBuf = {
+      val (h, v) = in
+      // saturated and past the current kth pair: drop on the floor
+      if (b.n == k && (h > b.hs(k - 1) || (h == b.hs(k - 1) && v >= b.vs(k - 1))))
+        return b
+      // insertion point: first index with (hs, vs) lexicographically > (h, v)
+      var lo = 0; var hi = b.n
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (b.hs(m) < h || (b.hs(m) == h && b.vs(m) <= v)) lo = m + 1 else hi = m
+      }
+      val grow = b.n == b.hs.length && b.hs.length < k
+      val cap = if (grow) math.min(k, math.max(16, b.hs.length * 2)) else b.hs.length
+      val hs = if (grow) java.util.Arrays.copyOf(b.hs, cap) else b.hs
+      val vs = if (grow) java.util.Arrays.copyOf(b.vs, cap) else b.vs
+      val keep = math.min(b.n + 1, k)
+      System.arraycopy(hs, lo, hs, lo + 1, keep - lo - 1)
+      System.arraycopy(vs, lo, vs, lo + 1, keep - lo - 1)
+      hs(lo) = h; vs(lo) = v
+      QsBuf(keep, hs, vs)
+    }
+
+    def merge(a: QsBuf, b: QsBuf): QsBuf = {
+      if (a.n == 0) return b
+      if (b.n == 0) return a
+      val m = math.min(a.n + b.n, k)
+      val hs = new Array[Long](m); val vs = new Array[Double](m)
+      var i = 0; var j = 0; var o = 0
+      while (o < m) {
+        val takeA = j >= b.n || (i < a.n &&
+          (a.hs(i) < b.hs(j) || (a.hs(i) == b.hs(j) && a.vs(i) <= b.vs(j))))
+        if (takeA) { hs(o) = a.hs(i); vs(o) = a.vs(i); i += 1 }
+        else { hs(o) = b.hs(j); vs(o) = b.vs(j); j += 1 }
+        o += 1
+      }
+      QsBuf(m, hs, vs)
+    }
+
+    /** Sample VALUES ascending — the hashes exist only to pick the
+      * sample; quantiles are ranks over values. */
+    def finish(b: QsBuf): Seq[Double] = {
+      val out = java.util.Arrays.copyOf(b.vs, b.n)
+      java.util.Arrays.sort(out)
+      out.toSeq
+    }
+
+    def bufferEncoder: Encoder[QsBuf] = qsEnc
+    def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** quantile_sample(h, v) → ascending value array of the ≤k-row
+    * bottom-k-by-hash sample. */
+  def quantileSample(h: Column, v: Column, k: Int): Column =
+    udaf(new QuantileSketchAgg(k)).apply(h, v)
 }

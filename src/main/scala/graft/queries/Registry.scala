@@ -20,7 +20,7 @@ object Registry {
       DomainQ2.queries ++ ScaleQ.queries ++ FitQ.queries ++ CurationQ.queries ++
       CurationQ2.queries ++ CurationQ3.queries ++ CurationQ4.queries ++
       CurationQ5.queries ++ CurationQ6.queries ++ CurationQ7.queries ++
-      CurationQ8.queries
+      CurationQ8.queries ++ CurationQ9.queries
 
   lazy val byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

@@ -77,4 +77,61 @@ class SketchesSpec extends SparkSpecBase {
       .as[(String, Seq[Long])].collect().head._2
     assert(out == (0L until 10L), "duplicates leaked into the min-k set")
   }
+
+  // ----------------------------------------------- quantile sketch
+
+  test("quantile sample below k is the whole group: quantiles exact") {
+    val rows = Seq(7.0, 1.0, 5.0, 3.0, 9.0).zipWithIndex
+      .map { case (v, i) => ("g", Sketches.SampleHashA * (i + 1), v) }
+    val out = rows.toDF("g", "h", "v").groupBy($"g")
+      .agg(Sketches.quantileSample($"h", $"v", k).as("s"))
+      .as[(String, Seq[Double])].collect().head._2
+    assert(out == Seq(1.0, 3.0, 5.0, 7.0, 9.0))
+  }
+
+  test("quantile sample above k equals the rank-window sample, merge-invariant, keeps duplicates") {
+    val rnd = new java.util.SplittableRandom(43L)
+    // duplicate (h, v) pairs on purpose: the sample is a MULTISET
+    val base = (0 until 3000).map { i =>
+      ("g" + (i % 2), rnd.nextLong(TextFunctions.HashMod),
+        math.rint(rnd.nextDouble() * 50) / 10.0)
+    }
+    val rows = base ++ base.take(200)
+    val df = rows.toDF("g", "h", "v")
+    val w = Window.partitionBy($"g").orderBy($"h".asc, $"v".asc)
+    val expect = df.withColumn("rn", row_number().over(w)).filter($"rn" <= k)
+      .groupBy($"g").agg(sort_array(collect_list($"v")).as("s"))
+      .as[(String, Seq[Double])].collect().toMap
+    Seq(1, 13).foreach { parts =>
+      val got = df.repartition(parts).groupBy($"g")
+        .agg(Sketches.quantileSample($"h", $"v", k).as("s"))
+        .as[(String, Seq[Double])].collect().toMap
+      assert(got == expect, s"sample diverges from rank window at $parts partitions")
+    }
+  }
+
+  test("quantile estimates are within 3 sigma of the exact rank") {
+    val kk = 256
+    val n = 50000
+    val rnd = new java.util.SplittableRandom(44L)
+    // skewed continuous measure (exp of a uniform) — a distribution where
+    // naive midpoint guesses fail but rank sampling must not
+    val rows = (0 until n).map { i =>
+      ("g", rnd.nextLong(TextFunctions.HashMod), math.exp(rnd.nextDouble() * 5))
+    }
+    val df = rows.toDF("g", "h", "v").repartition(8)
+    val sample = df.groupBy($"g")
+      .agg(Sketches.quantileSample($"h", $"v", kk).as("s"))
+      .as[(String, Seq[Double])].collect().head._2
+    assert(sample.length == kk)
+    val sorted = rows.map(_._3).sorted
+    for (p <- Seq(0.5, 0.9)) {
+      val est = sample((math.ceil(p * kk) - 1).toInt)
+      // empirical CDF position of the estimate in the FULL data
+      val rank = sorted.count(_ <= est).toDouble / n
+      val tol = 3.0 * math.sqrt(p * (1 - p) / kk)
+      assert(math.abs(rank - p) <= tol,
+        s"p=$p: estimate $est sits at rank $rank, beyond 3 sigma ($tol)")
+    }
+  }
 }

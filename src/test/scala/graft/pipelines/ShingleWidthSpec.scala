@@ -34,6 +34,40 @@ class ShingleWidthSpec extends SparkSpecBase {
       s"contam_ratio diverges from q122 for docs ${diverging.take(5).toSeq}")
   }
 
+  test("curate(shingleWidth = 13) reproduces q131's contamination ratios bitwise") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val bench = docs.filter(col("doc_id") % 97 === 0).select("doc_id", "text")
+    val cur = Curation.curate(corpus, bench, Curation.Config(shingleWidth = 13))
+      .select("doc_id", "contam_ratio").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val q131 = graft.queries.Registry.byName("q131_decontam_width13")
+      .run(spark, sf)
+      .select("doc_id", "contam_ratio").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(cur.keySet === q131.keySet, "document sets differ")
+    assert(cur.nonEmpty, "empty decision table")
+    val diverging = cur.collect {
+      case (id, r) if java.lang.Double.doubleToLongBits(r) !=
+        java.lang.Double.doubleToLongBits(q131(id)) => id
+    }
+    assert(diverging.isEmpty,
+      s"contam_ratio diverges from q131 for docs ${diverging.take(5).toSeq}")
+  }
+
+  test("flag counts descend across the width ladder 3 >= 8 >= 13, strictly 3 > 13") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val bench = docs.filter(col("doc_id") % 97 === 0).select("doc_id", "text")
+    def flagged(width: Int): Long =
+      Curation.curate(corpus, bench, Curation.Config(shingleWidth = width))
+        .filter(col("contam_ratio") > 0.0).count()
+    val (w3, w8, w13) = (flagged(3), flagged(8), flagged(13))
+    assert(w3 >= w8 && w8 >= w13,
+      s"flag counts not monotone: width3=$w3 width8=$w8 width13=$w13")
+    assert(w3 > w13, s"width 3 ($w3) not strictly above width 13 ($w13)")
+  }
+
   test("width 3 flags strictly more documents than width 8 (the overclaiming gap)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val corpus = docs.filter(col("doc_id") % 97 =!= 0)
