@@ -20,15 +20,27 @@ object Bench {
     // recorded 174 s where an immediate re-run gave 115 s, with single
     // queries inflated up to 27×. min-of-2 suppresses one-off stalls while
     // both raw runs stay in the JSON ("runs") for auditability.
-    val results = wanted.map { case (name, fn) =>
-      val runs = (1 to 2).map { _ =>
+    //
+    // The two runs are TWO END-TO-END PASSES, the second in REVERSE
+    // order — not back-to-back per query. Back-to-back min-of-2 cannot
+    // see battery-POSITION effects (round 6: q82 read 3.74 s in-battery
+    // vs 2.13 s solo — late-alphabet queries pay accumulated-JVM tax in
+    // BOTH consecutive runs). Reversing the second pass puts every query
+    // at complementary positions, so the per-query min across passes is
+    // position-averaged: a query late in pass 1 is early in pass 2.
+    def pass(order: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)]): Map[String, Double] =
+      order.map { case (name, fn) =>
         // Each invocation measured standalone: no cached data carried
         // across queries or runs (intra-query .cache() still works).
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    val (p1, p2) = (pass(wanted), pass(wanted.reverse))
+    val results = wanted.map { case (name, _) =>
+      val runs = Seq(p1(name), p2(name))
       (name, runs.min, runs)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }

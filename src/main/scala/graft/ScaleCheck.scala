@@ -225,8 +225,37 @@ object ScaleCheck {
       val Seq(a, b, c) = times.map(_(n))
       println(f"$n%-24s $a%8.2f $b%8.2f $c%8.2f  ${c / b}%8.1fx")
     }
-    if (args.isEmpty) { incrementalDeltaCheck(spark, dirs); bpeTrainCheck(spark, dirs) }
+    if (args.isEmpty) {
+      incrementalDeltaCheck(spark, dirs); bpeTrainCheck(spark, dirs)
+      indexedSearchCheck(spark, dirs)
+    }
+    if (args.contains("search")) indexedSearchCheck(spark, dirs)
     spark.stop()
+  }
+
+  /** The hybrid-retrieval cost split the q121 bench row conflates: the
+    * corpus-linear index BUILD (once per corpus, amortized through
+    * merge/appendStream in production) vs the recurring pruned SEARCH
+    * (q132's registered row). The claim: build grows linearly with the
+    * corpus; search cost tracks the query workload + probed buckets/
+    * cells, staying near-flat across a 100× corpus range. */
+  private def indexedSearchCheck(spark: SparkSession, dirs: Seq[String]): Unit = {
+    println()
+    println(f"${"hybrid index (q121/132)"}%-24s ${"build"}%8s ${"search"}%8s  build/search")
+    for (d <- dirs) {
+      spark.catalog.clearCache()
+      val root = s"target/scalecheck_hybrid/${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val rp = new org.apache.hadoop.fs.Path(root)
+      rp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(rp, true)
+      val t0 = System.nanoTime()
+      graft.queries.CurationQ7.buildHybridIndexes(spark, d, root)
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      val t1 = System.nanoTime()
+      graft.queries.CurationQ7.searchHybridIndexes(spark, d, root).count()
+      val tSearch = (System.nanoTime() - t1) / 1e9
+      println(f"${d.split('/').last}%-24s $tBuild%8.2f $tSearch%8.2f  ${tBuild / tSearch}%8.1fx")
+    }
   }
 
   /** BPE training cost split into its two regimes: the ONE corpus pass

@@ -32,65 +32,66 @@ object CurationQ7 {
   private val idxCells = 16L
   private val idxNprobe = 2
 
-  /** Hybrid retrieval over PERSISTED indexes — q113's RRF fusion with
-    * both candidate generators index-backed: the BM25 side searches a
-    * [[graft.operators.LexIndex]] built over the corpus (reads only the
-    * query terms' buckets), the vector side searches a
-    * [[graft.operators.VecIndex]] IVF layout (reads only the probes'
-    * nprobe = 2 cells). q113 stays registered as the brute-force recall
-    * oracle (the q72 pattern); this is the form a corpus owner RUNS for
-    * recurring retrieval workloads — per batch it reads ~|query terms'
-    * buckets| + ~nprobe/k of the corpus instead of re-scanning all of
-    * it (q113's vector side was the battery's worst ScaleCheck row).
-    *
-    * The index build inside the query is the once-per-corpus cost run
-    * inline so the row stays self-contained and oracle-checkable; the
-    * searches are proven identical to the inline scorers
-    * (LexIndexSpec/VecIndexSpec), which is what licenses the inline
-    * oracle SQL. IndexedHybridSpec asserts BOTH search scans
-    * partition-prune inside this composed plan and floors the fused
-    * recall against q113. */
-  private def q121(s: SparkSession, d: String): DataFrame = {
-    import graft.operators.{KMeans, LexIndex, UnigramLm, VecIndex}
-    val root = new java.io.File(
-      s"target/qindex/q121_${java.lang.Integer.toHexString(d.hashCode)}")
-      .getAbsolutePath
-    val rp = new org.apache.hadoop.fs.Path(root)
-    rp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(rp, true)
-    val lexPath = s"$root/lex"
-    val vecPath = s"$root/vec"
-
-    // ----- lexical side: build + search the inverted index
+  /** The ONCE-PER-CORPUS half: build the inverted index, its BM25
+    * corpus statistics (df table + doc count — persisted so the search
+    * half never re-scans the corpus to derive them), and the IVF vector
+    * layout under `root`. Corpus-linear; production amortizes it through
+    * `LexIndex.merge` / `VecIndex.appendStream`. */
+  private[graft] def buildHybridIndexes(s: SparkSession, d: String,
+                                          root: String): Unit = {
+    import graft.operators.{LexIndex, UnigramLm, VecIndex}
     val docs = Tables.documents(s, d)
     val isQ = (col("doc_id") % qMod === 0) && (col("doc_id") < qCap)
     val tf = UnigramLm.termFreq(docs.filter(!isQ), "doc_id", "text")
-      .cache() // read by the index build AND the df/query-term derivation
-    LexIndex.build(tf, lexPath)
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = tf.agg(count_distinct(col("doc_id")).as("n_docs"))
-    val qdocs = docs.filter(isQ)
-      .select(col("doc_id").as("q_id"),
-        explode(array_distinct(tokens(col("text")))).as("term"))
-    // cache: search reads qterms twice (bucket-id collect + probe join)
-    // and the relation's lineage re-runs the tf-derived df window
-    val qt = Bm25.queryTerms(qdocs, dfreq, nDocs, dfPermille).cache()
-    val lex = LexIndex.search(s, lexPath, qt, fuseDepth)
-      .select(col("q_id"), col("doc_id"), col("rk").as("rb"))
-
-    // ----- vector side: build + search the IVF index
+      .cache() // read by the index build AND both stats aggregations
+    LexIndex.build(tf, s"$root/lex")
+    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$root/df")
+    tf.agg(count_distinct(col("doc_id")).as("n_docs"))
+      .write.mode("overwrite").parquet(s"$root/ndocs")
+    tf.unpersist()
     val emb = Tables.embeddings(s, d)
     val isQv = (col("vec_id") % qMod === 0) && (col("vec_id") < qCap)
     val cents = emb.filter(col("vec_id") < idxCells)
       .select(col("vec_id").cast(IntegerType).as("cid"),
         col("embedding").as("centroid"))
-    VecIndex.build(emb.filter(!isQv), "vec_id", "embedding", cents, vecPath)
+    VecIndex.build(emb.filter(!isQv), "vec_id", "embedding", cents, s"$root/vec")
+  }
+
+  /** The RECURRING half: search the persisted layouts. Reads = the query
+    * docs/vectors (id-capped pushed-filter scans), the persisted df/ndocs
+    * stats, the query terms' lex buckets, and the probes' nprobe cells —
+    * never the corpus. */
+  private[graft] def searchHybridIndexes(s: SparkSession, d: String,
+                                           root: String): DataFrame = {
+    import graft.operators.{KMeans, LexIndex, VecIndex}
+
+    // ----- lexical side
+    val docs = Tables.documents(s, d)
+    val isQ = (col("doc_id") % qMod === 0) && (col("doc_id") < qCap)
+    val dfreq = s.read.parquet(s"$root/df")
+    val nDocs = s.read.parquet(s"$root/ndocs")
+    val qdocs = docs.filter(isQ)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(tokens(col("text")))).as("term"))
+    // cache: search reads qterms twice (bucket-id collect + probe join)
+    val qt = Bm25.queryTerms(qdocs, dfreq, nDocs, dfPermille).cache()
+    val lex = LexIndex.search(s, s"$root/lex", qt, fuseDepth)
+      .select(col("q_id"), col("doc_id"), col("rk").as("rb"))
+
+    // ----- vector side
+    val emb = Tables.embeddings(s, d)
+    val isQv = (col("vec_id") % qMod === 0) && (col("vec_id") < qCap)
+    val cents = emb.filter(col("vec_id") < idxCells)
+      .select(col("vec_id").cast(IntegerType).as("cid"),
+        col("embedding").as("centroid"))
     val probes = KMeans
       .assignTop(emb.filter(isQv), "vec_id", "embedding", cents, idxNprobe)
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
         col("cid").as("q_cid"))
     val vec = VecIndex
-      .search(VecIndex.open(s, vecPath), probes, "vec_id", "embedding", fuseDepth)
+      .search(VecIndex.open(s, s"$root/vec"), probes, "vec_id", "embedding", fuseDepth)
       .select(col("q_id"), col("vec_id").as("doc_id"), col("rk").as("rv"))
 
     // ----- RRF fusion — q113's arithmetic verbatim
@@ -109,6 +110,72 @@ object CurationQ7 {
         coalesce(col("rv"), lit(0)).as("rv"),
         col("rrf_s"), col("rrf"))
       .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** Hybrid retrieval over PERSISTED indexes — q113's RRF fusion with
+    * both candidate generators index-backed: the BM25 side searches a
+    * [[graft.operators.LexIndex]] built over the corpus (reads only the
+    * query terms' buckets), the vector side searches a
+    * [[graft.operators.VecIndex]] IVF layout (reads only the probes'
+    * nprobe = 2 cells). q113 stays registered as the brute-force recall
+    * oracle (the q72 pattern); this is the form a corpus owner RUNS for
+    * recurring retrieval workloads — per batch it reads ~|query terms'
+    * buckets| + ~nprobe/k of the corpus instead of re-scanning all of
+    * it (q113's vector side was the battery's worst ScaleCheck row).
+    *
+    * The index build inside the query is the once-per-corpus cost run
+    * inline so the row stays self-contained and oracle-checkable; the
+    * searches are proven identical to the inline scorers
+    * (LexIndexSpec/VecIndexSpec), which is what licenses the inline
+    * oracle SQL. IndexedHybridSpec asserts BOTH search scans
+    * partition-prune inside this composed plan and floors the fused
+    * recall against q113. q132 is the same semantics with the build
+    * CACHED — the recurring-workload row. */
+  private def q121(s: SparkSession, d: String): DataFrame = {
+    val root = new java.io.File(
+      s"target/qindex/q121_${java.lang.Integer.toHexString(d.hashCode)}")
+      .getAbsolutePath
+    val rp = new org.apache.hadoop.fs.Path(root)
+    rp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(rp, true)
+    buildHybridIndexes(s, d, root)
+    searchHybridIndexes(s, d, root)
+  }
+
+  /** Content fingerprint of the tables the hybrid indexes derive from —
+    * file names/lengths/mtimes of the documents + embeddings layouts.
+    * Keys q132's cached build so a regenerated testdata directory can
+    * never serve a stale index (the reuse is exact, not heuristic). */
+  private def dataFingerprint(s: SparkSession, d: String): String = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val parts = Seq("documents.parquet", "embeddings.parquet").map { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$d/$t")
+      val fs = p.getFileSystem(conf)
+      fs.listStatus(p)
+        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .sorted.mkString(",")
+    }.mkString(";")
+    java.lang.Long.toHexString(
+      parts.foldLeft(1125899906842597L)((h, c) => h * 31 + c))
+  }
+
+  /** q121's RECURRING-WORKLOAD row: identical semantics and output (the
+    * oracle is shared), but the corpus-linear index build runs only when
+    * no index for this exact data fingerprint exists — persisted once by
+    * the harness, then every later invocation is the pruned SEARCH cost
+    * alone. This is the number a corpus owner sees per retrieval batch;
+    * q121 keeps reporting the self-contained build+search cost. The
+    * cached build lands via [[graft.operators.AtomicSwap]], so a killed
+    * build can never serve a half-written index (the root exists only
+    * after a complete build committed). */
+  private def q132(s: SparkSession, d: String): DataFrame = {
+    val root = new java.io.File(
+      s"target/qindex/shared_${java.lang.Integer.toHexString(d.hashCode)}_" +
+        dataFingerprint(s, d)).getAbsolutePath
+    graft.operators.AtomicSwap.repair(s, root)
+    val rp = new org.apache.hadoop.fs.Path(root)
+    if (!rp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(rp))
+      graft.operators.AtomicSwap.swap(s, root)(tmp => buildHybridIndexes(s, d, tmp))
+    searchHybridIndexes(s, d, root)
   }
 
   private val q121Sql = {
@@ -427,5 +494,6 @@ object CurationQ7 {
     GQuery("q121_indexed_hybrid", q121, Some(q121Sql), Seq("A16", "O4", "U1", "J9")),
     GQuery("q122_decontam_width8", q122, Some(q122Sql), Seq("A16", "J9")),
     GQuery("q123_sampled_terciles", q123, Some(q123Sql), Seq("F6", "A16", "J6")),
-    GQuery("q124_bm25_ndcg", q124, Some(q124Sql), Seq("A16", "O4", "A23")))
+    GQuery("q124_bm25_ndcg", q124, Some(q124Sql), Seq("A16", "O4", "A23")),
+    GQuery("q132_indexed_search", q132, Some(q121Sql), Seq("A16", "O4", "U1", "J9")))
 }

@@ -33,6 +33,43 @@ class IndexedHybridSpec extends SparkSpecBase {
       s"VecIndex scan not pruned on cid:\n${vecScans.mkString("\n")}")
   }
 
+  test("q132 (search-only row) matches q121 exactly and reuses the cached build") {
+    def rows(name: String): Array[String] =
+      Registry.byName(name).run(spark, sf).collect().map(_.toString).sorted
+    val q121 = rows("q121_indexed_hybrid")
+    val first = rows("q132_indexed_search") // builds the cache (or reuses)
+    assert(first.sameElements(q121), "q132 diverged from q121 on the same corpus")
+    // the cached root must not be rebuilt by a second invocation —
+    // compare the recursive max mtime under the only shared_* root
+    val roots = new java.io.File("target/qindex").listFiles()
+      .filter(_.getName.startsWith("shared_"))
+    assert(roots.nonEmpty, "q132 left no cached index root")
+    def maxMtime(f: java.io.File): Long = {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty)
+      (f.lastModified() +: kids.map(maxMtime)).max
+    }
+    val before = roots.map(maxMtime).max
+    val second = rows("q132_indexed_search")
+    assert(second.sameElements(q121), "second q132 run diverged")
+    assert(roots.map(maxMtime).max == before,
+      "second q132 run rewrote the cached index — the build is not reused")
+    // and the search-only plan still partition-prunes both scans (plan
+    // printed over a SHORT root — q132's cached root is long enough that
+    // the FileScan location truncates out of the plan string)
+    val shortRoot = tempDir("hyb")
+    CurationQ7.buildHybridIndexes(spark, sf, shortRoot)
+    val plan = CurationQ7.searchHybridIndexes(spark, sf, shortRoot)
+      .queryExecution.executedPlan.toString
+    val lexScans = plan.linesIterator.filter(_.contains("/lex/buckets")).toSeq
+    assert(lexScans.nonEmpty && lexScans.forall(l =>
+      l.contains("PartitionFilters: [") && l.contains("tb")),
+      s"q132 LexIndex scan not pruned on tb:\n${lexScans.mkString("\n")}")
+    val vecScans = plan.linesIterator.filter(_.contains("/vec/base")).toSeq
+    assert(vecScans.nonEmpty && vecScans.forall(l =>
+      l.contains("PartitionFilters: [") && l.contains("cid")),
+      s"q132 VecIndex scan not pruned on cid:\n${vecScans.mkString("\n")}")
+  }
+
   test("fused top-5 overlaps the brute-force q113 fusion at >= 0.6") {
     def pairs(name: String): Set[(Long, Long)] =
       Registry.byName(name).run(spark, sf)
