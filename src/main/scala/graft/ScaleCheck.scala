@@ -254,7 +254,22 @@ object ScaleCheck {
       val t1 = System.nanoTime()
       graft.queries.CurationQ7.searchHybridIndexes(spark, d, root).count()
       val tSearch = (System.nanoTime() - t1) / 1e9
-      println(f"${d.split('/').last}%-24s $tBuild%8.2f $tSearch%8.2f  ${tBuild / tSearch}%8.1fx")
+      // cell balance: the inline build assigns against the first-16-ids
+      // centroid convention (skew-prone by construction); retrain's
+      // trained quantizer should flatten the occupancy. Printed as
+      // max-cell share — the fraction a worst-case probe of that cell
+      // would scan.
+      def maxShare(): Double = {
+        val occ = graft.operators.VecIndex.open(spark, s"$root/vec")
+          .groupBy(col("cid")).count().collect().map(_.getLong(1))
+        occ.max.toDouble / occ.sum
+      }
+      val skewBefore = maxShare()
+      graft.operators.VecIndex.retrain(spark, s"$root/vec", "vec_id", "embedding",
+        k = 16, iters = 2)
+      val skewAfter = maxShare()
+      println(f"${d.split('/').last}%-24s $tBuild%8.2f $tSearch%8.2f  " +
+        f"${tBuild / tSearch}%8.1fx  cellmax $skewBefore%.3f -> $skewAfter%.3f")
     }
   }
 

@@ -260,6 +260,37 @@ object VecIndex {
         .join(broadcast(ids.select(col(idCol)).distinct()), Seq(idCol), "left_anti")
         .repartitionByRange(col("cid"), col(idCol)))
 
+  /** Re-train the coarse quantizer against the CURRENT rows and re-cell
+    * the index — the drift-maintenance half [[compact]]/[[delete]] leave
+    * open: appends assign against day-0 centroids, so a drifting corpus
+    * piles into few cells and search degrades toward a serial scan of
+    * one giant cell. Retraining runs [[KMeans.lloyd]] over the live rows
+    * (deterministic, RNG-free), re-assigns every row with the
+    * streaming-safe [[assignFold]], and lands the re-celled layout under
+    * the SAME commit-marker + [[repair]] contract as compaction — a
+    * crash at any point leaves the old or the complete new layout.
+    *
+    * The vector SET is untouched (same ids, same vectors, same norms —
+    * only `cid` moves; VecIndexSpec proves row identity and that
+    * post-drift cell skew drops). New centroids are returned AND
+    * persisted under `path/centroids` so probe assignment and future
+    * appends pick them up; same handoff discipline as [[compact]]: no
+    * active writer, restart append streams on a fresh checkpoint.
+    *
+    * @return the trained centroids (cid, centroid) — materialized, safe
+    *         to use after the swap */
+  def retrain(spark: SparkSession, path: String, idCol: String, vecCol: String,
+              k: Int, iters: Int = 5): DataFrame = {
+    val rows = open(spark, path)
+    val cents = KMeans.lloyd(rows, idCol, vecCol, k, iters).localCheckpoint()
+    val recelled = assignFold(rows, idCol, vecCol, cents)
+      .select(col(idCol), col(vecCol), col("norm"), col("cid"))
+      .repartitionByRange(col("cid"), col(idCol))
+    swapInPlace(spark, path, recelled)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    cents
+  }
+
   /** The guarded in-place swap behind [[compact]]/[[delete]]: write the
     * full replacement under `__compacting`, create the COMMIT MARKER
     * (the point of no return — from here [[repair]] rolls forward), then

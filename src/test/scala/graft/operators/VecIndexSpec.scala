@@ -224,6 +224,59 @@ class VecIndexSpec extends SparkSpecBase {
       "deleting absent ids changed the index")
   }
 
+  test("retrain preserves the vector set, reduces drift skew, keeps search pruning") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = tempDir("vecretrain")
+    // adversarial day-0 quantizer: four copies of ONE vector as the
+    // centroid set — assignFold's lowest-cid tie-break piles EVERY row
+    // into cell 0, the degenerate end state of corpus drift
+    val one = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect().head.getSeq[Float](0)
+    import spark.implicits._
+    val degenerate = (0 until 4).map(i => (i, one)).toDF("cid", "centroid")
+    VecIndex.build(emb, "vec_id", "embedding", degenerate, dir)
+    def occupancy(): Map[Int, Long] =
+      VecIndex.open(spark, dir).groupBy(col("cid")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val before = occupancy()
+    val n = before.values.sum
+    assert(before.size == 1, s"fixture not degenerate: $before")
+    def rowSet(d: String): Array[(Long, Seq[Float], Double)] =
+      VecIndex.open(spark, d)
+        .select(col("vec_id"), col("embedding"), col("norm")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+        .sortBy(_._1)
+    val rowsBefore = rowSet(dir)
+
+    val cents = VecIndex.retrain(spark, dir, "vec_id", "embedding", k = 4, iters = 3)
+
+    assert(rowSet(dir).sameElements(rowsBefore),
+      "retrain changed the vector set — it may only move cells")
+    val after = occupancy()
+    assert(after.size > 1, s"retrain left all rows in one cell: $after")
+    assert(after.values.max < n, "max cell occupancy did not drop")
+    // persisted centroids match the returned ones, and search over the
+    // re-celled layout still partition-prunes and returns k rows per probe
+    val persisted = spark.read.parquet(s"$dir/centroids").count()
+    assert(persisted == cents.count(), "persisted centroids diverge")
+    val idx = VecIndex.open(spark, dir)
+    val probes = KMeans
+      .assignTop(emb.filter(col("vec_id") < 3), "vec_id", "embedding", cents, 1)
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("cid").as("q_cid"))
+    val res = VecIndex.search(idx, probes, "vec_id", "embedding", k = 5)
+    val plan = res.queryExecution.executedPlan.toString
+    val idxScans = plan.linesIterator.filter(_.contains("/base")).toSeq
+    assert(idxScans.nonEmpty, s"no index scan in plan:\n$plan")
+    assert(idxScans.forall(l => l.contains("PartitionFilters: [") &&
+      !l.contains("PartitionFilters: []") && l.contains("cid")),
+      s"post-retrain search lost partition pruning:\n${idxScans.mkString("\n")}")
+    val perProbe = res.groupBy(col("q_id")).count().collect().map(_.getLong(1))
+    assert(perProbe.nonEmpty && perProbe.forall(_ == 5L),
+      "post-retrain search did not return k rows per probe")
+  }
+
   test("an interrupted swap repairs: pre-commit rolls back, post-commit rolls forward") {
     import org.apache.hadoop.fs.Path
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
