@@ -19,6 +19,7 @@ import org.apache.spark.sql.functions._
   * {{{
   *   path/buckets/v=V/tb=B/part-*.parquet // bucket B as (re)written by version V
   *   path/stats/v=V/part-*.parquet        // 1 row (n_docs, t_total, avgdl_s)
+  *   path/docmap/v=V/tb=B/part-*.parquet  // (doc_id, tb) sidecar — delete's probe
   *   path/manifest/v=V.txt                // lines "B:V_B" — bucket → its live version
   * }}}
   * The CURRENT index is defined by the highest-numbered manifest file,
@@ -57,6 +58,7 @@ object LexIndex {
   private def bucketsDir(path: String) = s"$path/buckets"
   private def statsDir(path: String) = s"$path/stats"
   private def manifestDir(path: String) = s"$path/manifest"
+  private def docmapDir(path: String) = s"$path/docmap"
 
   private def tb(term: Column): Column =
     pmod(graft.functions.TextFunctions.strHash(term), lit(Buckets))
@@ -171,8 +173,40 @@ object LexIndex {
     // write actually produced — a bucket whose rows all vanished in a
     // delete writes nothing and must leave the manifest
     val f = fs(spark, path)
-    f.listStatus(new Path(dst)).map(_.getPath.getName)
+    val written = f.listStatus(new Path(dst)).map(_.getPath.getName)
       .collect { case s if s.startsWith("tb=") => s.stripPrefix("tb=").toLong }
+    // doc→bucket SIDECAR for the version's buckets: one (doc_id, tb)
+    // row per document per touched bucket — what [[delete]] probes to
+    // find victim buckets without scanning postings. Derived by reading
+    // BACK the just-written files (a column-pruned scan of the new
+    // version only, never of the live index or the mutation's lineage),
+    // versioned and published exactly like the buckets themselves.
+    if (written.nonEmpty)
+      spark.read.option("basePath", dst).parquet(dst)
+        .select(col("doc_id"), col("tb"))
+        .distinct()
+        .repartitionByRange(col("tb"), col("doc_id"))
+        .write.mode("overwrite").partitionBy("tb")
+        .parquet(s"${docmapDir(path)}/v=$v")
+    written
+  }
+
+  private def docmapPath(path: String, b: Long, v: Long): String =
+    s"${docmapDir(path)}/v=$v/tb=$b"
+
+  /** The live doc→bucket sidecar at `manifest` — (doc_id, tb) pairs for
+    * every live bucket — or None when any live bucket predates the
+    * sidecar (an index written by an older engine version: [[delete]]
+    * then falls back to the postings scan). Driver cost: ≤ Buckets
+    * existence probes. */
+  private[graft] def openDocmap(spark: SparkSession, path: String,
+                                manifest: Map[Long, Long]): Option[DataFrame] = {
+    if (manifest.isEmpty) return None
+    val f = fs(spark, path)
+    val paths = manifest.toSeq.sorted.map { case (b, v) => docmapPath(path, b, v) }
+    if (!paths.forall(p => f.exists(new Path(p)))) None
+    else Some(spark.read.option("basePath", docmapDir(path)).parquet(paths: _*)
+      .select(col("doc_id"), col("tb").cast("long").as("tb")))
   }
 
   /** Build from a (doc_id, term, tf) relation: derive dl/df/stats,
@@ -246,9 +280,13 @@ object LexIndex {
     * victims' document count and summed length, with `avgdl_s`
     * recomputed by the same integer division as a fresh build — so
     * `delete(build(A ∪ B), ids(B)) ≡ build(A)` row-for-row AND
-    * stats-for-stats (LexIndexSpec). Finding the victims' buckets costs
-    * one column-pruned (tb, doc_id) scan of the postings — the index
-    * has no doc→bucket sidecar; ids absent from the index are no-ops.
+    * stats-for-stats (LexIndexSpec). Finding the victims' buckets
+    * probes the doc→bucket SIDECAR every write maintains — one row per
+    * (document, bucket) instead of one per posting, so the probe reads
+    * ~terms-per-doc× fewer bytes than a postings scan and the whole
+    * retraction touches only sidecar + victim buckets (plan-asserted by
+    * LexIndexSpec). Indexes written before the sidecar existed fall
+    * back to the postings scan. Ids absent from the index are no-ops.
     * Same atomic manifest publication as [[merge]]. */
   def delete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
     val cur = currentVersion(spark, path)
@@ -256,10 +294,8 @@ object LexIndex {
     val man = readManifest(spark, path, cur)
     if (man.isEmpty) return
     val victims = ids.select(col("doc_id")).distinct()
-    val all = readBuckets(spark, path, man, man.keys.toSeq)
-    val touched = all.select(col("tb"), col("doc_id"))
-      .join(broadcast(victims), Seq("doc_id"))
-      .select(col("tb")).distinct().collect().map(_.getLong(0))
+    val touched = victimBuckets(spark, path, man, victims)
+      .collect().map(_.getLong(0))
     if (touched.isEmpty) return
     val touchedRows = readBuckets(spark, path, man, touched.toIndexedSeq)
     // one row per victim doc: its denormalized dl (constant across the
@@ -279,6 +315,29 @@ object LexIndex {
         oldSt.getLong(1) - gone.getLong(1)))
     publishManifest(spark, path, cur + 1L,
       (man -- touched.filterNot(written.contains)) ++ written.map(_ -> (cur + 1L)))
+  }
+
+  /** Spec accessors: the live sidecar / victim-bucket probe at the
+    * current manifest. */
+  private[graft] def openDocmap(spark: SparkSession, path: String): Option[DataFrame] =
+    openDocmap(spark, path, readManifest(spark, path, currentVersion(spark, path)))
+
+  private[graft] def victimBuckets(spark: SparkSession, path: String,
+                                   victims: DataFrame): DataFrame =
+    victimBuckets(spark, path,
+      readManifest(spark, path, currentVersion(spark, path)), victims)
+
+  /** The distinct bucket ids holding any victim's postings — sidecar
+    * probe when available, postings fallback otherwise. Exposed
+    * (package-private) so LexIndexSpec can assert the probe's plan
+    * reads ONLY docmap files. */
+  private[graft] def victimBuckets(spark: SparkSession, path: String,
+                                   manifest: Map[Long, Long],
+                                   victims: DataFrame): DataFrame = {
+    val pairs = openDocmap(spark, path, manifest).getOrElse(
+      readBuckets(spark, path, manifest, manifest.keys.toSeq)
+        .select(col("tb"), col("doc_id")))
+    pairs.join(broadcast(victims), Seq("doc_id")).select(col("tb")).distinct()
   }
 
   private def statsRow(spark: SparkSession, nDocs: Long, tTotal: Long): DataFrame =
@@ -321,6 +380,7 @@ object LexIndex {
     }
     sweep(bucketsDir(path), s"v=$next")
     sweep(statsDir(path), s"v=$next")
+    sweep(docmapDir(path), s"v=$next")
     sweep(manifestDir(path), s"v=$next.txt")
   }
 

@@ -137,7 +137,56 @@ class LexIndexSpec extends SparkSpecBase {
         .filter(_.startsWith("v=")).toSeq
     assert(versions("buckets") === Seq("v=3"), s"stale bucket versions: ${versions("buckets")}")
     assert(versions("stats") === Seq("v=3"), s"stale stats versions: ${versions("stats")}")
+    assert(versions("docmap") === Seq("v=3"), s"stale docmap versions: ${versions("docmap")}")
     assert(versions("manifest") === Seq("v=3.txt"), s"stale manifests: ${versions("manifest")}")
+  }
+
+  test("delete's bucket probe reads only the doc→bucket sidecar; sidecar stays consistent") {
+    val docs = docsAt("/root/testdata/sf0.001")
+    val a = docs.filter(col("doc_id") % 3 =!= 0)
+    val b = docs.filter(col("doc_id") % 3 === 0)
+    val c = docs.filter(col("doc_id") % 5 === 1)
+    val p = tempDir("lexdm")
+    // the sidecar must track every mutation kind
+    def consistent(stage: String): Unit = {
+      val dm = LexIndex.openDocmap(spark, p)
+      assert(dm.nonEmpty, s"$stage: no sidecar for a freshly-written index")
+      val got = dm.get.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val want = LexIndex.openPostings(spark, p)
+        .select(col("doc_id"), col("tb")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.sameElements(want),
+        s"$stage: sidecar diverges from postings (${got.length} vs ${want.length} pairs)")
+    }
+    LexIndex.build(UnigramLm.termFreq(a, "doc_id", "text"), p)
+    consistent("build")
+    LexIndex.merge(spark, p, UnigramLm.termFreq(b, "doc_id", "text"))
+    consistent("merge")
+    // the probe's plan: every FileScan must read docmap files, never
+    // buckets (victims passed as a LOCAL relation so the only file
+    // reads in the plan are the probe's own)
+    import spark.implicits._
+    val victimIds = c.select("doc_id").collect().map(_.getLong(0)).toSeq.toDF("doc_id")
+    val probe = LexIndex.victimBuckets(spark, p, victimIds)
+    val scans = probe.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("FileScan")).toSeq
+    assert(scans.nonEmpty, "no FileScan in the victim-bucket probe plan")
+    assert(scans.forall(_.contains("/docmap/")),
+      s"victim-bucket probe reads outside the sidecar:\n${scans.mkString("\n")}")
+    assert(!scans.exists(_.contains("/buckets/")),
+      s"victim-bucket probe scans postings:\n${scans.mkString("\n")}")
+    LexIndex.delete(spark, p, c.select("doc_id"))
+    consistent("delete")
+    LexIndex.compact(spark, p)
+    consistent("compact")
+    // fallback: wiping the sidecar must not break delete (pre-sidecar index)
+    val fsys = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$p/docmap"), true)
+    assert(LexIndex.openDocmap(spark, p).isEmpty, "sidecar still open after wipe")
+    val before = postingRows(p)
+    LexIndex.delete(spark, p, Seq(-1L).toDF("doc_id")) // absent id → no-op
+    assert(postingRows(p).sameElements(before), "fallback delete changed rows")
   }
 
   test("a merge interrupted before the manifest flip leaves the old index readable; replay completes it") {
