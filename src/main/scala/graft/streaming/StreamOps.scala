@@ -481,6 +481,40 @@ object StreamOps {
       .toDF("group", "n_min", "h_k", "est_distinct")
   }
 
+  /** Ingest-time per-group quantile estimates — the streaming form of
+    * q130's bottom-k-by-hash sample ([[graft.functions.Sketches
+    * .QuantileSketchAgg]]). State per group = the ≤k (hash, value)
+    * sample + the running row count: bounded regardless of stream
+    * length, and the sample multiset is order-free, so after ANY prefix
+    * of the stream the emitted row equals q130's batch arithmetic over
+    * that prefix bitwise — however the prefix was micro-batched
+    * (StreamingQuantileSpec). Input rows are (group, hash, value);
+    * emits (group, n_rows, m, p50_est, p90_est) in Update mode. */
+  def streamingQuantiles(rows: Dataset[(String, Long, Double)],
+                         k: Int): DataFrame = {
+    import rows.sparkSession.implicits._
+    val agg = new graft.functions.Sketches.QuantileSketchAgg(k)
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[(graft.functions.Sketches.QsBuf, Long),
+        (String, Long, Long, Double, Double)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (g, it, state) =>
+          var (buf, n) = state.getOption.getOrElse((agg.zero, 0L))
+          it.foreach { case (_, h, v) => buf = agg.reduce(buf, (h, v)); n += 1 }
+          state.update((buf, n))
+          if (buf.n == 0) Iterator.empty
+          else {
+            // the batch nearest-rank reads (q130's ⌈p·m⌉ integer rule)
+            val vs = java.util.Arrays.copyOf(buf.vs, buf.n)
+            java.util.Arrays.sort(vs)
+            val m = buf.n
+            Iterator.single((g, n, m.toLong,
+              vs((m + 1) / 2 - 1), vs((9 * m + 9) / 10 - 1)))
+          }
+      }
+      .toDF("group", "n_rows", "m", "p50_est", "p90_est")
+  }
+
   /** Ingest-time sessionization — the streaming form of q127's batch
     * `session_window` aggregation, identical row-for-row once the
     * watermark closes a session (SessionWindowSpec proves it against
