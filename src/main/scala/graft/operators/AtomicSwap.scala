@@ -24,6 +24,16 @@ import org.apache.spark.sql.SparkSession
   * before every read of a swap-managed directory — the open-repairs
   * contract VecIndexSpec pins for the vector index and
   * DailyDriverApiSpec pins for the driver tables.
+  *
+  * Reader contract: this is a single-writer, read-RETRY discipline — a
+  * reader racing the swap's delete+rename window can observe a missing
+  * directory for the instant between the two renames; `repair` + retry
+  * always lands on a complete table (the replacement is durable before
+  * the old table is touched). Workloads that need lock-free snapshot
+  * reads across mutations use the [[LexIndex]]-style versioned-manifest
+  * layout instead, where published versions are immutable and readers
+  * pin one; this helper is for tables swapped between protocol steps
+  * (the daily driver's), not under live concurrent scans.
   */
 object AtomicSwap {
 
