@@ -20,10 +20,21 @@ import org.apache.spark.sql.SparkSession
   *     re-drives both — each step is idempotent);
   *  4. remove the marker.
   *
-  * [[repair]] is cheap (two existence probes when healthy) and must run
+  * [[repair]] is cheap (one existence probe when healthy) and must run
   * before every read of a swap-managed directory — the open-repairs
   * contract VecIndexSpec pins for the vector index and
   * DailyDriverApiSpec pins for the driver tables.
+  *
+  * Repair is DESTRUCTIVE (it deletes the old table once the marker is
+  * durable), so it must never race the writer's own marker window or a
+  * second repair: both the marker window of [[swap]] and the body of
+  * [[repair]] run under a short-lived TABLE lock (`dst__lock`,
+  * create-no-overwrite). The lock is held only around metadata
+  * operations (seconds), never around the replacement write, so a
+  * healthy reader hitting a marker waits briefly for the writer to
+  * finish; a marker left by a CRASH comes with a lock whose heartbeat
+  * has stopped — broken after `lockStaleMs` (default 60 s, far above
+  * any healthy delete+rename) and repaired.
   *
   * Reader contract: this is a single-writer, read-RETRY discipline — a
   * reader racing the swap's delete+rename window can observe a missing
@@ -39,6 +50,7 @@ object AtomicSwap {
 
   private def tmpPath(dst: String) = new Path(dst + "__new")
   private def markerPath(dst: String) = new Path(dst + "__commit")
+  private def lockPath(dst: String) = new Path(dst + "__lock")
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -55,10 +67,15 @@ object AtomicSwap {
     val tmp = tmpPath(dst)
     fs.delete(tmp, true) // uncommitted debris from an earlier crash
     write(tmp.toString)
-    fs.create(markerPath(dst), false).close() // THE commit point
-    fs.delete(dstP, true)
-    require(fs.rename(tmp, dstP), s"swap rename failed: $tmp -> $dstP")
-    fs.delete(markerPath(dst), false)
+    // the marker window: metadata ops only, guarded by the table lock so
+    // a concurrent reader's repair can never interleave its delete/rename
+    // with ours
+    withTableLock(fs, dst) {
+      fs.create(markerPath(dst), false).close() // THE commit point
+      fs.delete(dstP, true)
+      require(fs.rename(tmp, dstP), s"swap rename failed: $tmp -> $dstP")
+      fs.delete(markerPath(dst), false)
+    }
   }
 
   /** Roll an interrupted [[swap]] forward. Marker present + tmp present →
@@ -66,18 +83,63 @@ object AtomicSwap {
     * Marker present + tmp absent → only the marker removal remained.
     * Marker absent → any tmp debris is uncommitted and stays invisible
     * (the next swap overwrites it). Idempotent — repair may itself crash
-    * and re-run. */
-  def repair(spark: SparkSession, dst: String): Unit = {
+    * and re-run; serialized against the writer and other repairs by the
+    * table lock (the marker is re-checked under it — a repair that
+    * merely waited out a healthy writer finds it gone and does nothing).
+    *
+    * @param lockStaleMs age past which a lock counts as a crashed
+    *                    holder's and is broken (specs shrink it)
+    * @param deadlineMs  bound on waiting for a LIVE lock holder */
+  def repair(spark: SparkSession, dst: String,
+             lockStaleMs: Long = 60000L, deadlineMs: Long = 120000L): Unit = {
     val dstP = new Path(dst)
     val fs = fsOf(spark, dstP)
-    val marker = markerPath(dst)
-    if (!fs.exists(marker)) return
-    val tmp = tmpPath(dst)
-    if (fs.exists(tmp)) {
-      fs.delete(dstP, true)
-      require(fs.rename(tmp, dstP), s"repair rename failed: $tmp -> $dstP")
+    if (!fs.exists(markerPath(dst))) return
+    withTableLock(fs, dst, lockStaleMs, deadlineMs) {
+      if (fs.exists(markerPath(dst))) { // re-check under the lock
+        val tmp = tmpPath(dst)
+        if (fs.exists(tmp)) {
+          fs.delete(dstP, true)
+          require(fs.rename(tmp, dstP), s"repair rename failed: $tmp -> $dstP")
+        }
+        fs.delete(markerPath(dst), false)
+      }
     }
-    fs.delete(marker, false)
+  }
+
+  /** Short-lived mutual exclusion on `dst`'s metadata window: poll the
+    * create-no-overwrite lock, breaking locks older than `lockStaleMs`
+    * (their holder crashed mid-window — the lock carries its creation
+    * millis), giving up after `deadlineMs` if a LIVE holder never
+    * finishes. */
+  private def withTableLock[T](fs: FileSystem, dst: String,
+                               lockStaleMs: Long = 60000L,
+                               deadlineMs: Long = 120000L)(body: => T): T = {
+    val p = lockPath(dst)
+    val deadline = System.currentTimeMillis() + deadlineMs
+    var acquired = false
+    while (!acquired) {
+      acquired =
+        try {
+          val out = fs.create(p, false)
+          try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
+          finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      if (!acquired) {
+        val ts = try {
+          val in = fs.open(p)
+          val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+          s.toLong
+        } catch { case _: Exception => 0L } // torn/vanished → break it
+        if (System.currentTimeMillis() - ts > lockStaleMs) fs.delete(p, false)
+        else if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"table lock $p held past ${deadlineMs} ms — live holder stuck?")
+        else Thread.sleep(200)
+      }
+    }
+    try body finally fs.delete(p, false)
   }
 }
 
@@ -89,12 +151,23 @@ object AtomicSwap {
   *
   * Staleness: a crashed writer leaves its lease behind by design — the
   * lease carries an epoch-millis heartbeat, and an acquirer may TAKE OVER
-  * a lease older than `staleMs` (default 30 min, an upper bound on any
-  * legitimate step at the deployment's scale — tune per fleet). Takeover
-  * deletes the stale file and retries the atomic create once, so two
-  * concurrent takeovers still collapse to one winner. Release verifies
-  * the stored nonce first: a writer that lost its lease to a takeover
-  * must not delete the new owner's lease.
+  * a lease older than `staleMs` (default 30 min). The heartbeat is
+  * written ONCE at acquisition and never renewed, so `staleMs` must
+  * exceed the worst-case duration of any legitimate step — takeover is a
+  * dead-writer protocol, not preemption. A writer that stalls past the
+  * bound while still alive is NOT re-fenced mid-mutation (only
+  * [[release]] is nonce-checked); the table-level [[AtomicSwap]] lock
+  * bounds the damage of that misconfiguration to loud swap failures
+  * rather than silent interleaving, but the real guarantee is the
+  * operator picking `staleMs` above the step ceiling.
+  *
+  * Takeover breaks the old lease by RENAMING it to a tombstone — an
+  * atomic move only one contender can win — then verifies the tombstone
+  * holds the stale content it based the decision on (a competitor may
+  * have replaced the file between read and rename; if so the move is
+  * undone and the acquire fails). Release verifies the stored nonce
+  * first: a writer that lost its lease to a takeover must not delete
+  * the new owner's lease.
   */
 object Lease {
 
@@ -141,8 +214,32 @@ object Lease {
           s"writer lease for $dir held by '$holder' (age " +
             s"${System.currentTimeMillis() - ts} ms); a step is in flight — " +
             s"fail-fast by contract")
-      case other => // stale (or torn/vanished): take over, one retry
-        other.foreach(_ => fs.delete(p, false))
+      case observed => // stale, torn, or vanished: break it via tombstone
+        // RENAME (atomic — only one contender moves the file aside), then
+        // verify we moved the content we read: a competitor may have
+        // taken over and written a FRESH lease between our read and our
+        // rename, and deleting that would yield two live writers
+        val tomb = new Path(dir + "/.lease-tomb-" +
+          java.util.UUID.randomUUID().toString)
+        val moved =
+          try fs.rename(p, tomb)
+          catch { case _: java.io.IOException => false }
+        if (moved) {
+          val tombContent = readLease(fs, tomb)
+          val sameAsObserved = (tombContent, observed) match {
+            case (Some((_, _, a)), Some((_, _, b))) => a == b
+            case (None, None) => true // torn then, torn now
+            case _ => false
+          }
+          if (!sameAsObserved) {
+            fs.rename(tomb, p) // give the fresh lease back
+            throw new IllegalStateException(
+              s"writer lease for $dir lost the takeover race — another writer won")
+          }
+          fs.delete(tomb, false)
+        }
+        // moved == false: the file vanished or a competitor renamed it
+        // first — either way the create below decides the winner
         if (tryCreate(fs, p, body)) Token(dir, nonce)
         else throw new IllegalStateException(
           s"writer lease for $dir lost the takeover race — another writer won")

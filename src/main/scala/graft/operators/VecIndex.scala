@@ -88,19 +88,38 @@ object VecIndex {
     val marker = new org.apache.hadoop.fs.Path(markerPath(path))
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) return
+    finishSwap(fs, path)
+  }
+
+  /** The roll-forward half shared by [[swapInPlace]] and [[repair]]:
+    * every step keyed on existence, so it is idempotent under crashes.
+    * tmp present → the swap's renames have not completed: re-drive them.
+    * tmp absent → the rename landed (base IS the new layout, delta was
+    * already dropped before it). A pending `__centroids_new` (written by
+    * [[retrain]] BEFORE its marker) installs under the same window, so
+    * rows and quantizer always publish together. */
+  private def finishSwap(fs: org.apache.hadoop.fs.FileSystem,
+                         path: String): Unit = {
     val base = new org.apache.hadoop.fs.Path(baseDir(path))
     val delta = new org.apache.hadoop.fs.Path(deltaDir(path))
     val tmp = new org.apache.hadoop.fs.Path(tmpDir(path))
-    // tmp present → the swap's renames have not completed: re-drive them.
-    // tmp absent → the rename landed (base IS the new layout, delta was
-    // already dropped before it) and only the marker removal remained.
     if (fs.exists(tmp)) {
       fs.delete(base, true)
       fs.delete(delta, true)
       require(fs.rename(tmp, base), s"repair rename failed: $tmp -> $base")
     }
-    fs.delete(marker, false)
+    val ctmp = new org.apache.hadoop.fs.Path(centroidsTmp(path))
+    if (fs.exists(ctmp)) {
+      val cdir = new org.apache.hadoop.fs.Path(centroidsDir(path))
+      fs.delete(cdir, true)
+      require(fs.rename(ctmp, cdir), s"repair rename failed: $ctmp -> $cdir")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(markerPath(path)), false)
   }
+
+  /** Persisted quantizer location ([[retrain]] maintains it). */
+  def centroidsDir(path: String): String = s"$path/centroids"
+  private def centroidsTmp(path: String) = s"$path/__centroids_new"
 
   private def exists(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -274,8 +293,12 @@ object VecIndex {
     * only `cid` moves; VecIndexSpec proves row identity and that
     * post-drift cell skew drops). New centroids are returned AND
     * persisted under `path/centroids` so probe assignment and future
-    * appends pick them up; same handoff discipline as [[compact]]: no
-    * active writer, restart append streams on a fresh checkpoint.
+    * appends pick them up — installed INSIDE the same marker window as
+    * the re-celled rows (written to `__centroids_new` before the marker,
+    * renamed in by the swap's roll-forward), so a crash can never leave
+    * new cells paired with the old quantizer or vice versa. Same handoff
+    * discipline as [[compact]]: no active writer, restart append streams
+    * on a fresh checkpoint.
     *
     * @return the trained centroids (cid, centroid) — materialized, safe
     *         to use after the swap */
@@ -286,8 +309,7 @@ object VecIndex {
     val recelled = assignFold(rows, idCol, vecCol, cents)
       .select(col(idCol), col(vecCol), col("norm"), col("cid"))
       .repartitionByRange(col("cid"), col(idCol))
-    swapInPlace(spark, path, recelled)
-    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    swapInPlace(spark, path, recelled, newCentroids = Some(cents))
     cents
   }
 
@@ -297,22 +319,23 @@ object VecIndex {
     * drop base+delta and rename the replacement in. A crash before the
     * marker leaves the old index untouched (debris overwritten next
     * run); a crash after it is finished by the next [[open]]. */
-  private def swapInPlace(spark: SparkSession, path: String,
-                          rows: DataFrame): Unit = {
+  private def swapInPlace(spark: SparkSession, path: String, rows: DataFrame,
+                          newCentroids: Option[DataFrame] = None): Unit = {
     import org.apache.hadoop.fs.Path
-    val base = new Path(baseDir(path))
-    val delta = new Path(deltaDir(path))
     val tmp = new Path(tmpDir(path))
     val marker = new Path(markerPath(path))
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     repair(spark, path) // finish an interrupted predecessor first
     fs.delete(tmp, true) // uncommitted debris from an aborted earlier run
+    // stale centroid debris from an aborted RETRAIN must not ride along
+    // with an unrelated compact/delete — only this call's own centroids
+    // may be pending when the marker lands
+    fs.delete(new Path(centroidsTmp(path)), true)
     rows.write.mode("overwrite").partitionBy("cid").parquet(tmp.toString)
+    newCentroids.foreach(
+      _.write.mode("overwrite").parquet(centroidsTmp(path)))
     fs.create(marker, true).close()
-    fs.delete(base, true) // false when absent (pure-stream index) — fine
-    fs.delete(delta, true)
-    require(fs.rename(tmp, base), s"compaction rename failed: $tmp -> $base")
-    fs.delete(marker, false)
+    finishSwap(fs, path)
   }
 
   private def callDot(a: Column, b: Column): Column =

@@ -168,13 +168,23 @@ object CurationQ7 {
     * build can never serve a half-written index (the root exists only
     * after a complete build committed). */
   private def q132(s: SparkSession, d: String): DataFrame = {
+    val prefix = s"shared_${java.lang.Integer.toHexString(d.hashCode)}_"
     val root = new java.io.File(
-      s"target/qindex/shared_${java.lang.Integer.toHexString(d.hashCode)}_" +
-        dataFingerprint(s, d)).getAbsolutePath
+      s"target/qindex/$prefix${dataFingerprint(s, d)}").getAbsolutePath
     graft.operators.AtomicSwap.repair(s, root)
     val rp = new org.apache.hadoop.fs.Path(root)
-    if (!rp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(rp))
+    val fsys = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fsys.exists(rp)) {
+      // a changed fingerprint means THIS directory's data was
+      // regenerated: the old fingerprints' roots (full index copies) are
+      // unreachable garbage — collect them before building the new one
+      val parent = rp.getParent
+      if (fsys.exists(parent))
+        fsys.listStatus(parent).map(_.getPath)
+          .filter(p => p.getName.startsWith(prefix) && p.getName != rp.getName)
+          .foreach(fsys.delete(_, true))
       graft.operators.AtomicSwap.swap(s, root)(tmp => buildHybridIndexes(s, d, tmp))
+    }
     searchHybridIndexes(s, d, root)
   }
 

@@ -504,10 +504,11 @@ object StreamOps {
           state.update((buf, n))
           if (buf.n == 0) Iterator.empty
           else {
-            // the batch nearest-rank reads (q130's ⌈p·m⌉ integer rule)
-            val vs = java.util.Arrays.copyOf(buf.vs, buf.n)
-            java.util.Arrays.sort(vs)
-            val m = buf.n
+            // the batch aggregator's own finish (values sorted ascending)
+            // + q130's ⌈p·m⌉ nearest-rank integer rule — shared code, so
+            // the stream≡batch claim is structural, not coincidental
+            val vs = agg.finish(buf)
+            val m = vs.length
             Iterator.single((g, n, m.toLong,
               vs((m + 1) / 2 - 1), vs((9 * m + 9) / 10 - 1)))
           }

@@ -277,6 +277,46 @@ class VecIndexSpec extends SparkSpecBase {
       "post-retrain search did not return k rows per probe")
   }
 
+  test("a retrain killed after its marker installs rows AND centroids together") {
+    import org.apache.hadoop.fs.Path
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents0 = KMeans.lloyd(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val dir = tempDir("vecretraincrash")
+    VecIndex.build(emb, "vec_id", "embedding", cents0, dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // forge retrain's post-marker crash state: complete re-celled rows +
+    // complete new centroids + marker, old base still live
+    val recelled = VecIndex.open(spark, dir)
+      .withColumn("cid", (col("cid") + 1) % 4).localCheckpoint()
+    val wantRows = recelled.select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    recelled.write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$dir/__compacting")
+    val newCents = KMeans.lloyd(emb.limit(40), "vec_id", "embedding",
+      k = 4, iters = 1).localCheckpoint()
+    val wantCents = newCents.collect().map(_.toString).sorted
+    newCents.write.mode("overwrite").parquet(s"$dir/__centroids_new")
+    fs.create(new Path(s"$dir/__compact_commit"), true).close()
+    // the next open must roll BOTH forward — rows and quantizer publish
+    // as one unit, never new cells with the old centroids
+    val got = VecIndex.open(spark, dir).select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(got.sameElements(wantRows), "roll-forward lost the re-celled rows")
+    val gotCents = spark.read.parquet(VecIndex.centroidsDir(dir))
+      .collect().map(_.toString).sorted
+    assert(gotCents.sameElements(wantCents), "roll-forward lost the centroids")
+    assert(!fs.exists(new Path(s"$dir/__centroids_new")), "centroid tmp left")
+    assert(!fs.exists(new Path(s"$dir/__compact_commit")), "marker left")
+    // and an aborted retrain's centroid DEBRIS (no marker) must not ride
+    // along with a later compact
+    emb.limit(3).select(col("vec_id").as("cid"), col("embedding").as("centroid"))
+      .write.parquet(s"$dir/__centroids_new")
+    VecIndex.compact(spark, dir, "vec_id")
+    assert(spark.read.parquet(VecIndex.centroidsDir(dir))
+      .collect().map(_.toString).sorted.sameElements(wantCents),
+      "compact installed an aborted retrain's centroid debris")
+  }
+
   test("an interrupted swap repairs: pre-commit rolls back, post-commit rolls forward") {
     import org.apache.hadoop.fs.Path
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")

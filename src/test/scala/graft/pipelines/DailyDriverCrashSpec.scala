@@ -141,4 +141,46 @@ class DailyDriverCrashSpec extends SparkSpecBase {
     AtomicSwap.repair(spark, t); AtomicSwap.repair(spark, t)
     assert(spark.read.parquet(t).as[Int].collect().sorted.sameElements(Array(4, 5)))
   }
+
+  test("repair defers to a live marker-window lock and breaks a crashed one") {
+    import spark.implicits._
+    val dir = tempDir("swap-lock")
+    val t = s"$dir/t"
+    val fs = fsOf(t)
+    AtomicSwap.swap(spark, t)(tmp => Seq(1).toDF("x").write.parquet(tmp))
+    // forge a post-marker crash WITH the window lock still held
+    spark.read.parquet(t).localCheckpoint().write.parquet(t + "__new")
+    fs.create(new Path(t + "__commit"), true).close()
+    def writeLock(ts: Long): Unit = {
+      val o = fs.create(new Path(t + "__lock"), true)
+      o.write(ts.toString.getBytes("UTF-8")); o.close()
+    }
+    // live holder (fresh heartbeat): repair must NOT interleave — it
+    // waits out the deadline and fails loudly instead of deleting the
+    // table under the holder
+    writeLock(System.currentTimeMillis())
+    intercept[IllegalStateException] {
+      AtomicSwap.repair(spark, t, lockStaleMs = 60000L, deadlineMs = 800L)
+    }
+    assert(fs.exists(new Path(t + "__commit")), "repair ran despite a live lock")
+    // crashed holder (stale heartbeat): repair breaks the lock and rolls
+    // forward
+    writeLock(System.currentTimeMillis() - 120000L)
+    AtomicSwap.repair(spark, t, lockStaleMs = 1000L)
+    assert(!fs.exists(new Path(t + "__commit")), "repair did not land")
+    assert(!fs.exists(new Path(t + "__lock")), "repair left the broken lock")
+    assert(spark.read.parquet(t).as[Int].collect().sameElements(Array(1)))
+  }
+
+  test("a torn lease file is treated as garbage, not a permanent block") {
+    val (dir, delta, bench) = freshDriver()
+    val fs = fsOf(dir)
+    // a writer killed mid-write leaves a lease missing its nonce field —
+    // unreadable, so its age is unknowable; it must not brick the dir
+    val p = new Path(s"$dir/__lease")
+    val out = fs.create(p, true)
+    out.write("dead-step|123".getBytes("UTF-8")); out.close()
+    DailyDriver.step(spark, delta, bench, dir, cfg) // takes over the torn lease
+    assert(!fs.exists(p), "takeover step did not release its lease")
+  }
 }
