@@ -327,6 +327,18 @@ object LexIndex {
     victimBuckets(spark, path,
       readManifest(spark, path, currentVersion(spark, path)), victims)
 
+  /** Whether ANY of `ids` already has postings in the current index —
+    * the landed-or-not probe a RETRIED mutation needs (the daily driver
+    * replays a crashed step whose merge may or may not have published;
+    * with disjoint daily ids, one present id means it did). Cost = the
+    * sidecar probe, or the postings fallback for pre-sidecar indexes. */
+  def containsAny(spark: SparkSession, path: String, ids: DataFrame): Boolean = {
+    if (currentVersion(spark, path) == 0L) return false
+    val man = readManifest(spark, path, currentVersion(spark, path))
+    if (man.isEmpty) return false
+    !victimBuckets(spark, path, man, ids.select(col("doc_id")).distinct()).isEmpty
+  }
+
   /** The distinct bucket ids holding any victim's postings — sidecar
     * probe when available, postings fallback otherwise. Exposed
     * (package-private) so LexIndexSpec can assert the probe's plan

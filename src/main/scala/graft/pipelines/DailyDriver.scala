@@ -106,13 +106,26 @@ object DailyDriver {
     // directory below is touched
     val updated = Curation.curateIncremental(prev, prevIndex, newDocs, benchmark, cfg)
     val newCand = candidates(newDocs, updated)
-    graft.streaming.StreamOps.signatureIndex(newCand)
-      .write.mode("append").parquet(indexDir(dir))
+    // RETRY guards: a step replayed after a crash may find either append
+    // already landed (both are job-committed, so they land whole or not
+    // at all). Daily ids are disjoint by contract, so one delta id
+    // present means that half is done — skip it instead of
+    // double-appending signatures / double-merging postings (the lex
+    // merge is NOT idempotent: a replayed published merge would
+    // double-count the delta). DailyDriverCrashSpec restores the
+    // pre-swap decision table and replays the step to pin this.
+    val deltaIds = newDocs.select(col("doc_id"))
+    val sigLanded = !prevIndex
+      .join(deltaIds, Seq("doc_id"), "left_semi").isEmpty
+    if (!sigLanded)
+      graft.streaming.StreamOps.signatureIndex(newCand)
+        .write.mode("append").parquet(indexDir(dir))
     // fold the day's candidates into the retrieval index — touches only
     // the delta's term buckets (see LexIndex.merge; exact vs a full
     // rebuild, DailyDriverApiSpec)
-    graft.operators.LexIndex.merge(spark, lexDir(dir),
-      graft.operators.UnigramLm.termFreq(newCand, "doc_id", "text"))
+    if (!graft.operators.LexIndex.containsAny(spark, lexDir(dir), deltaIds))
+      graft.operators.LexIndex.merge(spark, lexDir(dir),
+        graft.operators.UnigramLm.termFreq(newCand, "doc_id", "text"))
     AtomicSwap.swap(spark, decisionsDir(dir)) { tmp =>
       updated.write.parquet(tmp)
     }
@@ -125,22 +138,24 @@ object DailyDriver {
     * deliberately not entangled with the decision table: rewriting text
     * before quality scoring would change the decisions' equivalence to a
     * full rerun, so corpus owners sequence the two loops explicitly.
-    * Layout under `dir`:
+    * Layout under `dir` (both tables partitioned by `batch` = the
+    * step's min arrival id, day 0 = 0 — the key that makes retries
+    * overwrite-in-place instead of append-duplicate):
     *  - `chunk_index/` — distinct chunk hashes of everything processed
-    *  - `cleaned/`     — the rewritten corpus, appended per step
+    *  - `cleaned/`     — the rewritten corpus, one partition per step
     *
     * Day N rewrites arrivals with [[graft.operators.ChunkDedup
     * .rewriteAgainst]] (delta-global first occurrence AND index miss —
     * covers cross-doc repeats within the delta that the stateless
     * ingest-time `streamingChunkRewrite` leaves to the day end) and
-    * appends the delta's NEW chunk hashes. The index holds hashes at
+    * lands the delta's NEW chunk hashes. The index holds hashes at
     * ORIGINAL chunk boundaries (re-chunking cleaned text would shift
     * boundaries mid-document and break the equivalence), and since
     * every distinct hash has exactly one surviving occurrence, "all
-    * distinct hashes processed" IS the survivor set. The append is
-    * anti-joined against the index first, keeping it duplicate-free by
-    * construction — a duplicated hash row would fan out the probe join.
-    * DailyChunkSpec proves multi-step ≡ one full
+    * distinct hashes processed" IS the survivor set. The new hashes are
+    * anti-joined against the PRIOR batches first, keeping the index
+    * duplicate-free by construction — a duplicated hash row would fan
+    * out the probe join. DailyChunkSpec proves multi-step ≡ one full
     * [[graft.operators.ChunkDedup.rewrite]] over the union (arrival ids
     * must ascend across days — the same disjointness contract as
     * [[step]]). */
@@ -148,34 +163,62 @@ object DailyDriver {
   private def cleanedDir(dir: String) = s"$dir/cleaned"
 
   /** Day 0: full rewrite; persist the cleaned corpus and the corpus's
-    * chunk-hash index. */
+    * chunk-hash index, both under `batch=0` of the batch-partitioned
+    * layout [[chunkStep]] extends. */
   def chunkInit(spark: SparkSession, docs: DataFrame, dir: String,
                 c: Int = 20): Unit =
    Lease.withLease(spark, dir, "chunkInit") {
     import graft.operators.ChunkDedup
     ChunkDedup.rewrite(docs, "doc_id", "text", c)
-      .write.mode("overwrite").parquet(cleanedDir(dir))
+      .withColumn("batch", lit(0L))
+      .write.partitionBy("batch").mode("overwrite").parquet(cleanedDir(dir))
     ChunkDedup.chunkIndex(docs, "text", c)
-      .write.mode("overwrite").parquet(chunkIndexDir(dir))
+      .withColumn("batch", lit(0L))
+      .write.partitionBy("batch").mode("overwrite").parquet(chunkIndexDir(dir))
   }
 
-  /** Day N: rewrite arrivals against the index, append their cleaned
-    * rows and their new chunk hashes.
+  /** The chunk loop's live tables without the layout's `batch` column
+    * (the per-step partition key that makes retries idempotent). */
+  def openCleaned(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(cleanedDir(dir)).drop("batch")
+
+  def openChunkIndex(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(chunkIndexDir(dir)).drop("batch")
+
+  /** Day N: rewrite arrivals against the index; land their cleaned rows
+    * and their new chunk hashes under the step's own `batch=minId`
+    * partition via DYNAMIC partition overwrite. That makes a RETRY of a
+    * crashed step idempotent by construction: the re-run overwrites
+    * exactly its own partition on both tables instead of appending
+    * duplicates, and the rewrite probe excludes the step's own batch —
+    * otherwise the retry would see its first attempt's hashes in the
+    * index and strip every delta chunk as "already seen" (the cleaned
+    * partition would come back empty). DailyChunkSpec replays a step
+    * twice and pins both tables unchanged.
     * @return the arrivals' cleaned rows (read back from storage) */
   def chunkStep(spark: SparkSession, newDocs: DataFrame, dir: String,
                 c: Int = 20): DataFrame =
    Lease.withLease(spark, dir, "chunkStep") {
     import graft.operators.ChunkDedup
-    val index = spark.read.parquet(chunkIndexDir(dir))
     val ids = newDocs.agg(min(col("doc_id"))).collect()(0)
     require(!ids.isNullAt(0), "chunkStep needs a non-empty delta")
     val minId = ids.getLong(0)
-    ChunkDedup.rewriteAgainst(newDocs, "doc_id", "text", index, c)
-      .write.mode("append").parquet(cleanedDir(dir))
+    // prior = every batch but this step's own (a retry's first attempt)
+    val prior = spark.read.parquet(chunkIndexDir(dir))
+      .filter(col("batch") =!= minId).drop("batch")
+    ChunkDedup.rewriteAgainst(newDocs, "doc_id", "text", prior, c)
+      .withColumn("batch", lit(minId))
+      .write.partitionBy("batch").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(cleanedDir(dir))
     ChunkDedup.chunkIndex(newDocs, "text", c)
-      .join(index, Seq("chunk_hash"), "left_anti")
-      .write.mode("append").parquet(chunkIndexDir(dir))
-    spark.read.parquet(cleanedDir(dir)).filter(col("doc_id") >= minId)
+      .join(prior, Seq("chunk_hash"), "left_anti")
+      .withColumn("batch", lit(minId))
+      .write.partitionBy("batch").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(chunkIndexDir(dir))
+    spark.read.parquet(cleanedDir(dir))
+      .filter(col("batch") === minId).drop("batch")
   }
 
   // -------------------------------------------------- offline maintenance

@@ -174,16 +174,37 @@ object CurationQ7 {
     graft.operators.AtomicSwap.repair(s, root)
     val rp = new org.apache.hadoop.fs.Path(root)
     val fsys = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fsys.exists(rp)) {
-      // a changed fingerprint means THIS directory's data was
-      // regenerated: the old fingerprints' roots (full index copies) are
-      // unreachable garbage — collect them before building the new one
-      val parent = rp.getParent
-      if (fsys.exists(parent))
-        fsys.listStatus(parent).map(_.getPath)
-          .filter(p => p.getName.startsWith(prefix) && p.getName != rp.getName)
-          .foreach(fsys.delete(_, true))
-      graft.operators.AtomicSwap.swap(s, root)(tmp => buildHybridIndexes(s, d, tmp))
+    // two harness processes (a bench battery next to a verify run) may
+    // want this cache at once: the BUILD runs under the cache-dir lease —
+    // the loser polls for the winner's published root instead of racing
+    // the same tmp paths. Deadline generously above one build.
+    val deadline = System.currentTimeMillis() + 10L * 60 * 1000
+    while (!fsys.exists(rp)) {
+      fsys.mkdirs(rp.getParent)
+      val tok =
+        try Some(graft.operators.Lease.acquire(s, rp.getParent.toString,
+          "q132-build", staleMs = 10L * 60 * 1000))
+        catch { case _: IllegalStateException => None }
+      tok match {
+        case Some(t) =>
+          try {
+            graft.operators.AtomicSwap.repair(s, root)
+            if (!fsys.exists(rp)) {
+              // a changed fingerprint means THIS directory's data was
+              // regenerated: the old fingerprints' roots (full index
+              // copies) are unreachable garbage — collect them first
+              fsys.listStatus(rp.getParent).map(_.getPath)
+                .filter(p => p.getName.startsWith(prefix) && p.getName != rp.getName)
+                .foreach(fsys.delete(_, true))
+              graft.operators.AtomicSwap.swap(s, root)(tmp =>
+                buildHybridIndexes(s, d, tmp))
+            }
+          } finally graft.operators.Lease.release(s, t)
+        case None => // another process is building — wait for its publish
+          require(System.currentTimeMillis() < deadline,
+            s"q132 index build by another process never published under $root")
+          Thread.sleep(1000)
+      }
     }
     searchHybridIndexes(s, d, root)
   }

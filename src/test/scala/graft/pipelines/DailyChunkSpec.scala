@@ -31,8 +31,9 @@ class DailyChunkSpec extends SparkSpecBase {
     assert(out1.count() == day1.count(), "step 1 lost rows")
     DailyDriver.chunkStep(spark, day2, dir)
 
-    val incremental = spark.read.parquet(s"$dir/cleaned")
-      .collect().map(_.toString).sorted
+    def cleaned(): Array[String] =
+      DailyDriver.openCleaned(spark, dir).collect().map(_.toString).sorted
+    val incremental = cleaned()
     val full = ChunkDedup.rewrite(
         day0.unionByName(day1).unionByName(day2), "doc_id", "text")
       .collect().map(_.toString).sorted
@@ -41,11 +42,22 @@ class DailyChunkSpec extends SparkSpecBase {
     assert(incremental.sameElements(full),
       "incremental chunk loop diverged from the full rewrite")
     // non-vacuous: some chunk was actually cut ACROSS a split boundary
-    val crossCut = spark.read.parquet(s"$dir/cleaned")
+    val crossCut = DailyDriver.openCleaned(spark, dir)
       .filter(col("doc_id") >= 100000L && col("n_kept") < col("n_chunks"))
       .count()
     assert(crossCut > 0, "no cross-day chunk was cut — contract is vacuous")
-    val idx = spark.read.parquet(s"$dir/chunk_index")
-    assert(idx.count() == idx.distinct().count(), "chunk index holds duplicates")
+    def idxRows(): Array[String] =
+      DailyDriver.openChunkIndex(spark, dir).collect().map(_.toString).sorted
+    val idx = idxRows()
+    assert(idx.length == idx.distinct.length, "chunk index holds duplicates")
+
+    // RETRY idempotence: re-running a step (the recovery for a crash at
+    // any point inside it) must leave both tables byte-identical — the
+    // re-run overwrites its own batch partition and probes only PRIOR
+    // batches, so its first attempt's hashes don't mask its own chunks
+    DailyDriver.chunkStep(spark, day2, dir)
+    assert(cleaned().sameElements(incremental),
+      "retried step changed the cleaned corpus")
+    assert(idxRows().sameElements(idx), "retried step changed the chunk index")
   }
 }

@@ -172,6 +172,35 @@ class DailyDriverCrashSpec extends SparkSpecBase {
     assert(spark.read.parquet(t).as[Int].collect().sameElements(Array(1)))
   }
 
+  test("a step replayed after a crash before the decisions swap converges (no double merge/append)") {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val (dir, delta, bench) = freshDriver()
+    val fs = fsOf(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    // save the pre-step decision table, run the step cleanly, capture
+    // the converged end state of all three stores
+    val saved = new Path(s"$dir/__decisions_saved")
+    FileUtil.copy(fs, new Path(s"$dir/decisions"), fs, saved, false, conf)
+    DailyDriver.step(spark, delta, bench, dir, cfg)
+    val wantDec = canon(DailyDriver.openDecisions(spark, dir))
+    val wantSig = canon(DailyDriver.openSigIndex(spark, dir))
+    def postings() = graft.operators.LexIndex
+      .openPostings(spark, s"$dir/lex_index").collect().map(_.toString).sorted
+    val wantLex = postings()
+    // reproduce the crash state "appends landed, swap didn't": restore
+    // the OLD decision table; sig index + lex index keep the step's work
+    fs.delete(new Path(s"$dir/decisions"), true)
+    FileUtil.copy(fs, saved, fs, new Path(s"$dir/decisions"), true, conf)
+    // the RETRY must skip both landed halves and still swap decisions in
+    DailyDriver.step(spark, delta, bench, dir, cfg)
+    assert(canon(DailyDriver.openDecisions(spark, dir)).sameElements(wantDec),
+      "replayed step's decision table diverged from the clean run")
+    assert(canon(DailyDriver.openSigIndex(spark, dir)).sameElements(wantSig),
+      "replayed step double-appended the signature index")
+    assert(postings().sameElements(wantLex),
+      "replayed step double-merged the lexical index")
+  }
+
   test("a torn lease file is treated as garbage, not a permanent block") {
     val (dir, delta, bench) = freshDriver()
     val fs = fsOf(dir)
