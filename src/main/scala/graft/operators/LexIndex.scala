@@ -34,9 +34,12 @@ import org.apache.spark.sql.functions._
   * overwritten, and no bucket it half-wrote was ever reachable.
   * After the rename the mutation is COMPLETE — replaying a *published*
   * merge would double-count its delta (the disjoint-ids contract), so
-  * "did my merge land?" is answered by [[currentVersion]], not by
-  * retrying blindly. Superseded version directories are garbage, not
-  * corruption; [[compact]] collects them.
+  * "did my merge land?" is answered by [[currentVersion]] or the
+  * [[containsAny]] probe, not by retrying blindly. Superseded version
+  * directories are garbage, not corruption; [[compact]] collects them.
+  * Mutations are single-writer: each runs under the [[Lease]] for
+  * `path`, so a second concurrent merge/delete/compact fails fast
+  * instead of racing the same `v=N+1` paths.
   *
   * Document length and document frequency are DENORMALIZED into the
   * posting rows — df is constant per term and dl per document, so
@@ -243,7 +246,8 @@ object LexIndex {
     * `Curation.curateIncremental`; daily cost ∝ touched buckets + delta,
     * never the full corpus. Publication is the atomic manifest rename —
     * see the object doc for the crash contract. */
-  def merge(spark: SparkSession, path: String, deltaTf: DataFrame): Unit = {
+  def merge(spark: SparkSession, path: String, deltaTf: DataFrame): Unit =
+   Lease.withLease(spark, path, "lexindex-merge") {
     val cur = currentVersion(spark, path)
     require(cur > 0L, s"no published index under $path — build first")
     val man = readManifest(spark, path, cur)
@@ -288,7 +292,8 @@ object LexIndex {
     * LexIndexSpec). Indexes written before the sidecar existed fall
     * back to the postings scan. Ids absent from the index are no-ops.
     * Same atomic manifest publication as [[merge]]. */
-  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit =
+   Lease.withLease(spark, path, "lexindex-delete") {
     val cur = currentVersion(spark, path)
     require(cur > 0L, s"no published index under $path — build first")
     val man = readManifest(spark, path, cur)
@@ -368,7 +373,8 @@ object LexIndex {
     * compact), never a dangling reference. Rows, df, dl, and stats are
     * all unchanged: `merge → compact → search` is row-identical to the
     * uncompacted index (LexIndexSpec). */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession, path: String): Unit =
+   Lease.withLease(spark, path, "lexindex-compact") {
     val cur = currentVersion(spark, path)
     require(cur > 0L, s"no published index under $path — build first")
     val man = readManifest(spark, path, cur)

@@ -320,7 +320,11 @@ object VecIndex {
     * marker leaves the old index untouched (debris overwritten next
     * run); a crash after it is finished by the next [[open]]. */
   private def swapInPlace(spark: SparkSession, path: String, rows: DataFrame,
-                          newCentroids: Option[DataFrame] = None): Unit = {
+                          newCentroids: Option[DataFrame] = None): Unit =
+   // maintenance ops are single-writer by contract; the lease makes a
+   // second concurrent compact/delete/retrain fail FAST instead of
+   // racing the same __compacting paths (crashed holders age out)
+   Lease.withLease(spark, path, "vecindex-maintenance") {
     import org.apache.hadoop.fs.Path
     val tmp = new Path(tmpDir(path))
     val marker = new Path(markerPath(path))

@@ -25,12 +25,14 @@ import org.apache.spark.sql.functions._
   * [[graft.operators.AtomicSwap]] (write-new → commit marker →
   * delete-old → rename; a crash at any point either leaves the old
   * table serving reads or rolls forward to the new one on the next
-  * open — DailyDriverApiSpec injects both crash directions). The index
-  * append is plain parquet append: an aborted step can leave it behind
-  * a partially duplicated day — duplicate signature rows only duplicate
-  * pair EDGES, which the connected-components decision absorbs, so a
-  * retried step converges; a transactional table format replaces this
-  * at fleet scale.
+  * open — DailyDriverCrashSpec injects both crash directions). The
+  * index append is plain parquet append, but a REPLAYED step cannot
+  * duplicate it: appends are job-committed (land whole or not at all)
+  * and daily ids are disjoint, so the step probes for any delta id
+  * before each half — signatures via a semi-join, the lexical merge via
+  * `LexIndex.containsAny` — and skips whatever already landed
+  * (DailyDriverCrashSpec replays a crashed-before-swap step and pins
+  * byte-identical convergence).
   *
   * Writer fencing: every mutating entry point ([[init]]/[[step]]/
   * [[maintain]]/[[chunkInit]]/[[chunkStep]]) runs under the

@@ -244,4 +244,35 @@ class LexIndexSpec extends SparkSpecBase {
     assert(statsRows(p).sameElements(statsRows(fullPath)),
       "stats after merging into an empty index diverge")
   }
+
+  test("mutators fail fast while another writer holds the index lease") {
+    import spark.implicits._
+    val p = tempDir("lexfence")
+    val docs = docsAt("/root/testdata/sf0.001").limit(40)
+    val tfAll = UnigramLm.termFreq(docs, "doc_id", "text")
+    LexIndex.build(tfAll, p)
+    val before = (postingRows(p), statsRows(p), LexIndex.currentVersion(spark, p))
+    val held = Lease.acquire(spark, p, "concurrent-writer")
+    try {
+      for ((label, op) <- Seq[(String, () => Unit)](
+        ("merge", () => LexIndex.merge(spark, p, tfAll.filter(lit(false)))),
+        ("delete", () => LexIndex.delete(spark, p, Seq(1L).toDF("doc_id"))),
+        ("compact", () => LexIndex.compact(spark, p)))) {
+        val e = intercept[IllegalStateException](op())
+        assert(e.getMessage.contains("concurrent-writer"),
+          s"$label did not name the live holder: ${e.getMessage}")
+      }
+      // the losers must not have clobbered the holder's lease on the way out
+      val e = intercept[IllegalStateException](
+        Lease.acquire(spark, p, "post-check"))
+      assert(e.getMessage.contains("concurrent-writer"),
+        "a fenced-out mutator released the holder's lease")
+    } finally Lease.release(spark, held)
+    assert(postingRows(p).sameElements(before._1) &&
+      statsRows(p).sameElements(before._2) &&
+      LexIndex.currentVersion(spark, p) === before._3,
+      "a fenced-out mutator still changed the index")
+    // and after the holder's release the path is writable again
+    LexIndex.compact(spark, p)
+  }
 }

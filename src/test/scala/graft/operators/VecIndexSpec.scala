@@ -346,4 +346,33 @@ class VecIndexSpec extends SparkSpecBase {
     assert(!fs.exists(new Path(s"$dir/__compact_commit")),
       "roll-forward left the commit marker")
   }
+
+  test("maintenance ops fail fast while another writer holds the index lease") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = KMeans.lloyd(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val dir = tempDir("vecfence")
+    VecIndex.build(emb, "vec_id", "embedding", cents, dir)
+    def rows() =
+      VecIndex.open(spark, dir).select(col("vec_id"), col("cid")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted
+    val before = rows()
+    val held = Lease.acquire(spark, dir, "concurrent-writer")
+    try {
+      for ((label, op) <- Seq[(String, () => Unit)](
+        ("compact", () => VecIndex.compact(spark, dir, "vec_id")),
+        ("delete", () => VecIndex.delete(spark, dir, "vec_id",
+          Seq(before.head._1).toDF("vec_id"))),
+        ("retrain", () => VecIndex.retrain(spark, dir, "vec_id",
+          "embedding", k = 4, iters = 1)))) {
+        val e = intercept[IllegalStateException](op())
+        assert(e.getMessage.contains("concurrent-writer"),
+          s"$label did not name the live holder: ${e.getMessage}")
+      }
+    } finally Lease.release(spark, held)
+    assert(rows().sameElements(before),
+      "a fenced-out maintenance op still changed the index")
+    VecIndex.compact(spark, dir, "vec_id") // writable again after release
+    assert(rows().sameElements(before))
+  }
 }
