@@ -151,15 +151,21 @@ object AtomicSwap {
   *
   * Staleness: a crashed writer leaves its lease behind by design — the
   * lease carries an epoch-millis heartbeat, and an acquirer may TAKE OVER
-  * a lease older than `staleMs` (default 30 min). The heartbeat is
-  * written ONCE at acquisition and never renewed, so `staleMs` must
-  * exceed the worst-case duration of any legitimate step — takeover is a
-  * dead-writer protocol, not preemption. A writer that stalls past the
-  * bound while still alive is NOT re-fenced mid-mutation (only
-  * [[release]] is nonce-checked); the table-level [[AtomicSwap]] lock
-  * bounds the damage of that misconfiguration to loud swap failures
-  * rather than silent interleaving, but the real guarantee is the
-  * operator picking `staleMs` above the step ceiling.
+  * a lease whose NEWEST heartbeat is older than `staleMs` (default
+  * 30 min). [[withLease]] RENEWS the heartbeat every `staleMs / 3` from
+  * a daemon thread, so staleness means "the holder stopped beating",
+  * not "the step ran long" — a legitimate multi-hour compaction stays
+  * fenced while a genuinely dead writer ages out in one bound. Renewals
+  * are uniquely-named sidecar files (`.lease-hb-<uuid>`, same
+  * `owner|ts|nonce` body), never overwrites: a reader can at worst see
+  * a torn COPY of the newest beat and fall back to the previous one, so
+  * no renewal race can make a live lease look stale. Only beats whose
+  * nonce matches the live lease count — debris from a fenced-out former
+  * holder refreshes nothing. Takeover remains a dead-writer protocol,
+  * not preemption: a writer alive-but-frozen past `staleMs` (renewal
+  * thread starved too) is still taken over, and the table-level
+  * [[AtomicSwap]] lock bounds that misconfiguration to loud swap
+  * failures rather than silent interleaving.
   *
   * Takeover breaks the old lease by RENAMING it to a tombstone — an
   * atomic move only one contender can win — then verifies the tombstone
@@ -174,6 +180,35 @@ object Lease {
   final case class Token(dir: String, nonce: String)
 
   private def leasePath(dir: String) = new Path(dir + "/__lease")
+  private val hbPrefix = ".lease-hb-"
+
+  /** Newest parseable heartbeat for `nonce` under `dir`, or None. A
+    * half-written beat parses as torn and is skipped — the previous
+    * complete beat (or the lease's own ts) still stands. */
+  private def newestBeat(fs: FileSystem, dir: String, nonce: String): Option[Long] = {
+    val beats =
+      try fs.listStatus(new Path(dir)).toSeq
+        .filter(_.getPath.getName.startsWith(hbPrefix))
+      catch { case _: java.io.IOException => Seq.empty }
+    beats.flatMap(st => readLease(fs, st.getPath))
+      .collect { case (_, ts, n) if n == nonce => ts }
+      .sorted.lastOption
+  }
+
+  private def dropBeats(fs: FileSystem, dir: String, nonce: String,
+                        keepNewest: Boolean): Unit = {
+    val mine =
+      try fs.listStatus(new Path(dir)).toSeq
+        .filter(_.getPath.getName.startsWith(hbPrefix))
+        .flatMap(st => readLease(fs, st.getPath)
+          .collect { case (_, ts, n) if n == nonce => (ts, st.getPath) })
+        .sortBy(_._1)
+      catch { case _: java.io.IOException => Seq.empty }
+    val victims = if (keepNewest) mine.dropRight(1) else mine
+    victims.foreach { case (_, p) =>
+      try fs.delete(p, false) catch { case _: java.io.IOException => () }
+    }
+  }
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -209,11 +244,14 @@ object Lease {
     def body = s"$owner|${System.currentTimeMillis()}|$nonce"
     if (tryCreate(fs, p, body)) return Token(dir, nonce)
     readLease(fs, p) match {
-      case Some((holder, ts, _)) if System.currentTimeMillis() - ts <= staleMs =>
+      case Some((holder, ts, heldNonce))
+          if System.currentTimeMillis() -
+            newestBeat(fs, dir, heldNonce).getOrElse(0L).max(ts) <= staleMs =>
         throw new IllegalStateException(
-          s"writer lease for $dir held by '$holder' (age " +
-            s"${System.currentTimeMillis() - ts} ms); a step is in flight — " +
-            s"fail-fast by contract")
+          s"writer lease for $dir held by '$holder' (last beat " +
+            s"${System.currentTimeMillis() -
+              newestBeat(fs, dir, heldNonce).getOrElse(0L).max(ts)} ms ago); " +
+            s"a step is in flight — fail-fast by contract")
       case observed => // stale, torn, or vanished: break it via tombstone
         // RENAME (atomic — only one contender moves the file aside), then
         // verify we moved the content we read: a competitor may have
@@ -237,6 +275,8 @@ object Lease {
               s"writer lease for $dir lost the takeover race — another writer won")
           }
           fs.delete(tomb, false)
+          // the broken holder's beat debris must not refresh anything
+          observed.foreach { case (_, _, n) => dropBeats(fs, dir, n, keepNewest = false) }
         }
         // moved == false: the file vanished or a competitor renamed it
         // first — either way the create below decides the winner
@@ -246,8 +286,30 @@ object Lease {
     }
   }
 
+  /** Refresh `token`'s heartbeat: write a fresh uniquely-named beat
+    * file, then sweep our older beats. A no-op if the lease no longer
+    * carries our nonce (we were taken over — the new owner's fence must
+    * stand and our debris must not refresh it). Safe to call from a
+    * renewal thread: nothing is overwritten, so a concurrent reader at
+    * worst ignores the half-written new beat and keeps the old one. */
+  def renew(spark: SparkSession, token: Token, owner: String): Unit = {
+    val p = leasePath(token.dir)
+    val fs = fsOf(spark, p)
+    readLease(fs, p) match {
+      case Some((_, _, n)) if n == token.nonce =>
+        val beat = new Path(token.dir + "/" + hbPrefix +
+          java.util.UUID.randomUUID().toString)
+        if (tryCreate(fs, beat,
+          s"$owner|${System.currentTimeMillis()}|${token.nonce}"))
+          dropBeats(fs, token.dir, token.nonce, keepNewest = true)
+      case _ => () // fenced out; do not manufacture freshness
+    }
+  }
+
   /** Release `token` if still ours; a lease lost to a stale takeover is
-    * left untouched (the new owner's fence must stand). */
+    * left untouched (the new owner's fence must stand). Our beat files
+    * are swept either way — with a foreign nonce they refresh nothing,
+    * but they are garbage. */
   def release(spark: SparkSession, token: Token): Unit = {
     val p = leasePath(token.dir)
     val fs = fsOf(spark, p)
@@ -255,14 +317,28 @@ object Lease {
       case Some((_, _, n)) if n == token.nonce => fs.delete(p, false)
       case _ => ()
     }
+    dropBeats(fs, token.dir, token.nonce, keepNewest = false)
   }
 
-  /** Run `body` under the `dir` writer lease, releasing on every exit
-    * path. A process CRASH skips the release on purpose — that is what
-    * the staleness takeover is for. */
+  /** Run `body` under the `dir` writer lease, renewing the heartbeat
+    * every `staleMs / 3` from a daemon thread so a long-running step is
+    * never mistaken for a dead writer, and releasing on every exit
+    * path. A process CRASH skips the release on purpose — the beats
+    * stop, the lease ages out, and the staleness takeover reclaims it. */
   def withLease[T](spark: SparkSession, dir: String, owner: String,
                    staleMs: Long = 30L * 60 * 1000)(body: => T): T = {
     val t = acquire(spark, dir, owner, staleMs)
-    try body finally release(spark, t)
+    val beats = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => { val th = new Thread(r, s"lease-hb-$owner"); th.setDaemon(true); th })
+    val period = math.max(staleMs / 3, 25L)
+    beats.scheduleAtFixedRate(
+      () => try renew(spark, t, owner) catch { case _: Exception => () },
+      period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+    try body finally {
+      beats.shutdownNow()
+      // drain an in-flight renew so release's beat sweep is the last word
+      beats.awaitTermination(5, java.util.concurrent.TimeUnit.SECONDS)
+      release(spark, t)
+    }
   }
 }

@@ -212,4 +212,57 @@ class DailyDriverCrashSpec extends SparkSpecBase {
     DailyDriver.step(spark, delta, bench, dir, cfg) // takes over the torn lease
     assert(!fs.exists(p), "takeover step did not release its lease")
   }
+
+  test("a fresh heartbeat fences an old lease; only a matching nonce counts") {
+    val dir = tempDir("lease-hb")
+    val fs = fsOf(dir)
+    fs.mkdirs(new Path(dir))
+    def write(name: String, body: String): Unit = {
+      val out = fs.create(new Path(s"$dir/$name"), true)
+      out.write(body.getBytes("UTF-8")); out.close()
+    }
+    // lease itself is past staleness, but its holder is still beating
+    val oldTs = System.currentTimeMillis() - 31L * 60 * 1000
+    write("__lease", s"slow-step|$oldTs|slow-nonce")
+    write(".lease-hb-1", s"slow-step|${System.currentTimeMillis()}|slow-nonce")
+    val e = intercept[IllegalStateException](
+      Lease.acquire(spark, dir, "contender"))
+    assert(e.getMessage.contains("slow-step"),
+      s"beating holder not honored: ${e.getMessage}")
+    // a fresh beat under the WRONG nonce is debris, not freshness: the
+    // stale lease must be taken over, and the dead nonce's beats swept
+    fs.delete(new Path(s"$dir/.lease-hb-1"), false)
+    write(".lease-hb-2", s"ghost|${System.currentTimeMillis()}|other-nonce")
+    write(".lease-hb-3", s"slow-step|$oldTs|slow-nonce")
+    val won = Lease.acquire(spark, dir, "contender")
+    assert(!fs.exists(new Path(s"$dir/.lease-hb-3")),
+      "takeover left the dead holder's beat debris")
+    Lease.release(spark, won)
+    assert(!fs.exists(new Path(s"$dir/__lease")))
+  }
+
+  test("withLease keeps beating: a step running past staleMs stays fenced") {
+    val dir = tempDir("lease-renew")
+    val fs = fsOf(dir)
+    fs.mkdirs(new Path(dir))
+    val staleMs = 600L // renewal thread beats every 200 ms
+    Lease.withLease(spark, dir, "long-step", staleMs) {
+      val until = System.currentTimeMillis() + 3 * staleMs
+      var attempts = 0
+      while (System.currentTimeMillis() < until) {
+        val e = intercept[IllegalStateException](
+          Lease.acquire(spark, dir, "contender", staleMs))
+        assert(e.getMessage.contains("long-step"),
+          s"mid-step takeover of a live, beating writer: ${e.getMessage}")
+        attempts += 1
+        Thread.sleep(100)
+      }
+      assert(attempts >= 10, s"contention loop too short ($attempts attempts)")
+    }
+    // release swept the lease AND every beat file
+    val leftovers = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+      .filter(n => n == "__lease" || n.startsWith(".lease-hb-"))
+    assert(leftovers.isEmpty, s"release left fencing debris: ${leftovers.toSeq}")
+    Lease.release(spark, Lease.acquire(spark, dir, "post")) // writable again
+  }
 }
