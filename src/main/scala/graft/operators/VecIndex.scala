@@ -313,6 +313,38 @@ object VecIndex {
     cents
   }
 
+  /** Cell-occupancy skew of the live index: the hottest cell's share of
+    * all rows (1/k is perfectly balanced, →1.0 is the degenerate drift
+    * end state where search decays toward a serial scan of one giant
+    * cell). One column-pruned scan of `cid` — at fleet scale this is a
+    * per-partition count, no vector payloads move. 0.0 on an empty
+    * index (nothing to rebalance). */
+  def cellSkew(spark: SparkSession, path: String): Double = {
+    val occ = open(spark, path).groupBy(col("cid")).count()
+      .agg(max(col("count")).as("mx"), sum(col("count")).as("n"))
+      .collect().head
+    if (occ.isNullAt(1) || occ.getLong(1) == 0L) 0.0
+    else occ.getLong(0).toDouble / occ.getLong(1).toDouble
+  }
+
+  /** The POLICY form of [[retrain]] — the call a maintenance window
+    * makes: measure [[cellSkew]] and re-train only when the hottest
+    * cell holds more than `maxCellShare` of the index. Below the
+    * threshold the index is untouched (no swap, no new version — the
+    * measurement is the whole cost), so running this every window is
+    * cheap and the expensive re-cell happens only when drift has
+    * actually concentrated the corpus. Same no-active-writer handoff
+    * contract as [[retrain]].
+    *
+    * @return true iff a retrain ran */
+  def maintainIfSkewed(spark: SparkSession, path: String, idCol: String,
+                       vecCol: String, k: Int, maxCellShare: Double = 0.25,
+                       iters: Int = 5): Boolean = {
+    val skew = cellSkew(spark, path)
+    if (skew <= maxCellShare) false
+    else { retrain(spark, path, idCol, vecCol, k, iters); true }
+  }
+
   /** The guarded in-place swap behind [[compact]]/[[delete]]: write the
     * full replacement under `__compacting`, create the COMMIT MARKER
     * (the point of no return — from here [[repair]] rolls forward), then

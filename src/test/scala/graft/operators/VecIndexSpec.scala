@@ -347,6 +347,41 @@ class VecIndexSpec extends SparkSpecBase {
       "roll-forward left the commit marker")
   }
 
+  test("maintainIfSkewed retrains only past the skew threshold") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = tempDir("vecmaint")
+    // the retrain fixture's degenerate quantizer: every row lands in
+    // cell 0, skew = 1.0
+    val one = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect().head.getSeq[Float](0)
+    val degenerate = (0 until 4).map(i => (i, one)).toDF("cid", "centroid")
+    VecIndex.build(emb, "vec_id", "embedding", degenerate, dir)
+    assert(VecIndex.cellSkew(spark, dir) === 1.0)
+    // a threshold the degenerate skew does not exceed → measurement only:
+    // no retrain means no re-cell and no installed quantizer (retrain is
+    // what first persists path/centroids)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!VecIndex.maintainIfSkewed(spark, dir, "vec_id", "embedding",
+      k = 4, maxCellShare = 1.0))
+    assert(VecIndex.cellSkew(spark, dir) === 1.0,
+      "below-threshold maintenance still re-celled the index")
+    assert(!fs.exists(new Path(s"$dir/centroids")),
+      "below-threshold maintenance still installed a quantizer")
+    // production threshold → retrain runs and the skew actually drops
+    assert(VecIndex.maintainIfSkewed(spark, dir, "vec_id", "embedding",
+      k = 4, maxCellShare = 0.5, iters = 3))
+    val after = VecIndex.cellSkew(spark, dir)
+    assert(after < 1.0 && after <= 0.5 + 0.35,
+      s"post-retrain skew did not drop meaningfully: $after")
+    // settled: a second policy pass is a no-op at the same threshold
+    // unless the corpus is genuinely unbalanceable at this k
+    if (after <= 0.5)
+      assert(!VecIndex.maintainIfSkewed(spark, dir, "vec_id", "embedding",
+        k = 4, maxCellShare = 0.5))
+  }
+
   test("maintenance ops fail fast while another writer holds the index lease") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
