@@ -402,6 +402,50 @@ object LexIndex {
     sweep(manifestDir(path), s"v=$next.txt")
   }
 
+  /** Share of bucket bytes the live manifest does NOT reference —
+    * superseded bucket versions stranded by merges/deletes, the garbage
+    * [[compact]] collects. Driver-side listing only (≤ versions ×
+    * buckets directory entries, file lengths from the listing itself) —
+    * no data is read, so a maintenance window can measure every time.
+    * 0.0 on an empty or garbage-free index. */
+  def garbageShare(spark: SparkSession, path: String): Double = {
+    val man = readManifest(spark, path, currentVersion(spark, path))
+    val f = fs(spark, path)
+    val root = new Path(bucketsDir(path))
+    if (!f.exists(root)) return 0.0
+    var live = 0L
+    var dead = 0L
+    for (vDir <- f.listStatus(root) if vDir.getPath.getName.startsWith("v=")) {
+      val v = vDir.getPath.getName.stripPrefix("v=").toLong
+      for (bDir <- f.listStatus(vDir.getPath)
+           if bDir.getPath.getName.startsWith("tb=")) {
+        val b = bDir.getPath.getName.stripPrefix("tb=").toLong
+        val bytes = f.listStatus(bDir.getPath).map(_.getLen).sum
+        if (man.get(b).contains(v)) live += bytes else dead += bytes
+      }
+    }
+    if (live + dead == 0L) 0.0 else dead.toDouble / (live + dead).toDouble
+  }
+
+  /** The POLICY form of [[compact]] — [[graft.operators.VecIndex
+    * .maintainIfSkewed]]'s lexical sibling: compact only when
+    * superseded bucket versions hold more than `maxGarbageShare` of
+    * the index's bytes. Below the threshold the listing is the whole
+    * cost (no rewrite, no version bump), so a maintenance window can
+    * call this unconditionally and the full-index rewrite runs only
+    * once enough merges/deletes have stranded real weight. The same
+    * rewrite also re-clusters each bucket into few files, so the two
+    * growth modes repeated mutation causes — small files and stranded
+    * versions — are paid down together.
+    *
+    * @return true iff a compaction ran */
+  def compactIfGarbage(spark: SparkSession, path: String,
+                       maxGarbageShare: Double = 0.3): Boolean = {
+    val share = garbageShare(spark, path)
+    if (share <= maxGarbageShare) false
+    else { compact(spark, path); true }
+  }
+
   /** BM25 top-k over the persisted index. `qterms` is (q_id, term) —
     * workload-sized. The path list read is exactly the query terms'
     * live buckets (pruning at its strongest: unprobed buckets are never

@@ -245,6 +245,38 @@ class LexIndexSpec extends SparkSpecBase {
       "stats after merging into an empty index diverge")
   }
 
+  test("compactIfGarbage compacts only past the superseded-bytes threshold") {
+    val docs = docsAt("/root/testdata/sf0.001")
+    val p = tempDir("lexgc")
+    // day 0 plus two merges: each merge strands the touched buckets'
+    // previous versions, so superseded bytes accumulate
+    LexIndex.build(UnigramLm.termFreq(
+      docs.filter(col("doc_id") % 3 === 0), "doc_id", "text"), p)
+    assert(LexIndex.garbageShare(spark, p) === 0.0,
+      "a fresh build has no superseded bytes")
+    for (r <- 1 to 2)
+      LexIndex.merge(spark, p, UnigramLm.termFreq(
+        docs.filter(col("doc_id") % 3 === r), "doc_id", "text"))
+    val share = LexIndex.garbageShare(spark, p)
+    assert(share > 0.0 && share < 1.0, s"implausible garbage share: $share")
+    val rowsBefore = postingRows(p)
+    // above the measured share → measurement only: no rewrite, no bump
+    val v = LexIndex.currentVersion(spark, p)
+    assert(!LexIndex.compactIfGarbage(spark, p, maxGarbageShare = share))
+    assert(LexIndex.currentVersion(spark, p) === v,
+      "below-threshold maintenance still published a version")
+    assert(LexIndex.garbageShare(spark, p) === share)
+    // below it → the real compaction runs and collects everything
+    assert(LexIndex.compactIfGarbage(spark, p, maxGarbageShare = share / 2))
+    assert(LexIndex.currentVersion(spark, p) === v + 1)
+    assert(LexIndex.garbageShare(spark, p) === 0.0,
+      "compaction left superseded bytes")
+    assert(postingRows(p).sameElements(rowsBefore),
+      "policy compaction changed rows")
+    // settled: the policy converges to no-ops
+    assert(!LexIndex.compactIfGarbage(spark, p, maxGarbageShare = share / 2))
+  }
+
   test("mutators fail fast while another writer holds the index lease") {
     import spark.implicits._
     val p = tempDir("lexfence")
