@@ -229,9 +229,13 @@ object DailyDriver {
     * (no step in flight), the way a corpus owner schedules weekly
     * compaction next to the daily delta:
     *
-    *  - `LexIndex.compact`: merges fold bucket rewrites into versioned
-    *    directories; compaction re-clusters the live buckets into ONE
-    *    version and garbage-collects everything superseded;
+    *  - `LexIndex.compactIfGarbage`: merges fold bucket rewrites into
+    *    versioned directories; compaction re-clusters the live buckets
+    *    into ONE version and garbage-collects everything superseded.
+    *    Policy-gated on `lexGcShare` (superseded-bytes share; the
+    *    default 0.0 compacts whenever any garbage exists, the original
+    *    every-window behavior — raise it to let small strandings ride
+    *    until they carry real weight);
     *  - the signature index: every [[step]] appends a few files, so an
     *    N-day driver reads N file groups per near-dup probe — rewritten
     *    here into one clustered layout via the same write-new →
@@ -241,10 +245,11 @@ object DailyDriver {
     *
     * Decisions and the chunk-loop tables swap wholesale on their own
     * writes and need no periodic pass. */
-  def maintain(spark: SparkSession, dir: String): Unit =
+  def maintain(spark: SparkSession, dir: String,
+               lexGcShare: Double = 0.0): Unit =
    Lease.withLease(spark, dir, "maintain") {
     import org.apache.hadoop.fs.Path
-    graft.operators.LexIndex.compact(spark, lexDir(dir))
+    graft.operators.LexIndex.compactIfGarbage(spark, lexDir(dir), lexGcShare)
     val dst = new Path(indexDir(dir))
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dst)) {
