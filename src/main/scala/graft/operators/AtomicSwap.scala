@@ -42,9 +42,11 @@ import org.apache.spark.sql.SparkSession
   * always lands on a complete table (the replacement is durable before
   * the old table is touched). Workloads that need lock-free snapshot
   * reads across mutations use the [[LexIndex]]-style versioned-manifest
-  * layout instead, where published versions are immutable and readers
-  * pin one; this helper is for tables swapped between protocol steps
-  * (the daily driver's), not under live concurrent scans.
+  * layout instead, where published versions are immutable, readers pin
+  * one, and `LexIndex.gc`'s grace window keeps a pinned version's files
+  * alive until in-flight scans are done; this helper is for tables
+  * swapped between protocol steps (the daily driver's), not under live
+  * concurrent scans.
   */
 object AtomicSwap {
 

@@ -372,8 +372,11 @@ object LexIndex {
     * crash mid-GC only leaves garbage (re-collected by the next
     * compact), never a dangling reference. Rows, df, dl, and stats are
     * all unchanged: `merge → compact → search` is row-identical to the
-    * uncompacted index (LexIndexSpec). */
-  def compact(spark: SparkSession, path: String): Unit =
+    * uncompacted index (LexIndexSpec). `gcGraceMs` is handed to [[gc]]:
+    * 0 (the offline default) collects everything superseded at once; a
+    * positive grace leaves recently-published versions for in-flight
+    * pinned readers (see [[gc]] for the vacuum rule). */
+  def compact(spark: SparkSession, path: String, gcGraceMs: Long = 0L): Unit =
    Lease.withLease(spark, path, "lexindex-compact") {
     val cur = currentVersion(spark, path)
     require(cur > 0L, s"no published index under $path — build first")
@@ -388,18 +391,68 @@ object LexIndex {
       publishManifest(spark, path, next, written.map(_ -> next).toMap)
     } else publishManifest(spark, path, next, Map.empty)
     // GC: every version directory and manifest below the one just
-    // published is unreferenced now
+    // published is unreferenced now — collect what the grace allows
+    gcLocked(spark, path, gcGraceMs)
+  }
+
+  /** Collect version directories the live manifest no longer references.
+    * With the default `graceMs = 0` everything superseded goes at once —
+    * the OFFLINE discipline (no readers in flight). A positive grace is
+    * the vacuum rule for live readers: an unreferenced `v=W` is deleted
+    * only when its directory mtime is more than `graceMs` old, and a
+    * published version's directories never change after publication, so
+    * mtime ≈ publication time ≤ any reader's pin time — a reader that
+    * pins the then-current version at open and finishes within `graceMs`
+    * of opening can never lose files to this sweep. Referenced versions
+    * are never deleted regardless of age. Runs under the writer lease
+    * (the manifest must not advance mid-sweep). */
+  def gc(spark: SparkSession, path: String, graceMs: Long = 0L): Unit =
+   Lease.withLease(spark, path, "lexindex-gc") {
+    gcLocked(spark, path, graceMs)
+  }
+
+  /** [[gc]]'s body, for callers already holding the `path` lease. */
+  private def gcLocked(spark: SparkSession, path: String, graceMs: Long): Unit = {
+    val cur = currentVersion(spark, path)
+    if (cur <= 0L) return
+    val man = readManifest(spark, path, cur)
     val f = fs(spark, path)
-    def sweep(dir: String, keep: String): Unit = {
+    val now = System.currentTimeMillis()
+    def aged(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      now - st.getModificationTime >= graceMs
+    // buckets + docmap are referenced at (version, bucket) grain — a
+    // still-referenced v=W dir can hold superseded tb dirs, so sweep
+    // per bucket and drop version dirs only once emptied
+    def sweepBucketed(dir: String): Unit = {
       val d = new Path(dir)
-      if (f.exists(d)) f.listStatus(d).map(_.getPath)
-        .filter(p => p.getName != keep && !p.getName.startsWith("."))
-        .foreach(f.delete(_, true))
+      if (!f.exists(d)) return
+      for (vSt <- f.listStatus(d) if vSt.getPath.getName.startsWith("v=")) {
+        val v = vSt.getPath.getName.stripPrefix("v=").toLong
+        var left = 0
+        for (bSt <- f.listStatus(vSt.getPath)
+             if bSt.getPath.getName.startsWith("tb=")) {
+          val b = bSt.getPath.getName.stripPrefix("tb=").toLong
+          if (!man.get(b).contains(v) && aged(bSt)) f.delete(bSt.getPath, true)
+          else left += 1
+        }
+        if (left == 0 && v != cur && aged(vSt)) f.delete(vSt.getPath, true)
+      }
     }
-    sweep(bucketsDir(path), s"v=$next")
-    sweep(statsDir(path), s"v=$next")
-    sweep(docmapDir(path), s"v=$next")
-    sweep(manifestDir(path), s"v=$next.txt")
+    // stats + manifest files are referenced at the current version only
+    def sweepFlat(dir: String, keep: String, version: String => Boolean): Unit = {
+      val d = new Path(dir)
+      if (f.exists(d)) f.listStatus(d)
+        .filter { st =>
+          val n = st.getPath.getName
+          n != keep && version(n) && aged(st)
+        }
+        .foreach(st => f.delete(st.getPath, true))
+    }
+    sweepBucketed(bucketsDir(path))
+    sweepBucketed(docmapDir(path))
+    sweepFlat(statsDir(path), s"v=$cur", _.startsWith("v="))
+    sweepFlat(manifestDir(path), s"v=$cur.txt",
+      n => n.startsWith("v=") && n.endsWith(".txt"))
   }
 
   /** Share of bucket bytes the live manifest does NOT reference —

@@ -245,6 +245,54 @@ class LexIndexSpec extends SparkSpecBase {
       "stats after merging into an empty index diverge")
   }
 
+  test("standalone gc sweeps at bucket grain and never touches referenced versions") {
+    val docs = docsAt("/root/testdata/sf0.001")
+    val p = tempDir("lexgcstandalone")
+    LexIndex.build(UnigramLm.termFreq(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text"), p)
+    LexIndex.merge(spark, p, UnigramLm.termFreq(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text"))
+    // the merge rewrote the delta's buckets into v=2 but v=1 still holds
+    // referenced untouched buckets alongside the superseded ones
+    assert(LexIndex.garbageShare(spark, p) > 0.0, "merge stranded nothing")
+    val rows = postingRows(p)
+    val st = statsRows(p)
+    LexIndex.gc(spark, p) // no rewrite, no version bump — sweep only
+    assert(LexIndex.currentVersion(spark, p) === 2L, "gc bumped the version")
+    assert(LexIndex.garbageShare(spark, p) === 0.0, "gc left superseded buckets")
+    assert(postingRows(p).sameElements(rows), "gc deleted referenced postings")
+    assert(statsRows(p).sameElements(st), "gc touched live stats")
+  }
+
+  test("a positive gc grace preserves a pinned reader across compaction") {
+    val docs = docsAt("/root/testdata/sf0.001")
+    val p = tempDir("lexgcgrace")
+    LexIndex.build(UnigramLm.termFreq(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text"), p)
+    LexIndex.merge(spark, p, UnigramLm.termFreq(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text"))
+    val rows = postingRows(p)
+    // pin a reader on the pre-compaction version, THEN compact with a
+    // grace: the rewrite publishes v=3 but the pinned version's files
+    // must survive the sweep
+    val pinned = LexIndex.openPostings(spark, p)
+      .select("term", "doc_id", "tf", "dl", "df", "tb")
+    LexIndex.compact(spark, p, gcGraceMs = 10L * 60 * 1000)
+    assert(LexIndex.currentVersion(spark, p) === 3L)
+    assert(pinned.collect().map(_.toString).sorted.sameElements(rows),
+      "graced compaction pulled files out from under a pinned reader")
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def versions() =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$p/buckets"))
+        .map(_.getPath.getName).filter(_.startsWith("v=")).toSeq.sorted
+    assert(versions().length > 1, "grace did not retain superseded versions")
+    // once the readers are gone (grace 0) the same sweep collects it all
+    LexIndex.gc(spark, p)
+    assert(versions() === Seq("v=3"), s"post-grace gc left: ${versions()}")
+    assert(postingRows(p).sameElements(rows), "gc changed live rows")
+  }
+
   test("compactIfGarbage compacts only past the superseded-bytes threshold") {
     val docs = docsAt("/root/testdata/sf0.001")
     val p = tempDir("lexgc")
