@@ -460,12 +460,17 @@ object LexIndex {
     * [[compact]] collects. Driver-side listing only (≤ versions ×
     * buckets directory entries, file lengths from the listing itself) —
     * no data is read, so a maintenance window can measure every time.
-    * 0.0 on an empty or garbage-free index. */
-  def garbageShare(spark: SparkSession, path: String): Double = {
+    * With a positive `graceMs` only GC-ELIGIBLE garbage counts (same
+    * aging rule as [[gc]]) — what a sweep could actually reclaim now,
+    * so a policy on this share never re-triggers for bytes the grace
+    * still protects. 0.0 on an empty or garbage-free index. */
+  def garbageShare(spark: SparkSession, path: String,
+                   graceMs: Long = 0L): Double = {
     val man = readManifest(spark, path, currentVersion(spark, path))
     val f = fs(spark, path)
     val root = new Path(bucketsDir(path))
     if (!f.exists(root)) return 0.0
+    val now = System.currentTimeMillis()
     var live = 0L
     var dead = 0L
     for (vDir <- f.listStatus(root) if vDir.getPath.getName.startsWith("v=")) {
@@ -474,7 +479,8 @@ object LexIndex {
            if bDir.getPath.getName.startsWith("tb=")) {
         val b = bDir.getPath.getName.stripPrefix("tb=").toLong
         val bytes = f.listStatus(bDir.getPath).map(_.getLen).sum
-        if (man.get(b).contains(v)) live += bytes else dead += bytes
+        if (man.get(b).contains(v)) live += bytes
+        else if (now - bDir.getModificationTime >= graceMs) dead += bytes
       }
     }
     if (live + dead == 0L) 0.0 else dead.toDouble / (live + dead).toDouble
@@ -491,12 +497,18 @@ object LexIndex {
     * growth modes repeated mutation causes — small files and stranded
     * versions — are paid down together.
     *
+    * With a positive `gcGraceMs` both halves respect it: the trigger
+    * counts only GC-eligible bytes (never re-firing for garbage the
+    * grace still protects) and the compaction's sweep leaves pinned
+    * readers' versions alive.
+    *
     * @return true iff a compaction ran */
   def compactIfGarbage(spark: SparkSession, path: String,
-                       maxGarbageShare: Double = 0.3): Boolean = {
-    val share = garbageShare(spark, path)
+                       maxGarbageShare: Double = 0.3,
+                       gcGraceMs: Long = 0L): Boolean = {
+    val share = garbageShare(spark, path, gcGraceMs)
     if (share <= maxGarbageShare) false
-    else { compact(spark, path); true }
+    else { compact(spark, path, gcGraceMs); true }
   }
 
   /** BM25 top-k over the persisted index. `qterms` is (q_id, term) —

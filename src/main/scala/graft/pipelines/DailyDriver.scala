@@ -235,7 +235,10 @@ object DailyDriver {
     *    Policy-gated on `lexGcShare` (superseded-bytes share; the
     *    default 0.0 compacts whenever any garbage exists, the original
     *    every-window behavior — raise it to let small strandings ride
-    *    until they carry real weight);
+    *    until they carry real weight). `lexGcGraceMs` flows through to
+    *    the GC so deployments with live index readers keep pinned
+    *    versions alive across the compaction (LexIndex.gc's vacuum
+    *    rule);
     *  - the signature index: every [[step]] appends a few files, so an
     *    N-day driver reads N file groups per near-dup probe — rewritten
     *    here into one clustered layout via the same write-new →
@@ -246,10 +249,11 @@ object DailyDriver {
     * Decisions and the chunk-loop tables swap wholesale on their own
     * writes and need no periodic pass. */
   def maintain(spark: SparkSession, dir: String,
-               lexGcShare: Double = 0.0): Unit =
+               lexGcShare: Double = 0.0, lexGcGraceMs: Long = 0L): Unit =
    Lease.withLease(spark, dir, "maintain") {
     import org.apache.hadoop.fs.Path
-    graft.operators.LexIndex.compactIfGarbage(spark, lexDir(dir), lexGcShare)
+    graft.operators.LexIndex.compactIfGarbage(spark, lexDir(dir), lexGcShare,
+      lexGcGraceMs)
     val dst = new Path(indexDir(dir))
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dst)) {

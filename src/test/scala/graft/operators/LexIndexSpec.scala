@@ -287,6 +287,14 @@ class LexIndexSpec extends SparkSpecBase {
       fs.listStatus(new org.apache.hadoop.fs.Path(s"$p/buckets"))
         .map(_.getPath.getName).filter(_.startsWith("v=")).toSeq.sorted
     assert(versions().length > 1, "grace did not retain superseded versions")
+    // the policy must not re-fire for bytes the grace still protects:
+    // raw garbage exists, eligible garbage is zero
+    assert(LexIndex.garbageShare(spark, p) > 0.0)
+    assert(LexIndex.garbageShare(spark, p, graceMs = 10L * 60 * 1000) === 0.0)
+    assert(!LexIndex.compactIfGarbage(spark, p, maxGarbageShare = 0.0,
+      gcGraceMs = 10L * 60 * 1000))
+    assert(LexIndex.currentVersion(spark, p) === 3L,
+      "graced policy re-compacted protected garbage")
     // once the readers are gone (grace 0) the same sweep collects it all
     LexIndex.gc(spark, p)
     assert(versions() === Seq("v=3"), s"post-grace gc left: ${versions()}")
