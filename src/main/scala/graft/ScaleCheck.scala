@@ -270,6 +270,29 @@ object ScaleCheck {
       val skewAfter = maxShare()
       println(f"${d.split('/').last}%-24s $tBuild%8.2f $tSearch%8.2f  " +
         f"${tBuild / tSearch}%8.1fx  cellmax $skewBefore%.3f -> $skewAfter%.3f")
+      // lexical maintenance lifecycle on the same index: the held-out
+      // query docs are id-disjoint from the indexed corpus by
+      // construction, so merging them strands the touched buckets'
+      // previous versions. The claim: the policy TRIGGER
+      // (garbageShare) is a driver-side listing — near-constant time
+      // at any corpus size — and the policy compaction returns the
+      // eligible share to zero.
+      import graft.operators.{LexIndex, UnigramLm}
+      import graft.queries.CurationQ6.{qMod, qCap}
+      val docs = Tables.documents(spark, d)
+      LexIndex.merge(spark, s"$root/lex", UnigramLm.termFreq(
+        docs.filter((col("doc_id") % qMod === 0) && (col("doc_id") < qCap)),
+        "doc_id", "text"))
+      val tm0 = System.nanoTime()
+      val share = LexIndex.garbageShare(spark, s"$root/lex")
+      val tMeasure = (System.nanoTime() - tm0) / 1e9
+      val tc0 = System.nanoTime()
+      val fired = LexIndex.compactIfGarbage(spark, s"$root/lex",
+        maxGarbageShare = 0.02)
+      val tCompact = (System.nanoTime() - tc0) / 1e9
+      val after = LexIndex.garbageShare(spark, s"$root/lex")
+      println(f"${"  lex gc policy"}%-24s ${tMeasure}%8.3f ${tCompact}%8.2f  " +
+        f"share $share%.3f -> $after%.3f (${if (fired) "compacted" else "no-op"})")
     }
   }
 

@@ -35,8 +35,8 @@ object CurationQ6 {
     * not a manufactured workload×corpus product (q98 measures the
     * other convention: bench side deliberately scaling with the
     * corpus). */
-  private[queries] val qMod = 97L
-  private[queries] val qCap = 10000000L
+  private[graft] val qMod = 97L
+  private[graft] val qCap = 10000000L
 
   // --------------------------------------------------------------- q111
 
