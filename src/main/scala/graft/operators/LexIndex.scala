@@ -220,11 +220,15 @@ object LexIndex {
     * manifest) that later merges grow. */
   def build(tf: DataFrame, path: String): Unit = {
     val spark = tf.sparkSession
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val rows = tf.join(dl, Seq("doc_id")).join(dfreq, Seq("term"))
-    val written = writeVersion(spark, path, 1L, rows, Bm25.stats(tf))
-    publishManifest(spark, path, 1L, written.map(_ -> 1L).toMap)
+    // fenced like every other mutator: two racing builds would
+    // interleave writes under the same v=1 paths
+    Lease.withLease(spark, path, "lexindex-build") {
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val rows = tf.join(dl, Seq("doc_id")).join(dfreq, Seq("term"))
+      val written = writeVersion(spark, path, 1L, rows, Bm25.stats(tf))
+      publishManifest(spark, path, 1L, written.map(_ -> 1L).toMap)
+    }
   }
 
   /** The pinned corpus statistics of the current version. */

@@ -41,7 +41,10 @@ object VecIndex {
     * assign window (InferWindowGroupLimit) + one partitioned write — no
     * corpus-sized cache, no collect. */
   def build(emb: DataFrame, idCol: String, vecCol: String,
-            centroids: DataFrame, path: String): Unit = {
+            centroids: DataFrame, path: String): Unit =
+   // fenced like the maintenance ops: two racing builds would
+   // interleave files under the same base layout
+   Lease.withLease(emb.sparkSession, path, "vecindex-build") {
     val cents = centroids
       .select(col("cid"), col("centroid").as("c_vec"))
       .withColumn("c_norm", sqrt(callDot(col("c_vec"), col("c_vec"))))

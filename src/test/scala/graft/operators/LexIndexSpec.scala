@@ -343,6 +343,7 @@ class LexIndexSpec extends SparkSpecBase {
     val held = Lease.acquire(spark, p, "concurrent-writer")
     try {
       for ((label, op) <- Seq[(String, () => Unit)](
+        ("build", () => LexIndex.build(tfAll, p)),
         ("merge", () => LexIndex.merge(spark, p, tfAll.filter(lit(false)))),
         ("delete", () => LexIndex.delete(spark, p, Seq(1L).toDF("doc_id"))),
         ("compact", () => LexIndex.compact(spark, p)))) {

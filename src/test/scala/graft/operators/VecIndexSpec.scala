@@ -395,6 +395,7 @@ class VecIndexSpec extends SparkSpecBase {
     val held = Lease.acquire(spark, dir, "concurrent-writer")
     try {
       for ((label, op) <- Seq[(String, () => Unit)](
+        ("build", () => VecIndex.build(emb, "vec_id", "embedding", cents, dir)),
         ("compact", () => VecIndex.compact(spark, dir, "vec_id")),
         ("delete", () => VecIndex.delete(spark, dir, "vec_id",
           Seq(before.head._1).toDF("vec_id"))),
