@@ -49,7 +49,23 @@ object Bench {
       "\"" + k + "\":" + rs.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rawRuns,"sf":"$sfDir"}"""
+    // Pass-skew summary: per-query max/min ratio across the two passes.
+    // High skew = battery-POSITION tax (warmth, accumulated-JVM state),
+    // not code — future rounds read this to tell a positional artifact
+    // from a real regression without a solo rerun (the r6 q82 lesson).
+    val skews = results.collect {
+      case (name, best, rs) if best > 0 && rs.forall(_ > 0) =>
+        name -> rs.max / rs.min
+    }.sortBy(-_._2)
+    val skewJson =
+      if (skews.isEmpty) "{}"
+      else {
+        val sorted = skews.map(_._2).sorted
+        def pct(p: Double) = sorted(((sorted.size - 1) * p).toInt)
+        s"""{"median":${pct(0.5)},"p90":${pct(0.9)},"max":${sorted.last},""" +
+          s""""max_query":"${skews.head._1}"}"""
+      }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rawRuns,"pass_skew":$skewJson,"sf":"$sfDir"}"""
     // The driver parses the bench JSON from output where sbt may append its
     // own trailer lines; persist to a file AND print after spark.stop() so
     // the JSON is the program's last stdout line.

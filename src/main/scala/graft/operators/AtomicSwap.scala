@@ -110,46 +110,94 @@ object AtomicSwap {
   }
 
   /** Short-lived mutual exclusion on `dst`'s metadata window: poll the
-    * create-no-overwrite lock, breaking locks older than `lockStaleMs`
-    * (their holder crashed mid-window — the lock carries its creation
-    * millis), giving up after `deadlineMs` if a LIVE holder never
-    * finishes. */
-  private def withTableLock[T](fs: FileSystem, dst: String,
-                               lockStaleMs: Long = 60000L,
-                               deadlineMs: Long = 120000L)(body: => T): T = {
+    * create-no-overwrite lock (genuinely atomic on `file:` via NIO
+    * `CREATE_NEW` — see [[Lease.tryCreate]]), breaking locks whose
+    * recorded creation millis is older than `lockStaleMs` (their holder
+    * crashed mid-window), giving up after `deadlineMs` if a LIVE holder
+    * never finishes.
+    *
+    * Breaking is the [[Lease.acquire]] tombstone discipline, NOT a bare
+    * delete: two contenders reading the same stale timestamp must not
+    * both "break" it — the slower one would delete the faster one's
+    * freshly-created lock and both would enter the window. The break
+    * RENAMES the lock to a unique tombstone (atomic — one winner) and
+    * verifies the tombstone still holds the stale content the decision
+    * was based on; content that changed means a competitor already broke
+    * and re-created the lock, so the move is undone and this contender
+    * goes back to polling. Release verifies the stored nonce first: a
+    * holder whose window outlived `lockStaleMs` (misconfiguration) must
+    * not delete its breaker's fresh lock. */
+  private[operators] def withTableLock[T](fs: FileSystem, dst: String,
+                                          lockStaleMs: Long = 60000L,
+                                          deadlineMs: Long = 120000L)(body: => T): T = {
     val p = lockPath(dst)
+    val nonce = java.util.UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + deadlineMs
+    def readRaw(at: Path): Option[String] = Lease.readRawBytes(fs, at)
     var acquired = false
     while (!acquired) {
-      acquired =
-        try {
-          val out = fs.create(p, false)
-          try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
-          finally out.close()
-          true
-        } catch { case _: java.io.IOException => false }
+      acquired = Lease.tryCreate(fs, p,
+        s"${System.currentTimeMillis()}|$nonce")
       if (!acquired) {
-        val ts = try {
-          val in = fs.open(p)
-          val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-          s.toLong
-        } catch { case _: Exception => 0L } // torn/vanished → break it
-        if (System.currentTimeMillis() - ts > lockStaleMs) fs.delete(p, false)
-        else if (System.currentTimeMillis() > deadline)
+        val observed = readRaw(p)
+        val ts = observed.flatMap(_.split('|').headOption)
+          .flatMap(s => scala.util.Try(s.toLong).toOption)
+          .getOrElse(0L) // torn/vanished → stale by definition
+        if (System.currentTimeMillis() - ts > lockStaleMs) {
+          // Breakers are SERIALIZED through the break token ([[Lease
+          // .acquire]]'s discipline — see its takeover comment): a
+          // contender renaming the lock path on a stale read could move
+          // a competitor's FRESH lock aside, and the momentary absence
+          // would admit a third contender into the window. Only the
+          // token winner may rename, after re-confirming the lock still
+          // holds the stale content the decision was based on; while the
+          // token is held nothing else can change the lock path (fresh
+          // locks are only created on an absent path).
+          val breakTok = new Path(dst + "__lock_break")
+          if (Lease.tryCreate(fs, breakTok,
+            s"${System.currentTimeMillis()}|$nonce")) {
+            try {
+              if (readRaw(p) == observed) {
+                val tomb = new Path(dst + "__lock_tomb_" +
+                  java.util.UUID.randomUUID().toString)
+                if (Lease.atomicRename(fs, p, tomb)) {
+                  if (readRaw(tomb) == observed) fs.delete(tomb, false)
+                  else { // backstop — unreachable while the token holds
+                    Lease.atomicRename(fs, tomb, p)
+                    ()
+                  }
+                }
+              } // else: the lock moved on under us — poll again
+            } finally fs.delete(breakTok, false)
+          } else {
+            // a breaker is mid-flight — or crashed holding the token:
+            // age it out (break work is sub-second)
+            val tokTs = readRaw(breakTok)
+              .flatMap(_.split('|').headOption)
+              .flatMap(s => scala.util.Try(s.toLong).toOption)
+            if (tokTs.exists(System.currentTimeMillis() - _ > lockStaleMs))
+              fs.delete(breakTok, false)
+            Thread.sleep(50)
+          }
+        } else if (System.currentTimeMillis() > deadline)
           throw new IllegalStateException(
             s"table lock $p held past ${deadlineMs} ms — live holder stuck?")
         else Thread.sleep(200)
       }
     }
-    try body finally fs.delete(p, false)
+    try body finally {
+      if (readRaw(p).exists(_.endsWith(nonce))) fs.delete(p, false)
+    }
   }
 }
 
 /** Single-writer fencing for a storage-protocol root: a lease FILE under
   * the directory, acquired with create-no-overwrite (atomic on HDFS and
-  * object stores with conditional put; best-effort on a raw local fs —
-  * fine for the single-host test harness). A second writer fails FAST
-  * instead of interleaving its swaps/appends with a live step.
+  * object stores with conditional put; on `file:` URIs via NIO
+  * `CREATE_NEW` — one atomic O_CREAT|O_EXCL open, so the local case is
+  * genuinely atomic too, LeaseHammerSpec races N threads to prove it).
+  * A second writer fails FAST instead of interleaving its swaps/appends
+  * with a live step.
   *
   * Staleness: a crashed writer leaves its lease behind by design — the
   * lease carries an epoch-millis heartbeat, and an acquirer may TAKE OVER
@@ -215,24 +263,82 @@ object Lease {
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def readLease(fs: FileSystem, p: Path): Option[(String, Long, String)] =
-    try {
+  /** Raw content read, scheme-aware: `file:` goes through NIO so the
+    * lease layer NEVER reads via ChecksumFileSystem — its NIO-created
+    * files have no `.crc` sidecar, and an orphaned sidecar from an
+    * fs.create'd predecessor would make a checksum-verified open throw
+    * and a live lease parse as torn. None = vanished or unreadable. */
+  private[operators] def readRawBytes(fs: FileSystem, p: Path): Option[String] =
+    if (fs.getScheme == "file") {
+      try Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p.toUri.getPath)), "UTF-8"))
+      catch { case _: java.io.IOException => None }
+    } else try {
       val in = fs.open(p)
       val bytes = try in.readAllBytes() finally in.close()
-      new String(bytes, "UTF-8").split('|') match {
-        case Array(owner, ts, nonce) => Some((owner, ts.toLong, nonce))
-        case _ => None // torn write → treat as stale garbage
-      }
-    } catch { case _: java.io.IOException => None } // vanished under us
+      Some(new String(bytes, "UTF-8"))
+    } catch { case _: java.io.IOException => None }
 
-  private def tryCreate(fs: FileSystem, p: Path, body: String): Boolean =
-    try {
+  private def readLease(fs: FileSystem, p: Path): Option[(String, Long, String)] =
+    readRawBytes(fs, p).flatMap(_.split('|') match {
+      case Array(owner, ts, nonce) =>
+        scala.util.Try((owner, ts.toLong, nonce)).toOption
+      case _ => None // torn write → treat as stale garbage
+    })
+
+  /** Create-no-overwrite with `body` as content. On `file:` URIs Hadoop's
+    * RawLocalFileSystem `create(p, false)` is check-then-create — two
+    * concurrent creators can both "win" — so the local scheme goes
+    * through NIO `CREATE_NEW`, which is a single atomic open(2) with
+    * O_CREAT|O_EXCL; cluster filesystems keep the Hadoop path (atomic on
+    * HDFS, conditional put on object stores). Exposed to [[AtomicSwap]]
+    * so its table lock shares the same atomicity. */
+  private[operators] def tryCreate(fs: FileSystem, p: Path, body: String): Boolean =
+    if (fs.getScheme == "file") {
+      try {
+        val local = java.nio.file.Paths.get(p.toUri.getPath)
+        val parent = local.getParent
+        if (parent != null) java.nio.file.Files.createDirectories(parent)
+        java.nio.file.Files.write(local, body.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.io.IOException => false
+      }
+    } else try {
       val out = fs.create(p, false)
       try out.write(body.getBytes("UTF-8")) finally out.close()
       true
     } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
       case _: java.io.IOException => false // raw local fs throws plain IOE
+    }
+
+  /** Atomic file move for the tombstone protocol. Hadoop's local
+    * `rename` is NOT safe here: when `File.renameTo` fails (e.g. the
+    * source just vanished), RawLocalFileSystem falls back to
+    * FileUtil.copy(deleteSource=true) — which can "rename" a DIFFERENT
+    * file that reappeared at the source path after the check, deleting a
+    * live lock/lease out from under its holder (LeaseHammerSpec caught
+    * exactly this: racing stale-breakers cloned each other's fresh locks
+    * away). On `file:` URIs use NIO ATOMIC_MOVE — one rename(2), fails
+    * cleanly when the source is missing, never copies. Cluster
+    * filesystems keep `fs.rename` (HDFS rename is atomic, no copy
+    * fallback). */
+  private[operators] def atomicRename(fs: FileSystem, src: Path, dst: Path): Boolean =
+    if (fs.getScheme == "file") {
+      try {
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(src.toUri.getPath),
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        true
+      } catch { case _: java.io.IOException => false }
+    } else {
+      try fs.rename(src, dst)
+      catch { case _: java.io.IOException => false }
     }
 
   /** Acquire the writer lease for `dir` or throw `IllegalStateException`
@@ -254,39 +360,80 @@ object Lease {
             s"${System.currentTimeMillis() -
               newestBeat(fs, dir, heldNonce).getOrElse(0L).max(ts)} ms ago); " +
             s"a step is in flight — fail-fast by contract")
-      case observed => // stale, torn, or vanished: break it via tombstone
-        // RENAME (atomic — only one contender moves the file aside), then
-        // verify we moved the content we read: a competitor may have
-        // taken over and written a FRESH lease between our read and our
-        // rename, and deleting that would yield two live writers
-        val tomb = new Path(dir + "/.lease-tomb-" +
-          java.util.UUID.randomUUID().toString)
-        val moved =
-          try fs.rename(p, tomb)
-          catch { case _: java.io.IOException => false }
-        if (moved) {
-          val tombContent = readLease(fs, tomb)
-          val sameAsObserved = (tombContent, observed) match {
+      case None if !existsQuiet(fs, p) =>
+        // VANISHED (released or a crashed breaker's absence window): no
+        // live holder to protect — the atomic create decides the winner
+        if (tryCreate(fs, p, body)) Token(dir, nonce)
+        else throw new IllegalStateException(
+          s"writer lease for $dir lost the takeover race — another writer won")
+      case observed => // stale or torn: break it, SERIALIZED
+        // Breakers must not race each other: a contender renaming the
+        // lease path based on a stale read can move a competitor's FRESH
+        // lease aside — verify+undo restores the content, but the
+        // momentary ABSENCE lets a third contender's create win, ending
+        // with several live "holders" (LeaseHammerSpec recorded 6 before
+        // this token existed). So breaking requires first winning the
+        // BREAK TOKEN (create-no-overwrite — one breaker at a time); the
+        // token holder re-reads the lease, confirms it is still the
+        // stale content the decision was based on, and only then renames
+        // it to a tombstone. While the token is held nothing else can
+        // legitimately change the lease path (fresh leases are only
+        // created on an ABSENT path, and the path stays occupied by the
+        // stale lease until the token holder moves it), so the
+        // tombstone verify is a pure backstop now.
+        val breakTok = new Path(dir + "/.lease-break")
+        if (!tryCreate(fs, breakTok,
+          s"${System.currentTimeMillis()}|$nonce")) {
+          // a breaker is mid-flight — or crashed holding the token: age
+          // it out (break work is sub-second; 60 s = dead breaker)
+          val tokTs = readRawFile(fs, breakTok)
+            .flatMap(_.split('|').headOption)
+            .flatMap(s => scala.util.Try(s.toLong).toOption)
+          if (tokTs.exists(System.currentTimeMillis() - _ > 60000L))
+            fs.delete(breakTok, false)
+          throw new IllegalStateException(
+            s"writer lease for $dir is being broken by a competitor — retry")
+        }
+        try {
+          val still = readLease(fs, p)
+          val sameAsObserved = (still, observed) match {
             case (Some((_, _, a)), Some((_, _, b))) => a == b
             case (None, None) => true // torn then, torn now
             case _ => false
           }
-          if (!sameAsObserved) {
-            fs.rename(tomb, p) // give the fresh lease back
+          if (!sameAsObserved)
             throw new IllegalStateException(
               s"writer lease for $dir lost the takeover race — another writer won")
+          val tomb = new Path(dir + "/.lease-tomb-" +
+            java.util.UUID.randomUUID().toString)
+          if (atomicRename(fs, p, tomb)) {
+            val tombContent = readLease(fs, tomb)
+            val tombSame = (tombContent, observed) match {
+              case (Some((_, _, a)), Some((_, _, b))) => a == b
+              case (None, None) => true
+              case _ => false
+            }
+            if (!tombSame) { // backstop — unreachable while the token holds
+              atomicRename(fs, tomb, p)
+              throw new IllegalStateException(
+                s"writer lease for $dir lost the takeover race — another writer won")
+            }
+            fs.delete(tomb, false)
+            // the broken holder's beat debris must not refresh anything
+            observed.foreach { case (_, _, n) => dropBeats(fs, dir, n, keepNewest = false) }
           }
-          fs.delete(tomb, false)
-          // the broken holder's beat debris must not refresh anything
-          observed.foreach { case (_, _, n) => dropBeats(fs, dir, n, keepNewest = false) }
-        }
-        // moved == false: the file vanished or a competitor renamed it
-        // first — either way the create below decides the winner
-        if (tryCreate(fs, p, body)) Token(dir, nonce)
-        else throw new IllegalStateException(
-          s"writer lease for $dir lost the takeover race — another writer won")
+          if (tryCreate(fs, p, body)) Token(dir, nonce)
+          else throw new IllegalStateException(
+            s"writer lease for $dir lost the takeover race — another writer won")
+        } finally fs.delete(breakTok, false)
     }
   }
+
+  private def existsQuiet(fs: FileSystem, p: Path): Boolean =
+    try fs.exists(p) catch { case _: java.io.IOException => false }
+
+  private def readRawFile(fs: FileSystem, p: Path): Option[String] =
+    readRawBytes(fs, p)
 
   /** Refresh `token`'s heartbeat: write a fresh uniquely-named beat
     * file, then sweep our older beats. A no-op if the lease no longer

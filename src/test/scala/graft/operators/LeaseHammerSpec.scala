@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.SparkSpecBase
+
+/** Concurrency hammers for the storage-protocol primitives on the local
+  * filesystem — the atomicity claims that used to be "best-effort on a
+  * raw local fs" and are now NIO `CREATE_NEW` (one O_CREAT|O_EXCL
+  * open(2)):
+  *
+  *  - N threads race [[Lease.acquire]] on a fresh directory → exactly
+  *    one wins, N−1 fail fast naming the holder;
+  *  - N threads race the same STALE lease's takeover → exactly one wins
+  *    (the tombstone-rename + content-verify discipline);
+  *  - N threads serialize a read-modify-write through the
+  *    [[AtomicSwap]] table lock → no lost update, and a STALE table
+  *    lock being broken by racing contenders still admits one at a time
+  *    (the ADVICE race: two contenders observing the same stale
+  *    timestamp must not both enter the window).
+  */
+class LeaseHammerSpec extends SparkSpecBase {
+
+  private val threads = 16
+
+  private def race[T](n: Int)(f: Int => T): Seq[T] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val futs = (0 until n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[T] {
+          def call(): T = { gate.await(); f(i) }
+        })
+      }
+      gate.countDown()
+      futs.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+  }
+
+  test("lease acquire: N concurrent racers, exactly one winner") {
+    val dir = tempDir("lease-hammer")
+    val results = race(threads) { i =>
+      try Right(Lease.acquire(spark, dir, s"racer-$i"))
+      catch { case e: IllegalStateException => Left(e.getMessage) }
+    }
+    val winners = results.collect { case Right(t) => t }
+    assert(winners.size == 1, s"expected exactly one winner, got ${winners.size}")
+    // every loser saw a live holder (fail-fast) or lost the takeover race
+    assert(results.collect { case Left(m) => m }
+      .forall(_.startsWith("writer lease for")))
+    Lease.release(spark, winners.head)
+  }
+
+  test("stale-lease takeover: N concurrent racers, exactly one winner") {
+    val dir = tempDir("lease-takeover-hammer")
+    // a crashed writer's lease: created, never renewed, then aged well
+    // past the racers' staleMs — while the eventual takeover winner's
+    // FRESH lease (ms old by the time losers re-check) stays live
+    val dead = Lease.acquire(spark, dir, "crashed")
+    Thread.sleep(500)
+    val results = race(threads) { i =>
+      try Right(Lease.acquire(spark, dir, s"taker-$i", staleMs = 250L))
+      catch { case e: IllegalStateException => Left(e.getMessage) }
+    }
+    val winners = results.collect { case Right(t) => t }
+    assert(winners.size == 1,
+      s"stale takeover must have exactly one winner, got ${winners.size}")
+    assert(winners.head.nonce != dead.nonce)
+    Lease.release(spark, winners.head)
+  }
+
+  test("table lock: read-modify-write under contention loses no update") {
+    val dir = tempDir("tablelock-hammer")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val counter = new java.io.File(dir, "counter")
+    java.nio.file.Files.write(counter.toPath, "0".getBytes("UTF-8"))
+    race(threads) { _ =>
+      AtomicSwap.withTableLock(fs, s"$dir/t") {
+        val v = new String(
+          java.nio.file.Files.readAllBytes(counter.toPath), "UTF-8").toInt
+        Thread.sleep(5) // widen the read-modify-write window
+        java.nio.file.Files.write(counter.toPath,
+          (v + 1).toString.getBytes("UTF-8"))
+      }
+    }
+    val end = new String(
+      java.nio.file.Files.readAllBytes(counter.toPath), "UTF-8").toInt
+    assert(end == threads, s"lost updates under the table lock: $end/$threads")
+  }
+
+  test("stale table lock: racing breakers admit one contender at a time") {
+    val dir = tempDir("tablelock-stale-hammer")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // forge a crashed holder's lock: ancient timestamp, dead nonce
+    val lock = new org.apache.hadoop.fs.Path(s"${dir}/t__lock")
+    assert(Lease.tryCreate(fs, lock, "12345|dead-nonce"))
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
+    race(threads) { _ =>
+      AtomicSwap.withTableLock(fs, s"$dir/t", lockStaleMs = 50L,
+        deadlineMs = 30000L) {
+        val now = inside.incrementAndGet()
+        maxInside.accumulateAndGet(now, Math.max(_, _))
+        Thread.sleep(5)
+        inside.decrementAndGet()
+        ()
+      }
+    }
+    assert(maxInside.get() == 1,
+      s"${maxInside.get()} contenders inside the stale-broken lock window at once")
+  }
+}
