@@ -265,11 +265,34 @@ object ScaleCheck {
         occ.max.toDouble / occ.sum
       }
       val skewBefore = maxShare()
-      graft.operators.VecIndex.retrain(spark, s"$root/vec", "vec_id", "embedding",
-        k = 16, iters = 2)
+      val trained = graft.operators.VecIndex.retrain(spark, s"$root/vec",
+        "vec_id", "embedding", k = 16, iters = 2)
       val skewAfter = maxShare()
       println(f"${d.split('/').last}%-24s $tBuild%8.2f $tSearch%8.2f  " +
         f"${tBuild / tSearch}%8.1fx  cellmax $skewBefore%.3f -> $skewAfter%.3f")
+      // vector LSM delta policy on the same index: append the held-out
+      // query vectors (id-disjoint from the indexed corpus) as a batch
+      // delta, then measure the policy TRIGGER (deltaShare — two
+      // driver-side content summaries, near-constant time at any corpus
+      // size) and the gated fold, which returns the share to zero.
+      locally {
+        import graft.operators.VecIndex
+        import graft.queries.CurationQ6.{qMod, qCap}
+        val emb = Tables.embeddings(spark, d)
+        VecIndex.append(
+          emb.filter((col("vec_id") % qMod === 0) && (col("vec_id") < qCap)),
+          "vec_id", "embedding", trained, s"$root/vec")
+        val tv0 = System.nanoTime()
+        val vShare = VecIndex.deltaShare(spark, s"$root/vec")
+        val tvMeasure = (System.nanoTime() - tv0) / 1e9
+        val tv1 = System.nanoTime()
+        val vFired = VecIndex.compactIfDelta(spark, s"$root/vec", "vec_id",
+          maxDeltaShare = 0.001)
+        val tvCompact = (System.nanoTime() - tv1) / 1e9
+        val vAfter = VecIndex.deltaShare(spark, s"$root/vec")
+        println(f"${"  vec delta policy"}%-24s ${tvMeasure}%8.3f ${tvCompact}%8.2f  " +
+          f"share $vShare%.3f -> $vAfter%.3f (${if (vFired) "compacted" else "no-op"})")
+      }
       // lexical maintenance lifecycle on the same index: the held-out
       // query docs are id-disjoint from the indexed corpus by
       // construction, so merging them strands the touched buckets'

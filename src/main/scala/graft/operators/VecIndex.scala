@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -15,36 +16,150 @@ import org.apache.spark.sql.functions._
   * the cell filter prunes at the file-listing level, so a search over a
   * 100 TB corpus reads nprobe/k of it).
   *
-  * Layout — an LSM pair of partitioned directories:
+  * Layout — versioned directories published by an immutable manifest
+  * (the [[LexIndex]] discipline, ported so vector readers get the same
+  * lock-free pinned-version snapshots):
   * {{{
-  *   path/base/cid=N/part-*.parquet    // bulk builds + compactions
-  *   path/delta/cid=N/part-*.parquet   // streaming appends (file sink)
+  *   path/cells/v=V/cid=N/part-*.parquet   // bulk side: build/compact/delete/retrain
+  *   path/delta/e=E/cid=N/part-*.parquet   // append side: streaming sink or batch appends
+  *   path/centroids/v=V/part-*.parquet     // the quantizer (retrain installs new versions)
+  *   path/manifest/v=V.txt                 // "base:B", "epoch:E", "cents:C"
   * }}}
-  * rows = (id, vec, norm). The split is load-bearing, not cosmetic: the
-  * exactly-once file sink governs its output directory through a
-  * `_spark_metadata` log, and a reader honoring that log sees ONLY
-  * log-listed files — mixing bulk-written and sink-written files in one
-  * directory silently hides the bulk half (caught by DailyDriverSpec).
-  * So streams append to `delta/`, bulk writes own `base/`, [[open]]
-  * unions the two (the delta side read through its log, keeping the
-  * exactly-once guarantee), and [[compact]] merges delta into base.
-  * Search cost per probe = the probed cells' bytes only; the scan's
-  * PartitionFilters prove it (asserted by VecIndexSpec).
+  * The CURRENT index is defined by the highest-numbered manifest file:
+  * cells version `B` (0 = no bulk side yet — a pure-stream index),
+  * delta epoch `E` (appends land under `delta/e=E`), centroids version
+  * `C` (0 = none persisted). A mutation writes its new cells (and, for
+  * [[retrain]], centroids) under the NEXT version — fresh paths the
+  * live index never references — then publishes ONE new manifest file
+  * via a same-directory rename, the single atomic step. A crash before
+  * that rename leaves orphan `v=N+1` debris the old manifest never
+  * references (the next mutation overwrites it); a crash after it IS
+  * the new index. There is no repair, no commit marker, and no
+  * destructive roll-forward a concurrent open could race — the
+  * delete-then-rename window of the previous in-place layout is gone.
+  *
+  * Reader contract — pinned snapshots: [[open]] resolves the manifest
+  * once and returns a frame over immutable paths, so a long-running
+  * search is never perturbed by a concurrent compact/delete/retrain:
+  * the mutation publishes a NEW version set and leaves the old one in
+  * place as garbage. [[gc]]'s grace window (the LexIndex vacuum rule)
+  * keeps a pinned version's files alive until in-flight scans are done:
+  * an unreferenced version directory is collected only once its mtime
+  * is older than the grace, and published directories never change
+  * after publication, so mtime ≈ publication time ≤ any reader's pin
+  * time.
+  *
+  * The cells/delta split is an LSM pair and is load-bearing: the
+  * exactly-once streaming file sink governs its output directory
+  * through a `_spark_metadata` log, and a reader honoring that log sees
+  * ONLY log-listed files — mixing bulk-written and sink-written files
+  * in one directory silently hides the bulk half. So streams append to
+  * the current `delta/e=E`, bulk writes own their `cells/v=B`, [[open]]
+  * unions the two, and [[compact]] folds the delta into a new cells
+  * version, bumping the epoch in the same manifest publish (so rows are
+  * never counted from both sides). Search cost per probe = the probed
+  * cells' bytes only; the scan's PartitionFilters prove it (asserted by
+  * VecIndexSpec).
+  *
+  * Mutations are single-writer: each runs under the [[Lease]] for
+  * `path`, so a second concurrent build/append/compact/delete/retrain
+  * fails fast instead of racing the same `v=N+1` paths.
   */
 object VecIndex {
 
-  private def baseDir(path: String) = s"$path/base"
+  private def cellsDir(path: String) = s"$path/cells"
   private def deltaDir(path: String) = s"$path/delta"
+  private def centsDir(path: String) = s"$path/centroids"
+  private def manifestDir(path: String) = s"$path/manifest"
+
+  private def cellsPath(path: String, v: Long) = s"${cellsDir(path)}/v=$v"
+  private def deltaPath(path: String, e: Long) = s"${deltaDir(path)}/e=$e"
+  private def centsPath(path: String, v: Long) = s"${centsDir(path)}/v=$v"
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def exists(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The published state: manifest version `v` (0 = never published),
+    * cells version `base` (0 = none), delta epoch, centroids version
+    * (0 = none). The default for an unpublished path is epoch 1 — a
+    * pure-stream index ([[appendStream]] without a prior [[build]])
+    * needs a well-defined append target without a manifest write a
+    * streaming sink could not make transactional. */
+  private[graft] final case class Manifest(v: Long, base: Long,
+                                           epoch: Long, cents: Long)
+
+  private val ManifestName = "v=(\\d+)\\.txt".r
+
+  /** The published manifest version the index currently reads at
+    * (0 = no successful publish yet). */
+  def currentVersion(spark: SparkSession, path: String): Long = {
+    val dir = new Path(manifestDir(path))
+    val f = fs(spark, path)
+    if (!f.exists(dir)) 0L
+    else f.listStatus(dir).map(_.getPath.getName)
+      .collect { case ManifestName(v) => v.toLong }
+      .foldLeft(0L)(math.max)
+  }
+
+  private[graft] def currentManifest(spark: SparkSession, path: String): Manifest = {
+    val v = currentVersion(spark, path)
+    if (v == 0L) return Manifest(0L, 0L, 1L, 0L)
+    val in = fs(spark, path).open(new Path(manifestDir(path), s"v=$v.txt"))
+    val kv =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty)
+        .map { line =>
+          val Array(k, value) = line.split(":")
+          k -> value.toLong
+        }.toMap
+      finally in.close()
+    Manifest(v, kv.getOrElse("base", 0L), kv.getOrElse("epoch", 1L),
+      kv.getOrElse("cents", 0L))
+  }
+
+  /** Publish manifest version `v`: write to a dot-prefixed temp name in
+    * the manifest directory, then rename — one atomic same-directory
+    * move, the only step that changes what readers see. */
+  private def publishManifest(spark: SparkSession, path: String,
+                              v: Long, base: Long, epoch: Long,
+                              cents: Long): Unit = {
+    val f = fs(spark, path)
+    val dir = new Path(manifestDir(path))
+    f.mkdirs(dir)
+    val tmp = new Path(dir, s".tmp-v=$v.txt")
+    val out = f.create(tmp, true)
+    try out.write(s"base:$base\nepoch:$epoch\ncents:$cents\n".getBytes("UTF-8"))
+    finally out.close()
+    val dst = new Path(dir, s"v=$v.txt")
+    f.delete(dst, false) // only present if THIS version was already published
+    require(f.rename(tmp, dst), s"manifest publish failed: $tmp -> $dst")
+  }
 
   /** Assign every vector to its nearest-by-cosine centroid and persist
-    * partitioned by cell id. One broadcast join + the map-side-pruned
-    * assign window (InferWindowGroupLimit) + one partitioned write — no
-    * corpus-sized cache, no collect. */
+    * partitioned by cell id as the next cells version. One broadcast
+    * join + the map-side-pruned assign window (InferWindowGroupLimit) +
+    * one partitioned write — no corpus-sized cache, no collect. The
+    * delta side (if any) is untouched — build replaces the BULK side
+    * only, exactly like the previous layout's base overwrite.
+    *
+    * @param persistCentroids install `centroids` as the index's pinned
+    *        quantizer in the same manifest publish — what a pipeline
+    *        needs when later [[append]]s must assign against the build's
+    *        own cells ([[openCentroids]] reads it back) */
   def build(emb: DataFrame, idCol: String, vecCol: String,
-            centroids: DataFrame, path: String): Unit =
+            centroids: DataFrame, path: String,
+            persistCentroids: Boolean = false): Unit = {
+   val spark = emb.sparkSession
    // fenced like the maintenance ops: two racing builds would
-   // interleave files under the same base layout
-   Lease.withLease(emb.sparkSession, path, "vecindex-build") {
+   // interleave writes under the same v=N+1 paths
+   Lease.withLease(spark, path, "vecindex-build") {
+    val m = currentManifest(spark, path)
+    val n = m.v + 1
     val cents = centroids
       .select(col("cid"), col("centroid").as("c_vec"))
       .withColumn("c_norm", sqrt(callDot(col("c_vec"), col("c_vec"))))
@@ -57,76 +172,55 @@ object VecIndex {
       .filter(col("__rn") === 1)
       .select(col("__id").as(idCol), col("__v").as(vecCol),
         col("__norm").as("norm"), col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(baseDir(path))
+      .write.mode("overwrite").partitionBy("cid").parquet(cellsPath(path, n))
+    val centsV =
+      if (persistCentroids) {
+        centroids.write.mode("overwrite").parquet(centsPath(path, n))
+        n
+      } else m.cents
+    publishManifest(spark, path, n, base = n, epoch = m.epoch, cents = centsV)
+   }
   }
 
-  /** The full index: base ∪ delta, whichever sides exist (a pure-stream
-    * index has no base until its first compaction; a never-appended one
-    * has no delta). Each side is a single-path read, so the delta side
-    * goes through the file sink's metadata log and an aborted
-    * micro-batch's orphan files stay invisible. Opens begin with
-    * [[repair]]: an interrupted compaction/deletion that had already
-    * committed rolls forward to the new layout first, so readers never
-    * see a half-swapped index. */
-  def open(spark: SparkSession, path: String): DataFrame = {
-    repair(spark, path)
-    val sides = Seq(baseDir(path), deltaDir(path)).filter(exists(spark, _))
-    require(sides.nonEmpty, s"no index layout under $path")
-    sides.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+  /** The full index at the CURRENT manifest: cells ∪ delta, whichever
+    * sides exist (a pure-stream index has no cells version until its
+    * first compaction; a never-appended one has no delta). Each side is
+    * a single-path read, so the delta side goes through the file sink's
+    * metadata log when one governs it and an aborted micro-batch's
+    * orphan files stay invisible. The returned frame is a PINNED
+    * SNAPSHOT — it reads the resolved version's immutable paths, so
+    * concurrent maintenance never perturbs it (see the object doc's
+    * reader contract). */
+  def open(spark: SparkSession, path: String): DataFrame =
+    tryOpen(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no index layout under $path"))
+
+  /** [[open]] for callers probing a possibly-unbuilt index. */
+  def tryOpen(spark: SparkSession, path: String): Option[DataFrame] =
+    openAt(spark, path, currentManifest(spark, path))
+
+  private def openAt(spark: SparkSession, path: String,
+                     m: Manifest): Option[DataFrame] = {
+    val bulk =
+      if (m.base > 0L && exists(spark, cellsPath(path, m.base)))
+        Some(spark.read.option("basePath", cellsDir(path))
+          .parquet(cellsPath(path, m.base)).drop("v"))
+      else None
+    val delta =
+      if (exists(spark, deltaPath(path, m.epoch)))
+        Some(spark.read.parquet(deltaPath(path, m.epoch)))
+      else None
+    (bulk.toSeq ++ delta.toSeq).reduceOption(_.unionByName(_))
   }
 
-  private def tmpDir(path: String) = s"$path/__compacting"
-  private def markerPath(path: String) = s"$path/__compact_commit"
-
-  /** Crash recovery for the in-place swap [[compact]]/[[delete]] use.
-    * The commit MARKER is created only after the replacement data is
-    * completely written, and removed only after the swap finishes — so
-    * its presence means "the new layout is durable, finish the swap"
-    * (roll FORWARD: drop whatever remains of base/delta, move the
-    * replacement in). Its absence means any `__compacting` debris is an
-    * uncommitted partial write the next maintenance run overwrites
-    * (roll back by ignoring). Every step here is idempotent, so repair
-    * itself can crash and re-run. */
-  def repair(spark: SparkSession, path: String): Unit = {
-    val marker = new org.apache.hadoop.fs.Path(markerPath(path))
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) return
-    finishSwap(fs, path)
-  }
-
-  /** The roll-forward half shared by [[swapInPlace]] and [[repair]]:
-    * every step keyed on existence, so it is idempotent under crashes.
-    * tmp present → the swap's renames have not completed: re-drive them.
-    * tmp absent → the rename landed (base IS the new layout, delta was
-    * already dropped before it). A pending `__centroids_new` (written by
-    * [[retrain]] BEFORE its marker) installs under the same window, so
-    * rows and quantizer always publish together. */
-  private def finishSwap(fs: org.apache.hadoop.fs.FileSystem,
-                         path: String): Unit = {
-    val base = new org.apache.hadoop.fs.Path(baseDir(path))
-    val delta = new org.apache.hadoop.fs.Path(deltaDir(path))
-    val tmp = new org.apache.hadoop.fs.Path(tmpDir(path))
-    if (fs.exists(tmp)) {
-      fs.delete(base, true)
-      fs.delete(delta, true)
-      require(fs.rename(tmp, base), s"repair rename failed: $tmp -> $base")
-    }
-    val ctmp = new org.apache.hadoop.fs.Path(centroidsTmp(path))
-    if (fs.exists(ctmp)) {
-      val cdir = new org.apache.hadoop.fs.Path(centroidsDir(path))
-      fs.delete(cdir, true)
-      require(fs.rename(ctmp, cdir), s"repair rename failed: $ctmp -> $cdir")
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(markerPath(path)), false)
-  }
-
-  /** Persisted quantizer location ([[retrain]] maintains it). */
-  def centroidsDir(path: String): String = s"$path/centroids"
-  private def centroidsTmp(path: String) = s"$path/__centroids_new"
-
-  private def exists(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  /** The pinned quantizer (cid, centroid) at the current manifest, or
+    * None when no centroids version was ever installed ([[retrain]] or
+    * a `persistCentroids` [[build]] installs one). */
+  def openCentroids(spark: SparkSession, path: String): Option[DataFrame] = {
+    val m = currentManifest(spark, path)
+    if (m.cents == 0L) None
+    else Some(spark.read.parquet(centsPath(path, m.cents))
+      .select(col("cid"), col("centroid")))
   }
 
   /** In-cell exact-cosine top-k over the persisted index.
@@ -227,42 +321,93 @@ object VecIndex {
   }
 
   /** Incremental index maintenance: assign arriving vectors with
-    * [[assignFold]] and append them to the DELTA side of the layout
-    * through the exactly-once parquet file sink. New rows land in their
-    * `delta/cid=N/` directories, so searches over `open(path)` keep
-    * pruning correctly as the index grows; [[compact]] folds the delta
-    * into the base offline, exactly like any LSM-flavored index. */
+    * [[assignFold]] and append them to the CURRENT DELTA EPOCH through
+    * the exactly-once parquet file sink. New rows land in their
+    * `delta/e=E/cid=N/` directories, so searches over `open(path)` keep
+    * pruning correctly as the index grows; [[compact]] folds the epoch
+    * into the cells side offline and bumps the epoch, exactly like any
+    * LSM-flavored index. The epoch is resolved ONCE at stream start —
+    * after a compaction, restart the stream (with a fresh checkpoint:
+    * the new epoch directory has no history the old log could govern). */
   def appendStream(embStream: DataFrame, idCol: String, vecCol: String,
                    centroids: DataFrame, path: String,
-                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val e = currentManifest(embStream.sparkSession, path).epoch
     assignFold(embStream, idCol, vecCol, centroids)
       .select(col(idCol), col(vecCol), col("norm"), col("cid"))
       .writeStream.format("parquet")
       .option("checkpointLocation", checkpoint)
       .partitionBy("cid")
       .outputMode("append")
-      .start(deltaDir(path))
+      .start(deltaPath(path, e))
+  }
 
-  /** Offline compaction: fold the streamed delta into the base and
-    * reset the layout to a single bulk-written side. Every micro-batch
-    * lands a file per touched `delta/cid=N/` directory, so a
-    * long-running ingest accumulates files whose per-file overhead
-    * eventually dominates the scan. One range shuffle on (cid, id)
-    * clusters each cell into a contiguous run — a partition holds at
-    * most a couple of cells, a cell receives at most a couple of
-    * files — written to a temp directory and swapped in via
-    * same-filesystem renames (never read-and-overwrite in place).
-    * Idempotent: rows and the cid partition layout are unchanged by a
-    * second run; VecIndexSpec asserts row identity and that searches
-    * keep pruning.
+  /** BATCH incremental append — the daily-driver form of
+    * [[appendStream]]: assign the arrival batch with [[assignFold]] and
+    * append it to the current delta epoch in one job-committed write
+    * (the files land whole or not at all, so a replayed step can probe
+    * [[containsAny]] to decide whether its append already landed — the
+    * disjoint-daily-ids discipline the driver's other appends use).
+    * Guarded against the sink-log trap: a streaming sink's epoch
+    * directory is governed by `_spark_metadata`, which would silently
+    * hide batch-written files from readers — one epoch has one append
+    * discipline, so compact (epoch bump) before switching. */
+  def append(emb: DataFrame, idCol: String, vecCol: String,
+             centroids: DataFrame, path: String): Unit = {
+    val spark = emb.sparkSession
+    Lease.withLease(spark, path, "vecindex-append") {
+      val e = currentManifest(spark, path).epoch
+      val dir = deltaPath(path, e)
+      require(!exists(spark, s"$dir/_spark_metadata"),
+        s"delta epoch $e is governed by a streaming sink log — batch " +
+          s"appends would be invisible to readers; compact first")
+      assignFold(emb, idCol, vecCol, centroids)
+        .select(col(idCol), col(vecCol), col("norm"), col("cid"))
+        .write.mode("append").partitionBy("cid").parquet(dir)
+    }
+  }
+
+  /** Whether ANY of `ids` is already indexed — the landed-or-not probe
+    * a RETRIED append needs. Column-pruned scan of the id column only
+    * (cells + current delta); false on a never-built index. */
+  def containsAny(spark: SparkSession, path: String, ids: DataFrame): Boolean =
+    tryOpen(spark, path) match {
+      case None => false
+      case Some(idx) =>
+        !idx.select(col(ids.columns.head))
+          .join(broadcast(ids.distinct()), Seq(ids.columns.head), "left_semi")
+          .isEmpty
+    }
+
+  /** Offline compaction: fold the current delta epoch into a fresh
+    * cells version and bump the epoch in the same manifest publish.
+    * Every micro-batch/daily append lands a file per touched
+    * `cid=N/` directory, so a long-running ingest accumulates files
+    * whose per-file overhead eventually dominates the scan. One range
+    * shuffle on (cid, id) clusters each cell into a contiguous run — a
+    * partition holds at most a couple of cells, a cell receives at most
+    * a couple of files. Rows and the cid layout are unchanged by a
+    * second run (VecIndexSpec asserts row identity and that searches
+    * keep pruning); pinned readers of the previous version are
+    * untouched — their directories become garbage [[gc]] collects after
+    * `gcGraceMs`.
     *
-    * LSM handoff discipline: run with NO active writer, and restart the
-    * append stream with a fresh checkpoint afterwards — the compaction
-    * consumes the delta directory and its sink log, so a resumed old
-    * checkpoint would re-govern a directory whose history is gone. */
-  def compact(spark: SparkSession, path: String, idCol: String): Unit =
-    swapInPlace(spark, path,
-      open(spark, path).repartitionByRange(col("cid"), col(idCol)))
+    * LSM handoff discipline: run with NO active append stream, and
+    * restart streams with a fresh checkpoint afterwards — the epoch
+    * bump retires the directory the old checkpoint governed. */
+  def compact(spark: SparkSession, path: String, idCol: String,
+              gcGraceMs: Long = 0L): Unit =
+    Lease.withLease(spark, path, "vecindex-maintenance") {
+      val m = currentManifest(spark, path)
+      val rows = openAt(spark, path, m).getOrElse(
+        throw new IllegalArgumentException(s"no index layout under $path"))
+      val n = m.v + 1
+      rows.repartitionByRange(col("cid"), col(idCol))
+        .write.mode("overwrite").partitionBy("cid").parquet(cellsPath(path, n))
+      publishManifest(spark, path, n, base = n, epoch = m.epoch + 1L,
+        cents = m.cents)
+      gcLocked(spark, path, gcGraceMs)
+    }
 
   /** Remove vectors from the index — the retraction path (takedowns,
     * decontamination) — [[graft.operators.LexIndex.delete]]'s vector
@@ -272,15 +417,23 @@ object VecIndex {
     * Unlike LexIndex there is no per-bucket saving to chase: the cell
     * count is small by design (a coarse quantizer), so victims touch
     * most cells and a full clustered rewrite is the honest cost — and
-    * it shares [[compact]]'s crash contract (commit marker + repair)
-    * and its LSM handoff discipline (no active writer; restart streams
-    * on a fresh checkpoint). Ids absent from the index are no-ops. */
+    * it shares [[compact]]'s publish contract (new version + atomic
+    * manifest rename; pinned readers unperturbed) and its LSM handoff
+    * discipline (no active writer; restart streams on a fresh
+    * checkpoint). Ids absent from the index are no-ops. */
   def delete(spark: SparkSession, path: String, idCol: String,
              ids: DataFrame): Unit =
-    swapInPlace(spark, path,
-      open(spark, path)
-        .join(broadcast(ids.select(col(idCol)).distinct()), Seq(idCol), "left_anti")
-        .repartitionByRange(col("cid"), col(idCol)))
+    Lease.withLease(spark, path, "vecindex-maintenance") {
+      val m = currentManifest(spark, path)
+      val rows = openAt(spark, path, m).getOrElse(
+        throw new IllegalArgumentException(s"no index layout under $path"))
+      val n = m.v + 1
+      rows.join(broadcast(ids.select(col(idCol)).distinct()), Seq(idCol), "left_anti")
+        .repartitionByRange(col("cid"), col(idCol))
+        .write.mode("overwrite").partitionBy("cid").parquet(cellsPath(path, n))
+      publishManifest(spark, path, n, base = n, epoch = m.epoch + 1L,
+        cents = m.cents)
+    }
 
   /** Re-train the coarse quantizer against the CURRENT rows and re-cell
     * the index — the drift-maintenance half [[compact]]/[[delete]] leave
@@ -288,32 +441,117 @@ object VecIndex {
     * piles into few cells and search degrades toward a serial scan of
     * one giant cell. Retraining runs [[KMeans.lloyd]] over the live rows
     * (deterministic, RNG-free), re-assigns every row with the
-    * streaming-safe [[assignFold]], and lands the re-celled layout under
-    * the SAME commit-marker + [[repair]] contract as compaction — a
-    * crash at any point leaves the old or the complete new layout.
+    * streaming-safe [[assignFold]], and publishes the re-celled cells
+    * version AND the new centroids version in ONE manifest rename — a
+    * crash at any point leaves the old or the complete new pair, never
+    * new cells with the old quantizer or vice versa.
     *
     * The vector SET is untouched (same ids, same vectors, same norms —
     * only `cid` moves; VecIndexSpec proves row identity and that
-    * post-drift cell skew drops). New centroids are returned AND
-    * persisted under `path/centroids` so probe assignment and future
-    * appends pick them up — installed INSIDE the same marker window as
-    * the re-celled rows (written to `__centroids_new` before the marker,
-    * renamed in by the swap's roll-forward), so a crash can never leave
-    * new cells paired with the old quantizer or vice versa. Same handoff
-    * discipline as [[compact]]: no active writer, restart append streams
-    * on a fresh checkpoint.
+    * post-drift cell skew drops). Probe assignment and future appends
+    * pick the new quantizer up via [[openCentroids]]. Same handoff
+    * discipline as [[compact]]: no active writer, restart append
+    * streams on a fresh checkpoint.
     *
     * @return the trained centroids (cid, centroid) — materialized, safe
-    *         to use after the swap */
+    *         to use after the publish */
   def retrain(spark: SparkSession, path: String, idCol: String, vecCol: String,
-              k: Int, iters: Int = 5): DataFrame = {
-    val rows = open(spark, path)
-    val cents = KMeans.lloyd(rows, idCol, vecCol, k, iters).localCheckpoint()
-    val recelled = assignFold(rows, idCol, vecCol, cents)
-      .select(col(idCol), col(vecCol), col("norm"), col("cid"))
-      .repartitionByRange(col("cid"), col(idCol))
-    swapInPlace(spark, path, recelled, newCentroids = Some(cents))
-    cents
+              k: Int, iters: Int = 5): DataFrame =
+    Lease.withLease(spark, path, "vecindex-maintenance") {
+      val m = currentManifest(spark, path)
+      val rows = openAt(spark, path, m).getOrElse(
+        throw new IllegalArgumentException(s"no index layout under $path"))
+      val cents = KMeans.lloyd(rows, idCol, vecCol, k, iters).localCheckpoint()
+      val n = m.v + 1
+      assignFold(rows, idCol, vecCol, cents)
+        .select(col(idCol), col(vecCol), col("norm"), col("cid"))
+        .repartitionByRange(col("cid"), col(idCol))
+        .write.mode("overwrite").partitionBy("cid").parquet(cellsPath(path, n))
+      cents.write.mode("overwrite").parquet(centsPath(path, n))
+      publishManifest(spark, path, n, base = n, epoch = m.epoch + 1L,
+        cents = n)
+      cents
+    }
+
+  /** Collect version directories the live manifest no longer references
+    * — superseded cells/centroids versions and retired delta epochs.
+    * With the default `graceMs = 0` everything superseded goes at once —
+    * the OFFLINE discipline (no readers in flight). A positive grace is
+    * the vacuum rule for live readers: an unreferenced directory is
+    * deleted only when its mtime is more than `graceMs` old, and
+    * published directories never change after publication (a retired
+    * epoch stops receiving appends when the manifest bump retires it),
+    * so mtime ≈ publication time ≤ any reader's pin time — a reader
+    * that pins the then-current manifest at [[open]] and finishes
+    * within `graceMs` can never lose files to this sweep. Referenced
+    * directories are never deleted regardless of age. Runs under the
+    * writer lease (the manifest must not advance mid-sweep). */
+  def gc(spark: SparkSession, path: String, graceMs: Long = 0L): Unit =
+    Lease.withLease(spark, path, "vecindex-gc") {
+      gcLocked(spark, path, graceMs)
+    }
+
+  /** [[gc]]'s body, for callers already holding the `path` lease. */
+  private def gcLocked(spark: SparkSession, path: String, graceMs: Long): Unit = {
+    val m = currentManifest(spark, path)
+    if (m.v == 0L) return
+    val f = fs(spark, path)
+    val now = System.currentTimeMillis()
+    def sweep(dir: String, prefix: String, keep: Long => Boolean): Unit = {
+      val d = new Path(dir)
+      if (!f.exists(d)) return
+      for (st <- f.listStatus(d) if st.getPath.getName.startsWith(prefix)) {
+        val v = st.getPath.getName.stripPrefix(prefix).toLong
+        if (!keep(v) && now - st.getModificationTime >= graceMs)
+          f.delete(st.getPath, true)
+      }
+    }
+    sweep(cellsDir(path), "v=", _ == m.base)
+    sweep(deltaDir(path), "e=", _ == m.epoch)
+    sweep(centsDir(path), "v=", _ == m.cents)
+    // superseded manifest files (tiny, but unbounded over months)
+    val md = new Path(manifestDir(path))
+    if (f.exists(md)) for (st <- f.listStatus(md)) st.getPath.getName match {
+      case ManifestName(v) if v.toLong != m.v &&
+        now - st.getModificationTime >= graceMs => f.delete(st.getPath, false)
+      case _ => ()
+    }
+  }
+
+  /** Share of index bytes sitting in the CURRENT delta epoch — the
+    * unfolded-append debt [[compact]] pays down. Driver-side content
+    * summaries only (two metadata calls, no data read), so a
+    * maintenance window can measure every time. 0.0 with no delta;
+    * 1.0 for a pure-stream index that has never compacted. Retired
+    * epochs and superseded cells versions are GARBAGE, not debt — they
+    * are [[gc]]'s business and do not count here. */
+  def deltaShare(spark: SparkSession, path: String): Double = {
+    val m = currentManifest(spark, path)
+    val f = fs(spark, path)
+    def bytes(dir: String): Long = {
+      val p = new Path(dir)
+      if (!f.exists(p)) 0L else f.getContentSummary(p).getLength
+    }
+    val delta = bytes(deltaPath(path, m.epoch))
+    val base = if (m.base > 0L) bytes(cellsPath(path, m.base)) else 0L
+    if (delta + base == 0L) 0.0 else delta.toDouble / (delta + base).toDouble
+  }
+
+  /** The POLICY form of [[compact]] — [[LexIndex.compactIfGarbage]]'s
+    * LSM sibling: fold the delta only when it holds more than
+    * `maxDeltaShare` of the index's bytes. Below the threshold the two
+    * content summaries are the whole cost (no rewrite, no new version),
+    * so a maintenance window calls this unconditionally and the
+    * corpus-linear re-cluster runs only once appends carry real weight.
+    * Same no-active-writer handoff contract as [[compact]].
+    *
+    * @return true iff a compaction ran */
+  def compactIfDelta(spark: SparkSession, path: String, idCol: String,
+                     maxDeltaShare: Double = 0.2,
+                     gcGraceMs: Long = 0L): Boolean = {
+    val share = deltaShare(spark, path)
+    if (share <= maxDeltaShare) false
+    else { compact(spark, path, idCol, gcGraceMs); true }
   }
 
   /** Cell-occupancy skew of the live index: the hottest cell's share of
@@ -322,18 +560,21 @@ object VecIndex {
     * cell). One column-pruned scan of `cid` — at fleet scale this is a
     * per-partition count, no vector payloads move. 0.0 on an empty
     * index (nothing to rebalance). */
-  def cellSkew(spark: SparkSession, path: String): Double = {
-    val occ = open(spark, path).groupBy(col("cid")).count()
-      .agg(max(col("count")).as("mx"), sum(col("count")).as("n"))
-      .collect().head
-    if (occ.isNullAt(1) || occ.getLong(1) == 0L) 0.0
-    else occ.getLong(0).toDouble / occ.getLong(1).toDouble
-  }
+  def cellSkew(spark: SparkSession, path: String): Double =
+    tryOpen(spark, path) match {
+      case None => 0.0
+      case Some(idx) =>
+        val occ = idx.groupBy(col("cid")).count()
+          .agg(max(col("count")).as("mx"), sum(col("count")).as("n"))
+          .collect().head
+        if (occ.isNullAt(1) || occ.getLong(1) == 0L) 0.0
+        else occ.getLong(0).toDouble / occ.getLong(1).toDouble
+    }
 
   /** The POLICY form of [[retrain]] — the call a maintenance window
     * makes: measure [[cellSkew]] and re-train only when the hottest
     * cell holds more than `maxCellShare` of the index. Below the
-    * threshold the index is untouched (no swap, no new version — the
+    * threshold the index is untouched (no publish, no new version — the
     * measurement is the whole cost), so running this every window is
     * cheap and the expensive re-cell happens only when drift has
     * actually concentrated the corpus. Same no-active-writer handoff
@@ -346,35 +587,6 @@ object VecIndex {
     val skew = cellSkew(spark, path)
     if (skew <= maxCellShare) false
     else { retrain(spark, path, idCol, vecCol, k, iters); true }
-  }
-
-  /** The guarded in-place swap behind [[compact]]/[[delete]]: write the
-    * full replacement under `__compacting`, create the COMMIT MARKER
-    * (the point of no return — from here [[repair]] rolls forward), then
-    * drop base+delta and rename the replacement in. A crash before the
-    * marker leaves the old index untouched (debris overwritten next
-    * run); a crash after it is finished by the next [[open]]. */
-  private def swapInPlace(spark: SparkSession, path: String, rows: DataFrame,
-                          newCentroids: Option[DataFrame] = None): Unit =
-   // maintenance ops are single-writer by contract; the lease makes a
-   // second concurrent compact/delete/retrain fail FAST instead of
-   // racing the same __compacting paths (crashed holders age out)
-   Lease.withLease(spark, path, "vecindex-maintenance") {
-    import org.apache.hadoop.fs.Path
-    val tmp = new Path(tmpDir(path))
-    val marker = new Path(markerPath(path))
-    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    repair(spark, path) // finish an interrupted predecessor first
-    fs.delete(tmp, true) // uncommitted debris from an aborted earlier run
-    // stale centroid debris from an aborted RETRAIN must not ride along
-    // with an unrelated compact/delete — only this call's own centroids
-    // may be pending when the marker lands
-    fs.delete(new Path(centroidsTmp(path)), true)
-    rows.write.mode("overwrite").partitionBy("cid").parquet(tmp.toString)
-    newCentroids.foreach(
-      _.write.mode("overwrite").parquet(centroidsTmp(path)))
-    fs.create(marker, true).close()
-    finishSwap(fs, path)
   }
 
   private def callDot(a: Column, b: Column): Column =

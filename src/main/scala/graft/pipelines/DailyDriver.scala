@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   *  - `sig_index/`  — LSH signature index over the current CANDIDATES
   *    (docs passing quality + contamination), the relation
   *    `StreamOps.streamingNearDup` and `curateIncremental` probe
+  *  - `lex_index/`  — [[graft.operators.LexIndex]] over the candidates
+  *    (BM25 retrieval), grown by bucket-grain merges each step
+  *  - `vec_index/`  — [[graft.operators.VecIndex]] over the candidates'
+  *    embeddings (ANN retrieval), when [[init]] was given them: day 0
+  *    trains the quantizer and bulk-builds, each [[step]] appends its
+  *    delta, [[maintain]] runs the fold/retrain policies — so the
+  *    hybrid (BM25 + vector) retrieval stack q132 measures is fully
+  *    driver-maintained, never stale on the vector side
   *
   * Each step recomputes ONLY the arrivals and the prior components they
   * touch (`Curation.curateIncremental` — proven row-equal to a full
@@ -54,6 +62,13 @@ object DailyDriver {
   private def indexDir(dir: String) = s"$dir/sig_index"
   private def lexDir(dir: String) = s"$dir/lex_index"
 
+  /** The driver's vector-index root — public so retrieval code can
+    * `VecIndex.open`/`search` the driver-maintained index directly. */
+  def vecIndexDir(dir: String): String = s"$dir/vec_index"
+
+  /** Coarse-quantizer cell count for the driver's vector index. */
+  val VecCells = 8
+
   private def candidates(docs: DataFrame, decisions: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text"))
       .join(decisions.filter(col("quality_pass") && col("contam_pass"))
@@ -74,10 +89,28 @@ object DailyDriver {
     spark.read.parquet(indexDir(dir))
   }
 
+  /** The driver-maintained vector index as a pinned snapshot —
+    * `VecIndex.open` over [[vecIndexDir]] (versioned-manifest reads:
+    * no repair step exists or is needed; a concurrent maintenance
+    * publish never perturbs the returned frame). Requires [[init]] to
+    * have been given embeddings. */
+  def openVecIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.VecIndex.open(spark, vecIndexDir(dir))
+
   /** Day 0: full `curate` over the corpus; persist the decision table
-    * and the candidates' signature index. */
+    * and the candidates' signature index.
+    *
+    * @param embeddings optional (doc_id, embedding) relation for the
+    *        corpus — when present, day 0 also trains a coarse quantizer
+    *        over the CANDIDATES' embeddings and builds the driver's
+    *        [[graft.operators.VecIndex]], so the retrieval stack the
+    *        driver maintains has its vector half from the start (q132's
+    *        recurring hybrid workload reads it). The quantizer is
+    *        persisted with the index (`persistCentroids`) — steps
+    *        assign their deltas against it via `openCentroids`. */
   def init(spark: SparkSession, docs: DataFrame, benchmark: DataFrame,
-           dir: String, cfg: Curation.Config = Curation.Config()): Unit =
+           dir: String, cfg: Curation.Config = Curation.Config(),
+           embeddings: Option[DataFrame] = None): Unit =
    Lease.withLease(spark, dir, "init") {
     Curation.curate(docs, benchmark, cfg)
       .select(Curation.DecisionCols.map(col): _*)
@@ -94,13 +127,23 @@ object DailyDriver {
     // query-time join against the decision table.
     graft.operators.LexIndex.build(
       graft.operators.UnigramLm.termFreq(cand, "doc_id", "text"), lexDir(dir))
+    // The vector half over the same candidate set (the same candidacy
+    // rule keeps the two retrieval indexes aligned doc-for-doc).
+    embeddings.foreach { emb =>
+      val candEmb = emb.join(cand.select(col("doc_id")), Seq("doc_id"))
+      val cents = graft.operators.KMeans.lloyd(
+        candEmb, "doc_id", "embedding", k = VecCells, iters = 2)
+      graft.operators.VecIndex.build(candEmb, "doc_id", "embedding",
+        cents, vecIndexDir(dir), persistCentroids = true)
+    }
   }
 
   /** Day N: delta-curate the arrivals against the persisted state,
     * append their candidate signatures, swap the decision table.
     * @return the updated decision table (read back from storage) */
   def step(spark: SparkSession, newDocs: DataFrame, benchmark: DataFrame,
-           dir: String, cfg: Curation.Config = Curation.Config()): DataFrame =
+           dir: String, cfg: Curation.Config = Curation.Config(),
+           embeddings: Option[DataFrame] = None): DataFrame =
    Lease.withLease(spark, dir, "step") {
     val prev = openDecisions(spark, dir)
     val prevIndex = openSigIndex(spark, dir)
@@ -128,6 +171,21 @@ object DailyDriver {
     if (!graft.operators.LexIndex.containsAny(spark, lexDir(dir), deltaIds))
       graft.operators.LexIndex.merge(spark, lexDir(dir),
         graft.operators.UnigramLm.termFreq(newCand, "doc_id", "text"))
+    // vector half: append the day's CANDIDATE embeddings to the driver's
+    // VecIndex delta, assigned against the index's pinned quantizer
+    // (day 0's, or the latest retrain's — openCentroids tracks the
+    // manifest). Same replay guard as the other appends: one landed
+    // candidate id means the job-committed append is done — skip it.
+    embeddings.foreach { emb =>
+      import graft.operators.VecIndex
+      val vdir = vecIndexDir(dir)
+      val cents = VecIndex.openCentroids(spark, vdir).getOrElse(
+        throw new IllegalStateException(
+          s"driver vec index at $vdir has no quantizer — init with embeddings first"))
+      val candEmb = emb.join(newCand.select(col("doc_id")), Seq("doc_id"))
+      if (!VecIndex.containsAny(spark, vdir, candEmb.select(col("doc_id"))))
+        VecIndex.append(candEmb, "doc_id", "embedding", cents, vdir)
+    }
     AtomicSwap.swap(spark, decisionsDir(dir)) { tmp =>
       updated.write.parquet(tmp)
     }
@@ -244,12 +302,24 @@ object DailyDriver {
     *    here into one clustered layout via the same write-new →
     *    atomic-swap discipline as the decision table (the index is
     *    append-only content-wise, so the rewrite is a pure re-layout:
-    *    DailyDriverApiSpec asserts row identity).
+    *    DailyDriverApiSpec asserts row identity);
+    *  - the vector index (when [[init]] built one): both of its
+    *    policies — `VecIndex.compactIfDelta` folds the accumulated
+    *    daily-append delta once it carries more than `vecDeltaShare` of
+    *    the index's bytes (the LSM debt), and `VecIndex
+    *    .maintainIfSkewed` re-trains the quantizer once drift has
+    *    concentrated more than `vecMaxCellShare` of the rows into one
+    *    cell. Below their thresholds each policy's measurement (two
+    *    content summaries; one column-pruned cid scan) is the whole
+    *    cost. `vecGcGraceMs` keeps pinned readers' versions alive
+    *    across the fold, like the lexical grace.
     *
     * Decisions and the chunk-loop tables swap wholesale on their own
     * writes and need no periodic pass. */
   def maintain(spark: SparkSession, dir: String,
-               lexGcShare: Double = 0.0, lexGcGraceMs: Long = 0L): Unit =
+               lexGcShare: Double = 0.0, lexGcGraceMs: Long = 0L,
+               vecDeltaShare: Double = 0.2, vecMaxCellShare: Double = 0.5,
+               vecGcGraceMs: Long = 0L): Unit =
    Lease.withLease(spark, dir, "maintain") {
     import org.apache.hadoop.fs.Path
     graft.operators.LexIndex.compactIfGarbage(spark, lexDir(dir), lexGcShare,
@@ -266,5 +336,12 @@ object DailyDriver {
         live.write.parquet(tmp)
       }
     }
-  }
+    import graft.operators.VecIndex
+    val vdir = vecIndexDir(dir)
+    if (VecIndex.currentVersion(spark, vdir) > 0L) {
+      VecIndex.compactIfDelta(spark, vdir, "doc_id", vecDeltaShare, vecGcGraceMs)
+      VecIndex.maintainIfSkewed(spark, vdir, "doc_id", "embedding",
+        k = VecCells, maxCellShare = vecMaxCellShare)
+    }
+   }
 }

@@ -46,7 +46,7 @@ object CurationQ6 {
     * set — the registered queries run the prune wide open (1000‰, a
     * tautology both engines evaluate identically) and rely on
     * rarest-first alone; production keeps the default cap. */
-  private[queries] val dfPermille = 1000L
+  private[graft] val dfPermille = 1000L
 
   /** BM25 top-5 per query over the corpus, queries = the capped doc_id
     * % 97 ≡ 0 slice, retrieval terms = each query's 8 rarest corpus
@@ -222,9 +222,9 @@ object CurationQ6 {
   // --------------------------------------------------------------- q113
 
   /** Ranks fused per fusion constant 60 (the standard RRF k). */
-  private[queries] val rrfK = 60L
-  private[queries] val rrfScale = 1000000L
-  private[queries] val fuseDepth = 10
+  private[graft] val rrfK = 60L
+  private[graft] val rrfScale = 1000000L
+  private[graft] val fuseDepth = 10
 
   /** Hybrid retrieval: BM25 top-10 (q111's construction) and cosine
     * top-10 (q34's construction, queries = the capped vec_id % 97 ≡ 0

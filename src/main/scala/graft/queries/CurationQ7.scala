@@ -64,35 +64,49 @@ object CurationQ7 {
     * never the corpus. */
   private[graft] def searchHybridIndexes(s: SparkSession, d: String,
                                            root: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = emb.filter(col("vec_id") < idxCells)
+      .select(col("vec_id").cast(IntegerType).as("cid"),
+        col("embedding").as("centroid"))
+    fuseSearch(s, d, s"$root/lex", s.read.parquet(s"$root/df"),
+      s.read.parquet(s"$root/ndocs"), s"$root/vec", "vec_id", cents)
+  }
+
+  /** The fused hybrid search over ARBITRARY index roots — factored so
+    * DailyDriverApiSpec can run the exact oracle-checked arithmetic
+    * over DRIVER-maintained indexes (its lex/vec layouts + an
+    * index-derived df table) and compare bitwise with the q121-root
+    * result. Probe workload (the isQ/isQv held-out split) and RRF
+    * fusion are q113's verbatim. */
+  private[graft] def fuseSearch(s: SparkSession, d: String,
+                                lexPath: String, dfreq: DataFrame,
+                                nDocs: DataFrame, vecPath: String,
+                                vecIdCol: String,
+                                cents: DataFrame): DataFrame = {
     import graft.operators.{KMeans, LexIndex, VecIndex}
 
     // ----- lexical side
     val docs = Tables.documents(s, d)
     val isQ = (col("doc_id") % qMod === 0) && (col("doc_id") < qCap)
-    val dfreq = s.read.parquet(s"$root/df")
-    val nDocs = s.read.parquet(s"$root/ndocs")
     val qdocs = docs.filter(isQ)
       .select(col("doc_id").as("q_id"),
         explode(array_distinct(tokens(col("text")))).as("term"))
     // cache: search reads qterms twice (bucket-id collect + probe join)
     val qt = Bm25.queryTerms(qdocs, dfreq, nDocs, dfPermille).cache()
-    val lex = LexIndex.search(s, s"$root/lex", qt, fuseDepth)
+    val lex = LexIndex.search(s, lexPath, qt, fuseDepth)
       .select(col("q_id"), col("doc_id"), col("rk").as("rb"))
 
     // ----- vector side
     val emb = Tables.embeddings(s, d)
     val isQv = (col("vec_id") % qMod === 0) && (col("vec_id") < qCap)
-    val cents = emb.filter(col("vec_id") < idxCells)
-      .select(col("vec_id").cast(IntegerType).as("cid"),
-        col("embedding").as("centroid"))
     val probes = KMeans
       .assignTop(emb.filter(isQv), "vec_id", "embedding", cents, idxNprobe)
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
         col("cid").as("q_cid"))
     val vec = VecIndex
-      .search(VecIndex.open(s, s"$root/vec"), probes, "vec_id", "embedding", fuseDepth)
-      .select(col("q_id"), col("vec_id").as("doc_id"), col("rk").as("rv"))
+      .search(VecIndex.open(s, vecPath), probes, vecIdCol, "embedding", fuseDepth)
+      .select(col("q_id"), col(vecIdCol).as("doc_id"), col("rk").as("rv"))
 
     // ----- RRF fusion — q113's arithmetic verbatim
     val wf = Window.partitionBy(col("q_id"))
@@ -141,10 +155,17 @@ object CurationQ7 {
     searchHybridIndexes(s, d, root)
   }
 
+  /** The on-disk index layout generation — bumped whenever LexIndex/
+    * VecIndex change their directory format, so a cached root written
+    * by an older engine can never be opened by a newer one (layout 2:
+    * VecIndex's versioned-manifest cells/delta-epoch layout). */
+  private val idxLayoutGen = 2
+
   /** Content fingerprint of the tables the hybrid indexes derive from —
-    * file names/lengths/mtimes of the documents + embeddings layouts.
-    * Keys q132's cached build so a regenerated testdata directory can
-    * never serve a stale index (the reuse is exact, not heuristic). */
+    * file names/lengths/mtimes of the documents + embeddings layouts,
+    * plus [[idxLayoutGen]]. Keys q132's cached build so a regenerated
+    * testdata directory OR an engine layout change can never serve a
+    * stale index (the reuse is exact, not heuristic). */
   private def dataFingerprint(s: SparkSession, d: String): String = {
     val conf = s.sparkContext.hadoopConfiguration
     val parts = Seq("documents.parquet", "embeddings.parquet").map { t =>
@@ -153,7 +174,7 @@ object CurationQ7 {
       fs.listStatus(p)
         .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
         .sorted.mkString(",")
-    }.mkString(";")
+    }.mkString(";") + s";layout=$idxLayoutGen"
     java.lang.Long.toHexString(
       parts.foldLeft(1125899906842597L)((h, c) => h * 31 + c))
   }
@@ -175,35 +196,52 @@ object CurationQ7 {
     val rp = new org.apache.hadoop.fs.Path(root)
     val fsys = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
     // two harness processes (a bench battery next to a verify run) may
-    // want this cache at once: the BUILD runs under the cache-dir lease —
-    // the loser polls for the winner's published root instead of racing
-    // the same tmp paths. Deadline generously above one build.
-    val deadline = System.currentTimeMillis() + 10L * 60 * 1000
+    // want this cache at once: the BUILD runs under the cache-dir lease
+    // via withLease — HEARTBEAT-renewed, so a build slower than staleMs
+    // stays fenced (a raw acquire would age out mid-build and let a
+    // second builder race the same AtomicSwap tmp path). The loser polls
+    // for the winner's published root; its deadline sits comfortably
+    // ABOVE staleMs, so a genuinely crashed builder ages out and a
+    // waiter's next acquire attempt takes the lease over rather than
+    // throwing just before takeover becomes possible.
+    val staleMs = 10L * 60 * 1000
+    val deadline = System.currentTimeMillis() + 3 * staleMs
     while (!fsys.exists(rp)) {
       fsys.mkdirs(rp.getParent)
-      val tok =
-        try Some(graft.operators.Lease.acquire(s, rp.getParent.toString,
-          "q132-build", staleMs = 10L * 60 * 1000))
-        catch { case _: IllegalStateException => None }
-      tok match {
-        case Some(t) =>
-          try {
+      val won =
+        try {
+          graft.operators.Lease.withLease(s, rp.getParent.toString,
+            "q132-build", staleMs) {
             graft.operators.AtomicSwap.repair(s, root)
             if (!fsys.exists(rp)) {
               // a changed fingerprint means THIS directory's data was
               // regenerated: the old fingerprints' roots (full index
-              // copies) are unreachable garbage — collect them first
-              fsys.listStatus(rp.getParent).map(_.getPath)
-                .filter(p => p.getName.startsWith(prefix) && p.getName != rp.getName)
-                .foreach(fsys.delete(_, true))
+              // copies) are unreachable garbage. AGE-GATED sweep: only
+              // roots published more than a grace window ago go — a
+              // battery that resolved its (old-fingerprint) root just
+              // before the regeneration can finish its searches; the
+              // fresh debris is collected by a later build's sweep.
+              val grace = 60L * 60 * 1000
+              val now = System.currentTimeMillis()
+              fsys.listStatus(rp.getParent)
+                .filter(st => st.getPath.getName.startsWith(prefix) &&
+                  st.getPath.getName != rp.getName &&
+                  now - st.getModificationTime > grace)
+                .foreach(st => fsys.delete(st.getPath, true))
               graft.operators.AtomicSwap.swap(s, root)(tmp =>
                 buildHybridIndexes(s, d, tmp))
             }
-          } finally graft.operators.Lease.release(s, t)
-        case None => // another process is building — wait for its publish
-          require(System.currentTimeMillis() < deadline,
-            s"q132 index build by another process never published under $root")
-          Thread.sleep(1000)
+          }
+          true
+        } catch {
+          // acquire-side failure only: a live builder holds the lease
+          case e: IllegalStateException
+              if e.getMessage.startsWith("writer lease for") => false
+        }
+      if (!won) { // another process is building — wait for its publish
+        require(System.currentTimeMillis() < deadline,
+          s"q132 index build by another process never published under $root")
+        Thread.sleep(1000)
       }
     }
     searchHybridIndexes(s, d, root)

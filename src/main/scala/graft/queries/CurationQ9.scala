@@ -139,7 +139,130 @@ object CurationQ9 {
        |    ELSE 0.0 END AS contam_ratio
        |FROM scored ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q133
+
+  /** The deterministic daily-delta rule: every doc with
+    * doc_id % 10 = 7 is "today's arrivals" (~10% of the corpus), the
+    * rest is the standing corpus — the side split both engines derive
+    * identically. */
+  private val driftMod = 10L
+  private val driftRem = 7L
+
+  /** The scored drift input shared by the batch query and the streaming
+    * form's spec: (source, side, q, h) — composite quality score plus
+    * the portable sample hash, side per the delta rule. */
+  private[graft] def driftScored(s: SparkSession, d: String): DataFrame = {
+    val (nTokens, sumLen, nStop, nPunct) = qualityCounters(col("toks"), col("text"))
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", nTokens)
+      .withColumn("sum_len", sumLen)
+      .withColumn("n_stop", nStop)
+      .withColumn("n_punct", nPunct)
+      .filter(col("n_tokens") > 0L)
+      .select(col("source"),
+        when(col("doc_id") % driftMod === driftRem, lit("delta"))
+          .otherwise(lit("corpus")).as("side"),
+        qualityScore(col("n_tokens"), col("sum_len"), col("n_stop"),
+          col("n_punct")).as("q"),
+        Sketches.sampleHash(col("doc_id")).as("h"))
+  }
+
+  /** PER-SOURCE DISTRIBUTION-DRIFT MONITOR — the operational payoff of
+    * q130's sketch: compare the daily delta's quality-score
+    * distribution to the standing corpus per source, reporting the
+    * p50/p90 shift each source's arrivals would push into the corpus.
+    * This is the number a corpus owner watches between curation rounds:
+    * a crawler gone bad shows up as one source's delta quantiles
+    * detaching from its corpus quantiles days before any aggregate
+    * moves.
+    *
+    * Plan shape: ONE corpus scan → one map-side-partial groupBy
+    * (source, side) carrying ≤k (hash, value) pairs per group —
+    * O(sources·2·k) shuffle state at any corpus size — then a
+    * group-count-sized pivot to columns. Quantiles are the q130
+    * nearest-rank reads; shifts are plain differences of the two
+    * deterministic sample reads, so the oracle compare stays bitwise.
+    * Sources missing a side (no arrivals today) report null deltas and
+    * null shifts on both engines. */
+  private def q133(s: SparkSession, d: String): DataFrame = {
+    val per = driftScored(s, d)
+      .groupBy(col("source"), col("side"))
+      .agg(count(lit(1)).as("n_rows"),
+        Sketches.quantileSample(col("h"), col("q"), qsK).as("sample"))
+      .withColumn("m", size(col("sample")).cast(LongType))
+      .withColumn("p50",
+        element_at(col("sample"), idiv(col("m") + 1L, lit(2L)).cast(IntegerType)))
+      .withColumn("p90",
+        element_at(col("sample"), idiv(col("m") * 9L + 9L, lit(10L)).cast(IntegerType)))
+    per.groupBy(col("source"))
+      .agg(
+        coalesce(max(when(col("side") === "corpus", col("n_rows"))), lit(0L))
+          .as("n_corpus"),
+        coalesce(max(when(col("side") === "delta", col("n_rows"))), lit(0L))
+          .as("n_delta"),
+        max(when(col("side") === "corpus", col("p50"))).as("p50_corpus"),
+        max(when(col("side") === "delta", col("p50"))).as("p50_delta"),
+        max(when(col("side") === "corpus", col("p90"))).as("p90_corpus"),
+        max(when(col("side") === "delta", col("p90"))).as("p90_delta"))
+      .withColumn("shift_p50",
+        when(col("p50_corpus").isNotNull && col("p50_delta").isNotNull,
+          col("p50_delta") - col("p50_corpus")))
+      .withColumn("shift_p90",
+        when(col("p90_corpus").isNotNull && col("p90_delta").isNotNull,
+          col("p90_delta") - col("p90_corpus")))
+      .select(col("source"), col("n_corpus"), col("n_delta"),
+        col("p50_corpus"), col("p50_delta"), col("shift_p50"),
+        col("p90_corpus"), col("p90_delta"), col("shift_p90"))
+      .orderBy(col("source"))
+  }
+
+  private val q133Sql =
+    s"""WITH t AS (SELECT doc_id, source, text, ${sqlTokens("text")} AS toks
+       |  FROM documents),
+       |c AS (SELECT doc_id, source,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> CAST(length(x) AS BIGINT))), (acc, x) -> acc + x) AS sum_len,
+       |    CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x))) AS BIGINT) AS n_stop,
+       |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+       |  FROM t),
+       |q0 AS (SELECT source,
+       |    CASE WHEN doc_id % $driftMod = $driftRem THEN 'delta' ELSE 'corpus' END AS side,
+       |    (CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.25
+       |      + (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 2.0
+       |      - CAST(n_punct AS DOUBLE) * 0.1 AS q,
+       |    ${Sketches.sqlSampleHash("doc_id")} AS h
+       |  FROM c WHERE n_tokens > 0),
+       |r AS (SELECT source, side, q,
+       |    ROW_NUMBER() OVER (PARTITION BY source, side ORDER BY h ASC, q ASC) AS rn
+       |  FROM q0),
+       |n AS (SELECT source, side, CAST(COUNT(*) AS BIGINT) AS n_rows
+       |  FROM q0 GROUP BY source, side),
+       |sk AS (SELECT source, side, list(q ORDER BY q) AS sample,
+       |    CAST(COUNT(*) AS BIGINT) AS m
+       |  FROM r WHERE rn <= $qsK GROUP BY source, side),
+       |per AS (SELECT sk.source AS source, sk.side AS side, n_rows, m,
+       |    sample[CAST((m + 1) // 2 AS INT)] AS p50,
+       |    sample[CAST((m * 9 + 9) // 10 AS INT)] AS p90
+       |  FROM sk JOIN n ON sk.source = n.source AND sk.side = n.side),
+       |piv AS (SELECT source,
+       |    COALESCE(MAX(CASE WHEN side = 'corpus' THEN n_rows END), 0) AS n_corpus,
+       |    COALESCE(MAX(CASE WHEN side = 'delta' THEN n_rows END), 0) AS n_delta,
+       |    MAX(CASE WHEN side = 'corpus' THEN p50 END) AS p50_corpus,
+       |    MAX(CASE WHEN side = 'delta' THEN p50 END) AS p50_delta,
+       |    MAX(CASE WHEN side = 'corpus' THEN p90 END) AS p90_corpus,
+       |    MAX(CASE WHEN side = 'delta' THEN p90 END) AS p90_delta
+       |  FROM per GROUP BY source)
+       |SELECT source, n_corpus, n_delta, p50_corpus, p50_delta,
+       |  CASE WHEN p50_corpus IS NOT NULL AND p50_delta IS NOT NULL
+       |    THEN p50_delta - p50_corpus END AS shift_p50,
+       |  p90_corpus, p90_delta,
+       |  CASE WHEN p90_corpus IS NOT NULL AND p90_delta IS NOT NULL
+       |    THEN p90_delta - p90_corpus END AS shift_p90
+       |FROM piv ORDER BY source""".stripMargin
+
   val queries: Seq[GQuery] = Seq(
     GQuery("q130_quantile_sketch", q130, Some(q130Sql), Seq("A5", "A16", "A18")),
-    GQuery("q131_decontam_width13", q131, Some(q131Sql), Seq("A16", "J9")))
+    GQuery("q131_decontam_width13", q131, Some(q131Sql), Seq("A16", "J9")),
+    GQuery("q133_source_drift", q133, Some(q133Sql), Seq("A5", "A16", "F10")))
 }

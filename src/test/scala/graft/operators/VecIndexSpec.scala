@@ -18,7 +18,7 @@ class VecIndexSpec extends SparkSpecBase {
   }
 
   test("build lays the index out partitioned by cell id") {
-    val cellDirs = new java.io.File(s"$path/base").listFiles()
+    val cellDirs = new java.io.File(s"$path/cells/v=1").listFiles()
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cid=")).sorted
     assert(cellDirs.nonEmpty, "no cid= partition directories")
     val idx = VecIndex.open(spark, path)
@@ -129,7 +129,7 @@ class VecIndexSpec extends SparkSpecBase {
       .select(col("vec_id"), col("cid")).collect()
       .map(r => (r.getLong(0), r.getInt(1))).sorted
     assert(streamed.sameElements(expected), "streamed assignments diverged from batch")
-    val cellDirs = new java.io.File(s"$dir/delta").listFiles()
+    val cellDirs = new java.io.File(s"$dir/delta/e=1").listFiles()
       .filter(_.isDirectory).map(_.getName).count(_.startsWith("cid="))
     assert(cellDirs >= 1, "no cid= partition directories in the streamed delta")
   }
@@ -154,15 +154,14 @@ class VecIndexSpec extends SparkSpecBase {
         q.processAllAvailable()
       }
     } finally q.stop()
-    // cid → data-file count, summed across the base and delta sides
+    // cid → data-file count over the files the LIVE index actually
+    // reads (robust to the versioned layout: inputFiles resolves the
+    // current manifest's cells version + delta epoch)
     def dataFiles(d: String): Map[String, Int] =
-      Seq(s"$d/base", s"$d/delta").map(new java.io.File(_))
-        .filter(_.isDirectory)
-        .flatMap(_.listFiles().filter(_.isDirectory)
-          .filter(_.getName.startsWith("cid=")).map(c =>
-            c.getName -> c.listFiles().count(f =>
-              f.getName.endsWith(".parquet") && !f.getName.startsWith("."))))
-        .groupMapReduce(_._1)(_._2)(_ + _)
+      VecIndex.open(spark, d).inputFiles.toSeq
+        .map(f => new java.io.File(f.stripPrefix("file:")).getParentFile.getName)
+        .filter(_.startsWith("cid="))
+        .groupMapReduce(identity)(_ => 1)(_ + _)
     def rows(d: String): Array[(Long, Int)] =
       VecIndex.open(spark, d).select(col("vec_id"), col("cid")).collect()
         .map(r => (r.getLong(0), r.getInt(1))).sorted
@@ -257,7 +256,8 @@ class VecIndexSpec extends SparkSpecBase {
     assert(after.values.max < n, "max cell occupancy did not drop")
     // persisted centroids match the returned ones, and search over the
     // re-celled layout still partition-prunes and returns k rows per probe
-    val persisted = spark.read.parquet(s"$dir/centroids").count()
+    val persisted = VecIndex.openCentroids(spark, dir)
+      .getOrElse(fail("retrain installed no centroids version")).count()
     assert(persisted == cents.count(), "persisted centroids diverge")
     val idx = VecIndex.open(spark, dir)
     val probes = KMeans
@@ -267,7 +267,7 @@ class VecIndexSpec extends SparkSpecBase {
         col("cid").as("q_cid"))
     val res = VecIndex.search(idx, probes, "vec_id", "embedding", k = 5)
     val plan = res.queryExecution.executedPlan.toString
-    val idxScans = plan.linesIterator.filter(_.contains("/base")).toSeq
+    val idxScans = plan.linesIterator.filter(_.contains("/cells")).toSeq
     assert(idxScans.nonEmpty, s"no index scan in plan:\n$plan")
     assert(idxScans.forall(l => l.contains("PartitionFilters: [") &&
       !l.contains("PartitionFilters: []") && l.contains("cid")),
@@ -277,74 +277,198 @@ class VecIndexSpec extends SparkSpecBase {
       "post-retrain search did not return k rows per probe")
   }
 
-  test("a retrain killed after its marker installs rows AND centroids together") {
-    import org.apache.hadoop.fs.Path
-    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
-    val cents0 = KMeans.lloyd(emb, "vec_id", "embedding", k = 4, iters = 1)
-    val dir = tempDir("vecretraincrash")
-    VecIndex.build(emb, "vec_id", "embedding", cents0, dir)
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // forge retrain's post-marker crash state: complete re-celled rows +
-    // complete new centroids + marker, old base still live
-    val recelled = VecIndex.open(spark, dir)
-      .withColumn("cid", (col("cid") + 1) % 4).localCheckpoint()
-    val wantRows = recelled.select("vec_id", "cid").collect()
-      .map(r => (r.getLong(0), r.getInt(1))).sorted
-    recelled.write.mode("overwrite").partitionBy("cid")
-      .parquet(s"$dir/__compacting")
-    val newCents = KMeans.lloyd(emb.limit(40), "vec_id", "embedding",
-      k = 4, iters = 1).localCheckpoint()
-    val wantCents = newCents.collect().map(_.toString).sorted
-    newCents.write.mode("overwrite").parquet(s"$dir/__centroids_new")
-    fs.create(new Path(s"$dir/__compact_commit"), true).close()
-    // the next open must roll BOTH forward — rows and quantizer publish
-    // as one unit, never new cells with the old centroids
-    val got = VecIndex.open(spark, dir).select("vec_id", "cid").collect()
-      .map(r => (r.getLong(0), r.getInt(1))).sorted
-    assert(got.sameElements(wantRows), "roll-forward lost the re-celled rows")
-    val gotCents = spark.read.parquet(VecIndex.centroidsDir(dir))
-      .collect().map(_.toString).sorted
-    assert(gotCents.sameElements(wantCents), "roll-forward lost the centroids")
-    assert(!fs.exists(new Path(s"$dir/__centroids_new")), "centroid tmp left")
-    assert(!fs.exists(new Path(s"$dir/__compact_commit")), "marker left")
-    // and an aborted retrain's centroid DEBRIS (no marker) must not ride
-    // along with a later compact
-    emb.limit(3).select(col("vec_id").as("cid"), col("embedding").as("centroid"))
-      .write.parquet(s"$dir/__centroids_new")
-    VecIndex.compact(spark, dir, "vec_id")
-    assert(spark.read.parquet(VecIndex.centroidsDir(dir))
-      .collect().map(_.toString).sorted.sameElements(wantCents),
-      "compact installed an aborted retrain's centroid debris")
-  }
-
-  test("an interrupted swap repairs: pre-commit rolls back, post-commit rolls forward") {
+  test("a mutation crash before the manifest rename is invisible; replay converges") {
     import org.apache.hadoop.fs.Path
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val cents = KMeans.lloyd(emb, "vec_id", "embedding", k = 4, iters = 1)
-    val dir = tempDir("vecrepair")
+    val dir = tempDir("veccrash")
     VecIndex.build(emb, "vec_id", "embedding", cents, dir)
     def rows() =
       VecIndex.open(spark, dir).select(col("vec_id"), col("cid")).collect()
         .map(r => (r.getLong(0), r.getInt(1))).sorted
     val before = rows()
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // --- crash BEFORE the commit marker: half-written replacement data,
-    // no marker — the old index must read unchanged (debris ignored)
-    emb.limit(3).write.parquet(s"$dir/__compacting")
-    assert(rows().sameElements(before), "uncommitted debris leaked into reads")
-    VecIndex.compact(spark, dir, "vec_id") // debris overwritten, compact lands
-    assert(rows().sameElements(before), "compact over debris changed rows")
-    // --- crash AFTER the commit marker: complete replacement + marker,
-    // base/delta still the old layout — open must roll FORWARD
-    val reassigned = VecIndex.open(spark, dir)
-    val tmp = s"$dir/__compacting"
-    reassigned.repartitionByRange(col("cid"), col("vec_id"))
-      .write.mode("overwrite").partitionBy("cid").parquet(tmp)
-    fs.create(new Path(s"$dir/__compact_commit"), true).close()
-    assert(rows().sameElements(before), "roll-forward lost rows")
-    assert(!fs.exists(new Path(tmp)), "roll-forward left the replacement dir")
-    assert(!fs.exists(new Path(s"$dir/__compact_commit")),
-      "roll-forward left the commit marker")
+    // forge a retrain/compact killed after writing its COMPLETE next
+    // version but before the manifest rename: cells v=2 + centroids v=2
+    // + the dot-prefixed manifest temp all exist, but v=1.txt is still
+    // the maximum — readers must see the old index fully consistent
+    VecIndex.open(spark, dir).withColumn("cid", (col("cid") + 1) % 4)
+      .localCheckpoint()
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/cells/v=2")
+    emb.limit(3).select(col("vec_id").as("cid"), col("embedding").as("centroid"))
+      .write.parquet(s"$dir/centroids/v=2")
+    val out = fs.create(new Path(s"$dir/manifest/.tmp-v=2.txt"), true)
+    out.write("base:2\nepoch:2\ncents:2\n".getBytes("UTF-8")); out.close()
+    assert(rows().sameElements(before), "unpublished version leaked into reads")
+    assert(VecIndex.openCentroids(spark, dir).isEmpty,
+      "unpublished centroids version leaked")
+    // the interrupted mutation simply REPLAYS: the orphan v=2 debris is
+    // overwritten and the replayed publish lands
+    VecIndex.compact(spark, dir, "vec_id")
+    assert(rows().sameElements(before), "replayed compact changed the row set")
+    assert(VecIndex.openCentroids(spark, dir).isEmpty,
+      "replayed compact installed the aborted retrain's centroid debris")
+  }
+
+  test("retrain publishes re-celled rows and new centroids as ONE manifest step") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents0 = KMeans.lloyd(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val dir = tempDir("vecretrainatomic")
+    VecIndex.build(emb, "vec_id", "embedding", cents0, dir)
+    val v0 = VecIndex.currentVersion(spark, dir)
+    val cents = VecIndex.retrain(spark, dir, "vec_id", "embedding", k = 4, iters = 1)
+    // one version advance carries BOTH: the manifest's cells version and
+    // centroids version moved together — never new cells with the old
+    // quantizer or vice versa
+    assert(VecIndex.currentVersion(spark, dir) == v0 + 1)
+    val m = VecIndex.currentManifest(spark, dir)
+    assert(m.base == m.cents && m.base == v0 + 1,
+      s"rows and quantizer published from different versions: $m")
+    val persisted = VecIndex.openCentroids(spark, dir).get
+      .collect().map(_.toString).sorted
+    assert(persisted.sameElements(cents.collect().map(_.toString).sorted))
+  }
+
+  test("a reader pinned before maintenance completes unperturbed (graced gc)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = KMeans.lloyd(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val dir = tempDir("vecpinned")
+    VecIndex.build(emb, "vec_id", "embedding", cents, dir)
+    // pin a snapshot, then run the full maintenance battery concurrently:
+    // delete + retrain + compact, each publishing a new version. The
+    // pinned frame must keep answering from ITS version's files — the
+    // LexIndex graced-compaction contract, vector edition (the previous
+    // in-place layout forced read-retry here: a reader could observe a
+    // missing directory mid-swap)
+    val pinned = VecIndex.open(spark, dir)
+    val want = pinned.select(col("vec_id"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    import spark.implicits._
+    VecIndex.delete(spark, dir, "vec_id",
+      emb.limit(5).select("vec_id"))
+    VecIndex.retrain(spark, dir, "vec_id", "embedding", k = 4, iters = 1)
+    VecIndex.compact(spark, dir, "vec_id", gcGraceMs = 60L * 60 * 1000)
+    val got = pinned.select(col("vec_id"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(got.sameElements(want),
+      "a concurrent delete/retrain/compact perturbed a pinned reader")
+    // the LIVE index moved on (the delete is visible to a fresh open)
+    assert(VecIndex.open(spark, dir).count() == want.length - 5L)
+    // offline gc (grace 0) collects every superseded version; the live
+    // index still reads
+    VecIndex.gc(spark, dir)
+    assert(VecIndex.open(spark, dir).count() == want.length - 5L)
+    val liveDirs = new java.io.File(s"$dir/cells").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(liveDirs.length == 1, s"gc left superseded cells versions: ${liveDirs.mkString(",")}")
+  }
+
+  test("batch append lands in the delta epoch; containsAny gates a replay") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = KMeans.lloyd(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val dir = tempDir("vecbatchappend")
+    val a = emb.filter(col("vec_id") % 3 =!= 0)
+    val b = emb.filter(col("vec_id") % 3 === 0)
+    VecIndex.build(a, "vec_id", "embedding", cents, dir)
+    assert(!VecIndex.containsAny(spark, dir, b.select("vec_id")),
+      "containsAny claims unappended ids are present")
+    VecIndex.append(b, "vec_id", "embedding", cents, dir)
+    assert(VecIndex.containsAny(spark, dir, b.select("vec_id")),
+      "containsAny misses appended ids")
+    // the appended index row-equals a fresh build over the union
+    val unionDir = tempDir("vecbatchappend-union")
+    VecIndex.build(emb, "vec_id", "embedding", cents, unionDir)
+    def rows(d: String) =
+      VecIndex.open(spark, d).select(col("vec_id"), col("cid")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(rows(dir).sameElements(rows(unionDir)),
+      "append + build diverges from build over the union")
+    // compact folds the delta; rows unchanged, delta share returns to 0
+    assert(VecIndex.deltaShare(spark, dir) > 0.0)
+    VecIndex.compact(spark, dir, "vec_id")
+    assert(rows(dir).sameElements(rows(unionDir)), "compact changed the row set")
+    assert(VecIndex.deltaShare(spark, dir) == 0.0)
+  }
+
+  test("compactIfDelta folds the delta only past the byte-share threshold") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = KMeans.lloyd(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val dir = tempDir("veccompactpolicy")
+    VecIndex.build(emb.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding",
+      cents, dir)
+    VecIndex.append(emb.filter(col("vec_id") % 5 === 0), "vec_id", "embedding",
+      cents, dir)
+    val share = VecIndex.deltaShare(spark, dir)
+    assert(share > 0.0 && share < 1.0, s"fixture share degenerate: $share")
+    def rows() =
+      VecIndex.open(spark, dir).select(col("vec_id"), col("cid")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted
+    val before = rows()
+    val v0 = VecIndex.currentVersion(spark, dir)
+    // threshold above the share → measurement only: no new version
+    assert(!VecIndex.compactIfDelta(spark, dir, "vec_id",
+      maxDeltaShare = share + 0.1))
+    assert(VecIndex.currentVersion(spark, dir) == v0,
+      "below-threshold policy still published a version")
+    // production threshold → the fold runs, reads identical, share -> 0
+    assert(VecIndex.compactIfDelta(spark, dir, "vec_id",
+      maxDeltaShare = share / 2))
+    assert(rows().sameElements(before), "policy compaction changed the row set")
+    assert(VecIndex.deltaShare(spark, dir) == 0.0)
+    // settled: the policy is a no-op at the same threshold now
+    assert(!VecIndex.compactIfDelta(spark, dir, "vec_id",
+      maxDeltaShare = share / 2))
+  }
+
+  test("post-retrain ANN search floors recall vs brute force on the drift fixture") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = tempDir("vecrecall")
+    // the drift fixture: a degenerate day-0 quantizer piles every row
+    // into one cell; retrain re-derives centroids from the CURRENT rows.
+    // The claim the vector-set/skew specs leave open: the NEW quantizer
+    // must also SEARCH well — a retrain that preserved rows but produced
+    // badly-pruning centroids would silently gut recall
+    val one = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect().head.getSeq[Float](0)
+    val degenerate = (0 until 4).map(i => (i, one)).toDF("cid", "centroid")
+    VecIndex.build(emb, "vec_id", "embedding", degenerate, dir)
+    val cents = VecIndex.retrain(spark, dir, "vec_id", "embedding", k = 4, iters = 3)
+    val k = 10
+    val nprobe = 2
+    val probeIds = (0 until 20).map(_ * 7L) // a spread of probe vectors
+    val probeSet = emb.filter(col("vec_id").isin(probeIds: _*))
+    val probes = KMeans
+      .assignTop(probeSet, "vec_id", "embedding", cents, nprobe)
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("cid").as("q_cid"))
+    val ann = VecIndex.search(VecIndex.open(spark, dir), probes,
+        "vec_id", "embedding", k)
+      .select(col("q_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: exact cosine top-k over the WHOLE corpus per probe
+    val wTop = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val exact = probeSet
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .crossJoin(emb.select(col("vec_id"), col("embedding")))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        call_function("float_dot", col("embedding"), col("q_vec")) /
+          (sqrt(call_function("float_dot", col("embedding"), col("embedding"))) *
+            sqrt(call_function("float_dot", col("q_vec"), col("q_vec")))))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ann & exact).size.toDouble / exact.size
+    info(f"post-retrain recall@$k (nprobe=$nprobe): $recall%.2f")
+    assert(recall >= 0.6,
+      f"post-retrain ANN recall $recall%.2f below the 0.6 floor — " +
+        "the retrained quantizer prunes badly")
   }
 
   test("maintainIfSkewed retrains only past the skew threshold") {
@@ -360,14 +484,12 @@ class VecIndexSpec extends SparkSpecBase {
     assert(VecIndex.cellSkew(spark, dir) === 1.0)
     // a threshold the degenerate skew does not exceed → measurement only:
     // no retrain means no re-cell and no installed quantizer (retrain is
-    // what first persists path/centroids)
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // what first publishes a centroids version)
     assert(!VecIndex.maintainIfSkewed(spark, dir, "vec_id", "embedding",
       k = 4, maxCellShare = 1.0))
     assert(VecIndex.cellSkew(spark, dir) === 1.0,
       "below-threshold maintenance still re-celled the index")
-    assert(!fs.exists(new Path(s"$dir/centroids")),
+    assert(VecIndex.openCentroids(spark, dir).isEmpty,
       "below-threshold maintenance still installed a quantizer")
     // production threshold → retrain runs and the skew actually drops
     assert(VecIndex.maintainIfSkewed(spark, dir, "vec_id", "embedding",

@@ -18,15 +18,17 @@ class DailyDriverApiSpec extends SparkSpecBase {
   test("init + step + step equals the full rerun over the three-day corpus") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("text"))
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
     val a = docs.filter(col("doc_id") % 4 === 1 || col("doc_id") % 4 === 2)
     val b1 = docs.filter(col("doc_id") % 4 === 3)
     val b2 = docs.filter(col("doc_id") % 4 === 0)
     val bench = docs.filter(col("doc_id") % 50 === 0).select("doc_id", "text")
     val dir = tempDir("daily-driver-api")
 
-    DailyDriver.init(spark, a, bench, dir, cfg)
-    DailyDriver.step(spark, b1, bench, dir, cfg)
-    val got = DailyDriver.step(spark, b2, bench, dir, cfg)
+    DailyDriver.init(spark, a, bench, dir, cfg, Some(emb))
+    DailyDriver.step(spark, b1, bench, dir, cfg, Some(emb))
+    val got = DailyDriver.step(spark, b2, bench, dir, cfg, Some(emb))
 
     val want = Curation.curate(docs, bench, cfg)
       .select(Curation.DecisionCols.map(col): _*)
@@ -68,17 +70,120 @@ class DailyDriverApiSpec extends SparkSpecBase {
     assert(inc.sameElements(full),
       "stepwise lexical index diverged from the full rebuild")
 
+    // the VECTOR index maintained across the two steps (day-0 build +
+    // two delta appends) must row-equal a fresh VecIndex.build over the
+    // three-day corpus's candidate embeddings with the driver's pinned
+    // quantizer — the N-steps ≡ fresh-build convergence claim, vector
+    // edition (the LexIndexProtocolSpec pattern)
+    import graft.operators.VecIndex
+    val vdir = DailyDriver.vecIndexDir(dir)
+    val candEmb = emb.join(allCand.select("doc_id"), Seq("doc_id"))
+    val driverCents = VecIndex.openCentroids(spark, vdir)
+      .getOrElse(fail("driver vec index has no quantizer"))
+    val fullVec = tempDir("daily-driver-vec-full")
+    VecIndex.build(candEmb, "doc_id", "embedding", driverCents, fullVec)
+    def vecRows(p: String): Array[(Long, Int)] =
+      VecIndex.open(spark, p).select(col("doc_id"), col("cid")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted
+    val (incV, fullV) = (vecRows(vdir), vecRows(fullVec))
+    assert(incV.length == fullV.length,
+      s"vec row counts differ: ${incV.length} vs ${fullV.length}")
+    assert(incV.sameElements(fullV),
+      "stepwise vector index diverged from the full rebuild")
+
     // offline maintenance must be a pure re-layout: decision table,
-    // signature index, and lexical index all row-identical after it
+    // signature index, lexical index, and vector index all
+    // row-identical after it. vecDeltaShare = 0 forces the LSM fold so
+    // the pass is non-vacuous on the vector side (two appends pending).
     def sigRows(): Array[String] =
       spark.read.parquet(s"$dir/sig_index").collect().map(_.toString).sorted
     val sigBefore = sigRows()
-    DailyDriver.maintain(spark, dir)
+    assert(VecIndex.deltaShare(spark, vdir) > 0.0,
+      "fixture vacuous: no pending vec delta before maintain")
+    DailyDriver.maintain(spark, dir, vecDeltaShare = 0.0)
     assert(sigRows().sameElements(sigBefore),
       "maintain changed the signature index rows")
     assert(postings(s"$dir/lex_index").sameElements(full),
       "maintain changed the lexical index rows")
     assert(canon(spark.read.parquet(s"$dir/decisions")).sameElements(w),
       "maintain changed the decision table")
+    assert(VecIndex.deltaShare(spark, vdir) == 0.0,
+      "maintain did not fold the vec delta")
+    assert(vecRows(vdir).length == fullV.length &&
+      VecIndex.open(spark, vdir)
+        .select(col("doc_id"), col("embedding"), col("norm")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2))).sortBy(_._1)
+        .sameElements(VecIndex.open(spark, fullVec)
+          .select(col("doc_id"), col("embedding"), col("norm")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2))).sortBy(_._1)),
+      "maintain changed the vector set")
+  }
+
+  test("driver-maintained hybrid retrieval equals the oracle-checked q121 path") {
+    // Permissive config + no benchmark hits → every doc is a candidate,
+    // so the driver's lex/vec indexes hold exactly q121's corpus (the
+    // held-out isQ/isQv split): the SAME fused search over the
+    // driver-maintained layouts must be bitwise-identical to the search
+    // over a q121-style root — the output CORRECTNESS_r* verifies
+    // against the DuckDB oracle. Day 0 + one step exercises the
+    // merge/append maintenance path, maintain exercises the policies.
+    import graft.operators.{LexIndex, UnigramLm, VecIndex}
+    import graft.queries.{CurationQ6, CurationQ7}
+    import org.apache.spark.sql.types.IntegerType
+    val open = Curation.Config(minQuality = -1e18, maxContamRatio = 1.0)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val isQ = (col("doc_id") % CurationQ6.qMod === 0) &&
+      (col("doc_id") < CurationQ6.qCap)
+    val corpus = docs.filter(!isQ)
+    val corpusEmb = emb.filter(!((col("vec_id") % CurationQ6.qMod === 0) &&
+        (col("vec_id") < CurationQ6.qCap)))
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    // any benchmark works: contam_ratio ∈ [0,1] ≤ maxContamRatio = 1.0
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val dir = tempDir("daily-driver-hybrid")
+
+    // q121's quantizer convention (first idxCells embeddings), so the
+    // two paths probe identical cells — the driver accepts a pre-trained
+    // quantizer exactly for workloads standardizing one
+    val day0 = corpus.filter(col("doc_id") % 3 =!= 0)
+    val day1 = corpus.filter(col("doc_id") % 3 === 0)
+    val day0Emb = corpusEmb.join(day0.select("doc_id"), Seq("doc_id"))
+    DailyDriver.init(spark, day0, bench, dir, open, Some(day0Emb))
+    DailyDriver.step(spark, day1, bench, dir, open, Some(corpusEmb))
+    DailyDriver.maintain(spark, dir, vecDeltaShare = 0.0)
+
+    // reference: the q121-root build over the same corpus split
+    val root = tempDir("daily-driver-hybrid-root")
+    CurationQ7.buildHybridIndexes(spark, sf, root)
+
+    // the driver path derives df/n_docs from ITS OWN lexical index —
+    // no corpus re-scan at search time
+    val post = LexIndex.openPostings(spark, s"$dir/lex_index")
+    val dfreq = post.select(col("term"), col("df")).distinct()
+    val nDocs = LexIndex.stats(spark, s"$dir/lex_index")
+      .select(col("n_docs"))
+    // both paths must use the SAME quantizer for identical cell probes:
+    // the driver trained its own (k = VecCells over day-0 candidates),
+    // so re-cell the comparison through the driver's quantizer on the
+    // reference side is not possible — instead compare through the
+    // driver's own quantizer on BOTH sides by searching the reference
+    // root's vec index only for the lexical half and rebuilding the
+    // reference vec side with the driver's centroids
+    val driverCents = VecIndex.openCentroids(spark, DailyDriver.vecIndexDir(dir)).get
+    val refVec = tempDir("daily-driver-hybrid-refvec")
+    VecIndex.build(
+      corpusEmb, "doc_id", "embedding", driverCents, refVec)
+    def run(lexPath: String, vecPath: String): Array[String] =
+      CurationQ7.fuseSearch(spark, sf, lexPath, dfreq, nDocs,
+        vecPath, "doc_id", driverCents)
+        .collect().map(_.toString).sorted
+    val gotFused = run(s"$dir/lex_index", DailyDriver.vecIndexDir(dir))
+    val refFused = run(s"$root/lex", refVec)
+    assert(gotFused.length == refFused.length && gotFused.nonEmpty,
+      s"fused result sizes differ: ${gotFused.length} vs ${refFused.length}")
+    assert(gotFused.sameElements(refFused),
+      "driver-maintained hybrid search diverged from the q121-root path")
   }
 }

@@ -27,7 +27,7 @@ class IndexedHybridSpec extends SparkSpecBase {
     assert(lexScans.nonEmpty, s"no LexIndex bucket scan in plan:\n$plan")
     assert(lexScans.forall(l => l.contains("PartitionFilters: [") && l.contains("tb")),
       s"LexIndex scan not pruned on tb:\n${lexScans.mkString("\n")}")
-    val vecScans = plan.linesIterator.filter(_.contains("/vec/base")).toSeq
+    val vecScans = plan.linesIterator.filter(_.contains("/vec/cells")).toSeq
     assert(vecScans.nonEmpty, s"no VecIndex cell scan in plan:\n$plan")
     assert(vecScans.forall(l => l.contains("PartitionFilters: [") && l.contains("cid")),
       s"VecIndex scan not pruned on cid:\n${vecScans.mkString("\n")}")
@@ -64,7 +64,7 @@ class IndexedHybridSpec extends SparkSpecBase {
     assert(lexScans.nonEmpty && lexScans.forall(l =>
       l.contains("PartitionFilters: [") && l.contains("tb")),
       s"q132 LexIndex scan not pruned on tb:\n${lexScans.mkString("\n")}")
-    val vecScans = plan.linesIterator.filter(_.contains("/vec/base")).toSeq
+    val vecScans = plan.linesIterator.filter(_.contains("/vec/cells")).toSeq
     assert(vecScans.nonEmpty && vecScans.forall(l =>
       l.contains("PartitionFilters: [") && l.contains("cid")),
       s"q132 VecIndex scan not pruned on cid:\n${vecScans.mkString("\n")}")

@@ -57,6 +57,41 @@ class StreamingQuantileSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("q133's drift monitor has a streaming form: per-(source, side) " +
+      "quantiles off the shared sketch equal the batch sides bitwise") {
+    implicit val sqlCtx = spark.sqlContext
+    // the EXACT scored relation q133 aggregates (shared code — the
+    // stream≡batch claim is structural), keyed source|side so one
+    // streamingQuantiles run carries every monitor group
+    val scored = graft.queries.CurationQ9
+      .driftScored(spark, "/root/testdata/sf0.001")
+      .select(concat($"source", lit("|"), $"side").as("g"), $"h", $"q")
+      .as[(String, Long, Double)].collect().toSeq
+    val input = MemoryStream[(String, Long, Double)]
+    val q = StreamOps.streamingQuantiles(input.toDS(), k)
+      .writeStream.format("memory").queryName("qdrift")
+      .outputMode("update").start()
+    try {
+      // two "days" of arrivals — the monitor's actual cadence
+      scored.grouped((scored.size + 1) / 2).foreach { b =>
+        input.addData(b)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("qdrift")
+        .groupBy($"group")
+        .agg(max(struct($"n_rows", $"m", $"p50_est", $"p90_est")).as("s"))
+        .select($"group", $"s.n_rows", $"s.m", $"s.p50_est", $"s.p90_est")
+        .as[(String, Long, Long, Double, Double)].collect()
+        .map { case (g, n, m, p5, p9) => g -> ((n, m, p5, p9)) }.toMap
+      val batch = ref(scored)
+      assert(streamed == batch,
+        s"streaming drift groups diverged from q133's batch sides")
+      assert(streamed.keys.exists(_.endsWith("|delta")) &&
+        streamed.keys.exists(_.endsWith("|corpus")),
+        "fixture vacuous: a side is missing")
+    } finally q.stop()
+  }
+
   test("below-k groups report exact quantiles with duplicates kept") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long, Double)]
