@@ -4,11 +4,12 @@ import graft.SparkSpecBase
 import org.apache.spark.sql.functions._
 
 /** Randomized protocol check for the IVF index: any seeded sequence of
-  * delete / compact / retrain / maintainIfSkewed must preserve exactly
-  * the surviving vector set — ids, embeddings, and norms — however the
-  * ops re-cell the layout along the way (cids are layout, not content).
-  * The pairwise contracts are pinned in VecIndexSpec; this composes
-  * them in random orders. */
+  * append / delete / compact / retrain / compactIfDelta /
+  * maintainIfSkewed must land on exactly the surviving vector set —
+  * ids, embeddings, and norms — however the ops re-cell or re-version
+  * the layout along the way (cids and manifest versions are layout,
+  * not content). The pairwise contracts are pinned in VecIndexSpec;
+  * this composes them in random orders. */
 class VecIndexProtocolSpec extends SparkSpecBase {
 
   private val nChunks = 5
@@ -22,11 +23,14 @@ class VecIndexProtocolSpec extends SparkSpecBase {
       val rnd = new scala.util.Random(seed)
       val dir = tempDir(s"vecproto$seed")
       val cents = KMeans.lloyd(emb, "vec_id", "embedding", k = 4, iters = 1)
-      VecIndex.build(emb, "vec_id", "embedding", cents, dir)
-      var liveChunks = (0 until nChunks).toSet
+      // day 0 indexes chunks 1..n-1; chunk 0 stays out as APPEND feed
+      VecIndex.build(emb.filter(col("vec_id") % nChunks =!= 0),
+        "vec_id", "embedding", cents, dir, persistCentroids = true)
+      var liveChunks = (1 until nChunks).toSet
+      var appendable = Set(0)
       val trace = new StringBuilder("build")
-      for (_ <- 1 to 6) {
-        val roll = rnd.nextInt(4)
+      for (_ <- 1 to 7) {
+        val roll = rnd.nextInt(6)
         if (roll == 0 && liveChunks.size > 1) {
           val seq = liveChunks.toSeq.sorted
           val c = seq(rnd.nextInt(seq.size))
@@ -38,6 +42,16 @@ class VecIndexProtocolSpec extends SparkSpecBase {
         } else if (roll == 2) {
           VecIndex.retrain(spark, dir, "vec_id", "embedding", k = 4, iters = 1)
           trace ++= " retrain"
+        } else if (roll == 3 && appendable.nonEmpty) {
+          val c = appendable.head
+          VecIndex.append(emb.filter(col("vec_id") % nChunks === c),
+            "vec_id", "embedding",
+            VecIndex.openCentroids(spark, dir).get, dir)
+          appendable -= c; liveChunks += c; trace ++= s" append($c)"
+        } else if (roll == 4) {
+          val fired = VecIndex.compactIfDelta(spark, dir, "vec_id",
+            maxDeltaShare = 0.05)
+          trace ++= s" compactIfDelta($fired)"
         } else {
           val fired = VecIndex.maintainIfSkewed(spark, dir, "vec_id",
             "embedding", k = 4, maxCellShare = 0.6, iters = 1)
