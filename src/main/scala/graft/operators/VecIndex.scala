@@ -201,13 +201,22 @@ object VecIndex {
 
   private def openAt(spark: SparkSession, path: String,
                      m: Manifest): Option[DataFrame] = {
+    // a side counts only when it holds cell directories: an EMPTY write
+    // (a zero-row batch append, a delete that emptied the index) leaves
+    // a bare directory with just _SUCCESS, and scanning that fails
+    // schema inference instead of reading as zero rows
+    def hasCells(dir: String): Boolean = {
+      val p = new Path(dir)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.exists(p) && f.listStatus(p).exists(_.getPath.getName.startsWith("cid="))
+    }
     val bulk =
-      if (m.base > 0L && exists(spark, cellsPath(path, m.base)))
+      if (m.base > 0L && hasCells(cellsPath(path, m.base)))
         Some(spark.read.option("basePath", cellsDir(path))
           .parquet(cellsPath(path, m.base)).drop("v"))
       else None
     val delta =
-      if (exists(spark, deltaPath(path, m.epoch)))
+      if (hasCells(deltaPath(path, m.epoch)))
         Some(spark.read.parquet(deltaPath(path, m.epoch)))
       else None
     (bulk.toSeq ++ delta.toSeq).reduceOption(_.unionByName(_))
@@ -431,8 +440,14 @@ object VecIndex {
       rows.join(broadcast(ids.select(col(idCol)).distinct()), Seq(idCol), "left_anti")
         .repartitionByRange(col("cid"), col(idCol))
         .write.mode("overwrite").partitionBy("cid").parquet(cellsPath(path, n))
-      publishManifest(spark, path, n, base = n, epoch = m.epoch + 1L,
-        cents = m.cents)
+      // a delete that empties the index writes a version with no cell
+      // directories (just _SUCCESS) — publish base:0 so readers get the
+      // well-defined empty state instead of a schema-less scan failure
+      val emptied = !fs(spark, path)
+        .listStatus(new Path(cellsPath(path, n)))
+        .exists(_.getPath.getName.startsWith("cid="))
+      publishManifest(spark, path, n, base = if (emptied) 0L else n,
+        epoch = m.epoch + 1L, cents = m.cents)
     }
 
   /** Re-train the coarse quantizer against the CURRENT rows and re-cell

@@ -391,6 +391,30 @@ class VecIndexSpec extends SparkSpecBase {
     assert(VecIndex.deltaShare(spark, dir) == 0.0)
   }
 
+  test("emptied and zero-row states stay well-defined, not scan failures") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = KMeans.lloyd(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val dir = tempDir("vecempty")
+    val some = emb.filter(col("vec_id") < 40)
+    VecIndex.build(some, "vec_id", "embedding", cents, dir,
+      persistCentroids = true)
+    // a ZERO-ROW batch append (a day with no candidates) leaves a bare
+    // epoch directory — reads must not trip over it
+    VecIndex.append(emb.filter(col("vec_id") < 0), "vec_id", "embedding",
+      cents, dir)
+    assert(VecIndex.open(spark, dir).count() == 40)
+    // deleting every vector empties the index: the well-defined empty
+    // state (tryOpen None, skew 0, containsAny false), not a
+    // schema-less scan failure — and it can be rebuilt
+    VecIndex.delete(spark, dir, "vec_id", some.select("vec_id"))
+    assert(VecIndex.tryOpen(spark, dir).isEmpty, "emptied index still opens")
+    assert(VecIndex.cellSkew(spark, dir) == 0.0)
+    assert(!VecIndex.containsAny(spark, dir, Seq(1L).toDF("vec_id")))
+    VecIndex.build(some, "vec_id", "embedding", cents, dir)
+    assert(VecIndex.open(spark, dir).count() == 40, "rebuild after empty failed")
+  }
+
   test("compactIfDelta folds the delta only past the byte-share threshold") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")

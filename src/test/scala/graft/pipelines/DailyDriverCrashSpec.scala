@@ -174,31 +174,45 @@ class DailyDriverCrashSpec extends SparkSpecBase {
 
   test("a step replayed after a crash before the decisions swap converges (no double merge/append)") {
     import org.apache.hadoop.fs.{FileUtil, Path}
-    val (dir, delta, bench) = freshDriver()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val a = docs.filter(col("doc_id") % 4 =!= 0)
+    val delta = docs.filter(col("doc_id") % 4 === 0)
+    val bench = docs.filter(col("doc_id") % 50 === 0).select("doc_id", "text")
+    val dir = tempDir("daily-crash-replay")
+    DailyDriver.init(spark, a, bench, dir, cfg, Some(emb))
     val fs = fsOf(dir)
     val conf = spark.sparkContext.hadoopConfiguration
     // save the pre-step decision table, run the step cleanly, capture
-    // the converged end state of all three stores
+    // the converged end state of all four stores
     val saved = new Path(s"$dir/__decisions_saved")
     FileUtil.copy(fs, new Path(s"$dir/decisions"), fs, saved, false, conf)
-    DailyDriver.step(spark, delta, bench, dir, cfg)
+    DailyDriver.step(spark, delta, bench, dir, cfg, Some(emb))
     val wantDec = canon(DailyDriver.openDecisions(spark, dir))
     val wantSig = canon(DailyDriver.openSigIndex(spark, dir))
     def postings() = graft.operators.LexIndex
       .openPostings(spark, s"$dir/lex_index").collect().map(_.toString).sorted
     val wantLex = postings()
+    def vecRows() = DailyDriver.openVecIndex(spark, dir)
+      .select(col("doc_id"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    val wantVec = vecRows()
     // reproduce the crash state "appends landed, swap didn't": restore
-    // the OLD decision table; sig index + lex index keep the step's work
+    // the OLD decision table; sig + lex + vec indexes keep the step's work
     fs.delete(new Path(s"$dir/decisions"), true)
     FileUtil.copy(fs, saved, fs, new Path(s"$dir/decisions"), true, conf)
-    // the RETRY must skip both landed halves and still swap decisions in
-    DailyDriver.step(spark, delta, bench, dir, cfg)
+    // the RETRY must skip every landed half and still swap decisions in
+    DailyDriver.step(spark, delta, bench, dir, cfg, Some(emb))
     assert(canon(DailyDriver.openDecisions(spark, dir)).sameElements(wantDec),
       "replayed step's decision table diverged from the clean run")
     assert(canon(DailyDriver.openSigIndex(spark, dir)).sameElements(wantSig),
       "replayed step double-appended the signature index")
     assert(postings().sameElements(wantLex),
       "replayed step double-merged the lexical index")
+    assert(vecRows().sameElements(wantVec),
+      "replayed step double-appended the vector index")
   }
 
   test("a torn lease file is treated as garbage, not a permanent block") {
