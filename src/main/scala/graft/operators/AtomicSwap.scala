@@ -3,10 +3,10 @@ package graft.operators
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
-/** Crash-atomic directory replacement — the [[VecIndex]] commit-marker +
-  * roll-forward discipline factored out for every whole-table swap in the
-  * storage layer (the daily driver's decision table and signature index
-  * re-layout; anything else that replaces a directory wholesale).
+/** Crash-atomic directory replacement — the commit-marker + roll-forward
+  * discipline for every whole-table swap in the storage layer (the daily
+  * driver's decision table and signature index re-layout, q132's cached
+  * index root; anything else that replaces a directory wholesale).
   *
   * Why delete-then-rename alone is not enough: a crash between the two
   * leaves NO live copy of the table. The marker turns the swap into a
@@ -22,8 +22,7 @@ import org.apache.spark.sql.SparkSession
   *
   * [[repair]] is cheap (one existence probe when healthy) and must run
   * before every read of a swap-managed directory — the open-repairs
-  * contract VecIndexSpec pins for the vector index and
-  * DailyDriverApiSpec pins for the driver tables.
+  * contract DailyDriverCrashSpec pins for the driver tables.
   *
   * Repair is DESTRUCTIVE (it deletes the old table once the marker is
   * durable), so it must never race the writer's own marker window or a
@@ -41,12 +40,12 @@ import org.apache.spark.sql.SparkSession
   * directory for the instant between the two renames; `repair` + retry
   * always lands on a complete table (the replacement is durable before
   * the old table is touched). Workloads that need lock-free snapshot
-  * reads across mutations use the [[LexIndex]]-style versioned-manifest
-  * layout instead, where published versions are immutable, readers pin
-  * one, and `LexIndex.gc`'s grace window keeps a pinned version's files
-  * alive until in-flight scans are done; this helper is for tables
-  * swapped between protocol steps (the daily driver's), not under live
-  * concurrent scans.
+  * reads across mutations use the versioned-manifest layout instead
+  * ([[LexIndex]] and, since round 8, [[VecIndex]]), where published
+  * versions are immutable, readers pin one, and the `gc` grace window
+  * keeps a pinned version's files alive until in-flight scans are done;
+  * this helper is for tables swapped between protocol steps (the daily
+  * driver's), not under live concurrent scans.
   */
 object AtomicSwap {
 
