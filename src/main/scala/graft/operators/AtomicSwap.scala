@@ -216,13 +216,18 @@ object AtomicSwap {
   * [[AtomicSwap]] lock bounds that misconfiguration to loud swap
   * failures rather than silent interleaving.
   *
-  * Takeover breaks the old lease by RENAMING it to a tombstone — an
-  * atomic move only one contender can win — then verifies the tombstone
-  * holds the stale content it based the decision on (a competitor may
-  * have replaced the file between read and rename; if so the move is
-  * undone and the acquire fails). Release verifies the stored nonce
-  * first: a writer that lost its lease to a takeover must not delete
-  * the new owner's lease.
+  * Takeover is a two-step break: the contender first wins the BREAK
+  * TOKEN (`.lease-break`, create-no-overwrite — one breaker at a time;
+  * without it, racing breakers renaming on stale reads momentarily
+  * vacate the lease path and several creates win, LeaseHammerSpec
+  * recorded six concurrent "holders"), then re-reads the lease, confirms
+  * it still carries the stale content the decision was based on, renames
+  * it to a tombstone (NIO ATOMIC_MOVE on `file:` — Hadoop's local rename
+  * has a copy fallback that can clone a reappeared file), verifies the
+  * tombstone, and creates its own lease before releasing the token. A
+  * breaker that crashes holding the token ages out after 60 s. Release
+  * verifies the stored nonce first: a writer that lost its lease to a
+  * takeover must not delete the new owner's lease.
   */
 object Lease {
 
