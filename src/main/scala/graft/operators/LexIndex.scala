@@ -515,6 +515,25 @@ object LexIndex {
     else { compact(spark, path, gcGraceMs); true }
   }
 
+  /** Document frequency of the given terms, off the index's own
+    * denormalized postings — the df relation [[graft.operators.Bm25
+    * .queryTerms]] needs, WITHOUT a corpus scan: the read is
+    * bucket-pruned to the terms' live buckets exactly like [[search]]
+    * (df is constant per term, so `distinct` collapses each term's
+    * postings to one row). Terms absent from the index produce no row —
+    * queryTerms' inner join then drops them, which is also what a
+    * zero-df term's score contribution would be. */
+  def termDf(spark: SparkSession, path: String, terms: DataFrame): DataFrame = {
+    val man = readManifest(spark, path, currentVersion(spark, path))
+    val buckets = terms.select(tb(col("term")).as("tb")).distinct()
+      .collect().map(_.getLong(0)).filter(man.contains)
+    val post =
+      if (buckets.isEmpty) emptyPostings(spark)
+      else readBuckets(spark, path, man, buckets.toIndexedSeq)
+    post.join(broadcast(terms.select(col("term")).distinct()), Seq("term"))
+      .select(col("term"), col("df")).distinct()
+  }
+
   /** BM25 top-k over the persisted index. `qterms` is (q_id, term) —
     * workload-sized. The path list read is exactly the query terms'
     * live buckets (pruning at its strongest: unprobed buckets are never

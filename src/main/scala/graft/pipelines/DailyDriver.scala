@@ -97,6 +97,57 @@ object DailyDriver {
   def openVecIndex(spark: SparkSession, dir: String): DataFrame =
     graft.operators.VecIndex.open(spark, vecIndexDir(dir))
 
+  /** The RECURRING retrieval workload over the driver-maintained
+    * indexes, packaged: BM25 top-`depth` off the lexical index (query
+    * terms df-filtered against the index's own bucket-pruned postings —
+    * no corpus scan anywhere), in-cell cosine top-`depth` off the
+    * vector index (probes assigned against the pinned quantizer,
+    * `nprobe` cells each), fused by [[graft.operators.Rrf]] — the
+    * exact arithmetic of the oracle-checked q121/q132 rows
+    * (DailyDriverApiSpec pins the equality). Per batch this reads the
+    * query terms' buckets + the probes' cells + two 1-row/df-sized
+    * stats, never the corpus: the q132 cost shape, now reachable as one
+    * driver call.
+    *
+    * @param queries (q_id, text) — the text queries, workload-sized
+    * @param probes  (q_id, embedding) — the vector probes (typically
+    *                the same ids), workload-sized
+    * @param k       fused results per query
+    * @param depth   candidate depth per generator before fusion
+    * @param nprobe  probed cells per vector query
+    * @param maxDfPermille retrieval-term df ceiling (stop-term filter),
+    *                in permille of the indexed corpus */
+  def hybridSearch(spark: SparkSession, dir: String,
+                   queries: DataFrame, probes: DataFrame,
+                   k: Int = 5, depth: Int = 10, nprobe: Int = 2,
+                   maxDfPermille: Long =
+                     graft.operators.Bm25.DefaultMaxDfPermille): DataFrame = {
+    import graft.operators.{Bm25, KMeans, LexIndex, Rrf, VecIndex}
+    val lexPath = lexDir(dir)
+    val vdir = vecIndexDir(dir)
+    // lexical half
+    val qdocs = queries.select(col("q_id"),
+      explode(array_distinct(
+        graft.functions.TextFunctions.tokens(col("text")))).as("term"))
+    val dfreq = LexIndex.termDf(spark, lexPath, qdocs.select(col("term")))
+    val nDocs = LexIndex.stats(spark, lexPath).select(col("n_docs"))
+    // cache: search reads qterms twice (bucket-id collect + probe join)
+    val qt = Bm25.queryTerms(qdocs, dfreq, nDocs, maxDfPermille).cache()
+    val lex = LexIndex.search(spark, lexPath, qt, depth)
+      .select(col("q_id"), col("doc_id"), col("rk").as("rb"))
+    // vector half
+    val cents = VecIndex.openCentroids(spark, vdir).getOrElse(
+      throw new IllegalStateException(
+        s"driver vec index at $vdir has no quantizer — init with embeddings first"))
+    val pr = KMeans.assignTop(probes, "q_id", "embedding", cents, nprobe)
+      .join(probes, Seq("q_id"))
+      .select(col("q_id"), col("embedding").as("q_vec"), col("cid").as("q_cid"))
+    val vec = VecIndex.search(openVecIndex(spark, dir), pr,
+        "doc_id", "embedding", depth)
+      .select(col("q_id"), col("doc_id"), col("rk").as("rv"))
+    Rrf.fuse(lex, vec, k)
+  }
+
   /** Day 0: full `curate` over the corpus; persist the decision table
     * and the candidates' signature index.
     *

@@ -221,9 +221,11 @@ object CurationQ6 {
 
   // --------------------------------------------------------------- q113
 
-  /** Ranks fused per fusion constant 60 (the standard RRF k). */
-  private[graft] val rrfK = 60L
-  private[graft] val rrfScale = 1000000L
+  /** Ranks fused per fusion constant 60 (the standard RRF k) — the
+    * constants live in [[graft.operators.Rrf]], the one definition the
+    * driver's packaged hybrid search shares. */
+  private[graft] val rrfK = graft.operators.Rrf.K
+  private[graft] val rrfScale = graft.operators.Rrf.Scale
   private[graft] val fuseDepth = 10
 
   /** Hybrid retrieval: BM25 top-10 (q111's construction) and cosine

@@ -5,7 +5,6 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
 import graft.Tables
-import graft.functions.IntOps.idiv
 import graft.functions.TextFunctions._
 import graft.operators.Bm25
 
@@ -108,22 +107,8 @@ object CurationQ7 {
       .search(VecIndex.open(s, vecPath), probes, vecIdCol, "embedding", fuseDepth)
       .select(col("q_id"), col(vecIdCol).as("doc_id"), col("rk").as("rv"))
 
-    // ----- RRF fusion — q113's arithmetic verbatim
-    val wf = Window.partitionBy(col("q_id"))
-      .orderBy(col("rrf_s").desc, col("doc_id").asc)
-    lex.join(vec, Seq("q_id", "doc_id"), "full_outer")
-      .withColumn("rrf_s",
-        coalesce(idiv(lit(rrfScale), col("rb") + rrfK), lit(0L)) +
-          coalesce(idiv(lit(rrfScale), col("rv") + rrfK), lit(0L)))
-      .withColumn("rk", row_number().over(wf))
-      .filter(col("rk") <= 5)
-      .withColumn("rrf",
-        col("rrf_s").cast(DoubleType) / lit(rrfScale).cast(DoubleType))
-      .select(col("q_id"), col("rk"), col("doc_id"),
-        coalesce(col("rb"), lit(0)).as("rb"),
-        coalesce(col("rv"), lit(0)).as("rv"),
-        col("rrf_s"), col("rrf"))
-      .orderBy(col("q_id"), col("rk"))
+    // ----- RRF fusion — q113's arithmetic, the one shared definition
+    graft.operators.Rrf.fuse(lex, vec, 5)
   }
 
   /** Hybrid retrieval over PERSISTED indexes — q113's RRF fusion with

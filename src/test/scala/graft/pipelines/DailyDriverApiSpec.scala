@@ -185,5 +185,23 @@ class DailyDriverApiSpec extends SparkSpecBase {
       s"fused result sizes differ: ${gotFused.length} vs ${refFused.length}")
     assert(gotFused.sameElements(refFused),
       "driver-maintained hybrid search diverged from the q121-root path")
+
+    // the PACKAGED driver call must reproduce the same rows: same query
+    // workload (isQ texts + isQv vectors), same depth/nprobe/df-filter —
+    // hybridSearch derives df from the driver's own index (termDf), so
+    // this also pins the bucket-pruned df path against the persisted-df
+    // reference above
+    val qTexts = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(isQ).select(col("doc_id").as("q_id"), col("text"))
+    val qProbes = emb
+      .filter((col("vec_id") % CurationQ6.qMod === 0) &&
+        (col("vec_id") < CurationQ6.qCap))
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val packaged = DailyDriver.hybridSearch(spark, dir, qTexts, qProbes,
+      k = 5, depth = CurationQ6.fuseDepth, nprobe = 2,
+      maxDfPermille = CurationQ6.dfPermille)
+      .collect().map(_.toString).sorted
+    assert(packaged.sameElements(gotFused),
+      "DailyDriver.hybridSearch diverged from the fuseSearch composition")
   }
 }
