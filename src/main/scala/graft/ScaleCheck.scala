@@ -193,7 +193,10 @@ object ScaleCheck {
       "q130_quantile_sketch",
       // width-13 decontam: q70/q122's zero-corpus-shuffle broadcast
       // intersect with the widest per-row gram fold of the ladder
-      "q131_decontam_width13")
+      "q131_decontam_width13",
+      // per-source drift monitor: q130's sketch over (source, side) —
+      // O(sources·2·k) shuffle state, growth is the one corpus scan
+      "q133_source_drift")
     val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", big)
     // warm
     SparkEntry.queries("q09_catalog_totals")(spark, dirs.head).count()
