@@ -210,6 +210,11 @@ object ScaleCheck {
       spark.stop()
       return
     }
+    if (args.contains("driver")) { // daily-driver section only
+      driverCheck(spark, dirs)
+      spark.stop()
+      return
+    }
     // Optional args: query-name substrings re-measure a subset while
     // iterating (no args → the full slice, the committed-table protocol).
     val wanted =
@@ -230,10 +235,57 @@ object ScaleCheck {
     }
     if (args.isEmpty) {
       incrementalDeltaCheck(spark, dirs); bpeTrainCheck(spark, dirs)
-      indexedSearchCheck(spark, dirs)
+      indexedSearchCheck(spark, dirs); driverCheck(spark, dirs)
     }
     if (args.contains("search")) indexedSearchCheck(spark, dirs)
     spark.stop()
+  }
+
+  /** The packaged daily pipeline at scale — the flagship API's own cost
+    * split, not a query-battery proxy: day-0 `init` (full curate + all
+    * three retrieval indexes, corpus-linear by design), one `step` (the
+    * daily delta — cost ∝ delta + touched buckets/cells, NOT the
+    * corpus), `maintain` (policy triggers + the forced vec fold), and
+    * the recurring [[graft.pipelines.DailyDriver.hybridSearch]] batch
+    * (query terms' buckets + probes' cells only — must stay near-flat
+    * as the corpus grows). */
+  private def driverCheck(spark: SparkSession, dirs: Seq[String]): Unit = {
+    import graft.pipelines.{Curation, DailyDriver}
+    println()
+    println(f"${"daily driver"}%-24s ${"init"}%8s ${"step"}%8s ${"maint"}%8s ${"search"}%8s")
+    for (d <- dirs) {
+      spark.catalog.clearCache()
+      val dir = s"target/scalecheck_driver/${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val dp = new org.apache.hadoop.fs.Path(dir)
+      dp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(dp, true)
+      val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+      val emb = Tables.embeddings(spark, d)
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val day0 = docs.filter(col("doc_id") % 10 =!= 7)
+      val delta = docs.filter(col("doc_id") % 10 === 7)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val cfg = Curation.Config(minQuality = 2.95)
+      def timed[T](body: => T): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      val tInit = timed(DailyDriver.init(spark, day0, bench, dir, cfg,
+        Some(emb.join(day0.select(col("doc_id")), Seq("doc_id")))))
+      val tStep = timed(DailyDriver.step(spark, delta, bench, dir, cfg, Some(emb)))
+      // vecDeltaShare = 0 forces the LSM fold so the maintenance number
+      // includes a real compaction, not just the flat triggers
+      val tMaint = timed(DailyDriver.maintain(spark, dir, vecDeltaShare = 0.0))
+      // FIXED-size query batch (same 18 ids at every scale — the id
+      // space is dense from 0 at all sf dirs): the flat-search claim is
+      // about corpus growth at constant workload, so the workload must
+      // not scale with the corpus like the bench slice does
+      val qBatch = docs.filter(col("doc_id") % 29 === 0 && col("doc_id") < 500)
+      val queries = qBatch.select(col("doc_id").as("q_id"), col("text"))
+      val probes = emb.join(qBatch.select(col("doc_id")), Seq("doc_id"))
+        .select(col("doc_id").as("q_id"), col("embedding"))
+      val tSearch = timed(
+        DailyDriver.hybridSearch(spark, dir, queries, probes).count())
+      println(f"${d.split('/').last}%-24s $tInit%8.2f $tStep%8.2f $tMaint%8.2f $tSearch%8.2f")
+    }
   }
 
   /** The hybrid-retrieval cost split the q121 bench row conflates: the
