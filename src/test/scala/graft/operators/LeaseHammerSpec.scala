@@ -53,11 +53,13 @@ class LeaseHammerSpec extends SparkSpecBase {
     val dir = tempDir("lease-takeover-hammer")
     // a crashed writer's lease: created, never renewed, then aged well
     // past the racers' staleMs — while the eventual takeover winner's
-    // FRESH lease (ms old by the time losers re-check) stays live
+    // FRESH lease stays live (staleMs is far above the race's duration,
+    // so no loser can mistake the winner for a second dead holder even
+    // under heavy suite load)
     val dead = Lease.acquire(spark, dir, "crashed")
-    Thread.sleep(500)
+    Thread.sleep(2500)
     val results = race(threads) { i =>
-      try Right(Lease.acquire(spark, dir, s"taker-$i", staleMs = 250L))
+      try Right(Lease.acquire(spark, dir, s"taker-$i", staleMs = 1200L))
       catch { case e: IllegalStateException => Left(e.getMessage) }
     }
     val winners = results.collect { case Right(t) => t }
@@ -96,9 +98,12 @@ class LeaseHammerSpec extends SparkSpecBase {
     assert(Lease.tryCreate(fs, lock, "12345|dead-nonce"))
     val inside = new java.util.concurrent.atomic.AtomicInteger(0)
     val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
+    // lockStaleMs far above the 5 ms bodies: the FORGED lock's ancient
+    // timestamp is stale regardless, while no live contender's fresh
+    // lock can age past the bound mid-window under suite load
     race(threads) { _ =>
-      AtomicSwap.withTableLock(fs, s"$dir/t", lockStaleMs = 50L,
-        deadlineMs = 30000L) {
+      AtomicSwap.withTableLock(fs, s"$dir/t", lockStaleMs = 2000L,
+        deadlineMs = 60000L) {
         val now = inside.incrementAndGet()
         maxInside.accumulateAndGet(now, Math.max(_, _))
         Thread.sleep(5)
