@@ -197,11 +197,24 @@ class DailyDriverApiSpec extends SparkSpecBase {
       .filter((col("vec_id") % CurationQ6.qMod === 0) &&
         (col("vec_id") < CurationQ6.qCap))
       .select(col("vec_id").as("q_id"), col("embedding"))
-    val packaged = DailyDriver.hybridSearch(spark, dir, qTexts, qProbes,
+    val packagedDf = DailyDriver.hybridSearch(spark, dir, qTexts, qProbes,
       k = 5, depth = CurationQ6.fuseDepth, nprobe = 2,
       maxDfPermille = CurationQ6.dfPermille)
-      .collect().map(_.toString).sorted
+    val packaged = packagedDf.collect().map(_.toString).sorted
     assert(packaged.sameElements(gotFused),
       "DailyDriver.hybridSearch diverged from the fuseSearch composition")
+
+    // and the packaged plan keeps the q121/q132 pruning contract: both
+    // candidate scans read only the query terms' buckets / the probes'
+    // cells (the IndexedHybridSpec assertions, driver edition)
+    val plan = packagedDf.queryExecution.executedPlan.toString
+    val lexScans = plan.linesIterator.filter(_.contains("/lex_index/buckets")).toSeq
+    assert(lexScans.nonEmpty, s"no LexIndex bucket scan in plan:\n$plan")
+    assert(lexScans.forall(l => l.contains("PartitionFilters: [") && l.contains("tb")),
+      s"hybridSearch LexIndex scan not pruned on tb:\n${lexScans.mkString("\n")}")
+    val vecScans = plan.linesIterator.filter(_.contains("/vec_index/cells")).toSeq
+    assert(vecScans.nonEmpty, s"no VecIndex cell scan in plan:\n$plan")
+    assert(vecScans.forall(l => l.contains("PartitionFilters: [") && l.contains("cid")),
+      s"hybridSearch VecIndex scan not pruned on cid:\n${vecScans.mkString("\n")}")
   }
 }
