@@ -170,12 +170,23 @@ object AtomicSwap {
             } finally fs.delete(breakTok, false)
           } else {
             // a breaker is mid-flight — or crashed holding the token:
-            // age it out (break work is sub-second)
+            // age it out by its recorded ts, falling back to the FILE's
+            // mtime when the content is torn/empty (a breaker killed
+            // between create and write must not bar breaking forever —
+            // the torn-lock convention, token edition). None = vanished
+            // under us: just poll again.
             val tokTs = readRaw(breakTok)
               .flatMap(_.split('|').headOption)
               .flatMap(s => scala.util.Try(s.toLong).toOption)
+              .orElse(
+                try Some(fs.getFileStatus(breakTok).getModificationTime)
+                catch { case _: java.io.IOException => None })
             if (tokTs.exists(System.currentTimeMillis() - _ > lockStaleMs))
               fs.delete(breakTok, false)
+            else if (System.currentTimeMillis() > deadline)
+              throw new IllegalStateException(
+                s"table lock $p stale but its break token is held past " +
+                  s"${deadlineMs} ms — live breaker stuck?")
             Thread.sleep(50)
           }
         } else if (System.currentTimeMillis() > deadline)
@@ -389,10 +400,16 @@ object Lease {
         if (!tryCreate(fs, breakTok,
           s"${System.currentTimeMillis()}|$nonce")) {
           // a breaker is mid-flight — or crashed holding the token: age
-          // it out (break work is sub-second; 60 s = dead breaker)
-          val tokTs = readRawFile(fs, breakTok)
+          // it out (break work is sub-second; 60 s = dead breaker). A
+          // token with TORN/empty content (breaker killed between create
+          // and write) ages by its file mtime — unparseable must mean
+          // "old enough goes", not "blocks takeover forever".
+          val tokTs = readRawBytes(fs, breakTok)
             .flatMap(_.split('|').headOption)
             .flatMap(s => scala.util.Try(s.toLong).toOption)
+            .orElse(
+              try Some(fs.getFileStatus(breakTok).getModificationTime)
+              catch { case _: java.io.IOException => None })
           if (tokTs.exists(System.currentTimeMillis() - _ > 60000L))
             fs.delete(breakTok, false)
           throw new IllegalStateException(
@@ -435,9 +452,6 @@ object Lease {
 
   private def existsQuiet(fs: FileSystem, p: Path): Boolean =
     try fs.exists(p) catch { case _: java.io.IOException => false }
-
-  private def readRawFile(fs: FileSystem, p: Path): Option[String] =
-    readRawBytes(fs, p)
 
   /** Refresh `token`'s heartbeat: write a fresh uniquely-named beat
     * file, then sweep our older beats. A no-op if the lease no longer

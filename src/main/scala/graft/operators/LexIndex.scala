@@ -402,18 +402,31 @@ object LexIndex {
   /** Collect version directories the live manifest no longer references.
     * With the default `graceMs = 0` everything superseded goes at once —
     * the OFFLINE discipline (no readers in flight). A positive grace is
-    * the vacuum rule for live readers: an unreferenced `v=W` is deleted
-    * only when its directory mtime is more than `graceMs` old, and a
-    * published version's directories never change after publication, so
-    * mtime ≈ publication time ≤ any reader's pin time — a reader that
-    * pins the then-current version at open and finishes within `graceMs`
-    * of opening can never lose files to this sweep. Referenced versions
-    * are never deleted regardless of age. Runs under the writer lease
-    * (the manifest must not advance mid-sweep). */
+    * the vacuum rule for live readers, aging from SUPERSESSION rather
+    * than creation: a bucket version's own mtime is its publication
+    * time, which can be arbitrarily long before a later merge finally
+    * superseded it — mtime alone would delete a long-current bucket the
+    * instant it was replaced, under a just-pinned reader. So an
+    * unreferenced directory is deleted only when BOTH its mtime and the
+    * CURRENT manifest file's mtime (the supersession lower bound: the
+    * publish that retired it happened no later than the latest publish)
+    * are more than `graceMs` old. A reader pins the then-current
+    * manifest at open; the publish superseding its version is strictly
+    * after that pin, so deletion implies ≥ `graceMs` since the pin.
+    * Referenced versions are never deleted regardless of age. Runs
+    * under the writer lease (the manifest must not advance mid-sweep). */
   def gc(spark: SparkSession, path: String, graceMs: Long = 0L): Unit =
    Lease.withLease(spark, path, "lexindex-gc") {
     gcLocked(spark, path, graceMs)
   }
+
+  /** The supersession lower bound for grace aging: the live manifest
+    * file's mtime (see [[gc]]). `now` when unreadable — never ages. */
+  private def manifestMtime(f: FileSystem, path: String, cur: Long,
+                            now: Long): Long =
+    try f.getFileStatus(new Path(manifestDir(path), s"v=$cur.txt"))
+      .getModificationTime
+    catch { case _: java.io.IOException => now }
 
   /** [[gc]]'s body, for callers already holding the `path` lease. */
   private def gcLocked(spark: SparkSession, path: String, graceMs: Long): Unit = {
@@ -422,8 +435,9 @@ object LexIndex {
     val man = readManifest(spark, path, cur)
     val f = fs(spark, path)
     val now = System.currentTimeMillis()
+    val supersededBound = manifestMtime(f, path, cur, now)
     def aged(st: org.apache.hadoop.fs.FileStatus): Boolean =
-      now - st.getModificationTime >= graceMs
+      now - math.max(st.getModificationTime, supersededBound) >= graceMs
     // buckets + docmap are referenced at (version, bucket) grain — a
     // still-referenced v=W dir can hold superseded tb dirs, so sweep
     // per bucket and drop version dirs only once emptied
@@ -470,11 +484,16 @@ object LexIndex {
     * still protects. 0.0 on an empty or garbage-free index. */
   def garbageShare(spark: SparkSession, path: String,
                    graceMs: Long = 0L): Double = {
-    val man = readManifest(spark, path, currentVersion(spark, path))
+    val cur = currentVersion(spark, path)
+    val man = readManifest(spark, path, cur)
     val f = fs(spark, path)
     val root = new Path(bucketsDir(path))
     if (!f.exists(root)) return 0.0
     val now = System.currentTimeMillis()
+    // same supersession-bounded aging as [[gc]], so the policy's
+    // eligible-bytes count matches what a sweep could reclaim now
+    val supersededBound =
+      if (cur > 0L) manifestMtime(f, path, cur, now) else now
     var live = 0L
     var dead = 0L
     for (vDir <- f.listStatus(root) if vDir.getPath.getName.startsWith("v=")) {
@@ -484,7 +503,8 @@ object LexIndex {
         val b = bDir.getPath.getName.stripPrefix("tb=").toLong
         val bytes = f.listStatus(bDir.getPath).map(_.getLen).sum
         if (man.get(b).contains(v)) live += bytes
-        else if (now - bDir.getModificationTime >= graceMs) dead += bytes
+        else if (now - math.max(bDir.getModificationTime, supersededBound)
+            >= graceMs) dead += bytes
       }
     }
     if (live + dead == 0L) 0.0 else dead.toDouble / (live + dead).toDouble

@@ -341,7 +341,20 @@ object VecIndex {
   def appendStream(embStream: DataFrame, idCol: String, vecCol: String,
                    centroids: DataFrame, path: String,
                    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val e = currentManifest(embStream.sparkSession, path).epoch
+    val spark = embStream.sparkSession
+    val e = currentManifest(spark, path).epoch
+    // one append discipline per epoch, enforced in BOTH directions:
+    // [[append]] refuses a sink-governed epoch, and a sink must not
+    // adopt an epoch holding batch-written files — the sink's
+    // _spark_metadata log would govern the directory and silently hide
+    // them from every reader (the class doc's trap). A dir that is
+    // already sink-governed is fine: the restarted stream's log resumes.
+    val dir = deltaPath(path, e)
+    require(!exists(spark, dir) || exists(spark, s"$dir/_spark_metadata") ||
+      !fs(spark, path).listStatus(new Path(dir))
+        .exists(_.getPath.getName.startsWith("cid=")),
+      s"delta epoch $e holds batch-appended files — a streaming sink's " +
+        s"log would hide them from readers; compact first")
     assignFold(embStream, idCol, vecCol, centroids)
       .select(col(idCol), col(vecCol), col("norm"), col("cid"))
       .writeStream.format("parquet")
@@ -492,15 +505,21 @@ object VecIndex {
     * — superseded cells/centroids versions and retired delta epochs.
     * With the default `graceMs = 0` everything superseded goes at once —
     * the OFFLINE discipline (no readers in flight). A positive grace is
-    * the vacuum rule for live readers: an unreferenced directory is
-    * deleted only when its mtime is more than `graceMs` old, and
-    * published directories never change after publication (a retired
-    * epoch stops receiving appends when the manifest bump retires it),
-    * so mtime ≈ publication time ≤ any reader's pin time — a reader
-    * that pins the then-current manifest at [[open]] and finishes
-    * within `graceMs` can never lose files to this sweep. Referenced
-    * directories are never deleted regardless of age. Runs under the
-    * writer lease (the manifest must not advance mid-sweep). */
+    * the vacuum rule for live readers, and it ages from SUPERSESSION,
+    * not creation: a directory's own mtime is its publication time,
+    * which can be arbitrarily LONG before it was superseded (a version
+    * that stayed current for a week would be deleted the instant a new
+    * one published, under the reader's feet, if its mtime alone aged
+    * it). The supersession lower bound is the CURRENT manifest file's
+    * mtime — the publish that retired whatever is unreferenced now
+    * happened no later than the latest publish — so an unreferenced
+    * directory is deleted only when BOTH its mtime and the current
+    * manifest's mtime are more than `graceMs` old. A reader pins the
+    * then-current manifest at [[open]]; the publish superseding its
+    * version happens strictly after that pin, so deletion implies at
+    * least `graceMs` has passed since the pin. Referenced directories
+    * are never deleted regardless of age. Runs under the writer lease
+    * (the manifest must not advance mid-sweep). */
   def gc(spark: SparkSession, path: String, graceMs: Long = 0L): Unit =
     Lease.withLease(spark, path, "vecindex-gc") {
       gcLocked(spark, path, graceMs)
@@ -512,12 +531,19 @@ object VecIndex {
     if (m.v == 0L) return
     val f = fs(spark, path)
     val now = System.currentTimeMillis()
+    // supersession lower bound: the latest publish (see [[gc]] doc)
+    val curManifestMtime =
+      try f.getFileStatus(new Path(manifestDir(path), s"v=${m.v}.txt"))
+        .getModificationTime
+      catch { case _: java.io.IOException => now }
+    def aged(mtime: Long): Boolean =
+      now - math.max(mtime, curManifestMtime) >= graceMs
     def sweep(dir: String, prefix: String, keep: Long => Boolean): Unit = {
       val d = new Path(dir)
       if (!f.exists(d)) return
       for (st <- f.listStatus(d) if st.getPath.getName.startsWith(prefix)) {
         val v = st.getPath.getName.stripPrefix(prefix).toLong
-        if (!keep(v) && now - st.getModificationTime >= graceMs)
+        if (!keep(v) && aged(st.getModificationTime))
           f.delete(st.getPath, true)
       }
     }
@@ -528,7 +554,7 @@ object VecIndex {
     val md = new Path(manifestDir(path))
     if (f.exists(md)) for (st <- f.listStatus(md)) st.getPath.getName match {
       case ManifestName(v) if v.toLong != m.v &&
-        now - st.getModificationTime >= graceMs => f.delete(st.getPath, false)
+        aged(st.getModificationTime) => f.delete(st.getPath, false)
       case _ => ()
     }
   }

@@ -131,8 +131,14 @@ object DailyDriver {
         graft.functions.TextFunctions.tokens(col("text")))).as("term"))
     val dfreq = LexIndex.termDf(spark, lexPath, qdocs.select(col("term")))
     val nDocs = LexIndex.stats(spark, lexPath).select(col("n_docs"))
-    // cache: search reads qterms twice (bucket-id collect + probe join)
-    val qt = Bm25.queryTerms(qdocs, dfreq, nDocs, maxDfPermille).cache()
+    // qterms is consumed twice (bucket-id collect + probe join) and is
+    // workload-BOUNDED (≤ TermsPerQuery rows per query), so materialize
+    // it once as a local relation instead of .cache(): this is a
+    // RECURRING call, and a per-invocation cached RDD that nothing
+    // unpersists would leak executor storage batch after batch.
+    val qtOnce = Bm25.queryTerms(qdocs, dfreq, nDocs, maxDfPermille)
+    val qt = spark.createDataFrame(
+      java.util.Arrays.asList(qtOnce.collect(): _*), qtOnce.schema)
     val lex = LexIndex.search(spark, lexPath, qt, depth)
       .select(col("q_id"), col("doc_id"), col("rk").as("rb"))
     // vector half
@@ -393,6 +399,12 @@ object DailyDriver {
       VecIndex.compactIfDelta(spark, vdir, "doc_id", vecDeltaShare, vecGcGraceMs)
       VecIndex.maintainIfSkewed(spark, vdir, "doc_id", "embedding",
         k = VecCells, maxCellShare = vecMaxCellShare)
+      // gc runs UNCONDITIONALLY: retrain (the policy above) publishes a
+      // full superseded cells+centroids version but only compact sweeps
+      // — a drift-heavy, append-light driver would otherwise strand a
+      // corpus-sized copy per retrain forever. A no-garbage sweep is a
+      // driver-side listing.
+      VecIndex.gc(spark, vdir, vecGcGraceMs)
     }
    }
 }

@@ -69,6 +69,47 @@ class LeaseHammerSpec extends SparkSpecBase {
     Lease.release(spark, winners.head)
   }
 
+  test("a torn break token (breaker killed mid-write) ages out by mtime") {
+    // the crash shape: a breaker died between creating the token and
+    // writing its content — unparseable must mean "ages by file mtime",
+    // not "blocks takeover forever"
+    val dir = tempDir("lease-torn-token")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a stale lease + an EMPTY break token backdated past the breaker
+    // staleness bound (60 s)
+    assert(Lease.tryCreate(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/__lease"),
+      s"crashed|${System.currentTimeMillis() - 40L * 60 * 1000}|dead-nonce"))
+    val tok = new java.io.File(dir, ".lease-break")
+    java.nio.file.Files.write(tok.toPath, Array.emptyByteArray)
+    assert(tok.setLastModified(System.currentTimeMillis() - 120000L))
+    // first acquire sweeps the aged torn token (and fails fast — a
+    // breaker slot was occupied when it looked); the retry takes over
+    val e = intercept[IllegalStateException](
+      Lease.acquire(spark, dir, "taker"))
+    assert(e.getMessage.contains("being broken"), e.getMessage)
+    assert(!tok.exists(), "aged torn break token was not swept")
+    val won = Lease.acquire(spark, dir, "taker")
+    Lease.release(spark, won)
+  }
+
+  test("a torn table-lock break token ages out and the lock still breaks") {
+    val dir = tempDir("tablelock-torn-token")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // ancient stale lock + an empty break token older than lockStaleMs
+    assert(Lease.tryCreate(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/t__lock"), "12345|dead"))
+    val tok = new java.io.File(dir, "t__lock_break")
+    java.nio.file.Files.write(tok.toPath, Array.emptyByteArray)
+    assert(tok.setLastModified(System.currentTimeMillis() - 10000L))
+    var entered = false
+    AtomicSwap.withTableLock(fs, s"$dir/t", lockStaleMs = 1000L,
+      deadlineMs = 30000L) { entered = true }
+    assert(entered, "stale lock with a torn break token never broke")
+  }
+
   test("table lock: read-modify-write under contention loses no update") {
     val dir = tempDir("tablelock-hammer")
     val fs = new org.apache.hadoop.fs.Path(dir)

@@ -301,6 +301,34 @@ class LexIndexSpec extends SparkSpecBase {
     assert(postingRows(p).sameElements(rows), "gc changed live rows")
   }
 
+  test("gc grace ages from SUPERSESSION, not a bucket version's publication mtime") {
+    val docs = docsAt("/root/testdata/sf0.001")
+    val p = tempDir("lexgracemtime")
+    LexIndex.build(UnigramLm.termFreq(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text"), p)
+    // let v=1's bucket directories age well past the grace below...
+    Thread.sleep(1500)
+    // ...then supersede them JUST NOW: the merge rewrites the touched
+    // buckets into v=2, stranding their v=1 directories. A reader could
+    // have pinned v=1 a millisecond before the publish — an mtime-aged
+    // sweep (or eligible-bytes count) would treat old-but-only-just-
+    // superseded buckets as collectible despite the grace.
+    LexIndex.merge(spark, p, UnigramLm.termFreq(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text"))
+    assert(LexIndex.garbageShare(spark, p) > 0.0, "fixture stranded nothing")
+    assert(LexIndex.garbageShare(spark, p, graceMs = 1000L) === 0.0,
+      "just-superseded buckets counted as grace-eligible (publication-mtime aging)")
+    LexIndex.gc(spark, p, graceMs = 1000L)
+    assert(LexIndex.garbageShare(spark, p) > 0.0,
+      "graced gc deleted buckets superseded a moment ago")
+    // once the supersession itself is older than the grace, it all goes
+    Thread.sleep(1200)
+    assert(LexIndex.garbageShare(spark, p, graceMs = 1000L) > 0.0)
+    LexIndex.gc(spark, p, graceMs = 1000L)
+    assert(LexIndex.garbageShare(spark, p) === 0.0,
+      "gc left bucket bytes superseded past the grace")
+  }
+
   test("compactIfGarbage compacts only past the superseded-bytes threshold") {
     val docs = docsAt("/root/testdata/sf0.001")
     val p = tempDir("lexgc")

@@ -363,6 +363,27 @@ class VecIndexSpec extends SparkSpecBase {
     assert(liveDirs.length == 1, s"gc left superseded cells versions: ${liveDirs.mkString(",")}")
   }
 
+  test("gc grace ages from SUPERSESSION, not publication mtime") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = KMeans.lloyd(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val dir = tempDir("vecgrace")
+    VecIndex.build(emb, "vec_id", "embedding", cents, dir)
+    // let the v=1 directory's mtime age well past the grace below...
+    Thread.sleep(1500)
+    // ...then supersede it JUST NOW. A reader could have pinned v=1 a
+    // millisecond before this publish — an mtime-aged sweep would
+    // delete its files immediately despite the grace.
+    VecIndex.compact(spark, dir, "vec_id", gcGraceMs = 1000L)
+    val v1 = new java.io.File(s"$dir/cells/v=1")
+    assert(v1.isDirectory,
+      "graced gc deleted a version superseded a moment ago " +
+        "(aged by publication mtime instead of supersession)")
+    // once the supersession itself is older than the grace, it goes
+    Thread.sleep(1200)
+    VecIndex.gc(spark, dir, graceMs = 1000L)
+    assert(!v1.exists(), "gc kept a version superseded past the grace")
+  }
+
   test("batch append lands in the delta epoch; containsAny gates a replay") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
@@ -413,6 +434,29 @@ class VecIndexSpec extends SparkSpecBase {
     assert(!VecIndex.containsAny(spark, dir, Seq(1L).toDF("vec_id")))
     VecIndex.build(some, "vec_id", "embedding", cents, dir)
     assert(VecIndex.open(spark, dir).count() == 40, "rebuild after empty failed")
+  }
+
+  test("a stream must not adopt an epoch holding batch-appended files") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = KMeans.lloyd(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val dir = tempDir("vecmixguard")
+    VecIndex.build(emb.limit(20), "vec_id", "embedding", cents, dir)
+    VecIndex.append(emb.limit(40), "vec_id", "embedding", cents, dir)
+    // the sink's _spark_metadata log would govern delta/e=1 and silently
+    // hide the batch files from every reader — refuse at stream start
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val e = intercept[IllegalArgumentException] {
+      VecIndex.appendStream(input.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cents, dir, tempDir("vecmixguard-ckpt"))
+    }
+    assert(e.getMessage.contains("compact first"), e.getMessage)
+    // after the fold the fresh epoch takes a stream cleanly
+    VecIndex.compact(spark, dir, "vec_id")
+    val q = VecIndex.appendStream(input.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cents, dir, tempDir("vecmixguard-ckpt2"))
+    q.stop()
   }
 
   test("compactIfDelta folds the delta only past the byte-share threshold") {
