@@ -88,6 +88,22 @@ object PQ {
   def d2Expr(ss: Column, sub: Column, cent: Column, cc: Column): Column =
     (ss - lit(2.0) * callDot(sub, cent)) + cc
 
+  /** Collapse a codebook relation (j, c_id, cent, cc) into ONE broadcast
+    * row of j-ordered, cid-ordered nested arrays — the shape the pq_*
+    * codegen kernels consume. Stays in the DAG (two aggregations over
+    * the codebook-sized relation), no collect. */
+  def codebookRow(cb: DataFrame): DataFrame =
+    cb.groupBy(col("j"))
+      .agg(array_sort(collect_list(struct(col("c_id"), col("cent"), col("cc"))))
+        .as("cells"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("j"), col("cells")))).as("js"))
+      .select(
+        transform(col("js"), x =>
+          transform(x.getField("cells"), c => c.getField("cent"))).as("cents"),
+        transform(col("js"), x =>
+          transform(x.getField("cells"), c => c.getField("cc"))).as("ccs"))
+
   private def callDot(a: Column, b: Column): Column =
     call_function("float_dot", a, b)
 }

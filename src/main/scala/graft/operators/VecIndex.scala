@@ -70,7 +70,6 @@ object VecIndex {
   private def cellsDir(path: String) = s"$path/cells"
   private def deltaDir(path: String) = s"$path/delta"
   private def centsDir(path: String) = s"$path/centroids"
-  private def manifestDir(path: String) = s"$path/manifest"
 
   private def cellsPath(path: String, v: Long) = s"${cellsDir(path)}/v=$v"
   private def deltaPath(path: String, e: Long) = s"${deltaDir(path)}/e=$e"
@@ -89,56 +88,22 @@ object VecIndex {
     * (0 = none). The default for an unpublished path is epoch 1 — a
     * pure-stream index ([[appendStream]] without a prior [[build]])
     * needs a well-defined append target without a manifest write a
-    * streaming sink could not make transactional. */
-  private[graft] final case class Manifest(v: Long, base: Long,
-                                           epoch: Long, cents: Long)
-
-  private val ManifestName = "v=(\\d+)\\.txt".r
+    * streaming sink could not make transactional. The protocol itself
+    * lives in [[Versioned]], shared with [[PqIndex]]. */
+  private[graft] type Manifest = Versioned.Man
 
   /** The published manifest version the index currently reads at
     * (0 = no successful publish yet). */
-  def currentVersion(spark: SparkSession, path: String): Long = {
-    val dir = new Path(manifestDir(path))
-    val f = fs(spark, path)
-    if (!f.exists(dir)) 0L
-    else f.listStatus(dir).map(_.getPath.getName)
-      .collect { case ManifestName(v) => v.toLong }
-      .foldLeft(0L)(math.max)
-  }
+  def currentVersion(spark: SparkSession, path: String): Long =
+    Versioned.currentVersion(spark, path)
 
-  private[graft] def currentManifest(spark: SparkSession, path: String): Manifest = {
-    val v = currentVersion(spark, path)
-    if (v == 0L) return Manifest(0L, 0L, 1L, 0L)
-    val in = fs(spark, path).open(new Path(manifestDir(path), s"v=$v.txt"))
-    val kv =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty)
-        .map { line =>
-          val Array(k, value) = line.split(":")
-          k -> value.toLong
-        }.toMap
-      finally in.close()
-    Manifest(v, kv.getOrElse("base", 0L), kv.getOrElse("epoch", 1L),
-      kv.getOrElse("cents", 0L))
-  }
+  private[graft] def currentManifest(spark: SparkSession, path: String): Manifest =
+    Versioned.current(spark, path)
 
-  /** Publish manifest version `v`: write to a dot-prefixed temp name in
-    * the manifest directory, then rename — one atomic same-directory
-    * move, the only step that changes what readers see. */
   private def publishManifest(spark: SparkSession, path: String,
                               v: Long, base: Long, epoch: Long,
-                              cents: Long): Unit = {
-    val f = fs(spark, path)
-    val dir = new Path(manifestDir(path))
-    f.mkdirs(dir)
-    val tmp = new Path(dir, s".tmp-v=$v.txt")
-    val out = f.create(tmp, true)
-    try out.write(s"base:$base\nepoch:$epoch\ncents:$cents\n".getBytes("UTF-8"))
-    finally out.close()
-    val dst = new Path(dir, s"v=$v.txt")
-    f.delete(dst, false) // only present if THIS version was already published
-    require(f.rename(tmp, dst), s"manifest publish failed: $tmp -> $dst")
-  }
+                              cents: Long): Unit =
+    Versioned.publish(spark, path, v, base, epoch, cents)
 
   /** Assign every vector to its nearest-by-cosine centroid and persist
     * partitioned by cell id as the next cells version. One broadcast
@@ -525,38 +490,16 @@ object VecIndex {
       gcLocked(spark, path, graceMs)
     }
 
-  /** [[gc]]'s body, for callers already holding the `path` lease. */
+  /** [[gc]]'s body, for callers already holding the `path` lease —
+    * [[Versioned.gcSweep]] with this layout's three directory families
+    * (superseded manifest files are swept by the shared rule too). */
   private def gcLocked(spark: SparkSession, path: String, graceMs: Long): Unit = {
     val m = currentManifest(spark, path)
     if (m.v == 0L) return
-    val f = fs(spark, path)
-    val now = System.currentTimeMillis()
-    // supersession lower bound: the latest publish (see [[gc]] doc)
-    val curManifestMtime =
-      try f.getFileStatus(new Path(manifestDir(path), s"v=${m.v}.txt"))
-        .getModificationTime
-      catch { case _: java.io.IOException => now }
-    def aged(mtime: Long): Boolean =
-      now - math.max(mtime, curManifestMtime) >= graceMs
-    def sweep(dir: String, prefix: String, keep: Long => Boolean): Unit = {
-      val d = new Path(dir)
-      if (!f.exists(d)) return
-      for (st <- f.listStatus(d) if st.getPath.getName.startsWith(prefix)) {
-        val v = st.getPath.getName.stripPrefix(prefix).toLong
-        if (!keep(v) && aged(st.getModificationTime))
-          f.delete(st.getPath, true)
-      }
-    }
-    sweep(cellsDir(path), "v=", _ == m.base)
-    sweep(deltaDir(path), "e=", _ == m.epoch)
-    sweep(centsDir(path), "v=", _ == m.cents)
-    // superseded manifest files (tiny, but unbounded over months)
-    val md = new Path(manifestDir(path))
-    if (f.exists(md)) for (st <- f.listStatus(md)) st.getPath.getName match {
-      case ManifestName(v) if v.toLong != m.v &&
-        aged(st.getModificationTime) => f.delete(st.getPath, false)
-      case _ => ()
-    }
+    Versioned.gcSweep(spark, path, m, graceMs, Seq(
+      (cellsDir(path), "v=", (v: Long) => v == m.base),
+      (deltaDir(path), "e=", (v: Long) => v == m.epoch),
+      (centsDir(path), "v=", (v: Long) => v == m.cents)))
   }
 
   /** Share of index bytes sitting in the CURRENT delta epoch — the

@@ -315,16 +315,7 @@ object CurationQ2 {
     * codegen kernels consume. Stays in the DAG (two aggregations over
     * the m×k codebook rows); no driver collect. */
   private[graft] def pqCodebookRow(cb: DataFrame): DataFrame =
-    cb.groupBy(col("j"))
-      .agg(array_sort(collect_list(struct(col("c_id"), col("cent"), col("cc"))))
-        .as("cells"))
-      .groupBy()
-      .agg(array_sort(collect_list(struct(col("j"), col("cells")))).as("js"))
-      .select(
-        transform(col("js"), x =>
-          transform(x.getField("cells"), c => c.getField("cent"))).as("cents"),
-        transform(col("js"), x =>
-          transform(x.getField("cells"), c => c.getField("cc"))).as("ccs"))
+    graft.operators.PQ.codebookRow(cb)
 
   /** Encode + ADC tail shared by q87/q90 (and q93's approx side), all
     * map-side via the pq_* codegen kernels: the codebook collapses to

@@ -243,8 +243,39 @@ object CurationQ3 {
 
   // ---------------------------------------------------------------- q95
 
-  private val ivfNc = 16
-  private val ivfNprobe = 2
+  private[graft] val ivfNc = 16
+  private[graft] val ivfNprobe = 2
+
+  /** q95's deterministic quantizer as ONE broadcastable row (g_cents,
+    * g_ccs, cents, ccs): coarse = the nc lowest-id vectors as a single
+    * whole-vector codebook, sub-codebooks = the RESIDUALS of ids
+    * nc..nc+15 — shared by the inline q95 plan and the persisted
+    * [[graft.operators.PqIndex]] row q134, so the two cannot drift. */
+  private[graft] def ivfpqQuant(s: SparkSession, d: String): DataFrame = {
+    import CurationQ2.{pqDsub, pqM, pqNCent}
+    val dim = pqM * pqDsub
+    val emb = Tables.embeddings(s, d)
+    val coarse = CurationQ2.pqCodebookRow(
+        graft.operators.PQ.subspaces(emb.filter(col("vec_id") < ivfNc),
+            "vec_id", "embedding", 1, dim)
+          .select(col("j"), col("id").as("c_id"), col("sub").as("cent"),
+            col("ss").as("cc")))
+      .select(col("cents").as("g_cents"), col("ccs").as("g_ccs"))
+    val donors = emb
+      .filter(col("vec_id") >= ivfNc && col("vec_id") < ivfNc + pqNCent)
+      .crossJoin(broadcast(coarse))
+      .withColumn("cell",
+        element_at(call_function("pq_encode", col("embedding"),
+          col("g_cents"), col("g_ccs")), 1))
+      .select(col("vec_id"),
+        call_function("float_sub", col("embedding"),
+          element_at(element_at(col("g_cents"), 1), col("cell") + lit(1)))
+          .as("res"))
+    val subCb = graft.operators.PQ.subspaces(donors, "vec_id", "res", pqM, pqDsub)
+      .select(col("j"), (col("id") - ivfNc).cast("int").as("c_id"),
+        col("sub").as("cent"), col("ss").as("cc"))
+    coarse.crossJoin(CurationQ2.pqCodebookRow(subCb))
+  }
 
   /** IVF-PQ (IVFADC) — the production 100 TB ANN shape, composing the
     * q55/q80 coarse blocking with q87's code-compressed scoring: a
@@ -269,30 +300,12 @@ object CurationQ3 {
     * everywhere (the kernel convention = ROW_NUMBER's). */
   private def q95(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import CurationQ2.{pqDsub, pqM, pqNCent}
-    val dim = pqM * pqDsub
     val emb = Tables.embeddings(s, d)
-    val coarse = CurationQ2.pqCodebookRow(
-        graft.operators.PQ.subspaces(emb.filter(col("vec_id") < ivfNc),
-            "vec_id", "embedding", 1, dim)
-          .select(col("j"), col("id").as("c_id"), col("sub").as("cent"),
-            col("ss").as("cc")))
-      .select(col("cents").as("g_cents"), col("ccs").as("g_ccs"))
+    val both = ivfpqQuant(s, d)
     // residual of a vector wrt its own (or a given) cell's centroid
     def residual(vec: org.apache.spark.sql.Column, cell: org.apache.spark.sql.Column) =
       call_function("float_sub", vec,
         element_at(element_at(col("g_cents"), 1), cell + lit(1)))
-    val donors = emb
-      .filter(col("vec_id") >= ivfNc && col("vec_id") < ivfNc + pqNCent)
-      .crossJoin(broadcast(coarse))
-      .withColumn("cell",
-        element_at(call_function("pq_encode", col("embedding"),
-          col("g_cents"), col("g_ccs")), 1))
-      .select(col("vec_id"), residual(col("embedding"), col("cell")).as("res"))
-    val subCb = graft.operators.PQ.subspaces(donors, "vec_id", "res", pqM, pqDsub)
-      .select(col("j"), (col("id") - ivfNc).cast("int").as("c_id"),
-        col("sub").as("cent"), col("ss").as("cc"))
-    val both = coarse.crossJoin(CurationQ2.pqCodebookRow(subCb))
     val enc = emb.crossJoin(broadcast(both))
       .withColumn("cell",
         element_at(call_function("pq_encode", col("embedding"),
@@ -328,7 +341,7 @@ object CurationQ3 {
       .orderBy(col("q_id"), col("rk"))
   }
 
-  private val q95Sql = {
+  private[graft] val q95Sql = {
     val nc = ivfNc
     val np = ivfNprobe
     val dim1 = 8 * 8 + 1

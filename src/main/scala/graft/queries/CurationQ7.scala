@@ -173,22 +173,33 @@ object CurationQ7 {
     * cached build lands via [[graft.operators.AtomicSwap]], so a killed
     * build can never serve a half-written index (the root exists only
     * after a complete build committed). */
-  private def q132(s: SparkSession, d: String): DataFrame = {
-    val prefix = s"shared_${java.lang.Integer.toHexString(d.hashCode)}_"
+  private def q132(s: SparkSession, d: String): DataFrame =
+    searchHybridIndexes(s, d,
+      cachedRoot(s, d, "shared")(tmp => buildHybridIndexes(s, d, tmp)))
+
+  /** Resolve — building once if absent — a data-fingerprint-keyed cached
+    * index root under `target/qindex`, shared by the search-only query
+    * rows (q132's hybrid root, q134's PQ root). The build lands via
+    * [[graft.operators.AtomicSwap]] (a killed build can never serve a
+    * half-written root) under a cache-dir lease with heartbeats — a
+    * build slower than staleMs stays fenced (a raw acquire would age out
+    * mid-build and let a second builder race the same AtomicSwap tmp
+    * path). A loser polls for the winner's published root; its deadline
+    * sits comfortably ABOVE staleMs, so a genuinely crashed builder ages
+    * out and a waiter's next acquire attempt takes the lease over rather
+    * than throwing just before takeover becomes possible.
+    *
+    * @param tag   cache family name — the root is `{tag}_{dirHash}_{fp}`
+    * @param build materialize the complete index under the given tmp dir
+    * @return the published root */
+  private[graft] def cachedRoot(s: SparkSession, d: String, tag: String)
+                               (build: String => Unit): String = {
+    val prefix = s"${tag}_${java.lang.Integer.toHexString(d.hashCode)}_"
     val root = new java.io.File(
       s"target/qindex/$prefix${dataFingerprint(s, d)}").getAbsolutePath
     graft.operators.AtomicSwap.repair(s, root)
     val rp = new org.apache.hadoop.fs.Path(root)
     val fsys = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
-    // two harness processes (a bench battery next to a verify run) may
-    // want this cache at once: the BUILD runs under the cache-dir lease
-    // via withLease — HEARTBEAT-renewed, so a build slower than staleMs
-    // stays fenced (a raw acquire would age out mid-build and let a
-    // second builder race the same AtomicSwap tmp path). The loser polls
-    // for the winner's published root; its deadline sits comfortably
-    // ABOVE staleMs, so a genuinely crashed builder ages out and a
-    // waiter's next acquire attempt takes the lease over rather than
-    // throwing just before takeover becomes possible.
     val staleMs = 10L * 60 * 1000
     val deadline = System.currentTimeMillis() + 3 * staleMs
     while (!fsys.exists(rp)) {
@@ -196,7 +207,7 @@ object CurationQ7 {
       val won =
         try {
           graft.operators.Lease.withLease(s, rp.getParent.toString,
-            "q132-build", staleMs) {
+            s"$tag-build", staleMs) {
             graft.operators.AtomicSwap.repair(s, root)
             if (!fsys.exists(rp)) {
               // a changed fingerprint means THIS directory's data was
@@ -213,8 +224,7 @@ object CurationQ7 {
                   st.getPath.getName != rp.getName &&
                   now - st.getModificationTime > grace)
                 .foreach(st => fsys.delete(st.getPath, true))
-              graft.operators.AtomicSwap.swap(s, root)(tmp =>
-                buildHybridIndexes(s, d, tmp))
+              graft.operators.AtomicSwap.swap(s, root)(build)
             }
           }
           true
@@ -225,11 +235,11 @@ object CurationQ7 {
         }
       if (!won) { // another process is building — wait for its publish
         require(System.currentTimeMillis() < deadline,
-          s"q132 index build by another process never published under $root")
+          s"$tag index build by another process never published under $root")
         Thread.sleep(1000)
       }
     }
-    searchHybridIndexes(s, d, root)
+    root
   }
 
   private val q121Sql = {

@@ -261,8 +261,38 @@ object CurationQ9 {
        |    THEN p90_delta - p90_corpus END AS shift_p90
        |FROM piv ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q134
+
+  /** q95's IVFADC retrieval over the PERSISTED code table — the q132
+    * pattern applied to the PQ production shape: the corpus-resident
+    * search state is m code bytes + a cell id per vector
+    * ([[graft.operators.PqIndex]], ~32× smaller than the float
+    * embeddings), built once per corpus fingerprint and published via
+    * AtomicSwap; every later invocation pays only the cell-pruned ADC
+    * search. Identical semantics, arithmetic, and ORACLE as q95 (the
+    * quantizer row is the shared `CurationQ3.ivfpqQuant`, and
+    * PqIndexSpec pins persisted ≡ inline row-for-row) — q95 keeps
+    * reporting the self-contained cost, this row the recurring one. */
+  private def q134(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.PqIndex
+    val root = CurationQ7.cachedRoot(s, d, "pq") { tmp =>
+      PqIndex.build(Tables.embeddings(s, d), "vec_id", "embedding",
+        CurationQ3.ivfpqQuant(s, d), s"$tmp/pq")
+    }
+    val probes = Tables.embeddings(s, d)
+      .filter(col("vec_id") >= CurationQ3.ivfNc &&
+        col("vec_id") < CurationQ3.ivfNc + 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    PqIndex.search(s, s"$root/pq", probes, "vec_id",
+        k = 10, nprobe = CurationQ3.ivfNprobe)
+      .withColumnRenamed("cid", "cell")
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   val queries: Seq[GQuery] = Seq(
     GQuery("q130_quantile_sketch", q130, Some(q130Sql), Seq("A5", "A16", "A18")),
     GQuery("q131_decontam_width13", q131, Some(q131Sql), Seq("A16", "J9")),
-    GQuery("q133_source_drift", q133, Some(q133Sql), Seq("A5", "A16", "F10")))
+    GQuery("q133_source_drift", q133, Some(q133Sql), Seq("A5", "A16", "F10")),
+    GQuery("q134_indexed_ivfpq", q134, Some(CurationQ3.q95Sql),
+      Seq("A16", "O4", "J6")))
 }
