@@ -348,6 +348,31 @@ object ScaleCheck {
         println(f"${"  vec delta policy"}%-24s ${tvMeasure}%8.3f ${tvCompact}%8.2f  " +
           f"share $vShare%.3f -> $vAfter%.3f (${if (vFired) "compacted" else "no-op"})")
       }
+      // PQ code table (q95/q134): the production ANN footprint — the
+      // one-time encode scan (corpus-linear) vs the recurring
+      // cell-pruned ADC search (workload + ~nprobe/nc of the CODE
+      // table — must stay near-flat as the corpus grows)
+      locally {
+        import graft.operators.PqIndex
+        import graft.queries.CurationQ3
+        spark.catalog.clearCache()
+        val quant = CurationQ3.ivfpqQuant(spark, d).localCheckpoint()
+        val tp0 = System.nanoTime()
+        PqIndex.build(Tables.embeddings(spark, d), "vec_id", "embedding",
+          quant, s"$root/pqidx")
+        val tpBuild = (System.nanoTime() - tp0) / 1e9
+        val probes = Tables.embeddings(spark, d)
+          .filter(col("vec_id") >= CurationQ3.ivfNc &&
+            col("vec_id") < CurationQ3.ivfNc + 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        spark.catalog.clearCache()
+        val tp1 = System.nanoTime()
+        PqIndex.search(spark, s"$root/pqidx", probes, "vec_id",
+          k = 10, nprobe = CurationQ3.ivfNprobe).count()
+        val tpSearch = (System.nanoTime() - tp1) / 1e9
+        println(f"${"  pq code table"}%-24s $tpBuild%8.2f $tpSearch%8.2f  " +
+          f"${tpBuild / tpSearch}%8.1fx")
+      }
       // lexical maintenance lifecycle on the same index: the held-out
       // query docs are id-disjoint from the indexed corpus by
       // construction, so merging them strands the touched buckets'
