@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Randomized protocol check for the persisted code table: any seeded
+  * sequence of append / delete / compact / compactIfDelta must land on
+  * exactly the surviving ids with exactly the codes a fresh build over
+  * the survivors would produce (codes are a pure function of the pinned
+  * quantizer, so cell AND code equality is the full-content claim —
+  * stronger than VecIndex's, whose re-cellings make cids layout). The
+  * pairwise contracts are pinned in PqIndexSpec; this composes them in
+  * random orders. */
+class PqIndexProtocolSpec extends SparkSpecBase {
+
+  private val nChunks = 5
+
+  test("random maintenance sequences preserve exactly the surviving codes") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val quant = {
+      // the PqIndexSpec fixture quantizer (q95's donor convention)
+      val coarse = PQ.codebookRow(
+          PQ.subspaces(emb.filter(col("vec_id") < 16),
+              "vec_id", "embedding", 1, 64)
+            .select(col("j"), col("id").as("c_id"), col("sub").as("cent"),
+              col("ss").as("cc")))
+        .select(col("cents").as("g_cents"), col("ccs").as("g_ccs"))
+      val donors = emb
+        .filter(col("vec_id") >= 16 && col("vec_id") < 32)
+        .crossJoin(broadcast(coarse))
+        .withColumn("cell",
+          element_at(call_function("pq_encode", col("embedding"),
+            col("g_cents"), col("g_ccs")), 1))
+        .select(col("vec_id"),
+          call_function("float_sub", col("embedding"),
+            element_at(element_at(col("g_cents"), 1), col("cell") + lit(1)))
+            .as("res"))
+      val subCb = PQ.subspaces(donors, "vec_id", "res", 8, 8)
+        .select(col("j"), (col("id") - 16).cast("int").as("c_id"),
+          col("sub").as("cent"), col("ss").as("cc"))
+      coarse.crossJoin(PQ.codebookRow(subCb)).localCheckpoint()
+    }
+    def codeSet(df: org.apache.spark.sql.DataFrame): Array[(Long, Int, Seq[Int])] =
+      df.select(col("vec_id"), col("cid"), col("codes")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).sortBy(_._1)
+    for (seed <- Seq(5, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val dir = tempDir(s"pqproto$seed")
+      // day 0 indexes chunks 1..n-1; chunk 0 stays out as APPEND feed
+      PqIndex.build(emb.filter(col("vec_id") % nChunks =!= 0),
+        "vec_id", "embedding", quant, dir)
+      var liveChunks = (1 until nChunks).toSet
+      var appendable = Set(0)
+      val trace = new StringBuilder("build")
+      for (_ <- 1 to 7) {
+        val roll = rnd.nextInt(4)
+        if (roll == 0 && liveChunks.size > 1) {
+          val seq = liveChunks.toSeq.sorted
+          val c = seq(rnd.nextInt(seq.size))
+          PqIndex.delete(spark, dir, "vec_id",
+            emb.filter(col("vec_id") % nChunks === c).select(col("vec_id")))
+          liveChunks -= c; trace ++= s" delete($c)"
+        } else if (roll == 1) {
+          PqIndex.compact(spark, dir, "vec_id"); trace ++= " compact"
+        } else if (roll == 2 && appendable.nonEmpty) {
+          val c = appendable.head
+          PqIndex.append(emb.filter(col("vec_id") % nChunks === c),
+            "vec_id", "embedding", dir)
+          appendable -= c; liveChunks += c; trace ++= s" append($c)"
+        } else {
+          val fired = PqIndex.compactIfDelta(spark, dir, "vec_id",
+            maxDeltaShare = 0.05)
+          trace ++= s" compactIfDelta($fired)"
+        }
+      }
+      val freshDir = tempDir(s"pqproto$seed-fresh")
+      PqIndex.build(emb.filter(
+        liveChunks.map(c => col("vec_id") % nChunks === c).reduce(_ || _)),
+        "vec_id", "embedding", quant, freshDir)
+      val got = codeSet(PqIndex.open(spark, dir))
+      val want = codeSet(PqIndex.open(spark, freshDir))
+      assert(got.length === want.length,
+        s"code count diverged after: $trace (live=$liveChunks)")
+      assert(got.sameElements(want),
+        s"code table diverged after: $trace (live=$liveChunks)")
+    }
+  }
+}
