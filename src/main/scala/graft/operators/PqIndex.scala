@@ -61,8 +61,11 @@ object PqIndex {
 
   /** The pinned quantizer row (g_cents, g_ccs, cents, ccs) at the
     * current manifest. */
-  def openQuant(spark: SparkSession, path: String): DataFrame = {
-    val m = Versioned.current(spark, path)
+  def openQuant(spark: SparkSession, path: String): DataFrame =
+    quantAt(spark, path, Versioned.current(spark, path))
+
+  private def quantAt(spark: SparkSession, path: String,
+                      m: Versioned.Man): DataFrame = {
     require(m.cents > 0L, s"no quantizer published under $path — build first")
     spark.read.parquet(quantPath(path, m.cents))
   }
@@ -115,20 +118,18 @@ object PqIndex {
     tryOpen(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no index layout under $path"))
 
-  def tryOpen(spark: SparkSession, path: String): Option[DataFrame] = {
-    val m = Versioned.current(spark, path)
-    def hasCells(dir: String): Boolean = {
-      val p = new Path(dir)
-      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      f.exists(p) && f.listStatus(p).exists(_.getPath.getName.startsWith("cid="))
-    }
+  def tryOpen(spark: SparkSession, path: String): Option[DataFrame] =
+    openAt(spark, path, Versioned.current(spark, path))
+
+  private def openAt(spark: SparkSession, path: String,
+                     m: Versioned.Man): Option[DataFrame] = {
     val bulk =
-      if (m.base > 0L && hasCells(cellsPath(path, m.base)))
+      if (m.base > 0L && Versioned.hasCells(spark, cellsPath(path, m.base)))
         Some(spark.read.option("basePath", cellsDir(path))
           .parquet(cellsPath(path, m.base)).drop("v"))
       else None
     val delta =
-      if (hasCells(deltaPath(path, m.epoch)))
+      if (Versioned.hasCells(spark, deltaPath(path, m.epoch)))
         Some(spark.read.parquet(deltaPath(path, m.epoch)))
       else None
     (bulk.toSeq ++ delta.toSeq).reduceOption(_.unionByName(_))
@@ -253,9 +254,19 @@ object PqIndex {
     * @param nprobe coarse cells searched per probe */
   def search(spark: SparkSession, path: String, probes: DataFrame,
              idCol: String, k: Int, nprobe: Int): DataFrame = {
-    val quant = openQuant(spark, path)
+    // ONE manifest resolution pins quantizer AND code table to the same
+    // published version — resolving them separately could pair new codes
+    // with an old quantizer across a concurrent build's publish, and
+    // pq_adc would score silently wrong distances
+    val m = Versioned.current(spark, path)
+    val quant = quantAt(spark, path, m)
+    val idx = openAt(spark, path, m).getOrElse(
+      throw new IllegalArgumentException(s"no index layout under $path"))
     val wCell = Window.partitionBy(col("q_id"))
       .orderBy(col("qc_d2").asc, col("cid").asc)
+    // workload-sized; materialized ONCE (the cell-id collect below and
+    // the broadcast join would otherwise each re-run the probes × nc
+    // coarse table and its rank window)
     val probeCells = probes.crossJoin(broadcast(quant))
       .select(col("q_id"), col("q_vec"), col("g_cents"), col("cents"), col("ccs"),
         posexplode(element_at(call_function("pq_dtab", col("q_vec"),
@@ -266,12 +277,13 @@ object PqIndex {
         call_function("pq_dtab", residual(col("q_vec"), col("cid")),
           col("cents"), col("ccs")))
       .select(col("q_id"), col("cid"), col("dtab"))
+      .localCheckpoint()
     // tiny collect (≤ probes × nprobe cell ids) drives partition pruning
     val cells = probeCells.select(col("cid")).distinct()
       .collect().map(_.get(0))
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("approx_d2").asc, col(idCol).asc)
-    open(spark, path)
+    idx
       .filter(col("cid").isin(cells.toIndexedSeq: _*))
       .join(broadcast(probeCells), Seq("cid"))
       .withColumn("approx_d2",

@@ -166,22 +166,15 @@ object VecIndex {
 
   private def openAt(spark: SparkSession, path: String,
                      m: Manifest): Option[DataFrame] = {
-    // a side counts only when it holds cell directories: an EMPTY write
-    // (a zero-row batch append, a delete that emptied the index) leaves
-    // a bare directory with just _SUCCESS, and scanning that fails
-    // schema inference instead of reading as zero rows
-    def hasCells(dir: String): Boolean = {
-      val p = new Path(dir)
-      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      f.exists(p) && f.listStatus(p).exists(_.getPath.getName.startsWith("cid="))
-    }
+    // a side counts only when it holds cell directories — the shared
+    // empty-write guard ([[Versioned.hasCells]])
     val bulk =
-      if (m.base > 0L && hasCells(cellsPath(path, m.base)))
+      if (m.base > 0L && Versioned.hasCells(spark, cellsPath(path, m.base)))
         Some(spark.read.option("basePath", cellsDir(path))
           .parquet(cellsPath(path, m.base)).drop("v"))
       else None
     val delta =
-      if (hasCells(deltaPath(path, m.epoch)))
+      if (Versioned.hasCells(spark, deltaPath(path, m.epoch)))
         Some(spark.read.parquet(deltaPath(path, m.epoch)))
       else None
     (bulk.toSeq ++ delta.toSeq).reduceOption(_.unionByName(_))

@@ -72,6 +72,17 @@ private[operators] object Versioned {
     require(f.rename(tmp, dst), s"manifest publish failed: $tmp -> $dst")
   }
 
+  /** Whether a side directory holds actual cell partitions: an EMPTY
+    * write (a zero-row batch append, a delete that emptied the index)
+    * leaves a bare directory with just _SUCCESS, and scanning that
+    * fails parquet schema inference instead of reading as zero rows —
+    * the shared guard [[VecIndex]]/[[PqIndex]] open through. */
+  def hasCells(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.exists(p) && f.listStatus(p).exists(_.getPath.getName.startsWith("cid="))
+  }
+
   /** The grace-aging rule for gc sweeps, SUPERSESSION-bounded: a
     * directory is collectible only when both its own mtime and the
     * current manifest file's mtime (the lower bound on when anything

@@ -140,17 +140,20 @@ object CurationQ7 {
     searchHybridIndexes(s, d, root)
   }
 
-  /** The on-disk index layout generation — bumped whenever LexIndex/
-    * VecIndex change their directory format, so a cached root written
-    * by an older engine can never be opened by a newer one (layout 2:
-    * VecIndex's versioned-manifest cells/delta-epoch layout). */
+  /** The on-disk index layout generation — bumped whenever ANY
+    * persisted index under a cached root changes its directory format
+    * (LexIndex, VecIndex, PqIndex — every [[cachedRoot]] family), so a
+    * cached root written by an older engine can never be opened by a
+    * newer one (layout 2: the versioned-manifest cells/delta-epoch
+    * layout). */
   private val idxLayoutGen = 2
 
-  /** Content fingerprint of the tables the hybrid indexes derive from —
-    * file names/lengths/mtimes of the documents + embeddings layouts,
-    * plus [[idxLayoutGen]]. Keys q132's cached build so a regenerated
-    * testdata directory OR an engine layout change can never serve a
-    * stale index (the reuse is exact, not heuristic). */
+  /** Content fingerprint of the tables the cached index roots derive
+    * from — file names/lengths/mtimes of the documents + embeddings
+    * layouts, plus [[idxLayoutGen]]. Keys every [[cachedRoot]] family
+    * (q132's hybrid root, q134's PQ root) so a regenerated testdata
+    * directory OR an engine layout change can never serve a stale index
+    * (the reuse is exact, not heuristic). */
   private def dataFingerprint(s: SparkSession, d: String): String = {
     val conf = s.sparkContext.hadoopConfiguration
     val parts = Seq("documents.parquet", "embeddings.parquet").map { t =>
@@ -202,11 +205,19 @@ object CurationQ7 {
     val fsys = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
     val staleMs = 10L * 60 * 1000
     val deadline = System.currentTimeMillis() + 3 * staleMs
+    // the lease is PER ROOT (a dot-prefixed sibling dir the sibling
+    // sweep's prefix filter never matches): with several cache families
+    // under target/qindex, a parent-dir lease would make a q134 waiter
+    // queue behind an unrelated q132 build and time out with a spurious
+    // "never published" — the waiter's deadline reasoning only holds
+    // when the lease holder is building exactly the root being polled
+    val lockDir = new org.apache.hadoop.fs.Path(rp.getParent,
+      s".lock_${rp.getName}")
     while (!fsys.exists(rp)) {
-      fsys.mkdirs(rp.getParent)
+      fsys.mkdirs(lockDir)
       val won =
         try {
-          graft.operators.Lease.withLease(s, rp.getParent.toString,
+          graft.operators.Lease.withLease(s, lockDir.toString,
             s"$tag-build", staleMs) {
             graft.operators.AtomicSwap.repair(s, root)
             if (!fsys.exists(rp)) {
@@ -220,9 +231,14 @@ object CurationQ7 {
               val grace = 60L * 60 * 1000
               val now = System.currentTimeMillis()
               fsys.listStatus(rp.getParent)
-                .filter(st => st.getPath.getName.startsWith(prefix) &&
-                  st.getPath.getName != rp.getName &&
-                  now - st.getModificationTime > grace)
+                .filter { st =>
+                  val n = st.getPath.getName
+                  val staleRoot = n.startsWith(prefix) && n != rp.getName
+                  val staleLock = n.startsWith(s".lock_$prefix") &&
+                    n != lockDir.getName
+                  (staleRoot || staleLock) &&
+                    now - st.getModificationTime > grace
+                }
                 .foreach(st => fsys.delete(st.getPath, true))
               graft.operators.AtomicSwap.swap(s, root)(build)
             }

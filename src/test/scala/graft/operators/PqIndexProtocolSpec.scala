@@ -17,29 +17,9 @@ class PqIndexProtocolSpec extends SparkSpecBase {
 
   test("random maintenance sequences preserve exactly the surviving codes") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val quant = {
-      // the PqIndexSpec fixture quantizer (q95's donor convention)
-      val coarse = PQ.codebookRow(
-          PQ.subspaces(emb.filter(col("vec_id") < 16),
-              "vec_id", "embedding", 1, 64)
-            .select(col("j"), col("id").as("c_id"), col("sub").as("cent"),
-              col("ss").as("cc")))
-        .select(col("cents").as("g_cents"), col("ccs").as("g_ccs"))
-      val donors = emb
-        .filter(col("vec_id") >= 16 && col("vec_id") < 32)
-        .crossJoin(broadcast(coarse))
-        .withColumn("cell",
-          element_at(call_function("pq_encode", col("embedding"),
-            col("g_cents"), col("g_ccs")), 1))
-        .select(col("vec_id"),
-          call_function("float_sub", col("embedding"),
-            element_at(element_at(col("g_cents"), 1), col("cell") + lit(1)))
-            .as("res"))
-      val subCb = PQ.subspaces(donors, "vec_id", "res", 8, 8)
-        .select(col("j"), (col("id") - 16).cast("int").as("c_id"),
-          col("sub").as("cent"), col("ss").as("cc"))
-      coarse.crossJoin(PQ.codebookRow(subCb)).localCheckpoint()
-    }
+    // the SHARED q95/q134 quantizer definition — not a spec-local copy
+    val quant = graft.queries.CurationQ3
+      .ivfpqQuant(spark, "/root/testdata/sf0.001").localCheckpoint()
     def codeSet(df: org.apache.spark.sql.DataFrame): Array[(Long, Int, Seq[Int])] =
       df.select(col("vec_id"), col("cid"), col("codes")).collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).sortBy(_._1)

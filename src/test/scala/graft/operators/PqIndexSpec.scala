@@ -19,31 +19,11 @@ class PqIndexSpec extends SparkSpecBase {
 
   private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
 
-  /** q95's quantizer convention: coarse = the first nc vectors as one
-    * whole-vector codebook; sub-codebooks = the residuals of the next
-    * 16 ids. ONE row (g_cents, g_ccs, cents, ccs). */
-  private lazy val quant: DataFrame = {
-    val coarse = PQ.codebookRow(
-        PQ.subspaces(emb.filter(col("vec_id") < nc),
-            "vec_id", "embedding", 1, m * dsub)
-          .select(col("j"), col("id").as("c_id"), col("sub").as("cent"),
-            col("ss").as("cc")))
-      .select(col("cents").as("g_cents"), col("ccs").as("g_ccs"))
-    val donors = emb
-      .filter(col("vec_id") >= nc && col("vec_id") < nc + 16)
-      .crossJoin(broadcast(coarse))
-      .withColumn("cell",
-        element_at(call_function("pq_encode", col("embedding"),
-          col("g_cents"), col("g_ccs")), 1))
-      .select(col("vec_id"),
-        call_function("float_sub", col("embedding"),
-          element_at(element_at(col("g_cents"), 1), col("cell") + lit(1)))
-          .as("res"))
-    val subCb = PQ.subspaces(donors, "vec_id", "res", m, dsub)
-      .select(col("j"), (col("id") - nc).cast("int").as("c_id"),
-        col("sub").as("cent"), col("ss").as("cc"))
-    coarse.crossJoin(PQ.codebookRow(subCb)).localCheckpoint()
-  }
+  /** q95's quantizer, via the SHARED definition the inline row and
+    * q134's persisted row use — the spec must exercise the production
+    * quantizer, not its own copy that could drift. */
+  private lazy val quant: DataFrame =
+    graft.queries.CurationQ3.ivfpqQuant(spark, sf).localCheckpoint()
 
   private def probes: DataFrame = emb
     .filter(col("vec_id") >= nc && col("vec_id") < nc + 8)
