@@ -40,6 +40,13 @@ import org.apache.spark.sql.functions._
   *
   * Mutations are single-writer under the path [[Lease]], like every
   * index in the storage layer.
+  *
+  * Quantizer refresh: unlike [[VecIndex.retrain]], the code table is
+  * LOSSY — codes cannot be re-encoded from the index's own contents —
+  * so refreshing the quantizer against a drifted corpus is a re-[[build]]
+  * from the source embeddings with the new quantizer row (one encode
+  * scan, the same cost build always pays; the atomic publish makes it a
+  * drop-in replacement under live readers).
   */
 object PqIndex {
 
