@@ -70,6 +70,37 @@ class IndexedHybridSpec extends SparkSpecBase {
       s"q132 VecIndex scan not pruned on cid:\n${vecScans.mkString("\n")}")
   }
 
+  test("cache families lease per ROOT: one family's build never blocks another") {
+    // forge an in-flight build of one cache family by holding ITS root's
+    // lock-dir lease; resolving an UNRELATED family's root must not
+    // queue behind it (the shared-parent-lease regression: a waiter
+    // timed out with a spurious 'never published' while a different
+    // family built). Tag names mirror production; roots are this test's.
+    import graft.operators.Lease
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("target/qindex")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // locate the pq-family lock dir the way cachedRoot names it: resolve
+    // a pq root first so its name (fingerprint included) is known
+    val pqRoot = CurationQ7.cachedRoot(spark, sf, "pqtest")(tmp =>
+      fs.mkdirs(new Path(tmp))) // a stub family — NOT q134's real 'pq' root
+    val lockDir = new Path(new Path(pqRoot).getParent,
+      s".lock_${new Path(pqRoot).getName}")
+    fs.mkdirs(lockDir)
+    val held = Lease.acquire(spark, lockDir.toString, "in-flight-pq-build")
+    try {
+      // the hybrid family resolves (cached from the earlier test, or
+      // builds) WITHOUT waiting on the pq lease — if cachedRoot still
+      // leased the shared parent this would block ~30 min and time out
+      val t0 = System.nanoTime()
+      val sharedRoot = CurationQ7.cachedRoot(spark, sf, "shared")(tmp =>
+        CurationQ7.buildHybridIndexes(spark, sf, tmp))
+      assert(new java.io.File(sharedRoot).isDirectory)
+      assert((System.nanoTime() - t0) / 1e9 < 60.0,
+        "an unrelated family's in-flight build blocked this resolve")
+    } finally Lease.release(spark, held)
+  }
+
   test("fused top-5 overlaps the brute-force q113 fusion at >= 0.6") {
     def pairs(name: String): Set[(Long, Long)] =
       Registry.byName(name).run(spark, sf)
