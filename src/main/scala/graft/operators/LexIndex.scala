@@ -535,50 +535,84 @@ object LexIndex {
     else { compact(spark, path, gcGraceMs); true }
   }
 
-  /** Document frequency of the given terms, off the index's own
-    * denormalized postings — the df relation [[graft.operators.Bm25
-    * .queryTerms]] needs, WITHOUT a corpus scan: the read is
-    * bucket-pruned to the terms' live buckets exactly like [[search]]
-    * (df is constant per term, so `distinct` collapses each term's
-    * postings to one row). Terms absent from the index produce no row —
-    * queryTerms' inner join then drops them, which is also what a
-    * zero-df term's score contribution would be. */
-  def termDf(spark: SparkSession, path: String, terms: DataFrame): DataFrame = {
-    val man = readManifest(spark, path, currentVersion(spark, path))
-    val buckets = terms.select(tb(col("term")).as("tb")).distinct()
-      .collect().map(_.getLong(0)).filter(man.contains)
-    val post =
-      if (buckets.isEmpty) emptyPostings(spark)
-      else readBuckets(spark, path, man, buckets.toIndexedSeq)
-    post.join(broadcast(terms.select(col("term")).distinct()), Seq("term"))
-      .select(col("term"), col("df")).distinct()
+  /** A PINNED read view: every accessor resolves against the ONE
+    * manifest captured at creation, so a caller composing several index
+    * reads into one workload (the driver's hybrid search: term df +
+    * corpus stats + the posting scan) can never mix versions across a
+    * concurrent merge/delete/compact publish — df from one version
+    * scored against another version's postings would be silently wrong
+    * BM25, not an error. Graced [[gc]] keeps a pinned version's files
+    * alive for in-flight readers (the vacuum rule). */
+  final class Pinned private[LexIndex] (spark: SparkSession, path: String,
+                                        val version: Long,
+                                        man: Map[Long, Long]) {
+
+    /** The pinned corpus statistics. */
+    def stats: DataFrame = {
+      require(version > 0L, s"no published index under $path")
+      spark.read.parquet(s"${statsDir(path)}/v=$version")
+    }
+
+    /** Document frequency of the given terms, off the pinned postings —
+      * the df relation [[graft.operators.Bm25.queryTerms]] needs,
+      * WITHOUT a corpus scan: the read is bucket-pruned to the terms'
+      * live buckets exactly like [[search]] (df is constant per term,
+      * so `distinct` collapses each term's postings to one row). Terms
+      * absent from the index produce no row — queryTerms' inner join
+      * then drops them, which is also what a zero-df term's score
+      * contribution would be. */
+    def termDf(terms: DataFrame): DataFrame = {
+      val buckets = terms.select(tb(col("term")).as("tb")).distinct()
+        .collect().map(_.getLong(0)).filter(man.contains)
+      val post =
+        if (buckets.isEmpty) emptyPostings(spark)
+        else readBuckets(spark, path, man, buckets.toIndexedSeq)
+      post.join(broadcast(terms.select(col("term")).distinct()), Seq("term"))
+        .select(col("term"), col("df")).distinct()
+    }
+
+    /** BM25 top-k over the pinned postings. `qterms` is (q_id, term) —
+      * workload-sized. The path list read is exactly the query terms'
+      * live buckets (pruning at its strongest: unprobed buckets are
+      * never listed, and the `tb` partition filter on top is asserted
+      * by LexIndexSpec); scoring is [[Bm25.scoreExpr]] — identical
+      * arithmetic to the inline and streaming forms. */
+    def search(qterms: DataFrame, k: Int): DataFrame = {
+      val buckets = qterms.select(tb(col("term")).as("tb")).distinct()
+        .collect().map(_.getLong(0)).filter(man.contains)
+      val wTop = Window.partitionBy(col("q_id"))
+        .orderBy(col("bm25_s").desc, col("doc_id").asc)
+      val post =
+        if (buckets.isEmpty) emptyPostings(spark)
+        else readBuckets(spark, path, man, buckets.toIndexedSeq)
+      post
+        .join(broadcast(qterms.select(col("q_id"), col("term"))), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("sc", Bm25.scoreExpr(col("tf"), col("dl"), col("df"),
+          col("n_docs"), col("avgdl_s")))
+        .groupBy(col("q_id"), col("doc_id"))
+        .agg(count(lit(1)).as("n_hit"), sum(col("sc")).as("bm25_s"))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= k)
+        .select(col("q_id"), col("rk"), col("doc_id"), col("n_hit"), col("bm25_s"))
+    }
   }
 
-  /** BM25 top-k over the persisted index. `qterms` is (q_id, term) —
-    * workload-sized. The path list read is exactly the query terms'
-    * live buckets (pruning at its strongest: unprobed buckets are never
-    * listed, and the `tb` partition filter on top is asserted by
-    * LexIndexSpec); scoring is [[Bm25.scoreExpr]] — identical
-    * arithmetic to the inline and streaming forms. */
-  def search(spark: SparkSession, path: String, qterms: DataFrame,
-             k: Int): DataFrame = {
-    val man = readManifest(spark, path, currentVersion(spark, path))
-    val buckets = qterms.select(tb(col("term")).as("tb")).distinct()
-      .collect().map(_.getLong(0)).filter(man.contains)
-    val wTop = Window.partitionBy(col("q_id"))
-      .orderBy(col("bm25_s").desc, col("doc_id").asc)
-    val post =
-      if (buckets.isEmpty) emptyPostings(spark)
-      else readBuckets(spark, path, man, buckets.toIndexedSeq)
-    post
-      .join(broadcast(qterms.select(col("q_id"), col("term"))), Seq("term"))
-      .crossJoin(broadcast(stats(spark, path)))
-      .withColumn("sc", Bm25.scoreExpr(col("tf"), col("dl"), col("df"),
-        col("n_docs"), col("avgdl_s")))
-      .groupBy(col("q_id"), col("doc_id"))
-      .agg(count(lit(1)).as("n_hit"), sum(col("sc")).as("bm25_s"))
-      .withColumn("rk", row_number().over(wTop))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk"), col("doc_id"), col("n_hit"), col("bm25_s"))
+  /** Pin the index at its current manifest — ONE resolution for every
+    * read composed off the returned view. */
+  def pinned(spark: SparkSession, path: String): Pinned = {
+    val v = currentVersion(spark, path)
+    new Pinned(spark, path, v, readManifest(spark, path, v))
   }
+
+  /** [[Pinned.termDf]] at the current manifest — single-read callers. */
+  def termDf(spark: SparkSession, path: String, terms: DataFrame): DataFrame =
+    pinned(spark, path).termDf(terms)
+
+  /** [[Pinned.search]] at the current manifest — single-read callers
+    * (each call pins its own one resolution; compose multiple reads
+    * through ONE [[pinned]] view instead). */
+  def search(spark: SparkSession, path: String, qterms: DataFrame,
+             k: Int): DataFrame =
+    pinned(spark, path).search(qterms, k)
 }

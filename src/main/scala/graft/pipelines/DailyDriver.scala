@@ -123,14 +123,17 @@ object DailyDriver {
                    maxDfPermille: Long =
                      graft.operators.Bm25.DefaultMaxDfPermille): DataFrame = {
     import graft.operators.{Bm25, KMeans, LexIndex, Rrf, VecIndex}
-    val lexPath = lexDir(dir)
     val vdir = vecIndexDir(dir)
-    // lexical half
+    // lexical half — df, stats, and the posting scan all read through
+    // ONE pinned manifest resolution: a concurrent step's merge
+    // publishing between them would otherwise score one version's df
+    // against another version's postings (silently wrong BM25)
+    val lex0 = LexIndex.pinned(spark, lexDir(dir))
     val qdocs = queries.select(col("q_id"),
       explode(array_distinct(
         graft.functions.TextFunctions.tokens(col("text")))).as("term"))
-    val dfreq = LexIndex.termDf(spark, lexPath, qdocs.select(col("term")))
-    val nDocs = LexIndex.stats(spark, lexPath).select(col("n_docs"))
+    val dfreq = lex0.termDf(qdocs.select(col("term")))
+    val nDocs = lex0.stats.select(col("n_docs"))
     // qterms is consumed twice (bucket-id collect + probe join) and is
     // workload-BOUNDED (≤ TermsPerQuery rows per query), so materialize
     // it once as a local relation instead of .cache(): this is a
@@ -139,7 +142,7 @@ object DailyDriver {
     val qtOnce = Bm25.queryTerms(qdocs, dfreq, nDocs, maxDfPermille)
     val qt = spark.createDataFrame(
       java.util.Arrays.asList(qtOnce.collect(): _*), qtOnce.schema)
-    val lex = LexIndex.search(spark, lexPath, qt, depth)
+    val lex = lex0.search(qt, depth)
       .select(col("q_id"), col("doc_id"), col("rk").as("rb"))
     // vector half
     val cents = VecIndex.openCentroids(spark, vdir).getOrElse(
