@@ -174,15 +174,19 @@ object AtomicSwap {
             // mtime when the content is torn/empty (a breaker killed
             // between create and write must not bar breaking forever —
             // the torn-lock convention, token edition). None = vanished
-            // under us: just poll again.
-            val tokTs = readRaw(breakTok)
+            // under us: just poll again. Removal is the tombstone
+            // discipline ([[Lease.sweepStaleToken]]) — a bare delete
+            // could land on a competitor's FRESH token created after a
+            // parallel sweep, admitting two breakers.
+            val rawTok = readRaw(breakTok)
+            val tokTs = rawTok
               .flatMap(_.split('|').headOption)
               .flatMap(s => scala.util.Try(s.toLong).toOption)
               .orElse(
                 try Some(fs.getFileStatus(breakTok).getModificationTime)
                 catch { case _: java.io.IOException => None })
             if (tokTs.exists(System.currentTimeMillis() - _ > lockStaleMs))
-              fs.delete(breakTok, false)
+              Lease.sweepStaleToken(fs, breakTok, rawTok)
             else if (System.currentTimeMillis() > deadline)
               throw new IllegalStateException(
                 s"table lock $p stale but its break token is held past " +
@@ -356,6 +360,33 @@ object Lease {
       catch { case _: java.io.IOException => false }
     }
 
+  /** Sweep a break token judged STALE, the tombstone way. A bare delete
+    * is check-then-delete: between reading the token's stale timestamp
+    * and the delete, a competitor can sweep the stale token and a fresh
+    * breaker create its own — which the late delete then removes,
+    * admitting two concurrent breakers and losing the serialization the
+    * token exists to provide. Instead: rename the token to a unique
+    * tombstone (atomic — at most one sweeper wins the file), verify the
+    * tombstone still holds the content the staleness decision was based
+    * on, and only then drop it. Content that changed means a FRESH
+    * token was moved aside — restore it via create-no-overwrite (never
+    * a clobbering rename-back: the path may hold an even newer token by
+    * the time the mismatch is noticed) and back off; if the restore
+    * loses the create race, safety degrades to the pre-token discipline
+    * (the lease/lock re-read-before-rename guard still prevents extra
+    * holders), which is the documented fallback. */
+  private[operators] def sweepStaleToken(fs: FileSystem, tok: Path,
+                                         observed: Option[String]): Unit = {
+    val tomb = new Path(tok.getParent,
+      tok.getName + ".tomb-" + java.util.UUID.randomUUID().toString)
+    if (atomicRename(fs, tok, tomb)) {
+      val content = readRawBytes(fs, tomb)
+      if (content != observed)
+        content.foreach(c => tryCreate(fs, tok, c))
+      fs.delete(tomb, false)
+    }
+  }
+
   /** Acquire the writer lease for `dir` or throw `IllegalStateException`
     * naming the current holder (fail-fast — the caller's step must NOT
     * queue behind a live writer; retries are an orchestrator decision). */
@@ -403,15 +434,19 @@ object Lease {
           // it out (break work is sub-second; 60 s = dead breaker). A
           // token with TORN/empty content (breaker killed between create
           // and write) ages by its file mtime — unparseable must mean
-          // "old enough goes", not "blocks takeover forever".
-          val tokTs = readRawBytes(fs, breakTok)
+          // "old enough goes", not "blocks takeover forever". Removal is
+          // the tombstone discipline ([[sweepStaleToken]]) — a bare
+          // delete could land on a competitor's FRESH token created
+          // after a parallel sweep, admitting two breakers.
+          val rawTok = readRawBytes(fs, breakTok)
+          val tokTs = rawTok
             .flatMap(_.split('|').headOption)
             .flatMap(s => scala.util.Try(s.toLong).toOption)
             .orElse(
               try Some(fs.getFileStatus(breakTok).getModificationTime)
               catch { case _: java.io.IOException => None })
           if (tokTs.exists(System.currentTimeMillis() - _ > 60000L))
-            fs.delete(breakTok, false)
+            sweepStaleToken(fs, breakTok, rawTok)
           throw new IllegalStateException(
             s"writer lease for $dir is being broken by a competitor — retry")
         }

@@ -57,7 +57,12 @@ private[operators] object Versioned {
 
   /** Publish manifest version `v`: write to a dot-prefixed temp name in
     * the manifest directory, then rename — one atomic same-directory
-    * move, the only step that changes what readers see. */
+    * move, the only step that changes what readers see. The rename goes
+    * through [[Lease.atomicRename]]: this is THE atomic step of every
+    * index family, and on `file:` URIs Hadoop's local rename falls back
+    * to copy+delete when `renameTo` fails — the exact hole the lease
+    * layer routes around with NIO `ATOMIC_MOVE` (one rename(2), never a
+    * copy a reader could observe half-written). */
   def publish(spark: SparkSession, path: String, v: Long, base: Long,
               epoch: Long, cents: Long): Unit = {
     val f = fs(spark, path)
@@ -69,7 +74,8 @@ private[operators] object Versioned {
     finally out.close()
     val dst = new Path(dir, s"v=$v.txt")
     f.delete(dst, false) // only present if THIS version was already published
-    require(f.rename(tmp, dst), s"manifest publish failed: $tmp -> $dst")
+    require(Lease.atomicRename(f, tmp, dst),
+      s"manifest publish failed: $tmp -> $dst")
   }
 
   /** Whether a side directory holds actual cell partitions: an EMPTY
@@ -120,6 +126,14 @@ private[operators] object Versioned {
     val md = new Path(manifestDir(path))
     if (f.exists(md)) for (st <- f.listStatus(md)) st.getPath.getName match {
       case ManifestName(v) if v.toLong != m.v &&
+        aged(st.getModificationTime) => f.delete(st.getPath, false)
+      // a publish that crashed between the tmp write and the rename
+      // strands `.tmp-v=N.txt`: a same-version replay overwrites it,
+      // but a crashed version-N publish followed by a successful N+1
+      // never revisits the name — sweep the aged debris here (the aged
+      // rule keeps an in-flight publish's seconds-old tmp safe, and gc
+      // runs under the writer lease so no publish races the sweep)
+      case n if n.startsWith(".tmp-v=") && n.endsWith(".txt") &&
         aged(st.getModificationTime) => f.delete(st.getPath, false)
       case _ => ()
     }
