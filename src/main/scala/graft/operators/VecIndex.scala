@@ -183,12 +183,45 @@ object VecIndex {
   /** The pinned quantizer (cid, centroid) at the current manifest, or
     * None when no centroids version was ever installed ([[retrain]] or
     * a `persistCentroids` [[build]] installs one). */
-  def openCentroids(spark: SparkSession, path: String): Option[DataFrame] = {
-    val m = currentManifest(spark, path)
+  def openCentroids(spark: SparkSession, path: String): Option[DataFrame] =
+    centsAt(spark, path, currentManifest(spark, path))
+
+  private def centsAt(spark: SparkSession, path: String,
+                      m: Manifest): Option[DataFrame] =
     if (m.cents == 0L) None
     else Some(spark.read.parquet(centsPath(path, m.cents))
       .select(col("cid"), col("centroid")))
+
+  /** A PINNED read view — [[LexIndex.Pinned]]'s vector sibling: the
+    * quantizer AND the index rows resolve against the ONE manifest
+    * captured at creation. A caller composing both into one workload
+    * (assign probes against the centroids, then scan the assigned
+    * cells — the driver's hybrid search) must read them through one
+    * resolution: resolving each separately lets a concurrent retrain
+    * publish land BETWEEN the two, pairing the old quantizer with the
+    * re-celled rows — probes then get assigned to cells that no longer
+    * match the index's cell layout and the search silently returns
+    * wrong neighbors. Graced [[gc]] keeps a pinned version's files
+    * alive for in-flight readers (the vacuum rule). */
+  final class Pinned private[VecIndex] (spark: SparkSession, path: String,
+                                        private[graft] val man: Manifest) {
+
+    /** The index rows at the pinned manifest ([[VecIndex.open]]'s
+      * contract, same snapshot as [[centroids]]). */
+    def index: DataFrame = tryIndex.getOrElse(
+      throw new IllegalArgumentException(s"no index layout under $path"))
+
+    def tryIndex: Option[DataFrame] = openAt(spark, path, man)
+
+    /** The quantizer paired with [[index]]'s cell layout (None when no
+      * centroids version was installed at the pinned manifest). */
+    def centroids: Option[DataFrame] = centsAt(spark, path, man)
   }
+
+  /** Pin the index at its current manifest — ONE resolution for every
+    * read composed off the returned view. */
+  def pinned(spark: SparkSession, path: String): Pinned =
+    new Pinned(spark, path, currentManifest(spark, path))
 
   /** In-cell exact-cosine top-k over the persisted index.
     *

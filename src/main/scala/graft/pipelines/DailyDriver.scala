@@ -69,6 +69,12 @@ object DailyDriver {
   /** Coarse-quantizer cell count for the driver's vector index. */
   val VecCells = 8
 
+  /** Default gc grace for [[maintain]]'s versioned-index sweeps: long
+    * enough for any in-flight [[hybridSearch]]/[[openVecIndex]] scan
+    * pinned just before a maintenance publish to finish before its
+    * version directories go (the vacuum rule's window). */
+  val ReaderGraceMs: Long = 10L * 60 * 1000
+
   private def candidates(docs: DataFrame, decisions: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text"))
       .join(decisions.filter(col("quality_pass") && col("contam_pass"))
@@ -144,14 +150,20 @@ object DailyDriver {
       java.util.Arrays.asList(qtOnce.collect(): _*), qtOnce.schema)
     val lex = lex0.search(qt, depth)
       .select(col("q_id"), col("doc_id"), col("rk").as("rb"))
-    // vector half
-    val cents = VecIndex.openCentroids(spark, vdir).getOrElse(
+    // vector half — quantizer and cells from ONE pinned manifest
+    // resolution (VecIndex.Pinned): a concurrent maintain() retrain
+    // publishing between the two reads would otherwise assign probes
+    // with the OLD quantizer against the NEW re-celled layout —
+    // silently wrong neighbors, the exact cross-version race the
+    // lexical half's LexIndex.Pinned closes
+    val vp = VecIndex.pinned(spark, vdir)
+    val cents = vp.centroids.getOrElse(
       throw new IllegalStateException(
         s"driver vec index at $vdir has no quantizer — init with embeddings first"))
     val pr = KMeans.assignTop(probes, "q_id", "embedding", cents, nprobe)
       .join(probes, Seq("q_id"))
       .select(col("q_id"), col("embedding").as("q_vec"), col("cid").as("q_cid"))
-    val vec = VecIndex.search(openVecIndex(spark, dir), pr,
+    val vec = VecIndex.search(vp.index, pr,
         "doc_id", "embedding", depth)
       .select(col("q_id"), col("doc_id"), col("rk").as("rv"))
     Rrf.fuse(lex, vec, k)
@@ -372,14 +384,19 @@ object DailyDriver {
     *    cell. Below their thresholds each policy's measurement (two
     *    content summaries; one column-pruned cid scan) is the whole
     *    cost. `vecGcGraceMs` keeps pinned readers' versions alive
-    *    across the fold, like the lexical grace.
+    *    across the fold, like the lexical grace — its DEFAULT is
+    *    [[ReaderGraceMs]], not 0: [[openVecIndex]]/[[hybridSearch]]
+    *    advertise pinned snapshots safe under concurrent maintenance,
+    *    and a zero-grace gc would delete a concurrent search's pinned
+    *    version directories mid-scan. Pass 0 explicitly only under the
+    *    offline discipline (no readers in flight).
     *
     * Decisions and the chunk-loop tables swap wholesale on their own
     * writes and need no periodic pass. */
   def maintain(spark: SparkSession, dir: String,
-               lexGcShare: Double = 0.0, lexGcGraceMs: Long = 0L,
+               lexGcShare: Double = 0.0, lexGcGraceMs: Long = ReaderGraceMs,
                vecDeltaShare: Double = 0.2, vecMaxCellShare: Double = 0.5,
-               vecGcGraceMs: Long = 0L): Unit =
+               vecGcGraceMs: Long = ReaderGraceMs): Unit =
    Lease.withLease(spark, dir, "maintain") {
     import org.apache.hadoop.fs.Path
     graft.operators.LexIndex.compactIfGarbage(spark, lexDir(dir), lexGcShare,

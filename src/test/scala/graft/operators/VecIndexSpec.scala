@@ -601,4 +601,41 @@ class VecIndexSpec extends SparkSpecBase {
     VecIndex.compact(spark, dir, "vec_id") // writable again after release
     assert(rows().sameElements(before))
   }
+
+  test("pinned view pairs centroids with cells across a concurrent retrain") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = KMeans.lloyd(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val dir = tempDir("vecpinned")
+    VecIndex.build(emb, "vec_id", "embedding", cents, dir,
+      persistCentroids = true)
+    val pin = VecIndex.pinned(spark, dir)
+    def cellsOf(df: org.apache.spark.sql.DataFrame): Array[(Long, Int)] =
+      df.select(col("vec_id"), col("cid")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted
+    val rowsBefore = cellsOf(pin.index)
+    val centsBefore = pin.centroids.get.collect().map(_.toString).sorted
+    // retrain with a DIFFERENT k: new quantizer + re-celled rows publish
+    // in one rename; no gc runs, so the pinned version's files survive
+    VecIndex.retrain(spark, dir, "vec_id", "embedding", k = 7, iters = 1)
+    // the pinned view still serves the ORIGINAL matched pair — assigning
+    // probes with its centroids against its cells can never mix versions
+    assert(pin.centroids.get.collect().map(_.toString).sorted
+      .sameElements(centsBefore),
+      "pinned centroids drifted to the retrained quantizer")
+    assert(cellsOf(pin.index).sameElements(rowsBefore),
+      "pinned index rows drifted to the re-celled layout")
+    assert(pin.centroids.get.count() == 4L)
+    // a FRESH pin sees the new matched pair
+    val fresh = VecIndex.pinned(spark, dir)
+    assert(fresh.centroids.get.count() == 7L,
+      "fresh pin did not pick up the retrained quantizer")
+    assert(fresh.index.select(col("cid")).distinct().count() <= 7L)
+    // and the fresh pair is self-consistent: every row's cid is a cell
+    // of the fresh quantizer
+    val freshCells = fresh.centroids.get.select(col("cid"))
+      .collect().map(_.getInt(0)).toSet
+    assert(cellsOf(fresh.index).map(_._2).forall(freshCells.contains),
+      "fresh pinned rows reference cells outside the fresh quantizer")
+  }
 }
