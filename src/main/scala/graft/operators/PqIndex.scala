@@ -43,10 +43,29 @@ import org.apache.spark.sql.functions._
   *
   * Quantizer refresh: unlike [[VecIndex.retrain]], the code table is
   * LOSSY — codes cannot be re-encoded from the index's own contents —
-  * so refreshing the quantizer against a drifted corpus is a re-[[build]]
-  * from the source embeddings with the new quantizer row (one encode
-  * scan, the same cost build always pays; the atomic publish makes it a
-  * drop-in replacement under live readers).
+  * so refreshing the quantizer against a drifted corpus is a re-encode
+  * from the SOURCE embeddings with the new quantizer row: [[refresh]]
+  * (one encode scan, the same cost build always pays, published as a
+  * drop-in replacement under live readers) gated by [[refreshIfSkewed]]
+  * on the measured [[cellSkew]]. A refresh bumps the delta EPOCH in the
+  * same publish — delta codes were encoded under the superseded
+  * quantizer and are meaningless under the new one, so the retired
+  * epoch must never union with the re-encoded cells. ([[build]] keeps
+  * the epoch, like [[VecIndex.build]] — it is the fresh-path install;
+  * replacing the quantizer of an index that HAS a live delta is
+  * refresh's job, not build's.)
+  *
+  * External cell assignment — the `...Assigned` variants: [[build]]/
+  * [[append]]/[[search]] self-assign coarse cells with `pq_encode`
+  * (min-L2, q95's convention). A deployment pairing the code table
+  * with a raw-vector [[VecIndex]] for exact rerank (the driver's
+  * IVFADC stack) must keep ONE cell layout across both stores, and
+  * VecIndex assigns by max-cosine — so [[buildAssigned]]/
+  * [[appendAssigned]]/[[searchAssigned]]/[[refreshAssigned]] take the
+  * caller's assignment as input instead. The ADC math is valid for any
+  * assignment rule: codes are always the residual against the ASSIGNED
+  * cell's centroid, and a probe's distance table is built against the
+  * same cell — only the cell-selection metric is the caller's.
   */
 object PqIndex {
 
@@ -98,6 +117,38 @@ object PqIndex {
           col("cents"), col("ccs")))
       .select(col(idCol), col("codes"), col("cid"))
 
+  /** [[encode]] with the caller's cell assignment: `assigned` carries a
+    * `cid` column (the external layout — e.g. `VecIndex.assignFold`'s
+    * cosine cells), codes are the residual against THAT cell. Same
+    * map-side single-pass shape. */
+  private def encodeAssigned(assigned: DataFrame, idCol: String,
+                             vecCol: String, quant: DataFrame): DataFrame =
+    assigned
+      .select(col(idCol), col(vecCol), col("cid").cast("int").as("cid"))
+      .crossJoin(broadcast(quant))
+      .withColumn("codes",
+        call_function("pq_encode", residual(col(vecCol), col("cid")),
+          col("cents"), col("ccs")))
+      .select(col(idCol), col("codes"), col("cid"))
+
+  /** Land an encoded code table + its quantizer as the next version and
+    * publish both in ONE manifest rename — the shared install step of
+    * [[build]]/[[buildAssigned]] (epoch kept) and the refresh family
+    * (epoch bumped: the delta's codes belong to the superseded
+    * quantizer). Caller holds the path lease. */
+  private def installLocked(spark: SparkSession, path: String,
+                            encoded: DataFrame, idCol: String,
+                            quant: DataFrame, bumpEpoch: Boolean): Unit = {
+    val m = Versioned.current(spark, path)
+    val n = m.v + 1
+    encoded
+      .repartitionByRange(col("cid"), col(idCol))
+      .write.mode("overwrite").partitionBy("cid").parquet(cellsPath(path, n))
+    quant.write.mode("overwrite").parquet(quantPath(path, n))
+    Versioned.publish(spark, path, n, base = n,
+      epoch = if (bumpEpoch) m.epoch + 1L else m.epoch, cents = n)
+  }
+
   /** Build the code table from scratch: encode every vector (one
     * map-side kernel scan), land it partitioned by coarse cell, install
     * the quantizer row, publish — codes and quantizer in ONE manifest
@@ -109,13 +160,20 @@ object PqIndex {
             quant: DataFrame, path: String): Unit = {
     val spark = emb.sparkSession
     Lease.withLease(spark, path, "pqindex-build") {
-      val m = Versioned.current(spark, path)
-      val n = m.v + 1
-      encode(emb, idCol, vecCol, quant)
-        .repartitionByRange(col("cid"), col(idCol))
-        .write.mode("overwrite").partitionBy("cid").parquet(cellsPath(path, n))
-      quant.write.mode("overwrite").parquet(quantPath(path, n))
-      Versioned.publish(spark, path, n, base = n, epoch = m.epoch, cents = n)
+      installLocked(spark, path, encode(emb, idCol, vecCol, quant),
+        idCol, quant, bumpEpoch = false)
+    }
+  }
+
+  /** [[build]] with the caller's cell assignment (`assigned` =
+    * (idCol, vecCol, cid)) — the class doc's external-layout variant. */
+  def buildAssigned(assigned: DataFrame, idCol: String, vecCol: String,
+                    quant: DataFrame, path: String): Unit = {
+    val spark = assigned.sparkSession
+    Lease.withLease(spark, path, "pqindex-build") {
+      installLocked(spark, path,
+        encodeAssigned(assigned, idCol, vecCol, quant),
+        idCol, quant, bumpEpoch = false)
     }
   }
 
@@ -155,7 +213,25 @@ object PqIndex {
       require(!exists(spark, s"$dir/_spark_metadata"),
         s"delta epoch ${m.epoch} is governed by a streaming sink log — " +
           s"batch appends would be invisible to readers; compact first")
-      encode(emb, idCol, vecCol, openQuant(spark, path))
+      encode(emb, idCol, vecCol, quantAt(spark, path, m))
+        .write.mode("append").partitionBy("cid").parquet(dir)
+    }
+  }
+
+  /** [[append]] with the caller's cell assignment (`assigned` =
+    * (idCol, vecCol, cid)); codes still come from the PINNED quantizer —
+    * only the cell layout is external. Same sink-log guard and
+    * job-committed replay discipline. */
+  def appendAssigned(assigned: DataFrame, idCol: String, vecCol: String,
+                     path: String): Unit = {
+    val spark = assigned.sparkSession
+    Lease.withLease(spark, path, "pqindex-append") {
+      val m = Versioned.current(spark, path)
+      val dir = deltaPath(path, m.epoch)
+      require(!exists(spark, s"$dir/_spark_metadata"),
+        s"delta epoch ${m.epoch} is governed by a streaming sink log — " +
+          s"batch appends would be invisible to readers; compact first")
+      encodeAssigned(assigned, idCol, vecCol, quantAt(spark, path, m))
         .write.mode("append").partitionBy("cid").parquet(dir)
     }
   }
@@ -249,6 +325,126 @@ object PqIndex {
     else { compact(spark, path, idCol, gcGraceMs); true }
   }
 
+  /** Cell-occupancy skew of the live code table: the hottest cell's
+    * share of all rows ([[VecIndex.cellSkew]], code-table edition — the
+    * drift signal the lossy index otherwise lacks). One column-pruned
+    * scan of `cid`; 0.0 on an empty index. */
+  def cellSkew(spark: SparkSession, path: String): Double =
+    tryOpen(spark, path) match {
+      case None => 0.0
+      case Some(idx) =>
+        val occ = idx.groupBy(col("cid")).count()
+          .agg(max(col("count")).as("mx"), sum(col("count")).as("n"))
+          .collect().head
+        if (occ.isNullAt(1) || occ.getLong(1) == 0L) 0.0
+        else occ.getLong(0).toDouble / occ.getLong(1).toDouble
+    }
+
+  /** Quantizer refresh — the class doc's drift-repair path: re-encode
+    * the SOURCE embeddings under the new quantizer row and publish the
+    * re-built code table, the new quantizer, AND a delta-epoch bump in
+    * ONE manifest rename. The bump is load-bearing: the current delta's
+    * codes were produced by the superseded quantizer and scoring them
+    * against the new one is silently wrong distances, so the retired
+    * epoch must drop out of [[open]] atomically with the quantizer
+    * swap (graced [[gc]] collects it later). Pinned readers keep their
+    * matched old pair. The source must cover every id the index should
+    * keep serving — the caller owns it (a lossy table cannot re-derive
+    * its own vectors).
+    *
+    * Mutation cost = [[build]]'s one encode scan + the quantizer
+    * training the caller did to produce `quant` — corpus-linear, which
+    * is why [[refreshIfSkewed]] gates it on the measured [[cellSkew]]. */
+  def refresh(emb: DataFrame, idCol: String, vecCol: String,
+              quant: DataFrame, path: String, gcGraceMs: Long = 0L): Unit = {
+    val spark = emb.sparkSession
+    Lease.withLease(spark, path, "pqindex-maintenance") {
+      installLocked(spark, path, encode(emb, idCol, vecCol, quant),
+        idCol, quant, bumpEpoch = true)
+      gcLocked(spark, path, gcGraceMs)
+    }
+  }
+
+  /** [[refresh]] with the caller's cell assignment (`assigned` =
+    * (idCol, vecCol, cid)) — the external-layout variant, for the
+    * driver's shared-coarse-quantizer stack. */
+  def refreshAssigned(assigned: DataFrame, idCol: String, vecCol: String,
+                      quant: DataFrame, path: String,
+                      gcGraceMs: Long = 0L): Unit = {
+    val spark = assigned.sparkSession
+    Lease.withLease(spark, path, "pqindex-maintenance") {
+      installLocked(spark, path,
+        encodeAssigned(assigned, idCol, vecCol, quant),
+        idCol, quant, bumpEpoch = true)
+      gcLocked(spark, path, gcGraceMs)
+    }
+  }
+
+  /** The POLICY form of [[refresh]] — [[VecIndex.maintainIfSkewed]] for
+    * the lossy table: measure [[cellSkew]] and re-encode only when the
+    * hottest cell holds more than `maxCellShare` of the codes. Below
+    * the threshold the one cid scan is the whole cost and `quant` is
+    * NEVER evaluated (quantizer training is the expensive half — the
+    * by-name parameter keeps the below-threshold call measurement-only).
+    *
+    * @param emb   the source embeddings ([[refresh]]'s contract)
+    * @param quant the NEW quantizer row, by name — trained only when
+    *              the policy fires
+    * @return true iff a refresh ran */
+  def refreshIfSkewed(emb: DataFrame, idCol: String, vecCol: String,
+                      path: String, maxCellShare: Double = 0.5,
+                      gcGraceMs: Long = 0L)(quant: => DataFrame): Boolean = {
+    val spark = emb.sparkSession
+    val skew = cellSkew(spark, path)
+    if (skew <= maxCellShare) false
+    else { refresh(emb, idCol, vecCol, quant, path, gcGraceMs); true }
+  }
+
+  /** Derive a quantizer row from a GIVEN coarse quantizer plus training
+    * embeddings: `coarse` (cid, centroid) becomes the 1×nc whole-vector
+    * codebook, and the m sub-codebooks train on the RESIDUALS of
+    * `assigned` (idCol, vecCol, cid — each row's vector minus ITS
+    * ASSIGNED cell's centroid) via [[PQ.trainCodebooks]]. This is how a
+    * deployment shares ONE coarse layout between this table and a
+    * raw-vector [[VecIndex]] built from the same centroids: train here,
+    * then [[buildAssigned]] with the same assignment.
+    *
+    * Coarse cids must be exactly 0..nc−1: `g_cents` is positional, so a
+    * gapped cid set (a Lloyd cell that lost every member) would silently
+    * index the wrong centroid — fail loudly instead.
+    *
+    * @param m     subspace count (vector dim must divide evenly)
+    * @param k     centroids per sub-codebook
+    * @param iters Lloyd rounds for the sub-codebooks */
+  def quantFrom(coarse: DataFrame, assigned: DataFrame, idCol: String,
+                vecCol: String, m: Int, k: Int, iters: Int): DataFrame = {
+    val shape = coarse
+      .agg(min(col("cid")).cast("long").as("lo"),
+        max(col("cid")).cast("long").as("hi"), count(lit(1)).as("n"),
+        min(size(col("centroid"))).as("dim"))
+      .collect().head
+    require(!shape.isNullAt(2) && shape.getLong(2) > 0L,
+      "quantFrom needs a non-empty coarse quantizer")
+    require(shape.getLong(0) == 0L && shape.getLong(1) == shape.getLong(2) - 1L,
+      s"coarse cids must be contiguous 0..n-1 (g_cents is positional); " +
+        s"got [${shape.getLong(0)}, ${shape.getLong(1)}] over ${shape.getLong(2)} cells")
+    val dim = shape.getInt(3)
+    require(m > 0 && dim % m == 0, s"vector dim $dim not divisible into m=$m subspaces")
+    val coarseRow = PQ.codebookRow(coarse.select(lit(0).as("j"),
+        col("cid").cast("int").as("c_id"), col("centroid").as("cent"),
+        call_function("float_dot", col("centroid"), col("centroid")).as("cc")))
+      .select(col("cents").as("g_cents"), col("ccs").as("g_ccs"))
+      .localCheckpoint() // 1 row, read by the residual scan and the final pair
+    val resid = assigned
+      .select(col(idCol), col(vecCol), col("cid").cast("int").as("cid"))
+      .crossJoin(broadcast(coarseRow))
+      .select(col(idCol), residual(col(vecCol), col("cid")).as("__res"))
+    val cb = PQ.trainCodebooks(
+        PQ.subspaces(resid, idCol, "__res", m, dim / m), k, iters)
+      .select(col("j"), col("cid").as("c_id"), col("cent"), col("cc"))
+    coarseRow.crossJoin(PQ.codebookRow(cb))
+  }
+
   /** ADC top-k over the persisted code table: the probes' cells and
     * per-cell asymmetric distance tables derive from the PINNED
     * quantizer (workload-sized, broadcast); the code scan prunes to the
@@ -285,6 +481,41 @@ object PqIndex {
           col("cents"), col("ccs")))
       .select(col("q_id"), col("cid"), col("dtab"))
       .localCheckpoint()
+    adcTopK(idx, probeCells, idCol, k)
+  }
+
+  /** [[search]] with the caller's cell assignment: `probes` arrive as
+    * (q_id, q_vec, q_cid) — one row per (probe, probed cell), the
+    * multi-probe shape [[VecIndex.search]] takes — and the ADC scan
+    * runs over exactly those cells instead of self-selecting by coarse
+    * L2. The distance tables still come from the PINNED quantizer (ONE
+    * manifest resolution pairs them with the codes). Contract: q_cid
+    * must index the pinned quantizer's coarse cells — i.e. the caller's
+    * assignment layout is the one the index was built/appended with
+    * (the `...Assigned` mutators' layout). */
+  def searchAssigned(spark: SparkSession, path: String, probes: DataFrame,
+                     idCol: String, k: Int): DataFrame = {
+    val m = Versioned.current(spark, path)
+    val quant = quantAt(spark, path, m)
+    val idx = openAt(spark, path, m).getOrElse(
+      throw new IllegalArgumentException(s"no index layout under $path"))
+    val probeCells = probes
+      .select(col("q_id"), col("q_vec"), col("q_cid").cast("int").as("cid"))
+      .crossJoin(broadcast(quant))
+      .withColumn("dtab",
+        call_function("pq_dtab", residual(col("q_vec"), col("cid")),
+          col("cents"), col("ccs")))
+      .select(col("q_id"), col("cid"), col("dtab"))
+      .localCheckpoint()
+    adcTopK(idx, probeCells, idCol, k)
+  }
+
+  /** The shared ADC scan: prune the code table to the probed cells
+    * (tiny cell-id collect → pushed partition filter), broadcast-join
+    * the per-(probe, cell) distance tables, fold the m code lookups
+    * per candidate, top-k per probe. */
+  private def adcTopK(idx: DataFrame, probeCells: DataFrame,
+                      idCol: String, k: Int): DataFrame = {
     // tiny collect (≤ probes × nprobe cell ids) drives partition pruning
     val cells = probeCells.select(col("cid")).distinct()
       .collect().map(_.get(0))

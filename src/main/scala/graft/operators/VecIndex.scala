@@ -233,7 +233,31 @@ object VecIndex {
     *               pruning — the pushed `cid IN (...)` is what keeps the
     *               scan to nprobe/k of the corpus. */
   def search(index: DataFrame, probes: DataFrame,
-             idCol: String, vecCol: String, k: Int): DataFrame = {
+             idCol: String, vecCol: String, k: Int): DataFrame =
+    topK(index, probes, None, idCol, vecCol, k)
+
+  /** [[search]] restricted to a CANDIDATE set — the exact-rerank half
+    * of an IVFADC stack: an approximate generator (the [[PqIndex]] code
+    * table) nominates (q_id, id) pairs, and this scores ONLY those
+    * against the raw vectors, with [[search]]'s exact arithmetic, cell
+    * pruning, ranking, and self-exclusion. With candidates ⊇ every
+    * probed-cell pair this IS [[search]] row-for-row (the degenerate
+    * full-depth case rerank specs pin); with a bounded candidate depth
+    * the scan cost is unchanged (same pruned cells) but only nominated
+    * pairs reach the scorer. A nominated pair outside the probes' cells
+    * is NOT scored — the probe's cell set, not the generator, bounds
+    * what search can see (so a generator whose cell layout drifted from
+    * this index's degrades recall only, never correctness of returned
+    * scores).
+    *
+    * @param candidates (q_id, idCol) nominations, workload-sized */
+  def rerank(index: DataFrame, probes: DataFrame, candidates: DataFrame,
+             idCol: String, vecCol: String, k: Int): DataFrame =
+    topK(index, probes, Some(candidates), idCol, vecCol, k)
+
+  private def topK(index: DataFrame, probes: DataFrame,
+                   candidates: Option[DataFrame],
+                   idCol: String, vecCol: String, k: Int): DataFrame = {
     val cells = probes.select(col("q_cid")).distinct()
       .collect().map(_.get(0))
     // zero-norm guard, matching build/assignFold's indexed-side filter:
@@ -246,11 +270,18 @@ object VecIndex {
       .filter(col("q_norm") > 0.0)
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col(idCol).asc)
-    index
+    val scanned = index
       // literal IN list → partition pruning at file listing; the
       // broadcast-join residual below re-checks per-probe membership
       .filter(col("cid").isin(cells.toIndexedSeq: _*))
       .join(broadcast(pr), col("cid") === col("q_cid") && col(idCol) =!= col("q_id"))
+    val nominated = candidates match {
+      case None => scanned
+      case Some(c) => scanned.join(
+        broadcast(c.select(col("q_id"), col(idCol)).distinct()),
+        Seq("q_id", idCol), "left_semi")
+    }
+    nominated
       .withColumn("cos",
         callDot(col(vecCol), col("q_vec")) / (col("norm") * col("q_norm")))
       .withColumn("rk", row_number().over(wTop))

@@ -83,6 +83,165 @@ class PqIndexSpec extends SparkSpecBase {
       .sameElements(rows(PqIndex.search(spark, fullDir, probes, "vec_id", 10, 2))))
   }
 
+  test("searchAssigned with the index's own coarse cells equals search") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = tempDir("pqidx-sa")
+    PqIndex.build(emb, "vec_id", "embedding", quant, dir)
+    // reproduce search's own coarse cell selection (top-nprobe by the
+    // coarse dtab) externally, then hand it in as the assignment
+    val wCell = Window.partitionBy(col("q_id"))
+      .orderBy(col("qc_d2").asc, col("q_cid").asc)
+    val assignedProbes = probes.crossJoin(broadcast(quant))
+      .select(col("q_id"), col("q_vec"),
+        posexplode(element_at(call_function("pq_dtab", col("q_vec"),
+          col("g_cents"), col("g_ccs")), 1)).as(Seq("q_cid", "qc_d2")))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") <= 2)
+      .select(col("q_id"), col("q_vec"), col("q_cid"))
+    val got = rows(PqIndex.searchAssigned(spark, dir, assignedProbes,
+      "vec_id", k = 10))
+    val want = rows(PqIndex.search(spark, dir, probes, "vec_id",
+      k = 10, nprobe = 2))
+    assert(got.nonEmpty && got.sameElements(want),
+      "externally-assigned ADC search diverged from the self-assigned path")
+  }
+
+  test("assigned IVFADC stack: full-depth ADC + exact rerank equals VecIndex.search") {
+    // ONE cosine cell layout shared by the code table and a raw-vector
+    // VecIndex (the driver's production stack): candidates from the PQ
+    // table at full depth, exact-cosine rerank against the raw cells —
+    // bitwise the exact path; at bounded depth, a recall floor.
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"),
+        col("embedding").as("centroid")).localCheckpoint()
+    val corpus = emb.filter(col("vec_id") >= nc + 8)
+    val day0 = corpus.filter(col("vec_id") % 3 =!= 0)
+    val day1 = corpus.filter(col("vec_id") % 3 === 0)
+    def assignOf(df: org.apache.spark.sql.DataFrame) =
+      VecIndex.assignFold(df, "vec_id", "embedding", cents)
+        .select(col("vec_id"), col("embedding"), col("cid"))
+    val q = PqIndex.quantFrom(cents, assignOf(corpus), "vec_id", "embedding",
+      m, k = 16, iters = 1).localCheckpoint()
+    val pqDir = tempDir("pqidx-stack-pq")
+    PqIndex.buildAssigned(assignOf(day0), "vec_id", "embedding", q, pqDir)
+    PqIndex.appendAssigned(assignOf(day1), "vec_id", "embedding", pqDir)
+    // the stored layout IS the external assignment
+    val storedCids = PqIndex.open(spark, pqDir)
+      .select(col("vec_id"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    val wantCids = assignOf(corpus).select(col("vec_id"), col("cid"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(storedCids.sameElements(wantCids),
+      "assigned mutators did not store the external cell layout")
+    val vecDir = tempDir("pqidx-stack-vec")
+    VecIndex.build(corpus, "vec_id", "embedding", cents, vecDir)
+    val pr = KMeans.assignTop(
+        probes.select(col("q_id").as("vec_id"), col("q_vec").as("embedding")),
+        "vec_id", "embedding", cents, 2)
+      .join(probes.select(col("q_id"), col("q_vec")),
+        col("vec_id") === col("q_id"))
+      .select(col("q_id"), col("q_vec"), col("cid").as("q_cid"))
+    val idx = VecIndex.open(spark, vecDir)
+    val want = VecIndex.search(idx, pr, "vec_id", "embedding", 10)
+      .collect().map(_.toString).sorted
+    val candFull = PqIndex.searchAssigned(spark, pqDir, pr, "vec_id",
+        k = Int.MaxValue)
+      .select(col("q_id"), col("vec_id"))
+    val gotFull = VecIndex.rerank(idx, pr, candFull, "vec_id", "embedding", 10)
+      .collect().map(_.toString).sorted
+    assert(gotFull.nonEmpty && gotFull.sameElements(want),
+      "full-depth ADC + exact rerank diverged from the exact path")
+    // bounded candidate depth: recall floor vs the exact top-10
+    val cand32 = PqIndex.searchAssigned(spark, pqDir, pr, "vec_id", k = 32)
+      .select(col("q_id"), col("vec_id"))
+    val got32 = VecIndex.rerank(idx, pr, cand32, "vec_id", "embedding", 10)
+      .select(col("q_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantPairs = VecIndex.search(idx, pr, "vec_id", "embedding", 10)
+      .select(col("q_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got32.intersect(wantPairs).size.toDouble / wantPairs.size
+    assert(recall >= 0.5, s"depth-32 reranked recall $recall below floor")
+  }
+
+  test("refresh re-encodes under the new quantizer and retires the stale delta") {
+    val dir = tempDir("pqidx-refresh")
+    val day0 = emb.filter(col("vec_id") % 3 =!= 0)
+    val day1 = emb.filter(col("vec_id") % 3 === 0)
+    PqIndex.build(day0, "vec_id", "embedding", quant, dir)
+    PqIndex.append(day1, "vec_id", "embedding", dir)
+    val before = Versioned.current(spark, dir)
+    assert(PqIndex.deltaShare(spark, dir) > 0.0, "fixture vacuous: no delta")
+    val pinned = PqIndex.open(spark, dir)
+    val nAll = pinned.count()
+    // a DIFFERENT quantizer: 8 coarse cells off the first 8 vectors
+    val cents8 = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("centroid"))
+    val assigned = emb.crossJoin(broadcast(quant)) // any assignment works for training
+      .select(col("vec_id"), col("embedding"),
+        (col("vec_id") % 8).cast("int").as("cid"))
+    val quantB = PqIndex.quantFrom(cents8, assigned, "vec_id", "embedding",
+      m, k = 16, iters = 1).localCheckpoint()
+    PqIndex.refresh(emb, "vec_id", "embedding", quantB, dir,
+      gcGraceMs = 60L * 60 * 1000)
+    val after = Versioned.current(spark, dir)
+    assert(after.epoch == before.epoch + 1L,
+      "refresh did not retire the stale-quantizer delta epoch")
+    assert(after.cents == after.base && after.cents > before.cents,
+      "refresh did not publish the codes with their quantizer")
+    // the published table equals a fresh self-assigned build under B
+    val fresh = tempDir("pqidx-refresh-fresh")
+    PqIndex.build(emb, "vec_id", "embedding", quantB, fresh)
+    def codeRows(p: String) = PqIndex.open(spark, p)
+      .select(col("vec_id"), col("cid"), col("codes"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).sortBy(_._1)
+    assert(codeRows(dir).sameElements(codeRows(fresh)),
+      "refreshed table diverged from a fresh build under the new quantizer")
+    assert(PqIndex.deltaShare(spark, dir) == 0.0,
+      "stale delta still counted after refresh")
+    // the graced gc kept the pinned reader's matched old pair alive
+    assert(pinned.count() == nAll,
+      "refresh perturbed a pinned pre-refresh reader")
+  }
+
+  test("refreshIfSkewed is measurement-only below threshold, re-encodes above") {
+    val dir = tempDir("pqidx-policy")
+    PqIndex.build(emb, "vec_id", "embedding", quant, dir)
+    val v0 = PqIndex.currentVersion(spark, dir)
+    val skew = PqIndex.cellSkew(spark, dir)
+    assert(skew > 0.0 && skew < 1.0, s"degenerate fixture skew $skew")
+    // below threshold: no refresh AND the quantizer thunk never runs
+    assert(!PqIndex.refreshIfSkewed(emb, "vec_id", "embedding", dir,
+      maxCellShare = skew + 0.05) {
+      fail("below-threshold policy evaluated the quantizer"); quant
+    })
+    assert(PqIndex.currentVersion(spark, dir) == v0,
+      "measurement-only pass published a version")
+    // above threshold: the gated re-encode runs with the new quantizer
+    val cents8 = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("centroid"))
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      (col("vec_id") % 8).cast("int").as("cid"))
+    assert(PqIndex.refreshIfSkewed(emb, "vec_id", "embedding", dir,
+      maxCellShare = skew / 2) {
+      PqIndex.quantFrom(cents8, assigned, "vec_id", "embedding", m, 16, 1)
+    })
+    assert(PqIndex.currentVersion(spark, dir) > v0, "gated refresh did not publish")
+    assert(PqIndex.open(spark, dir).count() == emb.count())
+  }
+
+  test("quantFrom rejects a gapped coarse cid set") {
+    import spark.implicits._
+    val coarse = emb.filter(col("vec_id") === 0 || col("vec_id") === 2)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("centroid"))
+    val assigned = emb.limit(32).select(col("vec_id"), col("embedding"),
+      lit(0).cast("int").as("cid"))
+    val e = intercept[IllegalArgumentException] {
+      PqIndex.quantFrom(coarse, assigned, "vec_id", "embedding", m, 4, 0)
+    }
+    assert(e.getMessage.contains("contiguous"), e.getMessage)
+  }
+
   test("delete retracts ids; pinned readers survive graced maintenance") {
     import spark.implicits._
     val dir = tempDir("pqidx-del")
