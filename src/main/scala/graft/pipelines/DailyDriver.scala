@@ -25,6 +25,11 @@ import org.apache.spark.sql.functions._
   *    delta, [[maintain]] runs the fold/retrain policies — so the
   *    hybrid (BM25 + vector) retrieval stack q132 measures is fully
   *    driver-maintained, never stale on the vector side
+  *  - `pq_index/`   — [[graft.operators.PqIndex]] code table over the
+  *    same candidates, SAME cosine cell layout as `vec_index` (one
+  *    assignment, two stores): the ~32×-smaller ANN state
+  *    [[hybridSearch]]'s IVFADC path (`pqDepth > 0`) nominates
+  *    candidates from before the exact rerank against `vec_index`
   *
   * Each step recomputes ONLY the arrivals and the prior components they
   * touch (`Curation.curateIncremental` — proven row-equal to a full
@@ -66,8 +71,27 @@ object DailyDriver {
     * `VecIndex.open`/`search` the driver-maintained index directly. */
   def vecIndexDir(dir: String): String = s"$dir/vec_index"
 
+  /** The driver's PQ code-table root ([[graft.operators.PqIndex]]) —
+    * the ~32×-smaller corpus-resident ANN state the recurring search
+    * reads at fleet scale; maintained next to the raw-vector index
+    * with the SAME coarse cell layout (the rerank contract). */
+  def pqIndexDir(dir: String): String = s"$dir/pq_index"
+
   /** Coarse-quantizer cell count for the driver's vector index. */
   val VecCells = 8
+
+  /** PQ shape for the driver's code table: m subspaces (the embedding
+    * dim must divide evenly), k centroids per sub-codebook, Lloyd
+    * rounds for the sub-codebook training. */
+  val PqSubspaces = 8
+  val PqCodebookK = 16
+  val PqIters = 2
+
+  /** [[hybridSearch]]'s `pqDepth` value for a candidate set covering
+    * every probed-cell row — the reranked path is then the exact path
+    * row-for-row (the oracle-checkable degenerate depth; production
+    * picks a finite depth and trades recall for ADC pruning). */
+  val ExhaustiveRerank: Int = Int.MaxValue
 
   /** Default gc grace for [[maintain]]'s versioned-index sweeps: long
     * enough for any in-flight [[hybridSearch]]/[[openVecIndex]] scan
@@ -115,6 +139,23 @@ object DailyDriver {
     * stats, never the corpus: the q132 cost shape, now reachable as one
     * driver call.
     *
+    * With `pqDepth > 0` the vector half runs the production IVFADC
+    * shape instead of scoring every probed-cell raw vector: the
+    * [[graft.operators.PqIndex]] code table (~32× smaller than the
+    * floats — at fleet scale the half that is actually corpus-resident)
+    * nominates `pqDepth` candidates per probe by ADC distance over the
+    * SAME probed cells, and only the nominations are exact-cosine
+    * reranked against the raw cells ([[graft.operators.VecIndex
+    * .rerank]]). At [[ExhaustiveRerank]] depth the nominations cover
+    * every probed-cell row and the result is the exact path bitwise;
+    * production depths trade tail recall for scoring ~pqDepth instead
+    * of ~cell-occupancy rows per probe. Probe cells come from the ONE
+    * pinned raw-index quantizer for both halves, so the generator and
+    * the reranker always probe the same cells; a concurrent [[maintain]]
+    * refresh between the two stores' (separately pinned) manifests can
+    * at worst cost nominations — rerank never scores outside its own
+    * pinned cells (see VecIndex.rerank's contract).
+    *
     * @param queries (q_id, text) — the text queries, workload-sized
     * @param probes  (q_id, embedding) — the vector probes (typically
     *                the same ids), workload-sized
@@ -122,13 +163,17 @@ object DailyDriver {
     * @param depth   candidate depth per generator before fusion
     * @param nprobe  probed cells per vector query
     * @param maxDfPermille retrieval-term df ceiling (stop-term filter),
-    *                in permille of the indexed corpus */
+    *                in permille of the indexed corpus
+    * @param pqDepth 0 = exact in-cell scan (default); > 0 = IVFADC:
+    *                ADC-nominate this many candidates per probe from
+    *                the code table, exact-rerank only those */
   def hybridSearch(spark: SparkSession, dir: String,
                    queries: DataFrame, probes: DataFrame,
                    k: Int = 5, depth: Int = 10, nprobe: Int = 2,
                    maxDfPermille: Long =
-                     graft.operators.Bm25.DefaultMaxDfPermille): DataFrame = {
-    import graft.operators.{Bm25, KMeans, LexIndex, Rrf, VecIndex}
+                     graft.operators.Bm25.DefaultMaxDfPermille,
+                   pqDepth: Int = 0): DataFrame = {
+    import graft.operators.{Bm25, KMeans, LexIndex, PqIndex, Rrf, VecIndex}
     val vdir = vecIndexDir(dir)
     // lexical half — df, stats, and the posting scan all read through
     // ONE pinned manifest resolution: a concurrent step's merge
@@ -163,9 +208,13 @@ object DailyDriver {
     val pr = KMeans.assignTop(probes, "q_id", "embedding", cents, nprobe)
       .join(probes, Seq("q_id"))
       .select(col("q_id"), col("embedding").as("q_vec"), col("cid").as("q_cid"))
-    val vec = VecIndex.search(vp.index, pr,
+    val vec0 =
+      if (pqDepth <= 0) VecIndex.search(vp.index, pr, "doc_id", "embedding", depth)
+      else VecIndex.rerank(vp.index, pr,
+        PqIndex.searchAssigned(spark, pqIndexDir(dir), pr, "doc_id", pqDepth)
+          .select(col("q_id"), col("doc_id")),
         "doc_id", "embedding", depth)
-      .select(col("q_id"), col("doc_id"), col("rk").as("rv"))
+    val vec = vec0.select(col("q_id"), col("doc_id"), col("rk").as("rv"))
     Rrf.fuse(lex, vec, k)
   }
 
@@ -179,10 +228,21 @@ object DailyDriver {
     *        driver maintains has its vector half from the start (q132's
     *        recurring hybrid workload reads it). The quantizer is
     *        persisted with the index (`persistCentroids`) — steps
-    *        assign their deltas against it via `openCentroids`. */
+    *        assign their deltas against it via `openCentroids`. Day 0
+    *        also builds the [[graft.operators.PqIndex]] code table over
+    *        the same candidates with the SAME cosine cell layout
+    *        (sub-codebooks trained on the candidates' residuals) — the
+    *        compressed half [[hybridSearch]]'s `pqDepth` path reads.
+    * @param quantizer optional pre-trained coarse quantizer
+    *        (cid, centroid) — for workloads standardizing one across
+    *        deployments; default trains `KMeans.lloyd` (k =
+    *        [[VecCells]]) over the day-0 candidates. Either way the
+    *        cids are renumbered contiguous 0..n−1 (the PQ coarse row is
+    *        positional) before both indexes build from them. */
   def init(spark: SparkSession, docs: DataFrame, benchmark: DataFrame,
            dir: String, cfg: Curation.Config = Curation.Config(),
-           embeddings: Option[DataFrame] = None): Unit =
+           embeddings: Option[DataFrame] = None,
+           quantizer: Option[DataFrame] = None): Unit =
    Lease.withLease(spark, dir, "init") {
     Curation.curate(docs, benchmark, cfg)
       .select(Curation.DecisionCols.map(col): _*)
@@ -202,12 +262,35 @@ object DailyDriver {
     // The vector half over the same candidate set (the same candidacy
     // rule keeps the two retrieval indexes aligned doc-for-doc).
     embeddings.foreach { emb =>
+      import graft.operators.{PqIndex, VecIndex}
       val candEmb = emb.join(cand.select(col("doc_id")), Seq("doc_id"))
-      val cents = graft.operators.KMeans.lloyd(
-        candEmb, "doc_id", "embedding", k = VecCells, iters = 2)
-      graft.operators.VecIndex.build(candEmb, "doc_id", "embedding",
+      val cents = contiguous(quantizer.getOrElse(graft.operators.KMeans
+        .lloyd(candEmb, "doc_id", "embedding", k = VecCells, iters = 2)))
+        .localCheckpoint() // read by both index builds + the PQ trainer
+      VecIndex.build(candEmb, "doc_id", "embedding",
         cents, vecIndexDir(dir), persistCentroids = true)
+      // the code table shares the raw index's cosine cell layout —
+      // one assignment, two stores (the rerank path's contract)
+      val assigned = VecIndex
+        .assignFold(candEmb, "doc_id", "embedding", cents)
+        .select(col("doc_id"), col("embedding"), col("cid"))
+      PqIndex.buildAssigned(assigned, "doc_id", "embedding",
+        PqIndex.quantFrom(cents, assigned, "doc_id", "embedding",
+          PqSubspaces, PqCodebookK, PqIters),
+        pqIndexDir(dir))
     }
+  }
+
+  /** Renumber a coarse quantizer's cids to contiguous 0..n−1 in cid
+    * order — `KMeans.lloyd` can drop a cell that loses every member,
+    * and the PQ coarse codebook row is POSITIONAL (a gap would silently
+    * shift every later centroid). Bounded window: a coarse quantizer is
+    * [[VecCells]]-sized by construction. */
+  private def contiguous(cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    cents.select(col("cid"), col("centroid"))
+      .withColumn("cid", (row_number().over(
+        Window.orderBy(col("cid").asc)) - 1).cast("int"))
   }
 
   /** Day N: delta-curate the arrivals against the persisted state,
@@ -249,7 +332,7 @@ object DailyDriver {
     // manifest). Same replay guard as the other appends: one landed
     // candidate id means the job-committed append is done — skip it.
     embeddings.foreach { emb =>
-      import graft.operators.VecIndex
+      import graft.operators.{PqIndex, VecIndex}
       val vdir = vecIndexDir(dir)
       val cents = VecIndex.openCentroids(spark, vdir).getOrElse(
         throw new IllegalStateException(
@@ -257,6 +340,18 @@ object DailyDriver {
       val candEmb = emb.join(newCand.select(col("doc_id")), Seq("doc_id"))
       if (!VecIndex.containsAny(spark, vdir, candEmb.select(col("doc_id"))))
         VecIndex.append(candEmb, "doc_id", "embedding", cents, vdir)
+      // the code table gets the SAME day's candidates under the SAME
+      // cosine assignment (assignFold is deterministic given (rows,
+      // cents), so the two stores' cell layouts stay identical without
+      // sharing a materialized relation). Same landed-or-not replay
+      // probe — job-committed append + disjoint daily ids.
+      val pqdir = pqIndexDir(dir)
+      if (PqIndex.currentVersion(spark, pqdir) > 0L &&
+          !PqIndex.containsAny(spark, pqdir, candEmb.select(col("doc_id"))))
+        PqIndex.appendAssigned(
+          VecIndex.assignFold(candEmb, "doc_id", "embedding", cents)
+            .select(col("doc_id"), col("embedding"), col("cid")),
+          "doc_id", "embedding", pqdir)
     }
     AtomicSwap.swap(spark, decisionsDir(dir)) { tmp =>
       updated.write.parquet(tmp)
@@ -391,12 +486,29 @@ object DailyDriver {
     *    version directories mid-scan. Pass 0 explicitly only under the
     *    offline discipline (no readers in flight).
     *
+    *  - the PQ code table (when [[init]] built one): the LSM fold
+    *    (`PqIndex.compactIfDelta`, same `vecDeltaShare` gate) plus the
+    *    drift-refresh policy. The table is LOSSY, so its refresh needs
+    *    the SOURCE embeddings — pass `embeddings` (the same relation
+    *    the steps got; candidates are re-derived from the decision
+    *    table). Refresh fires when the raw index RETRAINED this pass
+    *    (the shared coarse layout moved — the code table must re-encode
+    *    under the new centroids or the two stores' cells desync) or
+    *    when the table's own [[graft.operators.PqIndex.cellSkew]]
+    *    passes `pqMaxCellShare`. Without `embeddings` the PQ-skew
+    *    refresh cannot run (compact-only maintenance), and a vec
+    *    retrain that WOULD desync the stores fails loudly BEFORE
+    *    mutating anything — maintain refuses to retrain a shared
+    *    layout it cannot re-encode.
+    *
     * Decisions and the chunk-loop tables swap wholesale on their own
     * writes and need no periodic pass. */
   def maintain(spark: SparkSession, dir: String,
                lexGcShare: Double = 0.0, lexGcGraceMs: Long = ReaderGraceMs,
                vecDeltaShare: Double = 0.2, vecMaxCellShare: Double = 0.5,
-               vecGcGraceMs: Long = ReaderGraceMs): Unit =
+               vecGcGraceMs: Long = ReaderGraceMs,
+               embeddings: Option[DataFrame] = None,
+               pqMaxCellShare: Double = 0.5): Unit =
    Lease.withLease(spark, dir, "maintain") {
     import org.apache.hadoop.fs.Path
     graft.operators.LexIndex.compactIfGarbage(spark, lexDir(dir), lexGcShare,
@@ -413,18 +525,64 @@ object DailyDriver {
         live.write.parquet(tmp)
       }
     }
-    import graft.operators.VecIndex
+    import graft.operators.{PqIndex, VecIndex}
     val vdir = vecIndexDir(dir)
+    val pqdir = pqIndexDir(dir)
     if (VecIndex.currentVersion(spark, vdir) > 0L) {
+      val pqLive = PqIndex.currentVersion(spark, pqdir) > 0L
+      // correctness guard BEFORE the retrain policy: a retrain moves
+      // the coarse layout BOTH stores share, and the lossy code table
+      // can only follow it by re-encoding from source — with no source
+      // in hand, refuse up front rather than desync the stores
+      if (pqLive && embeddings.isEmpty) {
+        val skew = VecIndex.cellSkew(spark, vdir)
+        require(skew <= vecMaxCellShare,
+          s"vec index needs a retrain (cell skew $skew > $vecMaxCellShare) " +
+            s"but the driver maintains a PQ code table and no embeddings " +
+            s"source was passed — the re-celled layout could not be " +
+            s"re-encoded; call maintain with embeddings")
+      }
       VecIndex.compactIfDelta(spark, vdir, "doc_id", vecDeltaShare, vecGcGraceMs)
-      VecIndex.maintainIfSkewed(spark, vdir, "doc_id", "embedding",
-        k = VecCells, maxCellShare = vecMaxCellShare)
+      val retrained = VecIndex.maintainIfSkewed(spark, vdir, "doc_id",
+        "embedding", k = VecCells, maxCellShare = vecMaxCellShare)
       // gc runs UNCONDITIONALLY: retrain (the policy above) publishes a
       // full superseded cells+centroids version but only compact sweeps
       // — a drift-heavy, append-light driver would otherwise strand a
       // corpus-sized copy per retrain forever. A no-garbage sweep is a
       // driver-side listing.
       VecIndex.gc(spark, vdir, vecGcGraceMs)
+      if (pqLive) {
+        val needRefresh = retrained ||
+          PqIndex.cellSkew(spark, pqdir) > pqMaxCellShare
+        if (needRefresh && embeddings.nonEmpty) {
+          // re-encode the CURRENT candidates from source under the raw
+          // index's (possibly just-retrained) pinned centroids — one
+          // assignment, two stores, same as init/step
+          val candIds = openDecisions(spark, dir)
+            .filter(col("quality_pass") && col("contam_pass"))
+            .select(col("doc_id"))
+          val candEmb = embeddings.get.join(candIds, Seq("doc_id"))
+          // NOT renumbered: the raw index's rows already carry these
+          // cid values (retrain committed them) — renumbering here
+          // would silently desync the stores. A gapped retrain (a
+          // Lloyd cell lost every member) fails loudly in quantFrom.
+          val cents = VecIndex.openCentroids(spark, vdir).get
+            .localCheckpoint()
+          val assigned = VecIndex
+            .assignFold(candEmb, "doc_id", "embedding", cents)
+            .select(col("doc_id"), col("embedding"), col("cid"))
+          PqIndex.refreshAssigned(assigned, "doc_id", "embedding",
+            PqIndex.quantFrom(cents, assigned, "doc_id", "embedding",
+              PqSubspaces, PqCodebookK, PqIters),
+            pqdir, vecGcGraceMs)
+        } else {
+          // skew-triggered refresh without a source falls back to the
+          // fold (documented above); the fold alone never desyncs
+          PqIndex.compactIfDelta(spark, pqdir, "doc_id", vecDeltaShare,
+            vecGcGraceMs)
+        }
+        PqIndex.gc(spark, pqdir, vecGcGraceMs)
+      }
     }
    }
 }

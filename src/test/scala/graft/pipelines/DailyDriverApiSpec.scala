@@ -91,6 +91,32 @@ class DailyDriverApiSpec extends SparkSpecBase {
     assert(incV.sameElements(fullV),
       "stepwise vector index diverged from the full rebuild")
 
+    // the PQ CODE TABLE maintained across the two steps (day-0 build +
+    // two assigned appends against the pinned quantizer) must row-equal
+    // a fresh buildAssigned over the three-day candidates under the
+    // SAME quantizer row — N-steps ≡ fresh-build, lossy-table edition
+    import graft.operators.PqIndex
+    val pqdir = DailyDriver.pqIndexDir(dir)
+    val driverQuant = PqIndex.openQuant(spark, pqdir).localCheckpoint()
+    val assignedAll = VecIndex
+      .assignFold(candEmb, "doc_id", "embedding", driverCents)
+      .select(col("doc_id"), col("embedding"), col("cid"))
+    val fullPq = tempDir("daily-driver-pq-full")
+    PqIndex.buildAssigned(assignedAll, "doc_id", "embedding",
+      driverQuant, fullPq)
+    def pqRows(p: String): Array[(Long, Int, Seq[Int])] =
+      PqIndex.open(spark, p).select(col("doc_id"), col("cid"), col("codes"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2)))
+        .sortBy(_._1)
+    val (incP, fullP) = (pqRows(pqdir), pqRows(fullPq))
+    assert(incP.length == fullP.length && incP.nonEmpty,
+      s"pq row counts differ: ${incP.length} vs ${fullP.length}")
+    assert(incP.sameElements(fullP),
+      "stepwise PQ code table diverged from the full rebuild")
+    // and the two stores share ONE cell layout, doc for doc
+    assert(incP.map(r => (r._1, r._2)).sameElements(incV),
+      "PQ and vector cell layouts desynced")
+
     // offline maintenance must be a pure re-layout: decision table,
     // signature index, lexical index, and vector index all
     // row-identical after it. vecDeltaShare = 0 forces the LSM fold so
@@ -100,6 +126,8 @@ class DailyDriverApiSpec extends SparkSpecBase {
     val sigBefore = sigRows()
     assert(VecIndex.deltaShare(spark, vdir) > 0.0,
       "fixture vacuous: no pending vec delta before maintain")
+    assert(PqIndex.deltaShare(spark, pqdir) > 0.0,
+      "fixture vacuous: no pending pq delta before maintain")
     DailyDriver.maintain(spark, dir, vecDeltaShare = 0.0)
     assert(sigRows().sameElements(sigBefore),
       "maintain changed the signature index rows")
@@ -109,6 +137,10 @@ class DailyDriverApiSpec extends SparkSpecBase {
       "maintain changed the decision table")
     assert(VecIndex.deltaShare(spark, vdir) == 0.0,
       "maintain did not fold the vec delta")
+    assert(PqIndex.deltaShare(spark, pqdir) == 0.0,
+      "maintain did not fold the pq delta")
+    assert(pqRows(pqdir).sameElements(fullP),
+      "maintain changed the PQ code table rows")
     assert(vecRows(vdir).length == fullV.length &&
       VecIndex.open(spark, vdir)
         .select(col("doc_id"), col("embedding"), col("norm")).collect()
@@ -203,6 +235,29 @@ class DailyDriverApiSpec extends SparkSpecBase {
     val packaged = packagedDf.collect().map(_.toString).sorted
     assert(packaged.sameElements(gotFused),
       "DailyDriver.hybridSearch diverged from the fuseSearch composition")
+
+    // IVFADC path: at exhaustive candidate depth the PQ-nominated +
+    // exact-reranked vector half covers every probed-cell row, so the
+    // fused result is the exact path BITWISE — the equality that
+    // licenses registering the pqDepth path under the same oracle
+    def hybrid(pqDepth: Int): Array[String] =
+      DailyDriver.hybridSearch(spark, dir, qTexts, qProbes,
+        k = 5, depth = CurationQ6.fuseDepth, nprobe = 2,
+        maxDfPermille = CurationQ6.dfPermille, pqDepth = pqDepth)
+        .collect().map(_.toString).sorted
+    assert(hybrid(DailyDriver.ExhaustiveRerank).sameElements(packaged),
+      "exhaustive-depth IVFADC path diverged from the exact path")
+    // bounded depth: the production shape scores ~pqDepth rows per
+    // probe instead of the probed cells' occupancy — recall floor vs
+    // the exact fused top-5
+    def pairs(rows: Array[String]): Set[(String, String)] = rows.map { s =>
+      val f = s.stripPrefix("[").split(","); (f(0), f(2))
+    }.toSet
+    val exactPairs = pairs(packaged)
+    val shallow = pairs(hybrid(3 * CurationQ6.fuseDepth))
+    val recall = shallow.intersect(exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.6, s"depth-${3 * CurationQ6.fuseDepth} IVFADC fused " +
+      s"recall $recall below floor")
 
     // and the packaged plan keeps the q121/q132 pruning contract: both
     // candidate scans read only the query terms' buckets / the probes'

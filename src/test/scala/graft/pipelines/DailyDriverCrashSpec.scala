@@ -199,8 +199,14 @@ class DailyDriverCrashSpec extends SparkSpecBase {
       .select(col("doc_id"), col("cid")).collect()
       .map(r => (r.getLong(0), r.getInt(1))).sorted
     val wantVec = vecRows()
+    def pqRows() = graft.operators.PqIndex
+      .open(spark, DailyDriver.pqIndexDir(dir))
+      .select(col("doc_id"), col("cid"), col("codes")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).sortBy(_._1)
+    val wantPq = pqRows()
     // reproduce the crash state "appends landed, swap didn't": restore
-    // the OLD decision table; sig + lex + vec indexes keep the step's work
+    // the OLD decision table; sig + lex + vec + pq indexes keep the
+    // step's work
     fs.delete(new Path(s"$dir/decisions"), true)
     FileUtil.copy(fs, saved, fs, new Path(s"$dir/decisions"), true, conf)
     // the RETRY must skip every landed half and still swap decisions in
@@ -213,6 +219,8 @@ class DailyDriverCrashSpec extends SparkSpecBase {
       "replayed step double-merged the lexical index")
     assert(vecRows().sameElements(wantVec),
       "replayed step double-appended the vector index")
+    assert(pqRows().length == wantVec.length && pqRows().sameElements(wantPq),
+      "replayed step double-appended the PQ code table")
   }
 
   test("a torn lease file is treated as garbage, not a permanent block") {
