@@ -258,6 +258,51 @@ object CurationQ7 {
     root
   }
 
+  // --------------------------------------------------------------- q135
+
+  /** The FULL driver-maintained retrieval stack as a recurring row —
+    * q132's search-only semantics served by [[graft.pipelines
+    * .DailyDriver]] storage with the PQ half engaged: the once-per-
+    * corpus cost is `DailyDriver.init` over q121's corpus split
+    * (lex + sig + raw-vector + PQ code table, q121's quantizer
+    * convention passed as the standardized coarse quantizer), cached
+    * under the data fingerprint like q132/q134; the recurring call is
+    * `DailyDriver.hybridSearch` on its IVFADC path — ADC nominations
+    * off the code table, exact rerank against the raw cells, RRF-fused
+    * with BM25. At [[graft.pipelines.DailyDriver.ExhaustiveRerank]]
+    * depth the nominations cover every probed-cell row, which is what
+    * licenses sharing q121's oracle bitwise (DailyDriverApiSpec pins
+    * the equality); ScaleCheck's driver section measures the bounded
+    * production depths. */
+  private def q135(s: SparkSession, d: String): DataFrame = {
+    import graft.pipelines.{Curation, DailyDriver}
+    import org.apache.spark.sql.types.IntegerType
+    def isQ(c: String) = (col(c) % qMod === 0) && (col(c) < qCap)
+    val root = cachedRoot(s, d, "driver") { tmp =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") < idxCells)
+        .select(col("vec_id").cast(IntegerType).as("cid"),
+          col("embedding").as("centroid"))
+      // open config + any benchmark → every corpus doc is a candidate,
+      // so the driver's four indexes hold exactly q121's corpus
+      DailyDriver.init(s, docs.filter(!isQ("doc_id")),
+        docs.filter(col("doc_id") % 50 === 0), tmp,
+        Curation.Config(minQuality = -1e18, maxContamRatio = 1.0),
+        embeddings = Some(emb.filter(!isQ("vec_id"))
+          .select(col("vec_id").as("doc_id"), col("embedding"))),
+        quantizer = Some(cents))
+    }
+    val qTexts = Tables.documents(s, d).filter(isQ("doc_id"))
+      .select(col("doc_id").as("q_id"), col("text"))
+    val qProbes = Tables.embeddings(s, d).filter(isQ("vec_id"))
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    DailyDriver.hybridSearch(s, root, qTexts, qProbes,
+      k = 5, depth = fuseDepth, nprobe = idxNprobe,
+      maxDfPermille = dfPermille,
+      pqDepth = DailyDriver.ExhaustiveRerank)
+  }
+
   private val q121Sql = {
     import SimilarityQ.sqlDotFold
     def qs(c: String) = s"($c % $qMod = 0 AND $c < $qCap)"
@@ -575,5 +620,6 @@ object CurationQ7 {
     GQuery("q122_decontam_width8", q122, Some(q122Sql), Seq("A16", "J9")),
     GQuery("q123_sampled_terciles", q123, Some(q123Sql), Seq("F6", "A16", "J6")),
     GQuery("q124_bm25_ndcg", q124, Some(q124Sql), Seq("A16", "O4", "A23")),
-    GQuery("q132_indexed_search", q132, Some(q121Sql), Seq("A16", "O4", "U1", "J9")))
+    GQuery("q132_indexed_search", q132, Some(q121Sql), Seq("A16", "O4", "U1", "J9")),
+    GQuery("q135_driver_ivfpq", q135, Some(q121Sql), Seq("A16", "O4", "U1", "J9")))
 }
