@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions._
   * {{{
   *   path/cells/v=V/cid=N/part-*.parquet   // (id, codes) — the code table
   *   path/delta/e=E/cid=N/part-*.parquet   // batch appends (job-committed)
+  *   path/delta/e=E/b=B/cid=N/...          // OR a stream lineage ([[appendStream]])
   *   path/quant/v=V/part-*.parquet         // ONE row: g_cents, g_ccs, cents, ccs
   *   path/manifest/v=V.txt                 // "base:B", "epoch:E", "cents:Q"
   * }}}
@@ -195,7 +196,9 @@ object PqIndex {
       else None
     val delta =
       if (Versioned.hasCells(spark, deltaPath(path, m.epoch)))
-        Some(spark.read.parquet(deltaPath(path, m.epoch)))
+        // drop the stream lineage's per-micro-batch replay key (a no-op
+        // on a batch-appended epoch, which has no b= level)
+        Some(spark.read.parquet(deltaPath(path, m.epoch)).drop("b"))
       else None
     (bulk.toSeq ++ delta.toSeq).reduceOption(_.unionByName(_))
   }
@@ -204,36 +207,107 @@ object PqIndex {
     * quantizer and land them in the current delta epoch in one
     * job-committed write — [[VecIndex.append]]'s discipline, including
     * the replay probe ([[containsAny]]) and the sink-log guard. */
+  /** The one-discipline-per-epoch guard batch appends share: a
+    * stream-governed epoch (legacy `_spark_metadata` or the `b=`
+    * lineage layout) must not receive interleaved batch files — a
+    * replayed micro-batch's partition overwrite could clobber them. */
+  private def requireBatchEpoch(spark: SparkSession, path: String,
+                                epoch: Long): Unit = {
+    val dir = deltaPath(path, epoch)
+    val streamGoverned = exists(spark, s"$dir/_spark_metadata") ||
+      (exists(spark, dir) && new Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(new Path(dir))
+        .exists(_.getPath.getName.startsWith("b=")))
+    require(!streamGoverned,
+      s"delta epoch $epoch is governed by a stream lineage — a replayed " +
+        s"micro-batch's partition overwrite could clobber interleaved " +
+        s"batch appends; compact first")
+  }
+
   def append(emb: DataFrame, idCol: String, vecCol: String,
              path: String): Unit = {
     val spark = emb.sparkSession
     Lease.withLease(spark, path, "pqindex-append") {
       val m = Versioned.current(spark, path)
-      val dir = deltaPath(path, m.epoch)
-      require(!exists(spark, s"$dir/_spark_metadata"),
-        s"delta epoch ${m.epoch} is governed by a streaming sink log — " +
-          s"batch appends would be invisible to readers; compact first")
+      requireBatchEpoch(spark, path, m.epoch)
       encode(emb, idCol, vecCol, quantAt(spark, path, m))
-        .write.mode("append").partitionBy("cid").parquet(dir)
+        .write.mode("append").partitionBy("cid").parquet(deltaPath(path, m.epoch))
     }
   }
 
   /** [[append]] with the caller's cell assignment (`assigned` =
     * (idCol, vecCol, cid)); codes still come from the PINNED quantizer —
-    * only the cell layout is external. Same sink-log guard and
+    * only the cell layout is external. Same one-discipline guard and
     * job-committed replay discipline. */
   def appendAssigned(assigned: DataFrame, idCol: String, vecCol: String,
                      path: String): Unit = {
     val spark = assigned.sparkSession
     Lease.withLease(spark, path, "pqindex-append") {
       val m = Versioned.current(spark, path)
-      val dir = deltaPath(path, m.epoch)
-      require(!exists(spark, s"$dir/_spark_metadata"),
-        s"delta epoch ${m.epoch} is governed by a streaming sink log — " +
-          s"batch appends would be invisible to readers; compact first")
+      requireBatchEpoch(spark, path, m.epoch)
       encodeAssigned(assigned, idCol, vecCol, quantAt(spark, path, m))
-        .write.mode("append").partitionBy("cid").parquet(dir)
+        .write.mode("append").partitionBy("cid").parquet(deltaPath(path, m.epoch))
     }
+  }
+
+  /** Streaming incremental append — [[VecIndex.appendStream]]'s
+    * code-table sibling: encode each arriving micro-batch against the
+    * quantizer PINNED AT STREAM START and land it under
+    * `delta/e=E/b=batchId/cid=N` (the batch-id partition makes a
+    * checkpoint replay overwrite its own batch — exactly-once at the
+    * directory level).
+    *
+    * Per-batch fence, BOTH coordinates: a concurrent [[compact]]
+    * retires the epoch (batches written there are invisible and
+    * eventually collected), and a concurrent [[build]]/[[refresh]]
+    * swaps the QUANTIZER — codes this stream encodes under the pinned
+    * row are meaningless under the new one even if the epoch survived.
+    * Either movement fails the batch loudly; restart the stream (fresh
+    * checkpoint) against the current manifest. One lineage per epoch:
+    * a fresh checkpoint refuses an epoch already holding `b=` batches
+    * (numbering would restart at 0 and overwrite them), and adopting
+    * an epoch holding batch-appended `cid=` files is refused in the
+    * other direction, like [[append]]'s guard. */
+  def appendStream(embStream: DataFrame, idCol: String, vecCol: String,
+                   path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = embStream.sparkSession
+    val m0 = Versioned.current(spark, path)
+    val dir = deltaPath(path, m0.epoch)
+    val names =
+      if (!exists(spark, dir)) Array.empty[String]
+      else new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(new Path(dir)).map(_.getPath.getName)
+    require(!names.exists(_.startsWith("cid=")),
+      s"delta epoch ${m0.epoch} holds batch-appended files — a streaming " +
+        s"lineage's replay overwrite cannot govern them; compact first")
+    require(!names.exists(_.startsWith("b=")) ||
+      exists(spark, s"$checkpoint/offsets"),
+      s"delta epoch ${m0.epoch} already holds a stream lineage's batches " +
+        s"and this checkpoint is fresh — batch numbering would restart at " +
+        s"0 and overwrite them; resume the original checkpoint or compact first")
+    encode(embStream, idCol, vecCol, quantAt(spark, path, m0))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cur = Versioned.current(spark, path)
+        if (cur.epoch != m0.epoch || cur.cents != m0.cents)
+          throw new IllegalStateException(
+            s"append stream's pinned manifest (epoch ${m0.epoch}, quantizer " +
+              s"${m0.cents}) was superseded (now epoch ${cur.epoch}, " +
+              s"quantizer ${cur.cents}) — its batches would be invisible " +
+              s"or encoded under a retired quantizer; restart the stream " +
+              s"with a fresh checkpoint")
+        batch.withColumn("b", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("b", "cid")
+          .parquet(dir)
+        ()
+      }
+      .start()
   }
 
   /** Whether ANY of `ids` is already indexed — the landed-or-not probe

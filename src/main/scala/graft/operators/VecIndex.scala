@@ -49,16 +49,20 @@ import org.apache.spark.sql.functions._
   * after publication, so mtime ≈ publication time ≤ any reader's pin
   * time.
   *
-  * The cells/delta split is an LSM pair and is load-bearing: the
-  * exactly-once streaming file sink governs its output directory
-  * through a `_spark_metadata` log, and a reader honoring that log sees
-  * ONLY log-listed files — mixing bulk-written and sink-written files
-  * in one directory silently hides the bulk half. So streams append to
-  * the current `delta/e=E`, bulk writes own their `cells/v=B`, [[open]]
-  * unions the two, and [[compact]] folds the delta into a new cells
-  * version, bumping the epoch in the same manifest publish (so rows are
-  * never counted from both sides). Search cost per probe = the probed
-  * cells' bytes only; the scan's PartitionFilters prove it (asserted by
+  * The cells/delta split is an LSM pair and is load-bearing: streams
+  * append to the current `delta/e=E` (one job-committed write per
+  * micro-batch under a `b=batchId` partition, so a checkpoint replay
+  * overwrites its own batch instead of duplicating it — see
+  * [[appendStream]], including the per-batch EPOCH FENCE against a
+  * concurrent compact retiring the directory), bulk writes own their
+  * `cells/v=B`, [[open]] unions the two, and [[compact]] folds the
+  * delta into a new cells version, bumping the epoch in the same
+  * manifest publish (so rows are never counted from both sides). One
+  * append discipline per epoch: a batch [[append]] refuses a
+  * stream-governed epoch and vice versa — a replayed micro-batch's
+  * partition overwrite and interleaved batch-append files cannot share
+  * a directory safely. Search cost per probe = the probed cells' bytes
+  * only; the scan's PartitionFilters prove it (asserted by
   * VecIndexSpec).
   *
   * Mutations are single-writer: each runs under the [[Lease]] for
@@ -149,13 +153,10 @@ object VecIndex {
 
   /** The full index at the CURRENT manifest: cells ∪ delta, whichever
     * sides exist (a pure-stream index has no cells version until its
-    * first compaction; a never-appended one has no delta). Each side is
-    * a single-path read, so the delta side goes through the file sink's
-    * metadata log when one governs it and an aborted micro-batch's
-    * orphan files stay invisible. The returned frame is a PINNED
-    * SNAPSHOT — it reads the resolved version's immutable paths, so
-    * concurrent maintenance never perturbs it (see the object doc's
-    * reader contract). */
+    * first compaction; a never-appended one has no delta). The returned
+    * frame is a PINNED SNAPSHOT — it reads the resolved version's
+    * immutable paths, so concurrent maintenance never perturbs it (see
+    * the object doc's reader contract). */
   def open(spark: SparkSession, path: String): DataFrame =
     tryOpen(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no index layout under $path"))
@@ -175,7 +176,9 @@ object VecIndex {
       else None
     val delta =
       if (Versioned.hasCells(spark, deltaPath(path, m.epoch)))
-        Some(spark.read.parquet(deltaPath(path, m.epoch)))
+        // drop the stream lineage's per-micro-batch replay key (a no-op
+        // on a batch-appended epoch, which has no b= level)
+        Some(spark.read.parquet(deltaPath(path, m.epoch)).drop("b"))
       else None
     (bulk.toSeq ++ delta.toSeq).reduceOption(_.unionByName(_))
   }
@@ -352,38 +355,71 @@ object VecIndex {
   }
 
   /** Incremental index maintenance: assign arriving vectors with
-    * [[assignFold]] and append them to the CURRENT DELTA EPOCH through
-    * the exactly-once parquet file sink. New rows land in their
-    * `delta/e=E/cid=N/` directories, so searches over `open(path)` keep
-    * pruning correctly as the index grows; [[compact]] folds the epoch
-    * into the cells side offline and bumps the epoch, exactly like any
-    * LSM-flavored index. The epoch is resolved ONCE at stream start —
-    * after a compaction, restart the stream (with a fresh checkpoint:
-    * the new epoch directory has no history the old log could govern). */
+    * [[assignFold]] and append them to the CURRENT DELTA EPOCH, one
+    * job-committed write per micro-batch under `delta/e=E/b=B/cid=N/`
+    * (the batch id is a partition column, so a checkpoint-replayed
+    * batch DYNAMICALLY OVERWRITES its own `b=B` partitions instead of
+    * duplicating them — exactly-once at the directory level, without a
+    * sink log governing the epoch directory). Searches over
+    * `open(path)` keep pruning correctly as the index grows;
+    * [[compact]] folds the epoch into the cells side offline and bumps
+    * the epoch, exactly like any LSM-flavored index.
+    *
+    * EPOCH FENCE: the epoch is resolved once at stream start, and
+    * every micro-batch re-reads the manifest before writing — a
+    * concurrent [[compact]] retires the epoch, and a stream that
+    * outlived it would otherwise keep writing batches no reader can
+    * see into a directory graced [[gc]] eventually deletes. The fence
+    * turns that silent loss into a loud stream failure: the batch
+    * throws, the query dies, and the operator restarts it (fresh
+    * checkpoint) against the new epoch. One stream lineage per epoch:
+    * a FRESH checkpoint restarts batch numbering at 0, so adopting an
+    * epoch that already holds another lineage's `b=` directories would
+    * overwrite them — refused at start (resume the original
+    * checkpoint, or compact first). */
   def appendStream(embStream: DataFrame, idCol: String, vecCol: String,
                    centroids: DataFrame, path: String,
                    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = embStream.sparkSession
     val e = currentManifest(spark, path).epoch
     // one append discipline per epoch, enforced in BOTH directions:
-    // [[append]] refuses a sink-governed epoch, and a sink must not
-    // adopt an epoch holding batch-written files — the sink's
-    // _spark_metadata log would govern the directory and silently hide
-    // them from every reader (the class doc's trap). A dir that is
-    // already sink-governed is fine: the restarted stream's log resumes.
+    // [[append]] refuses a stream-governed epoch, and a stream must
+    // not adopt an epoch holding batch-appended files — the epoch's
+    // lifecycle (replay overwrite by b=) only protects files the
+    // stream itself governs
     val dir = deltaPath(path, e)
-    require(!exists(spark, dir) || exists(spark, s"$dir/_spark_metadata") ||
-      !fs(spark, path).listStatus(new Path(dir))
-        .exists(_.getPath.getName.startsWith("cid=")),
-      s"delta epoch $e holds batch-appended files — a streaming sink's " +
-        s"log would hide them from readers; compact first")
+    val names =
+      if (!exists(spark, dir)) Array.empty[String]
+      else fs(spark, path).listStatus(new Path(dir)).map(_.getPath.getName)
+    require(!names.exists(_.startsWith("cid=")),
+      s"delta epoch $e holds batch-appended files — a streaming " +
+        s"lineage's replay overwrite cannot govern them; compact first")
+    require(!names.exists(_.startsWith("b=")) ||
+      exists(spark, s"$checkpoint/offsets"),
+      s"delta epoch $e already holds a stream lineage's batches and " +
+        s"this checkpoint is fresh — batch numbering would restart at 0 " +
+        s"and overwrite them; resume the original checkpoint or compact first")
     assignFold(embStream, idCol, vecCol, centroids)
       .select(col(idCol), col(vecCol), col("norm"), col("cid"))
-      .writeStream.format("parquet")
+      .writeStream
       .option("checkpointLocation", checkpoint)
-      .partitionBy("cid")
       .outputMode("append")
-      .start(deltaPath(path, e))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cur = currentManifest(spark, path).epoch
+        if (cur != e)
+          throw new IllegalStateException(
+            s"append stream's delta epoch $e was retired by a concurrent " +
+              s"compact (current epoch $cur) — batches written there are " +
+              s"invisible to readers and will be collected; restart the " +
+              s"stream with a fresh checkpoint")
+        batch.withColumn("b", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("b", "cid")
+          .parquet(dir)
+        ()
+      }
+      .start()
   }
 
   /** BATCH incremental append — the daily-driver form of
@@ -402,9 +438,12 @@ object VecIndex {
     Lease.withLease(spark, path, "vecindex-append") {
       val e = currentManifest(spark, path).epoch
       val dir = deltaPath(path, e)
-      require(!exists(spark, s"$dir/_spark_metadata"),
-        s"delta epoch $e is governed by a streaming sink log — batch " +
-          s"appends would be invisible to readers; compact first")
+      require(!exists(spark, s"$dir/_spark_metadata") &&
+        !(exists(spark, dir) && fs(spark, path).listStatus(new Path(dir))
+          .exists(_.getPath.getName.startsWith("b="))),
+        s"delta epoch $e is governed by a stream lineage — a replayed " +
+          s"micro-batch's partition overwrite could clobber interleaved " +
+          s"batch appends; compact first")
       assignFold(emb, idCol, vecCol, centroids)
         .select(col(idCol), col(vecCol), col("norm"), col("cid"))
         .write.mode("append").partitionBy("cid").parquet(dir)

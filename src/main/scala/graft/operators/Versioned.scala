@@ -82,11 +82,18 @@ private[operators] object Versioned {
     * write (a zero-row batch append, a delete that emptied the index)
     * leaves a bare directory with just _SUCCESS, and scanning that
     * fails parquet schema inference instead of reading as zero rows —
-    * the shared guard [[VecIndex]]/[[PqIndex]] open through. */
+    * the shared guard [[VecIndex]]/[[PqIndex]] open through. A
+    * stream-governed delta epoch nests its cells one level down
+    * (`b=B/cid=N` — the per-micro-batch replay-overwrite key), so a
+    * `b=` child counts when IT holds cells. */
   def hasCells(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(dir)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    f.exists(p) && f.listStatus(p).exists(_.getPath.getName.startsWith("cid="))
+    f.exists(p) && f.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      n.startsWith("cid=") || (n.startsWith("b=") &&
+        f.listStatus(st.getPath).exists(_.getPath.getName.startsWith("cid=")))
+    }
   }
 
   /** The grace-aging rule for gc sweeps, SUPERSESSION-bounded: a

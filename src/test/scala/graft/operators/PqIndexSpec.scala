@@ -230,6 +230,87 @@ class PqIndexSpec extends SparkSpecBase {
     assert(PqIndex.open(spark, dir).count() == emb.count())
   }
 
+  test("appendStream equals batch append; both epoch directions guarded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val day0 = emb.filter(col("vec_id") % 3 =!= 0)
+    val day1 = emb.filter(col("vec_id") % 3 === 0)
+    val streamed = tempDir("pqidx-stream")
+    val batched = tempDir("pqidx-stream-ref")
+    PqIndex.build(day0, "vec_id", "embedding", quant, streamed)
+    PqIndex.build(day0, "vec_id", "embedding", quant, batched)
+    PqIndex.append(day1, "vec_id", "embedding", batched)
+    val rows1 = day1.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val q = PqIndex.appendStream(input.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", streamed, tempDir("pqidx-stream-ckpt"))
+    try {
+      rows1.grouped(math.max(1, rows1.length / 3 + 1)).foreach { g =>
+        input.addData(g); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def codeRows(p: String) = PqIndex.open(spark, p)
+      .select(col("vec_id"), col("cid"), col("codes"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).sortBy(_._1)
+    assert(codeRows(streamed).nonEmpty &&
+      codeRows(streamed).sameElements(codeRows(batched)),
+      "streamed code table diverged from the batch-appended one")
+    // one discipline per epoch, both directions
+    val eBatch = intercept[IllegalArgumentException] {
+      PqIndex.append(day1, "vec_id", "embedding", streamed)
+    }
+    assert(eBatch.getMessage.contains("stream lineage"), eBatch.getMessage)
+    val input2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val eFresh = intercept[IllegalArgumentException] {
+      PqIndex.appendStream(input2.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", streamed, tempDir("pqidx-stream-ckpt-fresh"))
+    }
+    assert(eFresh.getMessage.contains("resume the original checkpoint"),
+      eFresh.getMessage)
+    val eStream = intercept[IllegalArgumentException] {
+      PqIndex.appendStream(input2.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", batched, tempDir("pqidx-stream-ckpt2"))
+    }
+    assert(eStream.getMessage.contains("batch-appended"), eStream.getMessage)
+  }
+
+  test("a live append stream fails loudly when its quantizer is superseded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tempDir("pqidx-qfence")
+    val day0 = emb.filter(col("vec_id") % 3 =!= 0)
+    PqIndex.build(day0, "vec_id", "embedding", quant, dir)
+    val rows1 = emb.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val q = PqIndex.appendStream(input.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir, tempDir("pqidx-qfence-ckpt"))
+    try {
+      input.addData(rows1.take(4)); q.processAllAvailable()
+      val n0 = PqIndex.open(spark, dir).count()
+      // a concurrent BUILD keeps the epoch but swaps the quantizer —
+      // codes this stream encodes under the pinned row are meaningless
+      // under the new one; the per-batch fence must catch cents alone
+      val cents8 = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("centroid"))
+      val quantB = PqIndex.quantFrom(cents8,
+        emb.select(col("vec_id"), col("embedding"),
+          (col("vec_id") % 8).cast("int").as("cid")),
+        "vec_id", "embedding", m, 16, 1).localCheckpoint()
+      PqIndex.build(day0, "vec_id", "embedding", quantB, dir)
+      input.addData(rows1.drop(4))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def chain(t: Throwable): String =
+        if (t == null) "" else t.toString + "\n" + chain(t.getCause)
+      assert(chain(e).contains("retired quantizer") ||
+        chain(e).contains("superseded"), s"fence silent:\n${chain(e)}")
+    } finally q.stop()
+  }
+
   test("quantFrom rejects a gapped coarse cid set") {
     import spark.implicits._
     val coarse = emb.filter(col("vec_id") === 0 || col("vec_id") === 2)

@@ -129,9 +129,15 @@ class VecIndexSpec extends SparkSpecBase {
       .select(col("vec_id"), col("cid")).collect()
       .map(r => (r.getLong(0), r.getInt(1))).sorted
     assert(streamed.sameElements(expected), "streamed assignments diverged from batch")
-    val cellDirs = new java.io.File(s"$dir/delta/e=1").listFiles()
-      .filter(_.isDirectory).map(_.getName).count(_.startsWith("cid="))
-    assert(cellDirs >= 1, "no cid= partition directories in the streamed delta")
+    // the lineage layout: per-micro-batch b= partitions, cells nested
+    val batchDirs = new java.io.File(s"$dir/delta/e=1").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("b="))
+    assert(batchDirs.length == 2,
+      s"expected one b= dir per micro-batch: ${batchDirs.map(_.getName).toSeq}")
+    assert(batchDirs.forall(_.listFiles().exists(_.getName.startsWith("cid="))),
+      "no cid= partition directories in the streamed delta batches")
+    // and the b= replay key never leaks into the reader's schema
+    assert(!idx.columns.contains("b"), s"b leaked: ${idx.columns.toSeq}")
   }
 
   test("compact merges streamed small files; rows, layout, and pruning survive") {
@@ -600,6 +606,89 @@ class VecIndexSpec extends SparkSpecBase {
       "a fenced-out maintenance op still changed the index")
     VecIndex.compact(spark, dir, "vec_id") // writable again after release
     assert(rows().sameElements(before))
+  }
+
+  test("a live append stream fails loudly when a concurrent compact retires its epoch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = KMeans.lloyd(emb, "vec_id", "embedding", k = 4, iters = 1)
+      .localCheckpoint()
+    val dir = tempDir("vecfence")
+    VecIndex.build(emb.limit(20), "vec_id", "embedding", cents, dir)
+    val batch = emb.filter(col("vec_id") >= 20).limit(16)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val q = VecIndex.appendStream(input.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cents, dir, tempDir("vecfence-ckpt"))
+    try {
+      input.addData(batch.take(8))
+      q.processAllAvailable()
+      assert(VecIndex.open(spark, dir).count() == 28)
+      // concurrent maintenance folds the delta and bumps the epoch —
+      // the stream's directory is retired under it
+      VecIndex.compact(spark, dir, "vec_id", gcGraceMs = 60L * 60 * 1000)
+      input.addData(batch.drop(8))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def chain(t: Throwable): String =
+        if (t == null) "" else t.toString + "\n" + chain(t.getCause)
+      assert(chain(e).contains("retired by a concurrent compact"),
+        s"fence did not name the retirement:\n${chain(e)}")
+      // the failed batch landed NOTHING a reader could miss: the live
+      // index still serves exactly the pre-failure rows
+      assert(VecIndex.open(spark, dir).count() == 28,
+        "a fenced batch leaked rows into the live index")
+    } finally q.stop()
+    // the operator's documented recovery: restart against the current
+    // epoch with a fresh checkpoint — the remaining arrivals land
+    val input2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val q2 = VecIndex.appendStream(input2.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cents, dir, tempDir("vecfence-ckpt2"))
+    try {
+      input2.addData(batch.drop(8))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(VecIndex.open(spark, dir).count() == 36,
+      "restarted stream did not land the remaining arrivals")
+  }
+
+  test("a fresh checkpoint refuses an epoch already holding another lineage's batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = KMeans.lloyd(emb, "vec_id", "embedding", k = 4, iters = 1)
+      .localCheckpoint()
+    val dir = tempDir("veclineage")
+    val ckpt = tempDir("veclineage-ckpt")
+    val batch = emb.limit(16).select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val q = VecIndex.appendStream(input.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cents, dir, ckpt)
+    try { input.addData(batch.take(8)); q.processAllAvailable() } finally q.stop()
+    // a NEW lineage (fresh checkpoint) would restart batch numbering at
+    // 0 and overwrite b=0 — refused at start
+    val input2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val e = intercept[IllegalArgumentException] {
+      VecIndex.appendStream(input2.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cents, dir, tempDir("veclineage-ckpt-fresh"))
+    }
+    assert(e.getMessage.contains("resume the original checkpoint"), e.getMessage)
+    // resuming the ORIGINAL checkpoint continues the lineage cleanly —
+    // the source replays its retained blocks (block 0 is already
+    // committed and is never re-read; block 1 lands as the next batch)
+    val input3 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    input3.addData(batch.take(8))
+    val q3 = VecIndex.appendStream(input3.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cents, dir, ckpt)
+    try { input3.addData(batch.drop(8)); q3.processAllAvailable() } finally q3.stop()
+    val ids = VecIndex.open(spark, dir).select(col("vec_id")).collect()
+      .map(_.getLong(0)).sorted
+    assert(ids.length == 16 && ids.distinct.length == 16,
+      s"resumed lineage lost or duplicated rows: ${ids.length}")
   }
 
   test("pinned view pairs centroids with cells across a concurrent retrain") {
