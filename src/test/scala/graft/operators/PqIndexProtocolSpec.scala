@@ -4,13 +4,18 @@ import graft.SparkSpecBase
 import org.apache.spark.sql.functions._
 
 /** Randomized protocol check for the persisted code table: any seeded
-  * sequence of append / delete / compact / compactIfDelta must land on
-  * exactly the surviving ids with exactly the codes a fresh build over
-  * the survivors would produce (codes are a pure function of the pinned
-  * quantizer, so cell AND code equality is the full-content claim —
-  * stronger than VecIndex's, whose re-cellings make cids layout). The
-  * pairwise contracts are pinned in PqIndexSpec; this composes them in
-  * random orders. */
+  * sequence of append / delete / compact / compactIfDelta / REFRESH
+  * (quantizer swap mid-sequence) must land on exactly the surviving
+  * ids with exactly the codes a fresh build over the survivors UNDER
+  * THE CURRENT QUANTIZER would produce (codes are a pure function of
+  * the pinned quantizer, so cell AND code equality is the full-content
+  * claim — stronger than VecIndex's, whose re-cellings make cids
+  * layout). Codes must pair with their quantizer under arbitrary
+  * interleavings: every refresh is followed by an openQuant identity
+  * probe, and the final equality only holds if no op ever mixed a
+  * superseded quantizer's codes into the live table. The pairwise
+  * contracts are pinned in PqIndexSpec; this composes them in random
+  * orders. */
 class PqIndexProtocolSpec extends SparkSpecBase {
 
   private val nChunks = 5
@@ -18,8 +23,17 @@ class PqIndexProtocolSpec extends SparkSpecBase {
   test("random maintenance sequences preserve exactly the surviving codes") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     // the SHARED q95/q134 quantizer definition — not a spec-local copy
-    val quant = graft.queries.CurationQ3
+    val quantA = graft.queries.CurationQ3
       .ivfpqQuant(spark, "/root/testdata/sf0.001").localCheckpoint()
+    // a second, structurally different quantizer for the refresh swaps
+    val quantB = PqIndex.quantFrom(
+      emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("centroid")),
+      emb.select(col("vec_id"), col("embedding"),
+        (col("vec_id") % 8).cast("int").as("cid")),
+      "vec_id", "embedding", m = 8, k = 16, iters = 1).localCheckpoint()
+    def quantRow(df: org.apache.spark.sql.DataFrame): String =
+      df.collect().map(_.toString).mkString
     def codeSet(df: org.apache.spark.sql.DataFrame): Array[(Long, Int, Seq[Int])] =
       df.select(col("vec_id"), col("cid"), col("codes")).collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).sortBy(_._1)
@@ -28,12 +42,15 @@ class PqIndexProtocolSpec extends SparkSpecBase {
       val dir = tempDir(s"pqproto$seed")
       // day 0 indexes chunks 1..n-1; chunk 0 stays out as APPEND feed
       PqIndex.build(emb.filter(col("vec_id") % nChunks =!= 0),
-        "vec_id", "embedding", quant, dir)
+        "vec_id", "embedding", quantA, dir)
+      var curQuant = quantA
       var liveChunks = (1 until nChunks).toSet
       var appendable = Set(0)
       val trace = new StringBuilder("build")
-      for (_ <- 1 to 7) {
-        val roll = rnd.nextInt(4)
+      def livePred = liveChunks.map(c => col("vec_id") % nChunks === c)
+        .reduce(_ || _)
+      for (_ <- 1 to 8) {
+        val roll = rnd.nextInt(5)
         if (roll == 0 && liveChunks.size > 1) {
           val seq = liveChunks.toSeq.sorted
           val c = seq(rnd.nextInt(seq.size))
@@ -47,6 +64,15 @@ class PqIndexProtocolSpec extends SparkSpecBase {
           PqIndex.append(emb.filter(col("vec_id") % nChunks === c),
             "vec_id", "embedding", dir)
           appendable -= c; liveChunks += c; trace ++= s" append($c)"
+        } else if (roll == 3) {
+          // quantizer swap mid-sequence: re-encode the SURVIVORS from
+          // source under the other quantizer (refresh's contract)
+          curQuant = if (curQuant eq quantA) quantB else quantA
+          PqIndex.refresh(emb.filter(livePred), "vec_id", "embedding",
+            curQuant, dir)
+          trace ++= " refresh"
+          assert(quantRow(PqIndex.openQuant(spark, dir)) == quantRow(curQuant),
+            s"published quantizer is not the refresh's after: $trace")
         } else {
           val fired = PqIndex.compactIfDelta(spark, dir, "vec_id",
             maxDeltaShare = 0.05)
@@ -54,9 +80,8 @@ class PqIndexProtocolSpec extends SparkSpecBase {
         }
       }
       val freshDir = tempDir(s"pqproto$seed-fresh")
-      PqIndex.build(emb.filter(
-        liveChunks.map(c => col("vec_id") % nChunks === c).reduce(_ || _)),
-        "vec_id", "embedding", quant, freshDir)
+      PqIndex.build(emb.filter(livePred), "vec_id", "embedding",
+        curQuant, freshDir)
       val got = codeSet(PqIndex.open(spark, dir))
       val want = codeSet(PqIndex.open(spark, freshDir))
       assert(got.length === want.length,
