@@ -212,6 +212,12 @@ object ScaleCheck {
     }
     if (args.contains("driver")) { // daily-driver section only
       driverCheck(spark, dirs)
+      driverAgingCheck(spark)
+      spark.stop()
+      return
+    }
+    if (args.contains("aging")) { // multi-day aging section only
+      driverAgingCheck(spark)
       spark.stop()
       return
     }
@@ -236,6 +242,7 @@ object ScaleCheck {
     if (args.isEmpty) {
       incrementalDeltaCheck(spark, dirs); bpeTrainCheck(spark, dirs)
       indexedSearchCheck(spark, dirs); driverCheck(spark, dirs)
+      driverAgingCheck(spark)
     }
     if (args.contains("search")) indexedSearchCheck(spark, dirs)
     spark.stop()
@@ -252,7 +259,7 @@ object ScaleCheck {
   private def driverCheck(spark: SparkSession, dirs: Seq[String]): Unit = {
     import graft.pipelines.{Curation, DailyDriver}
     println()
-    println(f"${"daily driver"}%-24s ${"init"}%8s ${"step"}%8s ${"maint"}%8s ${"search"}%8s")
+    println(f"${"daily driver"}%-24s ${"init"}%8s ${"step"}%8s ${"maint"}%8s ${"search"}%8s ${"pq"}%8s")
     for (d <- dirs) {
       spark.catalog.clearCache()
       val dir = s"target/scalecheck_driver/${d.replaceAll("[^A-Za-z0-9]", "_")}"
@@ -284,7 +291,75 @@ object ScaleCheck {
         .select(col("doc_id").as("q_id"), col("embedding"))
       val tSearch = timed(
         DailyDriver.hybridSearch(spark, dir, queries, probes).count())
-      println(f"${d.split('/').last}%-24s $tInit%8.2f $tStep%8.2f $tMaint%8.2f $tSearch%8.2f")
+      // the PQ production path at a bounded nomination depth (4× the
+      // fused candidate depth): ADC over the code table + exact rerank
+      // of only the nominations — the per-probe scoring cost is
+      // ~pqDepth, not the probed cells' occupancy, so this must stay
+      // as flat as (or flatter than) the exact column as cells fill up
+      val tPq = timed(DailyDriver.hybridSearch(spark, dir, queries, probes,
+        pqDepth = 40).count())
+      println(f"${d.split('/').last}%-24s $tInit%8.2f $tStep%8.2f " +
+        f"$tMaint%8.2f $tSearch%8.2f $tPq%8.2f")
+    }
+  }
+
+  /** Long-horizon aging: N daily steps against ONE driver dir with
+    * `maintain` every k — the proof that the policies keep BOTH the
+    * recurring costs and the on-disk state flat in N, which a one-step
+    * measurement cannot show. Per step: step time, the recurring hybrid
+    * search in both forms (exact in-cell and the PQ production depth),
+    * and the LIVE FILE COUNT under the driver dir (offline-discipline
+    * gc, grace 0 — retired epochs/versions must not accumulate). */
+  private def driverAgingCheck(spark: SparkSession): Unit = {
+    import graft.pipelines.{Curation, DailyDriver}
+    val d = "/root/testdata/sf0.01"
+    val steps = 12
+    val maintainEvery = 4
+    println()
+    println(f"${"driver aging (sf0.01)"}%-24s ${"step"}%8s ${"search"}%8s ${"pq"}%8s ${"maint"}%8s ${"files"}%8s")
+    spark.catalog.clearCache()
+    val dir = "target/scalecheck_driver_aging"
+    val dp = new org.apache.hadoop.fs.Path(dir)
+    val hfs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(dp, true)
+    def files(): Long = {
+      if (!hfs.exists(dp)) return 0L
+      val it = hfs.listFiles(dp, true)
+      var n = 0L
+      while (it.hasNext) { it.next(); n += 1 }
+      n
+    }
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val mod = 2L * steps // day0 = half the corpus, each step 1/(2·steps)
+    val day0 = docs.filter(col("doc_id") % mod >= steps)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val cfg = Curation.Config(minQuality = 2.95)
+    val qBatch = docs.filter(col("doc_id") % 29 === 0 && col("doc_id") < 500)
+    val queries = qBatch.select(col("doc_id").as("q_id"), col("text"))
+    val probes = emb.join(qBatch.select(col("doc_id")), Seq("doc_id"))
+      .select(col("doc_id").as("q_id"), col("embedding"))
+    def timed[T](body: => T): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    val tInit = timed(DailyDriver.init(spark, day0, bench, dir, cfg,
+      Some(emb.join(day0.select(col("doc_id")), Seq("doc_id")))))
+    println(f"${"init"}%-24s $tInit%8.2f ${""}%8s ${""}%8s ${""}%8s ${files()}%8d")
+    for (i <- 0 until steps) {
+      val delta = docs.filter(col("doc_id") % mod === i.toLong)
+      val tStep = timed(DailyDriver.step(spark, delta, bench, dir, cfg, Some(emb)))
+      val tSearch = timed(
+        DailyDriver.hybridSearch(spark, dir, queries, probes).count())
+      val tPq = timed(DailyDriver.hybridSearch(spark, dir, queries, probes,
+        pqDepth = 40).count())
+      val tMaint =
+        if ((i + 1) % maintainEvery == 0)
+          timed(DailyDriver.maintain(spark, dir,
+            lexGcGraceMs = 0L, vecGcGraceMs = 0L, embeddings = Some(emb)))
+        else 0.0
+      println(f"${s"step ${i + 1}"}%-24s $tStep%8.2f $tSearch%8.2f " +
+        f"$tPq%8.2f $tMaint%8.2f ${files()}%8d")
     }
   }
 
