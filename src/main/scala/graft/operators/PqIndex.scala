@@ -150,10 +150,33 @@ object PqIndex {
       epoch = if (bumpEpoch) m.epoch + 1L else m.epoch, cents = n)
   }
 
+  /** [[build]]'s live-delta guard: build keeps the epoch, so a live
+    * delta's codes stay visible — valid ONLY if the quantizer content
+    * is unchanged (the delta was encoded under the pinned row). A
+    * rebuild that swaps the quantizer over a live delta would pair the
+    * old quantizer's codes with the new row — silently wrong ADC
+    * distances, the class doc's exact hazard — so refuse loudly and
+    * point at [[refresh]], which re-encodes from source and retires
+    * the epoch in the same publish. One-row collects. */
+  private def requireDeltaCompatible(spark: SparkSession, path: String,
+                                     quant: DataFrame): Unit = {
+    val m = Versioned.current(spark, path)
+    if (m.cents > 0L && Versioned.hasCells(spark, deltaPath(path, m.epoch))) {
+      val same = quant.collect().map(_.toString).mkString ==
+        quantAt(spark, path, m).collect().map(_.toString).mkString
+      require(same,
+        s"rebuild under a DIFFERENT quantizer with a live delta under " +
+          s"$path — the epoch's codes belong to the pinned quantizer and " +
+          s"would score silently wrong under the new one; use refresh")
+    }
+  }
+
   /** Build the code table from scratch: encode every vector (one
     * map-side kernel scan), land it partitioned by coarse cell, install
     * the quantizer row, publish — codes and quantizer in ONE manifest
-    * step. The delta side (if any) is untouched, like [[VecIndex.build]].
+    * step. The delta side (if any) is untouched, like [[VecIndex.build]]
+    * — guarded: a live delta is only kept under an UNCHANGED quantizer
+    * ([[requireDeltaCompatible]]).
     *
     * @param quant ONE row (g_cents, g_ccs, cents, ccs) — see the class
     *              doc; materialized small, broadcast into the encode */
@@ -161,6 +184,7 @@ object PqIndex {
             quant: DataFrame, path: String): Unit = {
     val spark = emb.sparkSession
     Lease.withLease(spark, path, "pqindex-build") {
+      requireDeltaCompatible(spark, path, quant)
       installLocked(spark, path, encode(emb, idCol, vecCol, quant),
         idCol, quant, bumpEpoch = false)
     }
@@ -172,6 +196,7 @@ object PqIndex {
                     quant: DataFrame, path: String): Unit = {
     val spark = assigned.sparkSession
     Lease.withLease(spark, path, "pqindex-build") {
+      requireDeltaCompatible(spark, path, quant)
       installLocked(spark, path,
         encodeAssigned(assigned, idCol, vecCol, quant),
         idCol, quant, bumpEpoch = false)
@@ -279,6 +304,10 @@ object PqIndex {
       if (!exists(spark, dir)) Array.empty[String]
       else new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
         .listStatus(new Path(dir)).map(_.getPath.getName)
+    require(!names.contains("_spark_metadata"),
+      s"delta epoch ${m0.epoch} is governed by a legacy streaming sink " +
+        s"log — readers honoring the log would never see this lineage's " +
+        s"batches; compact first")
     require(!names.exists(_.startsWith("cid=")),
       s"delta epoch ${m0.epoch} holds batch-appended files — a streaming " +
         s"lineage's replay overwrite cannot govern them; compact first")
@@ -292,19 +321,27 @@ object PqIndex {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val cur = Versioned.current(spark, path)
-        if (cur.epoch != m0.epoch || cur.cents != m0.cents)
-          throw new IllegalStateException(
-            s"append stream's pinned manifest (epoch ${m0.epoch}, quantizer " +
-              s"${m0.cents}) was superseded (now epoch ${cur.epoch}, " +
-              s"quantizer ${cur.cents}) — its batches would be invisible " +
-              s"or encoded under a retired quantizer; restart the stream " +
-              s"with a fresh checkpoint")
-        batch.withColumn("b", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("b", "cid")
-          .parquet(dir)
+        // fence-then-write under the index lease ([[VecIndex
+        // .appendStream]]'s rationale): maintenance mutations hold the
+        // same lease, so a compact/build/refresh can never publish
+        // between this manifest read and the write — a bare re-read
+        // would lose the batch silently (written into a retired
+        // directory, offsets then committed, never replayed)
+        Lease.withLease(spark, path, "pqindex-append") {
+          val cur = Versioned.current(spark, path)
+          if (cur.epoch != m0.epoch || cur.cents != m0.cents)
+            throw new IllegalStateException(
+              s"append stream's pinned manifest (epoch ${m0.epoch}, quantizer " +
+                s"${m0.cents}) was superseded (now epoch ${cur.epoch}, " +
+                s"quantizer ${cur.cents}) — its batches would be invisible " +
+                s"or encoded under a retired quantizer; restart the stream " +
+                s"with a fresh checkpoint")
+          batch.withColumn("b", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("b", "cid")
+            .parquet(dir)
+        }
         ()
       }
       .start()
@@ -495,14 +532,20 @@ object PqIndex {
     val shape = coarse
       .agg(min(col("cid")).cast("long").as("lo"),
         max(col("cid")).cast("long").as("hi"), count(lit(1)).as("n"),
+        count_distinct(col("cid")).as("nd"),
         min(size(col("centroid"))).as("dim"))
       .collect().head
     require(!shape.isNullAt(2) && shape.getLong(2) > 0L,
       "quantFrom needs a non-empty coarse quantizer")
-    require(shape.getLong(0) == 0L && shape.getLong(1) == shape.getLong(2) - 1L,
-      s"coarse cids must be contiguous 0..n-1 (g_cents is positional); " +
-        s"got [${shape.getLong(0)}, ${shape.getLong(1)}] over ${shape.getLong(2)} cells")
-    val dim = shape.getInt(3)
+    // distinct-count too: duplicates satisfy min/max/count bounds only
+    // together with a gap, but a duplicated row alone (a join fan-out)
+    // would shift every later centroid's position just the same
+    require(shape.getLong(0) == 0L && shape.getLong(1) == shape.getLong(2) - 1L &&
+      shape.getLong(3) == shape.getLong(2),
+      s"coarse cids must be contiguous, duplicate-free 0..n-1 (g_cents is " +
+        s"positional); got [${shape.getLong(0)}, ${shape.getLong(1)}], " +
+        s"${shape.getLong(3)} distinct over ${shape.getLong(2)} rows")
+    val dim = shape.getInt(4)
     require(m > 0 && dim % m == 0, s"vector dim $dim not divisible into m=$m subspaces")
     val coarseRow = PQ.codebookRow(coarse.select(lit(0).as("j"),
         col("cid").cast("int").as("c_id"), col("centroid").as("cent"),

@@ -391,6 +391,10 @@ object VecIndex {
     val names =
       if (!exists(spark, dir)) Array.empty[String]
       else fs(spark, path).listStatus(new Path(dir)).map(_.getPath.getName)
+    require(!names.contains("_spark_metadata"),
+      s"delta epoch $e is governed by a legacy streaming sink log — " +
+        s"readers honoring the log would never see this lineage's " +
+        s"batches; compact first")
     require(!names.exists(_.startsWith("cid=")),
       s"delta epoch $e holds batch-appended files — a streaming " +
         s"lineage's replay overwrite cannot govern them; compact first")
@@ -405,18 +409,30 @@ object VecIndex {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val cur = currentManifest(spark, path).epoch
-        if (cur != e)
-          throw new IllegalStateException(
-            s"append stream's delta epoch $e was retired by a concurrent " +
-              s"compact (current epoch $cur) — batches written there are " +
-              s"invisible to readers and will be collected; restart the " +
-              s"stream with a fresh checkpoint")
-        batch.withColumn("b", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("b", "cid")
-          .parquet(dir)
+        // the whole fence-then-write runs under the index lease, the
+        // same lease every maintenance mutation holds — a bare re-read
+        // would be check-then-write: a compact publishing between the
+        // manifest read and the parquet write (plus the offset commit
+        // that follows a normal return) would lose this batch SILENTLY
+        // into the retired directory, the exact loss the fence exists
+        // to make loud. Under the lease, compact cannot interleave; if
+        // it already retired the epoch, the batch throws before
+        // writing, the offsets stay uncommitted, and the restarted
+        // stream replays it against the current epoch.
+        Lease.withLease(spark, path, "vecindex-append") {
+          val cur = currentManifest(spark, path).epoch
+          if (cur != e)
+            throw new IllegalStateException(
+              s"append stream's delta epoch $e was retired by a concurrent " +
+                s"compact (current epoch $cur) — batches written there are " +
+                s"invisible to readers and will be collected; restart the " +
+                s"stream with a fresh checkpoint")
+          batch.withColumn("b", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("b", "cid")
+            .parquet(dir)
+        }
         ()
       }
       .start()

@@ -270,10 +270,14 @@ object DailyDriver {
       VecIndex.build(candEmb, "doc_id", "embedding",
         cents, vecIndexDir(dir), persistCentroids = true)
       // the code table shares the raw index's cosine cell layout —
-      // one assignment, two stores (the rerank path's contract)
+      // one assignment, two stores (the rerank path's contract).
+      // Checkpointed: the sub-codebook trainer and the encode both
+      // scan it — uncheckpointed, the candidates join + assignment
+      // fold would run twice over the corpus
       val assigned = VecIndex
         .assignFold(candEmb, "doc_id", "embedding", cents)
         .select(col("doc_id"), col("embedding"), col("cid"))
+        .localCheckpoint()
       PqIndex.buildAssigned(assigned, "doc_id", "embedding",
         PqIndex.quantFrom(cents, assigned, "doc_id", "embedding",
           PqSubspaces, PqCodebookK, PqIters),
@@ -530,29 +534,35 @@ object DailyDriver {
     val pqdir = pqIndexDir(dir)
     if (VecIndex.currentVersion(spark, vdir) > 0L) {
       val pqLive = PqIndex.currentVersion(spark, pqdir) > 0L
-      // correctness guard BEFORE the retrain policy: a retrain moves
-      // the coarse layout BOTH stores share, and the lossy code table
-      // can only follow it by re-encoding from source — with no source
-      // in hand, refuse up front rather than desync the stores
-      if (pqLive && embeddings.isEmpty) {
+      if (pqLive) {
+        // ONE skew measurement drives both the no-source guard and the
+        // retrain decision (compact preserves the row set, so the value
+        // cannot change between here and the retrain)
         val skew = VecIndex.cellSkew(spark, vdir)
-        require(skew <= vecMaxCellShare,
+        // correctness guard BEFORE the retrain: a retrain moves the
+        // coarse layout BOTH stores share, and the lossy code table can
+        // only follow it by re-encoding from source — with no source in
+        // hand, refuse up front rather than desync the stores
+        require(skew <= vecMaxCellShare || embeddings.nonEmpty,
           s"vec index needs a retrain (cell skew $skew > $vecMaxCellShare) " +
             s"but the driver maintains a PQ code table and no embeddings " +
             s"source was passed — the re-celled layout could not be " +
             s"re-encoded; call maintain with embeddings")
-      }
-      VecIndex.compactIfDelta(spark, vdir, "doc_id", vecDeltaShare, vecGcGraceMs)
-      val retrained = VecIndex.maintainIfSkewed(spark, vdir, "doc_id",
-        "embedding", k = VecCells, maxCellShare = vecMaxCellShare)
-      // gc runs UNCONDITIONALLY: retrain (the policy above) publishes a
-      // full superseded cells+centroids version but only compact sweeps
-      // — a drift-heavy, append-light driver would otherwise strand a
-      // corpus-sized copy per retrain forever. A no-garbage sweep is a
-      // driver-side listing.
-      VecIndex.gc(spark, vdir, vecGcGraceMs)
-      if (pqLive) {
-        val needRefresh = retrained ||
+        VecIndex.compactIfDelta(spark, vdir, "doc_id", vecDeltaShare,
+          vecGcGraceMs)
+        if (skew > vecMaxCellShare)
+          VecIndex.retrain(spark, vdir, "doc_id", "embedding", k = VecCells)
+        VecIndex.gc(spark, vdir, vecGcGraceMs)
+        // The refresh trigger is PERSISTED state, not this pass's
+        // in-memory retrain flag: the PQ quantizer row's coarse half is
+        // compared content-wise against the raw index's current
+        // centroids. A crash (or a quantFrom failure) between a
+        // committed retrain and the refresh publish leaves the stores
+        // desynced — an in-memory flag would forget that on the next
+        // pass and the code table would stay encoded under the retired
+        // layout FOREVER, silently degrading every pqDepth search. The
+        // persisted comparison re-arms the refresh until it lands.
+        val needRefresh = !pqCoarseAligned(spark, vdir, pqdir) ||
           PqIndex.cellSkew(spark, pqdir) > pqMaxCellShare
         if (needRefresh && embeddings.nonEmpty) {
           // re-encode the CURRENT candidates from source under the raw
@@ -571,18 +581,55 @@ object DailyDriver {
           val assigned = VecIndex
             .assignFold(candEmb, "doc_id", "embedding", cents)
             .select(col("doc_id"), col("embedding"), col("cid"))
+            .localCheckpoint() // scanned by the trainer AND the encode
           PqIndex.refreshAssigned(assigned, "doc_id", "embedding",
             PqIndex.quantFrom(cents, assigned, "doc_id", "embedding",
               PqSubspaces, PqCodebookK, PqIters),
             pqdir, vecGcGraceMs)
         } else {
           // skew-triggered refresh without a source falls back to the
-          // fold (documented above); the fold alone never desyncs
+          // fold (the guard above already rejected the DESYNC case);
+          // the fold alone never desyncs
           PqIndex.compactIfDelta(spark, pqdir, "doc_id", vecDeltaShare,
             vecGcGraceMs)
         }
         PqIndex.gc(spark, pqdir, vecGcGraceMs)
+      } else {
+        VecIndex.compactIfDelta(spark, vdir, "doc_id", vecDeltaShare,
+          vecGcGraceMs)
+        VecIndex.maintainIfSkewed(spark, vdir, "doc_id", "embedding",
+          k = VecCells, maxCellShare = vecMaxCellShare)
+        // gc runs UNCONDITIONALLY: retrain (the policy above) publishes
+        // a full superseded cells+centroids version but only compact
+        // sweeps — a drift-heavy, append-light driver would otherwise
+        // strand a corpus-sized copy per retrain forever. A no-garbage
+        // sweep is a driver-side listing.
+        VecIndex.gc(spark, vdir, vecGcGraceMs)
       }
     }
    }
+
+  /** Whether the PQ quantizer's coarse half content-equals the raw
+    * index's CURRENT centroids — the persisted two-store alignment
+    * signal [[maintain]]'s refresh trigger reads (both sides were
+    * written from the same relation when aligned, so the float arrays
+    * compare bitwise). Two quantizer-sized reads. */
+  private def pqCoarseAligned(spark: SparkSession, vdir: String,
+                              pqdir: String): Boolean = {
+    import graft.operators.{PqIndex, VecIndex}
+    val vecCents = VecIndex.openCentroids(spark, vdir) match {
+      case None => return true // no quantizer — nothing to drift from
+      case Some(c) => c.select(col("cid"), col("centroid")).collect()
+        .sortBy(_.getAs[Number]("cid").intValue)
+        .map(_.getSeq[Float](1).toIndexedSeq)
+    }
+    // g_cents is 1 subspace × nc cells × dim floats — unwrap the
+    // single whole-vector subspace, then compare cell-by-cell
+    val g = PqIndex.openQuant(spark, pqdir).select(col("g_cents"))
+      .collect().head
+      .getSeq[scala.collection.Seq[scala.collection.Seq[Float]]](0)
+      .head.map(_.toIndexedSeq)
+    g.length == vecCents.length &&
+      g.indices.forall(i => g(i) == vecCents(i))
+  }
 }

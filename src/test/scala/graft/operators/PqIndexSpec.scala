@@ -290,24 +290,32 @@ class PqIndexSpec extends SparkSpecBase {
     try {
       input.addData(rows1.take(4)); q.processAllAvailable()
       val n0 = PqIndex.open(spark, dir).count()
-      // a concurrent BUILD keeps the epoch but swaps the quantizer —
-      // codes this stream encodes under the pinned row are meaningless
-      // under the new one; the per-batch fence must catch cents alone
+      // a rebuild that SWAPS the quantizer over this live delta is
+      // refused outright — the epoch's codes belong to the pinned row
       val cents8 = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").cast("int").as("cid"), col("embedding").as("centroid"))
       val quantB = PqIndex.quantFrom(cents8,
         emb.select(col("vec_id"), col("embedding"),
           (col("vec_id") % 8).cast("int").as("cid")),
         "vec_id", "embedding", m, 16, 1).localCheckpoint()
-      PqIndex.build(day0, "vec_id", "embedding", quantB, dir)
+      val eBuild = intercept[IllegalArgumentException] {
+        PqIndex.build(day0, "vec_id", "embedding", quantB, dir)
+      }
+      assert(eBuild.getMessage.contains("use refresh"), eBuild.getMessage)
+      assert(PqIndex.open(spark, dir).count() == n0,
+        "refused rebuild mutated the table")
+      // a rebuild under the SAME quantizer content passes the guard but
+      // still supersedes the pinned manifest (new cents version) — the
+      // per-batch fence must catch the quantizer coordinate ALONE (the
+      // epoch is unchanged by build)
+      PqIndex.build(day0, "vec_id", "embedding", quant, dir)
       input.addData(rows1.drop(4))
       val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
         q.processAllAvailable()
       }
       def chain(t: Throwable): String =
         if (t == null) "" else t.toString + "\n" + chain(t.getCause)
-      assert(chain(e).contains("retired quantizer") ||
-        chain(e).contains("superseded"), s"fence silent:\n${chain(e)}")
+      assert(chain(e).contains("superseded"), s"fence silent:\n${chain(e)}")
     } finally q.stop()
   }
 
@@ -321,6 +329,17 @@ class PqIndexSpec extends SparkSpecBase {
       PqIndex.quantFrom(coarse, assigned, "vec_id", "embedding", m, 4, 0)
     }
     assert(e.getMessage.contains("contiguous"), e.getMessage)
+    // duplicates satisfy the min/max/count bounds only together with a
+    // gap — a duplicated row alone must also fail (positional shift)
+    val dup = emb.filter(col("vec_id") < 4)
+      .select(when(col("vec_id") === 3, lit(1)).otherwise(col("vec_id"))
+        .cast("int").as("cid"), col("embedding").as("centroid"))
+      .unionByName(emb.filter(col("vec_id") === 0)
+        .select(lit(3).cast("int").as("cid"), col("embedding").as("centroid")))
+    val e2 = intercept[IllegalArgumentException] {
+      PqIndex.quantFrom(dup, assigned, "vec_id", "embedding", m, 4, 0)
+    }
+    assert(e2.getMessage.contains("duplicate-free"), e2.getMessage)
   }
 
   test("delete retracts ids; pinned readers survive graced maintenance") {

@@ -223,6 +223,40 @@ class DailyDriverCrashSpec extends SparkSpecBase {
       "replayed step double-appended the PQ code table")
   }
 
+  test("a crash between a committed vec retrain and the pq refresh re-arms persistently") {
+    import graft.operators.{PqIndex, VecIndex}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val bench = docs.filter(col("doc_id") % 50 === 0).select("doc_id", "text")
+    val dir = tempDir("daily-crash-desync")
+    DailyDriver.init(spark, docs, bench, dir, cfg, Some(emb))
+    val vdir = DailyDriver.vecIndexDir(dir)
+    val pqdir = DailyDriver.pqIndexDir(dir)
+    def layout(open: => org.apache.spark.sql.DataFrame): Array[(Long, Int)] =
+      open.select(col("doc_id"), col("cid")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted
+    // simulate the torn maintain: the raw index's retrain COMMITTED
+    // (new quantizer + re-celled rows published), then the process died
+    // before the PQ refresh — the state an in-memory trigger forgets.
+    // k differs from init's so the committed layout actually moves
+    // (lloyd is deterministic: same k over the same rows would land on
+    // init's own quantizer and the fixture would be vacuous)
+    VecIndex.retrain(spark, vdir, "doc_id", "embedding", k = 5, iters = 2)
+    assert(!layout(DailyDriver.openVecIndex(spark, dir))
+      .sameElements(layout(PqIndex.open(spark, pqdir))),
+      "fixture vacuous: retrain did not move the shared cell layout")
+    // the next maintain reads the PERSISTED alignment (quantizer
+    // content comparison), re-arms the refresh, and re-syncs — no
+    // retrain fires this pass, so an in-memory flag would skip it
+    DailyDriver.maintain(spark, dir, vecDeltaShare = 0.0,
+      vecGcGraceMs = 0L, embeddings = Some(emb))
+    assert(layout(DailyDriver.openVecIndex(spark, dir))
+      .sameElements(layout(PqIndex.open(spark, pqdir))),
+      "maintain did not repair the desynced code table")
+  }
+
   test("a torn lease file is treated as garbage, not a permanent block") {
     val (dir, delta, bench) = freshDriver()
     val fs = fsOf(dir)
