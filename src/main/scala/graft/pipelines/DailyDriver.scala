@@ -154,7 +154,12 @@ object DailyDriver {
     * the reranker always probe the same cells; a concurrent [[maintain]]
     * refresh between the two stores' (separately pinned) manifests can
     * at worst cost nominations — rerank never scores outside its own
-    * pinned cells (see VecIndex.rerank's contract).
+    * pinned cells (see VecIndex.rerank's contract). The PQ path is
+    * GATED on the persisted store alignment ([[pqCoarseAligned]]): a
+    * code table stranded on a retired coarse layout (a crash between a
+    * vec retrain and its refresh) silently degrades nomination recall,
+    * so a desynced call falls back to the exact scan — always-correct
+    * results at the exact path's cost until maintain repairs the pair.
     *
     * @param queries (q_id, text) — the text queries, workload-sized
     * @param probes  (q_id, embedding) — the vector probes (typically
@@ -208,8 +213,17 @@ object DailyDriver {
     val pr = KMeans.assignTop(probes, "q_id", "embedding", cents, nprobe)
       .join(probes, Seq("q_id"))
       .select(col("q_id"), col("embedding").as("q_vec"), col("cid").as("q_cid"))
+    // the PQ path is taken only when the code table's coarse layout
+    // content-equals THIS call's pinned quantizer (one quantizer-sized
+    // read — noise next to the search): between a committed vec
+    // retrain and the maintain pass that re-encodes the code table,
+    // the two stores are desynced and nominations would silently lose
+    // recall — fall back to the always-correct exact scan instead and
+    // let maintain repair the alignment
+    val usePq = pqDepth > 0 && pqCoarseAligned(spark, pqIndexDir(dir),
+      collectCoarse(cents))
     val vec0 =
-      if (pqDepth <= 0) VecIndex.search(vp.index, pr, "doc_id", "embedding", depth)
+      if (!usePq) VecIndex.search(vp.index, pr, "doc_id", "embedding", depth)
       else VecIndex.rerank(vp.index, pr,
         PqIndex.searchAssigned(spark, pqIndexDir(dir), pr, "doc_id", pqDepth)
           .select(col("q_id"), col("doc_id")),
@@ -609,24 +623,33 @@ object DailyDriver {
     }
    }
 
+  /** A (cid, centroid) relation collected to cid-ordered float arrays —
+    * the comparable form of a coarse quantizer (bounded: [[VecCells]]
+    * rows). */
+  private def collectCoarse(cents: DataFrame): Array[IndexedSeq[Float]] =
+    cents.select(col("cid"), col("centroid")).collect()
+      .sortBy(_.getAs[Number]("cid").intValue)
+      .map(_.getSeq[Float](1).toIndexedSeq)
+
   /** Whether the PQ quantizer's coarse half content-equals the raw
     * index's CURRENT centroids — the persisted two-store alignment
-    * signal [[maintain]]'s refresh trigger reads (both sides were
-    * written from the same relation when aligned, so the float arrays
-    * compare bitwise). Two quantizer-sized reads. */
+    * signal [[maintain]]'s refresh trigger and [[hybridSearch]]'s
+    * PQ-path gate read (both sides were written from the same relation
+    * when aligned, so the float arrays compare bitwise). Two
+    * quantizer-sized reads. */
   private def pqCoarseAligned(spark: SparkSession, vdir: String,
-                              pqdir: String): Boolean = {
-    import graft.operators.{PqIndex, VecIndex}
-    val vecCents = VecIndex.openCentroids(spark, vdir) match {
-      case None => return true // no quantizer — nothing to drift from
-      case Some(c) => c.select(col("cid"), col("centroid")).collect()
-        .sortBy(_.getAs[Number]("cid").intValue)
-        .map(_.getSeq[Float](1).toIndexedSeq)
+                              pqdir: String): Boolean =
+    graft.operators.VecIndex.openCentroids(spark, vdir) match {
+      case None => true // no quantizer — nothing to drift from
+      case Some(c) => pqCoarseAligned(spark, pqdir, collectCoarse(c))
     }
+
+  private def pqCoarseAligned(spark: SparkSession, pqdir: String,
+                              vecCents: Array[IndexedSeq[Float]]): Boolean = {
     // g_cents is 1 subspace × nc cells × dim floats — unwrap the
     // single whole-vector subspace, then compare cell-by-cell
-    val g = PqIndex.openQuant(spark, pqdir).select(col("g_cents"))
-      .collect().head
+    val g = graft.operators.PqIndex.openQuant(spark, pqdir)
+      .select(col("g_cents")).collect().head
       .getSeq[scala.collection.Seq[scala.collection.Seq[Float]]](0)
       .head.map(_.toIndexedSeq)
     g.length == vecCents.length &&

@@ -247,6 +247,18 @@ class DailyDriverCrashSpec extends SparkSpecBase {
     assert(!layout(DailyDriver.openVecIndex(spark, dir))
       .sameElements(layout(PqIndex.open(spark, pqdir))),
       "fixture vacuous: retrain did not move the shared cell layout")
+    // while desynced, the PQ search path GATES itself off: nominations
+    // from the stranded layout would silently lose recall, so the call
+    // must serve the exact scan's rows instead
+    val qs = docs.filter(col("doc_id") % 29 === 0 && col("doc_id") < 300)
+      .select(col("doc_id").as("q_id"), col("text"))
+    val ps = emb.join(qs.select(col("q_id").as("doc_id")), Seq("doc_id"))
+      .select(col("doc_id").as("q_id"), col("embedding"))
+    def fused(pqDepth: Int): Array[String] =
+      DailyDriver.hybridSearch(spark, dir, qs, ps, pqDepth = pqDepth)
+        .collect().map(_.toString).sorted
+    assert(fused(DailyDriver.ExhaustiveRerank).sameElements(fused(0)),
+      "desynced PQ path did not fall back to the exact scan")
     // the next maintain reads the PERSISTED alignment (quantizer
     // content comparison), re-arms the refresh, and re-syncs — no
     // retrain fires this pass, so an in-memory flag would skip it
