@@ -248,6 +248,14 @@ object Lease {
 
   final case class Token(dir: String, nonce: String)
 
+  /** Acquisition CONTENTION — a live holder, a lost takeover race, or a
+    * competing breaker mid-flight. Its own type so [[withLeaseWait]] can
+    * retry exactly this and nothing else: an `IllegalStateException` a
+    * lease-holding body throws (an epoch fence, a protocol guard) must
+    * propagate, never be mistaken for "try the lock again". */
+  final class LeaseHeldException(msg: String, cause: Throwable = null)
+    extends IllegalStateException(msg, cause)
+
   private def leasePath(dir: String) = new Path(dir + "/__lease")
   private val hbPrefix = ".lease-hb-"
 
@@ -401,7 +409,7 @@ object Lease {
       case Some((holder, ts, heldNonce))
           if System.currentTimeMillis() -
             newestBeat(fs, dir, heldNonce).getOrElse(0L).max(ts) <= staleMs =>
-        throw new IllegalStateException(
+        throw new LeaseHeldException(
           s"writer lease for $dir held by '$holder' (last beat " +
             s"${System.currentTimeMillis() -
               newestBeat(fs, dir, heldNonce).getOrElse(0L).max(ts)} ms ago); " +
@@ -410,7 +418,7 @@ object Lease {
         // VANISHED (released or a crashed breaker's absence window): no
         // live holder to protect — the atomic create decides the winner
         if (tryCreate(fs, p, body)) Token(dir, nonce)
-        else throw new IllegalStateException(
+        else throw new LeaseHeldException(
           s"writer lease for $dir lost the takeover race — another writer won")
       case observed => // stale or torn: break it, SERIALIZED
         // Breakers must not race each other: a contender renaming the
@@ -447,7 +455,7 @@ object Lease {
               catch { case _: java.io.IOException => None })
           if (tokTs.exists(System.currentTimeMillis() - _ > 60000L))
             sweepStaleToken(fs, breakTok, rawTok)
-          throw new IllegalStateException(
+          throw new LeaseHeldException(
             s"writer lease for $dir is being broken by a competitor — retry")
         }
         try {
@@ -458,7 +466,7 @@ object Lease {
             case _ => false
           }
           if (!sameAsObserved)
-            throw new IllegalStateException(
+            throw new LeaseHeldException(
               s"writer lease for $dir lost the takeover race — another writer won")
           val tomb = new Path(dir + "/.lease-tomb-" +
             java.util.UUID.randomUUID().toString)
@@ -471,7 +479,7 @@ object Lease {
             }
             if (!tombSame) { // backstop — unreachable while the token holds
               atomicRename(fs, tomb, p)
-              throw new IllegalStateException(
+              throw new LeaseHeldException(
                 s"writer lease for $dir lost the takeover race — another writer won")
             }
             fs.delete(tomb, false)
@@ -479,7 +487,7 @@ object Lease {
             observed.foreach { case (_, _, n) => dropBeats(fs, dir, n, keepNewest = false) }
           }
           if (tryCreate(fs, p, body)) Token(dir, nonce)
-          else throw new IllegalStateException(
+          else throw new LeaseHeldException(
             s"writer lease for $dir lost the takeover race — another writer won")
         } finally fs.delete(breakTok, false)
     }
@@ -528,8 +536,49 @@ object Lease {
     * path. A process CRASH skips the release on purpose — the beats
     * stop, the lease ages out, and the staleness takeover reclaims it. */
   def withLease[T](spark: SparkSession, dir: String, owner: String,
-                   staleMs: Long = 30L * 60 * 1000)(body: => T): T = {
-    val t = acquire(spark, dir, owner, staleMs)
+                   staleMs: Long = 30L * 60 * 1000)(body: => T): T =
+    held(spark, acquire(spark, dir, owner, staleMs), owner, staleMs)(body)
+
+  /** [[acquire]] with bounded patience: poll until the lease frees or
+    * `deadlineMs` passes. ONLY [[LeaseHeldException]] (contention) is
+    * retried; staleness takeover still runs inside each [[acquire]]
+    * attempt, so a dead holder is reclaimed on the first poll after it
+    * ages out. For callers whose own step is short and whose contention
+    * is transient — a streaming micro-batch fencing against a minutes-
+    * long maintenance pass must WAIT it out, not die — while the
+    * fail-fast default stands everywhere else (queueing a second
+    * maintenance step behind a live one is an orchestrator decision). */
+  def acquireWait(spark: SparkSession, dir: String, owner: String,
+                  staleMs: Long = 30L * 60 * 1000,
+                  deadlineMs: Long = 10L * 60 * 1000,
+                  pollMs: Long = 200L): Token = {
+    val deadline = System.currentTimeMillis() + deadlineMs
+    while (true) {
+      try return acquire(spark, dir, owner, staleMs)
+      catch {
+        case e: LeaseHeldException =>
+          if (System.currentTimeMillis() >= deadline)
+            throw new LeaseHeldException(
+              s"writer lease for $dir still contended after $deadlineMs ms", e)
+          Thread.sleep(pollMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** [[withLease]] with [[acquireWait]]'s bounded patience at the
+    * acquisition step; renewal/release semantics identical. The BODY's
+    * failures propagate unretried — only lock contention waits. */
+  def withLeaseWait[T](spark: SparkSession, dir: String, owner: String,
+                       staleMs: Long = 30L * 60 * 1000,
+                       deadlineMs: Long = 10L * 60 * 1000)(body: => T): T =
+    held(spark, acquireWait(spark, dir, owner, staleMs, deadlineMs), owner,
+      staleMs)(body)
+
+  /** Renew-while-running + release-on-exit around an already-acquired
+    * token — [[withLease]]/[[withLeaseWait]]'s shared second half. */
+  private def held[T](spark: SparkSession, t: Token, owner: String,
+                      staleMs: Long)(body: => T): T = {
     val beats = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
       (r: Runnable) => { val th = new Thread(r, s"lease-hb-$owner"); th.setDaemon(true); th })
     val period = math.max(staleMs / 3, 25L)

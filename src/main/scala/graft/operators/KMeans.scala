@@ -61,6 +61,19 @@ object KMeans {
     centroids.select(col("cid"), col("c_vec").as("centroid"))
   }
 
+  /** Renumber a quantizer's cids to contiguous 0..n−1 in cid order.
+    * [[lloyd]] drops a cell that loses every member (its groupBy key
+    * simply vanishes), and POSITIONAL consumers of a coarse quantizer —
+    * `PqIndex.quantFrom`'s `g_cents` row indexes centroids by cid — hard-
+    * require 0..n−1, so every path that PUBLISHES trained centroids
+    * (`VecIndex.retrain`, the daily driver's init) renumbers first. The
+    * window is partition-less but bounded: a coarse quantizer is k rows
+    * by construction. Identity whenever no cell emptied. */
+  def contiguous(centroids: DataFrame): DataFrame =
+    centroids.select(col("cid"), col("centroid"))
+      .withColumn("cid", (row_number().over(
+        Window.orderBy(col("cid").asc)) - 1).cast("int"))
+
   /** Normalized training input: (__id, __v: array<float>, __norm), zero
     * vectors dropped. Exposed (package-private) so PlanContractSpec can
     * audit the un-checkpointed init plan. */

@@ -162,12 +162,25 @@ object PqIndex {
                                      quant: DataFrame): Unit = {
     val m = Versioned.current(spark, path)
     if (m.cents > 0L && Versioned.hasCells(spark, deltaPath(path, m.epoch))) {
-      val same = quant.collect().map(_.toString).mkString ==
-        quantAt(spark, path, m).collect().map(_.toString).mkString
+      val same = quantContentEquals(quant, quantAt(spark, path, m))
       require(same,
         s"rebuild under a DIFFERENT quantizer with a live delta under " +
           s"$path — the epoch's codes belong to the pinned quantizer and " +
           s"would score silently wrong under the new one; use refresh")
+    }
+  }
+
+  /** STRUCTURAL content equality of two quantizer rows — field-by-field
+    * comparison of the four codebook columns (Spark returns nested Seqs,
+    * whose equality is elementwise), never `Row.toString` (formatting of
+    * nested arrays and column ORDER would silently decide a correctness
+    * guard). One-row collects. */
+  private[graft] def quantContentEquals(a: DataFrame, b: DataFrame): Boolean = {
+    val cols = Seq("g_cents", "g_ccs", "cents", "ccs")
+    val (ra, rb) = (a.select(cols.map(col): _*).collect(),
+      b.select(cols.map(col): _*).collect())
+    ra.length == rb.length && ra.zip(rb).forall { case (x, y) =>
+      cols.indices.forall(i => x.get(i) == y.get(i))
     }
   }
 
@@ -326,8 +339,11 @@ object PqIndex {
         // same lease, so a compact/build/refresh can never publish
         // between this manifest read and the write — a bare re-read
         // would lose the batch silently (written into a retired
-        // directory, offsets then committed, never replayed)
-        Lease.withLease(spark, path, "pqindex-append") {
+        // directory, offsets then committed, never replayed). Bounded-
+        // patience acquire: a minutes-long maintenance pass holding the
+        // lease must not kill the stream — the batch waits, then the
+        // manifest check decides loudly.
+        Lease.withLeaseWait(spark, path, "pqindex-append") {
           val cur = Versioned.current(spark, path)
           if (cur.epoch != m0.epoch || cur.cents != m0.cents)
             throw new IllegalStateException(
@@ -559,7 +575,11 @@ object PqIndex {
     val cb = PQ.trainCodebooks(
         PQ.subspaces(resid, idCol, "__res", m, dim / m), k, iters)
       .select(col("j"), col("cid").as("c_id"), col("cent"), col("cc"))
-    coarseRow.crossJoin(PQ.codebookRow(cb))
+    // 1 row, checkpointed: consumers evaluate the quantizer several
+    // times (delta-compat guard, encode broadcast, the persisted write)
+    // — each would re-run codebookRow's aggregation off the trainer's
+    // last checkpointed round otherwise
+    coarseRow.crossJoin(PQ.codebookRow(cb)).localCheckpoint()
   }
 
   /** ADC top-k over the persisted code table: the probes' cells and

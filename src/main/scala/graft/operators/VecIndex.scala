@@ -415,11 +415,18 @@ object VecIndex {
         // manifest read and the parquet write (plus the offset commit
         // that follows a normal return) would lose this batch SILENTLY
         // into the retired directory, the exact loss the fence exists
-        // to make loud. Under the lease, compact cannot interleave; if
-        // it already retired the epoch, the batch throws before
-        // writing, the offsets stay uncommitted, and the restarted
-        // stream replays it against the current epoch.
-        Lease.withLease(spark, path, "vecindex-append") {
+        // to make loud. The lease is acquired with BOUNDED PATIENCE
+        // (withLeaseWait): a maintenance pass holding it for minutes
+        // must not kill the stream — the batch waits it out, then the
+        // epoch check decides (retired → throw before writing, offsets
+        // stay uncommitted, the restarted stream replays against the
+        // current epoch; kept → write proceeds, no interleaving
+        // possible under the lease). The REVERSE contention — a
+        // maintenance op arriving while a batch holds the lease for
+        // its seconds-long write — keeps the fail-fast contract: the
+        // documented discipline is no live stream during maintenance,
+        // and a retried maintain is idempotent.
+        Lease.withLeaseWait(spark, path, "vecindex-append") {
           val cur = currentManifest(spark, path).epoch
           if (cur != e)
             throw new IllegalStateException(
@@ -566,7 +573,13 @@ object VecIndex {
       val m = currentManifest(spark, path)
       val rows = openAt(spark, path, m).getOrElse(
         throw new IllegalArgumentException(s"no index layout under $path"))
-      val cents = KMeans.lloyd(rows, idCol, vecCol, k, iters).localCheckpoint()
+      // contiguous: lloyd drops emptied cells, and publishing a GAPPED
+      // cid set would wedge every positional consumer downstream —
+      // PqIndex.quantFrom hard-fails on gaps, so a skew-triggered
+      // retrain in a PQ-paired deployment would leave maintenance
+      // permanently unable to re-derive the shared quantizer
+      val cents = KMeans.contiguous(
+        KMeans.lloyd(rows, idCol, vecCol, k, iters)).localCheckpoint()
       val n = m.v + 1
       assignFold(rows, idCol, vecCol, cents)
         .select(col(idCol), col(vecCol), col("norm"), col("cid"))

@@ -278,37 +278,32 @@ object DailyDriver {
     embeddings.foreach { emb =>
       import graft.operators.{PqIndex, VecIndex}
       val candEmb = emb.join(cand.select(col("doc_id")), Seq("doc_id"))
-      val cents = contiguous(quantizer.getOrElse(graft.operators.KMeans
-        .lloyd(candEmb, "doc_id", "embedding", k = VecCells, iters = 2)))
+      val cents = graft.operators.KMeans.contiguous(
+        quantizer.getOrElse(graft.operators.KMeans
+          .lloyd(candEmb, "doc_id", "embedding", k = VecCells, iters = 2)))
         .localCheckpoint() // read by both index builds + the PQ trainer
       VecIndex.build(candEmb, "doc_id", "embedding",
         cents, vecIndexDir(dir), persistCentroids = true)
       // the code table shares the raw index's cosine cell layout —
       // one assignment, two stores (the rerank path's contract).
-      // Checkpointed: the sub-codebook trainer and the encode both
-      // scan it — uncheckpointed, the candidates join + assignment
-      // fold would run twice over the corpus
+      // persist, NOT localCheckpoint: the sub-codebook trainer and the
+      // encode both scan this CORPUS-SIZED relation (uncached, the
+      // candidates join + assignment fold would run twice), but
+      // localCheckpoint truncates lineage into non-replicated executor
+      // blocks — one lost executor mid-build would fail the whole job
+      // where cached-with-lineage just recomputes the lost partitions
+      // (assignFold is deterministic given the pinned cents)
       val assigned = VecIndex
         .assignFold(candEmb, "doc_id", "embedding", cents)
         .select(col("doc_id"), col("embedding"), col("cid"))
-        .localCheckpoint()
-      PqIndex.buildAssigned(assigned, "doc_id", "embedding",
-        PqIndex.quantFrom(cents, assigned, "doc_id", "embedding",
-          PqSubspaces, PqCodebookK, PqIters),
-        pqIndexDir(dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try
+        PqIndex.buildAssigned(assigned, "doc_id", "embedding",
+          PqIndex.quantFrom(cents, assigned, "doc_id", "embedding",
+            PqSubspaces, PqCodebookK, PqIters),
+          pqIndexDir(dir))
+      finally assigned.unpersist()
     }
-  }
-
-  /** Renumber a coarse quantizer's cids to contiguous 0..n−1 in cid
-    * order — `KMeans.lloyd` can drop a cell that loses every member,
-    * and the PQ coarse codebook row is POSITIONAL (a gap would silently
-    * shift every later centroid). Bounded window: a coarse quantizer is
-    * [[VecCells]]-sized by construction. */
-  private def contiguous(cents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    cents.select(col("cid"), col("centroid"))
-      .withColumn("cid", (row_number().over(
-        Window.orderBy(col("cid").asc)) - 1).cast("int"))
   }
 
   /** Day N: delta-curate the arrivals against the persisted state,
@@ -529,6 +524,43 @@ object DailyDriver {
                pqMaxCellShare: Double = 0.5): Unit =
    Lease.withLease(spark, dir, "maintain") {
     import org.apache.hadoop.fs.Path
+    import graft.operators.{PqIndex, VecIndex}
+    val vdir = vecIndexDir(dir)
+    val pqdir = pqIndexDir(dir)
+    val vecLive = VecIndex.currentVersion(spark, vdir) > 0L
+    val pqLive = vecLive && PqIndex.currentVersion(spark, pqdir) > 0L
+    // ONE skew measurement drives the retrain policy — and, when a PQ
+    // table is paired, the no-source guard (compact preserves the row
+    // set, so the value cannot change between here and the retrain).
+    val skew = if (vecLive) VecIndex.cellSkew(spark, vdir) else 0.0
+    // alignment BEFORE this pass mutates anything: false means a
+    // PRIOR pass desynced the stores (a crash between a committed
+    // retrain and its refresh publish) and only a source re-encode
+    // heals it — the quantizer-sized comparison is this pass's
+    // persisted memory of that debt
+    val alignedBefore = !pqLive || pqCoarseAligned(spark, vdir, pqdir)
+    if (pqLive) {
+      // correctness guards FIRST, before ANY store is touched (the lex
+      // compact below included — a refused maintain mutates nothing),
+      // both loud: a retrain THIS pass would move the coarse layout
+      // both stores share, and the lossy code table can only follow by
+      // re-encoding from source; a PERSISTED desync from a prior
+      // crashed pass must equally not be silently compacted over —
+      // either way, with no source in hand refuse up front rather than
+      // leave (or deepen) the desync
+      require(skew <= vecMaxCellShare || embeddings.nonEmpty,
+        s"vec index needs a retrain (cell skew $skew > $vecMaxCellShare) " +
+          s"but the driver maintains a PQ code table and no embeddings " +
+          s"source was passed — the re-celled layout could not be " +
+          s"re-encoded; call maintain with embeddings")
+      require(alignedBefore || embeddings.nonEmpty,
+        s"vec index and PQ code table under $dir are DESYNCED (the PQ " +
+          s"coarse quantizer no longer matches the raw index's " +
+          s"centroids — a prior pass's retrain committed without its " +
+          s"refresh) and no embeddings source was passed; every " +
+          s"pqDepth search falls back to the exact scan until a " +
+          s"refresh re-encodes — call maintain with embeddings")
+    }
     graft.operators.LexIndex.compactIfGarbage(spark, lexDir(dir), lexGcShare,
       lexGcGraceMs)
     val dst = new Path(indexDir(dir))
@@ -543,40 +575,32 @@ object DailyDriver {
         live.write.parquet(tmp)
       }
     }
-    import graft.operators.{PqIndex, VecIndex}
-    val vdir = vecIndexDir(dir)
-    val pqdir = pqIndexDir(dir)
-    if (VecIndex.currentVersion(spark, vdir) > 0L) {
-      val pqLive = PqIndex.currentVersion(spark, pqdir) > 0L
+    // ONE maintenance sequence serves both shapes: measure, compact,
+    // retrain-if-skewed, gc — the PQ pairing only ADDS the alignment
+    // guards and the refresh, never a second copy of the vec policy.
+    if (vecLive) {
+      VecIndex.compactIfDelta(spark, vdir, "doc_id", vecDeltaShare,
+        vecGcGraceMs)
+      val retrained = skew > vecMaxCellShare
+      if (retrained)
+        VecIndex.retrain(spark, vdir, "doc_id", "embedding", k = VecCells)
+      // gc runs UNCONDITIONALLY: retrain publishes a full superseded
+      // cells+centroids version but only compact sweeps — a
+      // drift-heavy, append-light driver would otherwise strand a
+      // corpus-sized copy per retrain forever. A no-garbage sweep is a
+      // driver-side listing.
+      VecIndex.gc(spark, vdir, vecGcGraceMs)
       if (pqLive) {
-        // ONE skew measurement drives both the no-source guard and the
-        // retrain decision (compact preserves the row set, so the value
-        // cannot change between here and the retrain)
-        val skew = VecIndex.cellSkew(spark, vdir)
-        // correctness guard BEFORE the retrain: a retrain moves the
-        // coarse layout BOTH stores share, and the lossy code table can
-        // only follow it by re-encoding from source — with no source in
-        // hand, refuse up front rather than desync the stores
-        require(skew <= vecMaxCellShare || embeddings.nonEmpty,
-          s"vec index needs a retrain (cell skew $skew > $vecMaxCellShare) " +
-            s"but the driver maintains a PQ code table and no embeddings " +
-            s"source was passed — the re-celled layout could not be " +
-            s"re-encoded; call maintain with embeddings")
-        VecIndex.compactIfDelta(spark, vdir, "doc_id", vecDeltaShare,
-          vecGcGraceMs)
-        if (skew > vecMaxCellShare)
-          VecIndex.retrain(spark, vdir, "doc_id", "embedding", k = VecCells)
-        VecIndex.gc(spark, vdir, vecGcGraceMs)
-        // The refresh trigger is PERSISTED state, not this pass's
-        // in-memory retrain flag: the PQ quantizer row's coarse half is
-        // compared content-wise against the raw index's current
-        // centroids. A crash (or a quantFrom failure) between a
-        // committed retrain and the refresh publish leaves the stores
-        // desynced — an in-memory flag would forget that on the next
-        // pass and the code table would stay encoded under the retired
-        // layout FOREVER, silently degrading every pqDepth search. The
-        // persisted comparison re-arms the refresh until it lands.
-        val needRefresh = !pqCoarseAligned(spark, vdir, pqdir) ||
+        // The refresh trigger is PERSISTED state, not only this pass's
+        // retrain flag: `alignedBefore` is the content-wise comparison
+        // of the PQ quantizer's coarse half against the raw index's
+        // centroids, so a crash (or a quantFrom failure) between a
+        // committed retrain and the refresh publish re-arms the refresh
+        // on every later pass until it lands — an in-memory flag alone
+        // would forget the debt and the code table would stay encoded
+        // under the retired layout FOREVER, silently degrading every
+        // pqDepth search. `retrained` covers the move THIS pass made.
+        val needRefresh = retrained || !alignedBefore ||
           PqIndex.cellSkew(spark, pqdir) > pqMaxCellShare
         if (needRefresh && embeddings.nonEmpty) {
           // re-encode the CURRENT candidates from source under the raw
@@ -587,38 +611,41 @@ object DailyDriver {
             .select(col("doc_id"))
           val candEmb = embeddings.get.join(candIds, Seq("doc_id"))
           // NOT renumbered: the raw index's rows already carry these
-          // cid values (retrain committed them) — renumbering here
-          // would silently desync the stores. A gapped retrain (a
-          // Lloyd cell lost every member) fails loudly in quantFrom.
-          val cents = VecIndex.openCentroids(spark, vdir).get
+          // cid values (retrain committed them, contiguous by its own
+          // contract) — renumbering here would silently desync the
+          // stores; a gap from any other quantizer source still fails
+          // loudly in quantFrom
+          val cents = VecIndex.openCentroids(spark, vdir).getOrElse(
+            throw new IllegalStateException(
+              s"vec index under $vdir has no persisted quantizer but its " +
+                s"paired PQ code table needs a refresh — the shared coarse " +
+                s"layout cannot be re-derived; build the vec index with " +
+                s"persistCentroids=true (the driver's init does)"))
             .localCheckpoint()
+          // persist, NOT localCheckpoint: corpus-sized and scanned by
+          // the trainer AND the encode — lineage kept so a lost
+          // executor recomputes instead of failing the refresh (see
+          // init's identical note)
           val assigned = VecIndex
             .assignFold(candEmb, "doc_id", "embedding", cents)
             .select(col("doc_id"), col("embedding"), col("cid"))
-            .localCheckpoint() // scanned by the trainer AND the encode
-          PqIndex.refreshAssigned(assigned, "doc_id", "embedding",
-            PqIndex.quantFrom(cents, assigned, "doc_id", "embedding",
-              PqSubspaces, PqCodebookK, PqIters),
-            pqdir, vecGcGraceMs)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try
+            PqIndex.refreshAssigned(assigned, "doc_id", "embedding",
+              PqIndex.quantFrom(cents, assigned, "doc_id", "embedding",
+                PqSubspaces, PqCodebookK, PqIters),
+              pqdir, vecGcGraceMs)
+          finally assigned.unpersist()
         } else {
-          // skew-triggered refresh without a source falls back to the
-          // fold (the guard above already rejected the DESYNC case);
+          // a PQ-cell-skew trigger without a source falls back to the
+          // fold — safe, because the guards above rejected every
+          // DESYNC case: reaching here un-refreshed means the stores
+          // are aligned and only the code table's own delta is due;
           // the fold alone never desyncs
           PqIndex.compactIfDelta(spark, pqdir, "doc_id", vecDeltaShare,
             vecGcGraceMs)
         }
         PqIndex.gc(spark, pqdir, vecGcGraceMs)
-      } else {
-        VecIndex.compactIfDelta(spark, vdir, "doc_id", vecDeltaShare,
-          vecGcGraceMs)
-        VecIndex.maintainIfSkewed(spark, vdir, "doc_id", "embedding",
-          k = VecCells, maxCellShare = vecMaxCellShare)
-        // gc runs UNCONDITIONALLY: retrain (the policy above) publishes
-        // a full superseded cells+centroids version but only compact
-        // sweeps — a drift-heavy, append-light driver would otherwise
-        // strand a corpus-sized copy per retrain forever. A no-garbage
-        // sweep is a driver-side listing.
-        VecIndex.gc(spark, vdir, vecGcGraceMs)
       }
     }
    }

@@ -155,4 +155,31 @@ class LeaseHammerSpec extends SparkSpecBase {
     assert(maxInside.get() == 1,
       s"${maxInside.get()} contenders inside the stale-broken lock window at once")
   }
+
+  test("withLeaseWait waits out a live holder and times out loudly past the deadline") {
+    val dir = tempDir("lease-wait")
+    val held = Lease.acquire(spark, dir, "holder")
+    try {
+      // a live holder past the deadline → the bounded patience gives up
+      // with the contention type (retryable by an orchestrator), and the
+      // body NEVER runs under someone else's lease
+      val e = intercept[Lease.LeaseHeldException] {
+        Lease.withLeaseWait(spark, dir, "waiter", deadlineMs = 700L) {
+          fail("body ran while another writer held the lease")
+        }
+      }
+      assert(e.getMessage.contains("still contended"), e.getMessage)
+      // release midway through the wait → the waiter acquires and runs
+      // (the streaming micro-batch fence's scenario: a maintenance pass
+      // finishes and the batch proceeds instead of dying)
+      val releaser = new Thread(() => {
+        Thread.sleep(600); Lease.release(spark, held)
+      })
+      releaser.start()
+      val ran = Lease.withLeaseWait(spark, dir, "waiter2",
+        deadlineMs = 30000L) { 42 }
+      releaser.join()
+      assert(ran == 42)
+    } finally Lease.release(spark, held) // no-op if the releaser won
+  }
 }

@@ -727,4 +727,70 @@ class VecIndexSpec extends SparkSpecBase {
     assert(cellsOf(fresh.index).map(_._2).forall(freshCells.contains),
       "fresh pinned rows reference cells outside the fresh quantizer")
   }
+
+  test("a micro-batch waits out a concurrently held index lease instead of dying") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = KMeans.lloyd(emb, "vec_id", "embedding", k = 4, iters = 1)
+      .localCheckpoint()
+    val dir = tempDir("vecwait")
+    VecIndex.build(emb.limit(20), "vec_id", "embedding", cents, dir)
+    val batch = emb.filter(col("vec_id") >= 20).limit(8)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    // a maintenance pass holds the index lease while the batch fires:
+    // the fence's bounded-patience acquire WAITS it out (a fail-fast
+    // acquire killed the stream here), then the epoch check passes —
+    // nothing retired — and the batch lands
+    val held = Lease.acquire(spark, dir, "maintenance-pass")
+    val releaser = new Thread(() => {
+      Thread.sleep(1500); Lease.release(spark, held)
+    })
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val q = VecIndex.appendStream(input.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cents, dir, tempDir("vecwait-ckpt"))
+    try {
+      input.addData(batch.toIndexedSeq)
+      releaser.start()
+      q.processAllAvailable()
+      assert(VecIndex.open(spark, dir).count() == 28,
+        "the waited-out batch did not land")
+    } finally { q.stop(); releaser.join() }
+  }
+
+  test("retrain publishes a contiguous quantizer even when lloyd drops an emptied cell") {
+    import spark.implicits._
+    // ids 0 and 1 carry the SAME vector: init seeds two identical
+    // centroids, every row's cosine ties between them and breaks toward
+    // the lower cid, the duplicate's cell empties in round 1, and
+    // lloyd's per-cell mean silently drops it — the raw trainer output
+    // is GAPPED
+    val vecs = (0L to 15L).map { i =>
+      val v = if (i <= 1L) Seq(1f, 0f, 0f, 0f)
+        else Seq((i % 4).toFloat + 1f, (i % 3).toFloat, 1f, 0.5f)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val raw = KMeans.lloyd(vecs, "vec_id", "embedding", k = 4, iters = 2)
+    assert(raw.select(col("cid")).collect().map(_.getInt(0)).sorted
+      .sameElements(Array(0, 2, 3)),
+      "fixture vacuous: lloyd kept every cell")
+    val dir = tempDir("vecgap")
+    VecIndex.build(vecs, "vec_id", "embedding",
+      KMeans.contiguous(raw).localCheckpoint(), dir, persistCentroids = true)
+    // the retrain re-runs lloyd over the same degenerate rows — before
+    // the renumber it published the gapped set, and every POSITIONAL
+    // consumer downstream (PqIndex.quantFrom's g_cents row) hard-fails
+    // on gaps: a PQ-paired driver's maintenance would wedge forever
+    VecIndex.retrain(spark, dir, "vec_id", "embedding", k = 4, iters = 2)
+    val cents = VecIndex.openCentroids(spark, dir).get.localCheckpoint()
+    val cids = cents.select(col("cid")).collect().map(_.getInt(0)).sorted
+    assert(cids.sameElements(Array.range(0, cids.length)),
+      s"retrain published gapped cids: ${cids.mkString(",")}")
+    // and the positional consumer accepts the published quantizer
+    val assigned = VecIndex.assignFold(vecs, "vec_id", "embedding", cents)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    assert(PqIndex.quantFrom(cents, assigned, "vec_id", "embedding",
+      m = 2, k = 4, iters = 1).count() == 1L)
+  }
 }

@@ -259,6 +259,20 @@ class DailyDriverCrashSpec extends SparkSpecBase {
         .collect().map(_.toString).sorted
     assert(fused(DailyDriver.ExhaustiveRerank).sameElements(fused(0)),
       "desynced PQ path did not fall back to the exact scan")
+    // a maintain WITHOUT a source must refuse loudly: the compact-only
+    // fallback cannot heal a persisted desync, so a green-looking pass
+    // would leave every pqDepth search silently degraded forever
+    val vecBefore = layout(DailyDriver.openVecIndex(spark, dir))
+    val pqBefore = layout(PqIndex.open(spark, pqdir))
+    val noSrc = intercept[IllegalArgumentException] {
+      DailyDriver.maintain(spark, dir, vecDeltaShare = 0.0,
+        vecGcGraceMs = 0L)
+    }
+    assert(noSrc.getMessage.contains("DESYNCED"), noSrc.getMessage)
+    assert(layout(DailyDriver.openVecIndex(spark, dir))
+      .sameElements(vecBefore) &&
+      layout(PqIndex.open(spark, pqdir)).sameElements(pqBefore),
+      "a refused maintain still mutated a vector store")
     // the next maintain reads the PERSISTED alignment (quantizer
     // content comparison), re-arms the refresh, and re-syncs — no
     // retrain fires this pass, so an in-memory flag would skip it
