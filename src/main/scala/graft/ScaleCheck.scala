@@ -259,7 +259,7 @@ object ScaleCheck {
   private def driverCheck(spark: SparkSession, dirs: Seq[String]): Unit = {
     import graft.pipelines.{Curation, DailyDriver}
     println()
-    println(f"${"daily driver"}%-24s ${"init"}%8s ${"step"}%8s ${"maint"}%8s ${"search"}%8s ${"pq"}%8s")
+    println(f"${"daily driver"}%-24s ${"init"}%8s ${"step"}%8s ${"maint"}%8s ${"search"}%8s ${"pq"}%8s ${"status"}%8s")
     for (d <- dirs) {
       spark.catalog.clearCache()
       val dir = s"target/scalecheck_driver/${d.replaceAll("[^A-Za-z0-9]", "_")}"
@@ -298,8 +298,16 @@ object ScaleCheck {
       // as flat as (or flatter than) the exact column as cells fill up
       val tPq = timed(DailyDriver.hybridSearch(spark, dir, queries, probes,
         pqDepth = 40).count())
+      // the scheduler's poll: five stores' manifests + summaries + one
+      // cid scan per vector store — must stay near-flat (the cid scans
+      // are column-pruned; everything else is metadata)
+      val tStatus = timed {
+        val st = DailyDriver.status(spark, dir)
+        require(st.length == 5 && st.forall(s => s.live && s.aligned),
+          s"unhealthy driver state at $d: $st")
+      }
       println(f"${d.split('/').last}%-24s $tInit%8.2f $tStep%8.2f " +
-        f"$tMaint%8.2f $tSearch%8.2f $tPq%8.2f")
+        f"$tMaint%8.2f $tSearch%8.2f $tPq%8.2f $tStatus%8.2f")
     }
   }
 

@@ -86,6 +86,11 @@ object PqIndex {
   def currentVersion(spark: SparkSession, path: String): Long =
     Versioned.currentVersion(spark, path)
 
+  /** The current delta epoch — operability readouts only ([[refresh]]
+    * retires an epoch with its quantizer; [[compact]] folds one). */
+  def currentEpoch(spark: SparkSession, path: String): Long =
+    Versioned.current(spark, path).epoch
+
   /** The pinned quantizer row (g_cents, g_ccs, cents, ccs) at the
     * current manifest. */
   def openQuant(spark: SparkSession, path: String): DataFrame =

@@ -101,6 +101,11 @@ object VecIndex {
   def currentVersion(spark: SparkSession, path: String): Long =
     Versioned.currentVersion(spark, path)
 
+  /** The current delta epoch — operability readouts only (epoch bumps
+    * mark compact/retrain generations; see the class doc's layout). */
+  def currentEpoch(spark: SparkSession, path: String): Long =
+    Versioned.current(spark, path).epoch
+
   private[graft] def currentManifest(spark: SparkSession, path: String): Manifest =
     Versioned.current(spark, path)
 

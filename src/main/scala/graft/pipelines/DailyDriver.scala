@@ -515,13 +515,18 @@ object DailyDriver {
     *    layout it cannot re-encode.
     *
     * Decisions and the chunk-loop tables swap wholesale on their own
-    * writes and need no periodic pass. */
+    * writes and need no periodic pass.
+    *
+    * @return what fired this pass ([[MaintainReport]]) — every gated
+    *         mutation's trigger outcome plus the measured skew and
+    *         alignment the decisions were based on, so a scheduler can
+    *         log/alert on maintenance activity without re-probing */
   def maintain(spark: SparkSession, dir: String,
                lexGcShare: Double = 0.0, lexGcGraceMs: Long = ReaderGraceMs,
                vecDeltaShare: Double = 0.2, vecMaxCellShare: Double = 0.5,
                vecGcGraceMs: Long = ReaderGraceMs,
                embeddings: Option[DataFrame] = None,
-               pqMaxCellShare: Double = 0.5): Unit =
+               pqMaxCellShare: Double = 0.5): MaintainReport =
    Lease.withLease(spark, dir, "maintain") {
     import org.apache.hadoop.fs.Path
     import graft.operators.{PqIndex, VecIndex}
@@ -561,11 +566,12 @@ object DailyDriver {
           s"pqDepth search falls back to the exact scan until a " +
           s"refresh re-encodes — call maintain with embeddings")
     }
-    graft.operators.LexIndex.compactIfGarbage(spark, lexDir(dir), lexGcShare,
-      lexGcGraceMs)
+    val lexCompacted = graft.operators.LexIndex.compactIfGarbage(spark,
+      lexDir(dir), lexGcShare, lexGcGraceMs)
     val dst = new Path(indexDir(dir))
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(dst)) {
+    val sigRelaid = fs.exists(dst)
+    if (sigRelaid) {
       // re-layout under the same crash-atomic discipline as the decision
       // table: the clustered copy is fully durable under tmp (and fenced
       // by the commit marker) before the N-file-group layout it replaces
@@ -578,10 +584,12 @@ object DailyDriver {
     // ONE maintenance sequence serves both shapes: measure, compact,
     // retrain-if-skewed, gc — the PQ pairing only ADDS the alignment
     // guards and the refresh, never a second copy of the vec policy.
+    var vecCompacted = false; var retrained = false
+    var pqCompacted = false; var pqRefreshed = false
     if (vecLive) {
-      VecIndex.compactIfDelta(spark, vdir, "doc_id", vecDeltaShare,
-        vecGcGraceMs)
-      val retrained = skew > vecMaxCellShare
+      vecCompacted = VecIndex.compactIfDelta(spark, vdir, "doc_id",
+        vecDeltaShare, vecGcGraceMs)
+      retrained = skew > vecMaxCellShare
       if (retrained)
         VecIndex.retrain(spark, vdir, "doc_id", "embedding", k = VecCells)
       // gc runs UNCONDITIONALLY: retrain publishes a full superseded
@@ -636,19 +644,91 @@ object DailyDriver {
                 PqSubspaces, PqCodebookK, PqIters),
               pqdir, vecGcGraceMs)
           finally assigned.unpersist()
+          pqRefreshed = true
         } else {
           // a PQ-cell-skew trigger without a source falls back to the
           // fold — safe, because the guards above rejected every
           // DESYNC case: reaching here un-refreshed means the stores
           // are aligned and only the code table's own delta is due;
           // the fold alone never desyncs
-          PqIndex.compactIfDelta(spark, pqdir, "doc_id", vecDeltaShare,
-            vecGcGraceMs)
+          pqCompacted = PqIndex.compactIfDelta(spark, pqdir, "doc_id",
+            vecDeltaShare, vecGcGraceMs)
         }
         PqIndex.gc(spark, pqdir, vecGcGraceMs)
       }
     }
+    MaintainReport(lexCompacted, sigRelaid, vecCompacted, retrained,
+      pqCompacted, pqRefreshed, skew, alignedBefore)
    }
+
+  /** What a [[maintain]] pass actually did: each flag true iff the
+    * corresponding gated mutation FIRED (false = measured under its
+    * threshold, or the store does not exist). `vecCellSkew` and
+    * `pqAlignedBefore` are the measurements the pass decided on, as of
+    * pass start — `pqAlignedBefore = false` is the persisted-desync
+    * re-arm signal ([[hybridSearch]]'s PQ gate reads the same
+    * comparison). */
+  final case class MaintainReport(lexCompacted: Boolean, sigRelaid: Boolean,
+                                  vecCompacted: Boolean, vecRetrained: Boolean,
+                                  pqCompacted: Boolean, pqRefreshed: Boolean,
+                                  vecCellSkew: Double,
+                                  pqAlignedBefore: Boolean)
+
+  /** One store's row in the [[status]] readout. `debtShare` is the
+    * store's gated-maintenance debt: current-delta share for the LSM
+    * vector stores, gc-eligible superseded-garbage share for the
+    * lexical index, 0 for the swap-managed tables (they replace
+    * wholesale and carry no debt). `cellSkew` is the hottest-cell
+    * occupancy share (vector stores only). `aligned` is meaningful on
+    * the `pq_index` row only: whether the code table's coarse quantizer
+    * content-equals the raw index's centroids — [[maintain]]'s refresh
+    * trigger and [[hybridSearch]]'s PQ-path gate read the same
+    * comparison. */
+  final case class StoreStatus(store: String, live: Boolean, version: Long,
+                               epoch: Long, debtShare: Double,
+                               cellSkew: Double, aligned: Boolean)
+
+  /** Operability readout of the five driver-maintained stores — the
+    * poll a scheduler makes BEFORE deciding how to run the next
+    * [[maintain]] (aligned=false or cellSkew past the threshold → the
+    * pass needs the source embeddings; high debtShare → a compact will
+    * fire). Metadata probes and content summaries only: manifests, two
+    * file-listing summaries per LSM store, and one column-pruned cid
+    * scan per vector store — never a corpus read, so polling every
+    * window is noise. Read-only: no lease is taken and nothing is
+    * repaired or mutated. */
+  def status(spark: SparkSession, dir: String): Seq[StoreStatus] = {
+    import graft.operators.{LexIndex, PqIndex, VecIndex}
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+    }
+    val vdir = vecIndexDir(dir)
+    val pqdir = pqIndexDir(dir)
+    val lexV = LexIndex.currentVersion(spark, lexDir(dir))
+    val vecV = VecIndex.currentVersion(spark, vdir)
+    val pqV = PqIndex.currentVersion(spark, pqdir)
+    val aligned = vecV == 0L || pqV == 0L ||
+      pqCoarseAligned(spark, vdir, pqdir)
+    Seq(
+      StoreStatus("decisions", exists(decisionsDir(dir)), 0L, 0L, 0.0, 0.0,
+        aligned = true),
+      StoreStatus("sig_index", exists(indexDir(dir)), 0L, 0L, 0.0, 0.0,
+        aligned = true),
+      StoreStatus("lex_index", lexV > 0L, lexV, 0L,
+        if (lexV > 0L) LexIndex.garbageShare(spark, lexDir(dir)) else 0.0,
+        0.0, aligned = true),
+      StoreStatus("vec_index", vecV > 0L, vecV,
+        if (vecV > 0L) VecIndex.currentEpoch(spark, vdir) else 0L,
+        if (vecV > 0L) VecIndex.deltaShare(spark, vdir) else 0.0,
+        if (vecV > 0L) VecIndex.cellSkew(spark, vdir) else 0.0,
+        aligned = true),
+      StoreStatus("pq_index", pqV > 0L, pqV,
+        if (pqV > 0L) PqIndex.currentEpoch(spark, pqdir) else 0L,
+        if (pqV > 0L) PqIndex.deltaShare(spark, pqdir) else 0.0,
+        if (pqV > 0L) PqIndex.cellSkew(spark, pqdir) else 0.0,
+        aligned))
+  }
 
   /** A (cid, centroid) relation collected to cid-ordered float arrays —
     * the comparable form of a coarse quantizer (bounded: [[VecCells]]

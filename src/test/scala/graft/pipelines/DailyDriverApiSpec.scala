@@ -128,7 +128,13 @@ class DailyDriverApiSpec extends SparkSpecBase {
       "fixture vacuous: no pending vec delta before maintain")
     assert(PqIndex.deltaShare(spark, pqdir) > 0.0,
       "fixture vacuous: no pending pq delta before maintain")
-    DailyDriver.maintain(spark, dir, vecDeltaShare = 0.0)
+    val rep = DailyDriver.maintain(spark, dir, vecDeltaShare = 0.0)
+    // the report names exactly what fired: both LSM folds (forced by
+    // vecDeltaShare = 0 over pending deltas) and the sig re-layout, no
+    // retrain/refresh (undrifted fixture, stores aligned)
+    assert(rep.sigRelaid && rep.vecCompacted && rep.pqCompacted &&
+      !rep.vecRetrained && !rep.pqRefreshed && rep.pqAlignedBefore,
+      s"maintain report disagrees with the fixture: $rep")
     assert(sigRows().sameElements(sigBefore),
       "maintain changed the signature index rows")
     assert(postings(s"$dir/lex_index").sameElements(full),
@@ -139,6 +145,18 @@ class DailyDriverApiSpec extends SparkSpecBase {
       "maintain did not fold the vec delta")
     assert(PqIndex.deltaShare(spark, pqdir) == 0.0,
       "maintain did not fold the pq delta")
+    // the one-call operability readout agrees with the direct probes:
+    // five live stores, no delta debt after the fold, pair aligned
+    val st = DailyDriver.status(spark, dir).map(s => s.store -> s).toMap
+    assert(st.size == 5 && st.values.forall(_.live),
+      s"stores not all live: $st")
+    assert(st("vec_index").debtShare == 0.0 &&
+      st("pq_index").debtShare == 0.0,
+      s"status shows delta debt after the fold: $st")
+    assert(st("vec_index").version > 0L && st("pq_index").epoch > 0L,
+      s"status missing manifest coordinates: $st")
+    assert(st.values.forall(_.aligned),
+      s"status reports a desync on an aligned pair: $st")
     assert(pqRows(pqdir).sameElements(fullP),
       "maintain changed the PQ code table rows")
     assert(vecRows(vdir).length == fullV.length &&

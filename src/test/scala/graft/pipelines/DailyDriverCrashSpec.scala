@@ -259,6 +259,14 @@ class DailyDriverCrashSpec extends SparkSpecBase {
         .collect().map(_.toString).sorted
     assert(fused(DailyDriver.ExhaustiveRerank).sameElements(fused(0)),
       "desynced PQ path did not fall back to the exact scan")
+    // the operability readout surfaces the desync on the pq row (and
+    // only there) — what a scheduler polls to know the next maintain
+    // needs a source
+    val stDesync = DailyDriver.status(spark, dir).map(s => s.store -> s).toMap
+    assert(!stDesync("pq_index").aligned,
+      s"status missed the persisted desync: $stDesync")
+    assert(stDesync("vec_index").aligned && stDesync("lex_index").aligned,
+      s"desync leaked onto other stores' rows: $stDesync")
     // a maintain WITHOUT a source must refuse loudly: the compact-only
     // fallback cannot heal a persisted desync, so a green-looking pass
     // would leave every pqDepth search silently degraded forever
@@ -276,11 +284,15 @@ class DailyDriverCrashSpec extends SparkSpecBase {
     // the next maintain reads the PERSISTED alignment (quantizer
     // content comparison), re-arms the refresh, and re-syncs — no
     // retrain fires this pass, so an in-memory flag would skip it
-    DailyDriver.maintain(spark, dir, vecDeltaShare = 0.0,
+    val rep = DailyDriver.maintain(spark, dir, vecDeltaShare = 0.0,
       vecGcGraceMs = 0L, embeddings = Some(emb))
+    assert(!rep.pqAlignedBefore && rep.pqRefreshed && !rep.vecRetrained,
+      s"repair pass misreported itself: $rep")
     assert(layout(DailyDriver.openVecIndex(spark, dir))
       .sameElements(layout(PqIndex.open(spark, pqdir))),
       "maintain did not repair the desynced code table")
+    assert(DailyDriver.status(spark, dir).forall(_.aligned),
+      "status still reports a desync after the repair")
   }
 
   test("a torn lease file is treated as garbage, not a permanent block") {
