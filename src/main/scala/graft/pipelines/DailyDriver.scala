@@ -486,12 +486,14 @@ object DailyDriver {
     *  - the vector index (when [[init]] built one): both of its
     *    policies — `VecIndex.compactIfDelta` folds the accumulated
     *    daily-append delta once it carries more than `vecDeltaShare` of
-    *    the index's bytes (the LSM debt), and `VecIndex
-    *    .maintainIfSkewed` re-trains the quantizer once drift has
+    *    the index's bytes (the LSM debt), and `VecIndex.retrain` runs
+    *    once the pass-start `VecIndex.cellSkew` shows drift has
     *    concentrated more than `vecMaxCellShare` of the rows into one
-    *    cell. Below their thresholds each policy's measurement (two
-    *    content summaries; one column-pruned cid scan) is the whole
-    *    cost. `vecGcGraceMs` keeps pinned readers' versions alive
+    *    cell (a retrain re-cells base+delta wholesale, so the fold is
+    *    SKIPPED on a retrain pass — it would be rewritten again
+    *    immediately). Below their thresholds each policy's measurement
+    *    (two content summaries; one column-pruned cid scan) is the
+    *    whole cost. `vecGcGraceMs` keeps pinned readers' versions alive
     *    across the fold, like the lexical grace — its DEFAULT is
     *    [[ReaderGraceMs]], not 0: [[openVecIndex]]/[[hybridSearch]]
     *    advertise pinned snapshots safe under concurrent maintenance,
@@ -565,6 +567,15 @@ object DailyDriver {
           s"refresh) and no embeddings source was passed; every " +
           s"pqDepth search falls back to the exact scan until a " +
           s"refresh re-encodes — call maintain with embeddings")
+      // mis-assembled deployment, detectable up front: a PQ refresh
+      // derives the shared coarse layout from the vec index's PERSISTED
+      // quantizer, so a pairing without one could only fail mid-pass
+      // (after stores already mutated) — refuse here instead
+      require(VecIndex.openCentroids(spark, vdir).nonEmpty,
+        s"vec index under $vdir has no persisted quantizer but a PQ code " +
+          s"table is paired with it — its refresh could never re-derive " +
+          s"the shared coarse layout; build the vec index with " +
+          s"persistCentroids=true (the driver's init does)")
     }
     val lexCompacted = graft.operators.LexIndex.compactIfGarbage(spark,
       lexDir(dir), lexGcShare, lexGcGraceMs)
@@ -586,12 +597,17 @@ object DailyDriver {
     // guards and the refresh, never a second copy of the vec policy.
     var vecCompacted = false; var retrained = false
     var pqCompacted = false; var pqRefreshed = false
+    var pqSkew = 0.0
     if (vecLive) {
-      vecCompacted = VecIndex.compactIfDelta(spark, vdir, "doc_id",
-        vecDeltaShare, vecGcGraceMs)
       retrained = skew > vecMaxCellShare
+      // a retrain re-cells base+delta wholesale and retires the epoch —
+      // it IS a fold, so running compactIfDelta first would rewrite the
+      // corpus twice and double the superseded garbage for one pass
       if (retrained)
         VecIndex.retrain(spark, vdir, "doc_id", "embedding", k = VecCells)
+      else
+        vecCompacted = VecIndex.compactIfDelta(spark, vdir, "doc_id",
+          vecDeltaShare, vecGcGraceMs)
       // gc runs UNCONDITIONALLY: retrain publishes a full superseded
       // cells+centroids version but only compact sweeps — a
       // drift-heavy, append-light driver would otherwise strand a
@@ -608,8 +624,9 @@ object DailyDriver {
         // would forget the debt and the code table would stay encoded
         // under the retired layout FOREVER, silently degrading every
         // pqDepth search. `retrained` covers the move THIS pass made.
+        pqSkew = PqIndex.cellSkew(spark, pqdir)
         val needRefresh = retrained || !alignedBefore ||
-          PqIndex.cellSkew(spark, pqdir) > pqMaxCellShare
+          pqSkew > pqMaxCellShare
         if (needRefresh && embeddings.nonEmpty) {
           // re-encode the CURRENT candidates from source under the raw
           // index's (possibly just-retrained) pinned centroids — one
@@ -658,20 +675,22 @@ object DailyDriver {
       }
     }
     MaintainReport(lexCompacted, sigRelaid, vecCompacted, retrained,
-      pqCompacted, pqRefreshed, skew, alignedBefore)
+      pqCompacted, pqRefreshed, skew, pqSkew, alignedBefore)
    }
 
   /** What a [[maintain]] pass actually did: each flag true iff the
     * corresponding gated mutation FIRED (false = measured under its
-    * threshold, or the store does not exist). `vecCellSkew` and
-    * `pqAlignedBefore` are the measurements the pass decided on, as of
-    * pass start — `pqAlignedBefore = false` is the persisted-desync
+    * threshold, or the store does not exist). `vecCellSkew`,
+    * `pqCellSkew` and `pqAlignedBefore` are the measurements the pass
+    * decided on — `pqAlignedBefore = false` is the persisted-desync
     * re-arm signal ([[hybridSearch]]'s PQ gate reads the same
-    * comparison). */
+    * comparison), and `pqCellSkew` past the threshold with
+    * `pqRefreshed = false` means a refresh is OVERDUE but had no
+    * source: the next call should pass embeddings. */
   final case class MaintainReport(lexCompacted: Boolean, sigRelaid: Boolean,
                                   vecCompacted: Boolean, vecRetrained: Boolean,
                                   pqCompacted: Boolean, pqRefreshed: Boolean,
-                                  vecCellSkew: Double,
+                                  vecCellSkew: Double, pqCellSkew: Double,
                                   pqAlignedBefore: Boolean)
 
   /** One store's row in the [[status]] readout. `debtShare` is the
@@ -696,8 +715,21 @@ object DailyDriver {
     * file-listing summaries per LSM store, and one column-pruned cid
     * scan per vector store — never a corpus read, so polling every
     * window is noise. Read-only: no lease is taken and nothing is
-    * repaired or mutated. */
-  def status(spark: SparkSession, dir: String): Seq[StoreStatus] = {
+    * repaired or mutated.
+    *
+    * The lexical debt is the GC-ELIGIBLE share under `graceMs` (default
+    * [[ReaderGraceMs]], matching [[maintain]]'s default gate) — the
+    * share a default maintain could actually reclaim NOW, so a policy
+    * on it never loops on fresh garbage the grace still protects.
+    *
+    * Snapshot semantics: each row's version+epoch come from ONE
+    * manifest read, but the measured shares are separate probes — a
+    * publish racing the poll can pair one field's value with the next
+    * manifest's. Fine for a monitoring readout (the next poll
+    * converges); a strictly consistent view requires holding the
+    * store's lease. */
+  def status(spark: SparkSession, dir: String,
+             graceMs: Long = ReaderGraceMs): Seq[StoreStatus] = {
     import graft.operators.{LexIndex, PqIndex, VecIndex}
     def exists(p: String): Boolean = {
       val hp = new org.apache.hadoop.fs.Path(p)
@@ -706,9 +738,9 @@ object DailyDriver {
     val vdir = vecIndexDir(dir)
     val pqdir = pqIndexDir(dir)
     val lexV = LexIndex.currentVersion(spark, lexDir(dir))
-    val vecV = VecIndex.currentVersion(spark, vdir)
+    val vecM = VecIndex.currentManifest(spark, vdir)
     val pqV = PqIndex.currentVersion(spark, pqdir)
-    val aligned = vecV == 0L || pqV == 0L ||
+    val aligned = vecM.v == 0L || pqV == 0L ||
       pqCoarseAligned(spark, vdir, pqdir)
     Seq(
       StoreStatus("decisions", exists(decisionsDir(dir)), 0L, 0L, 0.0, 0.0,
@@ -716,12 +748,13 @@ object DailyDriver {
       StoreStatus("sig_index", exists(indexDir(dir)), 0L, 0L, 0.0, 0.0,
         aligned = true),
       StoreStatus("lex_index", lexV > 0L, lexV, 0L,
-        if (lexV > 0L) LexIndex.garbageShare(spark, lexDir(dir)) else 0.0,
+        if (lexV > 0L) LexIndex.garbageShare(spark, lexDir(dir), graceMs)
+        else 0.0,
         0.0, aligned = true),
-      StoreStatus("vec_index", vecV > 0L, vecV,
-        if (vecV > 0L) VecIndex.currentEpoch(spark, vdir) else 0L,
-        if (vecV > 0L) VecIndex.deltaShare(spark, vdir) else 0.0,
-        if (vecV > 0L) VecIndex.cellSkew(spark, vdir) else 0.0,
+      StoreStatus("vec_index", vecM.v > 0L, vecM.v,
+        if (vecM.v > 0L) vecM.epoch else 0L,
+        if (vecM.v > 0L) VecIndex.deltaShare(spark, vdir) else 0.0,
+        if (vecM.v > 0L) VecIndex.cellSkew(spark, vdir) else 0.0,
         aligned = true),
       StoreStatus("pq_index", pqV > 0L, pqV,
         if (pqV > 0L) PqIndex.currentEpoch(spark, pqdir) else 0L,

@@ -290,4 +290,51 @@ class DailyDriverApiSpec extends SparkSpecBase {
     assert(vecScans.forall(l => l.contains("PartitionFilters: [") && l.contains("cid")),
       s"hybridSearch VecIndex scan not pruned on cid:\n${vecScans.mkString("\n")}")
   }
+
+  test("a skew-triggered maintain retrains without a redundant fold and refreshes the code table") {
+    import graft.operators.{PqIndex, VecIndex}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val day0 = docs.filter(col("doc_id") % 3 =!= 0)
+    val day1 = docs.filter(col("doc_id") % 3 === 0)
+    val bench = docs.filter(col("doc_id") % 50 === 0).select("doc_id", "text")
+    val dir = tempDir("daily-driver-skew")
+    DailyDriver.init(spark, day0, bench, dir, cfg, Some(emb))
+    DailyDriver.step(spark, day1, bench, dir, cfg, Some(emb))
+    val vdir = DailyDriver.vecIndexDir(dir)
+    val pqdir = DailyDriver.pqIndexDir(dir)
+    assert(VecIndex.deltaShare(spark, vdir) > 0.0 &&
+      PqIndex.deltaShare(spark, pqdir) > 0.0,
+      "fixture vacuous: no pending deltas before the skewed maintain")
+    // vecMaxCellShare = 0 declares ANY occupancy skewed — the policy
+    // branch fires deterministically without a drift fixture. The
+    // retrain re-cells base+delta wholesale, so the separate fold must
+    // be SKIPPED (a compact first would rewrite the corpus twice), yet
+    // the pending delta still folds; the moved layout then forces the
+    // PQ refresh, which retires the code table's delta epoch too.
+    val rep = DailyDriver.maintain(spark, dir, vecDeltaShare = 0.0,
+      vecMaxCellShare = 0.0, vecGcGraceMs = 0L, embeddings = Some(emb))
+    assert(rep.vecRetrained && !rep.vecCompacted && rep.pqRefreshed &&
+      rep.pqAlignedBefore,
+      s"skewed maintain misreported itself: $rep")
+    assert(VecIndex.deltaShare(spark, vdir) == 0.0,
+      "retrain did not fold the pending vec delta")
+    assert(PqIndex.deltaShare(spark, pqdir) == 0.0,
+      "refresh did not retire the pq delta epoch")
+    // both stores landed on the SAME re-celled layout, doc for doc
+    def layout(open: => org.apache.spark.sql.DataFrame): Array[(Long, Int)] =
+      open.select(col("doc_id"), col("cid")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(layout(VecIndex.open(spark, vdir))
+      .sameElements(layout(PqIndex.open(spark, pqdir))),
+      "retrain + refresh left the stores on different cell layouts")
+    // default grace: the step's freshly superseded lex buckets are
+    // still reader-protected, so the gc-eligible debt reads 0 — the
+    // share a default maintain could actually reclaim now
+    val st = DailyDriver.status(spark, dir)
+    assert(st.forall(s => s.aligned && s.debtShare == 0.0),
+      s"post-retrain status shows debt or a desync: $st")
+  }
 }
