@@ -251,7 +251,15 @@ object LexIndex {
     * never the full corpus. Publication is the atomic manifest rename —
     * see the object doc for the crash contract. */
   def merge(spark: SparkSession, path: String, deltaTf: DataFrame): Unit =
-   Lease.withLease(spark, path, "lexindex-merge") {
+    Lease.withLease(spark, path, "lexindex-merge") {
+      mergeLocked(spark, path, deltaTf)
+    }
+
+  /** [[merge]]'s body, for callers already holding the `path` lease
+    * ([[appendStream]]'s probe+merge pair must be one critical
+    * section). */
+  private def mergeLocked(spark: SparkSession, path: String,
+                          deltaTf: DataFrame): Unit = {
     val cur = currentVersion(spark, path)
     require(cur > 0L, s"no published index under $path — build first")
     val man = readManifest(spark, path, cur)
@@ -277,6 +285,57 @@ object LexIndex {
         oldSt.getLong(1) + dSt.getLong(1)))
     publishManifest(spark, path, cur + 1L,
       man ++ written.map(_ -> (cur + 1L)))
+  }
+
+  /** Streaming incremental ingest — `VecIndex.appendStream`'s lexical
+    * sibling, completing stream parity across the three index families:
+    * each arriving micro-batch of documents is tokenized to a delta tf
+    * relation ([[UnigramLm.termFreq]], the build path's tokenizer) and
+    * folded in with [[merge]]'s exact-incremental discipline — only the
+    * batch's term buckets rebuild, one atomic manifest publish per
+    * batch, so stream-ingested ≡ batch-built row-for-row AND
+    * stats-for-stats (LexIndexSpec).
+    *
+    * Exactly-once WITHOUT a sink log: bucket rebuilds are not
+    * replay-overwritable like the vector deltas' `b=` layout (a
+    * re-merge would double-count postings), so a replayed micro-batch —
+    * a restart between the manifest publish and the offset commit — is
+    * fenced by the [[containsAny]] probe: under the stream-wide
+    * contract that arriving doc ids are DISJOINT from the indexed
+    * corpus (the daily driver's contract for every append), any probed
+    * id already present means the batch landed WHOLE (the publish is
+    * atomic) and the replay is a no-op. The probe and the merge run
+    * under ONE lease acquire — no concurrent mutator can publish
+    * between them — taken with bounded patience (`Lease.withLeaseWait`)
+    * so a batch firing during a minutes-long compact waits it out
+    * instead of dying.
+    *
+    * The index must already exist ([[build]] day 0 first — [[merge]]'s
+    * own contract, re-checked per batch). */
+  def appendStream(docs: DataFrame, idCol: String, textCol: String,
+                   path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    require(currentVersion(spark, path) > 0L,
+      s"no published index under $path — build first, then stream")
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // micro-batch-sized; checkpointed because the replay probe and
+        // the tokenize+merge each scan it
+        val b = batch.localCheckpoint()
+        if (!b.isEmpty) {
+          val tf = UnigramLm.termFreq(b, "doc_id", "text")
+          Lease.withLeaseWait(spark, path, "lexindex-append") {
+            if (!containsAny(spark, path, b.select(col("doc_id"))))
+              mergeLocked(spark, path, tf)
+          }
+        }
+        ()
+      }
+      .start()
   }
 
   /** Remove documents from the index — the retraction path a

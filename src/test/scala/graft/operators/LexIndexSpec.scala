@@ -69,6 +69,49 @@ class LexIndexSpec extends SparkSpecBase {
       s"stats diverge: ${statsRows(incPath).toSeq} vs ${statsRows(fullPath).toSeq}")
   }
 
+  test("streaming ingest equals the batch build; a replayed batch is a landed no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = docsAt("/root/testdata/sf0.001")
+    val a = docs.filter(col("doc_id") % 3 === 1)
+    val b1 = docs.filter(col("doc_id") % 3 === 2)
+    val b2 = docs.filter(col("doc_id") % 3 === 0)
+    val strPath = tempDir("lexstream")
+    val fullPath = tempDir("lexstream_full")
+    LexIndex.build(UnigramLm.termFreq(a, "doc_id", "text"), strPath)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, String)] =
+      df.select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = LexIndex.appendStream(input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", strPath, tempDir("lexstream-ckpt"))
+    try {
+      input.addData(rows(b1)); q.processAllAvailable()
+      input.addData(rows(b2)); q.processAllAvailable()
+    } finally q.stop()
+    LexIndex.build(UnigramLm.termFreq(docs, "doc_id", "text"), fullPath)
+    val (str, full) = (postingRows(strPath), postingRows(fullPath))
+    assert(str.length === full.length,
+      s"posting counts differ: ${str.length} vs ${full.length}")
+    assert(str.sameElements(full),
+      "stream-ingested postings diverge from the batch build")
+    assert(statsRows(strPath).sameElements(statsRows(fullPath)),
+      s"stats diverge: ${statsRows(strPath).toSeq} vs ${statsRows(fullPath).toSeq}")
+    // a batch whose ids already landed — the checkpoint-replay shape
+    // (crash between the manifest publish and the offset commit) — is
+    // fenced to a no-op by the containsAny probe, never double-merged
+    val before = postingRows(strPath)
+    val stBefore = statsRows(strPath)
+    val input2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q2 = LexIndex.appendStream(input2.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", strPath, tempDir("lexstream-ckpt2"))
+    try { input2.addData(rows(b2)); q2.processAllAvailable() } finally q2.stop()
+    assert(postingRows(strPath).sameElements(before),
+      "replayed batch double-merged its postings")
+    assert(statsRows(strPath).sameElements(stBefore),
+      "replayed batch moved the corpus stats")
+  }
+
   test("search equals the inline scorer on the same tf relation") {
     val qterms = someQterms()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
