@@ -300,15 +300,25 @@ object LexIndex {
     * replay-overwritable like the vector deltas' `b=` layout (a
     * re-merge would double-count postings), so a replayed micro-batch —
     * a restart between the manifest publish and the offset commit — is
-    * fenced by the [[containsAny]] probe: under the stream-wide
-    * contract that arriving doc ids are DISJOINT from the indexed
-    * corpus (the daily driver's contract for every append), any probed
-    * id already present means the batch landed WHOLE (the publish is
-    * atomic) and the replay is a no-op. The probe and the merge run
-    * under ONE lease acquire — no concurrent mutator can publish
-    * between them — taken with bounded patience (`Lease.withLeaseWait`)
-    * so a batch firing during a minutes-long compact waits it out
-    * instead of dying.
+    * fenced by a docmap PRESENCE COUNT: under the stream-wide contract
+    * that arriving doc ids are DISJOINT from the indexed corpus (the
+    * daily driver's contract for every append), ALL ids present means
+    * the batch landed whole (the publish is atomic) and the replay is a
+    * no-op; NONE present means it never landed and merges; a MIXED
+    * batch can only mean the id contract broke or the batch boundaries
+    * were re-formed (a fresh checkpoint after a crash — the trap
+    * `VecIndex.appendStream` refuses at start), and skipping it would
+    * silently drop the unlanded documents, so it fails loudly instead.
+    * The probe and the merge run under ONE lease acquire — no
+    * concurrent mutator can publish between them — taken with bounded
+    * patience (`Lease.withLeaseWait`) so a batch firing during a
+    * minutes-long compact waits it out instead of dying.
+    *
+    * The fence keys on id PRESENCE, so a retraction ([[delete]]) over
+    * ids of a batch that may still replay would let the replay
+    * resurrect them — the same interim-delete caveat as the vector
+    * stores' replay overwrite: quiesce the stream (stop + drain) before
+    * taking down ids it may have in flight.
     *
     * The index must already exist ([[build]] day 0 first — [[merge]]'s
     * own contract, re-checked per batch). */
@@ -323,19 +333,54 @@ object LexIndex {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // micro-batch-sized; checkpointed because the replay probe and
-        // the tokenize+merge each scan it
-        val b = batch.localCheckpoint()
-        if (!b.isEmpty) {
+        // micro-batch-sized; persist-with-lineage, not localCheckpoint:
+        // the replay probe and the tokenize+merge each scan it, but a
+        // per-batch localCheckpoint leaks non-replicated executor
+        // blocks across a long-running stream (nothing unpersists
+        // them) and cannot recompute after an executor loss
+        val b = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try if (!b.isEmpty) {
+          val ids = b.select(col("doc_id")).distinct()
           val tf = UnigramLm.termFreq(b, "doc_id", "text")
           Lease.withLeaseWait(spark, path, "lexindex-append") {
-            if (!containsAny(spark, path, b.select(col("doc_id"))))
-              mergeLocked(spark, path, tf)
+            val nIds = ids.count()
+            val present = presentIdCount(spark, path, ids)
+            if (present == 0L) mergeLocked(spark, path, tf)
+            else if (present != nIds)
+              throw new IllegalStateException(
+                s"micro-batch mixes $present already-indexed ids with " +
+                  s"${nIds - present} new ones under $path — a replay " +
+                  s"lands whole or not at all, so either the " +
+                  s"disjoint-arrival-ids contract broke or the batch " +
+                  s"boundaries were re-formed (fresh checkpoint after a " +
+                  s"crash); skipping would silently drop the new " +
+                  s"documents — resume the original checkpoint, or " +
+                  s"ingest the unlanded documents via a batch merge")
+            // present == nIds: the batch landed whole — replay no-op
           }
-        }
+        } finally b.unpersist()
         ()
       }
       .start()
+  }
+
+  /** How many of `ids` already have postings — the [[appendStream]]
+    * fence's whole/none/mixed discriminator. Sidecar probe (one row per
+    * (doc, bucket)), postings fallback for pre-sidecar indexes; 0 on an
+    * unbuilt index. */
+  private def presentIdCount(spark: SparkSession, path: String,
+                             ids: DataFrame): Long = {
+    val cur = currentVersion(spark, path)
+    if (cur == 0L) return 0L
+    val man = readManifest(spark, path, cur)
+    if (man.isEmpty) return 0L
+    val pairs = openDocmap(spark, path, man).getOrElse(
+      readBuckets(spark, path, man, man.keys.toSeq)
+        .select(col("tb"), col("doc_id")))
+    pairs.join(broadcast(ids.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id")).distinct().count()
   }
 
   /** Remove documents from the index — the retraction path a

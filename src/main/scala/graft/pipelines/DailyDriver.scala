@@ -740,8 +740,16 @@ object DailyDriver {
     val lexV = LexIndex.currentVersion(spark, lexDir(dir))
     val vecM = VecIndex.currentManifest(spark, vdir)
     val pqV = PqIndex.currentVersion(spark, pqdir)
+    // a PQ table paired with a QUANTIZER-LESS vec index is reported
+    // unaligned, not healthy: [[maintain]] refuses such a pairing up
+    // front (the shared coarse layout can never be re-derived), so the
+    // poll must flag it rather than tell the scheduler all is green
+    // while every maintain throws
     val aligned = vecM.v == 0L || pqV == 0L ||
-      pqCoarseAligned(spark, vdir, pqdir)
+      (graft.operators.VecIndex.openCentroids(spark, vdir) match {
+        case None => false // mis-assembled pairing — maintain refuses it
+        case Some(c) => pqCoarseAligned(spark, pqdir, collectCoarse(c))
+      })
     Seq(
       StoreStatus("decisions", exists(decisionsDir(dir)), 0L, 0L, 0.0, 0.0,
         aligned = true),

@@ -110,6 +110,28 @@ class LexIndexSpec extends SparkSpecBase {
       "replayed batch double-merged its postings")
     assert(statsRows(strPath).sameElements(stBefore),
       "replayed batch moved the corpus stats")
+    // a MIXED batch — already-indexed ids alongside new ones, the
+    // re-formed-boundaries / broken-id-contract shape — must fail
+    // loudly: a replay lands whole or not at all, so skipping it would
+    // silently drop the new documents, and merging would double-count
+    // the landed ones
+    val input3 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q3 = LexIndex.appendStream(input3.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", strPath, tempDir("lexstream-ckpt3"))
+    try {
+      input3.addData(rows(b2).take(3) :+ (900000001L, "genuinely new arrival text"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q3.processAllAvailable()
+      }
+      def chain(t: Throwable): String =
+        if (t == null) "" else t.toString + "\n" + chain(t.getCause)
+      assert(chain(e).contains("mixes"),
+        s"mixed batch not refused loudly:\n${chain(e)}")
+    } finally q3.stop()
+    assert(postingRows(strPath).sameElements(before),
+      "refused mixed batch still mutated the index")
+    assert(statsRows(strPath).sameElements(stBefore),
+      "refused mixed batch moved the corpus stats")
   }
 
   test("search equals the inline scorer on the same tf relation") {
