@@ -388,7 +388,23 @@ object Lease {
     val tomb = new Path(tok.getParent,
       tok.getName + ".tomb-" + java.util.UUID.randomUUID().toString)
     if (atomicRename(fs, tok, tomb)) {
-      val content = readRawBytes(fs, tomb)
+      // the tombstone name is unique to THIS sweeper, so a read failure
+      // here is transient IO, never a race — retry before judging
+      var content = readRawBytes(fs, tomb)
+      var tries = 0
+      while (content.isEmpty && observed.nonEmpty && tries < 3) {
+        Thread.sleep(10L); content = readRawBytes(fs, tomb); tries += 1
+      }
+      if (content.isEmpty && observed.nonEmpty) {
+        // CANNOT VERIFY what the rename captured: if it was a
+        // competitor's fresh token, deleting would destroy the only
+        // copy unverified (content=None vs observed=Some takes the
+        // mismatch branch below, but restore-from-None restores
+        // nothing). Leave the tombstone — inert debris no protocol
+        // path reads, preserved for a later manual look — and back
+        // off; the token path is already vacated either way.
+        return
+      }
       if (content != observed)
         content.foreach(c => tryCreate(fs, tok, c))
       fs.delete(tomb, false)

@@ -300,9 +300,14 @@ object LexIndex {
     * replay-overwritable like the vector deltas' `b=` layout (a
     * re-merge would double-count postings), so a replayed micro-batch —
     * a restart between the manifest publish and the offset commit — is
-    * fenced by a docmap PRESENCE COUNT: under the stream-wide contract
-    * that arriving doc ids are DISJOINT from the indexed corpus (the
-    * daily driver's contract for every append), ALL ids present means
+    * fenced by a docmap PRESENCE COUNT over the batch's TF-DERIVED ids
+    * (docs that would actually land postings — a zero-term doc writes
+    * nothing and must not count), probing only the batch's own term
+    * buckets (a landed doc has rows in every bucket its terms hash to,
+    * so the probe stays delta-bounded as the corpus grows): under the
+    * stream-wide contract that arriving doc ids are DISJOINT from the
+    * indexed corpus (the daily driver's contract for every append),
+    * ALL ids present means
     * the batch landed whole (the publish is atomic) and the replay is a
     * no-op; NONE present means it never landed and merges; a MIXED
     * batch can only mean the id contract broke or the batch boundaries
@@ -341,11 +346,24 @@ object LexIndex {
         val b = batch.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try if (!b.isEmpty) {
-          val ids = b.select(col("doc_id")).distinct()
           val tf = UnigramLm.termFreq(b, "doc_id", "text")
+          // the fence keys on the ids the merge would actually LAND —
+          // tf-derived, not the raw batch's: a doc whose text tokenizes
+          // to zero terms writes no postings, no docmap row, and no
+          // stats delta, so counting it would misread every replay of
+          // its batch as MIXED (present < nIds forever — a wedged
+          // stream that no restart can clear)
+          val ids = tf.select(col("doc_id")).distinct()
+          // the probe only ever needs the batch's own term buckets: a
+          // landed doc has docmap/posting rows in EVERY bucket its
+          // terms hash to, so one of them answers presence — delta-
+          // bounded, where the full sidecar scan would grow with the
+          // corpus and dominate each micro-batch
+          val touched = tf.select(tb(col("term")).as("tb")).distinct()
+            .collect().map(_.getLong(0)).toIndexedSeq
           Lease.withLeaseWait(spark, path, "lexindex-append") {
             val nIds = ids.count()
-            val present = presentIdCount(spark, path, ids)
+            val present = presentIdCount(spark, path, ids, touched)
             if (present == 0L) mergeLocked(spark, path, tf)
             else if (present != nIds)
               throw new IllegalStateException(
@@ -365,19 +383,27 @@ object LexIndex {
       .start()
   }
 
-  /** How many of `ids` already have postings — the [[appendStream]]
-    * fence's whole/none/mixed discriminator. Sidecar probe (one row per
-    * (doc, bucket)), postings fallback for pre-sidecar indexes; 0 on an
-    * unbuilt index. */
+  /** How many of `ids` already have postings, probing ONLY the given
+    * term buckets — the [[appendStream]] fence's whole/none/mixed
+    * discriminator. `touched` must cover every bucket the ids' terms
+    * hash to (the batch's own tf derives both), which makes the probe
+    * delta-bounded: sidecar partitions for the touched buckets when
+    * every one has a sidecar, their posting directories otherwise
+    * (pre-sidecar indexes); 0 on an unbuilt index. */
   private def presentIdCount(spark: SparkSession, path: String,
-                             ids: DataFrame): Long = {
+                             ids: DataFrame, touched: Seq[Long]): Long = {
     val cur = currentVersion(spark, path)
     if (cur == 0L) return 0L
     val man = readManifest(spark, path, cur)
-    if (man.isEmpty) return 0L
-    val pairs = openDocmap(spark, path, man).getOrElse(
-      readBuckets(spark, path, man, man.keys.toSeq)
-        .select(col("tb"), col("doc_id")))
+    val live = touched.filter(man.contains).sorted
+    if (live.isEmpty) return 0L
+    val f = fs(spark, path)
+    val dmPaths = live.map(b => docmapPath(path, b, man(b)))
+    val pairs =
+      if (dmPaths.forall(p => f.exists(new Path(p))))
+        spark.read.option("basePath", docmapDir(path)).parquet(dmPaths: _*)
+          .select(col("doc_id"))
+      else readBuckets(spark, path, man, live).select(col("doc_id"))
     pairs.join(broadcast(ids.select(col("doc_id")).distinct()),
         Seq("doc_id"), "left_semi")
       .select(col("doc_id")).distinct().count()

@@ -370,14 +370,17 @@ object VecIndex {
     * [[compact]] folds the epoch into the cells side offline and bumps
     * the epoch, exactly like any LSM-flavored index.
     *
-    * EPOCH FENCE: the epoch is resolved once at stream start, and
-    * every micro-batch re-reads the manifest before writing — a
-    * concurrent [[compact]] retires the epoch, and a stream that
-    * outlived it would otherwise keep writing batches no reader can
-    * see into a directory graced [[gc]] eventually deletes. The fence
-    * turns that silent loss into a loud stream failure: the batch
-    * throws, the query dies, and the operator restarts it (fresh
-    * checkpoint) against the new epoch. One stream lineage per epoch:
+    * MANIFEST FENCE, both coordinates: the manifest is resolved once
+    * at stream start, and every micro-batch re-reads it before
+    * writing — a concurrent [[compact]] retires the EPOCH (a stream
+    * that outlived it would keep writing batches no reader can see
+    * into a directory graced [[gc]] eventually deletes), and a
+    * concurrent `persistCentroids` [[build]] swaps the QUANTIZER
+    * without bumping the epoch (rows celled under the start-time
+    * centroids would sit in cells the new quantizer's probes never
+    * scan). Either movement turns silent loss into a loud stream
+    * failure: the batch throws, the query dies, and the operator
+    * restarts it (fresh checkpoint) against the new manifest. One stream lineage per epoch:
     * a FRESH checkpoint restarts batch numbering at 0, so adopting an
     * epoch that already holds another lineage's `b=` directories would
     * overwrite them — refused at start (resume the original
@@ -386,7 +389,8 @@ object VecIndex {
                    centroids: DataFrame, path: String,
                    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = embStream.sparkSession
-    val e = currentManifest(spark, path).epoch
+    val m0 = currentManifest(spark, path)
+    val e = m0.epoch
     // one append discipline per epoch, enforced in BOTH directions:
     // [[append]] refuses a stream-governed epoch, and a stream must
     // not adopt an epoch holding batch-appended files — the epoch's
@@ -432,13 +436,21 @@ object VecIndex {
         // documented discipline is no live stream during maintenance,
         // and a retried maintain is idempotent.
         Lease.withLeaseWait(spark, path, "vecindex-append") {
-          val cur = currentManifest(spark, path).epoch
-          if (cur != e)
+          val cur = currentManifest(spark, path)
+          // BOTH coordinates, like the PqIndex sibling: a compact
+          // retires the epoch (batches there turn invisible), and a
+          // concurrent persistCentroids build swaps the QUANTIZER
+          // without bumping the epoch — rows this stream cells under
+          // the start-time centroids would land in cells the new
+          // quantizer's probes never scan (silent recall loss, the
+          // very divergence this fence exists to make loud)
+          if (cur.epoch != e || cur.cents != m0.cents)
             throw new IllegalStateException(
-              s"append stream's delta epoch $e was retired by a concurrent " +
-                s"compact (current epoch $cur) — batches written there are " +
-                s"invisible to readers and will be collected; restart the " +
-                s"stream with a fresh checkpoint")
+              s"append stream's pinned manifest (epoch $e, quantizer " +
+                s"${m0.cents}) was superseded (now epoch ${cur.epoch}, " +
+                s"quantizer ${cur.cents}) — batches written there would be " +
+                s"invisible to readers or celled under a retired layout; " +
+                s"restart the stream with a fresh checkpoint")
           batch.withColumn("b", lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

@@ -213,15 +213,19 @@ object DailyDriver {
     val pr = KMeans.assignTop(probes, "q_id", "embedding", cents, nprobe)
       .join(probes, Seq("q_id"))
       .select(col("q_id"), col("embedding").as("q_vec"), col("cid").as("q_cid"))
-    // the PQ path is taken only when the code table's coarse layout
-    // content-equals THIS call's pinned quantizer (one quantizer-sized
-    // read — noise next to the search): between a committed vec
-    // retrain and the maintain pass that re-encodes the code table,
-    // the two stores are desynced and nominations would silently lose
-    // recall — fall back to the always-correct exact scan instead and
-    // let maintain repair the alignment
-    val usePq = pqDepth > 0 && pqCoarseAligned(spark, pqIndexDir(dir),
-      collectCoarse(cents))
+    // the PQ path is taken only when the code table EXISTS and its
+    // coarse layout content-equals THIS call's pinned quantizer (one
+    // quantizer-sized read — noise next to the search): a dir whose
+    // pq_index was never built (a pre-PQ deployment, or an init that
+    // crashed between the two index builds) must fall back, not crash
+    // in openQuant; and between a committed vec retrain and the
+    // maintain pass that re-encodes the code table, the two stores are
+    // desynced and nominations would silently lose recall — fall back
+    // to the always-correct exact scan instead and let maintain repair
+    // the alignment
+    val usePq = pqDepth > 0 &&
+      graft.operators.PqIndex.currentVersion(spark, pqIndexDir(dir)) > 0L &&
+      pqCoarseAligned(spark, pqIndexDir(dir), collectCoarse(cents))
     val vec0 =
       if (!usePq) VecIndex.search(vp.index, pr, "doc_id", "embedding", depth)
       else VecIndex.rerank(vp.index, pr,
@@ -357,9 +361,19 @@ object DailyDriver {
       // cosine assignment (assignFold is deterministic given (rows,
       // cents), so the two stores' cell layouts stay identical without
       // sharing a materialized relation). Same landed-or-not replay
-      // probe — job-committed append + disjoint daily ids.
+      // probe — job-committed append + disjoint daily ids. ALIGNMENT
+      // gate: in the desync window after a crashed maintain (vec
+      // retrain committed, PQ refresh not), this step's cids come from
+      // the NEW layout while the code table's pinned quantizer still
+      // holds the OLD — appendAssigned would residualize against the
+      // wrong (possibly shorter — ANSI out-of-range) centroid row.
+      // Skip the append: searches already fall back to the exact scan
+      // while desynced, and the pending sourced refresh re-encodes ALL
+      // current candidates (these arrivals included) from the decision
+      // table, so nothing is lost.
       val pqdir = pqIndexDir(dir)
       if (PqIndex.currentVersion(spark, pqdir) > 0L &&
+          pqCoarseAligned(spark, pqdir, collectCoarse(cents)) &&
           !PqIndex.containsAny(spark, pqdir, candEmb.select(col("doc_id"))))
         PqIndex.appendAssigned(
           VecIndex.assignFold(candEmb, "doc_id", "embedding", cents)

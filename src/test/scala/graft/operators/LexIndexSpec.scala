@@ -132,6 +132,32 @@ class LexIndexSpec extends SparkSpecBase {
       "refused mixed batch still mutated the index")
     assert(statsRows(strPath).sameElements(stBefore),
       "refused mixed batch moved the corpus stats")
+    // a ZERO-TERM doc (tokenizes to nothing — lands no postings, no
+    // docmap row, no stats delta) must not skew the fence, which keys
+    // on the tf-derived ids: first ingest merges the real docs around
+    // it, and a REPLAY of a batch containing one is a landed no-op,
+    // not a permanently-wedged "mixed" misread (present < nIds forever)
+    val input4 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val ckpt4 = tempDir("lexstream-ckpt4")
+    val q4 = LexIndex.appendStream(input4.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", strPath, ckpt4)
+    val zbatch = Seq((900000002L, "zero term fence fixture doc"),
+      (900000003L, "   "))
+    try { input4.addData(zbatch); q4.processAllAvailable() } finally q4.stop()
+    val afterZ = postingRows(strPath)
+    val stAfterZ = statsRows(strPath)
+    assert(afterZ.length > before.length,
+      "zero-term companion blocked the real doc's merge")
+    // replay the same batch (fresh checkpoint, same rows — the
+    // crash-between-publish-and-offset-commit shape)
+    val input5 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q5 = LexIndex.appendStream(input5.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", strPath, tempDir("lexstream-ckpt5"))
+    try { input5.addData(zbatch); q5.processAllAvailable() } finally q5.stop()
+    assert(postingRows(strPath).sameElements(afterZ),
+      "replayed zero-term batch was not a landed no-op")
+    assert(statsRows(strPath).sameElements(stAfterZ),
+      "replayed zero-term batch moved the corpus stats")
   }
 
   test("search equals the inline scorer on the same tf relation") {

@@ -635,7 +635,7 @@ class VecIndexSpec extends SparkSpecBase {
       }
       def chain(t: Throwable): String =
         if (t == null) "" else t.toString + "\n" + chain(t.getCause)
-      assert(chain(e).contains("retired by a concurrent compact"),
+      assert(chain(e).contains("superseded"),
         s"fence did not name the retirement:\n${chain(e)}")
       // the failed batch landed NOTHING a reader could miss: the live
       // index still serves exactly the pre-failure rows
@@ -653,6 +653,45 @@ class VecIndexSpec extends SparkSpecBase {
     } finally q2.stop()
     assert(VecIndex.open(spark, dir).count() == 36,
       "restarted stream did not land the remaining arrivals")
+  }
+
+  test("a live append stream fails loudly when a concurrent build swaps the quantizer") {
+    // the epoch SURVIVES a persistCentroids build (only cents moves),
+    // so an epoch-only fence would stay silent while the stream keeps
+    // celling rows under the start-time centroids — cells the new
+    // quantizer's probes never scan. The fence must check BOTH
+    // manifest coordinates (the PqIndex sibling's discipline).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = KMeans.lloyd(emb, "vec_id", "embedding", k = 4, iters = 1)
+      .localCheckpoint()
+    val dir = tempDir("veccentsfence")
+    VecIndex.build(emb.limit(20), "vec_id", "embedding", cents, dir,
+      persistCentroids = true)
+    val batch = emb.filter(col("vec_id") >= 20).limit(16)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val q = VecIndex.appendStream(input.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cents, dir, tempDir("veccentsfence-ckpt"))
+    try {
+      input.addData(batch.take(8))
+      q.processAllAvailable()
+      // concurrent rebuild installs a NEW quantizer; epoch unchanged
+      val cents2 = KMeans.lloyd(emb, "vec_id", "embedding", k = 3, iters = 2)
+        .localCheckpoint()
+      VecIndex.build(emb.limit(20), "vec_id", "embedding", cents2, dir,
+        persistCentroids = true)
+      input.addData(batch.drop(8))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def chain(t: Throwable): String =
+        if (t == null) "" else t.toString + "\n" + chain(t.getCause)
+      assert(chain(e).contains("superseded"),
+        s"cents-swap fence silent:\n${chain(e)}")
+    } finally q.stop()
   }
 
   test("a fresh checkpoint refuses an epoch already holding another lineage's batches") {

@@ -267,6 +267,21 @@ class DailyDriverCrashSpec extends SparkSpecBase {
       s"status missed the persisted desync: $stDesync")
     assert(stDesync("vec_index").aligned && stDesync("lex_index").aligned,
       s"desync leaked onto other stores' rows: $stDesync")
+    // a STEP in the desync window must neither crash nor deepen the
+    // desync: its cids come from the retrained layout while the code
+    // table still pins the OLD quantizer, so appendAssigned would
+    // residualize against the wrong (possibly shorter — ANSI
+    // out-of-range) centroid row. The gated step skips the PQ half —
+    // searches fall back to the exact scan anyway — and the pending
+    // sourced refresh re-encodes the arrivals from the decision table.
+    val deltaDocs = docs.filter(col("doc_id") % 7 === 3).limit(5)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val deltaEmb = emb.withColumn("doc_id", col("doc_id") + 1000000L)
+    val pqRowsAtDesync = layout(PqIndex.open(spark, pqdir))
+    DailyDriver.step(spark, deltaDocs, bench, dir, cfg, Some(deltaEmb))
+    assert(layout(PqIndex.open(spark, pqdir)).sameElements(pqRowsAtDesync),
+      "a step in the desync window appended to the stranded code table")
+    val allEmb = emb.unionByName(deltaEmb)
     // a maintain WITHOUT a source must refuse loudly: the compact-only
     // fallback cannot heal a persisted desync, so a green-looking pass
     // would leave every pqDepth search silently degraded forever
@@ -285,14 +300,22 @@ class DailyDriverCrashSpec extends SparkSpecBase {
     // content comparison), re-arms the refresh, and re-syncs — no
     // retrain fires this pass, so an in-memory flag would skip it
     val rep = DailyDriver.maintain(spark, dir, vecDeltaShare = 0.0,
-      vecGcGraceMs = 0L, embeddings = Some(emb))
+      vecGcGraceMs = 0L, embeddings = Some(allEmb))
     assert(!rep.pqAlignedBefore && rep.pqRefreshed && !rep.vecRetrained,
       s"repair pass misreported itself: $rep")
     assert(layout(DailyDriver.openVecIndex(spark, dir))
       .sameElements(layout(PqIndex.open(spark, pqdir))),
-      "maintain did not repair the desynced code table")
+      "maintain did not repair the desynced code table (the gated " +
+        "step's skipped arrivals must come back via the refresh)")
     assert(DailyDriver.status(spark, dir).forall(_.aligned),
       "status still reports a desync after the repair")
+    // an ABSENT code table (a pre-PQ deployment, or an init that
+    // crashed between the two index builds) must make the pqDepth path
+    // fall back to the exact scan, not crash in openQuant — the same
+    // always-correct degradation as the desync gate
+    fsOf(dir).delete(new Path(pqdir), true)
+    assert(fused(DailyDriver.ExhaustiveRerank).sameElements(fused(0)),
+      "pqDepth search on an absent code table did not fall back")
   }
 
   test("a torn lease file is treated as garbage, not a permanent block") {
