@@ -74,8 +74,8 @@ object PqIndex {
   private def deltaDir(path: String) = s"$path/delta"
   private def quantDir(path: String) = s"$path/quant"
 
-  private def cellsPath(path: String, v: Long) = s"${cellsDir(path)}/v=$v"
-  private def deltaPath(path: String, e: Long) = s"${deltaDir(path)}/e=$e"
+  private def cellsPath(path: String, v: Long) = Versioned.cellsPath(path, v)
+  private def deltaPath(path: String, e: Long) = Versioned.deltaPath(path, e)
   private def quantPath(path: String, v: Long) = s"${quantDir(path)}/v=$v"
 
   private def exists(spark: SparkSession, dir: String): Boolean = {
@@ -255,18 +255,8 @@ object PqIndex {
     * lineage layout) must not receive interleaved batch files — a
     * replayed micro-batch's partition overwrite could clobber them. */
   private def requireBatchEpoch(spark: SparkSession, path: String,
-                                epoch: Long): Unit = {
-    val dir = deltaPath(path, epoch)
-    val streamGoverned = exists(spark, s"$dir/_spark_metadata") ||
-      (exists(spark, dir) && new Path(dir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .listStatus(new Path(dir))
-        .exists(_.getPath.getName.startsWith("b=")))
-    require(!streamGoverned,
-      s"delta epoch $epoch is governed by a stream lineage — a replayed " +
-        s"micro-batch's partition overwrite could clobber interleaved " +
-        s"batch appends; compact first")
-  }
+                                epoch: Long): Unit =
+    Versioned.requireBatchEpoch(spark, path, epoch)
 
   def append(emb: DataFrame, idCol: String, vecCol: String,
              path: String): Unit = {
@@ -318,22 +308,7 @@ object PqIndex {
     val spark = embStream.sparkSession
     val m0 = Versioned.current(spark, path)
     val dir = deltaPath(path, m0.epoch)
-    val names =
-      if (!exists(spark, dir)) Array.empty[String]
-      else new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .listStatus(new Path(dir)).map(_.getPath.getName)
-    require(!names.contains("_spark_metadata"),
-      s"delta epoch ${m0.epoch} is governed by a legacy streaming sink " +
-        s"log — readers honoring the log would never see this lineage's " +
-        s"batches; compact first")
-    require(!names.exists(_.startsWith("cid=")),
-      s"delta epoch ${m0.epoch} holds batch-appended files — a streaming " +
-        s"lineage's replay overwrite cannot govern them; compact first")
-    require(!names.exists(_.startsWith("b=")) ||
-      exists(spark, s"$checkpoint/offsets"),
-      s"delta epoch ${m0.epoch} already holds a stream lineage's batches " +
-        s"and this checkpoint is fresh — batch numbering would restart at " +
-        s"0 and overwrite them; resume the original checkpoint or compact first")
+    Versioned.requireStreamAdoptable(spark, path, m0.epoch, checkpoint)
     encode(embStream, idCol, vecCol, quantAt(spark, path, m0))
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -371,13 +346,7 @@ object PqIndex {
   /** Whether ANY of `ids` is already indexed — the landed-or-not probe
     * a retried append needs; false on a never-built index. */
   def containsAny(spark: SparkSession, path: String, ids: DataFrame): Boolean =
-    tryOpen(spark, path) match {
-      case None => false
-      case Some(idx) =>
-        !idx.select(col(ids.columns.head))
-          .join(broadcast(ids.distinct()), Seq(ids.columns.head), "left_semi")
-          .isEmpty
-    }
+    Versioned.containsAnyIn(tryOpen(spark, path), ids)
 
   /** Fold the delta into a fresh cells version and bump the epoch in
     * one publish — [[VecIndex.compact]] for the code table (codes are
@@ -436,17 +405,8 @@ object PqIndex {
   /** Share of code-table bytes in the current delta epoch — the policy
     * trigger, two driver-side content summaries ([[VecIndex
     * .deltaShare]]). */
-  def deltaShare(spark: SparkSession, path: String): Double = {
-    val m = Versioned.current(spark, path)
-    val f = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def bytes(dir: String): Long = {
-      val p = new Path(dir)
-      if (!f.exists(p)) 0L else f.getContentSummary(p).getLength
-    }
-    val delta = bytes(deltaPath(path, m.epoch))
-    val base = if (m.base > 0L) bytes(cellsPath(path, m.base)) else 0L
-    if (delta + base == 0L) 0.0 else delta.toDouble / (delta + base).toDouble
-  }
+  def deltaShare(spark: SparkSession, path: String): Double =
+    Versioned.deltaShare(spark, path)
 
   /** @return true iff the gated fold ran */
   def compactIfDelta(spark: SparkSession, path: String, idCol: String,
@@ -462,15 +422,7 @@ object PqIndex {
     * drift signal the lossy index otherwise lacks). One column-pruned
     * scan of `cid`; 0.0 on an empty index. */
   def cellSkew(spark: SparkSession, path: String): Double =
-    tryOpen(spark, path) match {
-      case None => 0.0
-      case Some(idx) =>
-        val occ = idx.groupBy(col("cid")).count()
-          .agg(max(col("count")).as("mx"), sum(col("count")).as("n"))
-          .collect().head
-        if (occ.isNullAt(1) || occ.getLong(1) == 0L) 0.0
-        else occ.getLong(0).toDouble / occ.getLong(1).toDouble
-    }
+    Versioned.cellSkewOf(tryOpen(spark, path))
 
   /** Quantizer refresh — the class doc's drift-repair path: re-encode
     * the SOURCE embeddings under the new quantizer row and publish the

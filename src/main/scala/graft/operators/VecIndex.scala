@@ -75,8 +75,8 @@ object VecIndex {
   private def deltaDir(path: String) = s"$path/delta"
   private def centsDir(path: String) = s"$path/centroids"
 
-  private def cellsPath(path: String, v: Long) = s"${cellsDir(path)}/v=$v"
-  private def deltaPath(path: String, e: Long) = s"${deltaDir(path)}/e=$e"
+  private def cellsPath(path: String, v: Long) = Versioned.cellsPath(path, v)
+  private def deltaPath(path: String, e: Long) = Versioned.deltaPath(path, e)
   private def centsPath(path: String, v: Long) = s"${centsDir(path)}/v=$v"
 
   private def fs(spark: SparkSession, path: String): FileSystem =
@@ -396,22 +396,8 @@ object VecIndex {
     // not adopt an epoch holding batch-appended files — the epoch's
     // lifecycle (replay overwrite by b=) only protects files the
     // stream itself governs
+    Versioned.requireStreamAdoptable(spark, path, e, checkpoint)
     val dir = deltaPath(path, e)
-    val names =
-      if (!exists(spark, dir)) Array.empty[String]
-      else fs(spark, path).listStatus(new Path(dir)).map(_.getPath.getName)
-    require(!names.contains("_spark_metadata"),
-      s"delta epoch $e is governed by a legacy streaming sink log — " +
-        s"readers honoring the log would never see this lineage's " +
-        s"batches; compact first")
-    require(!names.exists(_.startsWith("cid=")),
-      s"delta epoch $e holds batch-appended files — a streaming " +
-        s"lineage's replay overwrite cannot govern them; compact first")
-    require(!names.exists(_.startsWith("b=")) ||
-      exists(spark, s"$checkpoint/offsets"),
-      s"delta epoch $e already holds a stream lineage's batches and " +
-        s"this checkpoint is fresh — batch numbering would restart at 0 " +
-        s"and overwrite them; resume the original checkpoint or compact first")
     assignFold(embStream, idCol, vecCol, centroids)
       .select(col(idCol), col(vecCol), col("norm"), col("cid"))
       .writeStream
@@ -477,16 +463,10 @@ object VecIndex {
     val spark = emb.sparkSession
     Lease.withLease(spark, path, "vecindex-append") {
       val e = currentManifest(spark, path).epoch
-      val dir = deltaPath(path, e)
-      require(!exists(spark, s"$dir/_spark_metadata") &&
-        !(exists(spark, dir) && fs(spark, path).listStatus(new Path(dir))
-          .exists(_.getPath.getName.startsWith("b="))),
-        s"delta epoch $e is governed by a stream lineage — a replayed " +
-          s"micro-batch's partition overwrite could clobber interleaved " +
-          s"batch appends; compact first")
+      Versioned.requireBatchEpoch(spark, path, e)
       assignFold(emb, idCol, vecCol, centroids)
         .select(col(idCol), col(vecCol), col("norm"), col("cid"))
-        .write.mode("append").partitionBy("cid").parquet(dir)
+        .write.mode("append").partitionBy("cid").parquet(deltaPath(path, e))
     }
   }
 
@@ -494,13 +474,7 @@ object VecIndex {
     * a RETRIED append needs. Column-pruned scan of the id column only
     * (cells + current delta); false on a never-built index. */
   def containsAny(spark: SparkSession, path: String, ids: DataFrame): Boolean =
-    tryOpen(spark, path) match {
-      case None => false
-      case Some(idx) =>
-        !idx.select(col(ids.columns.head))
-          .join(broadcast(ids.distinct()), Seq(ids.columns.head), "left_semi")
-          .isEmpty
-    }
+    Versioned.containsAnyIn(tryOpen(spark, path), ids)
 
   /** Offline compaction: fold the current delta epoch into a fresh
     * cells version and bump the epoch in the same manifest publish.
@@ -651,17 +625,8 @@ object VecIndex {
     * 1.0 for a pure-stream index that has never compacted. Retired
     * epochs and superseded cells versions are GARBAGE, not debt — they
     * are [[gc]]'s business and do not count here. */
-  def deltaShare(spark: SparkSession, path: String): Double = {
-    val m = currentManifest(spark, path)
-    val f = fs(spark, path)
-    def bytes(dir: String): Long = {
-      val p = new Path(dir)
-      if (!f.exists(p)) 0L else f.getContentSummary(p).getLength
-    }
-    val delta = bytes(deltaPath(path, m.epoch))
-    val base = if (m.base > 0L) bytes(cellsPath(path, m.base)) else 0L
-    if (delta + base == 0L) 0.0 else delta.toDouble / (delta + base).toDouble
-  }
+  def deltaShare(spark: SparkSession, path: String): Double =
+    Versioned.deltaShare(spark, path)
 
   /** The POLICY form of [[compact]] — [[LexIndex.compactIfGarbage]]'s
     * LSM sibling: fold the delta only when it holds more than
@@ -687,15 +652,7 @@ object VecIndex {
     * per-partition count, no vector payloads move. 0.0 on an empty
     * index (nothing to rebalance). */
   def cellSkew(spark: SparkSession, path: String): Double =
-    tryOpen(spark, path) match {
-      case None => 0.0
-      case Some(idx) =>
-        val occ = idx.groupBy(col("cid")).count()
-          .agg(max(col("count")).as("mx"), sum(col("count")).as("n"))
-          .collect().head
-        if (occ.isNullAt(1) || occ.getLong(1) == 0L) 0.0
-        else occ.getLong(0).toDouble / occ.getLong(1).toDouble
-    }
+    Versioned.cellSkewOf(tryOpen(spark, path))
 
   /** The POLICY form of [[retrain]] — the call a maintenance window
     * makes: measure [[cellSkew]] and re-train only when the hottest

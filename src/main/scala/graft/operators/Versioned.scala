@@ -1,7 +1,8 @@
 package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** The versioned-manifest publication protocol shared by the
   * vector-family indexes ([[VecIndex]], [[PqIndex]]) — the [[LexIndex]]
@@ -76,6 +77,97 @@ private[operators] object Versioned {
     f.delete(dst, false) // only present if THIS version was already published
     require(Lease.atomicRename(f, tmp, dst),
       s"manifest publish failed: $tmp -> $dst")
+  }
+
+  /** The families' shared on-disk layout: celled bulk versions and
+    * LSM delta epochs. Owning the names here keeps the two vector
+    * stores (and any future celled family) byte-compatible in layout
+    * and lets the measurements below work on either. */
+  def cellsPath(path: String, v: Long): String = s"$path/cells/v=$v"
+  def deltaPath(path: String, e: Long): String = s"$path/delta/e=$e"
+
+  /** Byte share of the current delta epoch vs the whole index — the
+    * LSM-debt measurement the stores gate their folds on. Two content
+    * summaries, no data read. */
+  def deltaShare(spark: SparkSession, path: String): Double = {
+    val m = current(spark, path)
+    val f = fs(spark, path)
+    def bytes(dir: String): Long = {
+      val p = new Path(dir)
+      if (!f.exists(p)) 0L else f.getContentSummary(p).getLength
+    }
+    val delta = bytes(deltaPath(path, m.epoch))
+    val base = if (m.base > 0L) bytes(cellsPath(path, m.base)) else 0L
+    if (delta + base == 0L) 0.0 else delta.toDouble / (delta + base).toDouble
+  }
+
+  /** Cell-occupancy skew of an opened celled index: the hottest cell's
+    * share of all rows (1/k balanced, →1.0 the degenerate drift end
+    * state). One column-pruned scan of `cid`; 0.0 on an absent/empty
+    * index. */
+  def cellSkewOf(idx: Option[DataFrame]): Double = idx match {
+    case None => 0.0
+    case Some(i) =>
+      val occ = i.groupBy(col("cid")).count()
+        .agg(max(col("count")).as("mx"), sum(col("count")).as("n"))
+        .collect().head
+      if (occ.isNullAt(1) || occ.getLong(1) == 0L) 0.0
+      else occ.getLong(0).toDouble / occ.getLong(1).toDouble
+  }
+
+  /** Whether any of `ids` appears in an opened index — the
+    * landed-or-not probe a retried job-committed append needs; false on
+    * a never-built index. Joins on `ids`' first column. */
+  def containsAnyIn(idx: Option[DataFrame], ids: DataFrame): Boolean =
+    idx match {
+      case None => false
+      case Some(i) =>
+        !i.select(col(ids.columns.head))
+          .join(broadcast(ids.distinct()), Seq(ids.columns.head), "left_semi")
+          .isEmpty
+    }
+
+  /** The one-discipline-per-epoch guard BATCH appends take: a
+    * stream-governed epoch (legacy `_spark_metadata` sink log, or the
+    * `b=` lineage layout) must not receive interleaved batch files — a
+    * replayed micro-batch's partition overwrite could clobber them. */
+  def requireBatchEpoch(spark: SparkSession, path: String, epoch: Long): Unit = {
+    val dir = new Path(deltaPath(path, epoch))
+    val f = fs(spark, path)
+    val streamGoverned = f.exists(new Path(dir, "_spark_metadata")) ||
+      (f.exists(dir) && f.listStatus(dir)
+        .exists(_.getPath.getName.startsWith("b=")))
+    require(!streamGoverned,
+      s"delta epoch $epoch is governed by a stream lineage — a replayed " +
+        s"micro-batch's partition overwrite could clobber interleaved " +
+        s"batch appends; compact first")
+  }
+
+  /** The adoption preflight a STREAM runs at start, the reverse
+    * direction of [[requireBatchEpoch]]: the epoch must not be governed
+    * by a legacy sink log, must not hold batch-appended `cid=` files (a
+    * lineage's replay overwrite cannot govern them), and a FRESH
+    * checkpoint must not adopt another lineage's `b=` batches (batch
+    * numbering would restart at 0 and overwrite them). */
+  def requireStreamAdoptable(spark: SparkSession, path: String, epoch: Long,
+                             checkpoint: String): Unit = {
+    val dir = deltaPath(path, epoch)
+    val f = fs(spark, path)
+    val names =
+      if (!f.exists(new Path(dir))) Array.empty[String]
+      else f.listStatus(new Path(dir)).map(_.getPath.getName)
+    require(!names.contains("_spark_metadata"),
+      s"delta epoch $epoch is governed by a legacy streaming sink log — " +
+        s"readers honoring the log would never see this lineage's " +
+        s"batches; compact first")
+    require(!names.exists(_.startsWith("cid=")),
+      s"delta epoch $epoch holds batch-appended files — a streaming " +
+        s"lineage's replay overwrite cannot govern them; compact first")
+    require(!names.exists(_.startsWith("b=")) ||
+      f.exists(new Path(s"$checkpoint/offsets")),
+      s"delta epoch $epoch already holds a stream lineage's batches and " +
+        s"this checkpoint is fresh — batch numbering would restart at 0 " +
+        s"and overwrite them; resume the original checkpoint or compact first")
   }
 
   /** Whether a side directory holds actual cell partitions: an EMPTY
