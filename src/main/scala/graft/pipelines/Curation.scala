@@ -292,4 +292,73 @@ object Curation {
     benchSh.unpersist()
     out
   }
+
+  /** Takedown-curation — [[curateIncremental]]'s inverse: remove
+    * `victims` from a decision table and re-decide exactly the rows
+    * their absence can change, the members of the components a
+    * CANDIDATE victim leaves. Per-doc verdicts (quality, contamination,
+    * the split hash) never reference other documents and are untouched;
+    * only the near-dup structure moves — a component that loses its
+    * kept member must elect a new survivor, and one that loses a
+    * CONNECTING member may split into several components, each then
+    * keeping its own best.
+    *
+    * Exactness and locality: near-dup pairs are pair-local (two docs
+    * share a band bucket and pass the Jaccard verify, or they don't —
+    * no third document participates), so removing a victim can never
+    * CREATE an edge, and every surviving edge joins two members of one
+    * old component (a cross-component edge would have merged the
+    * components when first computed). Re-running the pair computation
+    * over the affected components' surviving members alone therefore
+    * reproduces exactly what a full rerun over corpus-minus-victims
+    * decides for them, and every other row is untouched:
+    * `forget(curate(A), V, A) ≡ curate(A ∖ V)` row-for-row
+    * (ForgetSpec; q136 pins it cross-engine against the DuckDB oracle
+    * over the filtered corpus).
+    *
+    * Cost ∝ victims' components, never corpus size: the only
+    * corpus-sized input is the by-id probe into `docs` for the
+    * surviving members' text (the semi-join a text store serves
+    * without a scan when doc-id-clustered).
+    *
+    * @param prev    decision table produced with the SAME cfg
+    * @param victims (doc_id) rows to forget — ids absent from `prev`
+    *                are ignored
+    * @param docs    corpus (doc_id, text) — read ONLY for the affected
+    *                components' surviving members */
+  def forget(prev: DataFrame, victims: DataFrame, docs: DataFrame,
+             cfg: Config = Config()): DataFrame = {
+    val vIds = victims.select(col("doc_id")).distinct().localCheckpoint(true)
+    val affected = prev.join(vIds, Seq("doc_id"), "left_semi")
+      .filter(col("quality_pass") && col("contam_pass"))
+      .select(col("component")).distinct()
+    val remaining = prev
+      .filter(col("quality_pass") && col("contam_pass"))
+      .join(affected, Seq("component"), "left_semi")
+      .join(vIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("quality"), col("contam_ratio"),
+        col("quality_pass"), col("contam_pass"))
+      .persist()
+    val remText = docs.select(col("doc_id"), col("text"))
+      .join(remaining.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val (pairs, releasePairs) = graft.queries.SimilarityQ
+      .lshNearDupPairsScoped(remText, hinted = cfg.broadcastPairDims,
+        threshold = cfg.jaccardThreshold)
+    val kept = graft.operators.DedupGroups
+      .keepBest(remaining.select(col("doc_id"), col("quality")), "doc_id",
+        "quality", pairs.select(col("doc_a"), col("doc_b")), "doc_a", "doc_b")
+      .withColumnRenamed("keep", "dedup_keep")
+    val redecided = finalizeDecisions(
+      kept.join(remaining.select(col("doc_id"), col("contam_ratio"),
+        col("quality_pass"), col("contam_pass")), Seq("doc_id")), cfg)
+      .select(DecisionCols.map(col): _*)
+    val untouched = prev
+      .join(vIds, Seq("doc_id"), "left_anti")
+      .join(remaining.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(DecisionCols.map(col): _*)
+    val out = redecided.unionByName(untouched).localCheckpoint(true)
+    releasePairs()
+    remaining.unpersist()
+    out
+  }
 }

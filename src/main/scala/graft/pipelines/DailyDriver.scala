@@ -386,6 +386,76 @@ object DailyDriver {
     spark.read.parquet(decisionsDir(dir))
   }
 
+  /** Composed takedown across the driver's stores — the call a GDPR /
+    * rights-holder / decontamination retraction makes, packaged so the
+    * owner never hand-sequences five per-store deletes (and never gets
+    * the ordering wrong). Under ONE driver lease:
+    *
+    *  1. re-decide the decision table via [[Curation.forget]] — victims'
+    *     rows drop, and the surviving members of their components are
+    *     re-curated exactly (survivor re-election, component splits);
+    *  2. retract the victims from every index half — the signature
+    *     index by anti-join re-write (crash-atomic [[graft.operators
+    *     .AtomicSwap]] swap), the lexical/vector/PQ indexes by their
+    *     own bucket/cell-grain `delete`s — candidacy never changes
+    *     under a forget (quality/contam are per-doc), so victim
+    *     removal IS the whole index delta;
+    *  3. swap the re-decided decision table in LAST.
+    *
+    * Crash/replay: every index delete is idempotent (removing an absent
+    * id is a no-op) and the decision swap is the single commit point —
+    * a replay before the swap re-derives the same affected set from the
+    * still-victim-bearing old table and re-runs the no-op deletes; a
+    * replay after it finds no victims anywhere and changes nothing.
+    * DailyDriverForgetSpec pins `forget ≡ init over corpus ∖ victims`
+    * across all stores and replays a torn forget both ways.
+    *
+    * Scale note: the lex/vec/PQ deletes rewrite only the victims' term
+    * buckets / an id-pruned cells version; the SIGNATURE index has no
+    * sub-file grain (plain parquet [[maintain]] re-lays wholesale), so
+    * its anti-join rewrite is the one corpus-proportional write — the
+    * same cost class as maintain's periodic re-layout, amortize
+    * takedowns into batches accordingly.
+    *
+    * Streams: like every maintenance mutation, no live [[graft
+    * .operators.LexIndex.appendStream]]/append stream during a forget —
+    * a replayed batch could resurrect victims it had in flight (the
+    * stores' documented interim-delete caveat): quiesce first.
+    *
+    * The chunk-grain loop is its own protocol — [[chunkForget]].
+    *
+    * @param victims (doc_id) rows to forget; absent ids are ignored
+    * @param docs    the corpus relation (doc_id, text) — probed by id
+    *                for the affected components' surviving members only
+    * @return the updated decision table (read back from storage) */
+  def forget(spark: SparkSession, victims: DataFrame, docs: DataFrame,
+             dir: String, cfg: Curation.Config = Curation.Config()): DataFrame =
+   Lease.withLease(spark, dir, "forget") {
+    import graft.operators.{LexIndex, PqIndex, VecIndex}
+    val vIds = victims.select(col("doc_id")).distinct().localCheckpoint(true)
+    val prev = openDecisions(spark, dir)
+    val updated = Curation.forget(prev, vIds, docs, cfg)
+    // index halves first (idempotent), decisions swap last (the commit
+    // point) — see the replay contract above
+    val prevIndex = openSigIndex(spark, dir)
+    if (!prevIndex.join(vIds, Seq("doc_id"), "left_semi").isEmpty)
+      AtomicSwap.swap(spark, indexDir(dir)) { tmp =>
+        prevIndex.join(vIds, Seq("doc_id"), "left_anti").write.parquet(tmp)
+      }
+    if (LexIndex.currentVersion(spark, lexDir(dir)) > 0L)
+      LexIndex.delete(spark, lexDir(dir), vIds)
+    val vdir = vecIndexDir(dir)
+    if (VecIndex.currentVersion(spark, vdir) > 0L)
+      VecIndex.delete(spark, vdir, "doc_id", vIds)
+    val pqdir = pqIndexDir(dir)
+    if (PqIndex.currentVersion(spark, pqdir) > 0L)
+      PqIndex.delete(spark, pqdir, "doc_id", vIds)
+    AtomicSwap.swap(spark, decisionsDir(dir)) { tmp =>
+      updated.write.parquet(tmp)
+    }
+    spark.read.parquet(decisionsDir(dir))
+   }
+
   // ------------------------------------------------- chunk-grain loop
 
   /** Chunk-grain (substring) dedup runs as its OWN daily protocol,
@@ -474,6 +544,54 @@ object DailyDriver {
     spark.read.parquet(cleanedDir(dir))
       .filter(col("batch") === minId).drop("batch")
   }
+
+  /** Takedown for the chunk loop's CLEANED corpus — the half that holds
+    * actual text. Victims' cleaned rows are removed at batch-partition
+    * grain: batches holding any victim are re-written via dynamic
+    * partition overwrite (only those partitions move), and a batch
+    * whose every row was a victim is deleted outright (a dynamic
+    * overwrite with zero rows for a partition would leave it
+    * untouched — the silent-survival trap).
+    *
+    * The CHUNK-HASH INDEX deliberately keeps the victims' hashes. The
+    * index's invariant is "every distinct hash has exactly one
+    * surviving occurrence" — but other documents' repeats of a victim's
+    * chunks were already STRIPPED from their cleaned text, and that
+    * rewriting is immutable history: dropping the victim's hashes would
+    * not resurrect those occurrences, it would only let FUTURE arrivals
+    * re-introduce text byte-identical to the forgotten content. Keeping
+    * the 64-bit fingerprints (not recoverable text) preserves the
+    * multi-step ≡ full-rewrite equivalence for all remaining and future
+    * documents; the takedown obligation — the text itself — is gone.
+    *
+    * Idempotent by construction (re-running finds no victim rows);
+    * same no-live-step discipline as every chunk mutation. */
+  def chunkForget(spark: SparkSession, victims: DataFrame, dir: String): Unit =
+   Lease.withLease(spark, dir, "chunkForget") {
+    val vIds = victims.select(col("doc_id")).distinct().localCheckpoint(true)
+    // pin the partition column back to long — discovery infers int
+    val cleaned = spark.read.parquet(cleanedDir(dir))
+      .withColumn("batch", col("batch").cast("long"))
+    val hit = cleaned.join(vIds, Seq("doc_id"), "left_semi")
+      .select(col("batch")).distinct().collect().map(_.getLong(0))
+    if (hit.isEmpty) return
+    val survivors = cleaned.filter(col("batch").isin(hit.toSeq: _*))
+      .join(vIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint() // read twice (batch census + rewrite), and the
+                         // rewrite overwrites its own lineage's source
+    val liveBatches = survivors.select(col("batch")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    if (liveBatches.nonEmpty)
+      survivors.filter(col("batch").isin(liveBatches.toSeq: _*))
+        .write.partitionBy("batch").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(cleanedDir(dir))
+    val f = new org.apache.hadoop.fs.Path(cleanedDir(dir))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (b <- hit if !liveBatches.contains(b))
+      f.delete(new org.apache.hadoop.fs.Path(
+        s"${cleanedDir(dir)}/batch=$b"), true)
+   }
 
   // -------------------------------------------------- offline maintenance
 

@@ -428,8 +428,13 @@ object CurationQ {
 
   // shared with q89: the incremental pipeline is PROVEN row-equal to the
   // full rerun (IncrementalCurationSpec), so both paths verify against
-  // the same full-corpus oracle
-  private[queries] val q79Sql = {
+  // the same full-corpus oracle. The CORPUS is parameterized (q136 runs
+  // the same oracle over corpus-minus-victims) while the BENCHMARK stays
+  // the full table's every-50th docs — forgetting a corpus doc never
+  // changes the eval suite the pipeline was configured against.
+  private[queries] val q79Sql: String = q79SqlWhere("TRUE")
+
+  private[queries] def q79SqlWhere(corpusPred: String): String = {
     val qual =
       """CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.25
         |    + (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 2.0
@@ -440,7 +445,8 @@ object CurationQ {
     val p = graft.functions.TextFunctions.HashMod
     val splitHash = sqlStrHash("concat('split:', CAST(doc_id AS VARCHAR))")
     s"""WITH RECURSIVE
-       |tk AS (SELECT doc_id, text, ${sqlTokens("text")} AS tk FROM documents),
+       |tk_all AS (SELECT doc_id, text, ${sqlTokens("text")} AS tk FROM documents),
+       |tk AS (SELECT * FROM tk_all WHERE $corpusPred),
        |m AS (SELECT doc_id,
        |  CAST(len(tk) AS BIGINT) AS n_tokens,
        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(tk, x -> CAST(length(x) AS BIGINT))), (acc, x) -> acc + x) AS sum_len,
@@ -453,7 +459,12 @@ object CurationQ {
        |      range(1, len(tk) - 1), g -> ${sqlStrHash(gram)})))
        |    ELSE CAST([] AS BIGINT[]) END AS sh
        |  FROM tk),
-       |bench AS (SELECT DISTINCT unnest(sh) AS h FROM sh WHERE doc_id % 50 = 0),
+       |sh_bench AS (SELECT doc_id,
+       |    CASE WHEN len(tk) >= 3 THEN list_sort(list_distinct(list_transform(
+       |      range(1, len(tk) - 1), g -> ${sqlStrHash(gram)})))
+       |    ELSE CAST([] AS BIGINT[]) END AS sh
+       |  FROM tk_all WHERE doc_id % 50 = 0),
+       |bench AS (SELECT DISTINCT unnest(sh) AS h FROM sh_bench),
        |bench_arr AS (SELECT list(h ORDER BY h) AS ba FROM bench),
        |contam AS (SELECT doc_id,
        |    CASE WHEN len(sh) > 0
@@ -512,6 +523,36 @@ object CurationQ {
        |FROM final ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q136
+
+  /** TAKEDOWN curation (`pipelines.Curation.forget`) as an oracle-paired
+    * query: curate the corpus, then forget a victim class — victims'
+    * rows drop and ONLY their components' surviving members are
+    * re-decided (survivor re-election, component splits), everything
+    * else untouched. The oracle is q79's full-pipeline SQL over the
+    * corpus WITH the victims filtered out (the benchmark stays the full
+    * table's every-50th docs — forgetting a corpus doc never changes
+    * the configured eval suite), so the incremental inverse is verified
+    * cross-engine against the from-scratch rerun it claims to equal —
+    * the q89 convention, deletion edition. Victim class %31 is chosen
+    * to include KEPT members of multi-doc components (probed: three),
+    * so the re-election path provably executes. */
+  private def q136(s: SparkSession, d: String): DataFrame = {
+    import graft.pipelines.Curation
+    val docs = Tables.documents(s, d)
+    val bench = docs.filter(col("doc_id") % 50 === 0).select("doc_id", "text")
+    val cfg = Curation.Config(minQuality = 2.95)
+    val prev = Curation.curate(docs, bench, cfg)
+    val victims = docs.filter(col("doc_id") % 31 === 1).select("doc_id")
+    Curation.forget(prev, victims, docs, cfg)
+      .select(col("doc_id"), col("quality"), col("contam_ratio"),
+        col("quality_pass"), col("contam_pass"), col("component"),
+        col("dedup_keep"), col("keep"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q136Sql = q79SqlWhere("NOT (doc_id % 31 = 1)")
+
   val queries: Seq[GQuery] = Seq(
     GQuery("q69_tfidf_terms", q69, Some(q69Sql), Seq("A16", "A17", "F11")),
     GQuery("q70_decontam_overlap", q70, Some(q70Sql), Seq("A16", "J9")),
@@ -520,5 +561,6 @@ object CurationQ {
     GQuery("q73_dedup_keep_best", q73, Some(q73Sql), Seq("A16", "W2", "U3")),
     GQuery("q74_lang_sample", q74, Some(q74Sql), Seq("W5", "O4")),
     GQuery("q76_hash_embed_topk", q76, Some(q76Sql), Seq("A16", "F11", "O4")),
-    GQuery("q79_curation_e2e", q79, Some(q79Sql), Seq("A16", "W2", "U3", "F11")))
+    GQuery("q79_curation_e2e", q79, Some(q79Sql), Seq("A16", "W2", "U3", "F11")),
+    GQuery("q136_forget_rerun", q136, Some(q136Sql), Seq("A16", "W2", "U3", "J11")))
 }
