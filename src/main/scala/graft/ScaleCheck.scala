@@ -259,7 +259,7 @@ object ScaleCheck {
   private def driverCheck(spark: SparkSession, dirs: Seq[String]): Unit = {
     import graft.pipelines.{Curation, DailyDriver}
     println()
-    println(f"${"daily driver"}%-24s ${"init"}%8s ${"step"}%8s ${"maint"}%8s ${"search"}%8s ${"pq"}%8s ${"status"}%8s")
+    println(f"${"daily driver"}%-24s ${"init"}%8s ${"step"}%8s ${"maint"}%8s ${"search"}%8s ${"pq"}%8s ${"status"}%8s ${"forget"}%8s")
     for (d <- dirs) {
       spark.catalog.clearCache()
       val dir = s"target/scalecheck_driver/${d.replaceAll("[^A-Za-z0-9]", "_")}"
@@ -306,8 +306,18 @@ object ScaleCheck {
         require(st.length == 5 && st.forall(s => s.live && s.aligned),
           s"unhealthy driver state at $d: $st")
       }
+      // FIXED-size takedown last (it mutates the stores the columns
+      // above measured). forget is maintenance-class, not search-class:
+      // the decision re-decide is ∝ the victims' components, but the
+      // signature rewrite and the vector stores' fresh cells versions
+      // are corpus-linear with a small constant — this column documents
+      // that honestly (expect growth tracking maint, far under init)
+      val victims = docs.filter(col("doc_id") % 29 === 5 && col("doc_id") < 200)
+        .select(col("doc_id"))
+      val tForget = timed(
+        DailyDriver.forget(spark, victims, docs, dir, cfg).count())
       println(f"${d.split('/').last}%-24s $tInit%8.2f $tStep%8.2f " +
-        f"$tMaint%8.2f $tSearch%8.2f $tPq%8.2f $tStatus%8.2f")
+        f"$tMaint%8.2f $tSearch%8.2f $tPq%8.2f $tStatus%8.2f $tForget%8.2f")
     }
   }
 
