@@ -325,6 +325,19 @@ object LexIndex {
     * stores' replay overwrite: quiesce the stream (stop + drain) before
     * taking down ids it may have in flight.
     *
+    * SCOPE of the fence, stated honestly: the probe reads only the
+    * batch's own term buckets, which is what keeps the per-batch cost
+    * delta-bounded as the corpus grows (a full-sidecar scan per
+    * micro-batch would dominate ingest at fleet scale). Any REPLAY is
+    * caught — a landed doc's rows live in exactly its text's buckets,
+    * and a replay carries the same text. What delta cost cannot catch
+    * is a CONTRACT VIOLATION where an already-indexed id re-arrives
+    * with entirely different text (disjoint buckets): it is
+    * indistinguishable from a new document and would double-count. The
+    * disjoint-arrival-ids contract is load-bearing — police re-crawls
+    * upstream (`StreamOps.streamingCurate` dedups them), where the
+    * arrival stream's own state makes the check O(delta).
+    *
     * The index must already exist ([[build]] day 0 first — [[merge]]'s
     * own contract, re-checked per batch). */
   def appendStream(docs: DataFrame, idCol: String, textCol: String,

@@ -133,6 +133,24 @@ object VecIndex {
    // interleave writes under the same v=N+1 paths
    Lease.withLease(spark, path, "vecindex-build") {
     val m = currentManifest(spark, path)
+    // a quantizer SWAP over a LIVE delta would strand the delta's rows
+    // celled under the old centroids — probes assigned by the new
+    // quantizer never scan their cells, and a later compact fossilizes
+    // the wrong cids with no repair path (the per-batch stream fence
+    // only stops FUTURE batches). PqIndex.requireDeltaCompatible's
+    // discipline: refuse loudly; compact (or retrain, which re-cells
+    // base+delta wholesale) first. A CONTENT-EQUAL re-install (an
+    // interrupted build's replay, a standardized-quantizer rebuild) is
+    // not a swap and stays allowed; an index with NO persisted
+    // quantizer but a live delta is refused conservatively — its rows
+    // were celled by centroids the manifest never saw.
+    val swapping = persistCentroids &&
+      !centsAt(spark, path, m).exists(centroidsContentEqual(_, centroids))
+    require(!(swapping && Versioned.hasCells(spark, deltaPath(path, m.epoch))),
+      s"build would install a different quantizer over a live delta " +
+        s"epoch ${m.epoch} under $path — its rows are celled under the " +
+        s"previous layout and would be silently unreachable; compact " +
+        s"or retrain first")
     val n = m.v + 1
     val cents = centroids
       .select(col("cid"), col("centroid").as("c_vec"))
@@ -193,6 +211,18 @@ object VecIndex {
     * a `persistCentroids` [[build]] installs one). */
   def openCentroids(spark: SparkSession, path: String): Option[DataFrame] =
     centsAt(spark, path, currentManifest(spark, path))
+
+  /** STRUCTURAL content equality of two (cid, centroid) quantizers —
+    * cid-sorted elementwise comparison, never Row.toString (nested
+    * array formatting must not decide a correctness guard). Quantizer-
+    * sized collects. */
+  private[graft] def centroidsContentEqual(a: DataFrame, b: DataFrame): Boolean = {
+    def rows(df: DataFrame): Array[(Int, Seq[Float])] =
+      df.select(col("cid").cast("int"), col("centroid")).collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+    val (ra, rb) = (rows(a), rows(b))
+    ra.length == rb.length && ra.indices.forall(i => ra(i) == rb(i))
+  }
 
   private def centsAt(spark: SparkSession, path: String,
                       m: Manifest): Option[DataFrame] =
@@ -436,7 +466,11 @@ object VecIndex {
                 s"${m0.cents}) was superseded (now epoch ${cur.epoch}, " +
                 s"quantizer ${cur.cents}) — batches written there would be " +
                 s"invisible to readers or celled under a retired layout; " +
-                s"restart the stream with a fresh checkpoint")
+                s"restart the stream with a fresh checkpoint (after an " +
+                s"epoch retirement or an empty-delta quantizer swap), or " +
+                s"resume this checkpoint against re-read centroids (a " +
+                s"content-equal quantizer re-install — build refuses a " +
+                s"true swap over a live delta)")
           batch.withColumn("b", lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

@@ -163,8 +163,13 @@ private[operators] object Versioned {
     require(!names.exists(_.startsWith("cid=")),
       s"delta epoch $epoch holds batch-appended files — a streaming " +
         s"lineage's replay overwrite cannot govern them; compact first")
+    // the checkpoint may live on a DIFFERENT filesystem than the index
+    // (hdfs checkpoint, object-store index) — resolve its FS from its
+    // own path, not the index's
+    val ckOffsets = new Path(s"$checkpoint/offsets")
     require(!names.exists(_.startsWith("b=")) ||
-      f.exists(new Path(s"$checkpoint/offsets")),
+      ckOffsets.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(ckOffsets),
       s"delta epoch $epoch already holds a stream lineage's batches and " +
         s"this checkpoint is fresh — batch numbering would restart at 0 " +
         s"and overwrite them; resume the original checkpoint or compact first")

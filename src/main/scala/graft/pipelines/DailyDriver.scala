@@ -444,11 +444,19 @@ object DailyDriver {
       }
     if (LexIndex.currentVersion(spark, lexDir(dir)) > 0L)
       LexIndex.delete(spark, lexDir(dir), vIds)
+    // the vector deletes publish a fresh cells version — a corpus-sized
+    // rewrite — so gate them on a victim actually being present (the
+    // lex delete's victimBuckets probe gives it this for free): a
+    // post-swap replay, or victims that were never candidates, must
+    // stay a metadata-cost no-op instead of rewriting and re-bumping
+    // both stores for nothing
     val vdir = vecIndexDir(dir)
-    if (VecIndex.currentVersion(spark, vdir) > 0L)
+    if (VecIndex.currentVersion(spark, vdir) > 0L &&
+        VecIndex.containsAny(spark, vdir, vIds))
       VecIndex.delete(spark, vdir, "doc_id", vIds)
     val pqdir = pqIndexDir(dir)
-    if (PqIndex.currentVersion(spark, pqdir) > 0L)
+    if (PqIndex.currentVersion(spark, pqdir) > 0L &&
+        PqIndex.containsAny(spark, pqdir, vIds))
       PqIndex.delete(spark, pqdir, "doc_id", vIds)
     AtomicSwap.swap(spark, decisionsDir(dir)) { tmp =>
       updated.write.parquet(tmp)
@@ -581,8 +589,18 @@ object DailyDriver {
                          // rewrite overwrites its own lineage's source
     val liveBatches = survivors.select(col("batch")).distinct()
       .collect().map(_.getLong(0)).toSet
+    // a takedown that would empty the WHOLE cleaned corpus leaves no
+    // partition to carry the schema (read.parquet on a bare directory
+    // fails inference, wedging every later open/step) — that shape is
+    // a reset, not a retraction: refuse loudly and point at chunkInit
+    val untouched = cleaned.select(col("batch")).distinct()
+      .filter(!col("batch").isin(hit.toSeq: _*)).limit(1).count() > 0L
+    require(untouched || liveBatches.nonEmpty,
+      s"chunkForget would remove every cleaned document under $dir — " +
+        s"an empty partitioned table cannot carry its schema; delete " +
+        s"the directory and re-chunkInit over the new corpus instead")
     if (liveBatches.nonEmpty)
-      survivors.filter(col("batch").isin(liveBatches.toSeq: _*))
+      survivors // its distinct batches ARE liveBatches — no re-filter
         .write.partitionBy("batch").mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(cleanedDir(dir))

@@ -655,16 +655,22 @@ class VecIndexSpec extends SparkSpecBase {
       "restarted stream did not land the remaining arrivals")
   }
 
-  test("a live append stream fails loudly when a concurrent build swaps the quantizer") {
-    // the epoch SURVIVES a persistCentroids build (only cents moves),
-    // so an epoch-only fence would stay silent while the stream keeps
-    // celling rows under the start-time centroids — cells the new
-    // quantizer's probes never scan. The fence must check BOTH
-    // manifest coordinates (the PqIndex sibling's discipline).
+  test("a quantizer swap cannot strand delta rows: build refuses a live delta, the stream fence stops an empty-delta swap") {
+    // TWO layers close the window: rows ALREADY landed in the delta are
+    // protected by build itself (a different-quantizer install over a
+    // live delta is refused — the per-batch fence can only stop FUTURE
+    // batches, and a later compact would fossilize the stale cids with
+    // no repair path); rows NOT yet landed are protected by the
+    // per-batch fence checking BOTH manifest coordinates, because the
+    // epoch SURVIVES a persistCentroids build (only cents moves — an
+    // epoch-only fence would stay silent, the PqIndex sibling's
+    // discipline).
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val cents = KMeans.lloyd(emb, "vec_id", "embedding", k = 4, iters = 1)
+      .localCheckpoint()
+    val cents2 = KMeans.lloyd(emb, "vec_id", "embedding", k = 3, iters = 2)
       .localCheckpoint()
     val dir = tempDir("veccentsfence")
     VecIndex.build(emb.limit(20), "vec_id", "embedding", cents, dir,
@@ -678,20 +684,43 @@ class VecIndexSpec extends SparkSpecBase {
     try {
       input.addData(batch.take(8))
       q.processAllAvailable()
-      // concurrent rebuild installs a NEW quantizer; epoch unchanged
-      val cents2 = KMeans.lloyd(emb, "vec_id", "embedding", k = 3, iters = 2)
-        .localCheckpoint()
+      // layer 1: the delta holds the stream's rows — a swap is refused
+      val eBuild = intercept[IllegalArgumentException] {
+        VecIndex.build(emb.limit(20), "vec_id", "embedding", cents2, dir,
+          persistCentroids = true)
+      }
+      assert(eBuild.getMessage.contains("live delta"), eBuild.getMessage)
+      // a CONTENT-EQUAL re-install (interrupted-build replay) stays legal
+      VecIndex.build(emb.limit(20), "vec_id", "embedding", cents, dir,
+        persistCentroids = true)
+      // compact retires the delta; the stream dies on its epoch fence
+      VecIndex.compact(spark, dir, "vec_id", gcGraceMs = 60L * 60 * 1000)
+      input.addData(batch.slice(8, 12))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // layer 2: fresh stream over the EMPTY post-compact delta; the swap
+    // is now legal (no rows to strand) and the next batch must die on
+    // the cents coordinate, epoch unchanged
+    val input2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val q2 = VecIndex.appendStream(input2.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cents, dir, tempDir("veccentsfence-ckpt2"))
+    try {
       VecIndex.build(emb.limit(20), "vec_id", "embedding", cents2, dir,
         persistCentroids = true)
-      input.addData(batch.drop(8))
+      input2.addData(batch.drop(12))
       val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-        q.processAllAvailable()
+        q2.processAllAvailable()
       }
       def chain(t: Throwable): String =
         if (t == null) "" else t.toString + "\n" + chain(t.getCause)
       assert(chain(e).contains("superseded"),
         s"cents-swap fence silent:\n${chain(e)}")
-    } finally q.stop()
+      // nothing landed into the live delta under the stale layout
+      assert(VecIndex.open(spark, dir).count() == 20,
+        "a fenced batch leaked rows celled under a retired quantizer")
+    } finally q2.stop()
   }
 
   test("a fresh checkpoint refuses an epoch already holding another lineage's batches") {

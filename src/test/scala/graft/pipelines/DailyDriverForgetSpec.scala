@@ -173,5 +173,15 @@ class DailyDriverForgetSpec extends SparkSpecBase {
     assert(DailyDriver.openCleaned(spark, dir)
       .collect().map(_.toString).sorted.sameElements(cleanedRows),
       "replayed chunkForget moved rows")
+    // a takedown of EVERYTHING left would strand a schema-less
+    // directory (every later open/step wedges on parquet inference) —
+    // that shape is a reset, refused loudly
+    val eAll = intercept[IllegalArgumentException] {
+      DailyDriver.chunkForget(spark, docs.select(col("doc_id")), dir)
+    }
+    assert(eAll.getMessage.contains("re-chunkInit"), eAll.getMessage)
+    assert(DailyDriver.openCleaned(spark, dir)
+      .collect().map(_.toString).sorted.sameElements(cleanedRows),
+      "a refused full takedown still mutated the cleaned corpus")
   }
 }
