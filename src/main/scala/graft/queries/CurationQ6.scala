@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 import graft.Tables
 import graft.functions.IntOps.idiv
 import graft.functions.TextFunctions._
@@ -412,10 +412,17 @@ object CurationQ6 {
       .orderBy(col("doc_id"))
   }
 
-  private val q115Sql = {
-    val sep = "chr(1)"
+  private val bpeSep = "chr(1)"
+
+  /** The oracle's BPE TRAIN prefix — `tk/wf/v0` plus [[bpeRounds]]
+    * unrolled merge rounds (`p_r`/`m_r`/`v_{r+1}`), trained over
+    * `documents` restricted by `trainWhere` (empty = whole corpus).
+    * Shared by q115 (train on all) and q137 (train on the corpus
+    * split, encode the arrival split). */
+  private def bpeTrainCtes(trainWhere: String): String = {
+    val sep = bpeSep
     val sb = new StringBuilder
-    sb ++= s"""WITH tk AS (SELECT unnest(${sqlTokens("text")}) AS w FROM documents),
+    sb ++= s"""WITH tk AS (SELECT unnest(${sqlTokens("text")}) AS w FROM documents $trainWhere),
               |wf AS (SELECT w, COUNT(*) AS freq FROM tk GROUP BY w),
               |v0 AS (SELECT w, freq, array_to_string(string_split(w, ''), $sep) AS sy FROM wf),
               |""".stripMargin
@@ -434,6 +441,14 @@ object CurationQ6 {
                 |  FROM v$r CROSS JOIN m$r),
                 |""".stripMargin
     }
+    sb.toString
+  }
+
+  /** The oracle's ENCODE chain — `e0..e_bpeRounds` replaying the
+    * learned merges over EVERY document's words. */
+  private def bpeEncodeCtes: String = {
+    val sep = bpeSep
+    val sb = new StringBuilder
     sb ++= s"""e0 AS (SELECT doc_id, w, array_to_string(string_split(w, ''), $sep) AS sy
               |  FROM (SELECT doc_id, unnest(${sqlTokens("text")}) AS w FROM documents)),
               |""".stripMargin
@@ -443,15 +458,86 @@ object CurationQ6 {
                 |  FROM e$r CROSS JOIN m$r),
                 |""".stripMargin
     }
-    sb ++= s"""agg AS (SELECT doc_id, COUNT(*) AS n_words,
-              |    CAST(SUM(length(w)) AS BIGINT) AS n_wchars,
-              |    CAST(SUM(len(string_split(sy, $sep))) AS BIGINT) AS n_bpe
-              |  FROM e$bpeRounds GROUP BY doc_id)
-              |SELECT doc_id, n_words, n_wchars, n_bpe,
-              |  CAST(n_wchars AS DOUBLE) / CAST(n_bpe AS DOUBLE) AS ratio
-              |FROM agg ORDER BY doc_id""".stripMargin
     sb.toString
   }
+
+  private val q115Sql =
+    bpeTrainCtes("") + bpeEncodeCtes +
+      s"""agg AS (SELECT doc_id, COUNT(*) AS n_words,
+         |    CAST(SUM(length(w)) AS BIGINT) AS n_wchars,
+         |    CAST(SUM(len(string_split(sy, $bpeSep))) AS BIGINT) AS n_bpe
+         |  FROM e$bpeRounds GROUP BY doc_id)
+         |SELECT doc_id, n_words, n_wchars, n_bpe,
+         |  CAST(n_wchars AS DOUBLE) / CAST(n_bpe AS DOUBLE) AS ratio
+         |FROM agg ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q137
+
+  /** Per-source TOKENIZER-COVERAGE drift — q133's sibling on the
+    * vocabulary axis, the monitor that catches a corpus outgrowing its
+    * tokenizer: train the BPE merges on the CORPUS split (doc_id%10≠7,
+    * the driver's day-0 convention), encode EVERYTHING with the learned
+    * sequence, and report each source's compression ratio (chars per
+    * BPE symbol) on the corpus vs the arrival split. A source whose
+    * arrivals drift away from the trained vocabulary (new jargon, new
+    * language mix) compresses worse — `drift` goes negative, the signal
+    * to schedule a tokenizer refresh before training pays the token
+    * bloat. Scale shape: train is q97/q115's bounded-rounds loop; the
+    * measurement itself is one map-side encode (a chain of `aggregate`
+    * folds, zero shuffle) plus a per-(source, split) sum — O(sources)
+    * output, corpus-scan input, no state. */
+  private def q137(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Bpe
+    val docs = Tables.documents(s, d)
+    // TIME-like split (ids ascend with arrival): corpus = first 80% of
+    // the id range, delta = last 20%. A modulo split would degenerate
+    // here — the synthetic corpus assigns source by doc_id modulo, so
+    // every source would land wholly in one half and the per-source
+    // comparison would be an empty join. Integer arithmetic (id*5 vs
+    // max*4) keeps the threshold bit-identical across engines.
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val (merges, _) =
+      Bpe.train(docs.filter(col("doc_id") * 5 < maxId * 4), "text", bpeRounds)
+    require(merges.size == bpeRounds,
+      s"trainer stopped early (${merges.size}/$bpeRounds merges) — oracle unrolls $bpeRounds")
+    // encode passes source through (per-word rows keep the doc's cols)
+    val agg = Bpe.encode(docs, "text", merges)
+      .groupBy(col("source"), (col("doc_id") * 5 >= maxId * 4).as("is_delta"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        sum(length(col("w"))).cast(LongType).as("n_wchars"),
+        sum(size(col("syms"))).cast(LongType).as("n_bpe"))
+    def ratio = col("n_wchars").cast(DoubleType) / col("n_bpe").cast(DoubleType)
+    val tr = agg.filter(!col("is_delta"))
+      .select(col("source"), ratio.as("corpus_ratio"))
+    val de = agg.filter(col("is_delta"))
+      .select(col("source"), col("n_docs").as("n_delta_docs"),
+        ratio.as("delta_ratio"))
+    tr.join(de, Seq("source"))
+      .withColumn("drift", col("delta_ratio") - col("corpus_ratio"))
+      .select(col("source"), col("n_delta_docs"), col("corpus_ratio"),
+        col("delta_ratio"), col("drift"))
+      .orderBy(col("source"))
+  }
+
+  private val q137Sql =
+    bpeTrainCtes(
+      "WHERE doc_id * 5 < 4 * (SELECT MAX(doc_id) FROM documents)") +
+      bpeEncodeCtes +
+      s"""agg AS (SELECT d.source AS source,
+         |    e.doc_id * 5 >= 4 * (SELECT MAX(doc_id) FROM documents) AS is_delta,
+         |    COUNT(DISTINCT e.doc_id) AS n_docs,
+         |    CAST(SUM(length(e.w)) AS BIGINT) AS n_wchars,
+         |    CAST(SUM(len(string_split(e.sy, $bpeSep))) AS BIGINT) AS n_bpe
+         |  FROM e$bpeRounds e JOIN documents d ON e.doc_id = d.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT t.source AS source, dl.n_docs AS n_delta_docs,
+         |  CAST(t.n_wchars AS DOUBLE) / CAST(t.n_bpe AS DOUBLE) AS corpus_ratio,
+         |  CAST(dl.n_wchars AS DOUBLE) / CAST(dl.n_bpe AS DOUBLE) AS delta_ratio,
+         |  CAST(dl.n_wchars AS DOUBLE) / CAST(dl.n_bpe AS DOUBLE)
+         |    - CAST(t.n_wchars AS DOUBLE) / CAST(t.n_bpe AS DOUBLE) AS drift
+         |FROM (SELECT * FROM agg WHERE NOT is_delta) t
+         |JOIN (SELECT * FROM agg WHERE is_delta) dl USING (source)
+         |ORDER BY source""".stripMargin
 
   // --------------------------------------------------------------- q116
 
@@ -810,6 +896,7 @@ object CurationQ6 {
     GQuery("q114_bloom_decontam", q114, Some(CurationQ.q70Sql), Seq("A16", "J9")),
     GQuery("q115_bpe_encode", q115, Some(q115Sql), Seq("A17", "C12", "F11")),
     GQuery("q116_split_leakage", q116, Some(q116Sql), Seq("A16", "U1", "F10")),
+    GQuery("q137_tokenizer_drift", q137, Some(q137Sql), Seq("A17", "F10", "F11")),
     GQuery("q117_decontam_rewrite", q117, Some(q117Sql), Seq("A16", "J9", "C12")),
     GQuery("q118_nb_eval", q118, Some(q118Sql), Seq("F10", "A17", "U1")),
     GQuery("q119_token_apportion", q119, Some(q119Sql), Seq("A17", "W5", "O1")),
