@@ -553,6 +553,40 @@ object CurationQ {
 
   private val q136Sql = q79SqlWhere("NOT (doc_id % 31 = 1)")
 
+  // ---------------------------------------------------------------- q138
+
+  /** Dedup-health profile — the component-SIZE distribution of the
+    * curated corpus: for each near-dup component size, how many
+    * components and how many documents sit there. The monitor that
+    * catches dedup drift a keep-rate alone hides: a creeping MEGA
+    * component (this corpus ships one — hundreds of members behind a
+    * single survivor) means the LSH threshold or shingling has stopped
+    * separating genuinely distinct documents, and the corpus is
+    * silently collapsing. O(components) intermediate, O(distinct
+    * sizes) output; the oracle wraps q79's full-pipeline SQL as a
+    * subquery, so the profile is verified against the same cross-engine
+    * component structure the curation rows are. */
+  private def q138(s: SparkSession, d: String): DataFrame = {
+    import graft.pipelines.Curation
+    val docs = Tables.documents(s, d)
+    val bench = docs.filter(col("doc_id") % 50 === 0).select("doc_id", "text")
+    Curation.curate(docs, bench, Curation.Config(minQuality = 2.95))
+      .filter(col("quality_pass") && col("contam_pass"))
+      .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz"))
+      .agg(count(lit(1)).as("n_components"),
+        sum(col("sz")).as("n_docs"))
+      .orderBy(col("sz"))
+  }
+
+  private val q138Sql =
+    s"""SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_components,
+       |  CAST(SUM(sz) AS BIGINT) AS n_docs
+       |FROM (SELECT component, CAST(COUNT(*) AS BIGINT) AS sz
+       |      FROM ($q79Sql) b
+       |      WHERE quality_pass AND contam_pass GROUP BY component) c
+       |GROUP BY sz ORDER BY sz""".stripMargin
+
   val queries: Seq[GQuery] = Seq(
     GQuery("q69_tfidf_terms", q69, Some(q69Sql), Seq("A16", "A17", "F11")),
     GQuery("q70_decontam_overlap", q70, Some(q70Sql), Seq("A16", "J9")),
@@ -562,5 +596,6 @@ object CurationQ {
     GQuery("q74_lang_sample", q74, Some(q74Sql), Seq("W5", "O4")),
     GQuery("q76_hash_embed_topk", q76, Some(q76Sql), Seq("A16", "F11", "O4")),
     GQuery("q79_curation_e2e", q79, Some(q79Sql), Seq("A16", "W2", "U3", "F11")),
-    GQuery("q136_forget_rerun", q136, Some(q136Sql), Seq("A16", "W2", "U3", "J11")))
+    GQuery("q136_forget_rerun", q136, Some(q136Sql), Seq("A16", "W2", "U3", "J11")),
+    GQuery("q138_dedup_profile", q138, Some(q138Sql), Seq("A16", "A18", "W2")))
 }
