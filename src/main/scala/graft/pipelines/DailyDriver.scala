@@ -921,6 +921,22 @@ object DailyDriver {
         aligned))
   }
 
+  /** Read-only dedup-health readout over the LIVE decision table —
+    * q138's component-size profile served from driver state instead of
+    * a curate rerun (the daily monitor form: one pass over 9 narrow
+    * columns, O(distinct sizes) output). A creeping mega-component row
+    * is the signal the near-dup threshold has stopped separating
+    * distinct documents. Steps and forgets keep the underlying
+    * components exact (their equivalence specs), so this equals the
+    * from-scratch profile at every point in the driver's life. */
+  def dedupProfile(spark: SparkSession, dir: String): DataFrame =
+    openDecisions(spark, dir)
+      .filter(col("quality_pass") && col("contam_pass"))
+      .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz"))
+      .agg(count(lit(1)).as("n_components"), sum(col("sz")).as("n_docs"))
+      .orderBy(col("sz"))
+
   /** A (cid, centroid) relation collected to cid-ordered float arrays —
     * the comparable form of a coarse quantizer (bounded: [[VecCells]]
     * rows). */

@@ -127,6 +127,12 @@ class DailyDriverForgetSpec extends SparkSpecBase {
     // and a SECOND full forget (post-swap replay) is a no-op
     val again = DailyDriver.forget(spark, victims, docs, dir, cfg)
     assert(canon(again).sameElements(g), "post-swap forget replay moved rows")
+    // the live dedup-health profile equals the from-scratch corpus's —
+    // the monitor stays exact across forgets, not just steps
+    def profile(d: String): Array[String] =
+      DailyDriver.dedupProfile(spark, d).collect().map(_.toString)
+    assert(profile(dir).sameElements(profile(refDir)),
+      "post-forget dedup profile diverged from the init-minus profile")
   }
 
   test("chunkForget removes victims' cleaned text at batch grain; empty batches go") {
