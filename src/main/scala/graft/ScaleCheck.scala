@@ -322,19 +322,22 @@ object ScaleCheck {
   }
 
   /** Long-horizon aging: N daily steps against ONE driver dir with
-    * `maintain` every k — the proof that the policies keep BOTH the
-    * recurring costs and the on-disk state flat in N, which a one-step
+    * `maintain` every k AND a takedown (`forget`) every j — the proof
+    * that the policies keep BOTH the recurring costs and the on-disk
+    * state flat in N with retractions interleaved, which a one-step
     * measurement cannot show. Per step: step time, the recurring hybrid
     * search in both forms (exact in-cell and the PQ production depth),
     * and the LIVE FILE COUNT under the driver dir (offline-discipline
-    * gc, grace 0 — retired epochs/versions must not accumulate). */
+    * gc, grace 0 — retired epochs/versions and delete-superseded
+    * versions must not accumulate). */
   private def driverAgingCheck(spark: SparkSession): Unit = {
     import graft.pipelines.{Curation, DailyDriver}
     val d = "/root/testdata/sf0.01"
     val steps = 12
     val maintainEvery = 4
+    val forgetEvery = 5
     println()
-    println(f"${"driver aging (sf0.01)"}%-24s ${"step"}%8s ${"search"}%8s ${"pq"}%8s ${"maint"}%8s ${"files"}%8s")
+    println(f"${"driver aging (sf0.01)"}%-24s ${"step"}%8s ${"search"}%8s ${"pq"}%8s ${"maint"}%8s ${"forget"}%8s ${"files"}%8s")
     spark.catalog.clearCache()
     val dir = "target/scalecheck_driver_aging"
     val dp = new org.apache.hadoop.fs.Path(dir)
@@ -363,7 +366,7 @@ object ScaleCheck {
     }
     val tInit = timed(DailyDriver.init(spark, day0, bench, dir, cfg,
       Some(emb.join(day0.select(col("doc_id")), Seq("doc_id")))))
-    println(f"${"init"}%-24s $tInit%8.2f ${""}%8s ${""}%8s ${""}%8s ${files()}%8d")
+    println(f"${"init"}%-24s $tInit%8.2f ${""}%8s ${""}%8s ${""}%8s ${""}%8s ${files()}%8d")
     for (i <- 0 until steps) {
       val delta = docs.filter(col("doc_id") % mod === i.toLong)
       val tStep = timed(DailyDriver.step(spark, delta, bench, dir, cfg, Some(emb)))
@@ -376,8 +379,18 @@ object ScaleCheck {
           timed(DailyDriver.maintain(spark, dir,
             lexGcGraceMs = 0L, vecGcGraceMs = 0L, embeddings = Some(emb)))
         else 0.0
+      // periodic takedown: a slice of the delta that JUST landed (ids
+      // are never re-stepped, so each round's victims are fresh) —
+      // proves retractions interleave with steps/maintenance without
+      // cost or state creep
+      val tForget =
+        if ((i + 1) % forgetEvery == 0)
+          timed(DailyDriver.forget(spark,
+            delta.filter(col("doc_id") % 5 === 2).select(col("doc_id")),
+            docs, dir, cfg).count())
+        else 0.0
       println(f"${s"step ${i + 1}"}%-24s $tStep%8.2f $tSearch%8.2f " +
-        f"$tPq%8.2f $tMaint%8.2f ${files()}%8d")
+        f"$tPq%8.2f $tMaint%8.2f $tForget%8.2f ${files()}%8d")
     }
   }
 
