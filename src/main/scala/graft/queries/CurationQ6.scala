@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -475,17 +475,21 @@ object CurationQ6 {
 
   /** Per-source TOKENIZER-COVERAGE drift — q133's sibling on the
     * vocabulary axis, the monitor that catches a corpus outgrowing its
-    * tokenizer: train the BPE merges on the CORPUS split (doc_id%10≠7,
-    * the driver's day-0 convention), encode EVERYTHING with the learned
-    * sequence, and report each source's compression ratio (chars per
-    * BPE symbol) on the corpus vs the arrival split. A source whose
-    * arrivals drift away from the trained vocabulary (new jargon, new
-    * language mix) compresses worse — `drift` goes negative, the signal
-    * to schedule a tokenizer refresh before training pays the token
-    * bloat. Scale shape: train is q97/q115's bounded-rounds loop; the
-    * measurement itself is one map-side encode (a chain of `aggregate`
-    * folds, zero shuffle) plus a per-(source, split) sum — O(sources)
-    * output, corpus-scan input, no state. */
+    * tokenizer: train the BPE merges on the CORPUS split (the first 80%
+    * of the id range — ids ascend with arrival, so this is the
+    * time-like "already ingested" prefix), encode EVERYTHING with the
+    * learned sequence, and report each source's compression ratio
+    * (chars per BPE symbol) on the corpus vs the arrival split. A
+    * source whose arrivals drift away from the trained vocabulary (new
+    * jargon, new language mix) compresses worse — `drift` goes
+    * negative, the signal to schedule a tokenizer refresh before
+    * training pays the token bloat. A source seen ONLY in arrivals (the
+    * strongest outgrow signal) still reports: its corpus-side ratio and
+    * drift are null, n_delta_docs carries the volume. Scale shape:
+    * train is q97/q115's bounded-rounds loop; the measurement itself is
+    * one map-side encode (a chain of `aggregate` folds, zero shuffle)
+    * plus ONE per-source conditional aggregation — O(sources) output,
+    * a single corpus-scan input, no self-join, no state. */
   private def q137(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Bpe
     val docs = Tables.documents(s, d)
@@ -493,26 +497,34 @@ object CurationQ6 {
     // the id range, delta = last 20%. A modulo split would degenerate
     // here — the synthetic corpus assigns source by doc_id modulo, so
     // every source would land wholly in one half and the per-source
-    // comparison would be an empty join. Integer arithmetic (id*5 vs
-    // max*4) keeps the threshold bit-identical across engines.
-    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    // comparison would be vacuous. Integer arithmetic (id*5 vs max*4)
+    // keeps the threshold bit-identical across engines. Eager like
+    // q115's trainer (the merge loop is inherently driver-stepped);
+    // null-safe so an empty table fails in the trainer's require, not
+    // an NPE here.
+    val maxRow = docs.agg(max(col("doc_id"))).head
+    val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     val (merges, _) =
       Bpe.train(docs.filter(col("doc_id") * 5 < maxId * 4), "text", bpeRounds)
     require(merges.size == bpeRounds,
       s"trainer stopped early (${merges.size}/$bpeRounds merges) — oracle unrolls $bpeRounds")
-    // encode passes source through (per-word rows keep the doc's cols)
-    val agg = Bpe.encode(docs, "text", merges)
-      .groupBy(col("source"), (col("doc_id") * 5 >= maxId * 4).as("is_delta"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
-        sum(length(col("w"))).cast(LongType).as("n_wchars"),
-        sum(size(col("syms"))).cast(LongType).as("n_bpe"))
-    def ratio = col("n_wchars").cast(DoubleType) / col("n_bpe").cast(DoubleType)
-    val tr = agg.filter(!col("is_delta"))
-      .select(col("source"), ratio.as("corpus_ratio"))
-    val de = agg.filter(col("is_delta"))
-      .select(col("source"), col("n_docs").as("n_delta_docs"),
-        ratio.as("delta_ratio"))
-    tr.join(de, Seq("source"))
+    // encode passes source through (per-word rows keep the doc's cols);
+    // one conditional aggregation per source — the corpus/delta halves
+    // are when()-gated sums over the SAME pass, so the heavy encode
+    // fold runs once and one-sided sources survive (null other half).
+    val isDelta = col("doc_id") * 5 >= maxId * 4
+    def side(cond: Column, x: Column) = sum(when(cond, x)).cast(LongType)
+    Bpe.encode(docs, "text", merges)
+      .groupBy(col("source"))
+      .agg(countDistinct(when(isDelta, col("doc_id"))).as("n_delta_docs"),
+        side(!isDelta, length(col("w"))).as("c_wchars"),
+        side(!isDelta, size(col("syms"))).as("c_bpe"),
+        side(isDelta, length(col("w"))).as("d_wchars"),
+        side(isDelta, size(col("syms"))).as("d_bpe"))
+      .withColumn("corpus_ratio",
+        col("c_wchars").cast(DoubleType) / col("c_bpe").cast(DoubleType))
+      .withColumn("delta_ratio",
+        col("d_wchars").cast(DoubleType) / col("d_bpe").cast(DoubleType))
       .withColumn("drift", col("delta_ratio") - col("corpus_ratio"))
       .select(col("source"), col("n_delta_docs"), col("corpus_ratio"),
         col("delta_ratio"), col("drift"))
@@ -524,20 +536,24 @@ object CurationQ6 {
       "WHERE doc_id * 5 < 4 * (SELECT MAX(doc_id) FROM documents)") +
       bpeEncodeCtes +
       s"""agg AS (SELECT d.source AS source,
-         |    e.doc_id * 5 >= 4 * (SELECT MAX(doc_id) FROM documents) AS is_delta,
-         |    COUNT(DISTINCT e.doc_id) AS n_docs,
-         |    CAST(SUM(length(e.w)) AS BIGINT) AS n_wchars,
-         |    CAST(SUM(len(string_split(e.sy, $bpeSep))) AS BIGINT) AS n_bpe
+         |    COUNT(DISTINCT CASE WHEN e.doc_id * 5 >= 4 * (SELECT MAX(doc_id) FROM documents)
+         |      THEN e.doc_id END) AS n_delta_docs,
+         |    CAST(SUM(CASE WHEN e.doc_id * 5 < 4 * (SELECT MAX(doc_id) FROM documents)
+         |      THEN length(e.w) END) AS BIGINT) AS c_wchars,
+         |    CAST(SUM(CASE WHEN e.doc_id * 5 < 4 * (SELECT MAX(doc_id) FROM documents)
+         |      THEN len(string_split(e.sy, $bpeSep)) END) AS BIGINT) AS c_bpe,
+         |    CAST(SUM(CASE WHEN e.doc_id * 5 >= 4 * (SELECT MAX(doc_id) FROM documents)
+         |      THEN length(e.w) END) AS BIGINT) AS d_wchars,
+         |    CAST(SUM(CASE WHEN e.doc_id * 5 >= 4 * (SELECT MAX(doc_id) FROM documents)
+         |      THEN len(string_split(e.sy, $bpeSep)) END) AS BIGINT) AS d_bpe
          |  FROM e$bpeRounds e JOIN documents d ON e.doc_id = d.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT t.source AS source, dl.n_docs AS n_delta_docs,
-         |  CAST(t.n_wchars AS DOUBLE) / CAST(t.n_bpe AS DOUBLE) AS corpus_ratio,
-         |  CAST(dl.n_wchars AS DOUBLE) / CAST(dl.n_bpe AS DOUBLE) AS delta_ratio,
-         |  CAST(dl.n_wchars AS DOUBLE) / CAST(dl.n_bpe AS DOUBLE)
-         |    - CAST(t.n_wchars AS DOUBLE) / CAST(t.n_bpe AS DOUBLE) AS drift
-         |FROM (SELECT * FROM agg WHERE NOT is_delta) t
-         |JOIN (SELECT * FROM agg WHERE is_delta) dl USING (source)
-         |ORDER BY source""".stripMargin
+         |  GROUP BY 1)
+         |SELECT source, n_delta_docs,
+         |  CAST(c_wchars AS DOUBLE) / CAST(c_bpe AS DOUBLE) AS corpus_ratio,
+         |  CAST(d_wchars AS DOUBLE) / CAST(d_bpe AS DOUBLE) AS delta_ratio,
+         |  CAST(d_wchars AS DOUBLE) / CAST(d_bpe AS DOUBLE)
+         |    - CAST(c_wchars AS DOUBLE) / CAST(c_bpe AS DOUBLE) AS drift
+         |FROM agg ORDER BY source""".stripMargin
 
   // --------------------------------------------------------------- q116
 
