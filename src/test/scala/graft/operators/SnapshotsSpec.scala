@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The sealed-snapshot protocol: seal-marker commit semantics, the
+  * delta-sized diff, fingerprint audit, two-phase retention, and the
+  * takedown cascade through sealed history. */
+class SnapshotsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def decRows(rows: Seq[(Long, Boolean, Option[String], Long,
+      Boolean, Long)]): DataFrame =
+    rows.toDF("doc_id", "keep", "split", "component", "dedup_keep", "fp")
+
+  private val dayOne = Seq(
+    (1L, true, Some("train"), 1L, true, 101L),
+    (2L, true, Some("test"), 2L, true, 102L),
+    (3L, false, None, 2L, false, 103L),
+    (4L, true, Some("train"), 4L, true, 104L))
+
+  test("create seals ascending versions; open round-trips; sealedRows counts") {
+    val root = tempDir("snapspec")
+    val v1 = Snapshots.create(spark, root, decRows(dayOne))
+    val v2 = Snapshots.create(spark, root, decRows(dayOne.take(2)))
+    assert(v1 == 1L && v2 == 2L)
+    assert(Snapshots.versions(spark, root) == Seq(1L, 2L))
+    assert(Snapshots.open(spark, root, 1L).count() == 4L)
+    assert(Snapshots.open(spark, root, 2L).count() == 2L)
+    assert(Snapshots.sealedRows(spark, root, 1L) == 4L)
+    assert(Snapshots.sealedRows(spark, root, 2L) == 2L)
+  }
+
+  test("a crashed create is invisible and its replay converges on the same version") {
+    val root = tempDir("snapcrash")
+    Snapshots.create(spark, root, decRows(dayOne))
+    // crash simulation: the data write landed, the seal never happened
+    decRows(dayOne.take(1)).write.parquet(s"$root/snap/v=2")
+    assert(Snapshots.versions(spark, root) == Seq(1L))
+    intercept[IllegalArgumentException](Snapshots.open(spark, root, 2L))
+    // the replayed create re-derives v=2 and its overwrite replaces the debris
+    val v = Snapshots.create(spark, root, decRows(dayOne.take(3)))
+    assert(v == 2L)
+    assert(Snapshots.open(spark, root, 2L).count() == 3L)
+  }
+
+  test("diff emits exactly the added/removed/changed rows, null-safely") {
+    val root = tempDir("snapdiff")
+    Snapshots.create(spark, root, decRows(dayOne))
+    val dayTwo = Seq(
+      (1L, true, Some("train"), 1L, true, 101L),  // unchanged → absent
+      // doc 2 removed
+      (3L, true, Some("val"), 3L, true, 103L),    // keep+split+component flip
+      (4L, true, Some("train"), 4L, true, 104L),  // unchanged → absent
+      (5L, true, Some("test"), 5L, true, 105L))   // added
+    Snapshots.create(spark, root, decRows(dayTwo))
+    val d = Snapshots.diff(spark, root, 1L, 2L)
+      .orderBy("doc_id").collect()
+    assert(d.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((2L, "removed"), (3L, "changed"), (5L, "added")))
+    val changed = d(1)
+    assert(changed.getAs[Boolean]("keep_a") == false &&
+      changed.getAs[Boolean]("keep_b") == true)
+    assert(changed.getAs[String]("split_a") == null &&
+      changed.getAs[String]("split_b") == "val")
+  }
+
+  test("verify flags missing and altered documents, is empty on the intact corpus") {
+    val root = tempDir("snapverify")
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma"), (3L, "delta"))
+      .toDF("doc_id", "text")
+    val sealedRows = docs.select(col("doc_id"), lit(true).as("keep"),
+      lit("train").as("split"), col("doc_id").as("component"),
+      lit(true).as("dedup_keep"))
+      .join(Snapshots.fingerprints(docs), Seq("doc_id"))
+    val v = Snapshots.create(spark, root, sealedRows)
+    assert(Snapshots.verify(spark, root, v, docs).isEmpty)
+    val mutated = Seq((1L, "alpha beta"), (2L, "gamma CHANGED"))
+      .toDF("doc_id", "text")
+    val bad = Snapshots.verify(spark, root, v, mutated)
+      .orderBy("doc_id").collect()
+    assert(bad.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((2L, "changed"), (3L, "missing")))
+  }
+
+  test("gc is two-phase: un-publish immediately, data only after the grace") {
+    val root = tempDir("snapgc")
+    for (i <- 1 to 3) Snapshots.create(spark, root, decRows(dayOne.take(i)))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataDirs: Set[String] = {
+      val d = new org.apache.hadoop.fs.Path(s"$root/snap")
+      if (!fs.exists(d)) Set.empty
+      else fs.listStatus(d).map(_.getPath.getName).toSet
+    }
+    // long grace: versions retire (invisible, unopenable) but data stays
+    Snapshots.gc(spark, root, keep = _ >= 3L, graceMs = 60L * 60 * 1000)
+    assert(Snapshots.versions(spark, root) == Seq(3L))
+    intercept[IllegalArgumentException](Snapshots.open(spark, root, 1L))
+    assert(dataDirs == Set("v=1", "v=2", "v=3"))
+    // grace 0: the already-retired data goes in one sweep
+    Snapshots.gc(spark, root, keep = _ >= 3L, graceMs = 0L)
+    assert(dataDirs == Set("v=3"))
+    assert(Snapshots.open(spark, root, 3L).count() == 3L)
+  }
+
+  test("gc sweeps crashed-create debris but never an in-progress version's seal") {
+    val root = tempDir("snapdebris")
+    Snapshots.create(spark, root, decRows(dayOne))
+    decRows(dayOne.take(1)).write.parquet(s"$root/snap/v=9")
+    Snapshots.gc(spark, root, keep = _ => true, graceMs = 0L)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/snap/v=9")))
+    assert(Snapshots.versions(spark, root) == Seq(1L))
+    assert(Snapshots.open(spark, root, 1L).count() == 4L)
+  }
+
+  test("redact removes victims from every sealed version, in place, idempotently") {
+    val root = tempDir("snapredact")
+    Snapshots.create(spark, root, decRows(dayOne))
+    Snapshots.create(spark, root, decRows(dayOne.take(3)))
+    val victims = Seq(2L, 99L).toDF("doc_id") // 99 absent everywhere
+    Snapshots.redact(spark, root, victims)
+    assert(Snapshots.versions(spark, root) == Seq(1L, 2L))
+    def ids(v: Long) = Snapshots.open(spark, root, v)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids(1L) == Seq(1L, 3L, 4L))
+    assert(ids(2L) == Seq(1L, 3L))
+    // replay: no victims left anywhere → byte-level no-op
+    Snapshots.redact(spark, root, victims)
+    assert(ids(1L) == Seq(1L, 3L, 4L))
+    // untouched columns survive the rewrite
+    val r = Snapshots.open(spark, root, 1L).filter(col("doc_id") === 1L).head()
+    assert(r.getAs[Long]("fp") == 101L &&
+      r.getAs[String]("split") == "train")
+  }
+}
