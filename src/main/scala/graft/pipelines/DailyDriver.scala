@@ -30,6 +30,15 @@ import org.apache.spark.sql.functions._
   *    assignment, two stores): the ~32×-smaller ANN state
   *    [[hybridSearch]]'s IVFADC path (`pqDepth > 0`) nominates
   *    candidates from before the exact rerank against `vec_index`
+  *  - `fps/`        — per-document content fingerprints (doc_id, fp,
+  *    len), maintained incrementally (one text scan at [[init]], one
+  *    per delta at [[step]]) so sealing a [[snapshot]] or running
+  *    [[verifySnapshot]] never re-reads corpus text
+  *  - `snapshots/`  — sealed training-set exports
+  *    ([[graft.operators.Snapshots]]): every [[snapshot]] call seals
+  *    the current decision table + fingerprints as an immutable
+  *    version a training run can pin, diff, audit, and — under a
+  *    [[forget]] — have takedown-redacted in place
   *
   * Each step recomputes ONLY the arrivals and the prior components they
   * touch (`Curation.curateIncremental` — proven row-equal to a full
@@ -66,6 +75,18 @@ object DailyDriver {
   private def decisionsDir(dir: String) = s"$dir/decisions"
   private def indexDir(dir: String) = s"$dir/sig_index"
   private def lexDir(dir: String) = s"$dir/lex_index"
+  private def fpsDir(dir: String) = s"$dir/fps"
+
+  /** The driver's sealed-snapshot root ([[graft.operators.Snapshots]])
+    * — public so audit tooling can list/open the sealed history
+    * directly; mutate only through [[snapshot]]/[[snapshotGc]]/
+    * [[forget]] (they hold the right leases). */
+  def snapshotsDir(dir: String): String = s"$dir/snapshots"
+
+  private def pathExists(spark: SparkSession, p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
 
   /** The driver's vector-index root — public so retrieval code can
     * `VecIndex.open`/`search` the driver-maintained index directly. */
@@ -265,6 +286,12 @@ object DailyDriver {
     Curation.curate(docs, benchmark, cfg)
       .select(Curation.DecisionCols.map(col): _*)
       .write.mode("overwrite").parquet(decisionsDir(dir))
+    // content fingerprints for EVERY corpus doc — the substrate
+    // [[snapshot]] seals and [[verifySnapshot]] audits against; built
+    // here (the one place a full text scan already happens) and grown
+    // per-delta by [[step]], so a snapshot is never a corpus read
+    graft.operators.Snapshots.fingerprints(docs)
+      .write.mode("overwrite").parquet(fpsDir(dir))
     val decisions = spark.read.parquet(decisionsDir(dir))
     val cand = candidates(docs, decisions)
     graft.streaming.StreamOps.signatureIndex(cand)
@@ -337,6 +364,19 @@ object DailyDriver {
     if (!sigLanded)
       graft.streaming.StreamOps.signatureIndex(newCand)
         .write.mode("append").parquet(indexDir(dir))
+    // fingerprint the arrivals (ALL of them — candidacy doesn't gate
+    // the audit substrate). Same landed-or-not replay probe as the
+    // other appends; repair first because [[forget]] swaps this table.
+    // A pre-fps driver dir (upgraded mid-life) starts the table here —
+    // its sealed snapshots then carry fingerprints from this day on.
+    val fpsLanded = pathExists(spark, fpsDir(dir)) && {
+      AtomicSwap.repair(spark, fpsDir(dir))
+      !spark.read.parquet(fpsDir(dir))
+        .join(deltaIds, Seq("doc_id"), "left_semi").isEmpty
+    }
+    if (!fpsLanded)
+      graft.operators.Snapshots.fingerprints(newDocs)
+        .write.mode("append").parquet(fpsDir(dir))
     // fold the day's candidates into the retrieval index — touches only
     // the delta's term buckets (see LexIndex.merge; exact vs a full
     // rebuild, DailyDriverApiSpec)
@@ -458,6 +498,23 @@ object DailyDriver {
     if (PqIndex.currentVersion(spark, pqdir) > 0L &&
         PqIndex.containsAny(spark, pqdir, vIds))
       PqIndex.delete(spark, pqdir, "doc_id", vIds)
+    // the victims' text-derived fingerprints go too (gated anti-join
+    // swap, same probe-cost no-op on replay as the signature rewrite)
+    if (pathExists(spark, fpsDir(dir))) {
+      AtomicSwap.repair(spark, fpsDir(dir))
+      val prevFps = spark.read.parquet(fpsDir(dir))
+      if (!prevFps.join(vIds, Seq("doc_id"), "left_semi").isEmpty)
+        AtomicSwap.swap(spark, fpsDir(dir)) { tmp =>
+          prevFps.join(vIds, Seq("doc_id"), "left_anti").write.parquet(tmp)
+        }
+    }
+    // ... and the takedown cascades through SEALED history: every
+    // snapshot version containing a victim is redacted in place
+    // (version numbers and "run T ← snapshot N" records survive,
+    // minus exactly the forgotten rows). Idempotent per the redact
+    // contract, so the replay story above is unchanged.
+    if (graft.operators.Snapshots.versions(spark, snapshotsDir(dir)).nonEmpty)
+      graft.operators.Snapshots.redact(spark, snapshotsDir(dir), vIds)
     AtomicSwap.swap(spark, decisionsDir(dir)) { tmp =>
       updated.write.parquet(tmp)
     }
@@ -857,7 +914,7 @@ object DailyDriver {
                                epoch: Long, debtShare: Double,
                                cellSkew: Double, aligned: Boolean)
 
-  /** Operability readout of the five driver-maintained stores — the
+  /** Operability readout of the driver-maintained stores — the
     * poll a scheduler makes BEFORE deciding how to run the next
     * [[maintain]] (aligned=false or cellSkew past the threshold → the
     * pass needs the source embeddings; high debtShare → a compact will
@@ -890,6 +947,7 @@ object DailyDriver {
     val lexV = LexIndex.currentVersion(spark, lexDir(dir))
     val vecM = VecIndex.currentManifest(spark, vdir)
     val pqV = PqIndex.currentVersion(spark, pqdir)
+    val snapVersions = graft.operators.Snapshots.versions(spark, snapshotsDir(dir))
     // a PQ table paired with a QUANTIZER-LESS vec index is reported
     // unaligned, not healthy: [[maintain]] refuses such a pairing up
     // front (the shared coarse layout can never be re-derived), so the
@@ -918,7 +976,17 @@ object DailyDriver {
         if (pqV > 0L) PqIndex.currentEpoch(spark, pqdir) else 0L,
         if (pqV > 0L) PqIndex.deltaShare(spark, pqdir) else 0.0,
         if (pqV > 0L) PqIndex.cellSkew(spark, pqdir) else 0.0,
-        aligned))
+        aligned),
+      StoreStatus("fps", exists(fpsDir(dir)), 0L, 0L, 0.0, 0.0,
+        aligned = true),
+      // snapshots: version = latest sealed, epoch = how many are live
+      // (retention debt a snapshotGc policy would read)
+      snapVersions match {
+        case Seq() => StoreStatus("snapshots", live = false, 0L, 0L, 0.0,
+          0.0, aligned = true)
+        case vs => StoreStatus("snapshots", live = true, vs.last,
+          vs.size.toLong, 0.0, 0.0, aligned = true)
+      })
   }
 
   /** Read-only dedup-health readout over the LIVE decision table —
@@ -936,6 +1004,68 @@ object DailyDriver {
       .groupBy(col("sz"))
       .agg(count(lit(1)).as("n_components"), sum(col("sz")).as("n_docs"))
       .orderBy(col("sz"))
+
+  // ------------------------------------------------------- snapshots
+
+  /** The live fingerprint table (doc_id, fp, len) — repairs a torn
+    * [[forget]] swap first, like the other swap-managed opens. */
+  def openFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    AtomicSwap.repair(spark, fpsDir(dir))
+    spark.read.parquet(fpsDir(dir))
+  }
+
+  /** Seal the CURRENT decision table (plus each row's content
+    * fingerprint) as the next snapshot version — the immutable record
+    * a training run pins: "run T trained on snapshot v=N" stays
+    * answerable after any number of later steps/forgets, via
+    * [[openSnapshot]] (read it back), [[snapshotDiff]] (what changed
+    * since), and [[verifySnapshot]] (is it still reproducible).
+    *
+    * Runs under the DRIVER lease, so the sealed rows are exactly one
+    * decision-table version — never a mid-step interleaving of old
+    * decisions with a half-landed day (the fingerprint join is
+    * left-outer purely for the upgraded-mid-life dir whose `fps/`
+    * started after day 0: those pre-upgrade rows seal with a null fp
+    * rather than silently vanishing from the record).
+    *
+    * Cost: O(decisions) — two narrow tables joined on the id; corpus
+    * text is never read (that's what `fps/` is for). */
+  def snapshot(spark: SparkSession, dir: String): Long =
+    Lease.withLease(spark, dir, "snapshot") {
+      val rows = openDecisions(spark, dir)
+        .join(openFingerprints(spark, dir), Seq("doc_id"), "left_outer")
+      graft.operators.Snapshots.create(spark, snapshotsDir(dir), rows)
+    }
+
+  /** Sealed snapshot versions, ascending. */
+  def snapshotVersions(spark: SparkSession, dir: String): Seq[Long] =
+    graft.operators.Snapshots.versions(spark, snapshotsDir(dir))
+
+  /** Read sealed snapshot `v` (decision columns + fp + len). */
+  def openSnapshot(spark: SparkSession, dir: String, v: Long): DataFrame =
+    graft.operators.Snapshots.open(spark, snapshotsDir(dir), v)
+
+  /** Delta-sized change set between two sealed snapshots — one
+    * `'removed'`/`'added'`/`'changed'` row per differing doc (see
+    * [[graft.operators.Snapshots.diff]]). */
+  def snapshotDiff(spark: SparkSession, dir: String, vA: Long,
+                   vB: Long): DataFrame =
+    graft.operators.Snapshots.diff(spark, snapshotsDir(dir), vA, vB)
+
+  /** Audit sealed snapshot `v` against a live corpus relation: rows
+    * whose text is gone or re-hashed differently; empty = the run's
+    * corpus is still reproducible. */
+  def verifySnapshot(spark: SparkSession, dir: String, v: Long,
+                     docs: DataFrame): DataFrame =
+    graft.operators.Snapshots.verify(spark, snapshotsDir(dir), v, docs)
+
+  /** Retention sweep over sealed history — [[graft.operators.Snapshots
+    * .gc]] with the driver's reader-grace default. Retention is a
+    * POLICY call (which versions training runs still pin is knowledge
+    * only the owner has), so [[maintain]] never runs this implicitly. */
+  def snapshotGc(spark: SparkSession, dir: String, keep: Long => Boolean,
+                 graceMs: Long = ReaderGraceMs): Unit =
+    graft.operators.Snapshots.gc(spark, snapshotsDir(dir), keep, graceMs)
 
   /** A (cid, centroid) relation collected to cid-ordered float arrays —
     * the comparable form of a coarse quantizer (bounded: [[VecCells]]
