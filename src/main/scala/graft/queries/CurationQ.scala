@@ -587,6 +587,112 @@ object CurationQ {
        |      WHERE quality_pass AND contam_pass GROUP BY component) c
        |GROUP BY sz ORDER BY sz""".stripMargin
 
+  // ---------------------------------------------------------------- q139
+
+  /** Sealed training-set EXPORT ([[graft.operators.Snapshots]]) as an
+    * oracle row: curate the corpus, seal decisions + per-doc content
+    * fingerprints as snapshot v=1, read the SEALED version back, and
+    * emit the kept set (id, fingerprint, length, component, split) — a
+    * training run's reproducibility record. The oracle re-derives the
+    * same rows declaratively (q79's pipeline joined with the portable
+    * poly-hash over `text`), so the whole seal → marker-commit → open
+    * storage path is gate-checked against the from-scratch SQL, the
+    * q121 convention for stateful stores (root deleted and rebuilt per
+    * invocation — the recurring cost is [[graft.pipelines.DailyDriver
+    * .snapshot]]'s O(decisions) join, measured in ScaleCheck). */
+  private def q139(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Snapshots
+    import graft.pipelines.Curation
+    val docs = Tables.documents(s, d)
+    val bench = docs.filter(col("doc_id") % 50 === 0).select("doc_id", "text")
+    val dec = Curation.curate(docs, bench, Curation.Config(minQuality = 2.95))
+    val root = freshRoot(s, "target/q139_snapshots")
+    val v = Snapshots.create(s, root,
+      dec.join(Snapshots.fingerprints(docs), Seq("doc_id")))
+    Snapshots.open(s, root, v)
+      .filter(col("keep"))
+      .select(col("doc_id"), col("fp"), col("len"), col("component"),
+        col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q139Sql =
+    s"""SELECT f.doc_id AS doc_id, ${sqlStrHash("d.text")} AS fp,
+       |  CAST(length(d.text) AS BIGINT) AS len,
+       |  f.component AS component, f.split AS split
+       |FROM ($q79Sql) f JOIN documents d ON f.doc_id = d.doc_id
+       |WHERE f.keep ORDER BY f.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q140
+
+  /** Cross-snapshot DIFF — what changed between two sealed training-set
+    * versions, the audit a corpus owner runs before re-training: seal
+    * the curated corpus (v=1), apply a takedown
+    * ([[graft.pipelines.Curation.forget]], q136's victim class), seal
+    * again (v=2), and emit [[graft.operators.Snapshots.diff]]'s
+    * delta-sized change set — victims come back `'removed'`, their
+    * components' re-decided survivors `'changed'` with the before/after
+    * keep/split/component pairs, and every untouched doc emits nothing.
+    * The oracle full-outer-joins the two declarative pipelines (q79
+    * whole-corpus vs q79 minus victims) with the same null-safe column
+    * compare, so the sealed-diff path is verified against from-scratch
+    * SQL on both sides of the history. */
+  private def q140(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Snapshots
+    import graft.pipelines.Curation
+    val docs = Tables.documents(s, d)
+    val bench = docs.filter(col("doc_id") % 50 === 0).select("doc_id", "text")
+    val cfg = Curation.Config(minQuality = 2.95)
+    // materialized once: feeds snapshot v=1 AND the forget re-decide
+    val prev = Curation.curate(docs, bench, cfg).localCheckpoint(true)
+    val fps = Snapshots.fingerprints(docs)
+    val root = freshRoot(s, "target/q140_snapshots")
+    Snapshots.create(s, root, prev.join(fps, Seq("doc_id")))
+    val after = Curation.forget(prev,
+      docs.filter(col("doc_id") % 31 === 1).select(col("doc_id")), docs, cfg)
+    Snapshots.create(s, root, after.join(fps, Seq("doc_id")))
+    // one-sided rows make keep/component NULLABLE; the gate's hasher
+    // holds nullable ints/bools poorly, so the PAIRED form strings
+    // them (the nullable-string path q79's split already exercises) —
+    // the operator itself keeps native types
+    Snapshots.diff(s, root, 1L, 2L,
+      compare = Seq("keep", "split", "component"))
+      .select(col("doc_id"), col("status"),
+        col("keep_a").cast(StringType).as("keep_a"),
+        col("keep_b").cast(StringType).as("keep_b"),
+        col("split_a"), col("split_b"),
+        col("component_a").cast(StringType).as("component_a"),
+        col("component_b").cast(StringType).as("component_b"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q140Sql =
+    s"""SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       |  CASE WHEN b.doc_id IS NULL THEN 'removed'
+       |       WHEN a.doc_id IS NULL THEN 'added'
+       |       ELSE 'changed' END AS status,
+       |  CAST(a.keep AS VARCHAR) AS keep_a, CAST(b.keep AS VARCHAR) AS keep_b,
+       |  a.split AS split_a, b.split AS split_b,
+       |  CAST(a.component AS VARCHAR) AS component_a,
+       |  CAST(b.component AS VARCHAR) AS component_b
+       |FROM ($q79Sql) a
+       |FULL JOIN (${q79SqlWhere("NOT (doc_id % 31 = 1)")}) b
+       |  ON a.doc_id = b.doc_id
+       |WHERE a.doc_id IS NULL OR b.doc_id IS NULL
+       |   OR NOT (a.keep IS NOT DISTINCT FROM b.keep
+       |       AND a.split IS NOT DISTINCT FROM b.split
+       |       AND a.component IS NOT DISTINCT FROM b.component)
+       |ORDER BY 1""".stripMargin
+
+  /** Delete-and-return a scratch store root — the q121 convention for
+    * oracle rows over stateful storage: every invocation rebuilds from
+    * nothing, so the row stays self-contained and replay-deterministic. */
+  private def freshRoot(s: SparkSession, root: String): String = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    root
+  }
+
   val queries: Seq[GQuery] = Seq(
     GQuery("q69_tfidf_terms", q69, Some(q69Sql), Seq("A16", "A17", "F11")),
     GQuery("q70_decontam_overlap", q70, Some(q70Sql), Seq("A16", "J9")),
@@ -597,5 +703,7 @@ object CurationQ {
     GQuery("q76_hash_embed_topk", q76, Some(q76Sql), Seq("A16", "F11", "O4")),
     GQuery("q79_curation_e2e", q79, Some(q79Sql), Seq("A16", "W2", "U3", "F11")),
     GQuery("q136_forget_rerun", q136, Some(q136Sql), Seq("A16", "W2", "U3", "J11")),
-    GQuery("q138_dedup_profile", q138, Some(q138Sql), Seq("A16", "A18", "W2")))
+    GQuery("q138_dedup_profile", q138, Some(q138Sql), Seq("A16", "A18", "W2")),
+    GQuery("q139_snapshot_export", q139, Some(q139Sql), Seq("A16", "F11", "K6")),
+    GQuery("q140_snapshot_diff", q140, Some(q140Sql), Seq("A16", "U3", "J11")))
 }
