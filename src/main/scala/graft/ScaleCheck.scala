@@ -322,22 +322,26 @@ object ScaleCheck {
   }
 
   /** Long-horizon aging: N daily steps against ONE driver dir with
-    * `maintain` every k AND a takedown (`forget`) every j — the proof
-    * that the policies keep BOTH the recurring costs and the on-disk
-    * state flat in N with retractions interleaved, which a one-step
-    * measurement cannot show. Per step: step time, the recurring hybrid
-    * search in both forms (exact in-cell and the PQ production depth),
-    * and the LIVE FILE COUNT under the driver dir (offline-discipline
-    * gc, grace 0 — retired epochs/versions and delete-superseded
-    * versions must not accumulate). */
+    * `maintain` every k, a takedown (`forget`) every j, AND a sealed
+    * snapshot every m (retention: keep the last two, gc'd in the
+    * maintain slot) — the proof that the policies keep BOTH the
+    * recurring costs and the on-disk state flat in N with retractions
+    * and history sealing interleaved, which a one-step measurement
+    * cannot show. Per step: step time, the recurring hybrid search in
+    * both forms (exact in-cell and the PQ production depth), and the
+    * LIVE FILE COUNT under the driver dir (offline-discipline gc,
+    * grace 0 — retired epochs/versions, delete-superseded versions,
+    * and retired snapshots must not accumulate). The snap column is
+    * the O(decisions) seal — corpus-share-flat, never a text scan. */
   private def driverAgingCheck(spark: SparkSession): Unit = {
     import graft.pipelines.{Curation, DailyDriver}
     val d = "/root/testdata/sf0.01"
     val steps = 12
     val maintainEvery = 4
     val forgetEvery = 5
+    val snapEvery = 3
     println()
-    println(f"${"driver aging (sf0.01)"}%-24s ${"step"}%8s ${"search"}%8s ${"pq"}%8s ${"maint"}%8s ${"forget"}%8s ${"files"}%8s")
+    println(f"${"driver aging (sf0.01)"}%-24s ${"step"}%8s ${"search"}%8s ${"pq"}%8s ${"maint"}%8s ${"forget"}%8s ${"snap"}%8s ${"files"}%8s")
     spark.catalog.clearCache()
     val dir = "target/scalecheck_driver_aging"
     val dp = new org.apache.hadoop.fs.Path(dir)
@@ -366,7 +370,7 @@ object ScaleCheck {
     }
     val tInit = timed(DailyDriver.init(spark, day0, bench, dir, cfg,
       Some(emb.join(day0.select(col("doc_id")), Seq("doc_id")))))
-    println(f"${"init"}%-24s $tInit%8.2f ${""}%8s ${""}%8s ${""}%8s ${""}%8s ${files()}%8d")
+    println(f"${"init"}%-24s $tInit%8.2f ${""}%8s ${""}%8s ${""}%8s ${""}%8s ${""}%8s ${files()}%8d")
     for (i <- 0 until steps) {
       val delta = docs.filter(col("doc_id") % mod === i.toLong)
       val tStep = timed(DailyDriver.step(spark, delta, bench, dir, cfg, Some(emb)))
@@ -389,8 +393,18 @@ object ScaleCheck {
             delta.filter(col("doc_id") % 5 === 2).select(col("doc_id")),
             docs, dir, cfg).count())
         else 0.0
+      // periodic sealed snapshot + keep-last-two retention: sealing is
+      // the O(decisions) fps join (flat in N), and the gc proves the
+      // retired versions leave the file count instead of accumulating
+      val tSnap =
+        if ((i + 1) % snapEvery == 0)
+          timed {
+            val v = DailyDriver.snapshot(spark, dir)
+            DailyDriver.snapshotGc(spark, dir, keep = _ > v - 2, graceMs = 0L)
+          }
+        else 0.0
       println(f"${s"step ${i + 1}"}%-24s $tStep%8.2f $tSearch%8.2f " +
-        f"$tPq%8.2f $tMaint%8.2f $tForget%8.2f ${files()}%8d")
+        f"$tPq%8.2f $tMaint%8.2f $tForget%8.2f $tSnap%8.2f ${files()}%8d")
     }
   }
 
