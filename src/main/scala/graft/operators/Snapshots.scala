@@ -43,6 +43,7 @@ object Snapshots {
 
   private val SealName = "v=(\\d+)\\.txt".r
   private val RetiredName = "\\.retired-v=(\\d+)\\.txt".r
+  private val SnapDirName = "v=(\\d+)".r
 
   private def snapDir(root: String, v: Long) = s"$root/snap/v=$v"
   private def sealRoot(root: String) = s"$root/seal"
@@ -79,6 +80,17 @@ object Snapshots {
       .collect { case SealName(v) => v.toLong }.sorted.toSeq
   }
 
+  /** Versions mid-retirement (gc phase 1 done, data not yet aged out).
+    * [[create]] must allocate PAST these: re-using a retired-in-grace
+    * number would overwrite data a pinned reader was promised, and its
+    * pending marker would schedule the fresh seal's data for deletion. */
+  private def retiredVersions(f: FileSystem, root: String): Seq[Long] = {
+    val dir = new Path(sealRoot(root))
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).map(_.getPath.getName)
+      .collect { case RetiredName(v) => v.toLong }.toSeq
+  }
+
   /** Seal `rows` as the next snapshot version and return it. The data
     * write is job-committed into `snap/v=N`; the seal marker's atomic
     * rename is the single commit point (crash before it → the next
@@ -87,7 +99,9 @@ object Snapshots {
     * two concurrent creates cannot both allocate N. */
   def create(spark: SparkSession, root: String, rows: DataFrame): Long =
     Lease.withLease(spark, root, "snapshot-create") {
-      val v = versions(spark, root).lastOption.getOrElse(0L) + 1L
+      val f0 = fsOf(spark, root)
+      val v = (versions(spark, root) ++ retiredVersions(f0, root))
+        .foldLeft(0L)(math.max) + 1L
       rows.write.mode("overwrite").parquet(snapDir(root, v))
       val n = spark.read.parquet(snapDir(root, v)).count()
       val f = fsOf(spark, root)
@@ -156,11 +170,14 @@ object Snapshots {
   }
 
   /** Audit sealed version `v` against the live corpus: every sealed
-    * document whose text is gone (`'missing'`) or no longer hashes to
-    * the sealed fingerprint (`'changed'`) — the "is the corpus this
-    * training run saw still reproducible" check, O(sealed) ids joined
-    * against one fingerprint pass over `docs`, empty result = intact.
-    * Documents added since the seal are not the snapshot's concern. */
+    * document whose text is gone (`'missing'`), no longer hashes to
+    * the sealed fingerprint (`'changed'`), or was sealed WITHOUT one
+    * (`'unverifiable'` — a pre-fingerprint-store row of an upgraded
+    * driver dir; silently passing a row the audit cannot check would
+    * turn "intact" into a lie) — the "is the corpus this training run
+    * saw still reproducible" check, O(sealed) ids joined against one
+    * fingerprint pass over `docs`, empty result = intact. Documents
+    * added since the seal are not the snapshot's concern. */
   def verify(spark: SparkSession, root: String, v: Long, docs: DataFrame,
              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val live = fingerprints(docs, idCol, textCol)
@@ -168,7 +185,8 @@ object Snapshots {
     open(spark, root, v).select(col(idCol), col("fp"))
       .join(live, Seq(idCol), "left_outer")
       .withColumn("status",
-        when(col("live_fp").isNull, "missing")
+        when(col("fp").isNull, "unverifiable")
+          .when(col("live_fp").isNull, "missing")
           .when(col("fp") =!= col("live_fp"), "changed")
           .otherwise("ok"))
       .filter(col("status") =!= "ok")
@@ -200,31 +218,42 @@ object Snapshots {
       // phase 2: delete data whose retirement has aged past the grace.
       // Fresh clock reading — phase 1's markers were created after
       // `now`, and a grace-0 sweep must collect them in THIS call.
+      // A marker whose version is STILL SEALED is a torn phase 1 whose
+      // version the current keep() re-accepted (phase 1 above would
+      // have re-deleted the seal otherwise): cancel the retirement —
+      // deleting the data under a live seal is never legal.
       val now2 = System.currentTimeMillis()
       if (f.exists(sr)) for (st <- f.listStatus(sr))
         st.getPath.getName match {
-          case RetiredName(v) if now2 - st.getModificationTime >= graceMs =>
-            f.delete(new Path(snapDir(root, v.toLong)), true)
-            f.delete(st.getPath, false)
+          case RetiredName(vs) =>
+            val v = vs.toLong
+            if (f.exists(sealFile(root, v))) f.delete(st.getPath, false)
+            else if (now2 - st.getModificationTime >= graceMs) {
+              f.delete(new Path(snapDir(root, v)), true)
+              f.delete(st.getPath, false)
+            }
           case n if n.startsWith(".tmp-") && n.endsWith(".txt") &&
             now2 - st.getModificationTime >= graceMs =>
             f.delete(st.getPath, false)
           case _ => ()
         }
       // crashed-create debris: snap dirs that never sealed and are not
-      // mid-retirement (phase 2 owns those)
+      // mid-retirement (phase 2 owns those). Exact-name match only —
+      // a torn redact leaves AtomicSwap artifacts (`v=N__new`,
+      // `v=N__commit`) here that open()'s repair owns, and a loose
+      // prefix parse would throw on them and abort retention forever.
       val sd = new Path(s"$root/snap")
-      if (f.exists(sd)) for (st <- f.listStatus(sd)) {
-        val name = st.getPath.getName
-        if (name.startsWith("v=")) {
-          val v = name.stripPrefix("v=").toLong
-          val isSealed = f.exists(sealFile(root, v))
-          val retiring = f.exists(new Path(sr, s".retired-v=$v.txt"))
-          if (!isSealed && !retiring &&
-            now2 - st.getModificationTime >= graceMs)
-            f.delete(st.getPath, true)
+      if (f.exists(sd)) for (st <- f.listStatus(sd))
+        st.getPath.getName match {
+          case SnapDirName(vs) =>
+            val v = vs.toLong
+            val isSealed = f.exists(sealFile(root, v))
+            val retiring = f.exists(new Path(sr, s".retired-v=$v.txt"))
+            if (!isSealed && !retiring &&
+              now2 - st.getModificationTime >= graceMs)
+              f.delete(st.getPath, true)
+          case _ => ()
         }
-      }
     }
 
   /** Takedown cascade through sealed history: rewrite every sealed

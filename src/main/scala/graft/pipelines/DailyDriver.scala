@@ -938,10 +938,7 @@ object DailyDriver {
   def status(spark: SparkSession, dir: String,
              graceMs: Long = ReaderGraceMs): Seq[StoreStatus] = {
     import graft.operators.{LexIndex, PqIndex, VecIndex}
-    def exists(p: String): Boolean = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
-    }
+    def exists(p: String): Boolean = pathExists(spark, p)
     val vdir = vecIndexDir(dir)
     val pqdir = pqIndexDir(dir)
     val lexV = LexIndex.currentVersion(spark, lexDir(dir))
@@ -1032,8 +1029,17 @@ object DailyDriver {
     * text is never read (that's what `fps/` is for). */
   def snapshot(spark: SparkSession, dir: String): Long =
     Lease.withLease(spark, dir, "snapshot") {
+      // a pre-fps dir (upgraded mid-life, not yet stepped) has no
+      // fingerprint table at all — seal with all-null fps rather than
+      // crash on the missing path (the left-outer join covers the
+      // partially-fingerprinted case once the first step lands)
+      val fps =
+        if (pathExists(spark, fpsDir(dir))) openFingerprints(spark, dir)
+        else spark.range(0).select(col("id").as("doc_id"),
+          lit(null).cast(org.apache.spark.sql.types.LongType).as("fp"),
+          lit(null).cast(org.apache.spark.sql.types.LongType).as("len"))
       val rows = openDecisions(spark, dir)
-        .join(openFingerprints(spark, dir), Seq("doc_id"), "left_outer")
+        .join(fps, Seq("doc_id"), "left_outer")
       graft.operators.Snapshots.create(spark, snapshotsDir(dir), rows)
     }
 

@@ -117,6 +117,67 @@ class SnapshotsSpec extends SparkSpecBase {
     assert(Snapshots.open(spark, root, 1L).count() == 4L)
   }
 
+  test("create never re-allocates a retired-in-grace version number") {
+    val root = tempDir("snapretirealloc")
+    for (i <- 1 to 3) Snapshots.create(spark, root, decRows(dayOne.take(i)))
+    // retire the NEWEST version with a long grace: its data must stay
+    // for pinned readers, so the next create must allocate PAST it
+    Snapshots.gc(spark, root, keep = _ < 3L, graceMs = 60L * 60 * 1000)
+    assert(Snapshots.versions(spark, root) == Seq(1L, 2L))
+    val v = Snapshots.create(spark, root, decRows(dayOne))
+    assert(v == 4L, s"create re-used a retired-in-grace number: $v")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the retired version's data is untouched until its grace passes
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/snap/v=3")))
+    assert(Snapshots.open(spark, root, 4L).count() == 4L)
+  }
+
+  test("a torn retirement whose version keep() re-accepts is cancelled, never collected") {
+    val root = tempDir("snaptornretire")
+    Snapshots.create(spark, root, decRows(dayOne))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash simulation: gc phase 1 wrote the retired marker but died
+    // before deleting the seal
+    val marker = new org.apache.hadoop.fs.Path(s"$root/seal/.retired-v=1.txt")
+    val out = fs.create(marker, true)
+    try out.write("retired:0\n".getBytes("UTF-8")) finally out.close()
+    // a later gc that KEEPS v=1 must cancel the stale retirement
+    // instead of deleting a live sealed snapshot's data
+    Snapshots.gc(spark, root, keep = _ => true, graceMs = 0L)
+    assert(!fs.exists(marker), "stale retirement marker survived")
+    assert(Snapshots.versions(spark, root) == Seq(1L))
+    assert(Snapshots.open(spark, root, 1L).count() == 4L)
+  }
+
+  test("gc tolerates a torn redact's swap artifacts under snap/") {
+    val root = tempDir("snapswapdebris")
+    Snapshots.create(spark, root, decRows(dayOne))
+    // a redact that crashed before its commit marker leaves the swap's
+    // replacement dir; gc must neither throw on the name nor touch it
+    decRows(dayOne.take(2)).write.parquet(s"$root/snap/v=1__new")
+    Snapshots.gc(spark, root, keep = _ => true, graceMs = 0L)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/snap/v=1__new")),
+      "gc deleted AtomicSwap debris that repair owns")
+    assert(Snapshots.open(spark, root, 1L).count() == 4L)
+  }
+
+  test("verify reports sealed rows without a fingerprint as unverifiable") {
+    val root = tempDir("snapnofp")
+    val docs = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val rows = Snapshots.fingerprints(docs)
+      .withColumn("fp", when(col("doc_id") === 2L, col("fp")))
+    val v = Snapshots.create(spark, root, rows)
+    val got = Snapshots.verify(spark, root, v, docs)
+      .select("doc_id", "status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unverifiable"),
+      s"null-fp row not surfaced: $got")
+  }
+
   test("redact removes victims from every sealed version, in place, idempotently") {
     val root = tempDir("snapredact")
     Snapshots.create(spark, root, decRows(dayOne))

@@ -146,10 +146,19 @@ class DailyDriverApiSpec extends SparkSpecBase {
     assert(PqIndex.deltaShare(spark, pqdir) == 0.0,
       "maintain did not fold the pq delta")
     // the one-call operability readout agrees with the direct probes:
-    // five live stores, no delta debt after the fold, pair aligned
+    // every store live (the snapshots row only after a seal), no delta
+    // debt after the fold, pair aligned
     val st = DailyDriver.status(spark, dir).map(s => s.store -> s).toMap
-    assert(st.size == 5 && st.values.forall(_.live),
+    assert(st.size == 7 &&
+      st.values.filter(_.store != "snapshots").forall(_.live),
       s"stores not all live: $st")
+    assert(!st("snapshots").live,
+      s"snapshots row claims live before any seal: $st")
+    val sv = DailyDriver.snapshot(spark, dir)
+    val st2 = DailyDriver.status(spark, dir).map(s => s.store -> s).toMap
+    assert(st2("snapshots").live && st2("snapshots").version == sv &&
+      st2("snapshots").epoch == 1L,
+      s"snapshots row wrong after the first seal: ${st2("snapshots")}")
     assert(st("vec_index").debtShare == 0.0 &&
       st("pq_index").debtShare == 0.0,
       s"status shows delta debt after the fold: $st")
