@@ -592,6 +592,36 @@ object VecIndex {
     *
     * @return the trained centroids (cid, centroid) — materialized, safe
     *         to use after the publish */
+  /** Wholesale REPLACEMENT from an EXTERNAL source — the
+    * embedding-model-migration primitive ([[PqIndex.refresh]]'s
+    * discipline for the raw store): re-cell `emb` under the given
+    * `centroids` and publish cells + quantizer + a delta-epoch BUMP in
+    * ONE manifest rename. The bump is load-bearing where [[build]]'s
+    * epoch-preserving publish would be silent corruption: the current
+    * delta's rows live in the PREVIOUS embedding space (possibly a
+    * different dimension), so the retired epoch must drop out of
+    * [[open]] atomically with the swap — graced [[gc]] collects it
+    * later, pinned readers keep their matched old (cells, quantizer)
+    * pair, and a live append stream fails its next batch loudly (both
+    * fenced manifest coordinates change). The source must cover every
+    * id the index should keep serving — the caller owns coverage (a
+    * replacement build cannot re-derive rows it was never given). */
+  def rebuild(emb: DataFrame, idCol: String, vecCol: String,
+              centroids: DataFrame, path: String): Unit = {
+    val spark = emb.sparkSession
+    Lease.withLease(spark, path, "vecindex-maintenance") {
+      val m = currentManifest(spark, path)
+      val n = m.v + 1
+      assignFold(emb, idCol, vecCol, centroids)
+        .select(col(idCol), col(vecCol), col("norm"), col("cid"))
+        .repartitionByRange(col("cid"), col(idCol))
+        .write.mode("overwrite").partitionBy("cid").parquet(cellsPath(path, n))
+      centroids.write.mode("overwrite").parquet(centsPath(path, n))
+      publishManifest(spark, path, n, base = n, epoch = m.epoch + 1L,
+        cents = n)
+    }
+  }
+
   def retrain(spark: SparkSession, path: String, idCol: String, vecCol: String,
               k: Int, iters: Int = 5): DataFrame =
     Lease.withLease(spark, path, "vecindex-maintenance") {

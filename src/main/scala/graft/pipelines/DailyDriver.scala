@@ -1002,6 +1002,75 @@ object DailyDriver {
       .agg(count(lit(1)).as("n_components"), sum(col("sz")).as("n_docs"))
       .orderBy(col("sz"))
 
+  /** EMBEDDING-MODEL MIGRATION: replace both vector stores' content
+    * with `embeddings` from a NEW model (any dimension whose
+    * [[PqSubspaces]] divisibility holds), zero-downtime. Under the
+    * driver lease:
+    *
+    *  1. coverage guard — every id the raw index currently serves must
+    *     appear in the new candidate embeddings (a silent shrink would
+    *     drop documents from retrieval forever); fail loudly before
+    *     touching anything
+    *  2. train (or take) the new coarse quantizer over the CANDIDATES'
+    *     new embeddings, then [[graft.operators.VecIndex.rebuild]]:
+    *     new cells + new quantizer + a delta-epoch bump in ONE
+    *     manifest rename — the old space's delta can never mix into a
+    *     read, pinned readers keep their matched old pair, and a live
+    *     append stream fails its next batch loudly
+    *  3. re-derive the PQ quantizer from the same coarse layout and
+    *     [[graft.operators.PqIndex.refreshAssigned]] the code table —
+    *     same one-publish discipline, so the pair re-aligns
+    *
+    * Crash between 2 and 3 leaves the stores desynced exactly like a
+    * crashed maintain retrain: [[hybridSearch]] falls back to the
+    * always-correct exact scan, and replaying the call (or a
+    * [[maintain]] pass given the NEW embeddings) repairs the
+    * alignment. After a reembed, every subsequent [[step]]/[[maintain]]
+    * must be fed the NEW model's embeddings — the old model's are a
+    * different space (the same contract as a changed `cfg`: the caller
+    * owns model identity).
+    *
+    * Cost: one candidates join + quantizer training + one re-cell and
+    * one re-encode pass over the candidate embeddings — corpus-linear,
+    * the floor for a model migration (the text-side stores are
+    * untouched). */
+  def reembed(spark: SparkSession, dir: String, embeddings: DataFrame,
+              quantizer: Option[DataFrame] = None): Unit =
+   Lease.withLease(spark, dir, "reembed") {
+    import graft.operators.{KMeans, PqIndex, VecIndex}
+    val vdir = vecIndexDir(dir)
+    require(VecIndex.currentVersion(spark, vdir) > 0L,
+      s"no vector index under $vdir — reembed migrates an existing " +
+        s"index; build one via init(..., embeddings) first")
+    val decisions = openDecisions(spark, dir)
+    val candEmb = embeddings.join(
+      decisions.filter(col("quality_pass") && col("contam_pass"))
+        .select(col("doc_id")), Seq("doc_id"))
+    val dropped = VecIndex.open(spark, vdir).select(col("doc_id"))
+      .join(candEmb.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    require(dropped.isEmpty,
+      s"new embeddings do not cover every indexed document under $vdir " +
+        s"— a reembed must not silently drop documents from retrieval; " +
+        s"missing e.g. ${dropped.limit(5).collect().mkString(", ")}")
+    val cents = KMeans.contiguous(
+      quantizer.getOrElse(KMeans.lloyd(candEmb, "doc_id", "embedding",
+        k = VecCells, iters = 2)))
+      .localCheckpoint()
+    VecIndex.rebuild(candEmb, "doc_id", "embedding", cents, vdir)
+    // same persist-not-localCheckpoint reasoning as init: the PQ
+    // trainer and the encode both scan this corpus-sized relation
+    val assigned = VecIndex
+      .assignFold(candEmb, "doc_id", "embedding", cents)
+      .select(col("doc_id"), col("embedding"), col("cid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try
+      PqIndex.refreshAssigned(assigned, "doc_id", "embedding",
+        PqIndex.quantFrom(cents, assigned, "doc_id", "embedding",
+          PqSubspaces, PqCodebookK, PqIters),
+        pqIndexDir(dir))
+    finally assigned.unpersist()
+   }
+
   // ------------------------------------------------------- snapshots
 
   /** The live fingerprint table (doc_id, fp, len) — repairs a torn

@@ -30,7 +30,7 @@ class VecIndexProtocolSpec extends SparkSpecBase {
       var appendable = Set(0)
       val trace = new StringBuilder("build")
       for (_ <- 1 to 7) {
-        val roll = rnd.nextInt(6)
+        val roll = rnd.nextInt(7)
         if (roll == 0 && liveChunks.size > 1) {
           val seq = liveChunks.toSeq.sorted
           val c = seq(rnd.nextInt(seq.size))
@@ -52,6 +52,17 @@ class VecIndexProtocolSpec extends SparkSpecBase {
           val fired = VecIndex.compactIfDelta(spark, dir, "vec_id",
             maxDeltaShare = 0.05)
           trace ++= s" compactIfDelta($fired)"
+        } else if (roll == 6) {
+          // wholesale replacement from source (the migration
+          // primitive): same surviving rows re-celled under a fresh
+          // quantizer, delta epoch retired in the same publish
+          val src = emb.filter(
+            liveChunks.map(c => col("vec_id") % nChunks === c).reduce(_ || _))
+          VecIndex.rebuild(src, "vec_id", "embedding",
+            KMeans.contiguous(
+              KMeans.lloyd(src, "vec_id", "embedding", k = 3, iters = 1)),
+            dir)
+          trace ++= " rebuild"
         } else {
           val fired = VecIndex.maintainIfSkewed(spark, dir, "vec_id",
             "embedding", k = 4, maxCellShare = 0.6, iters = 1)
