@@ -259,7 +259,7 @@ object ScaleCheck {
   private def driverCheck(spark: SparkSession, dirs: Seq[String]): Unit = {
     import graft.pipelines.{Curation, DailyDriver}
     println()
-    println(f"${"daily driver"}%-24s ${"init"}%8s ${"step"}%8s ${"maint"}%8s ${"search"}%8s ${"pq"}%8s ${"status"}%8s ${"forget"}%8s")
+    println(f"${"daily driver"}%-24s ${"init"}%8s ${"step"}%8s ${"maint"}%8s ${"search"}%8s ${"pq"}%8s ${"status"}%8s ${"forget"}%8s ${"reembed"}%8s")
     for (d <- dirs) {
       spark.catalog.clearCache()
       val dir = s"target/scalecheck_driver/${d.replaceAll("[^A-Za-z0-9]", "_")}"
@@ -318,8 +318,17 @@ object ScaleCheck {
         .select(col("doc_id"))
       val tForget = timed(
         DailyDriver.forget(spark, victims, docs, dir, cfg).count())
+      // model migration last (it replaces both vector stores): one
+      // candidates join + quantizer training + one re-cell and one
+      // re-encode pass — corpus-linear like init's vector half, the
+      // honest floor for a model swap (expect it tracking init, never
+      // search-class)
+      val tReembed = timed(DailyDriver.reembed(spark, dir,
+        emb.select(col("doc_id"),
+          reverse(slice(col("embedding"), 1, 32)).as("embedding"))))
       println(f"${d.split('/').last}%-24s $tInit%8.2f $tStep%8.2f " +
-        f"$tMaint%8.2f $tSearch%8.2f $tPq%8.2f $tStatus%8.2f $tForget%8.2f")
+        f"$tMaint%8.2f $tSearch%8.2f $tPq%8.2f $tStatus%8.2f $tForget%8.2f " +
+        f"$tReembed%8.2f")
     }
   }
 
