@@ -589,32 +589,47 @@ object CurationQ {
 
   // ---------------------------------------------------------------- q139
 
+  /** The sealed-snapshot root the q139/q140 RECURRING rows read:
+    * curate → seal v=1 (decisions + content fingerprints) → takedown
+    * (q136's victim class) → seal v=2, built ONCE per testdata
+    * fingerprint via the q132 cache convention. The seal cost itself is
+    * measured where recurring costs live (`DailyDriver.snapshot` in the
+    * ScaleCheck aging run's snap column); these rows measure what a
+    * corpus owner pays PER READ of sealed history — which is the whole
+    * point of sealing: the export and the diff never re-run curation. */
+  private def snapRoot(s: SparkSession, d: String): String =
+    CurationQ7.cachedRoot(s, d, "snap") { tmp =>
+      import graft.operators.Snapshots
+      import graft.pipelines.Curation
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+        .select("doc_id", "text")
+      val cfg = Curation.Config(minQuality = 2.95)
+      // materialized once: feeds snapshot v=1 AND the forget re-decide
+      val prev = Curation.curate(docs, bench, cfg).localCheckpoint(true)
+      val fps = Snapshots.fingerprints(docs)
+      Snapshots.create(s, tmp, prev.join(fps, Seq("doc_id")))
+      val after = Curation.forget(prev,
+        docs.filter(col("doc_id") % 31 === 1).select(col("doc_id")),
+        docs, cfg)
+      Snapshots.create(s, tmp, after.join(fps, Seq("doc_id")))
+    }
+
   /** Sealed training-set EXPORT ([[graft.operators.Snapshots]]) as an
-    * oracle row: curate the corpus, seal decisions + per-doc content
-    * fingerprints as snapshot v=1, read the SEALED version back, and
-    * emit the kept set (id, fingerprint, length, component, split) — a
-    * training run's reproducibility record. The oracle re-derives the
-    * same rows declaratively (q79's pipeline joined with the portable
-    * poly-hash over `text`), so the whole seal → marker-commit → open
-    * storage path is gate-checked against the from-scratch SQL, the
-    * q121 convention for stateful stores (root deleted and rebuilt per
-    * invocation — the recurring cost is [[graft.pipelines.DailyDriver
-    * .snapshot]]'s O(decisions) join, measured in ScaleCheck). */
-  private def q139(s: SparkSession, d: String): DataFrame = {
-    import graft.operators.Snapshots
-    import graft.pipelines.Curation
-    val docs = Tables.documents(s, d)
-    val bench = docs.filter(col("doc_id") % 50 === 0).select("doc_id", "text")
-    val dec = Curation.curate(docs, bench, Curation.Config(minQuality = 2.95))
-    val root = freshRoot(s, "target/q139_snapshots")
-    val v = Snapshots.create(s, root,
-      dec.join(Snapshots.fingerprints(docs), Seq("doc_id")))
-    Snapshots.open(s, root, v)
+    * oracle row: read the SEALED v=1 back from storage and emit the
+    * kept set (id, fingerprint, length, component, split) — a training
+    * run's reproducibility record, served at its production cost (a
+    * pure read of the sealed store, [[snapRoot]]'s cache convention).
+    * The oracle re-derives the same rows declaratively (q79's pipeline
+    * joined with the portable poly-hash over `text`), so the whole
+    * seal → marker-commit → open storage path is gate-checked against
+    * the from-scratch SQL. */
+  private def q139(s: SparkSession, d: String): DataFrame =
+    graft.operators.Snapshots.open(s, snapRoot(s, d), 1L)
       .filter(col("keep"))
       .select(col("doc_id"), col("fp"), col("len"), col("component"),
         col("split"))
       .orderBy(col("doc_id"))
-  }
 
   private val q139Sql =
     s"""SELECT f.doc_id AS doc_id, ${sqlStrHash("d.text")} AS fp,
@@ -626,36 +641,23 @@ object CurationQ {
   // ---------------------------------------------------------------- q140
 
   /** Cross-snapshot DIFF — what changed between two sealed training-set
-    * versions, the audit a corpus owner runs before re-training: seal
-    * the curated corpus (v=1), apply a takedown
-    * ([[graft.pipelines.Curation.forget]], q136's victim class), seal
-    * again (v=2), and emit [[graft.operators.Snapshots.diff]]'s
-    * delta-sized change set — victims come back `'removed'`, their
-    * components' re-decided survivors `'changed'` with the before/after
-    * keep/split/component pairs, and every untouched doc emits nothing.
-    * The oracle full-outer-joins the two declarative pipelines (q79
-    * whole-corpus vs q79 minus victims) with the same null-safe column
-    * compare, so the sealed-diff path is verified against from-scratch
-    * SQL on both sides of the history. */
-  private def q140(s: SparkSession, d: String): DataFrame = {
-    import graft.operators.Snapshots
-    import graft.pipelines.Curation
-    val docs = Tables.documents(s, d)
-    val bench = docs.filter(col("doc_id") % 50 === 0).select("doc_id", "text")
-    val cfg = Curation.Config(minQuality = 2.95)
-    // materialized once: feeds snapshot v=1 AND the forget re-decide
-    val prev = Curation.curate(docs, bench, cfg).localCheckpoint(true)
-    val fps = Snapshots.fingerprints(docs)
-    val root = freshRoot(s, "target/q140_snapshots")
-    Snapshots.create(s, root, prev.join(fps, Seq("doc_id")))
-    val after = Curation.forget(prev,
-      docs.filter(col("doc_id") % 31 === 1).select(col("doc_id")), docs, cfg)
-    Snapshots.create(s, root, after.join(fps, Seq("doc_id")))
+    * versions, the audit a corpus owner runs before re-training: read
+    * [[snapRoot]]'s sealed pre/post-takedown versions and emit
+    * [[graft.operators.Snapshots.diff]]'s delta-sized change set —
+    * victims come back `'removed'`, their components' re-decided
+    * survivors `'changed'` with the before/after keep/split/component
+    * pairs, and every untouched doc emits nothing. Served at the
+    * production cost: one full-outer id join over two sealed narrow
+    * tables, no curation rerun. The oracle full-outer-joins the two
+    * declarative pipelines (q79 whole-corpus vs q79 minus victims)
+    * with the same null-safe column compare, so the sealed-diff path
+    * is verified against from-scratch SQL on both sides of history. */
+  private def q140(s: SparkSession, d: String): DataFrame =
     // one-sided rows make keep/component NULLABLE; the gate's hasher
     // holds nullable ints/bools poorly, so the PAIRED form strings
     // them (the nullable-string path q79's split already exercises) —
     // the operator itself keeps native types
-    Snapshots.diff(s, root, 1L, 2L,
+    graft.operators.Snapshots.diff(s, snapRoot(s, d), 1L, 2L,
       compare = Seq("keep", "split", "component"))
       .select(col("doc_id"), col("status"),
         col("keep_a").cast(StringType).as("keep_a"),
@@ -664,7 +666,6 @@ object CurationQ {
         col("component_a").cast(StringType).as("component_a"),
         col("component_b").cast(StringType).as("component_b"))
       .orderBy(col("doc_id"))
-  }
 
   private val q140Sql =
     s"""SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
@@ -683,15 +684,6 @@ object CurationQ {
        |       AND a.split IS NOT DISTINCT FROM b.split
        |       AND a.component IS NOT DISTINCT FROM b.component)
        |ORDER BY 1""".stripMargin
-
-  /** Delete-and-return a scratch store root — the q121 convention for
-    * oracle rows over stateful storage: every invocation rebuilds from
-    * nothing, so the row stays self-contained and replay-deterministic. */
-  private def freshRoot(s: SparkSession, root: String): String = {
-    val p = new org.apache.hadoop.fs.Path(root)
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-    root
-  }
 
   val queries: Seq[GQuery] = Seq(
     GQuery("q69_tfidf_terms", q69, Some(q69Sql), Seq("A16", "A17", "F11")),
