@@ -572,26 +572,6 @@ object VecIndex {
         epoch = m.epoch + 1L, cents = m.cents)
     }
 
-  /** Re-train the coarse quantizer against the CURRENT rows and re-cell
-    * the index — the drift-maintenance half [[compact]]/[[delete]] leave
-    * open: appends assign against day-0 centroids, so a drifting corpus
-    * piles into few cells and search degrades toward a serial scan of
-    * one giant cell. Retraining runs [[KMeans.lloyd]] over the live rows
-    * (deterministic, RNG-free), re-assigns every row with the
-    * streaming-safe [[assignFold]], and publishes the re-celled cells
-    * version AND the new centroids version in ONE manifest rename — a
-    * crash at any point leaves the old or the complete new pair, never
-    * new cells with the old quantizer or vice versa.
-    *
-    * The vector SET is untouched (same ids, same vectors, same norms —
-    * only `cid` moves; VecIndexSpec proves row identity and that
-    * post-drift cell skew drops). Probe assignment and future appends
-    * pick the new quantizer up via [[openCentroids]]. Same handoff
-    * discipline as [[compact]]: no active writer, restart append
-    * streams on a fresh checkpoint.
-    *
-    * @return the trained centroids (cid, centroid) — materialized, safe
-    *         to use after the publish */
   /** Wholesale REPLACEMENT from an EXTERNAL source — the
     * embedding-model-migration primitive ([[PqIndex.refresh]]'s
     * discipline for the raw store): re-cell `emb` under the given
@@ -622,6 +602,26 @@ object VecIndex {
     }
   }
 
+  /** Re-train the coarse quantizer against the CURRENT rows and re-cell
+    * the index — the drift-maintenance half [[compact]]/[[delete]] leave
+    * open: appends assign against day-0 centroids, so a drifting corpus
+    * piles into few cells and search degrades toward a serial scan of
+    * one giant cell. Retraining runs [[KMeans.lloyd]] over the live rows
+    * (deterministic, RNG-free), re-assigns every row with the
+    * streaming-safe [[assignFold]], and publishes the re-celled cells
+    * version AND the new centroids version in ONE manifest rename — a
+    * crash at any point leaves the old or the complete new pair, never
+    * new cells with the old quantizer or vice versa.
+    *
+    * The vector SET is untouched (same ids, same vectors, same norms —
+    * only `cid` moves; VecIndexSpec proves row identity and that
+    * post-drift cell skew drops). Probe assignment and future appends
+    * pick the new quantizer up via [[openCentroids]]. Same handoff
+    * discipline as [[compact]]: no active writer, restart append
+    * streams on a fresh checkpoint.
+    *
+    * @return the trained centroids (cid, centroid) — materialized, safe
+    *         to use after the publish */
   def retrain(spark: SparkSession, path: String, idCol: String, vecCol: String,
               k: Int, iters: Int = 5): DataFrame =
     Lease.withLease(spark, path, "vecindex-maintenance") {

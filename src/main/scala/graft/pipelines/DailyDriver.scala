@@ -1017,9 +1017,12 @@ object DailyDriver {
     *     manifest rename — the old space's delta can never mix into a
     *     read, pinned readers keep their matched old pair, and a live
     *     append stream fails its next batch loudly
-    *  3. re-derive the PQ quantizer from the same coarse layout and
-    *     [[graft.operators.PqIndex.refreshAssigned]] the code table —
-    *     same one-publish discipline, so the pair re-aligns
+    *  3. where a code table exists (a pre-PQ deployment is never
+    *     silently opted into one), re-derive the PQ quantizer from the
+    *     same coarse layout and [[graft.operators.PqIndex
+    *     .refreshAssigned]] it — same one-publish discipline, so the
+    *     pair re-aligns; the new dimension's [[PqSubspaces]]
+    *     divisibility is checked BEFORE step 2 commits anything
     *
     * Crash between 2 and 3 leaves the stores desynced exactly like a
     * crashed maintain retrain: [[hybridSearch]] falls back to the
@@ -1035,10 +1038,12 @@ object DailyDriver {
     * the floor for a model migration (the text-side stores are
     * untouched). */
   def reembed(spark: SparkSession, dir: String, embeddings: DataFrame,
-              quantizer: Option[DataFrame] = None): Unit =
+              quantizer: Option[DataFrame] = None,
+              gcGraceMs: Long = ReaderGraceMs): Unit =
    Lease.withLease(spark, dir, "reembed") {
     import graft.operators.{KMeans, PqIndex, VecIndex}
     val vdir = vecIndexDir(dir)
+    val pqdir = pqIndexDir(dir)
     require(VecIndex.currentVersion(spark, vdir) > 0L,
       s"no vector index under $vdir — reembed migrates an existing " +
         s"index; build one via init(..., embeddings) first")
@@ -1046,29 +1051,53 @@ object DailyDriver {
     val candEmb = embeddings.join(
       decisions.filter(col("quality_pass") && col("contam_pass"))
         .select(col("doc_id")), Seq("doc_id"))
-    val dropped = VecIndex.open(spark, vdir).select(col("doc_id"))
-      .join(candEmb.select(col("doc_id")), Seq("doc_id"), "left_anti")
-    require(dropped.isEmpty,
-      s"new embeddings do not cover every indexed document under $vdir " +
-        s"— a reembed must not silently drop documents from retrieval; " +
-        s"missing e.g. ${dropped.limit(5).collect().mkString(", ")}")
+    // a forget-emptied index (version > 0, no rows) is trivially
+    // covered — the other maybe-empty driver probes use tryOpen for
+    // exactly this state
+    for (old <- VecIndex.tryOpen(spark, vdir)) {
+      val dropped = old.select(col("doc_id"))
+        .join(candEmb.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      require(dropped.isEmpty,
+        s"new embeddings do not cover every indexed document under $vdir " +
+          s"— a reembed must not silently drop documents from retrieval; " +
+          s"missing e.g. ${dropped.limit(5).collect().mkString(", ")}")
+    }
+    // PQ half only where one exists — like every other driver path, a
+    // pre-PQ deployment (or an init crashed between the two builds)
+    // must not be silently opted into a corpus-sized code table. When
+    // it does exist, the new dimension must divide into the
+    // sub-codebook shape BEFORE anything mutates: quantFrom's own
+    // check fires only after the raw rebuild committed, and that
+    // half-migrated state could never be repaired by a replay (every
+    // retry hits the same divisibility failure).
+    val pqLive = PqIndex.currentVersion(spark, pqdir) > 0L
+    if (pqLive && !candEmb.isEmpty) {
+      val dim = candEmb.select(size(col("embedding"))).head.getInt(0)
+      require(dim % PqSubspaces == 0,
+        s"new embedding dimension $dim does not divide into " +
+          s"$PqSubspaces PQ subspaces — the paired code table under " +
+          s"$pqdir could never be re-encoded; refusing before any store " +
+          s"mutates")
+    }
     val cents = KMeans.contiguous(
       quantizer.getOrElse(KMeans.lloyd(candEmb, "doc_id", "embedding",
         k = VecCells, iters = 2)))
       .localCheckpoint()
     VecIndex.rebuild(candEmb, "doc_id", "embedding", cents, vdir)
-    // same persist-not-localCheckpoint reasoning as init: the PQ
-    // trainer and the encode both scan this corpus-sized relation
-    val assigned = VecIndex
-      .assignFold(candEmb, "doc_id", "embedding", cents)
-      .select(col("doc_id"), col("embedding"), col("cid"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try
+    // the PQ trainer and encode read the assignment BACK from the
+    // just-published cells (one pruned parquet scan) — rebuild already
+    // computed exactly these (doc_id, embedding, cid) rows, so a second
+    // corpus-sized assignFold pass would double the migration's
+    // assignment cost for nothing. Graced gc: a concurrent search's
+    // pinned PQ pair must outlive the refresh (maintain's rule).
+    if (pqLive) VecIndex.tryOpen(spark, vdir).foreach { migrated =>
+      val assigned = migrated
+        .select(col("doc_id"), col("embedding"), col("cid"))
       PqIndex.refreshAssigned(assigned, "doc_id", "embedding",
         PqIndex.quantFrom(cents, assigned, "doc_id", "embedding",
           PqSubspaces, PqCodebookK, PqIters),
-        pqIndexDir(dir))
-    finally assigned.unpersist()
+        pqdir, gcGraceMs)
+    }
    }
 
   // ------------------------------------------------------- snapshots

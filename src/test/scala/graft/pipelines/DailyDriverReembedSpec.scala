@@ -106,6 +106,43 @@ class DailyDriverReembedSpec extends SparkSpecBase {
     assert(dims == Seq(32), s"old-space rows leaked into the index: $dims")
   }
 
+  test("a PQ-incompatible dimension is refused before anything mutates") {
+    val (docs, emb1, _, bench) = fixtures()
+    val dir = tempDir("reembed-dim")
+    DailyDriver.init(spark, docs, bench, dir, cfg, Some(emb1))
+    val before = vecRows(dir)
+    val pqV = graft.operators.PqIndex
+      .currentVersion(spark, DailyDriver.pqIndexDir(dir))
+    // 36 % PqSubspaces(8) != 0 — must refuse up front, never leaving a
+    // migrated raw index paired with a code table no replay can repair
+    val emb36 = emb1.select(col("doc_id"),
+      slice(col("embedding"), 1, 36).as("embedding"))
+    intercept[IllegalArgumentException](
+      DailyDriver.reembed(spark, dir, emb36))
+    assert(vecRows(dir).sameElements(before),
+      "refused reembed still mutated the raw index")
+    assert(graft.operators.PqIndex
+      .currentVersion(spark, DailyDriver.pqIndexDir(dir)) == pqV,
+      "refused reembed still mutated the code table")
+  }
+
+  test("a pre-PQ deployment migrates without being opted into a code table") {
+    val (docs, emb1, emb2, bench) = fixtures()
+    val dir = tempDir("reembed-nopq")
+    DailyDriver.init(spark, docs, bench, dir, cfg, Some(emb1))
+    val pqdir = new org.apache.hadoop.fs.Path(DailyDriver.pqIndexDir(dir))
+    pqdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(pqdir, true)
+    DailyDriver.reembed(spark, dir, emb2)
+    assert(graft.operators.PqIndex
+      .currentVersion(spark, DailyDriver.pqIndexDir(dir)) == 0L,
+      "reembed silently created a code table on a pre-PQ deployment")
+    val dims = DailyDriver.openVecIndex(spark, dir)
+      .select(size(col("embedding")).as("d"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    assert(dims == Seq(32), "raw index not migrated on the pre-PQ path")
+  }
+
   test("coverage guard refuses a source that drops an indexed document") {
     val (docs, emb1, emb2, bench) = fixtures()
     val dir = tempDir("reembed-guard")
