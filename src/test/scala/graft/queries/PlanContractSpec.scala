@@ -314,4 +314,27 @@ class PlanContractSpec extends SparkSpecBase {
     assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
       s"q99 lost the partial window group limit:\n$p")
   }
+
+  test("sealed-history rows are pure reads of the sealed store (q139/q140)") {
+    // The point of sealing: the export and the diff never re-run
+    // curation or touch corpus text. Structural check over the
+    // optimized plan's file relations (string plans truncate long
+    // FileScan paths, which could hide a regression).
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def scanRoots(name: String): Seq[String] =
+      Registry.byName(name).run(spark, sf).queryExecution.optimizedPlan
+        .collect { case l: LogicalRelation => l.relation }
+        .collect { case h: HadoopFsRelation =>
+          h.location.rootPaths.map(_.toString) }
+        .flatten
+    val r139 = scanRoots("q139_snapshot_export")
+    assert(r139.size == 1 && r139.forall(_.contains("/snap/v=1")),
+      s"q139 is not one sealed-store scan: $r139")
+    val r140 = scanRoots("q140_snapshot_diff")
+    assert(r140.size == 2 && r140.forall(_.contains("/snap/v=")),
+      s"q140 is not two sealed-store scans: $r140")
+    (r139 ++ r140).foreach(p =>
+      assert(!p.contains("documents") && !p.contains("testdata"),
+        s"sealed-history row scans corpus data: $p"))
+  }
 }
