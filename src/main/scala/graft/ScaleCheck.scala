@@ -333,17 +333,20 @@ object ScaleCheck {
   }
 
   /** Long-horizon aging: N daily steps against ONE driver dir with
-    * `maintain` every k, a takedown (`forget`) every j, AND a sealed
+    * `maintain` every k, a takedown (`forget`) every j, a sealed
     * snapshot every m (retention: keep the last two, gc'd in the
-    * maintain slot) — the proof that the policies keep BOTH the
-    * recurring costs and the on-disk state flat in N with retractions
-    * and history sealing interleaved, which a one-step measurement
-    * cannot show. Per step: step time, the recurring hybrid search in
-    * both forms (exact in-cell and the PQ production depth), and the
-    * LIVE FILE COUNT under the driver dir (offline-discipline gc,
-    * grace 0 — retired epochs/versions, delete-superseded versions,
-    * and retired snapshots must not accumulate). The snap column is
-    * the O(decisions) seal — corpus-share-flat, never a text scan. */
+    * maintain slot), AND one mid-life EMBEDDING-MODEL MIGRATION
+    * (`reembed` at the marked step: 64-dim → reversed 32-dim — every
+    * later step/maintain/search runs in the new space) — the proof
+    * that the policies keep BOTH the recurring costs and the on-disk
+    * state flat in N with retractions, history sealing, and a model
+    * swap interleaved, which a one-step measurement cannot show. Per
+    * step: step time, the recurring hybrid search in both forms (exact
+    * in-cell and the PQ production depth), and the LIVE FILE COUNT
+    * under the driver dir (offline-discipline gc, grace 0 — retired
+    * epochs/versions, delete-superseded versions, and retired
+    * snapshots must not accumulate). The snap column is the
+    * O(decisions) seal — corpus-share-flat, never a text scan. */
   private def driverAgingCheck(spark: SparkSession): Unit = {
     import graft.pipelines.{Curation, DailyDriver}
     val d = "/root/testdata/sf0.01"
@@ -351,8 +354,9 @@ object ScaleCheck {
     val maintainEvery = 4
     val forgetEvery = 5
     val snapEvery = 3
+    val reembedAt = 7
     println()
-    println(f"${"driver aging (sf0.01)"}%-24s ${"step"}%8s ${"search"}%8s ${"pq"}%8s ${"maint"}%8s ${"forget"}%8s ${"snap"}%8s ${"files"}%8s")
+    println(f"${"driver aging (sf0.01)"}%-24s ${"step"}%8s ${"search"}%8s ${"pq"}%8s ${"maint"}%8s ${"forget"}%8s ${"snap"}%8s ${"migr"}%8s ${"files"}%8s")
     spark.catalog.clearCache()
     val dir = "target/scalecheck_driver_aging"
     val dp = new org.apache.hadoop.fs.Path(dir)
@@ -368,23 +372,30 @@ object ScaleCheck {
     val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
     val emb = Tables.embeddings(spark, d)
       .select(col("vec_id").as("doc_id"), col("embedding"))
+    // the post-migration model: different dimension AND geometry
+    val emb2 = emb.select(col("doc_id"),
+      reverse(slice(col("embedding"), 1, 32)).as("embedding"))
+    var curEmb = emb
     val mod = 2L * steps // day0 = half the corpus, each step 1/(2·steps)
     val day0 = docs.filter(col("doc_id") % mod >= steps)
     val bench = docs.filter(col("doc_id") % 97 === 0)
     val cfg = Curation.Config(minQuality = 2.95)
     val qBatch = docs.filter(col("doc_id") % 29 === 0 && col("doc_id") < 500)
     val queries = qBatch.select(col("doc_id").as("q_id"), col("text"))
-    val probes = emb.join(qBatch.select(col("doc_id")), Seq("doc_id"))
-      .select(col("doc_id").as("q_id"), col("embedding"))
+    def probesOf(e: org.apache.spark.sql.DataFrame) =
+      e.join(qBatch.select(col("doc_id")), Seq("doc_id"))
+        .select(col("doc_id").as("q_id"), col("embedding"))
+    var probes = probesOf(emb)
     def timed[T](body: => T): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
     val tInit = timed(DailyDriver.init(spark, day0, bench, dir, cfg,
       Some(emb.join(day0.select(col("doc_id")), Seq("doc_id")))))
-    println(f"${"init"}%-24s $tInit%8.2f ${""}%8s ${""}%8s ${""}%8s ${""}%8s ${""}%8s ${files()}%8d")
+    println(f"${"init"}%-24s $tInit%8.2f ${""}%8s ${""}%8s ${""}%8s ${""}%8s ${""}%8s ${""}%8s ${files()}%8d")
     for (i <- 0 until steps) {
       val delta = docs.filter(col("doc_id") % mod === i.toLong)
-      val tStep = timed(DailyDriver.step(spark, delta, bench, dir, cfg, Some(emb)))
+      val tStep = timed(DailyDriver.step(spark, delta, bench, dir, cfg,
+        Some(curEmb)))
       val tSearch = timed(
         DailyDriver.hybridSearch(spark, dir, queries, probes).count())
       val tPq = timed(DailyDriver.hybridSearch(spark, dir, queries, probes,
@@ -392,7 +403,7 @@ object ScaleCheck {
       val tMaint =
         if ((i + 1) % maintainEvery == 0)
           timed(DailyDriver.maintain(spark, dir,
-            lexGcGraceMs = 0L, vecGcGraceMs = 0L, embeddings = Some(emb)))
+            lexGcGraceMs = 0L, vecGcGraceMs = 0L, embeddings = Some(curEmb)))
         else 0.0
       // periodic takedown: a slice of the delta that JUST landed (ids
       // are never re-stepped, so each round's victims are fresh) —
@@ -414,8 +425,21 @@ object ScaleCheck {
             DailyDriver.snapshotGc(spark, dir, keep = _ > v - 2, graceMs = 0L)
           }
         else 0.0
+      // the mid-life model migration: both vector stores swap to the
+      // 32-dim model in one call; every later step/maintain/search in
+      // this loop runs in the new space (the caller-owns-model-identity
+      // contract). Grace 0 — the offline discipline of this check.
+      val tMigr =
+        if (i + 1 == reembedAt)
+          timed {
+            DailyDriver.reembed(spark, dir, emb2, gcGraceMs = 0L)
+            curEmb = emb2
+            probes = probesOf(emb2)
+          }
+        else 0.0
       println(f"${s"step ${i + 1}"}%-24s $tStep%8.2f $tSearch%8.2f " +
-        f"$tPq%8.2f $tMaint%8.2f $tForget%8.2f $tSnap%8.2f ${files()}%8d")
+        f"$tPq%8.2f $tMaint%8.2f $tForget%8.2f $tSnap%8.2f $tMigr%8.2f " +
+        f"${files()}%8d")
     }
   }
 
