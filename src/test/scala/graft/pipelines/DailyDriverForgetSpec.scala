@@ -90,6 +90,13 @@ class DailyDriverForgetSpec extends SparkSpecBase {
         .select(col("doc_id")).collect().map(_.getLong(0)).sorted
     assert(pqIds(dir).sameElements(vecRows(dir).map(_._1)),
       "PQ id set diverged from the vector index after the forget")
+    // fingerprints: the sixth store follows the same contract — the
+    // forget's anti-join rewrite must equal the init-minus table
+    // row-for-row (same docs, same hashes)
+    def fpsRows(d: String): Array[String] =
+      DailyDriver.openFingerprints(spark, d).collect().map(_.toString).sorted
+    assert(fpsRows(dir).sameElements(fpsRows(refDir)),
+      "fingerprint table diverged from the fresh init-minus")
     // retrieval never surfaces a victim, on either path
     val qs = docs.filter(col("doc_id") % 29 === 0 && col("doc_id") < 300)
       .select(col("doc_id").as("q_id"), col("text"))
