@@ -112,7 +112,11 @@ object LexIndex {
     finally out.close()
     val dst = new Path(dir, s"v=$v.txt")
     f.delete(dst, false) // only present if THIS version was already published
-    require(f.rename(tmp, dst), s"manifest publish failed: $tmp -> $dst")
+    // THE atomic step of the index — on `file:` Hadoop's rename falls
+    // back to copy+delete, so route through the lease layer's NIO
+    // ATOMIC_MOVE (the same fix Versioned.publish carries)
+    require(Lease.atomicRename(f, tmp, dst),
+      s"manifest publish failed: $tmp -> $dst")
   }
 
   private def bucketPath(path: String, b: Long, v: Long): String =
@@ -218,16 +222,30 @@ object LexIndex {
     * partitioned write — no collect, no corpus-sized driver state. An
     * EMPTY tf builds a valid empty index (zero-filled stats, empty
     * manifest) that later merges grow. */
-  def build(tf: DataFrame, path: String): Unit = {
+  def build(tf: DataFrame, path: String): Unit = rebuild(tf, path)
+
+  /** [[build]]'s general form — wholesale REPLACEMENT from an external
+    * tf relation ([[VecIndex.rebuild]]'s discipline for the lexical
+    * store, the snapshot-restore path's primitive): write a complete
+    * fresh version of every bucket + stats + docmap and publish a
+    * manifest referencing ONLY the new version in one atomic rename.
+    * On a fresh root this IS build (v=1); on a live index the old
+    * bucket versions drop out of the manifest atomically (graced [[gc]]
+    * collects them later) while pinned readers keep their resolved old
+    * manifest. Same stream discipline as every wholesale mutation: no
+    * live [[appendStream]] across it (the per-batch docmap fence makes
+    * a violation loud). */
+  def rebuild(tf: DataFrame, path: String): Unit = {
     val spark = tf.sparkSession
     // fenced like every other mutator: two racing builds would
-    // interleave writes under the same v=1 paths
+    // interleave writes under the same v=N paths
     Lease.withLease(spark, path, "lexindex-build") {
+      val n = currentVersion(spark, path) + 1L
       val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val rows = tf.join(dl, Seq("doc_id")).join(dfreq, Seq("term"))
-      val written = writeVersion(spark, path, 1L, rows, Bm25.stats(tf))
-      publishManifest(spark, path, 1L, written.map(_ -> 1L).toMap)
+      val written = writeVersion(spark, path, n, rows, Bm25.stats(tf))
+      publishManifest(spark, path, n, written.map(_ -> n).toMap)
     }
   }
 

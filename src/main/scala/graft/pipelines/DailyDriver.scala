@@ -1171,6 +1171,91 @@ object DailyDriver {
                  graceMs: Long = ReaderGraceMs): Unit =
     graft.operators.Snapshots.gc(spark, snapshotsDir(dir), keep, graceMs)
 
+  /** ROLL BACK the driver to sealed snapshot `v` — the recovery from a
+    * bad curation day (a mis-set config, a poisoned delta) that sealing
+    * exists to make possible: the sealed decision table becomes the
+    * live one, and every DERIVED store is rebuilt to match it from the
+    * current corpus relation. Under the driver lease:
+    *
+    *  1. derived stores first, decisions swap LAST (the forget
+    *     ordering — the swap is the single commit point, so a torn
+    *     restore replays to the same bytes): signature index and
+    *     fingerprints by crash-atomic swap, the lexical index by
+    *     [[graft.operators.LexIndex.rebuild]] (one-publish wholesale
+    *     replacement), the vector stores by [[reembed]]'s machinery
+    *     ([[graft.operators.VecIndex.rebuild]] + PQ refresh) when
+    *     `embeddings` is given;
+    *  2. fingerprints come from the SNAPSHOT itself (it sealed them) —
+    *     text is only read for the index rebuilds.
+    *
+    * `docs` must cover every sealed doc id (the corpus relation the
+    * sealed decisions describe — text that has since been hard-deleted
+    * means those docs simply drop from the rebuilt text indexes, which
+    * is the correct post-takedown shape). A dir whose vector index is
+    * live REQUIRES `embeddings` — silently leaving post-`v` vectors
+    * serving against rolled-back decisions would be the exact desync
+    * this call exists to undo. Restore cost = init's (wholesale
+    * rebuilds are corpus-linear); the decisions/fps halves are
+    * O(sealed rows).
+    *
+    * After a restore, re-[[step]]ing the days that followed `v` is
+    * legal (their ids are no longer in the decision table) — restore +
+    * replayed steps ≡ the original history (DailyDriverRestoreSpec).
+    *
+    * @return the restored decision table (read back from storage) */
+  def restore(spark: SparkSession, dir: String, v: Long, docs: DataFrame,
+              embeddings: Option[DataFrame] = None,
+              quantizer: Option[DataFrame] = None): DataFrame =
+   Lease.withLease(spark, dir, "restore") {
+    import graft.operators.{KMeans, LexIndex, PqIndex, Snapshots, VecIndex}
+    val vdir = vecIndexDir(dir)
+    val pqdir = pqIndexDir(dir)
+    require(embeddings.nonEmpty || VecIndex.currentVersion(spark, vdir) == 0L,
+      s"the driver's vector index is live — restore needs the corpus " +
+        s"embeddings to rebuild it, or post-$v vectors would keep " +
+        s"serving against the rolled-back decisions")
+    val sealedRows = Snapshots.open(spark, snapshotsDir(dir), v)
+      .localCheckpoint(true)
+    val dec = sealedRows.select(Curation.DecisionCols.map(col): _*)
+    val cand = candidates(docs, dec)
+    AtomicSwap.swap(spark, indexDir(dir)) { tmp =>
+      graft.streaming.StreamOps.signatureIndex(cand).write.parquet(tmp)
+    }
+    LexIndex.rebuild(
+      graft.operators.UnigramLm.termFreq(cand, "doc_id", "text"), lexDir(dir))
+    embeddings.foreach { emb =>
+      val candEmb = emb.join(cand.select(col("doc_id")), Seq("doc_id"))
+      val pqLive = PqIndex.currentVersion(spark, pqdir) > 0L
+      if (pqLive && !candEmb.isEmpty) {
+        val dim = candEmb.select(size(col("embedding"))).head.getInt(0)
+        require(dim % PqSubspaces == 0,
+          s"embedding dimension $dim does not divide into $PqSubspaces " +
+            s"PQ subspaces — refusing before any store mutates")
+      }
+      val cents = KMeans.contiguous(
+        quantizer.getOrElse(KMeans.lloyd(candEmb, "doc_id", "embedding",
+          k = VecCells, iters = 2)))
+        .localCheckpoint()
+      VecIndex.rebuild(candEmb, "doc_id", "embedding", cents, vdir)
+      if (pqLive) VecIndex.tryOpen(spark, vdir).foreach { rebuilt =>
+        val assigned = rebuilt
+          .select(col("doc_id"), col("embedding"), col("cid"))
+        PqIndex.refreshAssigned(assigned, "doc_id", "embedding",
+          PqIndex.quantFrom(cents, assigned, "doc_id", "embedding",
+            PqSubspaces, PqCodebookK, PqIters),
+          pqdir, ReaderGraceMs)
+      }
+    }
+    AtomicSwap.swap(spark, fpsDir(dir)) { tmp =>
+      sealedRows.select(col("doc_id"), col("fp"), col("len"))
+        .write.parquet(tmp)
+    }
+    AtomicSwap.swap(spark, decisionsDir(dir)) { tmp =>
+      dec.write.parquet(tmp)
+    }
+    spark.read.parquet(decisionsDir(dir))
+   }
+
   /** A (cid, centroid) relation collected to cid-ordered float arrays —
     * the comparable form of a coarse quantizer (bounded: [[VecCells]]
     * rows). */
