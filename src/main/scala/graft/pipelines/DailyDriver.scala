@@ -1062,43 +1062,61 @@ object DailyDriver {
           s"— a reembed must not silently drop documents from retrieval; " +
           s"missing e.g. ${dropped.limit(5).collect().mkString(", ")}")
     }
-    // PQ half only where one exists — like every other driver path, a
-    // pre-PQ deployment (or an init crashed between the two builds)
-    // must not be silently opted into a corpus-sized code table. When
-    // it does exist, the new dimension must divide into the
-    // sub-codebook shape BEFORE anything mutates: quantFrom's own
-    // check fires only after the raw rebuild committed, and that
-    // half-migrated state could never be repaired by a replay (every
-    // retry hits the same divisibility failure).
-    val pqLive = PqIndex.currentVersion(spark, pqdir) > 0L
-    if (pqLive && !candEmb.isEmpty) {
+    requirePqDim(spark, pqdir, candEmb)
+    rebuildVectorStores(spark, dir, candEmb, quantizer, gcGraceMs)
+   }
+
+  /** Preflight for a vector-half wholesale rebuild: refuse a PQ-paired
+    * dir whose new embedding dimension cannot re-encode the code table
+    * — run BEFORE any store mutates (quantFrom's own check fires only
+    * after the raw rebuild committed, a half-migrated state no replay
+    * could repair). */
+  private def requirePqDim(spark: SparkSession, pqdir: String,
+                           candEmb: DataFrame): Unit =
+    if (graft.operators.PqIndex.currentVersion(spark, pqdir) > 0L &&
+        !candEmb.isEmpty) {
       val dim = candEmb.select(size(col("embedding"))).head.getInt(0)
       require(dim % PqSubspaces == 0,
-        s"new embedding dimension $dim does not divide into " +
-          s"$PqSubspaces PQ subspaces — the paired code table under " +
-          s"$pqdir could never be re-encoded; refusing before any store " +
-          s"mutates")
+        s"embedding dimension $dim does not divide into $PqSubspaces " +
+          s"PQ subspaces — the paired code table under $pqdir could " +
+          s"never be re-encoded; refusing before any store mutates")
     }
+
+  /** The shared vector-half wholesale rebuild ([[reembed]] and
+    * [[restore]]): train-or-take the coarse quantizer, [[graft
+    * .operators.VecIndex.rebuild]], then refresh a live code table
+    * reading the assignment BACK from the just-published cells (one
+    * pruned parquet scan — rebuild already computed exactly those
+    * (doc_id, embedding, cid) rows, so a second corpus-sized
+    * assignFold pass would double the assignment cost for nothing).
+    * Graced PQ gc: a concurrent search's pinned pair must outlive the
+    * refresh (maintain's rule) unless the caller runs the offline
+    * zero-grace discipline. Callers run [[requirePqDim]] and their own
+    * coverage guards FIRST — this helper mutates. */
+  private def rebuildVectorStores(spark: SparkSession, dir: String,
+                                  candEmb: DataFrame,
+                                  quantizer: Option[DataFrame],
+                                  gcGraceMs: Long): Unit = {
+    import graft.operators.{KMeans, PqIndex, VecIndex}
+    val vdir = vecIndexDir(dir)
+    val pqdir = pqIndexDir(dir)
     val cents = KMeans.contiguous(
       quantizer.getOrElse(KMeans.lloyd(candEmb, "doc_id", "embedding",
         k = VecCells, iters = 2)))
       .localCheckpoint()
     VecIndex.rebuild(candEmb, "doc_id", "embedding", cents, vdir)
-    // the PQ trainer and encode read the assignment BACK from the
-    // just-published cells (one pruned parquet scan) — rebuild already
-    // computed exactly these (doc_id, embedding, cid) rows, so a second
-    // corpus-sized assignFold pass would double the migration's
-    // assignment cost for nothing. Graced gc: a concurrent search's
-    // pinned PQ pair must outlive the refresh (maintain's rule).
-    if (pqLive) VecIndex.tryOpen(spark, vdir).foreach { migrated =>
-      val assigned = migrated
-        .select(col("doc_id"), col("embedding"), col("cid"))
-      PqIndex.refreshAssigned(assigned, "doc_id", "embedding",
-        PqIndex.quantFrom(cents, assigned, "doc_id", "embedding",
-          PqSubspaces, PqCodebookK, PqIters),
-        pqdir, gcGraceMs)
-    }
-   }
+    // PQ half only where one exists — a pre-PQ deployment is never
+    // silently opted into a corpus-sized code table
+    if (PqIndex.currentVersion(spark, pqdir) > 0L)
+      VecIndex.tryOpen(spark, vdir).foreach { rebuilt =>
+        val assigned = rebuilt
+          .select(col("doc_id"), col("embedding"), col("cid"))
+        PqIndex.refreshAssigned(assigned, "doc_id", "embedding",
+          PqIndex.quantFrom(cents, assigned, "doc_id", "embedding",
+            PqSubspaces, PqCodebookK, PqIters),
+          pqdir, gcGraceMs)
+      }
+  }
 
   // ------------------------------------------------------- snapshots
 
@@ -1192,11 +1210,13 @@ object DailyDriver {
     * sealed decisions describe — text that has since been hard-deleted
     * means those docs simply drop from the rebuilt text indexes, which
     * is the correct post-takedown shape). A dir whose vector index is
-    * live REQUIRES `embeddings` — silently leaving post-`v` vectors
-    * serving against rolled-back decisions would be the exact desync
-    * this call exists to undo. Restore cost = init's (wholesale
-    * rebuilds are corpus-linear); the decisions/fps halves are
-    * O(sealed rows).
+    * live REQUIRES `embeddings`, and they must cover every text-visible
+    * sealed candidate — silently leaving post-`v` vectors serving
+    * against rolled-back decisions, or silently dropping docs from the
+    * vector half only, would be the exact desyncs this call exists to
+    * undo; both refusals (and the PQ dimension check) run BEFORE any
+    * store mutates. Restore cost = init's (wholesale rebuilds are
+    * corpus-linear); the decisions/fps halves are O(sealed rows).
     *
     * After a restore, re-[[step]]ing the days that followed `v` is
     * legal (their ids are no longer in the decision table) — restore +
@@ -1205,11 +1225,11 @@ object DailyDriver {
     * @return the restored decision table (read back from storage) */
   def restore(spark: SparkSession, dir: String, v: Long, docs: DataFrame,
               embeddings: Option[DataFrame] = None,
-              quantizer: Option[DataFrame] = None): DataFrame =
+              quantizer: Option[DataFrame] = None,
+              gcGraceMs: Long = ReaderGraceMs): DataFrame =
    Lease.withLease(spark, dir, "restore") {
-    import graft.operators.{KMeans, LexIndex, PqIndex, Snapshots, VecIndex}
+    import graft.operators.{LexIndex, Snapshots, VecIndex}
     val vdir = vecIndexDir(dir)
-    val pqdir = pqIndexDir(dir)
     require(embeddings.nonEmpty || VecIndex.currentVersion(spark, vdir) == 0L,
       s"the driver's vector index is live — restore needs the corpus " +
         s"embeddings to rebuild it, or post-$v vectors would keep " +
@@ -1218,34 +1238,32 @@ object DailyDriver {
       .localCheckpoint(true)
     val dec = sealedRows.select(Curation.DecisionCols.map(col): _*)
     val cand = candidates(docs, dec)
+    // ALL preflight refusals before any store mutates — a
+    // deterministic failure mid-sequence would leave the driver torn
+    // on every retry, unlike a crash (whose replay converges)
+    val candEmb = embeddings.map { emb =>
+      val ce = emb.join(cand.select(col("doc_id")), Seq("doc_id"))
+      // embeddings must cover every TEXT-VISIBLE sealed candidate (a
+      // doc whose text was hard-deleted since the seal legitimately
+      // drops from every rebuilt store) — a partial source would
+      // silently lose docs from the vector half only, and an empty
+      // one would publish an empty quantizer and strand the code table
+      val missing = cand.select(col("doc_id"))
+        .join(ce.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      require(missing.isEmpty,
+        s"embeddings do not cover every sealed candidate — restore " +
+          s"must not silently drop documents from retrieval; missing " +
+          s"e.g. ${missing.limit(5).collect().mkString(", ")}")
+      requirePqDim(spark, pqIndexDir(dir), ce)
+      ce
+    }
     AtomicSwap.swap(spark, indexDir(dir)) { tmp =>
       graft.streaming.StreamOps.signatureIndex(cand).write.parquet(tmp)
     }
     LexIndex.rebuild(
       graft.operators.UnigramLm.termFreq(cand, "doc_id", "text"), lexDir(dir))
-    embeddings.foreach { emb =>
-      val candEmb = emb.join(cand.select(col("doc_id")), Seq("doc_id"))
-      val pqLive = PqIndex.currentVersion(spark, pqdir) > 0L
-      if (pqLive && !candEmb.isEmpty) {
-        val dim = candEmb.select(size(col("embedding"))).head.getInt(0)
-        require(dim % PqSubspaces == 0,
-          s"embedding dimension $dim does not divide into $PqSubspaces " +
-            s"PQ subspaces — refusing before any store mutates")
-      }
-      val cents = KMeans.contiguous(
-        quantizer.getOrElse(KMeans.lloyd(candEmb, "doc_id", "embedding",
-          k = VecCells, iters = 2)))
-        .localCheckpoint()
-      VecIndex.rebuild(candEmb, "doc_id", "embedding", cents, vdir)
-      if (pqLive) VecIndex.tryOpen(spark, vdir).foreach { rebuilt =>
-        val assigned = rebuilt
-          .select(col("doc_id"), col("embedding"), col("cid"))
-        PqIndex.refreshAssigned(assigned, "doc_id", "embedding",
-          PqIndex.quantFrom(cents, assigned, "doc_id", "embedding",
-            PqSubspaces, PqCodebookK, PqIters),
-          pqdir, ReaderGraceMs)
-      }
-    }
+    candEmb.foreach(ce =>
+      rebuildVectorStores(spark, dir, ce, quantizer, gcGraceMs))
     AtomicSwap.swap(spark, fpsDir(dir)) { tmp =>
       sealedRows.select(col("doc_id"), col("fp"), col("len"))
         .write.parquet(tmp)

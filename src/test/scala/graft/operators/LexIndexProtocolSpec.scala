@@ -49,7 +49,7 @@ class LexIndexProtocolSpec extends SparkSpecBase {
       val trace = new StringBuilder("build(0)")
       for (_ <- 1 to 8) {
         val unmerged = (0 until nChunks).toSet -- live -- retired
-        val roll = rnd.nextInt(4)
+        val roll = rnd.nextInt(5)
         if (roll == 0 && unmerged.nonEmpty) {
           val c = pick(rnd, unmerged)
           LexIndex.merge(spark, p, tf(Set(c)))
@@ -60,6 +60,11 @@ class LexIndexProtocolSpec extends SparkSpecBase {
           live -= c; retired += c; trace ++= s" delete($c)"
         } else if (roll == 2) {
           LexIndex.compact(spark, p); trace ++= " compact"
+        } else if (roll == 4) {
+          // wholesale replacement from source (the restore primitive):
+          // same surviving docs, every bucket republished at a fresh
+          // version — content must be invariant
+          LexIndex.rebuild(tf(live), p); trace ++= " rebuild"
         } else {
           LexIndex.gc(spark, p); trace ++= " gc"
         }

@@ -336,6 +336,37 @@ class LexIndexSpec extends SparkSpecBase {
       "stats after merging into an empty index diverge")
   }
 
+  test("rebuild on a live index equals a fresh build; pinned readers hold; gc collects the stranded version") {
+    val docs = docsAt("/root/testdata/sf0.001")
+    val a = docs.filter(col("doc_id") % 3 === 0)
+    val ab = docs.filter(col("doc_id") % 3 =!= 2)
+    val p = tempDir("lexrebuild")
+    LexIndex.build(UnigramLm.termFreq(a, "doc_id", "text"), p)
+    // pin a reader on the pre-rebuild manifest resolution
+    val pinned = LexIndex.openPostings(spark, p)
+      .select("term", "doc_id", "tf", "dl", "df", "tb")
+    val wantA = postingRows(p)
+    LexIndex.rebuild(UnigramLm.termFreq(ab, "doc_id", "text"), p)
+    // live index = exactly a fresh build over the new corpus
+    val fresh = tempDir("lexrebuild-fresh")
+    LexIndex.build(UnigramLm.termFreq(ab, "doc_id", "text"), fresh)
+    assert(postingRows(p).sameElements(postingRows(fresh)),
+      "rebuild diverged from a fresh build over the same corpus")
+    assert(statsRows(p).sameElements(statsRows(fresh)),
+      "rebuild stats diverged from the fresh build")
+    // the pinned reader still serves the OLD version untouched
+    assert(pinned.collect().map(_.toString).sorted.sameElements(wantA),
+      "pinned reader perturbed by the rebuild publish")
+    // grace-0 gc collects the stranded pre-rebuild bucket version
+    LexIndex.gc(spark, p)
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p/buckets/v=1")),
+      "gc left the rebuild-stranded bucket version")
+    assert(postingRows(p).sameElements(postingRows(fresh)),
+      "gc after rebuild perturbed the live index")
+  }
+
   test("standalone gc sweeps at bucket grain and never touches referenced versions") {
     val docs = docsAt("/root/testdata/sf0.001")
     val p = tempDir("lexgcstandalone")
