@@ -428,7 +428,7 @@ object DailyDriver {
 
   /** Composed takedown across the driver's stores — the call a GDPR /
     * rights-holder / decontamination retraction makes, packaged so the
-    * owner never hand-sequences five per-store deletes (and never gets
+    * owner never hand-sequences seven per-store deletes (and never gets
     * the ordering wrong). Under ONE driver lease:
     *
     *  1. re-decide the decision table via [[Curation.forget]] — victims'
