@@ -1048,22 +1048,29 @@ object DailyDriver {
       s"no vector index under $vdir — reembed migrates an existing " +
         s"index; build one via init(..., embeddings) first")
     val decisions = openDecisions(spark, dir)
+    // materialized once: the coverage probe, the dim preflight, the
+    // quantizer training, and the rebuild all consume this relation —
+    // left lazy, each would re-run the corpus-sized join
     val candEmb = embeddings.join(
       decisions.filter(col("quality_pass") && col("contam_pass"))
         .select(col("doc_id")), Seq("doc_id"))
-    // a forget-emptied index (version > 0, no rows) is trivially
-    // covered — the other maybe-empty driver probes use tryOpen for
-    // exactly this state
-    for (old <- VecIndex.tryOpen(spark, vdir)) {
-      val dropped = old.select(col("doc_id"))
-        .join(candEmb.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      require(dropped.isEmpty,
-        s"new embeddings do not cover every indexed document under $vdir " +
-          s"— a reembed must not silently drop documents from retrieval; " +
-          s"missing e.g. ${dropped.limit(5).collect().mkString(", ")}")
-    }
-    requirePqDim(spark, pqdir, candEmb)
-    rebuildVectorStores(spark, dir, candEmb, quantizer, gcGraceMs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // tryOpen: a forget-emptied index (version > 0, no rows) has
+      // nothing to cover — requirePqDim's empty-set refusal is what
+      // stops the degenerate rebuild itself (re-init is the recovery
+      // for an emptied vector store, not a migration)
+      for (old <- VecIndex.tryOpen(spark, vdir)) {
+        val dropped = old.select(col("doc_id"))
+          .join(candEmb.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        require(dropped.isEmpty,
+          s"new embeddings do not cover every indexed document under $vdir " +
+            s"— a reembed must not silently drop documents from retrieval; " +
+            s"missing e.g. ${dropped.limit(5).collect().mkString(", ")}")
+      }
+      requirePqDim(spark, pqdir, candEmb)
+      rebuildVectorStores(spark, dir, candEmb, quantizer, gcGraceMs)
+    } finally candEmb.unpersist()
    }
 
   /** Preflight for a vector-half wholesale rebuild: refuse a PQ-paired
@@ -1072,15 +1079,30 @@ object DailyDriver {
     * after the raw rebuild committed, a half-migrated state no replay
     * could repair). */
   private def requirePqDim(spark: SparkSession, pqdir: String,
-                           candEmb: DataFrame): Unit =
-    if (graft.operators.PqIndex.currentVersion(spark, pqdir) > 0L &&
-        !candEmb.isEmpty) {
-      val dim = candEmb.select(size(col("embedding"))).head.getInt(0)
-      require(dim % PqSubspaces == 0,
-        s"embedding dimension $dim does not divide into $PqSubspaces " +
+                           candEmb: DataFrame): Unit = {
+    // the candidate set must be non-empty and dimension-UNIFORM for ANY
+    // wholesale rebuild: an empty set would train and publish an empty
+    // quantizer (every later append celled at the fold's sentinel,
+    // silently unreachable by every probe) and a mixed-dimension set
+    // would commit a raw index whose PQ refresh (or whose own dot
+    // products) fails only AFTER the mutation — whole-set min/max, one
+    // aggregate, so a single odd row can't slip past a first-row probe
+    val dims = candEmb.agg(min(size(col("embedding"))).as("mn"),
+      max(size(col("embedding"))).as("mx")).head
+    require(!dims.isNullAt(0),
+      "the candidate embedding set is empty — a wholesale vector " +
+        "rebuild would publish an empty quantizer and strand the code " +
+        "table; refusing before any store mutates")
+    val (mn, mx) = (dims.getInt(0), dims.getInt(1))
+    require(mn == mx,
+      s"mixed embedding dimensions ($mn..$mx) in the rebuild source — " +
+        s"refusing before any store mutates")
+    if (graft.operators.PqIndex.currentVersion(spark, pqdir) > 0L)
+      require(mx % PqSubspaces == 0,
+        s"embedding dimension $mx does not divide into $PqSubspaces " +
           s"PQ subspaces — the paired code table under $pqdir could " +
           s"never be re-encoded; refusing before any store mutates")
-    }
+  }
 
   /** The shared vector-half wholesale rebuild ([[reembed]] and
     * [[restore]]): train-or-take the coarse quantizer, [[graft
@@ -1230,47 +1252,66 @@ object DailyDriver {
    Lease.withLease(spark, dir, "restore") {
     import graft.operators.{LexIndex, Snapshots, VecIndex}
     val vdir = vecIndexDir(dir)
-    require(embeddings.nonEmpty || VecIndex.currentVersion(spark, vdir) == 0L,
+    val vecLive = VecIndex.currentVersion(spark, vdir) > 0L
+    require(embeddings.nonEmpty || !vecLive,
       s"the driver's vector index is live — restore needs the corpus " +
         s"embeddings to rebuild it, or post-$v vectors would keep " +
         s"serving against the rolled-back decisions")
+    // ... and the converse: a text-only driver must stay text-only — a
+    // rollback silently CREATING a vector half (that no later
+    // embeddings-less step would ever grow) is the reembed refusal's
+    // mirror image
+    require(embeddings.isEmpty || vecLive,
+      s"no vector index under $vdir — restore rolls back existing " +
+        s"stores; drop the embeddings argument, or init one first")
     val sealedRows = Snapshots.open(spark, snapshotsDir(dir), v)
       .localCheckpoint(true)
     val dec = sealedRows.select(Curation.DecisionCols.map(col): _*)
+    // materialized: the coverage probe, signature write, lexical
+    // rebuild, and the embedding join each consume this corpus-sized
+    // relation — left lazy, restore would pay the docs ⋈ decisions
+    // join four times over where the documented cost model says once
     val cand = candidates(docs, dec)
-    // ALL preflight refusals before any store mutates — a
-    // deterministic failure mid-sequence would leave the driver torn
-    // on every retry, unlike a crash (whose replay converges)
-    val candEmb = embeddings.map { emb =>
-      val ce = emb.join(cand.select(col("doc_id")), Seq("doc_id"))
-      // embeddings must cover every TEXT-VISIBLE sealed candidate (a
-      // doc whose text was hard-deleted since the seal legitimately
-      // drops from every rebuilt store) — a partial source would
-      // silently lose docs from the vector half only, and an empty
-      // one would publish an empty quantizer and strand the code table
-      val missing = cand.select(col("doc_id"))
-        .join(ce.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      require(missing.isEmpty,
-        s"embeddings do not cover every sealed candidate — restore " +
-          s"must not silently drop documents from retrieval; missing " +
-          s"e.g. ${missing.limit(5).collect().mkString(", ")}")
-      requirePqDim(spark, pqIndexDir(dir), ce)
-      ce
-    }
-    AtomicSwap.swap(spark, indexDir(dir)) { tmp =>
-      graft.streaming.StreamOps.signatureIndex(cand).write.parquet(tmp)
-    }
-    LexIndex.rebuild(
-      graft.operators.UnigramLm.termFreq(cand, "doc_id", "text"), lexDir(dir))
-    candEmb.foreach(ce =>
-      rebuildVectorStores(spark, dir, ce, quantizer, gcGraceMs))
-    AtomicSwap.swap(spark, fpsDir(dir)) { tmp =>
-      sealedRows.select(col("doc_id"), col("fp"), col("len"))
-        .write.parquet(tmp)
-    }
-    AtomicSwap.swap(spark, decisionsDir(dir)) { tmp =>
-      dec.write.parquet(tmp)
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ALL preflight refusals before any store mutates — a
+      // deterministic failure mid-sequence would leave the driver torn
+      // on every retry, unlike a crash (whose replay converges)
+      val candEmb = embeddings.map { emb =>
+        val ce = emb.join(cand.select(col("doc_id")), Seq("doc_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // embeddings must cover every TEXT-VISIBLE sealed candidate (a
+        // doc whose text was hard-deleted since the seal legitimately
+        // drops from every rebuilt store) — a partial source would
+        // silently lose docs from the vector half only; the empty /
+        // mixed-dimension refusals live in requirePqDim
+        val missing = cand.select(col("doc_id"))
+          .join(ce.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        require(missing.isEmpty,
+          s"embeddings do not cover every sealed candidate — restore " +
+            s"must not silently drop documents from retrieval; missing " +
+            s"e.g. ${missing.limit(5).collect().mkString(", ")}")
+        requirePqDim(spark, pqIndexDir(dir), ce)
+        ce
+      }
+      try {
+        AtomicSwap.swap(spark, indexDir(dir)) { tmp =>
+          graft.streaming.StreamOps.signatureIndex(cand).write.parquet(tmp)
+        }
+        LexIndex.rebuild(
+          graft.operators.UnigramLm.termFreq(cand, "doc_id", "text"),
+          lexDir(dir))
+        candEmb.foreach(ce =>
+          rebuildVectorStores(spark, dir, ce, quantizer, gcGraceMs))
+      } finally candEmb.foreach(_.unpersist())
+      AtomicSwap.swap(spark, fpsDir(dir)) { tmp =>
+        sealedRows.select(col("doc_id"), col("fp"), col("len"))
+          .write.parquet(tmp)
+      }
+      AtomicSwap.swap(spark, decisionsDir(dir)) { tmp =>
+        dec.write.parquet(tmp)
+      }
+    } finally cand.unpersist()
     spark.read.parquet(decisionsDir(dir))
    }
 

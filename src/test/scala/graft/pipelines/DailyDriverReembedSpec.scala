@@ -126,6 +126,22 @@ class DailyDriverReembedSpec extends SparkSpecBase {
       "refused reembed still mutated the code table")
   }
 
+  test("a mixed-dimension source is refused before anything mutates") {
+    val (docs, emb1, _, bench) = fixtures()
+    val dir = tempDir("reembed-mixed")
+    DailyDriver.init(spark, docs, bench, dir, cfg, Some(emb1))
+    val before = vecRows(dir)
+    // a first-row probe would pass this (most rows are 32-dim) — the
+    // whole-set min/max check must catch the odd 64-dim rows
+    val mixed = emb1.select(col("doc_id"),
+      when(col("doc_id") % 7 === 0, col("embedding"))
+        .otherwise(slice(col("embedding"), 1, 32)).as("embedding"))
+    intercept[IllegalArgumentException](
+      DailyDriver.reembed(spark, dir, mixed))
+    assert(vecRows(dir).sameElements(before),
+      "refused mixed-dimension reembed still mutated the index")
+  }
+
   test("a pre-PQ deployment migrates without being opted into a code table") {
     val (docs, emb1, emb2, bench) = fixtures()
     val dir = tempDir("reembed-nopq")

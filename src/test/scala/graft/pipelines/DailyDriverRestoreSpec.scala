@@ -98,6 +98,21 @@ class DailyDriverRestoreSpec extends SparkSpecBase {
       "replayed torn restore diverged from the first run")
   }
 
+  test("embeddings on a text-only driver are refused (no silent vector-half creation)") {
+    val (docs, emb, a, _, bench) = fixtures()
+    val dir = tempDir("restore-textonly")
+    DailyDriver.init(spark, a, bench, dir, cfg) // no embeddings: text-only
+    val v1 = DailyDriver.snapshot(spark, dir)
+    intercept[IllegalArgumentException](
+      DailyDriver.restore(spark, dir, v1, docs, Some(emb)))
+    assert(graft.operators.VecIndex
+      .currentVersion(spark, DailyDriver.vecIndexDir(dir)) == 0L,
+      "refused restore still created a vector index")
+    // the embeddings-less restore of the same dir works
+    DailyDriver.restore(spark, dir, v1, docs)
+    assert(DailyDriver.openDecisions(spark, dir).count() > 0)
+  }
+
   test("a live vector index without embeddings is refused") {
     val (docs, emb, a, _, bench) = fixtures()
     val dir = tempDir("restore-guard")
