@@ -632,7 +632,10 @@ object ScaleCheck {
       val prev = spark.read.parquet(s"$prevDir/decisions")
       val prevIndex = spark.read.parquet(s"$prevDir/sig_index")
       val t0 = System.nanoTime()
-      Curation.curateIncremental(prev, prevIndex, b, bench, cfg).count()
+      // the DELTA form — what the daily driver actually materializes
+      // and persists since the partition-grain publish (the full-table
+      // union is a query-side composition, not a daily cost)
+      Curation.curateIncrementalDelta(prev, prevIndex, b, bench, cfg).count()
       val tDelta = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       val t1 = System.nanoTime()

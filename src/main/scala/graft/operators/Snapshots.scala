@@ -17,35 +17,53 @@ import org.apache.spark.sql.types.LongType
   * version stays independently readable until an explicit retention
   * decision retires it. Layout under `root`:
   *
-  *  - `snap/v=N/`      — the sealed rows (decision columns + the per-doc
-  *    content fingerprint), immutable once sealed
-  *  - `seal/v=N.txt`   — the seal marker whose atomic rename IS the
-  *    commit: a version exists iff its marker does, so a create that
-  *    crashes mid-write leaves only invisible `snap/` debris the next
-  *    create overwrites (same version number — `versions` never counted
-  *    the unsealed dir) and gc eventually sweeps
+  *  - `snap/v=N/r=K/`   — the sealed rows (decision columns + the
+  *    per-doc content fingerprint) at DATA REVISION K. r=0 is the
+  *    create; each [[redact]] publishes r=K+1 and never touches r=K —
+  *    a reader pinned mid-scan on the pre-takedown revision finishes
+  *    against immutable files, the same vacuum rule as every other
+  *    store (the old in-place rewrite could yank `snap/v=N` out from
+  *    under a concurrent open/diff/verify)
+  *  - `snap/v=N/r=K.ok` — the revision's publish marker, whose atomic
+  *    rename IS the commit: the live revision is the HIGHEST K with a
+  *    marker, so a redact that crashes after the data write leaves
+  *    invisible debris its replay overwrites. The marker carries the
+  *    revision's `rows:` count — [[sealedRows]] reads the LIVE
+  *    revision's marker, so the readout tracks takedowns instead of
+  *    over-reporting the create-time count forever
+  *  - `seal/v=N.txt`    — the seal marker whose atomic rename commits
+  *    the VERSION: a version exists iff its marker does, so a create
+  *    that crashes mid-write leaves only invisible `snap/` debris the
+  *    next create overwrites (same version number — `versions` never
+  *    counted the unsealed dir) and gc eventually sweeps
   *  - `seal/.retired-v=N.txt` — gc's two-phase retirement: pass 1
   *    un-publishes (fresh-mtime retired marker, seal deleted), pass 2
   *    deletes the data only after `graceMs` has passed SINCE THE
   *    RETIREMENT — a reader that checked the seal just before the
-  *    retention decision gets a full grace to finish, the same vacuum
-  *    rule as the index families but aged from the un-publish the
-  *    marker records instead of an unknowable policy flip
+  *    retention decision gets a full grace to finish, aged from the
+  *    un-publish the marker records instead of an unknowable policy
+  *    flip
   *
   * Mutators (create / gc / redact) serialize through the root's writer
-  * [[Lease]]; readers never take it. [[redact]] is the takedown cascade
+  * [[Lease]]; readers never take it and are never perturbed by one:
+  * every read resolves to an immutable `r=K` directory whose files only
+  * gc deletes, under the grace. [[redact]] is the takedown cascade
   * through sealed history: a forgotten document's rows leave every
-  * sealed version too, in place (version numbers and seal markers
-  * survive; the per-version rewrite is a crash-atomic [[AtomicSwap]]
-  * swap that [[open]]'s repair step completes after a torn one).
+  * sealed version too — version numbers, seal markers, and "run T ←
+  * snapshot N" records survive, minus exactly the forgotten rows.
   */
 object Snapshots {
 
   private val SealName = "v=(\\d+)\\.txt".r
   private val RetiredName = "\\.retired-v=(\\d+)\\.txt".r
   private val SnapDirName = "v=(\\d+)".r
+  private val RevOkName = "r=(\\d+)\\.ok".r
+  private val RevDirName = "r=(\\d+)".r
 
   private def snapDir(root: String, v: Long) = s"$root/snap/v=$v"
+  private def revDir(root: String, v: Long, k: Long) = s"$root/snap/v=$v/r=$k"
+  private def revOk(root: String, v: Long, k: Long) =
+    new Path(snapDir(root, v), s"r=$k.ok")
   private def sealRoot(root: String) = s"$root/seal"
   private def sealFile(root: String, v: Long) =
     new Path(sealRoot(root), s"v=$v.txt")
@@ -91,24 +109,80 @@ object Snapshots {
       .collect { case RetiredName(v) => v.toLong }.toSeq
   }
 
+  /** Published data revisions of version `v`, ascending (markers only —
+    * a data dir without its `.ok` is a torn redact, invisible). */
+  private def revisions(f: FileSystem, root: String, v: Long): Seq[Long] = {
+    val dir = new Path(snapDir(root, v))
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).map(_.getPath.getName)
+      .collect { case RevOkName(k) => k.toLong }.sorted.toSeq
+  }
+
+  private def liveRevision(f: FileSystem, root: String, v: Long): Long = {
+    val rs = revisions(f, root, v)
+    require(rs.nonEmpty,
+      s"snapshot v=$v at $root has no published data revision")
+    rs.last
+  }
+
+  /** Row count from the written files' parquet footers — metadata-only
+    * (one footer read per file, never a row-group scan): the count a
+    * publish marker records must not cost a second pass over sealed
+    * data that can be 10⁹ rows. */
+  private def footerRows(f: FileSystem, dir: Path,
+                         conf: org.apache.hadoop.conf.Configuration): Long =
+    f.listStatus(dir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+
+  /** Publish revision `k` of version `v`: write the marker (with the
+    * footer-derived row count) to a tmp name and atomically rename it
+    * in — THE commit point for the revision's data. */
+  private def publishRevision(spark: SparkSession, root: String, v: Long,
+                              k: Long, tag: String): Unit = {
+    val f = fsOf(spark, root)
+    val n = footerRows(f, new Path(revDir(root, v, k)),
+      spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(snapDir(root, v), s".tmp-r=$k.ok")
+    val out = f.create(tmp, true)
+    try out.write(s"rows:$n\n$tag:${System.currentTimeMillis()}\n"
+      .getBytes("UTF-8"))
+    finally out.close()
+    // a torn predecessor may have left this exact marker name mid-crash
+    // only if the commit already happened — never reachable live (the
+    // root lease serializes mutators); same-name replacement is legal
+    f.delete(revOk(root, v, k), false)
+    require(Lease.atomicRename(f, tmp, revOk(root, v, k)),
+      s"revision publish failed: $tmp -> ${revOk(root, v, k)}")
+  }
+
   /** Seal `rows` as the next snapshot version and return it. The data
-    * write is job-committed into `snap/v=N`; the seal marker's atomic
-    * rename is the single commit point (crash before it → the next
-    * create re-derives the SAME version number and its overwrite-mode
-    * write replaces the debris). Runs under the root's writer lease —
-    * two concurrent creates cannot both allocate N. */
+    * write is job-committed into `snap/v=N/r=0` and its revision marker
+    * published; the seal marker's atomic rename is the VERSION's single
+    * commit point (crash before it → the next create re-derives the
+    * SAME version number and its overwrite-mode write replaces the
+    * debris). Runs under the root's writer lease — two concurrent
+    * creates cannot both allocate N. */
   def create(spark: SparkSession, root: String, rows: DataFrame): Long =
     Lease.withLease(spark, root, "snapshot-create") {
       val f0 = fsOf(spark, root)
       val v = (versions(spark, root) ++ retiredVersions(f0, root))
         .foldLeft(0L)(math.max) + 1L
-      rows.write.mode("overwrite").parquet(snapDir(root, v))
-      val n = spark.read.parquet(snapDir(root, v)).count()
+      // v is unsealed by construction, so anything under its dir is a
+      // crashed create's debris (possibly the pre-revision loose-file
+      // layout) — clear it so the sealed version holds exactly r=0
+      f0.delete(new Path(snapDir(root, v)), true)
+      rows.write.mode("overwrite").parquet(revDir(root, v, 0L))
+      publishRevision(spark, root, v, 0L, "created")
       val f = fsOf(spark, root)
       f.mkdirs(new Path(sealRoot(root)))
       val tmp = new Path(sealRoot(root), s".tmp-v=$v.txt")
       val out = f.create(tmp, true)
-      try out.write(s"rows:$n\ncreated:${System.currentTimeMillis()}\n"
+      try out.write(s"created:${System.currentTimeMillis()}\n"
         .getBytes("UTF-8"))
       finally out.close()
       // a retire/replay cycle may have left this exact name before —
@@ -119,20 +193,27 @@ object Snapshots {
       v
     }
 
-  /** Read sealed version `v`. Repairs a torn [[redact]] swap first, so
-    * a crash mid-redaction always resolves to a consistent (old or
-    * fully-redacted) version. */
+  /** Read sealed version `v` — the LIVE (highest-published) data
+    * revision. The returned frame scans an immutable directory: a
+    * concurrent [[redact]] publishes a NEW revision and never rewrites
+    * this one, so a scan pinned here finishes (gc's grace keeps the
+    * superseded files alive, the vacuum rule). */
   def open(spark: SparkSession, root: String, v: Long): DataFrame = {
-    require(fsOf(spark, root).exists(sealFile(root, v)),
+    val f = fsOf(spark, root)
+    require(f.exists(sealFile(root, v)),
       s"snapshot v=$v at $root is not sealed")
-    AtomicSwap.repair(spark, snapDir(root, v))
-    spark.read.parquet(snapDir(root, v))
+    spark.read.parquet(revDir(root, v, liveRevision(f, root, v)))
   }
 
-  /** Row count recorded in the seal marker — [[create]] counted the
-    * sealed data, so status readouts need no parquet footer scan. */
+  /** Row count recorded in the LIVE revision's publish marker —
+    * [[create]]/[[redact]] stamp it from the written files' footers, so
+    * status readouts need no data scan and a takedown-redacted version
+    * reports its post-redaction count, not the create-time one. */
   def sealedRows(spark: SparkSession, root: String, v: Long): Long = {
-    val in = fsOf(spark, root).open(sealFile(root, v))
+    val f = fsOf(spark, root)
+    require(f.exists(sealFile(root, v)),
+      s"snapshot v=$v at $root is not sealed")
+    val in = f.open(revOk(root, v, liveRevision(f, root, v)))
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .collectFirst { case s if s.startsWith("rows:") =>
         s.stripPrefix("rows:").toLong }
@@ -197,8 +278,12 @@ object Snapshots {
     * vacuum guarantee: versions `keep` rejects are first UN-PUBLISHED
     * (fresh retired marker, seal deleted — [[open]] refuses from here
     * on), and their data is deleted only once the retired marker is
-    * `graceMs` old. Also sweeps crashed-create debris: unsealed
-    * `snap/` dirs and `.tmp-*` markers, aged by their own mtime. */
+    * `graceMs` old. Also sweeps, under the same grace: data revisions
+    * a [[redact]] superseded (aged from the LIVE revision's publish
+    * marker — always at or after the moment each older revision
+    * stopped being the one [[open]] resolves), torn-redact data dirs
+    * that never published, and crashed-create debris (unsealed `snap/`
+    * dirs, `.tmp-*` markers), aged by their own mtime. */
   def gc(spark: SparkSession, root: String, keep: Long => Boolean,
          graceMs: Long = 0L): Unit =
     Lease.withLease(spark, root, "snapshot-gc") {
@@ -230,6 +315,14 @@ object Snapshots {
             if (f.exists(sealFile(root, v))) f.delete(st.getPath, false)
             else if (now2 - st.getModificationTime >= graceMs) {
               f.delete(new Path(snapDir(root, v)), true)
+              // a retired version's shard export retires with it
+              f.delete(new Path(shardsVDir(root, v)), true)
+              // legacy in-place-redact era AtomicSwap siblings (and any
+              // hand-made debris shaped like them) would otherwise
+              // strand forever once the version is unopenable — open's
+              // repair was their only owner
+              for (sfx <- Seq("__new", "__commit", "__lock"))
+                f.delete(new Path(snapDir(root, v) + sfx), true)
               f.delete(st.getPath, false)
             }
           case n if n.startsWith(".tmp-") && n.endsWith(".txt") &&
@@ -239,9 +332,8 @@ object Snapshots {
         }
       // crashed-create debris: snap dirs that never sealed and are not
       // mid-retirement (phase 2 owns those). Exact-name match only —
-      // a torn redact leaves AtomicSwap artifacts (`v=N__new`,
-      // `v=N__commit`) here that open()'s repair owns, and a loose
-      // prefix parse would throw on them and abort retention forever.
+      // loose prefix parses would throw on foreign names and abort
+      // retention forever.
       val sd = new Path(s"$root/snap")
       if (f.exists(sd)) for (st <- f.listStatus(sd))
         st.getPath.getName match {
@@ -252,26 +344,265 @@ object Snapshots {
             if (!isSealed && !retiring &&
               now2 - st.getModificationTime >= graceMs)
               f.delete(st.getPath, true)
+            else if (isSealed)
+              sweepRevisions(f, root, v, graceMs, now2)
+          case _ => ()
+        }
+      // shard-export debris and superseded export revisions, same rules
+      val shd = new Path(s"$root/shards")
+      if (f.exists(shd)) for (st <- f.listStatus(shd))
+        st.getPath.getName match {
+          case SnapDirName(vs) =>
+            val v = vs.toLong
+            val isSealed = f.exists(sealFile(root, v))
+            val retiring = f.exists(new Path(sr, s".retired-v=$v.txt"))
+            if (!isSealed && !retiring &&
+              now2 - st.getModificationTime >= graceMs)
+              f.delete(st.getPath, true)
+            else if (isSealed)
+              sweepShardRevisions(f, root, v, graceMs, now2)
           case _ => ()
         }
     }
 
+  /** [[sweepRevisions]]'s sibling for a version's shard exports: keep
+    * the newest published export (even a STALE one — it records that
+    * shards exist and carries the re-export params), sweep older ones
+    * once the newest marker has aged past the grace, and torn exports
+    * (data without a marker) by their own mtime. */
+  private def sweepShardRevisions(f: FileSystem, root: String, v: Long,
+                                  graceMs: Long, now: Long): Unit = {
+    val rs = shardRevisions(f, root, v)
+    if (rs.isEmpty) {
+      // no published export at all: any data dirs are torn exports
+      for (st <- f.listStatus(new Path(shardsVDir(root, v)))
+           if now - st.getModificationTime >= graceMs)
+        f.delete(st.getPath, true)
+      return
+    }
+    val live = rs.last
+    val liveAged =
+      now - f.getFileStatus(shardOk(root, v, live)).getModificationTime >= graceMs
+    for (st <- f.listStatus(new Path(shardsVDir(root, v))))
+      st.getPath.getName match {
+        case RevOkName(ks) if ks.toLong < live && liveAged =>
+          f.delete(st.getPath, false)
+        case RevDirName(ks) =>
+          val k = ks.toLong
+          if (k < live && liveAged) f.delete(st.getPath, true)
+          else if (k > live && now - st.getModificationTime >= graceMs)
+            f.delete(st.getPath, true)
+        case n if n.startsWith(".tmp-") &&
+          now - st.getModificationTime >= graceMs =>
+          f.delete(st.getPath, false)
+        case _ => ()
+      }
+  }
+
+  /** Within a sealed version: delete superseded data revisions once the
+    * LIVE revision's publish marker has aged past the grace (every
+    * older revision was superseded at or before that moment), and
+    * torn-redact debris (data dirs that never published, tmp markers)
+    * by their own mtime. The live revision is never touched. */
+  private def sweepRevisions(f: FileSystem, root: String, v: Long,
+                             graceMs: Long, now: Long): Unit = {
+    val rs = revisions(f, root, v)
+    if (rs.isEmpty) return
+    val live = rs.last
+    val liveAged =
+      now - f.getFileStatus(revOk(root, v, live)).getModificationTime >= graceMs
+    for (st <- f.listStatus(new Path(snapDir(root, v))))
+      st.getPath.getName match {
+        case RevOkName(ks) if ks.toLong < live && liveAged =>
+          f.delete(st.getPath, false)
+        case RevDirName(ks) =>
+          val k = ks.toLong
+          if (k < live && liveAged) f.delete(st.getPath, true)
+          else if (k > live && now - st.getModificationTime >= graceMs)
+            f.delete(st.getPath, true) // torn redact that never published
+        case n if n.startsWith(".tmp-") &&
+          now - st.getModificationTime >= graceMs =>
+          f.delete(st.getPath, false)
+        case _ => ()
+      }
+  }
+
+  // ------------------------------------------------------ shard exports
+
+  private def shardsVDir(root: String, v: Long) = s"$root/shards/v=$v"
+  private def shardRevDir(root: String, v: Long, k: Long) =
+    s"$root/shards/v=$v/r=$k"
+  private def shardOk(root: String, v: Long, k: Long) =
+    new Path(shardsVDir(root, v), s"r=$k.ok")
+
+  private def shardRevisions(f: FileSystem, root: String, v: Long): Seq[Long] = {
+    val dir = new Path(shardsVDir(root, v))
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).map(_.getPath.getName)
+      .collect { case RevOkName(k) => k.toLong }.sorted.toSeq
+  }
+
+  /** Row count across a partitioned write's files — [[footerRows]]
+    * recursed one level into the `shard=` dirs. */
+  private def footerRowsDeep(f: FileSystem, dir: Path,
+                             conf: org.apache.hadoop.conf.Configuration): Long =
+    f.listStatus(dir).map { st =>
+      if (st.isDirectory) footerRowsDeep(f, st.getPath, conf)
+      else if (st.getPath.getName.endsWith(".parquet")) {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+        try r.getRecordCount finally r.close()
+      } else 0L
+    }.sum
+
+  /** EXPORT sealed version `v`'s kept documents as training shards —
+    * the call that closes the loop from curation to a consumable
+    * training set: token-balanced shard assignment + chunked
+    * context-window packing ([[ShardExport.pack]]) written under
+    * `shards/v=N/r=K` partitioned by `shard`, where K is the DATA
+    * revision the export was derived from — the marker rename commits
+    * it, and [[openShards]] refuses an export whose K is no longer the
+    * live data revision (a takedown redacted the version after the
+    * export; re-run this call — [[reexportStaleShards]] does it for
+    * every stale version at once, reading the params back from the
+    * markers). Sealed and immutable like the snapshot itself: later
+    * steps/forgets never touch it except through the redact → stale →
+    * re-export cycle, and gc sweeps superseded export revisions under
+    * the same grace as data revisions.
+    *
+    * `docs` must cover every kept sealed doc's text (the manifest is
+    * reproducibility-bearing; a silent partial export would be a lie —
+    * refuse loudly, the restore/reembed convention). */
+  def exportShards(spark: SparkSession, root: String, v: Long,
+                   docs: DataFrame,
+                   ctx: Int = ShardExport.DefaultCtx,
+                   chunk: Int = ShardExport.DefaultChunk,
+                   shards: Int = ShardExport.DefaultShards,
+                   groups: Int = ShardExport.DefaultGroups): Unit =
+    Lease.withLease(spark, root, "snapshot-shards") {
+      val f = fsOf(spark, root)
+      require(f.exists(sealFile(root, v)),
+        s"snapshot v=$v at $root is not sealed")
+      val k = liveRevision(f, root, v)
+      val kept = spark.read.parquet(revDir(root, v, k))
+        .filter(col("keep"))
+        .select(col("doc_id"), col("split"), col("fp"))
+      val keptDocs = kept.join(
+        docs.select(col("doc_id"), col("lang"), col("text")),
+        Seq("doc_id"), "left")
+      val missing = keptDocs.filter(col("text").isNull)
+        .select(col("doc_id"))
+      require(missing.isEmpty,
+        s"docs do not cover every kept document of snapshot v=$v — a " +
+          s"partial shard export would silently drop training data; " +
+          s"missing e.g. ${missing.limit(5).collect().mkString(", ")}")
+      val out = shardRevDir(root, v, k)
+      ShardExport.pack(keptDocs, ctx, chunk, shards, groups)
+        .write.mode("overwrite").partitionBy("shard").parquet(out)
+      val n = footerRowsDeep(f, new Path(out),
+        spark.sparkContext.hadoopConfiguration)
+      val tmp = new Path(shardsVDir(root, v), s".tmp-r=$k.ok")
+      val o = f.create(tmp, true)
+      try o.write((s"rows:$n\nctx:$ctx\nchunk:$chunk\nshards:$shards\n" +
+        s"groups:$groups\nexported:${System.currentTimeMillis()}\n")
+        .getBytes("UTF-8"))
+      finally o.close()
+      f.delete(shardOk(root, v, k), false)
+      require(Lease.atomicRename(f, tmp, shardOk(root, v, k)),
+        s"shard export publish failed: $tmp -> ${shardOk(root, v, k)}")
+    }
+
+  /** Read sealed version `v`'s shard manifest. Refuses when no export
+    * exists, or when the newest export predates a takedown redaction
+    * (its data revision is no longer the live one) — serving chunks of
+    * forgotten documents to a trainer is exactly what the staleness
+    * fence is for. */
+  def openShards(spark: SparkSession, root: String, v: Long): DataFrame = {
+    val f = fsOf(spark, root)
+    require(f.exists(sealFile(root, v)),
+      s"snapshot v=$v at $root is not sealed")
+    val revs = shardRevisions(f, root, v)
+    require(revs.nonEmpty, s"snapshot v=$v at $root has no shard export")
+    val live = liveRevision(f, root, v)
+    if (revs.last != live)
+      throw new IllegalStateException(
+        s"shard export of snapshot v=$v at $root is STALE (exported " +
+          s"from data revision r=${revs.last}, live is r=$live — a " +
+          s"takedown redacted the version since): re-export before " +
+          s"serving it to a trainer")
+    spark.read.parquet(shardRevDir(root, v, live))
+  }
+
+  /** True iff `v` has a shard export whose source data revision is
+    * still the live one. */
+  def shardsFresh(spark: SparkSession, root: String, v: Long): Boolean = {
+    val f = fsOf(spark, root)
+    val revs = shardRevisions(f, root, v)
+    revs.nonEmpty && revs.last == liveRevision(f, root, v)
+  }
+
+  /** Re-export every sealed version whose shard export went stale
+    * (a [[redact]] published a newer data revision) — the takedown
+    * cascade's second half for exported versions, reading each
+    * export's own params back from its marker so the re-export is the
+    * same packing over the surviving docs. */
+  def reexportStaleShards(spark: SparkSession, root: String,
+                          docs: DataFrame): Unit = {
+    val f = fsOf(spark, root)
+    for (v <- versions(spark, root)) {
+      val revs = shardRevisions(f, root, v)
+      if (revs.nonEmpty && revs.last != liveRevision(f, root, v)) {
+        val in = f.open(shardOk(root, v, revs.last))
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        def p(key: String, dflt: Int): Int = lines
+          .collectFirst { case s if s.startsWith(s"$key:") =>
+            s.stripPrefix(s"$key:").trim.toInt }
+          .getOrElse(dflt)
+        // `docs` here is forget's (doc_id, text) contract — the lang
+        // each surviving doc was packed under comes back from the STALE
+        // manifest itself (text is immutable under a seal, so a doc
+        // absent from it carried no trainable chunks and its lang is
+        // irrelevant: pack drops zero-token docs before the deal)
+        val langMap = spark.read.parquet(shardRevDir(root, v, revs.last))
+          .select(col("doc_id"), col("lang")).distinct()
+        val docsWithLang = docs.select(col("doc_id"), col("text"))
+          .join(langMap, Seq("doc_id"), "left")
+          .withColumn("lang", coalesce(col("lang"), lit("")))
+        exportShards(spark, root, v, docsWithLang,
+          ctx = p("ctx", ShardExport.DefaultCtx),
+          chunk = p("chunk", ShardExport.DefaultChunk),
+          shards = p("shards", ShardExport.DefaultShards),
+          groups = p("groups", ShardExport.DefaultGroups))
+      }
+    }
+  }
+
   /** Takedown cascade through sealed history: rewrite every sealed
-    * version that contains a victim id WITHOUT it, in place — version
-    * numbers, seal markers, and every untouched version survive, so
-    * existing "run T ← snapshot N" records stay valid (minus exactly
-    * the forgotten rows). Each rewrite is a crash-atomic swap; absent
-    * ids are a probe-cost no-op, so the call is replay-idempotent. */
+    * version that contains a victim id WITHOUT it — version numbers,
+    * seal markers, and every untouched version survive, so existing
+    * "run T ← snapshot N" records stay valid (minus exactly the
+    * forgotten rows). Each rewrite publishes a FRESH data revision
+    * (`r=K+1`, marker rename as the commit) and leaves the superseded
+    * one for gc's graced sweep — a concurrent reader pinned on the old
+    * revision is never yanked mid-scan. Absent ids are a probe-cost
+    * no-op, so the call is replay-idempotent; a crash after the data
+    * write but before the marker leaves invisible debris the replay
+    * overwrites. */
   def redact(spark: SparkSession, root: String, victims: DataFrame,
              idCol: String = "doc_id"): Unit =
     Lease.withLease(spark, root, "snapshot-redact") {
+      val f = fsOf(spark, root)
       val vIds = victims.select(col(idCol)).distinct().localCheckpoint(true)
       for (v <- versions(spark, root)) {
-        val sealedRows = open(spark, root, v)
-        if (!sealedRows.join(vIds, Seq(idCol), "left_semi").isEmpty)
-          AtomicSwap.swap(spark, snapDir(root, v)) { tmp =>
-            sealedRows.join(vIds, Seq(idCol), "left_anti").write.parquet(tmp)
-          }
+        val live = liveRevision(f, root, v)
+        val sealedRows = spark.read.parquet(revDir(root, v, live))
+        if (!sealedRows.join(vIds, Seq(idCol), "left_semi").isEmpty) {
+          sealedRows.join(vIds, Seq(idCol), "left_anti")
+            .write.mode("overwrite").parquet(revDir(root, v, live + 1L))
+          publishRevision(spark, root, v, live + 1L, "redacted")
+        }
       }
     }
 }

@@ -227,6 +227,31 @@ object Curation {
   def curateIncremental(prev: DataFrame, prevIndex: DataFrame,
                         newDocs: DataFrame, benchmark: DataFrame,
                         cfg: Config = Config()): DataFrame = {
+    val delta = curateIncrementalDelta(prev, prevIndex, newDocs, benchmark, cfg)
+    // the full-table form: delta rows replace their ids, everything
+    // else passes through — note the anti-join makes THIS composition
+    // corpus-sized; the daily driver persists the delta at partition
+    // grain instead and never materializes the union
+    delta.unionByName(
+      prev.join(delta.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(DecisionCols.map(col): _*))
+      .localCheckpoint(true)
+  }
+
+  /** [[curateIncremental]]'s DELTA: exactly the rows whose decision the
+    * arrivals can change — every arrival, plus every member of a prior
+    * component an arrival near-dups into (re-decided; rows outside
+    * those components are untouched by construction, see the
+    * equivalence argument above). Delta-sized compute AND delta-sized
+    * output: the one corpus-proportional touch is the column-pruned
+    * scan of `prev` that finds the affected components' members. The
+    * daily driver joins this against its batch-partitioned decision
+    * table to rewrite only the partitions holding these ids. Returned
+    * materialized (localCheckpoint), per-call caches released — the
+    * same storage lifecycle as the full form. */
+  def curateIncrementalDelta(prev: DataFrame, prevIndex: DataFrame,
+                             newDocs: DataFrame, benchmark: DataFrame,
+                             cfg: Config = Config()): DataFrame = {
     val (scored, benchSh) = score(newDocs, benchmark, cfg)
     val candNew = scored.filter(col("quality_pass") && col("contam_pass"))
     val (pairsNewNewRaw, releasePairs) = graft.queries.SimilarityQ
@@ -271,14 +296,11 @@ object Curation {
         col("quality_pass"), col("contam_pass"))
       .withColumn("component", col("doc_id"))
       .withColumn("dedup_keep", lit(false))
-    val untouchedOld = prev
-      .join(touchedOld.select(col("doc_id")), Seq("doc_id"), "left_anti")
     val result = finalizeDecisions(keptRows.unionByName(failedNew), cfg)
       .select(DecisionCols.map(col): _*)
-      .unionByName(untouchedOld.select(DecisionCols.map(col): _*))
-    // Materialize the delta run's decision table ONCE (9 narrow columns,
-    // no text — localCheckpoint is the in-session analog of the storage
-    // write a fleet pipeline does here, and it truncates the lineage that
+    // Materialize the delta ONCE (9 narrow columns, no text —
+    // localCheckpoint is the in-session analog of the storage write a
+    // fleet pipeline does here, and it truncates the lineage that
     // referenced the per-call caches), then release every intermediate
     // this invocation pinned. A daily driver calls this per delta;
     // without the release each run would leak executor storage
@@ -329,6 +351,23 @@ object Curation {
   def forget(prev: DataFrame, victims: DataFrame, docs: DataFrame,
              cfg: Config = Config()): DataFrame = {
     val vIds = victims.select(col("doc_id")).distinct().localCheckpoint(true)
+    val redecided = forgetDelta(prev, vIds, docs, cfg)
+    // full-table composition (corpus-sized anti-joins — the daily
+    // driver persists the delta at partition grain instead)
+    val untouched = prev
+      .join(vIds, Seq("doc_id"), "left_anti")
+      .join(redecided.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(DecisionCols.map(col): _*)
+    redecided.unionByName(untouched).localCheckpoint(true)
+  }
+
+  /** [[forget]]'s DELTA: the re-decided rows — every surviving member
+    * of a component a candidate victim leaves (victims themselves are
+    * simply ABSENT; the caller drops them). Exactness argument above;
+    * delta-sized output, returned materialized with per-call caches
+    * released. `victims` should be pre-deduplicated ids. */
+  def forgetDelta(prev: DataFrame, vIds: DataFrame, docs: DataFrame,
+                  cfg: Config = Config()): DataFrame = {
     val affected = prev.join(vIds, Seq("doc_id"), "left_semi")
       .filter(col("quality_pass") && col("contam_pass"))
       .select(col("component")).distinct()
@@ -348,15 +387,11 @@ object Curation {
       .keepBest(remaining.select(col("doc_id"), col("quality")), "doc_id",
         "quality", pairs.select(col("doc_a"), col("doc_b")), "doc_a", "doc_b")
       .withColumnRenamed("keep", "dedup_keep")
-    val redecided = finalizeDecisions(
+    val out = finalizeDecisions(
       kept.join(remaining.select(col("doc_id"), col("contam_ratio"),
         col("quality_pass"), col("contam_pass")), Seq("doc_id")), cfg)
       .select(DecisionCols.map(col): _*)
-    val untouched = prev
-      .join(vIds, Seq("doc_id"), "left_anti")
-      .join(remaining.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .select(DecisionCols.map(col): _*)
-    val out = redecided.unionByName(untouched).localCheckpoint(true)
+      .localCheckpoint(true)
     releasePairs()
     remaining.unpersist()
     out

@@ -70,12 +70,46 @@ import org.apache.spark.sql.functions._
   * wholesale overwrites, so re-running it converges).
   */
 object DailyDriver {
-  import graft.operators.{AtomicSwap, Lease}
+  import graft.operators.{AtomicSwap, Lease, PartitionSwap}
 
   private def decisionsDir(dir: String) = s"$dir/decisions"
   private def indexDir(dir: String) = s"$dir/sig_index"
   private def lexDir(dir: String) = s"$dir/lex_index"
   private def fpsDir(dir: String) = s"$dir/fps"
+
+  /** The decision table and signature index are PARTITIONED BY `batch`
+    * (= the step's min arrival id; day 0 = 0 — the chunk loop's key),
+    * so the daily publishes are DELTA-GRAIN: [[step]] rewrites only the
+    * arrivals' partition plus the partitions holding the re-decided
+    * components' rows ([[graft.operators.PartitionSwap]] — staged
+    * partition-set publish, commit marker, roll-forward repair), and
+    * [[forget]] only the victim-bearing ones, instead of the whole
+    * corpus-rows table every day. Wholesale writers ([[init]],
+    * [[restore]], [[maintain]]'s gated re-layout) keep the plain
+    * [[graft.operators.AtomicSwap]] whole-directory discipline with the
+    * partitioned layout inside; the two protocols compose on one table
+    * (both repairs run on open, serialized by the shared table lock). */
+  private def batched(df: DataFrame): DataFrame =
+    // partition discovery infers `batch=N` dirs as int; every writer
+    // stamps longs, so pin the type — and tolerate a table whose batch
+    // key is a data column (the flat empty shape a total takedown
+    // leaves) or absent entirely (a repaired wholesale replacement
+    // written without one: adopt batch 0, the next re-lay re-founds it)
+    if (df.columns.contains("batch"))
+      df.withColumn("batch", col("batch").cast("long"))
+    else df.withColumn("batch", lit(0L))
+
+  private def openDecisionsBatched(spark: SparkSession, dir: String): DataFrame = {
+    AtomicSwap.repair(spark, decisionsDir(dir))
+    PartitionSwap.repair(spark, decisionsDir(dir))
+    batched(spark.read.parquet(decisionsDir(dir)))
+  }
+
+  private def openSigIndexBatched(spark: SparkSession, dir: String): DataFrame = {
+    AtomicSwap.repair(spark, indexDir(dir))
+    PartitionSwap.repair(spark, indexDir(dir))
+    batched(spark.read.parquet(indexDir(dir)))
+  }
 
   /** The driver's sealed-snapshot root ([[graft.operators.Snapshots]])
     * — public so audit tooling can list/open the sealed history
@@ -125,20 +159,19 @@ object DailyDriver {
       .join(decisions.filter(col("quality_pass") && col("contam_pass"))
         .select(col("doc_id")), Seq("doc_id"))
 
-  /** The live decision table — repairs an interrupted swap first, so an
-    * open after a crash always sees a consistent (old or fully-new)
-    * table. */
-  def openDecisions(spark: SparkSession, dir: String): DataFrame = {
-    AtomicSwap.repair(spark, decisionsDir(dir))
-    spark.read.parquet(decisionsDir(dir))
-  }
+  /** The live decision table (the 9 decision columns — the `batch`
+    * partition key is storage layout, not decision state) — repairs an
+    * interrupted whole-table swap AND an interrupted partition-set
+    * publish first, so an open after a crash always sees a consistent
+    * (old or fully-new) table. */
+  def openDecisions(spark: SparkSession, dir: String): DataFrame =
+    openDecisionsBatched(spark, dir).drop("batch")
 
-  /** The live signature index (same open-repairs contract — [[maintain]]
-    * swaps this directory wholesale). */
-  def openSigIndex(spark: SparkSession, dir: String): DataFrame = {
-    AtomicSwap.repair(spark, indexDir(dir))
-    spark.read.parquet(indexDir(dir))
-  }
+  /** The live signature index (same open-repairs contract — [[step]]
+    * appends a batch partition, [[forget]] rewrites victim-bearing
+    * partitions, [[maintain]]'s gated re-layout swaps wholesale). */
+  def openSigIndex(spark: SparkSession, dir: String): DataFrame =
+    openSigIndexBatched(spark, dir).drop("batch")
 
   /** The driver-maintained vector index as a pinned snapshot —
     * `VecIndex.open` over [[vecIndexDir]] (versioned-manifest reads:
@@ -283,9 +316,14 @@ object DailyDriver {
            embeddings: Option[DataFrame] = None,
            quantizer: Option[DataFrame] = None): Unit =
    Lease.withLease(spark, dir, "init") {
+    // a re-init over a dir with an interrupted publish must not leave
+    // that publish's marker to replay stale partitions over day 0
+    PartitionSwap.repair(spark, decisionsDir(dir))
+    PartitionSwap.repair(spark, indexDir(dir))
     Curation.curate(docs, benchmark, cfg)
       .select(Curation.DecisionCols.map(col): _*)
-      .write.mode("overwrite").parquet(decisionsDir(dir))
+      .withColumn("batch", lit(0L))
+      .write.partitionBy("batch").mode("overwrite").parquet(decisionsDir(dir))
     // content fingerprints for EVERY corpus doc — the substrate
     // [[snapshot]] seals and [[verifySnapshot]] audits against; built
     // here (the one place a full text scan already happens) and grown
@@ -295,7 +333,8 @@ object DailyDriver {
     val decisions = spark.read.parquet(decisionsDir(dir))
     val cand = candidates(docs, decisions)
     graft.streaming.StreamOps.signatureIndex(cand)
-      .write.mode("overwrite").parquet(indexDir(dir))
+      .withColumn("batch", lit(0L))
+      .write.partitionBy("batch").mode("overwrite").parquet(indexDir(dir))
     // Retrieval index over the CANDIDATES (quality + contamination
     // pass): candidacy is a per-doc verdict that later steps never
     // revisit — unlike final_keep, which component rebuilds can flip —
@@ -338,18 +377,51 @@ object DailyDriver {
   }
 
   /** Day N: delta-curate the arrivals against the persisted state,
-    * append their candidate signatures, swap the decision table.
+    * append their candidate signatures, publish the decision delta.
+    *
+    * The decision write is DELTA-GRAIN: `curateIncrementalDelta`
+    * returns exactly the rows the arrivals can change (every arrival +
+    * every member of a touched prior component), and the publish
+    * replaces only the partitions holding those ids — the arrivals'
+    * own `batch = min(arrival id)` partition plus the touched
+    * components' home partitions — through [[graft.operators
+    * .PartitionSwap]] (staged set, commit marker, roll-forward
+    * repair: a crash mid-publish leaves the next open serving either
+    * the complete old or the complete new table, never a torn mix).
+    * Step cost is therefore flat in CORPUS size at fixed delta: the
+    * only corpus-proportional touch left is the column-pruned scan
+    * that finds the affected components' members.
     * @return the updated decision table (read back from storage) */
   def step(spark: SparkSession, newDocs: DataFrame, benchmark: DataFrame,
            dir: String, cfg: Curation.Config = Curation.Config(),
            embeddings: Option[DataFrame] = None): DataFrame =
    Lease.withLease(spark, dir, "step") {
-    val prev = openDecisions(spark, dir)
+    val prevB = openDecisionsBatched(spark, dir)
+    val prev = prevB.drop("batch")
     val prevIndex = openSigIndex(spark, dir)
+    val deltaIds = newDocs.select(col("doc_id"))
+    val mn = newDocs.agg(min(col("doc_id"))).collect()(0)
+    require(!mn.isNullAt(0), "step needs a non-empty delta")
+    val minId = mn.getLong(0)
+    // RETRY guard, decisions half: the partition publish is this step's
+    // COMMIT POINT (it runs last) — a replayed step that finds any
+    // arrival already decided is re-running after a crash that happened
+    // AT OR AFTER the publish, so every half below is landed and the
+    // whole pass is probe-cost. Recomputing the delta against a prev
+    // that already contains the arrivals would also violate
+    // curateIncremental's disjointness contract.
+    val decLanded = !prevB.join(deltaIds, Seq("doc_id"), "left_semi").isEmpty
     // eager (localCheckpoint inside): fully materialized before any
     // directory below is touched
-    val updated = Curation.curateIncremental(prev, prevIndex, newDocs, benchmark, cfg)
-    val newCand = candidates(newDocs, updated)
+    val delta =
+      if (decLanded) None
+      else Some(Curation.curateIncrementalDelta(
+        prev, prevIndex, newDocs, benchmark, cfg))
+    // the arrivals' own decisions (either just computed or already
+    // persisted) gate which of them are CANDIDATES for the index halves
+    val arrivalDecisions = delta.getOrElse(prevB)
+      .join(deltaIds, Seq("doc_id"), "left_semi")
+    val newCand = candidates(newDocs, arrivalDecisions)
     // RETRY guards: a step replayed after a crash may find either append
     // already landed (both are job-committed, so they land whole or not
     // at all). Daily ids are disjoint by contract, so one delta id
@@ -358,12 +430,23 @@ object DailyDriver {
     // merge is NOT idempotent: a replayed published merge would
     // double-count the delta). DailyDriverCrashSpec restores the
     // pre-swap decision table and replays the step to pin this.
-    val deltaIds = newDocs.select(col("doc_id"))
     val sigLanded = !prevIndex
       .join(deltaIds, Seq("doc_id"), "left_semi").isEmpty
-    if (!sigLanded)
-      graft.streaming.StreamOps.signatureIndex(newCand)
-        .write.mode("append").parquet(indexDir(dir))
+    if (!sigLanded) {
+      val sigDelta = graft.streaming.StreamOps.signatureIndex(newCand)
+        .withColumn("batch", lit(minId))
+      if (prevIndex.isEmpty)
+        // an EMPTIED index (a takedown that removed every candidate)
+        // sits as a flat schema-carrying table — appending partition
+        // dirs next to root-level files would wedge discovery, so
+        // re-found the partitioned layout wholesale instead
+        AtomicSwap.swap(spark, indexDir(dir)) { tmp =>
+          sigDelta.write.partitionBy("batch").parquet(tmp)
+        }
+      else
+        sigDelta.write.partitionBy("batch").mode("append")
+          .parquet(indexDir(dir))
+    }
     // fingerprint the arrivals (ALL of them — candidacy doesn't gate
     // the audit substrate). Same landed-or-not replay probe as the
     // other appends; repair first because [[forget]] swaps this table.
@@ -420,10 +503,26 @@ object DailyDriver {
             .select(col("doc_id"), col("embedding"), col("cid")),
           "doc_id", "embedding", pqdir)
     }
-    AtomicSwap.swap(spark, decisionsDir(dir)) { tmp =>
-      updated.write.parquet(tmp)
+    // the delta-grain decision publish — the step's commit point. Each
+    // delta row keeps its HOME batch (the step that introduced it);
+    // arrivals get this step's. The touched-batch census is bounded by
+    // the touched components' distinct arrival days, collected to
+    // drive partition pruning on the staged read.
+    delta.foreach { d =>
+      val dB = d.join(prevB.select(col("doc_id"), col("batch")),
+          Seq("doc_id"), "left")
+        .withColumn("batch", coalesce(col("batch"), lit(minId)))
+        .localCheckpoint() // read twice: batch census + staged write
+      val touched = dB.select(col("batch")).distinct()
+        .collect().map(_.getLong(0))
+      val staged = prevB.filter(col("batch").isin(touched: _*))
+        .join(d.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .unionByName(dB)
+      PartitionSwap.swap(spark, decisionsDir(dir)) { stage =>
+        staged.write.partitionBy("batch").parquet(stage)
+      }
     }
-    spark.read.parquet(decisionsDir(dir))
+    openDecisions(spark, dir)
   }
 
   /** Composed takedown across the driver's stores — the call a GDPR /
@@ -473,15 +572,42 @@ object DailyDriver {
    Lease.withLease(spark, dir, "forget") {
     import graft.operators.{LexIndex, PqIndex, VecIndex}
     val vIds = victims.select(col("doc_id")).distinct().localCheckpoint(true)
-    val prev = openDecisions(spark, dir)
-    val updated = Curation.forget(prev, vIds, docs, cfg)
-    // index halves first (idempotent), decisions swap last (the commit
-    // point) — see the replay contract above
-    val prevIndex = openSigIndex(spark, dir)
-    if (!prevIndex.join(vIds, Seq("doc_id"), "left_semi").isEmpty)
-      AtomicSwap.swap(spark, indexDir(dir)) { tmp =>
-        prevIndex.join(vIds, Seq("doc_id"), "left_anti").write.parquet(tmp)
-      }
+    val prevB = openDecisionsBatched(spark, dir)
+    val prev = prevB.drop("batch")
+    // the delta: every re-decided survivor row (eager, delta-sized) —
+    // victims themselves are simply dropped from their partitions
+    val redecided = Curation.forgetDelta(prev, vIds, docs, cfg)
+    // index halves first (idempotent), decisions publish last (the
+    // commit point) — see the replay contract above. The signature
+    // rewrite is PARTITION-PRUNED: only victim-bearing batches move
+    // (one column-pruned census scan to find them), so the takedown's
+    // sig cost is delta-proportional like the other stores' — the
+    // whole-table anti-join swap is gone.
+    val sigB = openSigIndexBatched(spark, dir)
+    val sigHit = sigB.join(vIds, Seq("doc_id"), "left_semi")
+      .select(col("batch")).distinct().collect().map(_.getLong(0))
+    if (sigHit.nonEmpty) {
+      val survivors = sigB.filter(col("batch").isin(sigHit.toSeq: _*))
+        .join(vIds, Seq("doc_id"), "left_anti")
+        .localCheckpoint() // read twice: batch census + staged write
+      val live = survivors.select(col("batch")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val untouchedSig = sigB.select(col("batch")).distinct()
+        .filter(!col("batch").isin(sigHit.toSeq: _*)).limit(1).count() > 0L
+      if (!untouchedSig && live.isEmpty)
+        // a takedown emptying the WHOLE index: a partitioned table with
+        // zero partitions cannot carry its schema — swap in a flat
+        // empty table (batch as a data column) so later opens/probes
+        // keep working; the next step's append re-partitions it
+        AtomicSwap.swap(spark, indexDir(dir)) { tmp =>
+          survivors.write.parquet(tmp)
+        }
+      else
+        PartitionSwap.swap(spark, indexDir(dir),
+          drop = (sigHit.toSet -- live).toSeq.sorted.map(b => s"batch=$b")) {
+          stage => survivors.write.partitionBy("batch").parquet(stage)
+        }
+    }
     if (LexIndex.currentVersion(spark, lexDir(dir)) > 0L)
       LexIndex.delete(spark, lexDir(dir), vIds)
     // the vector deletes publish a fresh cells version — a corpus-sized
@@ -513,12 +639,49 @@ object DailyDriver {
     // (version numbers and "run T ← snapshot N" records survive,
     // minus exactly the forgotten rows). Idempotent per the redact
     // contract, so the replay story above is unchanged.
-    if (graft.operators.Snapshots.versions(spark, snapshotsDir(dir)).nonEmpty)
+    if (graft.operators.Snapshots.versions(spark, snapshotsDir(dir)).nonEmpty) {
       graft.operators.Snapshots.redact(spark, snapshotsDir(dir), vIds)
-    AtomicSwap.swap(spark, decisionsDir(dir)) { tmp =>
-      updated.write.parquet(tmp)
+      // ... and every exported training-shard manifest the redaction
+      // just made stale is re-packed over the survivors (same params,
+      // read back from each export's marker) — a trainer never mounts
+      // chunks of forgotten documents, and never loses a fresh export
+      // to someone else's takedown
+      graft.operators.Snapshots.reexportStaleShards(
+        spark, snapshotsDir(dir), docs)
     }
-    spark.read.parquet(decisionsDir(dir))
+    // the delta-grain decision publish, LAST (the commit point): only
+    // partitions holding a victim or a re-decided survivor move; a
+    // batch whose every row was a victim is dropped through the same
+    // marker (a staged write with zero rows for it would leave it
+    // silently serving the forgotten docs)
+    val touched = prevB.join(
+        vIds.unionByName(redecided.select(col("doc_id"))),
+        Seq("doc_id"), "left_semi")
+      .select(col("batch")).distinct().collect().map(_.getLong(0))
+    if (touched.nonEmpty) {
+      val content = prevB.filter(col("batch").isin(touched.toSeq: _*))
+        .join(vIds, Seq("doc_id"), "left_anti")
+        .join(redecided.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .unionByName(redecided
+          .join(prevB.select(col("doc_id"), col("batch")), Seq("doc_id")))
+        .localCheckpoint() // read twice: batch census + staged write
+      val live = content.select(col("batch")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val untouched = prevB.select(col("batch")).distinct()
+        .filter(!col("batch").isin(touched.toSeq: _*)).limit(1).count() > 0L
+      // a takedown that would empty the WHOLE decision table is a
+      // reset, not a retraction (an empty partitioned table cannot
+      // carry its schema, wedging every later open/step) — refuse
+      // loudly and point at re-init, chunkForget's rule
+      require(untouched || live.nonEmpty,
+        s"forget would remove every decision row under $dir — delete " +
+          s"the directory and re-init over the new corpus instead")
+      PartitionSwap.swap(spark, decisionsDir(dir),
+        drop = (touched.toSet -- live).toSeq.sorted.map(b => s"batch=$b")) {
+        stage => content.write.partitionBy("batch").parquet(stage)
+      }
+    }
+    openDecisions(spark, dir)
    }
 
   // ------------------------------------------------- chunk-grain loop
@@ -684,11 +847,15 @@ object DailyDriver {
     *    the GC so deployments with live index readers keep pinned
     *    versions alive across the compaction (LexIndex.gc's vacuum
     *    rule);
-    *  - the signature index: every [[step]] appends a few files, so an
-    *    N-day driver reads N file groups per near-dup probe — rewritten
-    *    here into one clustered layout via the same write-new →
-    *    atomic-swap discipline as the decision table (the index is
-    *    append-only content-wise, so the rewrite is a pure re-layout:
+    *  - the signature index: every [[step]] appends ~one task-count of
+    *    files into its batch partition, so an N-day driver reads many
+    *    small files per near-dup probe — compacted here to one file per
+    *    batch (partitioning preserved: [[forget]]'s pruning reads it)
+    *    via the same write-new → atomic-swap discipline as the other
+    *    wholesale rewrites. GATED on `sigRelayShare`: the measured debt
+    *    is the share of data files a re-lay would remove (one directory
+    *    listing — below the threshold that listing is the whole cost,
+    *    and the rewrite is a pure re-layout when it fires:
     *    DailyDriverApiSpec asserts row identity);
     *  - the vector index (when [[init]] built one): both of its
     *    policies — `VecIndex.compactIfDelta` folds the accumulated
@@ -735,7 +902,8 @@ object DailyDriver {
                vecDeltaShare: Double = 0.2, vecMaxCellShare: Double = 0.5,
                vecGcGraceMs: Long = ReaderGraceMs,
                embeddings: Option[DataFrame] = None,
-               pqMaxCellShare: Double = 0.5): MaintainReport =
+               pqMaxCellShare: Double = 0.5,
+               sigRelayShare: Double = 0.5): MaintainReport =
    Lease.withLease(spark, dir, "maintain") {
     import org.apache.hadoop.fs.Path
     import graft.operators.{PqIndex, VecIndex}
@@ -786,17 +954,28 @@ object DailyDriver {
     }
     val lexCompacted = graft.operators.LexIndex.compactIfGarbage(spark,
       lexDir(dir), lexGcShare, lexGcGraceMs)
-    val dst = new Path(indexDir(dir))
-    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val sigRelaid = fs.exists(dst)
+    // the signature re-layout is GATED ON MEASURED DEBT like every
+    // other mutation in this pass: each step appends ~one task-count
+    // of files into its batch partition, and the re-lay's value is
+    // collapsing them to one file per batch — so the debt measure is
+    // the share of data files a re-lay would remove (1 − groups/files,
+    // from ONE directory listing). Below the threshold the listing is
+    // the whole cost; the old behavior paid a corpus-proportional
+    // rewrite on EVERY pass, debt or not.
+    val sigFileDebt = sigFileDebtOf(spark, dir)
+    val sigRelaid = sigFileDebt > sigRelayShare
     if (sigRelaid) {
-      // re-layout under the same crash-atomic discipline as the decision
-      // table: the clustered copy is fully durable under tmp (and fenced
-      // by the commit marker) before the N-file-group layout it replaces
-      // is touched — swap writes tmp while dst still serves the lineage
-      val live = openSigIndex(spark, dir).repartitionByRange(col("doc_id"))
+      // re-layout under the same crash-atomic discipline as the
+      // wholesale writers: the compacted copy is fully durable under
+      // tmp (and fenced by the commit marker) before the layout it
+      // replaces is touched. Batch partitioning is PRESERVED (forget's
+      // partition pruning depends on it): one file per batch,
+      // doc-id-clustered within.
+      val live = openSigIndexBatched(spark, dir)
+        .repartition(col("batch"))
+        .sortWithinPartitions(col("batch"), col("doc_id"))
       AtomicSwap.swap(spark, indexDir(dir)) { tmp =>
-        live.write.parquet(tmp)
+        live.write.partitionBy("batch").parquet(tmp)
       }
     }
     // ONE maintenance sequence serves both shapes: measure, compact,
@@ -842,6 +1021,25 @@ object DailyDriver {
             .filter(col("quality_pass") && col("contam_pass"))
             .select(col("doc_id"))
           val candEmb = embeddings.get.join(candIds, Seq("doc_id"))
+          // coverage guard (reembed/restore's mirror): a PARTIAL
+          // embeddings relation would silently shrink the code table
+          // relative to the raw index — every missing doc drops out of
+          // ADC nomination forever while status keeps reporting
+          // aligned=true. Refuse loudly instead; when this fires after
+          // a retrain already committed this pass, the stores are left
+          // in the re-armed desync shape a crashed refresh leaves
+          // (searches fall back to the exact scan, `alignedBefore`
+          // re-arms the refresh), repaired by a later maintain with a
+          // covering source.
+          for (raw <- VecIndex.tryOpen(spark, vdir)) {
+            val missing = raw.select(col("doc_id"))
+              .join(candEmb.select(col("doc_id")), Seq("doc_id"), "left_anti")
+            require(missing.isEmpty,
+              s"embeddings do not cover every document the raw index " +
+                s"under $vdir serves — a PQ refresh from this source " +
+                s"would silently drop documents from ADC nomination; " +
+                s"missing e.g. ${missing.limit(5).collect().mkString(", ")}")
+          }
           // NOT renumbered: the raw index's rows already carry these
           // cid values (retrain committed them, contiguous by its own
           // contract) — renumbering here would silently desync the
@@ -882,8 +1080,30 @@ object DailyDriver {
       }
     }
     MaintainReport(lexCompacted, sigRelaid, vecCompacted, retrained,
-      pqCompacted, pqRefreshed, skew, pqSkew, alignedBefore)
+      pqCompacted, pqRefreshed, skew, pqSkew, alignedBefore, sigFileDebt)
    }
+
+  /** The signature index's small-file debt: the share of its data
+    * files a re-lay would remove (1 − partition groups / files) — ONE
+    * directory listing, the measurement [[maintain]]'s `sigRelayShare`
+    * gate and [[status]]'s sig row read. Root-level files (the flat
+    * empty table a total takedown leaves) count as one group. */
+  private def sigFileDebtOf(spark: SparkSession, dir: String): Double = {
+    val dst = new org.apache.hadoop.fs.Path(indexDir(dir))
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dst)) return 0.0
+    var files = 0L; var groups = 0L; var rootFiles = 0L
+    for (st <- fs.listStatus(dst)) {
+      if (st.isDirectory && st.getPath.getName.startsWith("batch=")) {
+        groups += 1
+        files += fs.listStatus(st.getPath)
+          .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      } else if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+        rootFiles += 1
+    }
+    if (rootFiles > 0) { groups += 1; files += rootFiles }
+    if (files == 0L) 0.0 else 1.0 - groups.toDouble / files
+  }
 
   /** What a [[maintain]] pass actually did: each flag true iff the
     * corresponding gated mutation FIRED (false = measured under its
@@ -898,7 +1118,8 @@ object DailyDriver {
                                   vecCompacted: Boolean, vecRetrained: Boolean,
                                   pqCompacted: Boolean, pqRefreshed: Boolean,
                                   vecCellSkew: Double, pqCellSkew: Double,
-                                  pqAlignedBefore: Boolean)
+                                  pqAlignedBefore: Boolean,
+                                  sigFileDebt: Double)
 
   /** One store's row in the [[status]] readout. `debtShare` is the
     * store's gated-maintenance debt: current-delta share for the LSM
@@ -958,8 +1179,8 @@ object DailyDriver {
     Seq(
       StoreStatus("decisions", exists(decisionsDir(dir)), 0L, 0L, 0.0, 0.0,
         aligned = true),
-      StoreStatus("sig_index", exists(indexDir(dir)), 0L, 0L, 0.0, 0.0,
-        aligned = true),
+      StoreStatus("sig_index", exists(indexDir(dir)), 0L, 0L,
+        sigFileDebtOf(spark, dir), 0.0, aligned = true),
       StoreStatus("lex_index", lexV > 0L, lexV, 0L,
         if (lexV > 0L) LexIndex.garbageShare(spark, lexDir(dir), graceMs)
         else 0.0,
@@ -1176,7 +1397,10 @@ object DailyDriver {
         else spark.range(0).select(col("id").as("doc_id"),
           lit(null).cast(org.apache.spark.sql.types.LongType).as("fp"),
           lit(null).cast(org.apache.spark.sql.types.LongType).as("len"))
-      val rows = openDecisions(spark, dir)
+      // the batch key seals too: [[restore]] re-founds the partitioned
+      // decision layout from it (rows keep their home partitions, so a
+      // restore never collapses history into one corpus-sized batch)
+      val rows = openDecisionsBatched(spark, dir)
         .join(fps, Seq("doc_id"), "left_outer")
       graft.operators.Snapshots.create(spark, snapshotsDir(dir), rows)
     }
@@ -1202,6 +1426,29 @@ object DailyDriver {
   def verifySnapshot(spark: SparkSession, dir: String, v: Long,
                      docs: DataFrame): DataFrame =
     graft.operators.Snapshots.verify(spark, snapshotsDir(dir), v, docs)
+
+  /** EXPORT sealed snapshot `v` as mounted training shards — the one
+    * call from curation to a consumable training set: the sealed kept
+    * docs, token-balance-dealt to shards and packed into context-window
+    * bins ([[graft.operators.ShardExport.pack]]), written sealed and
+    * immutable under the snapshot tree (`shards/v=N/r=K`, marker-
+    * committed). Later [[step]]s never perturb it; a [[forget]] that
+    * redacts `v` makes it stale and re-exports it over the survivors
+    * automatically. `docs` must cover every kept sealed doc's text
+    * (refusal, the restore convention). Read back via [[openShards]],
+    * which refuses a stale export rather than serve forgotten chunks. */
+  def exportShards(spark: SparkSession, dir: String, v: Long,
+                   docs: DataFrame,
+                   ctx: Int = graft.operators.ShardExport.DefaultCtx,
+                   chunk: Int = graft.operators.ShardExport.DefaultChunk,
+                   shards: Int = graft.operators.ShardExport.DefaultShards,
+                   groups: Int = graft.operators.ShardExport.DefaultGroups): Unit =
+    graft.operators.Snapshots.exportShards(spark, snapshotsDir(dir), v,
+      docs, ctx, chunk, shards, groups)
+
+  /** Sealed snapshot `v`'s shard manifest ([[exportShards]]). */
+  def openShards(spark: SparkSession, dir: String, v: Long): DataFrame =
+    graft.operators.Snapshots.openShards(spark, snapshotsDir(dir), v)
 
   /** Retention sweep over sealed history — [[graft.operators.Snapshots
     * .gc]] with the driver's reader-grace default. Retention is a
@@ -1264,9 +1511,21 @@ object DailyDriver {
     require(embeddings.isEmpty || vecLive,
       s"no vector index under $vdir — restore rolls back existing " +
         s"stores; drop the embeddings argument, or init one first")
+    // finish any interrupted delta-grain publish BEFORE the wholesale
+    // overwrites below: a stale PartitionSwap marker left by a crashed
+    // step must not replay its staged partitions onto the freshly
+    // restored table at the next open
+    PartitionSwap.repair(spark, decisionsDir(dir))
+    PartitionSwap.repair(spark, indexDir(dir))
     val sealedRows = Snapshots.open(spark, snapshotsDir(dir), v)
       .localCheckpoint(true)
-    val dec = sealedRows.select(Curation.DecisionCols.map(col): _*)
+    require(sealedRows.columns.contains("batch"),
+      s"snapshot v=$v seals no batch key — it was sealed by a " +
+        s"pre-partitioned-layout engine; restore cannot re-found the " +
+        s"partitioned decision table from it")
+    val decB = sealedRows.select(
+      (Curation.DecisionCols :+ "batch").map(col): _*)
+    val dec = decB.drop("batch")
     // materialized: the coverage probe, signature write, lexical
     // rebuild, and the embedding join each consume this corpus-sized
     // relation — left lazy, restore would pay the docs ⋈ decisions
@@ -1296,7 +1555,9 @@ object DailyDriver {
       }
       try {
         AtomicSwap.swap(spark, indexDir(dir)) { tmp =>
-          graft.streaming.StreamOps.signatureIndex(cand).write.parquet(tmp)
+          graft.streaming.StreamOps.signatureIndex(cand)
+            .join(decB.select(col("doc_id"), col("batch")), Seq("doc_id"))
+            .write.partitionBy("batch").parquet(tmp)
         }
         LexIndex.rebuild(
           graft.operators.UnigramLm.termFreq(cand, "doc_id", "text"),
@@ -1309,10 +1570,10 @@ object DailyDriver {
           .write.parquet(tmp)
       }
       AtomicSwap.swap(spark, decisionsDir(dir)) { tmp =>
-        dec.write.parquet(tmp)
+        decB.write.partitionBy("batch").parquet(tmp)
       }
     } finally cand.unpersist()
-    spark.read.parquet(decisionsDir(dir))
+    openDecisions(spark, dir)
    }
 
   /** A (cid, centroid) relation collected to cid-ordered float arrays —

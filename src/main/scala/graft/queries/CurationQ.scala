@@ -613,6 +613,8 @@ object CurationQ {
         docs.filter(col("doc_id") % 31 === 1).select(col("doc_id")),
         docs, cfg)
       Snapshots.create(s, tmp, after.join(fps, Seq("doc_id")))
+      // ... and v=1's training-shard export (q141's recurring read)
+      Snapshots.exportShards(s, tmp, 1L, docs)
     }
 
   /** Sealed training-set EXPORT ([[graft.operators.Snapshots]]) as an
@@ -685,6 +687,65 @@ object CurationQ {
        |       AND a.component IS NOT DISTINCT FROM b.component)
        |ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q141
+
+  /** Snapshot → TRAINING-SHARD export as an oracle row: read sealed
+    * v=1's shard manifest back from storage ([[graft.operators
+    * .Snapshots.openShards]] — the export itself ran once in
+    * [[snapRoot]]'s cached build, its cost measured where one-time
+    * costs live) and pin every chunk row BITWISE against the DuckDB
+    * composition of the whole ladder: q79's kept set → q107's
+    * serpentine token-balanced shard deal → q104's chunked
+    * context-window bin packing. The deliverable a trainer mounts,
+    * gate-checked end to end through the seal → export → marker →
+    * open storage path. */
+  private def q141(s: SparkSession, d: String): DataFrame =
+    graft.operators.Snapshots.openShards(s, snapRoot(s, d), 1L)
+      .select(col("doc_id"), col("lang"), col("split"),
+        col("shard").cast(IntegerType).as("shard"), col("bin"),
+        col("start"), col("chunk_len"), col("fp"))
+      .orderBy(col("doc_id"), col("start"))
+
+  private val q141Sql = {
+    import graft.operators.ShardExport.{DefaultChunk, DefaultCtx, DefaultGroups, DefaultShards}
+    val S = DefaultShards
+    val grpHash = sqlStrHash("'shard:' || CAST(doc_id AS VARCHAR)")
+    val ordHash = sqlStrHash("'order:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH kept AS (SELECT f.doc_id AS doc_id, d.lang AS lang,
+       |    f.split AS split, ${sqlStrHash("d.text")} AS fp,
+       |    ${sqlTokens("d.text")} AS tk
+       |  FROM ($q79Sql) f JOIN documents d ON f.doc_id = d.doc_id
+       |  WHERE f.keep),
+       |base AS (SELECT doc_id, lang, split, fp, len(tk) AS n,
+       |    $grpHash % $DefaultGroups AS grp
+       |  FROM kept WHERE len(tk) > 0),
+       |r AS (SELECT doc_id, lang, split, fp, n, grp,
+       |    ROW_NUMBER() OVER (PARTITION BY lang, grp
+       |      ORDER BY n DESC, doc_id ASC) AS rk
+       |  FROM base),
+       |a AS (SELECT doc_id, lang, split, fp, n,
+       |    CAST(CASE WHEN CAST(FLOOR((rk - 1) / $S) AS BIGINT) % 2 = 0
+       |      THEN (rk - 1) % $S ELSE $S - 1 - ((rk - 1) % $S) END AS INT)
+       |      AS shard
+       |  FROM r),
+       |ch AS (SELECT doc_id, lang, split, fp, shard, n,
+       |    CAST(unnest(range(0, n, $DefaultChunk)) AS BIGINT) AS start
+       |  FROM a),
+       |cl AS (SELECT doc_id, lang, split, fp, shard, start,
+       |    CAST(LEAST($DefaultChunk, n - start) AS BIGINT) AS chunk_len,
+       |    $ordHash AS h
+       |  FROM ch),
+       |c AS (SELECT doc_id, lang, split, fp, shard, start, chunk_len,
+       |    SUM(chunk_len) OVER (PARTITION BY lang, shard
+       |      ORDER BY h ASC, doc_id ASC, start ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM cl)
+       |SELECT doc_id, lang, split, shard,
+       |  CAST(FLOOR((cum - chunk_len) / $DefaultCtx.0) AS BIGINT) AS bin,
+       |  start, chunk_len, fp
+       |FROM c ORDER BY doc_id, start""".stripMargin
+  }
+
   val queries: Seq[GQuery] = Seq(
     GQuery("q69_tfidf_terms", q69, Some(q69Sql), Seq("A16", "A17", "F11")),
     GQuery("q70_decontam_overlap", q70, Some(q70Sql), Seq("A16", "J9")),
@@ -697,5 +758,6 @@ object CurationQ {
     GQuery("q136_forget_rerun", q136, Some(q136Sql), Seq("A16", "W2", "U3", "J11")),
     GQuery("q138_dedup_profile", q138, Some(q138Sql), Seq("A16", "A18", "W2")),
     GQuery("q139_snapshot_export", q139, Some(q139Sql), Seq("A16", "F11", "K6")),
-    GQuery("q140_snapshot_diff", q140, Some(q140Sql), Seq("A16", "U3", "J11")))
+    GQuery("q140_snapshot_diff", q140, Some(q140Sql), Seq("A16", "U3", "J11")),
+    GQuery("q141_snapshot_shards", q141, Some(q141Sql), Seq("A16", "A17", "W5", "K6")))
 }

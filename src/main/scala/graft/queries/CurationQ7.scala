@@ -145,8 +145,11 @@ object CurationQ7 {
     * (LexIndex, VecIndex, PqIndex — every [[cachedRoot]] family), so a
     * cached root written by an older engine can never be opened by a
     * newer one (layout 2: the versioned-manifest cells/delta-epoch
-    * layout). */
-  private val idxLayoutGen = 2
+    * layout; layout 3: the snapshot store's revisioned `snap/v=N/r=K`
+    * data dirs and the driver's batch-partitioned decision/signature
+    * tables; layout 4: the snap root carries v=1's training-shard
+    * export). */
+  private val idxLayoutGen = 4
 
   /** Content fingerprint of the tables the cached index roots derive
     * from — file names/lengths/mtimes of the documents + embeddings

@@ -151,18 +151,67 @@ class SnapshotsSpec extends SparkSpecBase {
     assert(Snapshots.open(spark, root, 1L).count() == 4L)
   }
 
-  test("gc tolerates a torn redact's swap artifacts under snap/") {
+  test("gc tolerates foreign names under snap/ and sweeps legacy swap debris on retirement") {
     val root = tempDir("snapswapdebris")
     Snapshots.create(spark, root, decRows(dayOne))
-    // a redact that crashed before its commit marker leaves the swap's
-    // replacement dir; gc must neither throw on the name nor touch it
+    Snapshots.create(spark, root, decRows(dayOne.take(2)))
+    // legacy in-place-redact era AtomicSwap debris: gc must not throw
+    // on the name, must not touch it while the version is sealed...
     decRows(dayOne.take(2)).write.parquet(s"$root/snap/v=1__new")
     Snapshots.gc(spark, root, keep = _ => true, graceMs = 0L)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/snap/v=1__new")),
-      "gc deleted AtomicSwap debris that repair owns")
+      "gc deleted sibling debris of a live sealed version")
     assert(Snapshots.open(spark, root, 1L).count() == 4L)
+    // ... and must collect it with the version's retirement — a retired
+    // version is no longer openable, so nothing else ever owns the
+    // stranded artifacts
+    Snapshots.gc(spark, root, keep = _ >= 2L, graceMs = 0L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/snap/v=1__new")),
+      "retired version's legacy swap debris stranded forever")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/snap/v=1")))
+  }
+
+  test("redact publishes a fresh revision: old data outlives the grace, then gc sweeps it") {
+    val root = tempDir("snaprev")
+    Snapshots.create(spark, root, decRows(dayOne))
+    assert(Snapshots.sealedRows(spark, root, 1L) == 4L)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def revs: Set[String] = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/snap/v=1"))
+      .map(_.getPath.getName).filter(_.startsWith("r=")).toSet
+    assert(revs == Set("r=0", "r=0.ok"))
+    Snapshots.redact(spark, root, Seq(2L).toDF("doc_id"))
+    // the superseded revision is still on disk — a reader pinned on it
+    // mid-scan finishes against immutable files (the ADVICE hazard: the
+    // old in-place swap deleted the live dir at its commit point)
+    assert(revs == Set("r=0", "r=0.ok", "r=1", "r=1.ok"))
+    assert(spark.read.parquet(s"$root/snap/v=1/r=0").count() == 4L)
+    assert(Snapshots.open(spark, root, 1L).count() == 3L)
+    // the readout tracks the takedown (stale-rows ADVICE item)
+    assert(Snapshots.sealedRows(spark, root, 1L) == 3L)
+    // long grace: sweep keeps the superseded revision; zero grace: gone
+    Snapshots.gc(spark, root, keep = _ => true, graceMs = 60L * 60 * 1000)
+    assert(revs == Set("r=0", "r=0.ok", "r=1", "r=1.ok"))
+    Snapshots.gc(spark, root, keep = _ => true, graceMs = 0L)
+    assert(revs == Set("r=1", "r=1.ok"))
+    assert(Snapshots.open(spark, root, 1L).count() == 3L)
+  }
+
+  test("a torn redact is invisible and its replay converges") {
+    val root = tempDir("snaptornredact")
+    Snapshots.create(spark, root, decRows(dayOne))
+    // crash simulation: the survivor write landed, the marker never did
+    decRows(dayOne.filterNot(_._1 == 2L)).write.parquet(s"$root/snap/v=1/r=1")
+    assert(Snapshots.open(spark, root, 1L).count() == 4L,
+      "unpublished revision leaked into open()")
+    assert(Snapshots.sealedRows(spark, root, 1L) == 4L)
+    // the replay overwrites the debris and publishes the same revision
+    Snapshots.redact(spark, root, Seq(2L).toDF("doc_id"))
+    assert(Snapshots.open(spark, root, 1L).count() == 3L)
+    assert(Snapshots.sealedRows(spark, root, 1L) == 3L)
   }
 
   test("verify reports sealed rows without a fingerprint as unverifiable") {

@@ -51,7 +51,7 @@ class DailyDriverCrashSpec extends SparkSpecBase {
     // --- crash AFTER the commit marker, before the delete: a complete
     // distinguishable replacement + marker, old dst still present — the
     // next open must roll FORWARD to the replacement
-    val repl = spark.read.parquet(dec)
+    val repl = spark.read.parquet(dec).drop("batch")
       .filter(col("doc_id") % 2 === 0).localCheckpoint()
     val want = canon(repl)
     fs.delete(new Path(dec + "__new"), true)
@@ -64,7 +64,7 @@ class DailyDriverCrashSpec extends SparkSpecBase {
 
     // --- crash BETWEEN delete(dst) and rename: dst gone, tmp + marker
     // remain — without the marker discipline this is the lost-table state
-    val repl2 = spark.read.parquet(dec).limit(3).localCheckpoint()
+    val repl2 = spark.read.parquet(dec).drop("batch").limit(3).localCheckpoint()
     val want2 = canon(repl2)
     repl2.write.parquet(dec + "__new")
     fs.create(new Path(dec + "__commit"), true).close()
