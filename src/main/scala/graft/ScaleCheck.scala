@@ -298,6 +298,15 @@ object ScaleCheck {
       // as flat as (or flatter than) the exact column as cells fill up
       val tPq = timed(DailyDriver.hybridSearch(spark, dir, queries, probes,
         pqDepth = 40).count())
+      // the tuning readout an owner picks production depths from:
+      // recall@k vs the all-cells exact truth and wall time per
+      // (nprobe, pqDepth) — the flat-search claim, now with the
+      // recall axis attached (task: what does a bounded nomination
+      // depth actually cost in tail recall as the corpus grows)
+      for (r <- DailyDriver.hybridSearchReport(spark, dir, queries, probes)
+             .orderBy(col("nprobe"), col("pq_depth")).collect())
+        println(f"${s"  recall np=${r.getInt(0)} pq=${r.getInt(1)}"}%-24s " +
+          f"${r.getDouble(3)}%8.3f ${r.getDouble(4)}%8.2f")
       // the scheduler's poll: the stores' manifests + summaries + one
       // cid scan per vector store — must stay near-flat (the cid scans
       // are column-pruned; everything else is metadata). The snapshots

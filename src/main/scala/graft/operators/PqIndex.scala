@@ -307,22 +307,49 @@ object PqIndex {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = embStream.sparkSession
     val m0 = Versioned.current(spark, path)
-    val dir = deltaPath(path, m0.epoch)
     Versioned.requireStreamAdoptable(spark, path, m0.epoch, checkpoint)
-    encode(embStream, idCol, vecCol, quantAt(spark, path, m0))
+    startCodeStream(spark, path, m0, checkpoint,
+      encode(embStream, idCol, vecCol, quantAt(spark, path, m0)))
+  }
+
+  /** [[appendStream]] for a stream that ALREADY CARRIES the coarse
+    * assignment (`idCol`, `vecCol`, `cid`) — the daily driver's
+    * one-assignment-two-stores contract: a standalone code table owns
+    * its coarse rule ([[encode]]'s), but a table PAIRED with a raw
+    * cosine index must append under the RAW index's cell assignment,
+    * or the two stores' layouts silently diverge doc by doc (the exact
+    * desync the driver's alignment gate exists to catch — its batch
+    * twin is [[appendAssigned]]). Same manifest pin, epoch/quantizer
+    * fences, and `b=batchId` replay-overwrite discipline. */
+  def appendStreamAssigned(assigned: DataFrame, idCol: String,
+                           vecCol: String, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = assigned.sparkSession
+    val m0 = Versioned.current(spark, path)
+    Versioned.requireStreamAdoptable(spark, path, m0.epoch, checkpoint)
+    startCodeStream(spark, path, m0, checkpoint,
+      encodeAssigned(assigned, idCol, vecCol, quantAt(spark, path, m0)))
+  }
+
+  /** The shared sink of the two code-append streams: fence-then-write
+    * under the index lease ([[VecIndex.appendStream]]'s rationale):
+    * maintenance mutations hold the same lease, so a compact/build/
+    * refresh can never publish between the manifest check and the
+    * write — a bare re-read would lose the batch silently (written
+    * into a retired directory, offsets then committed, never
+    * replayed). Bounded-patience acquire: a minutes-long maintenance
+    * pass holding the lease must not kill the stream — the batch
+    * waits, then the manifest check decides loudly. */
+  private def startCodeStream(spark: SparkSession, path: String,
+                              m0: Versioned.Man, checkpoint: String,
+                              coded: DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val dir = deltaPath(path, m0.epoch)
+    coded
       .writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // fence-then-write under the index lease ([[VecIndex
-        // .appendStream]]'s rationale): maintenance mutations hold the
-        // same lease, so a compact/build/refresh can never publish
-        // between this manifest read and the write — a bare re-read
-        // would lose the batch silently (written into a retired
-        // directory, offsets then committed, never replayed). Bounded-
-        // patience acquire: a minutes-long maintenance pass holding the
-        // lease must not kill the stream — the batch waits, then the
-        // manifest check decides loudly.
         Lease.withLeaseWait(spark, path, "pqindex-append") {
           val cur = Versioned.current(spark, path)
           if (cur.epoch != m0.epoch || cur.cents != m0.cents)

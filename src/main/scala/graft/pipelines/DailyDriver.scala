@@ -290,6 +290,46 @@ object DailyDriver {
     Rrf.fuse(lex, vec, k)
   }
 
+  /** The (nprobe, pqDepth) TUNING READOUT for [[hybridSearch]] — the
+    * number an owner needs to pick production depths: each sweep combo
+    * is run against the driver's own stores and scored for recall@k
+    * against the ground truth (every cell probed, exact scoring —
+    * `nprobe = ` cell count, `pqDepth = 0`), with its wall time. Runs
+    * EAGERLY (it measures — the returned frame is the collected
+    * result, |nprobes|×|pqDepths| rows): (nprobe, pq_depth, n_results,
+    * recall_at_k, wall_sec). Recall is over the fused (q_id, doc_id)
+    * set — the end-to-end number a workload owner sees, lex half
+    * included. A sweep row at (cells, 0) reproduces the truth by
+    * construction (recall 1.0 — the self-check); at
+    * ([[ExhaustiveRerank]]) the PQ path is the exact path bitwise. */
+  def hybridSearchReport(spark: SparkSession, dir: String,
+                         queries: DataFrame, probes: DataFrame,
+                         k: Int = 5, depth: Int = 10,
+                         nprobes: Seq[Int] = Seq(1, 2, VecCells),
+                         pqDepths: Seq[Int] = Seq(0, 10, 40),
+                         maxDfPermille: Long =
+                           graft.operators.Bm25.DefaultMaxDfPermille): DataFrame = {
+    val nCells = graft.operators.VecIndex.openCentroids(spark, vecIndexDir(dir))
+      .map(_.count().toInt).getOrElse(VecCells)
+    def run(np: Int, pd: Int): Array[(String, String)] =
+      hybridSearch(spark, dir, queries, probes, k, depth, np,
+        maxDfPermille, pd)
+        .select(col("q_id"), col("doc_id")).collect()
+        .map(r => (r.get(0).toString, r.get(1).toString))
+    val truth = run(nCells, 0).toSet
+    val rows = for (np <- nprobes; pd <- pqDepths) yield {
+      val t0 = System.nanoTime()
+      val got = run(np, pd)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val recall =
+        if (truth.isEmpty) 1.0
+        else got.count(truth.contains).toDouble / truth.size
+      (np, pd, got.length.toLong, recall, sec)
+    }
+    import spark.implicits._
+    rows.toDF("nprobe", "pq_depth", "n_results", "recall_at_k", "wall_sec")
+  }
+
   /** Day 0: full `curate` over the corpus; persist the decision table
     * and the candidates' signature index.
     *
@@ -523,6 +563,169 @@ object DailyDriver {
       }
     }
     openDecisions(spark, dir)
+  }
+
+  // ------------------------------------------------- streaming ingest
+
+  private def stagingDir(dir: String) = s"$dir/staging"
+
+  /** The live streaming queries [[stepStream]] started. Stop (and
+    * drain) every one BEFORE [[stepStreamReconcile]] — a reconcile
+    * racing a live micro-batch could read a half-landed day. `pq` is
+    * None when the code table is absent or desynced from the raw index
+    * (the batch [[step]]'s skip rule: searches already fall back to
+    * the exact scan, and the next sourced [[maintain]] refresh
+    * re-encodes the day from the decision table). */
+  final case class StepStreamHandles(
+      staging: org.apache.spark.sql.streaming.StreamingQuery,
+      lex: org.apache.spark.sql.streaming.StreamingQuery,
+      vec: Option[org.apache.spark.sql.streaming.StreamingQuery],
+      pq: Option[org.apache.spark.sql.streaming.StreamingQuery]) {
+    def all: Seq[org.apache.spark.sql.streaming.StreamingQuery] =
+      Seq(staging, lex) ++ vec ++ pq
+    def stopAll(): Unit = all.foreach(_.stop())
+  }
+
+  /** CONTINUOUS ingest for a driver dir — the streaming packaging of
+    * [[step]]'s first half, so a corpus owner with an arrivals stream
+    * no longer hand-composes the fences, replay guards, and day-end
+    * reconciliation DailyDriverSpec proves piecewise:
+    *
+    *  - the ingest gate is [[graft.streaming.StreamOps.streamingCurate]]
+    *    (junk cutoff + watermark-bounded re-crawl fingerprint dedup);
+    *  - accepted arrivals land in `staging/` exactly-once (each
+    *    micro-batch dynamic-overwrites its OWN `mb=batchId` partition,
+    *    so a checkpoint-replayed batch rewrites rather than duplicates);
+    *  - CANDIDACY is decided in-stream with the batch pipeline's exact
+    *    arithmetic (same quality counters, same broadcast benchmark
+    *    shingle intersect), and the candidates feed the three
+    *    epoch-fenced index `appendStream`s — [[hybridSearch]] sees the
+    *    day's documents as they arrive, not at day end. A concurrent
+    *    [[maintain]] that folds/retrains bumps the stores' epochs and
+    *    the streams FAIL their next batch loudly (the operators'
+    *    documented fence) — restart them after the pass;
+    *  - the signature index and fingerprint store are deliberately NOT
+    *    streamed: nothing reads them intra-day (near-dup pairing runs
+    *    at reconcile; snapshots seal after it), so
+    *    [[stepStreamReconcile]]'s batch [[step]] lands both through its
+    *    ordinary replay guards.
+    *
+    * This call does NOT hold the driver lease (streams run for hours;
+    * cross-mutation safety is the operator fences + index leases) —
+    * the day-end [[stepStreamReconcile]] takes it like any step.
+    *
+    * Contract: one stepStream per dir at a time; arrivals carry
+    * (event_time, doc_id, text) with day-disjoint ascending ids (the
+    * step contract — the fingerprint dedup only suppresses re-crawled
+    * CONTENT); the benchmark's distinct shingle set must fit the
+    * broadcast form (`cfg.maxBroadcastShingles` — the join fallback is
+    * a batch shape, not an ingest-gate shape). */
+  def stepStream(spark: SparkSession, arrivals: DataFrame,
+                 benchmark: DataFrame, dir: String, checkpointRoot: String,
+                 cfg: Curation.Config = Curation.Config(),
+                 embeddings: Option[DataFrame] = None,
+                 ingestMinQuality: Double = 1.0,
+                 watermark: String = "1 hour"): StepStreamHandles = {
+    import graft.functions.TextFunctions._
+    import graft.operators.{LexIndex, PqIndex, VecIndex}
+    import graft.streaming.StreamOps
+    val accepted = StreamOps.streamingCurate(arrivals, ingestMinQuality,
+      watermark)
+    val qStaging = accepted.select(col("doc_id"), col("text"))
+      .writeStream
+      .option("checkpointLocation", s"$checkpointRoot/staging")
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("mb", lit(batchId))
+          .write.partitionBy("mb").mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(stagingDir(dir))
+      }
+      .start()
+    // candidacy in-stream, the batch score()'s exact arithmetic: the
+    // same quality the gate already computed, plus the broadcast
+    // benchmark shingle intersect — so the streamed index entries are
+    // bitwise the ones the batch step would have appended
+    val benchRow = graft.pipelines.Curation
+      .benchShingles(benchmark, cfg.shingleWidth)
+      .agg(array_sort(collect_set(col("h"))).as("bench_sh"))
+    val cand = accepted
+      .withColumn("tk", tokens(col("text")))
+      .withColumn("sh", wordShingles(col("tk"), cfg.shingleWidth))
+      .crossJoin(broadcast(benchRow))
+      .withColumn("n_overlap",
+        call_function("sorted_intersect_count", col("sh"), col("bench_sh"))
+          .cast(org.apache.spark.sql.types.LongType))
+      .withColumn("contam_ratio",
+        when(size(col("sh")) > 0,
+          col("n_overlap").cast(org.apache.spark.sql.types.DoubleType) /
+            size(col("sh")).cast(org.apache.spark.sql.types.DoubleType))
+          .otherwise(0.0))
+      .filter(col("quality") >= cfg.minQuality &&
+        col("contam_ratio") <= cfg.maxContamRatio)
+      .select(col("doc_id"), col("text"))
+    val qLex = LexIndex.appendStream(cand, "doc_id", "text",
+      lexDir(dir), s"$checkpointRoot/lex")
+    val vdir = vecIndexDir(dir)
+    val pqdir = pqIndexDir(dir)
+    val (qVec, qPq) = embeddings match {
+      case None => (None, None)
+      case Some(emb) =>
+        val cents = VecIndex.openCentroids(spark, vdir).getOrElse(
+          throw new IllegalStateException(
+            s"driver vec index at $vdir has no quantizer — init with " +
+              s"embeddings first"))
+        val candEmb = cand.select(col("doc_id"))
+          .join(emb.select(col("doc_id"), col("embedding")), Seq("doc_id"))
+        val v = VecIndex.appendStream(candEmb, "doc_id", "embedding",
+          cents, vdir, s"$checkpointRoot/vec")
+        // the code table streams under the RAW index's cosine cell
+        // assignment — one assignment, two stores, like the batch
+        // step's appendAssigned (encode's own coarse rule would
+        // silently desync the pair doc by doc)
+        val p =
+          if (PqIndex.currentVersion(spark, pqdir) > 0L &&
+              pqCoarseAligned(spark, pqdir, collectCoarse(cents)))
+            Some(PqIndex.appendStreamAssigned(
+              VecIndex.assignFold(candEmb, "doc_id", "embedding", cents)
+                .select(col("doc_id"), col("embedding"), col("cid")),
+              "doc_id", "embedding", pqdir, s"$checkpointRoot/pq"))
+          else None
+        (Some(v), p)
+    }
+    StepStreamHandles(qStaging, qLex, qVec, qPq)
+  }
+
+  /** END-OF-DAY reconcile for [[stepStream]]: fold the staged arrivals
+    * into the decision table and whatever stores the streams did NOT
+    * land. This IS the batch [[step]] over the staged day — its replay
+    * guards see the streamed lexical/vector/PQ entries already present
+    * and skip those halves, append the signature/fingerprint halves,
+    * and publish the decision delta as the single commit point — then
+    * the staging table is cleared for the next day (idempotent: a
+    * reconcile replayed after a crash finds the decisions landed,
+    * no-ops every half, and just re-clears staging).
+    *
+    * Call with every [[StepStreamHandles]] query STOPPED after a final
+    * drain; a reconcile racing live micro-batches would read a
+    * half-landed day.
+    * @return the updated decision table (read back from storage) */
+  def stepStreamReconcile(spark: SparkSession, benchmark: DataFrame,
+                          dir: String,
+                          cfg: Curation.Config = Curation.Config(),
+                          embeddings: Option[DataFrame] = None): DataFrame = {
+    val sd = stagingDir(dir)
+    require(pathExists(spark, sd),
+      s"no staged arrivals under $sd — stepStream never ran (or this " +
+        s"day was already reconciled)")
+    val staged = spark.read.parquet(sd)
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    require(!staged.isEmpty,
+      s"staging under $sd is empty — nothing to reconcile")
+    val out = step(spark, staged, benchmark, dir, cfg, embeddings)
+    val p = new org.apache.hadoop.fs.Path(sd)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    out
   }
 
   /** Composed takedown across the driver's stores — the call a GDPR /

@@ -1,0 +1,147 @@
+package graft.pipelines
+
+import graft.SparkSpecBase
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The packaged streaming day ([[DailyDriver.stepStream]] +
+  * [[DailyDriver.stepStreamReconcile]]): a stream-fed day must equal
+  * the batch [[DailyDriver.step]] on the same arrivals across every
+  * store — including a mid-day checkpoint restart (exactly-once) —
+  * and a concurrent [[DailyDriver.maintain]] must fence the live
+  * index streams loudly instead of letting them interleave. */
+class DailyDriverStreamSpec extends SparkSpecBase {
+  private val sf = "/root/testdata/sf0.001"
+  private val cfg = Curation.Config(minQuality = 2.95)
+
+  private def canon(df: DataFrame): Array[String] =
+    df.collect().map(_.toString).sorted
+
+  private def ts(i: Int) = new Timestamp(1000L * (100 + i))
+
+  test("stream-fed day (with a mid-day restart) equals the batch step on every store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val a = docs.filter(col("doc_id") % 4 =!= 0)
+    val delta = docs.filter(col("doc_id") % 4 === 0)
+    val bench = docs.filter(col("doc_id") % 50 === 0).select("doc_id", "text")
+
+    // ---- reference: the batch day
+    val dirA = tempDir("daily-stream-batch")
+    DailyDriver.init(spark, a, bench, dirA, cfg, Some(emb))
+    DailyDriver.step(spark, delta, bench, dirA, cfg, Some(emb))
+
+    // ---- the streamed day: same init, arrivals in micro-batches with
+    // a full stop/restart between the halves (checkpoint recovery)
+    val dirB = tempDir("daily-stream-live")
+    DailyDriver.init(spark, a, bench, dirB, cfg, Some(emb))
+    val ckpt = tempDir("daily-stream-ckpt")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, Long, String)]
+    def arrivals = input.toDF().toDF("event_time", "doc_id", "text")
+    val rows = delta.as[(Long, String)].collect().sortBy(_._1)
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+
+    val s1 = DailyDriver.stepStream(spark, arrivals, bench, dirB, ckpt,
+      cfg, Some(emb))
+    input.addData(h1.zipWithIndex.map { case ((id, t), i) => (ts(i), id, t) })
+    s1.all.foreach(_.processAllAvailable())
+    s1.stopAll()
+    // restart from the same checkpoints — committed batches must not
+    // re-land, uncommitted ones must
+    val s2 = DailyDriver.stepStream(spark, arrivals, bench, dirB, ckpt,
+      cfg, Some(emb))
+    input.addData(h2.zipWithIndex.map { case ((id, t), i) =>
+      (ts(1000 + i), id, t)
+    })
+    s2.all.foreach(_.processAllAvailable())
+    s2.stopAll()
+    val dec = DailyDriver.stepStreamReconcile(spark, bench, dirB, cfg,
+      Some(emb))
+    assert(dec.count() > 0)
+
+    // every store equals the batch day's
+    assert(canon(DailyDriver.openDecisions(spark, dirB)).sameElements(
+      canon(DailyDriver.openDecisions(spark, dirA))),
+      "streamed decisions diverged from the batch step")
+    assert(canon(DailyDriver.openSigIndex(spark, dirB)
+      .select(col("doc_id"))).sameElements(
+      canon(DailyDriver.openSigIndex(spark, dirA).select(col("doc_id")))),
+      "streamed signature index diverged")
+    assert(canon(DailyDriver.openFingerprints(spark, dirB)).sameElements(
+      canon(DailyDriver.openFingerprints(spark, dirA))),
+      "streamed fingerprint store diverged")
+    def postings(d: String) = graft.operators.LexIndex
+      .openPostings(spark, s"$d/lex_index").collect().map(_.toString).sorted
+    assert(postings(dirB).sameElements(postings(dirA)),
+      "streamed lexical index diverged (double merge or lost batch)")
+    def vecRows(d: String) = DailyDriver.openVecIndex(spark, d)
+      .select(col("doc_id"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(vecRows(dirB).sameElements(vecRows(dirA)),
+      "streamed vector index diverged")
+    def pqRows(d: String) = graft.operators.PqIndex
+      .open(spark, DailyDriver.pqIndexDir(d))
+      .select(col("doc_id"), col("cid"), col("codes")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).sortBy(_._1)
+    assert(pqRows(dirB).sameElements(pqRows(dirA)),
+      "streamed PQ code table diverged")
+    // staging cleared; a second reconcile refuses (already reconciled)
+    val e = intercept[IllegalArgumentException](
+      DailyDriver.stepStreamReconcile(spark, bench, dirB, cfg, Some(emb)))
+    assert(e.getMessage.contains("reconciled") ||
+      e.getMessage.contains("never ran"), e.getMessage)
+    // ... and the day is searchable end to end
+    val qs = docs.filter(col("doc_id") % 29 === 0 && col("doc_id") < 300)
+      .select(col("doc_id").as("q_id"), col("text"))
+    val ps = emb.join(qs.select(col("q_id").as("doc_id")), Seq("doc_id"))
+      .select(col("doc_id").as("q_id"), col("embedding"))
+    assert(DailyDriver.hybridSearch(spark, dirB, qs, ps).count() > 0)
+  }
+
+  test("a concurrent maintain fences the live index streams loudly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val a = docs.filter(col("doc_id") % 4 =!= 0)
+    val delta = docs.filter(col("doc_id") % 4 === 0)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val bench = docs.filter(col("doc_id") % 50 === 0).select("doc_id", "text")
+    val dir = tempDir("daily-stream-fence")
+    DailyDriver.init(spark, a, bench, dir, cfg, Some(emb))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, Long, String)]
+    val s = DailyDriver.stepStream(spark,
+      input.toDF().toDF("event_time", "doc_id", "text"), bench, dir,
+      tempDir("daily-stream-fence-ckpt"), cfg, Some(emb))
+    try {
+      val (h1, h2) = delta.splitAt(delta.length / 2)
+      input.addData(h1.zipWithIndex.map { case ((id, t), i) => (ts(i), id, t) })
+      s.all.foreach(_.processAllAvailable())
+      // the maintenance pass folds the streamed vec/pq deltas — epoch
+      // bump; the streams' pinned epoch is retired mid-flight
+      DailyDriver.maintain(spark, dir, vecDeltaShare = 0.0,
+        vecGcGraceMs = 0L, embeddings = Some(emb))
+      input.addData(h2.zipWithIndex.map { case ((id, t), i) =>
+        (ts(1000 + i), id, t)
+      })
+      val fenced = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        s.vec.get.processAllAvailable()
+        s.pq.foreach(_.processAllAvailable())
+        throw new IllegalStateException(
+          "no fence fired — a stream appended into a retired epoch")
+      }
+      assert(fenced.getMessage.toLowerCase.contains("epoch") ||
+        Option(fenced.getCause).exists(_.getMessage.toLowerCase.contains("epoch")),
+        s"fence did not name the epoch: ${fenced.getMessage}")
+    } finally s.stopAll()
+  }
+}
