@@ -71,10 +71,17 @@ object PartitionSwap {
     AtomicSwap.withTableLock(fs, dst) {
       // THE commit point: the marker carries the delete-set (staged
       // partitions announce themselves; deletions have nothing on disk
-      // to speak for them after a crash)
-      val out = fs.create(markerPath(dst), false)
+      // to speak for them after a crash), so it must appear ATOMICALLY
+      // — a bare create-then-write torn mid-write would leave an empty
+      // marker that repair treats as a full commit with a LOST drop
+      // list (an emptied victim partition silently kept). Write-tmp +
+      // atomic rename, the content-bearing-marker discipline.
+      val tmp = new Path(dst + "__pcommit.tmp")
+      val out = fs.create(tmp, true)
       try out.write(drop.mkString("\n").getBytes("UTF-8"))
       finally out.close()
+      require(Lease.atomicRename(fs, tmp, markerPath(dst)),
+        s"partition-set commit failed: $tmp -> ${markerPath(dst)}")
       apply(fs, dst)
       fs.delete(markerPath(dst), false)
       fs.delete(stage, true)

@@ -125,19 +125,26 @@ object Snapshots {
     rs.last
   }
 
-  /** Row count from the written files' parquet footers — metadata-only
-    * (one footer read per file, never a row-group scan): the count a
-    * publish marker records must not cost a second pass over sealed
-    * data that can be 10⁹ rows. */
-  private def footerRows(f: FileSystem, dir: Path,
-                         conf: org.apache.hadoop.conf.Configuration): Long =
-    f.listStatus(dir)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map { st =>
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
-        try r.getRecordCount finally r.close()
-      }.sum
+  /** The live data directory of sealed `v` — the highest published
+    * revision, or the PRE-REVISION layout (data files directly under
+    * `snap/v=N`, sealed by an earlier engine): legacy history stays
+    * readable and redactable; the first [[redact]] that touches such a
+    * version publishes `r=1` and gc then sweeps the superseded root
+    * files under the usual grace. */
+  private def liveDataDir(f: FileSystem, root: String, v: Long): String =
+    revisions(f, root, v).lastOption match {
+      case Some(k) => revDir(root, v, k)
+      case None =>
+        val d = new Path(snapDir(root, v))
+        require(f.exists(d) && f.listStatus(d).exists(st =>
+          st.isFile && st.getPath.getName.endsWith(".parquet")),
+          s"snapshot v=$v at $root has no published data revision")
+        // root-FILE glob, not the dir: a torn legacy-upgrade redact may
+        // have left an unpublished r=1 subdir, and reading the dir
+        // would trip partition discovery over it — the legacy data is
+        // exactly the root parquet files
+        s"${snapDir(root, v)}/*.parquet"
+    }
 
   /** Publish revision `k` of version `v`: write the marker (with the
     * footer-derived row count) to a tmp name and atomically rename it
@@ -145,7 +152,7 @@ object Snapshots {
   private def publishRevision(spark: SparkSession, root: String, v: Long,
                               k: Long, tag: String): Unit = {
     val f = fsOf(spark, root)
-    val n = footerRows(f, new Path(revDir(root, v, k)),
+    val n = footerRowsDeep(f, new Path(revDir(root, v, k)),
       spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(snapDir(root, v), s".tmp-r=$k.ok")
     val out = f.create(tmp, true)
@@ -202,7 +209,7 @@ object Snapshots {
     val f = fsOf(spark, root)
     require(f.exists(sealFile(root, v)),
       s"snapshot v=$v at $root is not sealed")
-    spark.read.parquet(revDir(root, v, liveRevision(f, root, v)))
+    spark.read.parquet(liveDataDir(f, root, v))
   }
 
   /** Row count recorded in the LIVE revision's publish marker —
@@ -213,12 +220,22 @@ object Snapshots {
     val f = fsOf(spark, root)
     require(f.exists(sealFile(root, v)),
       s"snapshot v=$v at $root is not sealed")
-    val in = f.open(revOk(root, v, liveRevision(f, root, v)))
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .collectFirst { case s if s.startsWith("rows:") =>
-        s.stripPrefix("rows:").toLong }
-      .getOrElse(0L)
-    finally in.close()
+    def rowsLine(p: Path): Option[Long] = {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .collectFirst { case s if s.startsWith("rows:") =>
+          s.stripPrefix("rows:").toLong }
+      finally in.close()
+    }
+    revisions(f, root, v).lastOption match {
+      case Some(k) => rowsLine(revOk(root, v, k)).getOrElse(0L)
+      case None =>
+        // legacy layout: the old engine stamped rows: in the seal
+        // marker itself; fall back to footers if even that is absent
+        rowsLine(sealFile(root, v)).getOrElse(
+          footerRowsDeep(f, new Path(snapDir(root, v)),
+            spark.sparkContext.hadoopConfiguration))
+    }
   }
 
   /** What changed between two sealed versions, keyed by `idCol`: one
@@ -413,8 +430,8 @@ object Snapshots {
       now - f.getFileStatus(revOk(root, v, live)).getModificationTime >= graceMs
     for (st <- f.listStatus(new Path(snapDir(root, v))))
       st.getPath.getName match {
-        case RevOkName(ks) if ks.toLong < live && liveAged =>
-          f.delete(st.getPath, false)
+        case RevOkName(ks) =>
+          if (ks.toLong < live && liveAged) f.delete(st.getPath, false)
         case RevDirName(ks) =>
           val k = ks.toLong
           if (k < live && liveAged) f.delete(st.getPath, true)
@@ -422,6 +439,11 @@ object Snapshots {
             f.delete(st.getPath, true) // torn redact that never published
         case n if n.startsWith(".tmp-") &&
           now - st.getModificationTime >= graceMs =>
+          f.delete(st.getPath, false)
+        case _ if st.isFile && liveAged =>
+          // pre-revision-layout root data files, superseded by the
+          // legacy-upgrade redact that published `live` (only
+          // reachable with a published revision above them)
           f.delete(st.getPath, false)
         case _ => ()
       }
@@ -442,8 +464,11 @@ object Snapshots {
       .collect { case RevOkName(k) => k.toLong }.sorted.toSeq
   }
 
-  /** Row count across a partitioned write's files — [[footerRows]]
-    * recursed one level into the `shard=` dirs. */
+  /** Row count across a directory's parquet files (recursing into
+    * partition subdirs) from the FOOTERS alone — metadata-only, one
+    * footer read per file, never a row-group scan: the count a publish
+    * marker records must not cost a second pass over sealed data that
+    * can be 10⁹ rows. */
   private def footerRowsDeep(f: FileSystem, dir: Path,
                              conf: org.apache.hadoop.conf.Configuration): Long =
     f.listStatus(dir).map { st =>
@@ -596,12 +621,15 @@ object Snapshots {
       val f = fsOf(spark, root)
       val vIds = victims.select(col(idCol)).distinct().localCheckpoint(true)
       for (v <- versions(spark, root)) {
-        val live = liveRevision(f, root, v)
-        val sealedRows = spark.read.parquet(revDir(root, v, live))
+        // a LEGACY version (pre-revision layout) reads from its root
+        // files and publishes r=1 — the in-place upgrade; gc sweeps
+        // the superseded root files under the grace afterwards
+        val next = revisions(f, root, v).lastOption.map(_ + 1L).getOrElse(1L)
+        val sealedRows = spark.read.parquet(liveDataDir(f, root, v))
         if (!sealedRows.join(vIds, Seq(idCol), "left_semi").isEmpty) {
           sealedRows.join(vIds, Seq(idCol), "left_anti")
-            .write.mode("overwrite").parquet(revDir(root, v, live + 1L))
-          publishRevision(spark, root, v, live + 1L, "redacted")
+            .write.mode("overwrite").parquet(revDir(root, v, next))
+          publishRevision(spark, root, v, next, "redacted")
         }
       }
     }

@@ -111,6 +111,35 @@ object DailyDriver {
     batched(spark.read.parquet(indexDir(dir)))
   }
 
+  /** Whether `path` holds root-level parquet data files — a FLAT table
+    * (a repaired wholesale replacement written unpartitioned, or the
+    * empty shape a total takedown leaves). Partition-dir appends and
+    * PartitionSwap publishes into such a dir would mix `batch=` dirs
+    * with root files and wedge discovery — writers re-found the
+    * partitioned layout wholesale first. One directory listing. */
+  private def hasRootDataFiles(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p)
+      .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Re-found a flat table as the batch-partitioned layout (rows keep
+    * their synthesized/carried batch) — the writers' pre-publish guard
+    * against the mixed-layout wedge. No-op when already partitioned;
+    * an EMPTY flat table stays flat (a zero-row partitioned write has
+    * no partition dir to carry the schema — the writers' own flat-path
+    * branches handle that shape). */
+  private def refoundPartitioned(spark: SparkSession, open: => DataFrame,
+                                 path: String): Unit =
+    if (hasRootDataFiles(spark, path)) {
+      val rows = open
+      if (!rows.isEmpty)
+        AtomicSwap.swap(spark, path) { tmp =>
+          rows.write.partitionBy("batch").parquet(tmp)
+        }
+    }
+
   /** The driver's sealed-snapshot root ([[graft.operators.Snapshots]])
     * — public so audit tooling can list/open the sealed history
     * directly; mutate only through [[snapshot]]/[[snapshotGc]]/
@@ -436,6 +465,11 @@ object DailyDriver {
            dir: String, cfg: Curation.Config = Curation.Config(),
            embeddings: Option[DataFrame] = None): DataFrame =
    Lease.withLease(spark, dir, "step") {
+    // a flat decision table (repaired unpartitioned replacement) must
+    // be re-founded before this step's partition publish renames
+    // batch= dirs next to root-level files
+    refoundPartitioned(spark, openDecisionsBatched(spark, dir),
+      decisionsDir(dir))
     val prevB = openDecisionsBatched(spark, dir)
     val prev = prevB.drop("batch")
     val prevIndex = openSigIndex(spark, dir)
@@ -475,13 +509,15 @@ object DailyDriver {
     if (!sigLanded) {
       val sigDelta = graft.streaming.StreamOps.signatureIndex(newCand)
         .withColumn("batch", lit(minId))
-      if (prevIndex.isEmpty)
-        // an EMPTIED index (a takedown that removed every candidate)
-        // sits as a flat schema-carrying table — appending partition
-        // dirs next to root-level files would wedge discovery, so
-        // re-found the partitioned layout wholesale instead
+      if (hasRootDataFiles(spark, indexDir(dir)))
+        // a FLAT table — the empty one a total takedown leaves, or a
+        // repaired wholesale replacement written without partitions —
+        // cannot take partition-dir appends (batch= dirs next to
+        // root-level files wedge discovery): re-found the partitioned
+        // layout wholesale, existing rows + the delta in one swap
         AtomicSwap.swap(spark, indexDir(dir)) { tmp =>
-          sigDelta.write.partitionBy("batch").parquet(tmp)
+          openSigIndexBatched(spark, dir).unionByName(sigDelta)
+            .write.partitionBy("batch").parquet(tmp)
         }
       else
         sigDelta.write.partitionBy("batch").mode("append")
@@ -619,12 +655,18 @@ object DailyDriver {
     * step contract — the fingerprint dedup only suppresses re-crawled
     * CONTENT); the benchmark's distinct shingle set must fit the
     * broadcast form (`cfg.maxBroadcastShingles` — the join fallback is
-    * a batch shape, not an ingest-gate shape). */
+    * a batch shape, not an ingest-gate shape). `ingestMinQuality` is
+    * OPT-IN (default −∞, gate off): any doc it drops is gone from the
+    * decision table AND the fingerprint audit substrate — the batch
+    * step records sub-bar docs as failed rows instead — so a gated
+    * stream day equals the batch day only over the gate's survivors
+    * (DailyDriverSpec's production shape sets it to a junk cutoff
+    * well below the curation bar on purpose). */
   def stepStream(spark: SparkSession, arrivals: DataFrame,
                  benchmark: DataFrame, dir: String, checkpointRoot: String,
                  cfg: Curation.Config = Curation.Config(),
                  embeddings: Option[DataFrame] = None,
-                 ingestMinQuality: Double = 1.0,
+                 ingestMinQuality: Double = Double.NegativeInfinity,
                  watermark: String = "1 hour"): StepStreamHandles = {
     import graft.functions.TextFunctions._
     import graft.operators.{LexIndex, PqIndex, VecIndex}
@@ -737,12 +779,18 @@ object DailyDriver {
     *     rows drop, and the surviving members of their components are
     *     re-curated exactly (survivor re-election, component splits);
     *  2. retract the victims from every index half — the signature
-    *     index by anti-join re-write (crash-atomic [[graft.operators
-    *     .AtomicSwap]] swap), the lexical/vector/PQ indexes by their
+    *     index by a PARTITION-PRUNED rewrite (only victim-bearing
+    *     `batch=` partitions move, through [[graft.operators
+    *     .PartitionSwap]]), the lexical/vector/PQ indexes by their
     *     own bucket/cell-grain `delete`s — candidacy never changes
     *     under a forget (quality/contam are per-doc), so victim
     *     removal IS the whole index delta;
-    *  3. swap the re-decided decision table in LAST.
+    *  3. publish the re-decided decision delta LAST (victim-bearing +
+    *     re-decided partitions only — the commit point);
+    *  4. after the commit: re-export any sealed training-shard
+    *     manifests the snapshot redaction made stale (their staleness
+    *     fence keeps them unreadable either way, so a re-export
+    *     refusal never un-commits the takedown).
     *
     * Crash/replay: every index delete is idempotent (removing an absent
     * id is a no-op) and the decision swap is the single commit point —
@@ -752,12 +800,13 @@ object DailyDriver {
     * DailyDriverForgetSpec pins `forget ≡ init over corpus ∖ victims`
     * across all stores and replays a torn forget both ways.
     *
-    * Scale note: the lex/vec/PQ deletes rewrite only the victims' term
-    * buckets / an id-pruned cells version; the SIGNATURE index has no
-    * sub-file grain (plain parquet [[maintain]] re-lays wholesale), so
-    * its anti-join rewrite is the one corpus-proportional write — the
-    * same cost class as maintain's periodic re-layout, amortize
-    * takedowns into batches accordingly.
+    * Scale note: every store's takedown write is now delta-
+    * proportional — the lex/vec/PQ deletes rewrite only the victims'
+    * term buckets / an id-pruned cells version, and the signature and
+    * decision rewrites move only victim-bearing batch partitions (the
+    * whole-table anti-join swap is gone). The one remaining
+    * corpus-share cost is a stale shard re-export, post-commit and
+    * only for snapshots that were exported.
     *
     * Streams: like every maintenance mutation, no live [[graft
     * .operators.LexIndex.appendStream]]/append stream during a forget —
@@ -775,6 +824,9 @@ object DailyDriver {
    Lease.withLease(spark, dir, "forget") {
     import graft.operators.{LexIndex, PqIndex, VecIndex}
     val vIds = victims.select(col("doc_id")).distinct().localCheckpoint(true)
+    refoundPartitioned(spark, openDecisionsBatched(spark, dir),
+      decisionsDir(dir))
+    refoundPartitioned(spark, openSigIndexBatched(spark, dir), indexDir(dir))
     val prevB = openDecisionsBatched(spark, dir)
     val prev = prevB.drop("batch")
     // the delta: every re-decided survivor row (eager, delta-sized) —
@@ -842,16 +894,8 @@ object DailyDriver {
     // (version numbers and "run T ← snapshot N" records survive,
     // minus exactly the forgotten rows). Idempotent per the redact
     // contract, so the replay story above is unchanged.
-    if (graft.operators.Snapshots.versions(spark, snapshotsDir(dir)).nonEmpty) {
+    if (graft.operators.Snapshots.versions(spark, snapshotsDir(dir)).nonEmpty)
       graft.operators.Snapshots.redact(spark, snapshotsDir(dir), vIds)
-      // ... and every exported training-shard manifest the redaction
-      // just made stale is re-packed over the survivors (same params,
-      // read back from each export's marker) — a trainer never mounts
-      // chunks of forgotten documents, and never loses a fresh export
-      // to someone else's takedown
-      graft.operators.Snapshots.reexportStaleShards(
-        spark, snapshotsDir(dir), docs)
-    }
     // the delta-grain decision publish, LAST (the commit point): only
     // partitions holding a victim or a re-decided survivor move; a
     // batch whose every row was a victim is dropped through the same
@@ -884,6 +928,19 @@ object DailyDriver {
         stage => content.write.partitionBy("batch").parquet(stage)
       }
     }
+    // AFTER the commit point: re-pack every exported training-shard
+    // manifest the redaction made stale over the survivors (same
+    // params, read back from each export's marker) — a trainer never
+    // mounts chunks of forgotten documents either way (openShards'
+    // staleness fence refuses a stale export), so running this after
+    // the decision publish means a refusal here — e.g. `docs` not
+    // covering a snapshot's full kept text, which forget itself never
+    // needs — leaves the TAKEDOWN committed and only the re-export
+    // pending (rerun exportShards/reexportStaleShards with a covering
+    // corpus relation)
+    if (graft.operators.Snapshots.versions(spark, snapshotsDir(dir)).nonEmpty)
+      graft.operators.Snapshots.reexportStaleShards(
+        spark, snapshotsDir(dir), docs)
     openDecisions(spark, dir)
    }
 

@@ -200,6 +200,37 @@ class SnapshotsSpec extends SparkSpecBase {
     assert(Snapshots.open(spark, root, 1L).count() == 3L)
   }
 
+  test("pre-revision-layout versions stay readable; a redact upgrades them in place") {
+    val root = tempDir("snaplegacy")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // forge the old engine's layout: data directly under snap/v=1,
+    // rows: stamped in the seal marker itself
+    decRows(dayOne).write.parquet(s"$root/snap/v=1")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/seal"))
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$root/seal/v=1.txt"), true)
+    try out.write("rows:4\ncreated:0\n".getBytes("UTF-8")) finally out.close()
+    assert(Snapshots.versions(spark, root) == Seq(1L))
+    assert(Snapshots.open(spark, root, 1L).count() == 4L)
+    assert(Snapshots.sealedRows(spark, root, 1L) == 4L)
+    // a torn legacy-upgrade redact (r=1 written, never published) must
+    // not wedge the legacy read
+    decRows(dayOne.take(1)).write.parquet(s"$root/snap/v=1/r=1")
+    assert(Snapshots.open(spark, root, 1L).count() == 4L,
+      "torn upgrade broke the legacy read")
+    // the takedown cascade reads the legacy files and publishes r=1
+    Snapshots.redact(spark, root, Seq(2L).toDF("doc_id"))
+    assert(Snapshots.open(spark, root, 1L).count() == 3L)
+    assert(Snapshots.sealedRows(spark, root, 1L) == 3L)
+    // gc sweeps the superseded legacy root files under the grace
+    Snapshots.gc(spark, root, keep = _ => true, graceMs = 0L)
+    val rootParquet = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/snap/v=1"))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    assert(rootParquet.isEmpty, "superseded legacy data files stranded")
+    assert(Snapshots.open(spark, root, 1L).count() == 3L)
+  }
+
   test("a torn redact is invisible and its replay converges") {
     val root = tempDir("snaptornredact")
     Snapshots.create(spark, root, decRows(dayOne))
