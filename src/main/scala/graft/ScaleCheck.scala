@@ -359,7 +359,10 @@ object ScaleCheck {
     * later step/maintain/search runs in the new space) — the proof
     * that the policies keep BOTH the recurring costs and the on-disk
     * state flat in N with retractions, history sealing, and a model
-    * swap interleaved, which a one-step measurement cannot show. Per
+    * swap interleaved, which a one-step measurement cannot show. One
+    * marked day arrives as a STREAM (micro-batched [[DailyDriver
+    * .stepStream]] + day-end reconcile) — the continuous-ingest path
+    * aging inside the same lifecycle instead of only in its spec. Per
     * step: step time, the recurring hybrid search in both forms (exact
     * in-cell and the PQ production depth), and the LIVE FILE COUNT
     * under the driver dir (offline-discipline gc, grace 0 — retired
@@ -374,6 +377,7 @@ object ScaleCheck {
     val forgetEvery = 5
     val snapEvery = 3
     val reembedAt = 7
+    val streamAt = 11 // this day arrives as a STREAM (stepStream + reconcile)
     println()
     println(f"${"driver aging (sf0.01)"}%-24s ${"step"}%8s ${"search"}%8s ${"pq"}%8s ${"maint"}%8s ${"forget"}%8s ${"snap"}%8s ${"migr"}%8s ${"files"}%8s")
     spark.catalog.clearCache()
@@ -413,8 +417,38 @@ object ScaleCheck {
     println(f"${"init"}%-24s $tInit%8.2f ${""}%8s ${""}%8s ${""}%8s ${""}%8s ${""}%8s ${""}%8s ${files()}%8d")
     for (i <- 0 until steps) {
       val delta = docs.filter(col("doc_id") % mod === i.toLong)
-      val tStep = timed(DailyDriver.step(spark, delta, bench, dir, cfg,
-        Some(curEmb)))
+      // one day arrives as a STREAM: micro-batches through stepStream's
+      // ingest gate + live index appends, then the day-end reconcile —
+      // the packaged continuous-ingest path aging in the same lifecycle
+      // (its step column is feed + reconcile, apples-to-apples with the
+      // batch days; DailyDriverStreamSpec proves the store equality)
+      val tStep =
+        if (i + 1 == streamAt) timed {
+          import spark.implicits._
+          implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+            spark.sqlContext
+          val ckpt = s"target/scalecheck_stream_ckpt"
+          hfs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+          val input = org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[(java.sql.Timestamp, Long, String)]
+          val arrivals = input.toDF().toDF("event_time", "doc_id", "text")
+          val h = DailyDriver.stepStream(spark, arrivals, bench, dir, ckpt,
+            cfg, Some(curEmb))
+          val rows = delta.select(col("doc_id"), col("text"))
+            .as[(Long, String)].collect().sortBy(_._1)
+          rows.grouped(math.max(1, rows.length / 3 + 1)).zipWithIndex
+            .foreach { case (g, gi) =>
+              input.addData(g.zipWithIndex.map { case ((id, t), j) =>
+                (new java.sql.Timestamp(1000L * (100 + gi * 10000 + j)), id, t)
+              })
+              h.all.foreach(_.processAllAvailable())
+            }
+          h.stopAll()
+          DailyDriver.stepStreamReconcile(spark, bench, dir, cfg,
+            Some(curEmb))
+        }
+        else timed(DailyDriver.step(spark, delta, bench, dir, cfg,
+          Some(curEmb)))
       val tSearch = timed(
         DailyDriver.hybridSearch(spark, dir, queries, probes).count())
       val tPq = timed(DailyDriver.hybridSearch(spark, dir, queries, probes,
@@ -456,7 +490,9 @@ object ScaleCheck {
             probes = probesOf(emb2)
           }
         else 0.0
-      println(f"${s"step ${i + 1}"}%-24s $tStep%8.2f $tSearch%8.2f " +
+      val label =
+        if (i + 1 == streamAt) s"step ${i + 1} (stream)" else s"step ${i + 1}"
+      println(f"$label%-24s $tStep%8.2f $tSearch%8.2f " +
         f"$tPq%8.2f $tMaint%8.2f $tForget%8.2f $tSnap%8.2f $tMigr%8.2f " +
         f"${files()}%8d")
     }

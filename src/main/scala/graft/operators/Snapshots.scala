@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /** Sealed, versioned TRAINING-SET snapshots — the reproducibility
   * record a corpus owner cuts before every training run: "run T trained
@@ -566,6 +566,62 @@ object Snapshots {
     revs.nonEmpty && revs.last == liveRevision(f, root, v)
   }
 
+  private def markerLines(f: FileSystem, p: Path): List[String] = {
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+  }
+
+  private def markerParam(lines: List[String], key: String, dflt: Int): Int =
+    lines.collectFirst { case s if s.startsWith(s"$key:") =>
+      s.stripPrefix(s"$key:").trim.toInt }.getOrElse(dflt)
+
+  /** Per-(lang, shard) packing health of sealed `v`'s shard export —
+    * document/chunk/token counts, bin count, and the bin-fill share
+    * (`n_tokens / (n_bins · ctx)`, the padding-waste complement): the
+    * readout an owner checks before mounting an export (a skewed
+    * token column means the serpentine deal's sub-groups are too
+    * coarse; a low fill share means the context window is burning
+    * padding). Manifest-only aggregation — no text, no decision scan —
+    * behind [[openShards]]' staleness fence; `ctx` comes back from the
+    * export's own marker. */
+  def shardReport(spark: SparkSession, root: String, v: Long): DataFrame = {
+    val f = fsOf(spark, root)
+    val m = openShards(spark, root, v)
+    val k = shardRevisions(f, root, v).last
+    val ctx = markerParam(markerLines(f, shardOk(root, v, k)), "ctx",
+      ShardExport.DefaultCtx)
+    m.groupBy(col("lang"), col("shard").cast(IntegerType).as("shard"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("chunk_len")).as("n_tokens"),
+        (max(col("bin")) + 1L).as("n_bins"))
+      .withColumn("fill_share",
+        col("n_tokens").cast(DoubleType) /
+          (col("n_bins") * ctx).cast(DoubleType))
+      .orderBy(col("lang"), col("shard"))
+  }
+
+  /** Per-split composition of sealed `v`'s KEPT set — the dataset card
+    * cut alongside a training run: document and dedup-component counts,
+    * total content length (off the sealed per-doc `len`, no text scan),
+    * and each split's share of the sealed bytes. A pure read of the
+    * sealed store: the card stays printable months later, after the
+    * live decision table has moved on. */
+  def card(spark: SparkSession, root: String, v: Long): DataFrame = {
+    val agg = open(spark, root, v).filter(col("keep"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("component")).as("n_components"),
+        sum(col("len")).as("total_len"))
+    val tot = agg.agg(sum(col("total_len")).as("len_tot"))
+    agg.crossJoin(broadcast(tot))
+      .withColumn("len_share",
+        col("total_len").cast(DoubleType) / col("len_tot").cast(DoubleType))
+      .drop("len_tot")
+      .orderBy(col("split"))
+  }
+
   /** Re-export every sealed version whose shard export went stale
     * (a [[redact]] published a newer data revision) — the takedown
     * cascade's second half for exported versions, reading each
@@ -577,14 +633,8 @@ object Snapshots {
     for (v <- versions(spark, root)) {
       val revs = shardRevisions(f, root, v)
       if (revs.nonEmpty && revs.last != liveRevision(f, root, v)) {
-        val in = f.open(shardOk(root, v, revs.last))
-        val lines =
-          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-          finally in.close()
-        def p(key: String, dflt: Int): Int = lines
-          .collectFirst { case s if s.startsWith(s"$key:") =>
-            s.stripPrefix(s"$key:").trim.toInt }
-          .getOrElse(dflt)
+        val lines = markerLines(f, shardOk(root, v, revs.last))
+        def p(key: String, dflt: Int): Int = markerParam(lines, key, dflt)
         // `docs` here is forget's (doc_id, text) contract — the lang
         // each surviving doc was packed under comes back from the STALE
         // manifest itself (text is immutable under a seal, so a doc

@@ -746,6 +746,177 @@ object CurationQ {
        |FROM c ORDER BY doc_id, start""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q142
+
+  /** MIXTURE-WEIGHTED training-shard export — the full composition a
+    * multilingual/multi-domain corpus owner actually ships: q79's kept
+    * set → q102's temperature mixture (α = 1/2, the transcendental-free
+    * exponent) turned into a per-document replication plan (q86's
+    * integer epochs + deterministic fractional-hash extra copy, so each
+    * source hits its re-weighted token share in expectation without a
+    * random number generator) → [[graft.operators.ShardExport
+    * .packWeighted]], where every (doc, copy) pair is an independent
+    * pack unit with its own deal/order hashes — an up-weighted
+    * low-resource document's repeats scatter across shards and bins
+    * instead of clumping. The oracle unrolls the whole ladder in SQL,
+    * pinning each chunk row bitwise.
+    *
+    * Scale shape: the mixture plan is a source-dimension relation
+    * (broadcast); the expansion multiplies rows by the per-source boost
+    * (bounded by the mixture's design: Σ q_share = 1), and the pack
+    * windows stay (lang, grp)-keyed — no corpus-sized window. */
+  private def q142(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.ShardExport
+    val docs = Tables.documents(s, d)
+    val bench = docs.filter(col("doc_id") % 50 === 0).select("doc_id", "text")
+    // cached: feeds the source-dim aggregate AND the expansion join —
+    // without it Catalyst re-runs the curation DAG for each
+    val kept = graft.pipelines.Curation.curate(docs, bench,
+        graft.pipelines.Curation.Config(minQuality = 2.95))
+      .filter(col("keep")).select(col("doc_id"), col("split"))
+      .join(docs.select(col("doc_id"), col("source"), col("lang"),
+        col("text")), Seq("doc_id"))
+      .withColumn("fp", strHash(col("text")))
+      .withColumn("n_tok", size(tokens(col("text"))).cast(LongType))
+      .cache()
+    val bySrc = kept.groupBy(col("source")).agg(sum(col("n_tok")).as("tok_s"))
+    val tot = bySrc.agg(sum(col("tok_s")).as("tok_tot"))
+    val dim = bySrc.crossJoin(broadcast(tot))
+      .withColumn("share",
+        col("tok_s").cast(DoubleType) / col("tok_tot").cast(DoubleType))
+      .withColumn("temp_w", sqrt(col("share")))
+    // Σ√p in source order: sorted fold, bitwise-portable (q102's rule)
+    val wSum = dim
+      .agg(array_sort(collect_list(struct(col("source"), col("temp_w"))))
+        .as("ws"))
+      .select(aggregate(col("ws"), lit(0.0),
+        (acc, x) => acc + x.getField("temp_w")).as("w_sum"))
+    val plan = dim.crossJoin(broadcast(wSum))
+      .withColumn("boost", (col("temp_w") / col("w_sum")) / col("share"))
+      .withColumn("epochs", floor(col("boost")))
+      .withColumn("frac_scaled",
+        floor((col("boost") - floor(col("boost"))) * 1000000.0))
+      .select(col("source"), col("epochs"), col("frac_scaled"))
+    val planned = kept.join(broadcast(plan), Seq("source"))
+      .withColumn("extra",
+        (strHash(concat(lit("mix:"), col("doc_id").cast(StringType)))
+          % 1000000L < col("frac_scaled")).cast(LongType))
+      .withColumn("n_copies", col("epochs") + col("extra"))
+    ShardExport.packWeighted(planned.select(col("doc_id"), col("lang"),
+        col("split"), col("fp"), col("text"), col("n_copies")))
+      .orderBy(col("doc_id"), col("copy"), col("start"))
+  }
+
+  private val q142Sql = {
+    import graft.operators.ShardExport.{DefaultChunk, DefaultCtx, DefaultGroups, DefaultShards}
+    val S = DefaultShards
+    val ukey = """CAST(doc_id AS VARCHAR) || '#' || CAST("copy" AS VARCHAR)"""
+    val grpHash = sqlStrHash(s"'shard:' || $ukey")
+    val ordHash = sqlStrHash(s"'order:' || $ukey")
+    val mixHash = sqlStrHash("'mix:' || CAST(k.doc_id AS VARCHAR)")
+    s"""WITH kept AS (SELECT f.doc_id AS doc_id, d.source AS source,
+       |    d.lang AS lang, f.split AS split, ${sqlStrHash("d.text")} AS fp,
+       |    CAST(len(${sqlTokens("d.text")}) AS BIGINT) AS n
+       |  FROM ($q79Sql) f JOIN documents d ON f.doc_id = d.doc_id
+       |  WHERE f.keep),
+       |by_src AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tok_s
+       |  FROM kept GROUP BY source),
+       |tot AS (SELECT CAST(SUM(tok_s) AS BIGINT) AS tok_tot FROM by_src),
+       |dim AS (SELECT source,
+       |    CAST(tok_s AS DOUBLE) / CAST(tok_tot AS DOUBLE) AS share,
+       |    sqrt(CAST(tok_s AS DOUBLE) / CAST(tok_tot AS DOUBLE)) AS temp_w
+       |  FROM by_src CROSS JOIN tot),
+       |ws AS (SELECT list_reduce(
+       |    list_prepend(CAST(0.0 AS DOUBLE), list(temp_w ORDER BY source)),
+       |    (acc, x) -> acc + x) AS w_sum FROM dim),
+       |pl AS (SELECT source,
+       |    CAST(FLOOR((temp_w / w_sum) / share) AS BIGINT) AS epochs,
+       |    CAST(FLOOR(((temp_w / w_sum) / share
+       |      - FLOOR((temp_w / w_sum) / share)) * 1000000.0) AS BIGINT)
+       |      AS frac_scaled
+       |  FROM dim CROSS JOIN ws),
+       |un AS (SELECT k.doc_id AS doc_id, k.lang AS lang, k.split AS split,
+       |    k.fp AS fp, k.n AS n,
+       |    p.epochs + CASE WHEN $mixHash % 1000000 < p.frac_scaled
+       |      THEN 1 ELSE 0 END AS n_copies
+       |  FROM kept k JOIN pl p ON k.source = p.source),
+       |units AS (SELECT doc_id, lang, split, fp, n,
+       |    CAST(unnest(range(0, n_copies)) AS BIGINT) AS "copy"
+       |  FROM un WHERE n > 0 AND n_copies > 0),
+       |base AS (SELECT *, $grpHash % $DefaultGroups AS grp, $ordHash AS h
+       |  FROM units),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, grp
+       |      ORDER BY n DESC, doc_id ASC, "copy" ASC) AS rk FROM base),
+       |a AS (SELECT doc_id, "copy", lang, split, fp, n, h,
+       |    CAST(CASE WHEN CAST(FLOOR((rk - 1) / $S) AS BIGINT) % 2 = 0
+       |      THEN (rk - 1) % $S ELSE $S - 1 - ((rk - 1) % $S) END AS INT)
+       |      AS shard
+       |  FROM r),
+       |ch AS (SELECT doc_id, "copy", lang, split, fp, shard, n, h,
+       |    CAST(unnest(range(0, n, $DefaultChunk)) AS BIGINT) AS start
+       |  FROM a),
+       |cl AS (SELECT doc_id, "copy", lang, split, fp, shard, h, start,
+       |    CAST(LEAST($DefaultChunk, n - start) AS BIGINT) AS chunk_len
+       |  FROM ch),
+       |c AS (SELECT doc_id, "copy", lang, split, fp, shard, start, chunk_len,
+       |    SUM(chunk_len) OVER (PARTITION BY lang, shard
+       |      ORDER BY h ASC, doc_id ASC, "copy" ASC, start ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM cl)
+       |SELECT doc_id, "copy", lang, split, shard,
+       |  CAST(FLOOR((cum - chunk_len) / $DefaultCtx.0) AS BIGINT) AS bin,
+       |  start, chunk_len, fp
+       |FROM c ORDER BY doc_id, "copy", start""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q143
+
+  /** Shard-export PACKING HEALTH ([[graft.operators.Snapshots
+    * .shardReport]]) as an oracle row: per (lang, shard) of sealed
+    * v=1's export — document/chunk/token counts, bin count, and the
+    * bin-fill share (the padding-waste complement an owner checks
+    * before mounting an export). Served at production cost: a
+    * manifest-only aggregation behind the staleness fence, no text and
+    * no decision scan; the oracle re-aggregates q141's from-scratch
+    * manifest composition. */
+  private def q143(s: SparkSession, d: String): DataFrame =
+    graft.operators.Snapshots.shardReport(s, snapRoot(s, d), 1L)
+
+  private val q143Sql =
+    s"""SELECT lang, shard, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(chunk_len) AS BIGINT) AS n_tokens,
+       |  CAST(MAX(bin) + 1 AS BIGINT) AS n_bins,
+       |  CAST(SUM(chunk_len) AS DOUBLE) / CAST((MAX(bin) + 1)
+       |    * ${graft.operators.ShardExport.DefaultCtx} AS DOUBLE) AS fill_share
+       |FROM ($q141Sql) m GROUP BY lang, shard ORDER BY lang, shard""".stripMargin
+
+  // ---------------------------------------------------------------- q144
+
+  /** The DATASET CARD of a sealed training set ([[graft.operators
+    * .Snapshots.card]]): per-split document and dedup-component counts,
+    * total content length, and each split's share of the sealed bytes —
+    * the composition record cut alongside a training run, printable
+    * months later from the sealed store alone (no text scan: `len` was
+    * sealed per doc by the fingerprint store). The oracle re-derives
+    * the card from the full declarative pipeline. */
+  private def q144(s: SparkSession, d: String): DataFrame =
+    graft.operators.Snapshots.card(s, snapRoot(s, d), 1L)
+
+  private val q144Sql =
+    s"""WITH kept AS (SELECT f.split AS split, f.component AS component,
+       |    CAST(length(d.text) AS BIGINT) AS len
+       |  FROM ($q79Sql) f JOIN documents d ON f.doc_id = d.doc_id
+       |  WHERE f.keep),
+       |agg AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components,
+       |    CAST(SUM(len) AS BIGINT) AS total_len
+       |  FROM kept GROUP BY split),
+       |tot AS (SELECT CAST(SUM(total_len) AS BIGINT) AS len_tot FROM agg)
+       |SELECT split, n_docs, n_components, total_len,
+       |  CAST(total_len AS DOUBLE) / CAST(len_tot AS DOUBLE) AS len_share
+       |FROM agg CROSS JOIN tot ORDER BY split""".stripMargin
+
   val queries: Seq[GQuery] = Seq(
     GQuery("q69_tfidf_terms", q69, Some(q69Sql), Seq("A16", "A17", "F11")),
     GQuery("q70_decontam_overlap", q70, Some(q70Sql), Seq("A16", "J9")),
@@ -759,5 +930,8 @@ object CurationQ {
     GQuery("q138_dedup_profile", q138, Some(q138Sql), Seq("A16", "A18", "W2")),
     GQuery("q139_snapshot_export", q139, Some(q139Sql), Seq("A16", "F11", "K6")),
     GQuery("q140_snapshot_diff", q140, Some(q140Sql), Seq("A16", "U3", "J11")),
-    GQuery("q141_snapshot_shards", q141, Some(q141Sql), Seq("A16", "A17", "W5", "K6")))
+    GQuery("q141_snapshot_shards", q141, Some(q141Sql), Seq("A16", "A17", "W5", "K6")),
+    GQuery("q142_mixture_shards", q142, Some(q142Sql), Seq("A16", "A17", "W5", "K6")),
+    GQuery("q143_shard_report", q143, Some(q143Sql), Seq("A17", "A18", "K6")),
+    GQuery("q144_dataset_card", q144, Some(q144Sql), Seq("A17", "F11", "K6")))
 }

@@ -677,7 +677,11 @@ object CurationQ6 {
        |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
        |  CAST(len(cg) AS BIGINT) AS n_contam,
        |  CAST(len(tk) - len(kept) AS BIGINT) AS n_dropped,
-       |  array_to_string(list_transform(kept, i -> tk[i]), ' ') AS cleaned
+       |  -- COALESCE: DuckDB's array_to_string([]) is NULL where Spark's
+       |  -- array_join([]) is '' — a FULLY contaminated document (every
+       |  -- token covered) must render as the empty string in both engines
+       |  COALESCE(array_to_string(list_transform(kept, i -> tk[i]), ' '), '')
+       |    AS cleaned
        |FROM rw ORDER BY doc_id""".stripMargin
   }
 
