@@ -393,6 +393,18 @@ object PqIndex {
       gcLocked(spark, path, gcGraceMs)
     }
 
+  /** Day-end handback from stream to batch discipline — [[graft
+    * .operators.VecIndex.adoptStreamDelta]]'s code-table sibling:
+    * re-key a stream-governed delta epoch into a fresh batch-governed
+    * one in O(delta) under this store's lease, so tomorrow's batch
+    * [[appendAssigned]] never meets the lineage's replay keys. Stream
+    * stopped and drained first; no-op on a batch-governed epoch.
+    * @return true iff a stream lineage was re-keyed */
+  def adoptStreamDelta(spark: SparkSession, path: String): Boolean =
+    Lease.withLease(spark, path, "pqindex-maintenance") {
+      Versioned.adoptStreamDelta(spark, path)
+    }
+
   /** Remove ids from the code table — the retraction path, sharing
     * [[compact]]'s publish contract. Absent ids are no-ops. */
   def delete(spark: SparkSession, path: String, idCol: String,

@@ -540,6 +540,20 @@ object VecIndex {
       gcLocked(spark, path, gcGraceMs)
     }
 
+  /** Day-end handback from stream to batch discipline: re-key a
+    * STREAM-governed delta epoch into a fresh batch-governed one in
+    * O(delta) — [[Versioned.adoptStreamDelta]] under this store's
+    * lease. The cheap alternative to [[compact]] when the only need is
+    * "tomorrow's batch [[append]] must not meet the lineage's replay
+    * keys" (the corpus-linear fold stays the maintenance window's
+    * call). Stream must be stopped and drained; no-op (probe cost) on
+    * a batch-governed epoch.
+    * @return true iff a stream lineage was re-keyed */
+  def adoptStreamDelta(spark: SparkSession, path: String): Boolean =
+    Lease.withLease(spark, path, "vecindex-maintenance") {
+      Versioned.adoptStreamDelta(spark, path)
+    }
+
   /** Remove vectors from the index — the retraction path (takedowns,
     * decontamination) — [[graft.operators.LexIndex.delete]]'s vector
     * counterpart. Implemented as a compaction that drops the victims:

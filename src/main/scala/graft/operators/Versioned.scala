@@ -175,6 +175,41 @@ private[operators] object Versioned {
         s"and overwrite them; resume the original checkpoint or compact first")
   }
 
+  /** Hand a STREAM-governed delta epoch back to the batch discipline in
+    * O(delta): re-key the lineage's rows into a fresh epoch directory as
+    * ONE job-committed batch write (plain `cid=` layout, no `b=` replay
+    * keys) and bump the epoch in the manifest — cells and quantizer
+    * versions are untouched, so the corpus-linear fold is NOT paid here
+    * (that stays compact's business). The old epoch directory becomes
+    * retired garbage for the store's gc (graced); a reader pinned on
+    * the old manifest finishes against its immutable files.
+    *
+    * Call with the stream STOPPED and drained (the day-end contract —
+    * a live micro-batch racing this would land in a dying directory);
+    * after the bump a zombie checkpoint's next batch fails its epoch
+    * fence loudly. No-op on a batch-governed (or absent) epoch, so a
+    * replayed caller is probe-cost. Crash-safe: the manifest publish is
+    * the commit — a crash after the copy leaves an unreferenced next-
+    * epoch dir the replay deletes and rewrites.
+    *
+    * @return true iff a stream lineage was re-keyed */
+  def adoptStreamDelta(spark: SparkSession, path: String): Boolean = {
+    val m = current(spark, path)
+    val f = fs(spark, path)
+    val dir = new Path(deltaPath(path, m.epoch))
+    val streamGoverned = f.exists(new Path(dir, "_spark_metadata")) ||
+      (f.exists(dir) && f.listStatus(dir)
+        .exists(_.getPath.getName.startsWith("b=")))
+    if (!streamGoverned) return false
+    val next = new Path(deltaPath(path, m.epoch + 1L))
+    f.delete(next, true) // a torn predecessor's uncommitted debris
+    if (hasCells(spark, dir.toString))
+      spark.read.parquet(dir.toString).drop("b")
+        .write.partitionBy("cid").parquet(next.toString)
+    publish(spark, path, m.v + 1L, m.base, m.epoch + 1L, m.cents)
+    true
+  }
+
   /** Whether a side directory holds actual cell partitions: an EMPTY
     * write (a zero-row batch append, a delete that emptied the index)
     * leaves a bare directory with just _SUCCESS, and scanning that

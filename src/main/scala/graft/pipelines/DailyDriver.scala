@@ -744,9 +744,14 @@ object DailyDriver {
     * guards see the streamed lexical/vector/PQ entries already present
     * and skip those halves, append the signature/fingerprint halves,
     * and publish the decision delta as the single commit point — then
-    * the staging table is cleared for the next day (idempotent: a
-    * reconcile replayed after a crash finds the decisions landed,
-    * no-ops every half, and just re-clears staging).
+    * the vector stores' stream-governed delta epochs are handed back to
+    * the batch discipline (an O(delta) re-key + epoch bump, [[graft
+    * .operators.VecIndex.adoptStreamDelta]] — WITHOUT it, tomorrow's
+    * batch [[step]] would refuse to append into the lineage's replay
+    * keys) and the staging table is cleared for the next day
+    * (idempotent: a reconcile replayed after a crash finds the
+    * decisions landed, no-ops every half, finds batch-governed epochs,
+    * and just re-clears staging).
     *
     * Call with every [[StepStreamHandles]] query STOPPED after a final
     * drain; a reconcile racing live micro-batches would read a
@@ -765,6 +770,18 @@ object DailyDriver {
     require(!staged.isEmpty,
       s"staging under $sd is empty — nothing to reconcile")
     val out = step(spark, staged, benchmark, dir, cfg, embeddings)
+    // hand the vector stores back to the BATCH discipline: the stream
+    // lineage's per-micro-batch replay keys must not govern tomorrow's
+    // batch appends (VecIndex.append refuses a stream-governed epoch by
+    // design). O(delta) re-key + epoch bump — never the corpus-linear
+    // fold, which stays maintain's policy call — and a replayed
+    // reconcile finds batch-governed epochs and no-ops. The bump also
+    // fences a zombie checkpoint's late micro-batch loudly.
+    import graft.operators.{PqIndex, VecIndex}
+    if (VecIndex.currentVersion(spark, vecIndexDir(dir)) > 0L)
+      VecIndex.adoptStreamDelta(spark, vecIndexDir(dir))
+    if (PqIndex.currentVersion(spark, pqIndexDir(dir)) > 0L)
+      PqIndex.adoptStreamDelta(spark, pqIndexDir(dir))
     val p = new org.apache.hadoop.fs.Path(sd)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     out

@@ -104,6 +104,57 @@ class DailyDriverStreamSpec extends SparkSpecBase {
     assert(DailyDriver.hybridSearch(spark, dirB, qs, ps).count() > 0)
   }
 
+  test("the day AFTER a streamed day runs as a plain batch step (lineage handed back)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val a = docs.filter(col("doc_id") % 4 === 1)
+    val day1 = docs.filter(col("doc_id") % 4 === 2)
+    val day2 = docs.filter(col("doc_id") % 4 === 3)
+    val bench = docs.filter(col("doc_id") % 50 === 0).select("doc_id", "text")
+
+    // reference: two batch days
+    val dirA = tempDir("stream-next-batch")
+    DailyDriver.init(spark, a, bench, dirA, cfg, Some(emb))
+    DailyDriver.step(spark, day1, bench, dirA, cfg, Some(emb))
+    DailyDriver.step(spark, day2, bench, dirA, cfg, Some(emb))
+
+    // day 1 streamed, day 2 batch — the aging-run shape: without the
+    // reconcile's adoptStreamDelta handback, day 2's vec/pq appends
+    // refuse the stream-governed epoch
+    val dirB = tempDir("stream-next-live")
+    DailyDriver.init(spark, a, bench, dirB, cfg, Some(emb))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, Long, String)]
+    val s = DailyDriver.stepStream(spark,
+      input.toDF().toDF("event_time", "doc_id", "text"), bench, dirB,
+      tempDir("stream-next-ckpt"), cfg, Some(emb))
+    input.addData(day1.as[(Long, String)].collect().sortBy(_._1)
+      .zipWithIndex.map { case ((id, t), i) => (ts(i), id, t) })
+    s.all.foreach(_.processAllAvailable())
+    s.stopAll()
+    DailyDriver.stepStreamReconcile(spark, bench, dirB, cfg, Some(emb))
+    DailyDriver.step(spark, day2, bench, dirB, cfg, Some(emb)) // must not refuse
+
+    assert(canon(DailyDriver.openDecisions(spark, dirB)).sameElements(
+      canon(DailyDriver.openDecisions(spark, dirA))),
+      "stream-then-batch decisions diverged from two batch days")
+    def vecRows2(d: String) = DailyDriver.openVecIndex(spark, d)
+      .select(col("doc_id"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(vecRows2(dirB).sameElements(vecRows2(dirA)),
+      "vector index diverged across the stream-then-batch boundary")
+    def pqRows2(d: String) = graft.operators.PqIndex
+      .open(spark, DailyDriver.pqIndexDir(d))
+      .select(col("doc_id"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(pqRows2(dirB).sameElements(pqRows2(dirA)),
+      "PQ code table diverged across the stream-then-batch boundary")
+  }
+
   test("a concurrent maintain fences the live index streams loudly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
