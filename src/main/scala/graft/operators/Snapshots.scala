@@ -59,6 +59,8 @@ object Snapshots {
   private val SnapDirName = "v=(\\d+)".r
   private val RevOkName = "r=(\\d+)\\.ok".r
   private val RevDirName = "r=(\\d+)".r
+  private val ManifestName = "r=(\\d+)\\.manifest".r
+  private val BatchDirName = "batch=(-?\\d+)".r
 
   private def snapDir(root: String, v: Long) = s"$root/snap/v=$v"
   private def revDir(root: String, v: Long, k: Long) = s"$root/snap/v=$v/r=$k"
@@ -150,10 +152,18 @@ object Snapshots {
     * footer-derived row count) to a tmp name and atomically rename it
     * in — THE commit point for the revision's data. */
   private def publishRevision(spark: SparkSession, root: String, v: Long,
-                              k: Long, tag: String): Unit = {
+                              k: Long, tag: String): Unit =
+    publishRevisionCounted(spark, root, v, k, tag,
+      footerRowsDeep(fsOf(spark, root), new Path(revDir(root, v, k)),
+        spark.sparkContext.hadoopConfiguration))
+
+  /** [[publishRevision]] with the row count supplied by the caller —
+    * the manifest path's form (the count is the manifest's own sum; a
+    * footer walk would miss rows living in other versions' dirs). */
+  private def publishRevisionCounted(spark: SparkSession, root: String,
+                                     v: Long, k: Long, tag: String,
+                                     n: Long): Unit = {
     val f = fsOf(spark, root)
-    val n = footerRowsDeep(f, new Path(revDir(root, v, k)),
-      spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(snapDir(root, v), s".tmp-r=$k.ok")
     val out = f.create(tmp, true)
     try out.write(s"rows:$n\n$tag:${System.currentTimeMillis()}\n"
@@ -167,6 +177,226 @@ object Snapshots {
       s"revision publish failed: $tmp -> ${revOk(root, v, k)}")
   }
 
+  // ----------------------------------------- incremental (manifest) seals
+
+  /** One sealed batch partition's entry in a revision MANIFEST: the
+    * (`ownerV`, `ownerR`) whose physical `batch=` directory holds the
+    * rows — possibly an EARLIER version's (unchanged batches are
+    * referenced, never recopied) — plus the batch's row count and an
+    * order-free 64-bit content checksum (xor of a per-row hash) the
+    * next incremental seal compares against. Pointers are always FLAT
+    * (straight at the owning physical dir, never chained through
+    * intermediate manifests). */
+  private final case class BatchRef(batch: Long, ownerV: Long, ownerR: Long,
+                                    rows: Long, sum: Long)
+
+  private def manifestPath(root: String, v: Long, k: Long) =
+    new Path(snapDir(root, v), s"r=$k.manifest")
+
+  private def readManifestRefs(f: FileSystem, root: String, v: Long,
+                               k: Long): Seq[BatchRef] =
+    markerLines(f, manifestPath(root, v, k)).filter(_.nonEmpty).map { line =>
+      val kv = line.split("\\s+").map { tok =>
+        val Array(key, value) = tok.split("=", 2); key -> value
+      }.toMap
+      BatchRef(kv("batch").toLong, kv("v").toLong, kv("r").toLong,
+        kv("rows").toLong, kv("sum").toLong)
+    }
+
+  /** The manifest file is plain content under the unpublished revision —
+    * the `r=K.ok` marker rename is what commits it, so a torn write is
+    * invisible debris the replay overwrites. */
+  private def writeManifest(f: FileSystem, root: String, v: Long, k: Long,
+                            refs: Seq[BatchRef]): Unit = {
+    val out = f.create(manifestPath(root, v, k), true)
+    try out.write(refs.sortBy(_.batch).map(b =>
+        s"batch=${b.batch} v=${b.ownerV} r=${b.ownerR} rows=${b.rows} " +
+          s"sum=${b.sum}")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Every (ownerV, ownerR, batch) a manifest PRESENT ON DISK still
+    * references — gc's delete-only refcount: a physical batch dir with
+    * a referrer anywhere (a live version, a superseded-in-grace
+    * revision, a retiring-in-grace version) is not garbage. */
+  private def allManifestRefs(f: FileSystem,
+                              root: String): Set[(Long, Long, Long)] = {
+    val sd = new Path(s"$root/snap")
+    if (!f.exists(sd)) return Set.empty
+    (for {
+      vd <- f.listStatus(sd).toSeq if vd.isDirectory
+      vs <- SnapDirName.unapplySeq(vd.getPath.getName).toSeq.flatten
+      mf <- f.listStatus(vd.getPath).toSeq if mf.isFile
+      ks <- ManifestName.unapplySeq(mf.getPath.getName).toSeq.flatten
+      r <- readManifestRefs(f, root, vs.toLong, ks.toLong)
+    } yield (r.ownerV, r.ownerR, r.batch)).toSet
+  }
+
+  /** Sweep revision dir (v, k)'s physical content that no present
+    * manifest references; deletes the dir when nothing survives.
+    * @return true iff the dir is gone afterwards */
+  private def sweepRevisionDirUnreferenced(
+      f: FileSystem, root: String, v: Long, k: Long,
+      refs: Set[(Long, Long, Long)]): Boolean = {
+    val dir = new Path(revDir(root, v, k))
+    if (!f.exists(dir)) return true
+    var kept = false
+    for (st <- f.listStatus(dir)) st.getPath.getName match {
+      case BatchDirName(bs) if st.isDirectory =>
+        if (refs((v, k, bs.toLong))) kept = true
+        else f.delete(st.getPath, true)
+      case _ =>
+        // physical (non-manifest) revisions' own parquet files and job
+        // debris — unreferenced by definition (manifests only ever
+        // point at batch= dirs)
+        f.delete(st.getPath, true)
+    }
+    if (!kept) f.delete(dir, true)
+    !kept
+  }
+
+  /** The canonical per-batch content summary an incremental seal
+    * compares: (row count, order-free xor of a 64-bit whole-row hash)
+    * per batch — ONE aggregate scan, column set sorted by name so the
+    * checksum is layout-independent. Collision odds are 2⁻⁶⁴-scale per
+    * batch; a false "unchanged" would silently reference stale rows,
+    * which is the usual content-address trade every manifest store
+    * makes. */
+  private def batchSums(rows: DataFrame,
+                        batchCol: String): Map[Long, (Long, Long)] = {
+    val dataCols = rows.columns.filterNot(_ == batchCol).sorted
+    rows.groupBy(col(batchCol).cast(LongType).as("__b"))
+      .agg(count(lit(1)).as("__n"),
+        call_function("bit_xor", xxhash64(dataCols.map(col): _*)).as("__x"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+  }
+
+  private def hwmPath(root: String) = new Path(sealRoot(root), ".hwm")
+
+  /** Version allocation is STRICTLY monotone across the store's whole
+    * life — "run T trained on snapshot N" must never become ambiguous,
+    * so a number is not re-used even after its retirement has fully
+    * aged out and every trace of its data is collected. The on-disk
+    * high-water mark carries the history the markers no longer do
+    * (listing seals + retired-in-grace markers alone would re-allocate
+    * a fully-collected number — caught by the randomized protocol
+    * spec); a crash between the bump and the seal burns a number,
+    * which is harmless. */
+  private def allocVersion(spark: SparkSession, f: FileSystem,
+                           root: String): Long = {
+    val fromDisk = (versions(spark, root) ++ retiredVersions(f, root))
+      .foldLeft(0L)(math.max)
+    val hwm =
+      if (!f.exists(hwmPath(root))) 0L
+      else markerLines(f, hwmPath(root)).headOption.map(_.trim)
+        .filter(s => s.nonEmpty && s.forall(_.isDigit))
+        .map(_.toLong).getOrElse(0L)
+    val v = math.max(fromDisk, hwm) + 1L
+    f.mkdirs(new Path(sealRoot(root)))
+    val tmp = new Path(sealRoot(root), ".tmp-hwm")
+    val out = f.create(tmp, true)
+    try out.write(s"$v\n".getBytes("UTF-8"))
+    finally out.close()
+    // delete-then-rename (the marker-replacement convention): a crash
+    // inside the window leaves no hwm file, and the next alloc falls
+    // back to the on-disk max — monotone again as soon as any seal or
+    // retirement marker outlives the crash, and never double-allocating
+    // (the lease serializes allocators)
+    f.delete(hwmPath(root), false)
+    require(Lease.atomicRename(f, tmp, hwmPath(root)),
+      s"high-water publish failed: $tmp -> ${hwmPath(root)}")
+    v
+  }
+
+  /** The seal-marker commit shared by [[create]]/[[createIncremental]]:
+    * the atomic rename IS the version's single commit point. */
+  private def sealVersion(f: FileSystem, root: String, v: Long): Unit = {
+    f.mkdirs(new Path(sealRoot(root)))
+    val tmp = new Path(sealRoot(root), s".tmp-v=$v.txt")
+    val out = f.create(tmp, true)
+    try out.write(s"created:${System.currentTimeMillis()}\n"
+      .getBytes("UTF-8"))
+    finally out.close()
+    // a retire/replay cycle may have left this exact name before —
+    // same-version debris is legal to replace (see scaladoc)
+    f.delete(sealFile(root, v), false)
+    require(Lease.atomicRename(f, tmp, sealFile(root, v)),
+      s"snapshot seal failed: $tmp -> ${sealFile(root, v)}")
+  }
+
+  /** Seal `rows` as the next version INCREMENTALLY: physical copies are
+    * written only for batches whose content CHANGED since the previous
+    * sealed version (an order-free per-batch checksum against the
+    * previous manifest — no read of the previous data); unchanged
+    * batches are REFERENCED where they already live. The seal's write
+    * cost is therefore delta-proportional — the full-copy [[create]]
+    * paid the whole corpus-rows table per seal — while every read-side
+    * guarantee is unchanged: published revisions and their physical
+    * dirs stay immutable, [[open]] resolves the manifest to a union of
+    * immutable dirs, and [[gc]] deletes a physical batch dir only when
+    * NO manifest on disk references it (delete-only refcount — a
+    * pinned reader of any sealed version keeps its files through every
+    * later retention decision, which is strictly stronger than the
+    * graced sweep alone).
+    *
+    * `rows` must carry `batchCol` (the driver's decision table is
+    * batch-partitioned by arrival day — the same key). When the
+    * previous version has no manifest (a legacy full seal, or no
+    * previous version at all), every batch counts as changed and this
+    * seal writes a full self-owned copy — later seals go incremental.
+    * Crash story = [[create]]'s: an unsealed version's debris (data,
+    * manifest, revision marker) is invisible and overwritten by the
+    * next create. */
+  def createIncremental(spark: SparkSession, root: String, rows: DataFrame,
+                        batchCol: String = "batch"): Long =
+    Lease.withLease(spark, root, "snapshot-create") {
+      val f = fsOf(spark, root)
+      require(rows.columns.contains(batchCol),
+        s"createIncremental needs the '$batchCol' column (the partition " +
+          s"key unchanged batches are deduplicated on); use create for " +
+          s"unpartitioned rows")
+      val sums = batchSums(rows, batchCol)
+      val v = allocVersion(spark, f, root)
+      f.delete(new Path(snapDir(root, v)), true)
+      if (sums.isEmpty) {
+        // empty relation: no batches to reference — the plain physical
+        // shape keeps the schema readable (create's convention)
+        rows.write.mode("overwrite").parquet(revDir(root, v, 0L))
+        publishRevision(spark, root, v, 0L, "created")
+      } else {
+        val prevRefs: Map[Long, BatchRef] =
+          versions(spark, root).lastOption.flatMap { pv =>
+            revisions(f, root, pv).lastOption
+              .filter(k => f.exists(manifestPath(root, pv, k)))
+              .map(k => readManifestRefs(f, root, pv, k)
+                .map(b => b.batch -> b).toMap)
+          }.getOrElse(Map.empty)
+        val changed = sums.keySet.filter(b =>
+          !prevRefs.get(b).exists(p =>
+            p.rows == sums(b)._1 && p.sum == sums(b)._2))
+        if (changed.nonEmpty) {
+          // all-changed (the first manifest seal) skips the IN-literal —
+          // a multi-year history has thousands of batches and the
+          // predicate would cost more than it prunes
+          val copied =
+            if (changed == sums.keySet) rows
+            else rows.filter(col(batchCol).isin(changed.toSeq: _*))
+          copied.withColumn(batchCol, col(batchCol).cast(LongType))
+            .write.partitionBy(batchCol).parquet(revDir(root, v, 0L))
+        }
+        val refs = sums.toSeq.sortBy(_._1).map { case (b, (n, x)) =>
+          if (changed(b)) BatchRef(b, v, 0L, n, x)
+          else prevRefs(b).copy(rows = n, sum = x)
+        }
+        writeManifest(f, root, v, 0L, refs)
+        publishRevisionCounted(spark, root, v, 0L, "created",
+          refs.map(_.rows).sum)
+      }
+      sealVersion(f, root, v)
+      v
+    }
+
   /** Seal `rows` as the next snapshot version and return it. The data
     * write is job-committed into `snap/v=N/r=0` and its revision marker
     * published; the seal marker's atomic rename is the VERSION's single
@@ -176,41 +406,52 @@ object Snapshots {
     * creates cannot both allocate N. */
   def create(spark: SparkSession, root: String, rows: DataFrame): Long =
     Lease.withLease(spark, root, "snapshot-create") {
-      val f0 = fsOf(spark, root)
-      val v = (versions(spark, root) ++ retiredVersions(f0, root))
-        .foldLeft(0L)(math.max) + 1L
+      val f = fsOf(spark, root)
+      val v = allocVersion(spark, f, root)
       // v is unsealed by construction, so anything under its dir is a
       // crashed create's debris (possibly the pre-revision loose-file
       // layout) — clear it so the sealed version holds exactly r=0
-      f0.delete(new Path(snapDir(root, v)), true)
+      f.delete(new Path(snapDir(root, v)), true)
       rows.write.mode("overwrite").parquet(revDir(root, v, 0L))
       publishRevision(spark, root, v, 0L, "created")
-      val f = fsOf(spark, root)
-      f.mkdirs(new Path(sealRoot(root)))
-      val tmp = new Path(sealRoot(root), s".tmp-v=$v.txt")
-      val out = f.create(tmp, true)
-      try out.write(s"created:${System.currentTimeMillis()}\n"
-        .getBytes("UTF-8"))
-      finally out.close()
-      // a retire/replay cycle may have left this exact name before —
-      // same-version debris is legal to replace (see scaladoc)
-      f.delete(sealFile(root, v), false)
-      require(Lease.atomicRename(f, tmp, sealFile(root, v)),
-        s"snapshot seal failed: $tmp -> ${sealFile(root, v)}")
+      sealVersion(f, root, v)
       v
     }
 
   /** Read sealed version `v` — the LIVE (highest-published) data
-    * revision. The returned frame scans an immutable directory: a
+    * revision. The returned frame scans immutable directories only: a
     * concurrent [[redact]] publishes a NEW revision and never rewrites
-    * this one, so a scan pinned here finishes (gc's grace keeps the
-    * superseded files alive, the vacuum rule). */
+    * these, so a scan pinned here finishes (gc's grace — and, for
+    * manifest revisions, the delete-only refcount — keeps the files
+    * alive, the vacuum rule). A MANIFEST revision resolves to a union
+    * of the referenced owners' `batch=` dirs (one read per owner
+    * version — owner count is bounded by the sealed-history length). */
   def open(spark: SparkSession, root: String, v: Long): DataFrame = {
     val f = fsOf(spark, root)
     require(f.exists(sealFile(root, v)),
       s"snapshot v=$v at $root is not sealed")
-    spark.read.parquet(liveDataDir(f, root, v))
+    openLiveData(spark, f, root, v)
   }
+
+  private def openLiveData(spark: SparkSession, f: FileSystem, root: String,
+                           v: Long): DataFrame =
+    revisions(f, root, v).lastOption match {
+      case Some(k) if f.exists(manifestPath(root, v, k)) =>
+        val refs = readManifestRefs(f, root, v, k)
+        require(refs.nonEmpty,
+          s"snapshot v=$v r=$k at $root has an empty manifest")
+        refs.groupBy(r => (r.ownerV, r.ownerR)).toSeq.sortBy(_._1)
+          .map { case ((ov, or), rs) =>
+            val base = revDir(root, ov, or)
+            // basePath recovers `batch` as a partition column even
+            // though only a SUBSET of the owner's batch dirs is read
+            spark.read.option("basePath", base)
+              .parquet(rs.map(b => s"$base/batch=${b.batch}").sorted: _*)
+          }
+          .reduce(_ unionByName _)
+          .withColumn("batch", col("batch").cast(LongType))
+      case _ => spark.read.parquet(liveDataDir(f, root, v))
+    }
 
   /** Row count recorded in the LIVE revision's publish marker —
     * [[create]]/[[redact]] stamp it from the written files' footers, so
@@ -325,28 +566,66 @@ object Snapshots {
       // have re-deleted the seal otherwise): cancel the retirement —
       // deleting the data under a live seal is never legal.
       val now2 = System.currentTimeMillis()
+      val agedRetired = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Path)]
       if (f.exists(sr)) for (st <- f.listStatus(sr))
         st.getPath.getName match {
           case RetiredName(vs) =>
             val v = vs.toLong
             if (f.exists(sealFile(root, v))) f.delete(st.getPath, false)
-            else if (now2 - st.getModificationTime >= graceMs) {
-              f.delete(new Path(snapDir(root, v)), true)
-              // a retired version's shard export retires with it
-              f.delete(new Path(shardsVDir(root, v)), true)
-              // legacy in-place-redact era AtomicSwap siblings (and any
-              // hand-made debris shaped like them) would otherwise
-              // strand forever once the version is unopenable — open's
-              // repair was their only owner
-              for (sfx <- Seq("__new", "__commit", "__lock"))
-                f.delete(new Path(snapDir(root, v) + sfx), true)
-              f.delete(st.getPath, false)
-            }
+            else if (now2 - st.getModificationTime >= graceMs)
+              agedRetired += v -> st.getPath
           case n if n.startsWith(".tmp-") && n.endsWith(".txt") &&
             now2 - st.getModificationTime >= graceMs =>
             f.delete(st.getPath, false)
           case _ => ()
         }
+      // scaffolding of EVERY aged retired version first (their
+      // manifests stop pinning anything — the versions are
+      // unpublished), so one pass converges even when retired versions
+      // reference each other's copies; THEN one reference census, and
+      // every physical batch dir a manifest still present on disk
+      // references SURVIVES: the delete-only refcount that makes
+      // cross-version copy reuse safe under retention.
+      for ((v, _) <- agedRetired) {
+        val vd = new Path(snapDir(root, v))
+        if (f.exists(vd)) for (s2 <- f.listStatus(vd))
+          s2.getPath.getName match {
+            case RevOkName(_) | ManifestName(_) =>
+              f.delete(s2.getPath, false)
+            case _ => ()
+          }
+      }
+      if (agedRetired.nonEmpty) {
+        val refs = allManifestRefs(f, root)
+        for ((v, marker) <- agedRetired) {
+          val vd = new Path(snapDir(root, v))
+          var fullyGone = true
+          if (f.exists(vd)) for (s2 <- f.listStatus(vd))
+            s2.getPath.getName match {
+              case RevDirName(ks) =>
+                if (!sweepRevisionDirUnreferenced(f, root, v,
+                  ks.toLong, refs)) fullyGone = false
+              case _ => f.delete(s2.getPath, true) // legacy/tmp debris
+            }
+          // a retired version's shard export retires with it
+          f.delete(new Path(shardsVDir(root, v)), true)
+          // legacy in-place-redact era AtomicSwap siblings (and any
+          // hand-made debris shaped like them) would otherwise
+          // strand forever once the version is unopenable — open's
+          // repair was their only owner
+          for (sfx <- Seq("__new", "__commit", "__lock"))
+            f.delete(new Path(snapDir(root, v) + sfx), true)
+          // the retired marker persists until every copy this
+          // version owns has lost its last referrer — a later gc
+          // (after the referencing manifests age out or retire)
+          // finishes the job and only then frees the number's data
+          if (fullyGone) {
+            f.delete(vd, true)
+            f.delete(marker, false)
+          }
+        }
+      }
       // crashed-create debris: snap dirs that never sealed and are not
       // mid-retirement (phase 2 owns those). Exact-name match only —
       // loose prefix parses would throw on foreign names and abort
@@ -428,19 +707,41 @@ object Snapshots {
     val live = rs.last
     val liveAged =
       now - f.getFileStatus(revOk(root, v, live)).getModificationTime >= graceMs
+    // pass 1 — scaffolding: superseded revisions' markers and manifests
+    // go first (their references stop pinning), torn manifests (never
+    // published) and tmp debris by their own mtime; the LIVE revision's
+    // marker and manifest are never touched
     for (st <- f.listStatus(new Path(snapDir(root, v))))
       st.getPath.getName match {
         case RevOkName(ks) =>
           if (ks.toLong < live && liveAged) f.delete(st.getPath, false)
-        case RevDirName(ks) =>
+        case ManifestName(ks) =>
           val k = ks.toLong
-          if (k < live && liveAged) f.delete(st.getPath, true)
+          if (k < live && liveAged) f.delete(st.getPath, false)
           else if (k > live && now - st.getModificationTime >= graceMs)
-            f.delete(st.getPath, true) // torn redact that never published
+            f.delete(st.getPath, false)
         case n if n.startsWith(".tmp-") &&
           now - st.getModificationTime >= graceMs =>
           f.delete(st.getPath, false)
-        case _ if st.isFile && liveAged =>
+        case _ => ()
+      }
+    // pass 2 — physical data, REFERENCE-AWARE: a superseded revision's
+    // batch dir survives while any manifest still on disk references it
+    // (an incremental seal's unchanged-batch pointers, another version's
+    // redact-surviving copies); everything unreferenced goes once the
+    // supersession has aged. Torn revision dirs (k > live, never
+    // published) were never referenceable — wholesale by own mtime.
+    val refs = allManifestRefs(f, root)
+    for (st <- f.listStatus(new Path(snapDir(root, v))))
+      st.getPath.getName match {
+        case RevDirName(ks) =>
+          val k = ks.toLong
+          if (k < live && liveAged)
+            sweepRevisionDirUnreferenced(f, root, v, k, refs)
+          else if (k > live && now - st.getModificationTime >= graceMs)
+            f.delete(st.getPath, true) // torn redact that never published
+        case n if st.isFile && !n.endsWith(".ok") &&
+          !n.endsWith(".manifest") && !n.startsWith(".tmp-") && liveAged =>
           // pre-revision-layout root data files, superseded by the
           // legacy-upgrade redact that published `live` (only
           // reachable with a published revision above them)
@@ -509,7 +810,7 @@ object Snapshots {
       require(f.exists(sealFile(root, v)),
         s"snapshot v=$v at $root is not sealed")
       val k = liveRevision(f, root, v)
-      val kept = spark.read.parquet(revDir(root, v, k))
+      val kept = openLiveData(spark, f, root, v)
         .filter(col("keep"))
         .select(col("doc_id"), col("split"), col("fp"))
       val keptDocs = kept.join(
@@ -671,15 +972,67 @@ object Snapshots {
       val f = fsOf(spark, root)
       val vIds = victims.select(col(idCol)).distinct().localCheckpoint(true)
       for (v <- versions(spark, root)) {
-        // a LEGACY version (pre-revision layout) reads from its root
-        // files and publishes r=1 — the in-place upgrade; gc sweeps
-        // the superseded root files under the grace afterwards
-        val next = revisions(f, root, v).lastOption.map(_ + 1L).getOrElse(1L)
-        val sealedRows = spark.read.parquet(liveDataDir(f, root, v))
-        if (!sealedRows.join(vIds, Seq(idCol), "left_semi").isEmpty) {
-          sealedRows.join(vIds, Seq(idCol), "left_anti")
-            .write.mode("overwrite").parquet(revDir(root, v, next))
-          publishRevision(spark, root, v, next, "redacted")
+        val liveK = revisions(f, root, v).lastOption
+        val manifested =
+          liveK.exists(k => f.exists(manifestPath(root, v, k)))
+        if (manifested) {
+          // MANIFEST version: rewrite only victim-bearing batches — the
+          // new revision owns fresh survivor copies of exactly those,
+          // keeps referencing everything else where it lives, and a
+          // batch emptied of all rows simply leaves the manifest. Other
+          // versions sharing a victim-bearing copy contain the same
+          // victims, so this loop rewrites their manifests too — after
+          // the pass no live manifest references a victim-bearing dir.
+          val k = liveK.get
+          val cur = openLiveData(spark, f, root, v)
+          val hit = cur.join(vIds, Seq(idCol), "left_semi")
+            .select(col("batch")).distinct().collect()
+            .map(_.getLong(0)).toSet
+          if (hit.nonEmpty) {
+            val next = k + 1L
+            f.delete(new Path(revDir(root, v, next)), true) // torn debris
+            val survivors = cur.filter(col("batch").isin(hit.toSeq: _*))
+              .join(vIds, Seq(idCol), "left_anti")
+              .localCheckpoint() // read thrice: probe + write + checksums
+            val refs = readManifestRefs(f, root, v, k)
+            val anySurvivor = !survivors.isEmpty
+            if (anySurvivor)
+              survivors.withColumn("batch", col("batch").cast(LongType))
+                .write.partitionBy("batch").parquet(revDir(root, v, next))
+            val sums =
+              if (anySurvivor) batchSums(survivors, "batch")
+              else Map.empty[Long, (Long, Long)]
+            val newRefs = refs.flatMap { r =>
+              if (!hit(r.batch)) Some(r)
+              else sums.get(r.batch).map { case (n, x) =>
+                BatchRef(r.batch, v, next, n, x)
+              } // None: the batch held only victims — drop the ref
+            }
+            if (newRefs.isEmpty) {
+              // every batch everywhere emptied: an all-victims version —
+              // the plain physical shape keeps the schema readable at
+              // zero rows (a manifest may not be empty)
+              survivors.write.mode("overwrite")
+                .parquet(revDir(root, v, next))
+              publishRevision(spark, root, v, next, "redacted")
+            } else {
+              writeManifest(f, root, v, next, newRefs)
+              publishRevisionCounted(spark, root, v, next, "redacted",
+                newRefs.map(_.rows).sum)
+            }
+          }
+        } else {
+          // PHYSICAL or LEGACY (pre-revision layout) version: the
+          // whole-table anti-join rewrite; a legacy version publishes
+          // r=1 — the in-place upgrade; gc sweeps the superseded root
+          // files under the grace afterwards
+          val next = liveK.map(_ + 1L).getOrElse(1L)
+          val sealedRows = spark.read.parquet(liveDataDir(f, root, v))
+          if (!sealedRows.join(vIds, Seq(idCol), "left_semi").isEmpty) {
+            sealedRows.join(vIds, Seq(idCol), "left_anti")
+              .write.mode("overwrite").parquet(revDir(root, v, next))
+            publishRevision(spark, root, v, next, "redacted")
+          }
         }
       }
     }

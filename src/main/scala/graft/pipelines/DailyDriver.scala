@@ -1661,8 +1661,13 @@ object DailyDriver {
     * started after day 0: those pre-upgrade rows seal with a null fp
     * rather than silently vanishing from the record).
     *
-    * Cost: O(decisions) — two narrow tables joined on the id; corpus
-    * text is never read (that's what `fps/` is for). */
+    * Cost: one O(decisions) comparison scan (the per-batch checksum
+    * aggregate — narrow columns, no text) but a DELTA-PROPORTIONAL
+    * write: only batches that changed since the previous seal are
+    * physically copied ([[graft.operators.Snapshots.createIncremental]]
+    * — unchanged batches are referenced where they already live, under
+    * gc's delete-only refcount). Corpus text is never read (that's
+    * what `fps/` is for). */
   def snapshot(spark: SparkSession, dir: String): Long =
     Lease.withLease(spark, dir, "snapshot") {
       // a pre-fps dir (upgraded mid-life, not yet stepped) has no
@@ -1676,10 +1681,16 @@ object DailyDriver {
           lit(null).cast(org.apache.spark.sql.types.LongType).as("len"))
       // the batch key seals too: [[restore]] re-founds the partitioned
       // decision layout from it (rows keep their home partitions, so a
-      // restore never collapses history into one corpus-sized batch)
+      // restore never collapses history into one corpus-sized batch) —
+      // and it is the INCREMENTAL seal's dedup grain: only batches whose
+      // content changed since the previous seal are physically copied,
+      // the rest are referenced where they already live, so the seal's
+      // write cost is delta-proportional (steps touch few partitions)
+      // instead of one corpus-rows copy per seal
       val rows = openDecisionsBatched(spark, dir)
         .join(fps, Seq("doc_id"), "left_outer")
-      graft.operators.Snapshots.create(spark, snapshotsDir(dir), rows)
+      graft.operators.Snapshots.createIncremental(spark, snapshotsDir(dir),
+        rows)
     }
 
   /** Sealed snapshot versions, ascending. */

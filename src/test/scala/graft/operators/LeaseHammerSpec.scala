@@ -116,8 +116,13 @@ class LeaseHammerSpec extends SparkSpecBase {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val counter = new java.io.File(dir, "counter")
     java.nio.file.Files.write(counter.toPath, "0".getBytes("UTF-8"))
+    // stale-break DISABLED (10-min threshold): under a loaded machine a
+    // live holder can stall past the default 60 s and get broken — the
+    // documented mtime-stale trade-off, exercised by its own tests
+    // below. With breaks off, ANY lost update here is a real lock bug.
     race(threads) { _ =>
-      AtomicSwap.withTableLock(fs, s"$dir/t") {
+      AtomicSwap.withTableLock(fs, s"$dir/t", lockStaleMs = 600000L,
+        deadlineMs = 600000L) {
         val v = new String(
           java.nio.file.Files.readAllBytes(counter.toPath), "UTF-8").toInt
         Thread.sleep(5) // widen the read-modify-write window

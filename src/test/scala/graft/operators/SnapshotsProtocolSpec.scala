@@ -54,11 +54,18 @@ class SnapshotsProtocolSpec extends SparkSpecBase {
             // id 1 always sealed: no version empties under the %m
             // redactions below (the empty edge has its own test)
             val ids = allIds.filter(_ => rnd.nextBoolean()).toSet + 1L
-            val v = Snapshots.create(spark, root,
-              ids.toSeq.toDF("doc_id")
-                .withColumn("fp", col("doc_id") * 7L)
-                .withColumn("keep", lit(true))
-                .withColumn("split", lit("train")))
+            val rows = ids.toSeq.toDF("doc_id")
+              .withColumn("fp", col("doc_id") * 7L)
+              .withColumn("keep", lit(true))
+              .withColumn("split", lit("train"))
+            // full and INCREMENTAL (manifest) seals interleave freely in
+            // one history — cross-version references must survive every
+            // later redact/gc ordering
+            val v =
+              if (rnd.nextBoolean())
+                Snapshots.createIncremental(spark, root,
+                  rows.withColumn("batch", col("doc_id") % 4L))
+              else Snapshots.create(spark, root, rows)
             assert(v == maxAlloc + 1L,
               s"allocation not monotone (got $v, had $maxAlloc) after: $trace")
             maxAlloc = v; visible += v -> ids
