@@ -120,12 +120,18 @@ object Snapshots {
       .collect { case RevOkName(k) => k.toLong }.sorted.toSeq
   }
 
-  private def liveRevision(f: FileSystem, root: String, v: Long): Long = {
-    val rs = revisions(f, root, v)
-    require(rs.nonEmpty,
-      s"snapshot v=$v at $root has no published data revision")
-    rs.last
-  }
+  private def liveRevision(f: FileSystem, root: String, v: Long): Long =
+    revisions(f, root, v).lastOption.getOrElse {
+      // LEGACY (pre-revision-layout) versions read as revision 0: their
+      // exports tie to r=0 and the first redact (publishing r=1) makes
+      // those exports stale through the ordinary fence — "legacy history
+      // stays readable, redactable, and exportable"
+      val d = new Path(snapDir(root, v))
+      require(f.exists(d) && f.listStatus(d).exists(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet")),
+        s"snapshot v=$v at $root has no published data revision")
+      0L
+    }
 
   /** The live data directory of sealed `v` — the highest published
     * revision, or the PRE-REVISION layout (data files directly under
@@ -272,8 +278,6 @@ object Snapshots {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
   }
 
-  private def hwmPath(root: String) = new Path(sealRoot(root), ".hwm")
-
   /** Version allocation is STRICTLY monotone across the store's whole
     * life — "run T trained on snapshot N" must never become ambiguous,
     * so a number is not re-used even after its retirement has fully
@@ -281,31 +285,33 @@ object Snapshots {
     * high-water mark carries the history the markers no longer do
     * (listing seals + retired-in-grace markers alone would re-allocate
     * a fully-collected number — caught by the randomized protocol
-    * spec); a crash between the bump and the seal burns a number,
-    * which is harmless. */
+    * spec). The mark is a VERSIONED file (`.hwm-N`) renamed in before
+    * older ones are deleted: there is no instant without a mark on
+    * disk, so no crash window re-opens the re-allocation hole (a
+    * delete-then-rename single name had one); a crash between the bump
+    * and the seal burns a number, which is harmless. */
   private def allocVersion(spark: SparkSession, f: FileSystem,
                            root: String): Long = {
+    val dir = new Path(sealRoot(root))
+    def hwmFiles: Seq[(Long, Path)] =
+      if (!f.exists(dir)) Seq.empty
+      else f.listStatus(dir).map(_.getPath).toSeq.flatMap { p =>
+        val suf = p.getName.stripPrefix(".hwm-")
+        if (p.getName.startsWith(".hwm-") && suf.nonEmpty &&
+          suf.forall(_.isDigit)) Some(suf.toLong -> p)
+        else None
+      }
     val fromDisk = (versions(spark, root) ++ retiredVersions(f, root))
       .foldLeft(0L)(math.max)
-    val hwm =
-      if (!f.exists(hwmPath(root))) 0L
-      else markerLines(f, hwmPath(root)).headOption.map(_.trim)
-        .filter(s => s.nonEmpty && s.forall(_.isDigit))
-        .map(_.toLong).getOrElse(0L)
-    val v = math.max(fromDisk, hwm) + 1L
-    f.mkdirs(new Path(sealRoot(root)))
-    val tmp = new Path(sealRoot(root), ".tmp-hwm")
+    val v = math.max(fromDisk, hwmFiles.map(_._1).foldLeft(0L)(math.max)) + 1L
+    f.mkdirs(dir)
+    val tmp = new Path(dir, ".tmp-hwm")
     val out = f.create(tmp, true)
     try out.write(s"$v\n".getBytes("UTF-8"))
     finally out.close()
-    // delete-then-rename (the marker-replacement convention): a crash
-    // inside the window leaves no hwm file, and the next alloc falls
-    // back to the on-disk max — monotone again as soon as any seal or
-    // retirement marker outlives the crash, and never double-allocating
-    // (the lease serializes allocators)
-    f.delete(hwmPath(root), false)
-    require(Lease.atomicRename(f, tmp, hwmPath(root)),
-      s"high-water publish failed: $tmp -> ${hwmPath(root)}")
+    require(Lease.atomicRename(f, tmp, new Path(dir, s".hwm-$v")),
+      s"high-water publish failed: $tmp -> .hwm-$v")
+    for ((w, p) <- hwmFiles if w < v) f.delete(p, false)
     v
   }
 
@@ -434,7 +440,8 @@ object Snapshots {
   }
 
   private def openLiveData(spark: SparkSession, f: FileSystem, root: String,
-                           v: Long): DataFrame =
+                           v: Long): DataFrame = {
+    legacySwapRepair(spark, f, root, v)
     revisions(f, root, v).lastOption match {
       case Some(k) if f.exists(manifestPath(root, v, k)) =>
         val refs = readManifestRefs(f, root, v, k)
@@ -452,6 +459,20 @@ object Snapshots {
           .withColumn("batch", col("batch").cast(LongType))
       case _ => spark.read.parquet(liveDataDir(f, root, v))
     }
+  }
+
+  /** Roll forward a PRE-UPGRADE torn in-place redact: the old engine
+    * redacted sealed versions through `AtomicSwap.swap(snap/v=N)` and
+    * relied on open()-time repair as the roll-forward — a legacy store
+    * upgraded with such a swap's commit marker still pending would
+    * otherwise be forever unreadable (dir renamed away) or forever
+    * serve the PRE-redact victim-bearing rows (dir not yet replaced).
+    * Only legacy versions (no published revision) can carry one; one
+    * existence probe when healthy. */
+  private def legacySwapRepair(spark: SparkSession, f: FileSystem,
+                               root: String, v: Long): Unit =
+    if (revisions(f, root, v).isEmpty)
+      AtomicSwap.repair(spark, snapDir(root, v))
 
   /** Row count recorded in the LIVE revision's publish marker —
     * [[create]]/[[redact]] stamp it from the written files' footers, so
@@ -461,6 +482,7 @@ object Snapshots {
     val f = fsOf(spark, root)
     require(f.exists(sealFile(root, v)),
       s"snapshot v=$v at $root is not sealed")
+    legacySwapRepair(spark, f, root, v)
     def rowsLine(p: Path): Option[Long] = {
       val in = f.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
@@ -596,8 +618,19 @@ object Snapshots {
             case _ => ()
           }
       }
+      // ONE reference census per gc invocation (lazily when nothing
+      // retired): re-reading every manifest per sealed version would
+      // make the sweep O(versions²) in metadata reads on a years-long
+      // history. sweepRevisions recomputes locally only when its own
+      // pass deleted a manifest this call.
+      var census: Set[(Long, Long, Long)] = null
+      def censusRefs: Set[(Long, Long, Long)] = {
+        if (census == null) census = allManifestRefs(f, root)
+        census
+      }
       if (agedRetired.nonEmpty) {
-        val refs = allManifestRefs(f, root)
+        census = allManifestRefs(f, root)
+        val refs = census
         for ((v, marker) <- agedRetired) {
           val vd = new Path(snapDir(root, v))
           var fullyGone = true
@@ -641,7 +674,7 @@ object Snapshots {
               now2 - st.getModificationTime >= graceMs)
               f.delete(st.getPath, true)
             else if (isSealed)
-              sweepRevisions(f, root, v, graceMs, now2)
+              sweepRevisions(f, root, v, graceMs, now2, censusRefs)
           case _ => ()
         }
       // shard-export debris and superseded export revisions, same rules
@@ -701,7 +734,8 @@ object Snapshots {
     * torn-redact debris (data dirs that never published, tmp markers)
     * by their own mtime. The live revision is never touched. */
   private def sweepRevisions(f: FileSystem, root: String, v: Long,
-                             graceMs: Long, now: Long): Unit = {
+                             graceMs: Long, now: Long,
+                             refs0: => Set[(Long, Long, Long)]): Unit = {
     val rs = revisions(f, root, v)
     if (rs.isEmpty) return
     val live = rs.last
@@ -711,15 +745,18 @@ object Snapshots {
     // go first (their references stop pinning), torn manifests (never
     // published) and tmp debris by their own mtime; the LIVE revision's
     // marker and manifest are never touched
+    var manifestsDeleted = false
     for (st <- f.listStatus(new Path(snapDir(root, v))))
       st.getPath.getName match {
         case RevOkName(ks) =>
           if (ks.toLong < live && liveAged) f.delete(st.getPath, false)
         case ManifestName(ks) =>
           val k = ks.toLong
-          if (k < live && liveAged) f.delete(st.getPath, false)
-          else if (k > live && now - st.getModificationTime >= graceMs)
+          if ((k < live && liveAged) ||
+            (k > live && now - st.getModificationTime >= graceMs)) {
             f.delete(st.getPath, false)
+            manifestsDeleted = true
+          }
         case n if n.startsWith(".tmp-") &&
           now - st.getModificationTime >= graceMs =>
           f.delete(st.getPath, false)
@@ -731,7 +768,11 @@ object Snapshots {
     // redact-surviving copies); everything unreferenced goes once the
     // supersession has aged. Torn revision dirs (k > live, never
     // published) were never referenceable — wholesale by own mtime.
-    val refs = allManifestRefs(f, root)
+    // The caller's one-census-per-gc snapshot serves unless pass 1
+    // just deleted a manifest (its refs must stop pinning THIS pass —
+    // a superseded revision's self-references would keep its own data
+    // alive forever otherwise).
+    val refs = if (manifestsDeleted) allManifestRefs(f, root) else refs0
     for (st <- f.listStatus(new Path(snapDir(root, v))))
       st.getPath.getName match {
         case RevDirName(ks) =>
@@ -972,6 +1013,7 @@ object Snapshots {
       val f = fsOf(spark, root)
       val vIds = victims.select(col(idCol)).distinct().localCheckpoint(true)
       for (v <- versions(spark, root)) {
+        legacySwapRepair(spark, f, root, v)
         val liveK = revisions(f, root, v).lastOption
         val manifested =
           liveK.exists(k => f.exists(manifestPath(root, v, k)))

@@ -231,6 +231,54 @@ class SnapshotsSpec extends SparkSpecBase {
     assert(Snapshots.open(spark, root, 1L).count() == 3L)
   }
 
+  test("a pre-upgrade torn in-place redact rolls forward on first read") {
+    // the OLD engine redacted sealed versions via AtomicSwap.swap on the
+    // snap dir and relied on open()-time repair as the roll-forward; a
+    // store upgraded with that swap's commit marker pending must not be
+    // forever unreadable (dir renamed away) or forever serve the
+    // PRE-redact victim-bearing rows
+    val root = tempDir("snaplegacytorn")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/seal"))
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$root/seal/v=1.txt"), true)
+    try out.write("rows:3\ncreated:0\n".getBytes("UTF-8")) finally out.close()
+    // worst case: replacement durable (__new + __commit), old dir gone
+    decRows(dayOne.take(3)).write.parquet(s"$root/snap/v=1__new")
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/snap/v=1__commit"), true)
+      .close()
+    assert(Snapshots.open(spark, root, 1L).count() == 3L,
+      "torn committed legacy redact never rolled forward")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/snap/v=1__commit")),
+      "roll-forward left the commit marker")
+    // ... and a later redact/read keeps working on the repaired layout
+    Snapshots.redact(spark, root, Seq(1L).toDF("doc_id"))
+    assert(Snapshots.open(spark, root, 1L).count() == 2L)
+  }
+
+  test("legacy versions export training shards, tied to revision 0") {
+    val root = tempDir("snaplegacyexp")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val docs = (1L to 4L).map(i => (i, "en", s"tok$i tok tok"))
+      .toDF("doc_id", "lang", "text")
+    decRows(dayOne).write.parquet(s"$root/snap/v=1")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/seal"))
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$root/seal/v=1.txt"), true)
+    try out.write("rows:4\ncreated:0\n".getBytes("UTF-8")) finally out.close()
+    Snapshots.exportShards(spark, root, 1L, docs, ctx = 8, chunk = 2)
+    assert(Snapshots.shardsFresh(spark, root, 1L))
+    assert(Snapshots.openShards(spark, root, 1L)
+      .select("doc_id").distinct().count() == 3L) // kept docs 1, 2, 4
+    // the first redact publishes r=1 and the export goes stale through
+    // the ordinary fence
+    Snapshots.redact(spark, root, Seq(2L).toDF("doc_id"))
+    assert(!Snapshots.shardsFresh(spark, root, 1L))
+    Snapshots.reexportStaleShards(spark, root, docs)
+    assert(Snapshots.openShards(spark, root, 1L)
+      .filter(col("doc_id") === 2L).isEmpty)
+  }
+
   test("a torn redact is invisible and its replay converges") {
     val root = tempDir("snaptornredact")
     Snapshots.create(spark, root, decRows(dayOne))
