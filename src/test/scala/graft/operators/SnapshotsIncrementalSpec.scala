@@ -127,6 +127,31 @@ class SnapshotsIncrementalSpec extends SparkSpecBase {
       "retired marker survived after its data was collected")
   }
 
+  test("a crashed incremental seal is invisible; the replay burns the number and converges") {
+    val root = tempDir("snapinccrash")
+    val v1 = Snapshots.createIncremental(spark, root, rowsOf(1L to 20L))
+    // simulate a create that crashed AFTER its revision publish (data +
+    // manifest + marker durable) but BEFORE the seal-marker commit
+    val v2 = Snapshots.createIncremental(spark, root, rowsOf(1L to 21L))
+    val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(f.delete(new Path(s"$root/seal/v=$v2.txt"), false))
+    assert(Snapshots.versions(spark, root) == Seq(v1),
+      "unsealed debris is visible")
+    // the replay (different rows — the day re-ran differently) allocates
+    // a FRESH number (the hwm burned v2; re-using it would ambiguate any
+    // record that ever mentioned it) and reconstructs correctly
+    val v3 = Snapshots.createIncremental(spark, root, rowsOf(1L to 19L))
+    assert(v3 == v2 + 1L, s"crashed seal's number re-used (got $v3)")
+    assert(canon(Snapshots.open(spark, root, v3))
+      .sameElements(canon(rowsOf(1L to 19L))))
+    assert(canon(Snapshots.open(spark, root, v1))
+      .sameElements(canon(rowsOf(1L to 20L))))
+    // the debris never pins real copies forever: aged gc sweeps it
+    Snapshots.gc(spark, root, keep = _ => true, graceMs = 0L)
+    assert(!f.exists(new Path(s"$root/snap/v=$v2")),
+      "crashed incremental seal's debris survived gc")
+  }
+
   test("a takedown that empties every batch leaves the version openable at zero rows") {
     val root = tempDir("snapincempty")
     val v = Snapshots.createIncremental(spark, root,
