@@ -263,19 +263,35 @@ object Snapshots {
   }
 
   /** The canonical per-batch content summary an incremental seal
-    * compares: (row count, order-free xor of a 64-bit whole-row hash)
-    * per batch — ONE aggregate scan, column set sorted by name so the
-    * checksum is layout-independent. Collision odds are 2⁻⁶⁴-scale per
-    * batch; a false "unchanged" would silently reference stale rows,
-    * which is the usual content-address trade every manifest store
-    * makes. */
+    * compares: (row count, order-free MULTISET checksum of a 64-bit
+    * whole-row hash) per batch — ONE aggregate scan, column set sorted
+    * by name so the checksum is layout-independent. The checksum is the
+    * component-wise sum of the hash's two 32-bit halves, each mod 2³²,
+    * recombined into one long: order-free like xor but multiplicity-
+    * sensitive — a plain xor cancels duplicate rows ({A,A}→{C,C} keeps
+    * both count and xor), whereas the half-sums move unless the hash
+    * halves collide mod 2³² under the multiplicity, a collision-scale
+    * event. Overflow-free under ANSI for < 2³¹ rows per batch (a batch
+    * is one arrival day — enforced below, not assumed). A false
+    * "unchanged" would silently reference stale rows; that residual
+    * 2⁻⁶⁴-scale risk is the usual content-address trade every manifest
+    * store makes. */
   private def batchSums(rows: DataFrame,
                         batchCol: String): Map[Long, (Long, Long)] = {
     val dataCols = rows.columns.filterNot(_ == batchCol).sorted
+    val h = xxhash64(dataCols.map(col): _*)
+    val m32 = lit(4294967296L) // 2^32
     rows.groupBy(col(batchCol).cast(LongType).as("__b"))
       .agg(count(lit(1)).as("__n"),
-        call_function("bit_xor", xxhash64(dataCols.map(col): _*)).as("__x"))
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        shiftleft(pmod(sum(shiftrightunsigned(h, 32)), m32), 32)
+          .bitwiseOR(pmod(sum(h.bitwiseAND(m32 - lit(1L))), m32)).as("__x"))
+      .collect().map { r =>
+        require(r.getLong(1) < 2147483648L,
+          s"batch ${r.getLong(0)} holds ${r.getLong(1)} rows — the " +
+            s"half-sum checksum is overflow-proven only below 2^31 rows " +
+            s"per batch; split the batch key finer")
+        r.getLong(0) -> (r.getLong(1), r.getLong(2))
+      }.toMap
   }
 
   /** Version allocation is STRICTLY monotone across the store's whole
@@ -347,22 +363,32 @@ object Snapshots {
     * graced sweep alone).
     *
     * `rows` must carry `batchCol` (the driver's decision table is
-    * batch-partitioned by arrival day — the same key). When the
-    * previous version has no manifest (a legacy full seal, or no
-    * previous version at all), every batch counts as changed and this
-    * seal writes a full self-owned copy — later seals go incremental.
+    * batch-partitioned by arrival day — the same key). The PHYSICAL
+    * layout is always `batch=` regardless of the caller's column name —
+    * a non-default batchCol is normalized via rename before the write,
+    * because every reader ([[open]]'s manifest paths), the gc sweep,
+    * and [[redact]] resolve `batch=` dirs; sealed data therefore reads
+    * back with the partition column named `batch`. When the previous
+    * version has no manifest (a legacy full seal, or no previous
+    * version at all), every batch counts as changed and this seal
+    * writes a full self-owned copy — later seals go incremental.
     * Crash story = [[create]]'s: an unsealed version's debris (data,
     * manifest, revision marker) is invisible and overwritten by the
     * next create. */
-  def createIncremental(spark: SparkSession, root: String, rows: DataFrame,
+  def createIncremental(spark: SparkSession, root: String, rowsIn: DataFrame,
                         batchCol: String = "batch"): Long =
     Lease.withLease(spark, root, "snapshot-create") {
       val f = fsOf(spark, root)
-      require(rows.columns.contains(batchCol),
+      require(rowsIn.columns.contains(batchCol),
         s"createIncremental needs the '$batchCol' column (the partition " +
           s"key unchanged batches are deduplicated on); use create for " +
           s"unpartitioned rows")
-      val sums = batchSums(rows, batchCol)
+      require(batchCol == "batch" || !rowsIn.columns.contains("batch"),
+        s"batchCol='$batchCol' clashes with an existing 'batch' column — " +
+          s"the sealed layout reserves that name for the partition key")
+      val rows = if (batchCol == "batch") rowsIn
+        else rowsIn.withColumnRenamed(batchCol, "batch")
+      val sums = batchSums(rows, "batch")
       val v = allocVersion(spark, f, root)
       f.delete(new Path(snapDir(root, v)), true)
       if (sums.isEmpty) {
@@ -387,9 +413,9 @@ object Snapshots {
           // predicate would cost more than it prunes
           val copied =
             if (changed == sums.keySet) rows
-            else rows.filter(col(batchCol).isin(changed.toSeq: _*))
-          copied.withColumn(batchCol, col(batchCol).cast(LongType))
-            .write.partitionBy(batchCol).parquet(revDir(root, v, 0L))
+            else rows.filter(col("batch").isin(changed.toSeq: _*))
+          copied.withColumn("batch", col("batch").cast(LongType))
+            .write.partitionBy("batch").parquet(revDir(root, v, 0L))
         }
         val refs = sums.toSeq.sortBy(_._1).map { case (b, (n, x)) =>
           if (changed(b)) BatchRef(b, v, 0L, n, x)
