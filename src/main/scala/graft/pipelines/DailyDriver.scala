@@ -31,9 +31,11 @@ import org.apache.spark.sql.functions._
   *    [[hybridSearch]]'s IVFADC path (`pqDepth > 0`) nominates
   *    candidates from before the exact rerank against `vec_index`
   *  - `fps/`        — per-document content fingerprints (doc_id, fp,
-  *    len), maintained incrementally (one text scan at [[init]], one
+  *    len), batch-partitioned by arrival day like the decision table,
+  *    maintained incrementally (one text scan at [[init]], one
   *    per delta at [[step]]) so sealing a [[snapshot]] or running
-  *    [[verifySnapshot]] never re-reads corpus text
+  *    [[verifySnapshot]] never re-reads corpus text — and so a
+  *    [[forget]] rewrites only victim-bearing arrival days
   *  - `snapshots/`  — sealed training-set exports
   *    ([[graft.operators.Snapshots]]): every [[snapshot]] call seals
   *    the current decision table + fingerprints as an immutable
@@ -109,6 +111,12 @@ object DailyDriver {
     AtomicSwap.repair(spark, indexDir(dir))
     PartitionSwap.repair(spark, indexDir(dir))
     batched(spark.read.parquet(indexDir(dir)))
+  }
+
+  private def openFpsBatched(spark: SparkSession, dir: String): DataFrame = {
+    AtomicSwap.repair(spark, fpsDir(dir))
+    PartitionSwap.repair(spark, fpsDir(dir))
+    batched(spark.read.parquet(fpsDir(dir)))
   }
 
   /** Whether `path` holds root-level parquet data files — a FLAT table
@@ -400,6 +408,7 @@ object DailyDriver {
     // that publish's marker to replay stale partitions over day 0
     PartitionSwap.repair(spark, decisionsDir(dir))
     PartitionSwap.repair(spark, indexDir(dir))
+    PartitionSwap.repair(spark, fpsDir(dir))
     Curation.curate(docs, benchmark, cfg)
       .select(Curation.DecisionCols.map(col): _*)
       .withColumn("batch", lit(0L))
@@ -409,7 +418,8 @@ object DailyDriver {
     // here (the one place a full text scan already happens) and grown
     // per-delta by [[step]], so a snapshot is never a corpus read
     graft.operators.Snapshots.fingerprints(docs)
-      .write.mode("overwrite").parquet(fpsDir(dir))
+      .withColumn("batch", lit(0L))
+      .write.partitionBy("batch").mode("overwrite").parquet(fpsDir(dir))
     val decisions = spark.read.parquet(decisionsDir(dir))
     val cand = candidates(docs, decisions)
     graft.streaming.StreamOps.signatureIndex(cand)
@@ -535,18 +545,35 @@ object DailyDriver {
           .parquet(indexDir(dir))
     }
     // fingerprint the arrivals (ALL of them — candidacy doesn't gate
-    // the audit substrate). Same landed-or-not replay probe as the
-    // other appends; repair first because [[forget]] swaps this table.
-    // A pre-fps driver dir (upgraded mid-life) starts the table here —
-    // its sealed snapshots then carry fingerprints from this day on.
+    // the audit substrate), stamped with this step's batch so the
+    // takedown's fps rewrite prunes to victim-bearing arrival days
+    // (the sig index's exact protocol). Same landed-or-not replay
+    // probe as the other appends; repair first because [[forget]]
+    // swaps/publishes this table. A pre-fps driver dir (upgraded
+    // mid-life) starts the table here — its sealed snapshots then
+    // carry fingerprints from this day on.
     val fpsLanded = pathExists(spark, fpsDir(dir)) && {
       AtomicSwap.repair(spark, fpsDir(dir))
+      PartitionSwap.repair(spark, fpsDir(dir))
       !spark.read.parquet(fpsDir(dir))
         .join(deltaIds, Seq("doc_id"), "left_semi").isEmpty
     }
-    if (!fpsLanded)
-      graft.operators.Snapshots.fingerprints(newDocs)
-        .write.mode("append").parquet(fpsDir(dir))
+    if (!fpsLanded) {
+      val fpsDelta = graft.operators.Snapshots.fingerprints(newDocs)
+        .withColumn("batch", lit(minId))
+      if (hasRootDataFiles(spark, fpsDir(dir)))
+        // a FLAT table (legacy pre-partitioned layout, or a repaired
+        // wholesale replacement) cannot take partition-dir appends —
+        // re-found the partitioned layout wholesale, existing rows +
+        // the delta in one swap (the sig index's rule)
+        AtomicSwap.swap(spark, fpsDir(dir)) { tmp =>
+          openFpsBatched(spark, dir).unionByName(fpsDelta)
+            .write.partitionBy("batch").parquet(tmp)
+        }
+      else
+        fpsDelta.write.partitionBy("batch").mode("append")
+          .parquet(fpsDir(dir))
+    }
     // fold the day's candidates into the retrieval index — touches only
     // the delta's term buckets (see LexIndex.merge; exact vs a full
     // rebuild, DailyDriverApiSpec)
@@ -616,20 +643,16 @@ object DailyDriver {
 
   private def stagingDir(dir: String) = s"$dir/staging"
 
-  /** The live streaming queries [[stepStream]] started. Stop (and
-    * drain) every one BEFORE [[stepStreamReconcile]] — a reconcile
-    * racing a live micro-batch could read a half-landed day. `pq` is
-    * None when the code table is absent or desynced from the raw index
-    * (the batch [[step]]'s skip rule: searches already fall back to
-    * the exact scan, and the next sourced [[maintain]] refresh
-    * re-encodes the day from the decision table). */
+  /** The live streaming query [[stepStream]] started — ONE composite
+    * ingest query whose every micro-batch lands staging and all three
+    * index appends (the four-query round-9 shape paid the ingest gate,
+    * micro-batch scheduling, and candidacy arithmetic four ways per
+    * trigger; the composite pays each once). Stop (and drain) it
+    * BEFORE [[stepStreamReconcile]] — a reconcile racing a live
+    * micro-batch could read a half-landed day. */
   final case class StepStreamHandles(
-      staging: org.apache.spark.sql.streaming.StreamingQuery,
-      lex: org.apache.spark.sql.streaming.StreamingQuery,
-      vec: Option[org.apache.spark.sql.streaming.StreamingQuery],
-      pq: Option[org.apache.spark.sql.streaming.StreamingQuery]) {
-    def all: Seq[org.apache.spark.sql.streaming.StreamingQuery] =
-      Seq(staging, lex) ++ vec ++ pq
+      ingest: org.apache.spark.sql.streaming.StreamingQuery) {
+    def all: Seq[org.apache.spark.sql.streaming.StreamingQuery] = Seq(ingest)
     def stopAll(): Unit = all.foreach(_.stop())
   }
 
@@ -643,14 +666,20 @@ object DailyDriver {
     *  - accepted arrivals land in `staging/` exactly-once (each
     *    micro-batch dynamic-overwrites its OWN `mb=batchId` partition,
     *    so a checkpoint-replayed batch rewrites rather than duplicates);
-    *  - CANDIDACY is decided in-stream with the batch pipeline's exact
-    *    arithmetic (same quality counters, same broadcast benchmark
-    *    shingle intersect), and the candidates feed the three
-    *    epoch-fenced index `appendStream`s — [[hybridSearch]] sees the
-    *    day's documents as they arrive, not at day end. A concurrent
+    *  - CANDIDACY is decided per micro-batch with the batch pipeline's
+    *    exact arithmetic (same quality counters, same broadcast
+    *    benchmark shingle intersect — the benchmark row materialized
+    *    ONCE at stream start), and the candidates feed the three
+    *    epoch-fenced index appends — [[hybridSearch]] sees the day's
+    *    documents as they arrive, not at day end. All four landings
+    *    run inside ONE composite query's foreachBatch (one checkpoint,
+    *    one gate evaluation, one candidacy compute per trigger — the
+    *    four-query shape paid each four ways); a crash mid-batch
+    *    replays the whole batch, and every half converges (mb=/b=
+    *    dynamic overwrite; the lexical presence probe). A concurrent
     *    [[maintain]] that folds/retrains bumps the stores' epochs and
-    *    the streams FAIL their next batch loudly (the operators'
-    *    documented fence) — restart them after the pass;
+    *    the ingest FAILS its next batch loudly (the operators'
+    *    documented fence) — restart it after the pass;
     *  - the signature index and fingerprint store are deliberately NOT
     *    streamed: nothing reads them intra-day (near-dup pairing runs
     *    at reconcile; snapshots seal after it), so
@@ -682,71 +711,108 @@ object DailyDriver {
     import graft.functions.TextFunctions._
     import graft.operators.{LexIndex, PqIndex, VecIndex}
     import graft.streaming.StreamOps
+    val ckpt = s"$checkpointRoot/ingest"
     val accepted = StreamOps.streamingCurate(arrivals, ingestMinQuality,
       watermark)
-    val qStaging = accepted.select(col("doc_id"), col("text"))
-      .writeStream
-      .option("checkpointLocation", s"$checkpointRoot/staging")
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.withColumn("mb", lit(batchId))
-          .write.partitionBy("mb").mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .parquet(stagingDir(dir))
-      }
-      .start()
-    // candidacy in-stream, the batch score()'s exact arithmetic: the
-    // same quality the gate already computed, plus the broadcast
-    // benchmark shingle intersect — so the streamed index entries are
-    // bitwise the ones the batch step would have appended
+    // the benchmark's shingle row is computed ONCE and eagerly
+    // materialized — the four-query shape re-tokenized the whole
+    // benchmark inside every consumer's every micro-batch (the
+    // dominant slice of the streamed day's 5× batch-day constant)
     val benchRow = graft.pipelines.Curation
       .benchShingles(benchmark, cfg.shingleWidth)
       .agg(array_sort(collect_set(col("h"))).as("bench_sh"))
-    val cand = accepted
-      .withColumn("tk", tokens(col("text")))
-      .withColumn("sh", wordShingles(col("tk"), cfg.shingleWidth))
-      .crossJoin(broadcast(benchRow))
-      .withColumn("n_overlap",
-        call_function("sorted_intersect_count", col("sh"), col("bench_sh"))
-          .cast(org.apache.spark.sql.types.LongType))
-      .withColumn("contam_ratio",
-        when(size(col("sh")) > 0,
-          col("n_overlap").cast(org.apache.spark.sql.types.DoubleType) /
-            size(col("sh")).cast(org.apache.spark.sql.types.DoubleType))
-          .otherwise(0.0))
-      .filter(col("quality") >= cfg.minQuality &&
-        col("contam_ratio") <= cfg.maxContamRatio)
-      .select(col("doc_id"), col("text"))
-    val qLex = LexIndex.appendStream(cand, "doc_id", "text",
-      lexDir(dir), s"$checkpointRoot/lex")
+      .localCheckpoint(true)
+    require(LexIndex.currentVersion(spark, lexDir(dir)) > 0L,
+      s"no published index under ${lexDir(dir)} — build first, then stream")
     val vdir = vecIndexDir(dir)
     val pqdir = pqIndexDir(dir)
-    val (qVec, qPq) = embeddings match {
-      case None => (None, None)
-      case Some(emb) =>
-        val cents = VecIndex.openCentroids(spark, vdir).getOrElse(
-          throw new IllegalStateException(
-            s"driver vec index at $vdir has no quantizer — init with " +
-              s"embeddings first"))
-        val candEmb = cand.select(col("doc_id"))
-          .join(emb.select(col("doc_id"), col("embedding")), Seq("doc_id"))
-        val v = VecIndex.appendStream(candEmb, "doc_id", "embedding",
-          cents, vdir, s"$checkpointRoot/vec")
-        // the code table streams under the RAW index's cosine cell
-        // assignment — one assignment, two stores, like the batch
-        // step's appendAssigned (encode's own coarse rule would
-        // silently desync the pair doc by doc)
-        val p =
-          if (PqIndex.currentVersion(spark, pqdir) > 0L &&
-              pqCoarseAligned(spark, pqdir, collectCoarse(cents)))
-            Some(PqIndex.appendStreamAssigned(
-              VecIndex.assignFold(candEmb, "doc_id", "embedding", cents)
-                .select(col("doc_id"), col("embedding"), col("cid")),
-              "doc_id", "embedding", pqdir, s"$checkpointRoot/pq"))
-          else None
-        (Some(v), p)
+    // pin every store's stream coordinates at START (one manifest
+    // resolution each; each micro-batch re-fences under the store's
+    // lease inside its appendStreamBatch)
+    val vecSide = embeddings.map { emb =>
+      val cents = VecIndex.openCentroids(spark, vdir).getOrElse(
+        throw new IllegalStateException(
+          s"driver vec index at $vdir has no quantizer — init with " +
+            s"embeddings first"))
+      val pqPin =
+        if (PqIndex.currentVersion(spark, pqdir) > 0L &&
+            pqCoarseAligned(spark, pqdir, collectCoarse(cents)))
+          Some(PqIndex.pinStreamAppend(spark, pqdir, ckpt))
+        else None
+      (emb.select(col("doc_id"), col("embedding")),
+        VecIndex.pinStreamAppend(spark, vdir, ckpt), pqPin, cents)
     }
-    StepStreamHandles(qStaging, qLex, qVec, qPq)
+    val q = accepted.select(col("doc_id"), col("text"), col("quality"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        // ONE micro-batch lands every store, replay-safe end to end: a
+        // crash anywhere re-runs the whole batch (offsets uncommitted)
+        // and each half converges — staging/vec/pq by their
+        // mb=/b=batchId dynamic overwrite, lex by its presence probe.
+        val batch = batch0.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try if (!batch.isEmpty) {
+          batch.select(col("doc_id"), col("text"))
+            .withColumn("mb", lit(batchId))
+            .write.partitionBy("mb").mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(stagingDir(dir))
+          // candidacy ONCE per micro-batch, the batch score()'s exact
+          // arithmetic: the gate's quality + the broadcast benchmark
+          // shingle intersect — so the streamed index entries are
+          // bitwise the ones the batch step would have appended
+          val cand = batch
+            .withColumn("tk", tokens(col("text")))
+            .withColumn("sh", wordShingles(col("tk"), cfg.shingleWidth))
+            .crossJoin(broadcast(benchRow))
+            .withColumn("n_overlap",
+              call_function("sorted_intersect_count",
+                col("sh"), col("bench_sh"))
+                .cast(org.apache.spark.sql.types.LongType))
+            .withColumn("contam_ratio",
+              when(size(col("sh")) > 0,
+                col("n_overlap")
+                  .cast(org.apache.spark.sql.types.DoubleType) /
+                  size(col("sh"))
+                    .cast(org.apache.spark.sql.types.DoubleType))
+                .otherwise(0.0))
+            .filter(col("quality") >= cfg.minQuality &&
+              col("contam_ratio") <= cfg.maxContamRatio)
+            .select(col("doc_id"), col("text"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            LexIndex.appendStreamBatch(spark, lexDir(dir), cand)
+            vecSide.foreach { case (emb, vecPin, pqPin, cents) =>
+              // one cosine assignment, two stores (the batch step's
+              // appendAssigned rule — PQ's own coarse rule would
+              // silently desync the pair doc by doc)
+              val assigned = VecIndex.assignFold(
+                emb.join(broadcast(cand.select(col("doc_id"))),
+                  Seq("doc_id")),
+                "doc_id", "embedding", cents)
+                .persist(
+                  org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              try {
+                VecIndex.appendStreamBatch(spark, vdir, vecPin,
+                  assigned.select(col("doc_id"), col("embedding"),
+                    col("norm"), col("cid")), batchId)
+                pqPin.foreach { p =>
+                  PqIndex.appendStreamBatch(spark, pqdir, p,
+                    PqIndex.encodeAssignedBatch(spark, pqdir, p,
+                      assigned.select(col("doc_id"), col("embedding"),
+                        col("cid")),
+                      "doc_id", "embedding"), batchId)
+                }
+              } finally assigned.unpersist()
+            }
+          } finally cand.unpersist()
+        } finally batch.unpersist()
+        ()
+      }
+      .start()
+    StepStreamHandles(q)
   }
 
   /** END-OF-DAY reconcile for [[stepStream]]: fold the staged arrivals
@@ -776,8 +842,14 @@ object DailyDriver {
     require(pathExists(spark, sd),
       s"no staged arrivals under $sd — stepStream never ran (or this " +
         s"day was already reconciled)")
+    // distinct by doc_id: a mid-day fresh-checkpoint restart (the
+    // documented recovery after a maintenance fence) replays arrivals
+    // under new micro-batch boundaries, so a doc can land in two mb=
+    // partitions — day ids are unique by contract, so the dedup is
+    // exact and delta-sized
     val staged = spark.read.parquet(sd)
-      .select(col("doc_id"), col("text")).localCheckpoint(true)
+      .select(col("doc_id"), col("text"))
+      .dropDuplicates("doc_id").localCheckpoint(true)
     require(!staged.isEmpty,
       s"staging under $sd is empty — nothing to reconcile")
     val out = step(spark, staged, benchmark, dir, cfg, embeddings)
@@ -788,11 +860,13 @@ object DailyDriver {
     // fold, which stays maintain's policy call — and a replayed
     // reconcile finds batch-governed epochs and no-ops. The bump also
     // fences a zombie checkpoint's late micro-batch loudly.
+    // Unconditional: adopt no-ops on an absent or batch-governed epoch
+    // at probe cost, and gating on manifest version would skip the
+    // documented pure-stream v=0 state, leaving the epoch
+    // stream-governed so tomorrow's batch append fails its fence.
     import graft.operators.{PqIndex, VecIndex}
-    if (VecIndex.currentVersion(spark, vecIndexDir(dir)) > 0L)
-      VecIndex.adoptStreamDelta(spark, vecIndexDir(dir))
-    if (PqIndex.currentVersion(spark, pqIndexDir(dir)) > 0L)
-      PqIndex.adoptStreamDelta(spark, pqIndexDir(dir))
+    VecIndex.adoptStreamDelta(spark, vecIndexDir(dir))
+    PqIndex.adoptStreamDelta(spark, pqIndexDir(dir))
     val p = new org.apache.hadoop.fs.Path(sd)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     out
@@ -907,15 +981,37 @@ object DailyDriver {
     if (PqIndex.currentVersion(spark, pqdir) > 0L &&
         PqIndex.containsAny(spark, pqdir, vIds))
       PqIndex.delete(spark, pqdir, "doc_id", vIds)
-    // the victims' text-derived fingerprints go too (gated anti-join
-    // swap, same probe-cost no-op on replay as the signature rewrite)
+    // the victims' text-derived fingerprints go too — PARTITION-PRUNED
+    // like the signature rewrite: one column-pruned census finds the
+    // victim-bearing arrival days, only those partitions move (emptied
+    // ones dropped through the same marker); probe-cost no-op on replay
     if (pathExists(spark, fpsDir(dir))) {
-      AtomicSwap.repair(spark, fpsDir(dir))
-      val prevFps = spark.read.parquet(fpsDir(dir))
-      if (!prevFps.join(vIds, Seq("doc_id"), "left_semi").isEmpty)
-        AtomicSwap.swap(spark, fpsDir(dir)) { tmp =>
-          prevFps.join(vIds, Seq("doc_id"), "left_anti").write.parquet(tmp)
-        }
+      refoundPartitioned(spark, openFpsBatched(spark, dir), fpsDir(dir))
+      val fpsB = openFpsBatched(spark, dir)
+      val fpsHit = fpsB.join(vIds, Seq("doc_id"), "left_semi")
+        .select(col("batch")).distinct().collect().map(_.getLong(0))
+      if (fpsHit.nonEmpty) {
+        val fpsSurv = fpsB.filter(col("batch").isin(fpsHit.toSeq: _*))
+          .join(vIds, Seq("doc_id"), "left_anti")
+          .localCheckpoint() // read twice: batch census + staged write
+        val fpsLive = fpsSurv.select(col("batch")).distinct()
+          .collect().map(_.getLong(0)).toSet
+        val untouchedFps = fpsB.select(col("batch")).distinct()
+          .filter(!col("batch").isin(fpsHit.toSeq: _*)).limit(1).count() > 0L
+        if (!untouchedFps && fpsLive.isEmpty)
+          // the takedown emptied the WHOLE table — flat empty shape
+          // carries the schema (batch as a data column), the next
+          // step's append re-founds the partitioned layout
+          AtomicSwap.swap(spark, fpsDir(dir)) { tmp =>
+            fpsSurv.write.parquet(tmp)
+          }
+        else
+          PartitionSwap.swap(spark, fpsDir(dir),
+            drop = (fpsHit.toSet -- fpsLive).toSeq.sorted
+              .map(b => s"batch=$b")) { stage =>
+            fpsSurv.write.partitionBy("batch").parquet(stage)
+          }
+      }
     }
     // ... and the takedown cascades through SEALED history: every
     // snapshot version containing a victim is redacted in place
@@ -1178,8 +1274,15 @@ object DailyDriver {
     *    mutating anything — maintain refuses to retrain a shared
     *    layout it cannot re-encode.
     *
-    * Decisions and the chunk-loop tables swap wholesale on their own
-    * writes and need no periodic pass.
+    *  - the decision and fingerprint tables: each [[step]]'s partition
+    *    publish writes task-count files into the touched batches and
+    *    nothing else ever compacts them, so over years of daily steps
+    *    they accrue exactly the small-file debt the sig gate measures —
+    *    same measure (one listing), same `sigRelayShare` threshold,
+    *    same partition-preserving crash-atomic re-lay.
+    *
+    * The chunk-loop tables swap wholesale on their own writes and need
+    * no periodic pass.
     *
     * @return what fired this pass ([[MaintainReport]]) — every gated
     *         mutation's trigger outcome plus the measured skew and
@@ -1263,6 +1366,33 @@ object DailyDriver {
         .repartition(col("batch"))
         .sortWithinPartitions(col("batch"), col("doc_id"))
       AtomicSwap.swap(spark, indexDir(dir)) { tmp =>
+        live.write.partitionBy("batch").parquet(tmp)
+      }
+    }
+    // the decision and fingerprint tables accrue the SAME small-file
+    // debt (each step's partition publish writes task-count files into
+    // the touched batches; nothing else ever compacts them over years
+    // of daily steps) — same measure, same gate, same
+    // partition-preserving crash-atomic re-lay
+    val decFileDebt = fileDebtOf(spark, decisionsDir(dir))
+    val decRelaid = decFileDebt > sigRelayShare
+    if (decRelaid) {
+      val live = openDecisionsBatched(spark, dir)
+        .repartition(col("batch"))
+        .sortWithinPartitions(col("batch"), col("doc_id"))
+      AtomicSwap.swap(spark, decisionsDir(dir)) { tmp =>
+        live.write.partitionBy("batch").parquet(tmp)
+      }
+    }
+    val fpsFileDebt =
+      if (pathExists(spark, fpsDir(dir))) fileDebtOf(spark, fpsDir(dir))
+      else 0.0
+    val fpsRelaid = fpsFileDebt > sigRelayShare
+    if (fpsRelaid) {
+      val live = openFpsBatched(spark, dir)
+        .repartition(col("batch"))
+        .sortWithinPartitions(col("batch"), col("doc_id"))
+      AtomicSwap.swap(spark, fpsDir(dir)) { tmp =>
         live.write.partitionBy("batch").parquet(tmp)
       }
     }
@@ -1368,16 +1498,17 @@ object DailyDriver {
       }
     }
     MaintainReport(lexCompacted, sigRelaid, vecCompacted, retrained,
-      pqCompacted, pqRefreshed, skew, pqSkew, alignedBefore, sigFileDebt)
+      pqCompacted, pqRefreshed, skew, pqSkew, alignedBefore, sigFileDebt,
+      decRelaid, decFileDebt, fpsRelaid, fpsFileDebt)
    }
 
-  /** The signature index's small-file debt: the share of its data
-    * files a re-lay would remove (1 − partition groups / files) — ONE
-    * directory listing, the measurement [[maintain]]'s `sigRelayShare`
-    * gate and [[status]]'s sig row read. Root-level files (the flat
+  /** A batch-partitioned table's small-file debt: the share of its
+    * data files a re-lay would remove (1 − partition groups / files) —
+    * ONE directory listing, the measurement [[maintain]]'s re-lay
+    * gates and [[status]]'s rows read. Root-level files (the flat
     * empty table a total takedown leaves) count as one group. */
-  private def sigFileDebtOf(spark: SparkSession, dir: String): Double = {
-    val dst = new org.apache.hadoop.fs.Path(indexDir(dir))
+  private def fileDebtOf(spark: SparkSession, path: String): Double = {
+    val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dst)) return 0.0
     var files = 0L; var groups = 0L; var rootFiles = 0L
@@ -1393,6 +1524,9 @@ object DailyDriver {
     if (files == 0L) 0.0 else 1.0 - groups.toDouble / files
   }
 
+  private def sigFileDebtOf(spark: SparkSession, dir: String): Double =
+    fileDebtOf(spark, indexDir(dir))
+
   /** What a [[maintain]] pass actually did: each flag true iff the
     * corresponding gated mutation FIRED (false = measured under its
     * threshold, or the store does not exist). `vecCellSkew`,
@@ -1407,7 +1541,11 @@ object DailyDriver {
                                   pqCompacted: Boolean, pqRefreshed: Boolean,
                                   vecCellSkew: Double, pqCellSkew: Double,
                                   pqAlignedBefore: Boolean,
-                                  sigFileDebt: Double)
+                                  sigFileDebt: Double,
+                                  decRelaid: Boolean = false,
+                                  decFileDebt: Double = 0.0,
+                                  fpsRelaid: Boolean = false,
+                                  fpsFileDebt: Double = 0.0)
 
   /** One store's row in the [[status]] readout. `debtShare` is the
     * store's gated-maintenance debt: current-delta share for the LSM
@@ -1465,8 +1603,8 @@ object DailyDriver {
         case Some(c) => pqCoarseAligned(spark, pqdir, collectCoarse(c))
       })
     Seq(
-      StoreStatus("decisions", exists(decisionsDir(dir)), 0L, 0L, 0.0, 0.0,
-        aligned = true),
+      StoreStatus("decisions", exists(decisionsDir(dir)), 0L, 0L,
+        fileDebtOf(spark, decisionsDir(dir)), 0.0, aligned = true),
       StoreStatus("sig_index", exists(indexDir(dir)), 0L, 0L,
         sigFileDebtOf(spark, dir), 0.0, aligned = true),
       StoreStatus("lex_index", lexV > 0L, lexV, 0L,
@@ -1483,8 +1621,9 @@ object DailyDriver {
         if (pqV > 0L) PqIndex.deltaShare(spark, pqdir) else 0.0,
         if (pqV > 0L) PqIndex.cellSkew(spark, pqdir) else 0.0,
         aligned),
-      StoreStatus("fps", exists(fpsDir(dir)), 0L, 0L, 0.0, 0.0,
-        aligned = true),
+      StoreStatus("fps", exists(fpsDir(dir)), 0L, 0L,
+        if (exists(fpsDir(dir))) fileDebtOf(spark, fpsDir(dir)) else 0.0,
+        0.0, aligned = true),
       // snapshots: version = latest sealed, epoch = how many are live
       // (retention debt a snapshotGc policy would read)
       snapVersions match {
@@ -1651,12 +1790,13 @@ object DailyDriver {
 
   // ------------------------------------------------------- snapshots
 
-  /** The live fingerprint table (doc_id, fp, len) — repairs a torn
-    * [[forget]] swap first, like the other swap-managed opens. */
-  def openFingerprints(spark: SparkSession, dir: String): DataFrame = {
-    AtomicSwap.repair(spark, fpsDir(dir))
-    spark.read.parquet(fpsDir(dir))
-  }
+  /** The live fingerprint table (doc_id, fp, len — the `batch`
+    * partition key is storage layout, not audit state, same rule as
+    * [[openDecisions]]) — repairs a torn [[forget]] swap AND an
+    * interrupted partition-set publish first, like the other
+    * swap-managed opens. */
+  def openFingerprints(spark: SparkSession, dir: String): DataFrame =
+    openFpsBatched(spark, dir).drop("batch")
 
   /** Seal the CURRENT decision table (plus each row's content
     * fingerprint) as the next snapshot version — the immutable record
@@ -1864,9 +2004,13 @@ object DailyDriver {
         candEmb.foreach(ce =>
           rebuildVectorStores(spark, dir, ce, quantizer, gcGraceMs))
       } finally candEmb.foreach(_.unpersist())
+      // fps re-founds partitioned from the seal — rows keep their home
+      // batches like the decision table, so a restored dir's takedowns
+      // prune the same arrival days they would have pre-restore
       AtomicSwap.swap(spark, fpsDir(dir)) { tmp =>
-        sealedRows.select(col("doc_id"), col("fp"), col("len"))
-          .write.parquet(tmp)
+        sealedRows
+          .select(col("doc_id"), col("fp"), col("len"), col("batch"))
+          .write.partitionBy("batch").parquet(tmp)
       }
       AtomicSwap.swap(spark, decisionsDir(dir)) { tmp =>
         decB.write.partitionBy("batch").parquet(tmp)

@@ -769,8 +769,10 @@ object CurationQ {
     import graft.operators.ShardExport
     val docs = Tables.documents(s, d)
     val bench = docs.filter(col("doc_id") % 50 === 0).select("doc_id", "text")
-    // cached: feeds the source-dim aggregate AND the expansion join —
-    // without it Catalyst re-runs the curation DAG for each
+    // eagerly checkpointed: feeds the source-dim aggregate AND the
+    // expansion join — without it Catalyst re-runs the curation DAG for
+    // each. localCheckpoint (not cache) so the blocks are released by
+    // the ContextCleaner after the query instead of pinned for the run.
     val kept = graft.pipelines.Curation.curate(docs, bench,
         graft.pipelines.Curation.Config(minQuality = 2.95))
       .filter(col("keep")).select(col("doc_id"), col("split"))
@@ -778,7 +780,7 @@ object CurationQ {
         col("text")), Seq("doc_id"))
       .withColumn("fp", strHash(col("text")))
       .withColumn("n_tok", size(tokens(col("text"))).cast(LongType))
-      .cache()
+      .localCheckpoint(true)
     val bySrc = kept.groupBy(col("source")).agg(sum(col("n_tok")).as("tok_s"))
     val tot = bySrc.agg(sum(col("tok_s")).as("tok_tot"))
     val dim = bySrc.crossJoin(broadcast(tot))

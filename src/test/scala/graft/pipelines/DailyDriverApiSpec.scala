@@ -323,8 +323,12 @@ class DailyDriverApiSpec extends SparkSpecBase {
     // be SKIPPED (a compact first would rewrite the corpus twice), yet
     // the pending delta still folds; the moved layout then forces the
     // PQ refresh, which retires the code table's delta epoch too.
+    // sigRelayShare below the tiny fixture's file-count artifacts so
+    // the decisions/sig/fps re-lays may fire too — the closing status
+    // assertion is "nothing reclaimable remains after a full pass"
     val rep = DailyDriver.maintain(spark, dir, vecDeltaShare = 0.0,
-      vecMaxCellShare = 0.0, vecGcGraceMs = 0L, embeddings = Some(emb))
+      vecMaxCellShare = 0.0, vecGcGraceMs = 0L, embeddings = Some(emb),
+      sigRelayShare = 0.25)
     assert(rep.vecRetrained && !rep.vecCompacted && rep.pqRefreshed &&
       rep.pqAlignedBefore,
       s"skewed maintain misreported itself: $rep")

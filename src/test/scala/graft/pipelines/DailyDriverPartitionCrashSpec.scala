@@ -130,4 +130,51 @@ class DailyDriverPartitionCrashSpec extends SparkSpecBase {
     assert(canon(DailyDriver.openDecisions(spark, dir)).sameElements(want),
       "replayed forget changed the table")
   }
+
+  test("a forget torn mid-publish of the fingerprint table converges on open and replay") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val a = docs.filter(col("doc_id") % 4 =!= 0)
+    val delta = docs.filter(col("doc_id") % 4 === 0)
+    val bench = docs.filter(col("doc_id") % 50 === 0).select("doc_id", "text")
+    val dir = tempDir("daily-pswap-fps")
+    DailyDriver.init(spark, a, bench, dir, cfg)
+    DailyDriver.step(spark, delta, bench, dir, cfg)
+    val fps = s"$dir/fps"
+    val fs = fsOf(fps)
+    val conf = spark.sparkContext.hadoopConfiguration
+    // fps holds EVERY doc (candidacy doesn't gate the audit substrate),
+    // so victims from both batches make the publish span two partitions
+    val victims = docs.filter(col("doc_id") % 31 === 1).select(col("doc_id"))
+    val minId = delta.agg(min(col("doc_id"))).collect()(0).getLong(0)
+    assert(fs.exists(new Path(fps, s"batch=$minId")) &&
+      fs.exists(new Path(fps, "batch=0")),
+      "fixture vacuous: fps is not batch-partitioned across two days")
+    val saved = new Path(s"$dir/__fps_saved")
+    FileUtil.copy(fs, new Path(fps), fs, saved, false, conf)
+    DailyDriver.forget(spark, victims, docs, dir, cfg)
+    val want = canon(DailyDriver.openFingerprints(spark, dir))
+    val wantDec = canon(DailyDriver.openDecisions(spark, dir))
+    // forge the torn state: day-0 fps partition applied, the arrivals'
+    // still pre-forget, marker durable, stage holding the unapplied
+    // partition (the mid-apply crash inside the fps PartitionSwap)
+    val post = new Path(s"$dir/__fps_post")
+    FileUtil.copy(fs, new Path(fps), fs, post, false, conf)
+    fs.delete(new Path(fps, s"batch=$minId"), true)
+    FileUtil.copy(fs, new Path(saved, s"batch=$minId"),
+      fs, new Path(fps, s"batch=$minId"), false, conf)
+    fs.mkdirs(new Path(fps + "__stage"))
+    FileUtil.copy(fs, new Path(post, s"batch=$minId"),
+      fs, new Path(fps + "__stage", s"batch=$minId"), false, conf)
+    fs.create(new Path(fps + "__pcommit"), false).close()
+    assert(canon(DailyDriver.openFingerprints(spark, dir)).sameElements(want),
+      "torn fps publish did not roll forward")
+    // replay after the roll-forward: no victims anywhere → probe-cost
+    // no-op on every store, fps and decisions byte-identical
+    DailyDriver.forget(spark, victims, docs, dir, cfg)
+    assert(canon(DailyDriver.openFingerprints(spark, dir)).sameElements(want),
+      "replayed forget changed the fingerprint table")
+    assert(canon(DailyDriver.openDecisions(spark, dir)).sameElements(wantDec),
+      "replayed forget changed the decision table")
+  }
 }
