@@ -232,11 +232,9 @@ object PqIndex {
 
   private def openAt(spark: SparkSession, path: String,
                      m: Versioned.Man): Option[DataFrame] = {
-    val bulk =
-      if (m.base > 0L && Versioned.hasCells(spark, cellsPath(path, m.base)))
-        Some(spark.read.option("basePath", cellsDir(path))
-          .parquet(cellsPath(path, m.base)).drop("v"))
-      else None
+    // ownership-resolving bulk read — a cell-pruned [[delete]]'s
+    // version references untouched cells where they live
+    val bulk = Versioned.openBulkResolved(spark, path, m.base)
     val delta =
       if (Versioned.hasCells(spark, deltaPath(path, m.epoch)))
         // drop the stream lineage's per-micro-batch replay key (a no-op
@@ -343,32 +341,60 @@ object PqIndex {
   private def startCodeStream(spark: SparkSession, path: String,
                               m0: Versioned.Man, checkpoint: String,
                               coded: DataFrame)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val dir = deltaPath(path, m0.epoch)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     coded
       .writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Lease.withLeaseWait(spark, path, "pqindex-append") {
-          val cur = Versioned.current(spark, path)
-          if (cur.epoch != m0.epoch || cur.cents != m0.cents)
-            throw new IllegalStateException(
-              s"append stream's pinned manifest (epoch ${m0.epoch}, quantizer " +
-                s"${m0.cents}) was superseded (now epoch ${cur.epoch}, " +
-                s"quantizer ${cur.cents}) — its batches would be invisible " +
-                s"or encoded under a retired quantizer; restart the stream " +
-                s"with a fresh checkpoint")
-          batch.withColumn("b", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("b", "cid")
-            .parquet(dir)
-        }
+        appendStreamBatch(spark, path, m0, batch, batchId)
         ()
       }
       .start()
+
+  /** [[VecIndex.pinStreamAppend]]'s code-table twin: resolve the
+    * manifest once and enforce the one-lineage-per-epoch rule — the
+    * composite-ingest entry point. */
+  private[graft] def pinStreamAppend(spark: SparkSession, path: String,
+                                     checkpoint: String): Versioned.Man = {
+    val m0 = Versioned.current(spark, path)
+    Versioned.requireStreamAdoptable(spark, path, m0.epoch, checkpoint)
+    m0
   }
+
+  /** Encode ONE already-coarse-assigned micro-batch against the pinned
+    * quantizer — the composite-ingest form of [[appendStreamAssigned]]'s
+    * stream transform, applied batch-side. */
+  private[graft] def encodeAssignedBatch(spark: SparkSession, path: String,
+                                         m0: Versioned.Man,
+                                         assigned: DataFrame, idCol: String,
+                                         vecCol: String): DataFrame =
+    encodeAssigned(assigned, idCol, vecCol, quantAt(spark, path, m0))
+
+  /** ONE micro-batch of the code-append streams: fence-then-write
+    * under the index lease ([[VecIndex.appendStreamBatch]]'s
+    * rationale — maintenance mutations hold the same lease, so a
+    * compact/build/refresh can never publish between the manifest
+    * check and the write; bounded-patience acquire so a minutes-long
+    * maintenance pass waits the batch out instead of killing it). */
+  private[graft] def appendStreamBatch(spark: SparkSession, path: String,
+                                       m0: Versioned.Man, batch: DataFrame,
+                                       batchId: Long): Unit =
+    Lease.withLeaseWait(spark, path, "pqindex-append") {
+      val cur = Versioned.current(spark, path)
+      if (cur.epoch != m0.epoch || cur.cents != m0.cents)
+        throw new IllegalStateException(
+          s"append stream's pinned manifest (epoch ${m0.epoch}, quantizer " +
+            s"${m0.cents}) was superseded (now epoch ${cur.epoch}, " +
+            s"quantizer ${cur.cents}) — its batches would be invisible " +
+            s"or encoded under a retired quantizer; restart the stream " +
+            s"with a fresh checkpoint")
+      batch.withColumn("b", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("b", "cid")
+        .parquet(deltaPath(path, m0.epoch))
+    }
 
   /** Whether ANY of `ids` is already indexed — the landed-or-not probe
     * a retried append needs; false on a never-built index. */
@@ -406,23 +432,16 @@ object PqIndex {
     }
 
   /** Remove ids from the code table — the retraction path, sharing
-    * [[compact]]'s publish contract. Absent ids are no-ops. */
+    * [[compact]]'s publish contract, CELL-PRUNED like
+    * [[graft.operators.VecIndex.delete]]: only victim-bearing cells
+    * (plus the folded live delta) are rewritten; untouched cells are
+    * referenced where they live through the version's ownership
+    * sidecar ([[Versioned.deleteCells]]). Absent ids are publish-free
+    * no-ops. */
   def delete(spark: SparkSession, path: String, idCol: String,
              ids: DataFrame): Unit =
     Lease.withLease(spark, path, "pqindex-maintenance") {
-      val m = Versioned.current(spark, path)
-      val rows = tryOpen(spark, path).getOrElse(
-        throw new IllegalArgumentException(s"no index layout under $path"))
-      val n = m.v + 1
-      rows.join(broadcast(ids.select(col(idCol)).distinct()), Seq(idCol), "left_anti")
-        .repartitionByRange(col("cid"), col(idCol))
-        .write.mode("overwrite").partitionBy("cid").parquet(cellsPath(path, n))
-      val emptied = !new Path(cellsPath(path, n))
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .listStatus(new Path(cellsPath(path, n)))
-        .exists(_.getPath.getName.startsWith("cid="))
-      Versioned.publish(spark, path, n, base = if (emptied) 0L else n,
-        epoch = m.epoch + 1L, cents = m.cents)
+      Versioned.deleteCells(spark, path, idCol, ids)
     }
 
   /** [[Versioned.gcSweep]] over this layout's families — same
@@ -435,8 +454,11 @@ object PqIndex {
   private def gcLocked(spark: SparkSession, path: String, graceMs: Long): Unit = {
     val m = Versioned.current(spark, path)
     if (m.v == 0L) return
+    // keep every cells version the live ownership chain references
+    // (cell-pruned deletes — the delete-only refcount rule)
+    val cellRefs = Versioned.referencedCellVersions(spark, path, m.base)
     Versioned.gcSweep(spark, path, m, graceMs, Seq(
-      (cellsDir(path), "v=", (v: Long) => v == m.base),
+      (cellsDir(path), "v=", (v: Long) => cellRefs(v)),
       (deltaDir(path), "e=", (v: Long) => v == m.epoch),
       (quantDir(path), "v=", (v: Long) => v == m.cents)))
   }

@@ -191,12 +191,11 @@ object VecIndex {
   private def openAt(spark: SparkSession, path: String,
                      m: Manifest): Option[DataFrame] = {
     // a side counts only when it holds cell directories — the shared
-    // empty-write guard ([[Versioned.hasCells]])
-    val bulk =
-      if (m.base > 0L && Versioned.hasCells(spark, cellsPath(path, m.base)))
-        Some(spark.read.option("basePath", cellsDir(path))
-          .parquet(cellsPath(path, m.base)).drop("v"))
-      else None
+    // empty-write guard ([[Versioned.hasCells]]); the bulk read is
+    // ownership-resolving (a cell-pruned [[delete]]'s version holds
+    // rewritten cells physically and references the rest — see
+    // [[Versioned.openBulkResolved]])
+    val bulk = Versioned.openBulkResolved(spark, path, m.base)
     val delta =
       if (Versioned.hasCells(spark, deltaPath(path, m.epoch)))
         // drop the stream lineage's per-micro-batch replay key (a no-op
@@ -419,68 +418,74 @@ object VecIndex {
                    centroids: DataFrame, path: String,
                    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = embStream.sparkSession
-    val m0 = currentManifest(spark, path)
-    val e = m0.epoch
-    // one append discipline per epoch, enforced in BOTH directions:
-    // [[append]] refuses a stream-governed epoch, and a stream must
-    // not adopt an epoch holding batch-appended files — the epoch's
-    // lifecycle (replay overwrite by b=) only protects files the
-    // stream itself governs
-    Versioned.requireStreamAdoptable(spark, path, e, checkpoint)
-    val dir = deltaPath(path, e)
+    val m0 = pinStreamAppend(spark, path, checkpoint)
     assignFold(embStream, idCol, vecCol, centroids)
       .select(col(idCol), col(vecCol), col("norm"), col("cid"))
       .writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // the whole fence-then-write runs under the index lease, the
-        // same lease every maintenance mutation holds — a bare re-read
-        // would be check-then-write: a compact publishing between the
-        // manifest read and the parquet write (plus the offset commit
-        // that follows a normal return) would lose this batch SILENTLY
-        // into the retired directory, the exact loss the fence exists
-        // to make loud. The lease is acquired with BOUNDED PATIENCE
-        // (withLeaseWait): a maintenance pass holding it for minutes
-        // must not kill the stream — the batch waits it out, then the
-        // epoch check decides (retired → throw before writing, offsets
-        // stay uncommitted, the restarted stream replays against the
-        // current epoch; kept → write proceeds, no interleaving
-        // possible under the lease). The REVERSE contention — a
-        // maintenance op arriving while a batch holds the lease for
-        // its seconds-long write — keeps the fail-fast contract: the
-        // documented discipline is no live stream during maintenance,
-        // and a retried maintain is idempotent.
-        Lease.withLeaseWait(spark, path, "vecindex-append") {
-          val cur = currentManifest(spark, path)
-          // BOTH coordinates, like the PqIndex sibling: a compact
-          // retires the epoch (batches there turn invisible), and a
-          // concurrent persistCentroids build swaps the QUANTIZER
-          // without bumping the epoch — rows this stream cells under
-          // the start-time centroids would land in cells the new
-          // quantizer's probes never scan (silent recall loss, the
-          // very divergence this fence exists to make loud)
-          if (cur.epoch != e || cur.cents != m0.cents)
-            throw new IllegalStateException(
-              s"append stream's pinned manifest (epoch $e, quantizer " +
-                s"${m0.cents}) was superseded (now epoch ${cur.epoch}, " +
-                s"quantizer ${cur.cents}) — batches written there would be " +
-                s"invisible to readers or celled under a retired layout; " +
-                s"restart the stream with a fresh checkpoint (after an " +
-                s"epoch retirement or an empty-delta quantizer swap), or " +
-                s"resume this checkpoint against re-read centroids (a " +
-                s"content-equal quantizer re-install — build refuses a " +
-                s"true swap over a live delta)")
-          batch.withColumn("b", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("b", "cid")
-            .parquet(dir)
-        }
+        appendStreamBatch(spark, path, m0, batch, batchId)
         ()
       }
       .start()
   }
+
+  /** Pin the stream-append coordinates: resolve the manifest ONCE and
+    * enforce the one-discipline-per-epoch rule in both directions
+    * ([[append]] refuses a stream-governed epoch; a stream must not
+    * adopt an epoch holding batch-appended files — the epoch's replay
+    * overwrite by `b=` only protects files the stream itself governs).
+    * Composite ingest pipelines (the daily driver's single-query
+    * stepStream) call this at start and feed micro-batches through
+    * [[appendStreamBatch]]. */
+  private[graft] def pinStreamAppend(spark: SparkSession, path: String,
+                                     checkpoint: String): Manifest = {
+    val m0 = currentManifest(spark, path)
+    Versioned.requireStreamAdoptable(spark, path, m0.epoch, checkpoint)
+    m0
+  }
+
+  /** ONE micro-batch of [[appendStream]] — fence-then-write under the
+    * index lease, the same lease every maintenance mutation holds. A
+    * bare re-read would be check-then-write: a compact publishing
+    * between the manifest read and the parquet write (plus the offset
+    * commit that follows a normal return) would lose this batch
+    * SILENTLY into the retired directory, the exact loss the fence
+    * exists to make loud. The lease is acquired with BOUNDED PATIENCE
+    * (withLeaseWait): a maintenance pass holding it for minutes must
+    * not kill the stream — the batch waits it out, then the epoch
+    * check decides (retired → throw before writing, offsets stay
+    * uncommitted, the restarted stream replays against the current
+    * epoch; kept → write proceeds, no interleaving possible under the
+    * lease). BOTH coordinates are fenced: a compact retires the epoch
+    * (batches there turn invisible), and a concurrent persistCentroids
+    * build swaps the QUANTIZER without bumping the epoch — rows this
+    * stream cells under the start-time centroids would land in cells
+    * the new quantizer's probes never scan (silent recall loss).
+    * `batch` must already carry (idCol, vecCol, norm, cid). */
+  private[graft] def appendStreamBatch(spark: SparkSession, path: String,
+                                       m0: Manifest, batch: DataFrame,
+                                       batchId: Long): Unit =
+    Lease.withLeaseWait(spark, path, "vecindex-append") {
+      val cur = currentManifest(spark, path)
+      if (cur.epoch != m0.epoch || cur.cents != m0.cents)
+        throw new IllegalStateException(
+          s"append stream's pinned manifest (epoch ${m0.epoch}, quantizer " +
+            s"${m0.cents}) was superseded (now epoch ${cur.epoch}, " +
+            s"quantizer ${cur.cents}) — batches written there would be " +
+            s"invisible to readers or celled under a retired layout; " +
+            s"restart the stream with a fresh checkpoint (after an " +
+            s"epoch retirement or an empty-delta quantizer swap), or " +
+            s"resume this checkpoint against re-read centroids (a " +
+            s"content-equal quantizer re-install — build refuses a " +
+            s"true swap over a live delta)")
+      batch.withColumn("b", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("b", "cid")
+        .parquet(deltaPath(path, m0.epoch))
+    }
 
   /** BATCH incremental append — the daily-driver form of
     * [[appendStream]]: assign the arrival batch with [[assignFold]] and
@@ -556,34 +561,23 @@ object VecIndex {
 
   /** Remove vectors from the index — the retraction path (takedowns,
     * decontamination) — [[graft.operators.LexIndex.delete]]'s vector
-    * counterpart. Implemented as a compaction that drops the victims:
-    * cell assignment is per-row, so surviving rows keep their cid and
-    * `delete(build(A ∪ B), ids(B))` row-equals `build(A)` (VecIndexSpec).
-    * Unlike LexIndex there is no per-bucket saving to chase: the cell
-    * count is small by design (a coarse quantizer), so victims touch
-    * most cells and a full clustered rewrite is the honest cost — and
-    * it shares [[compact]]'s publish contract (new version + atomic
-    * manifest rename; pinned readers unperturbed) and its LSM handoff
-    * discipline (no active writer; restart streams on a fresh
-    * checkpoint). Ids absent from the index are no-ops. */
+    * counterpart, CELL-PRUNED: one column-pruned census finds the
+    * victim-bearing cids, only those cells (plus the live delta's,
+    * which the delete folds) are rewritten, and the published version's
+    * ownership sidecar references every untouched cell dir where it
+    * already lives ([[Versioned.deleteCells]]). Cell assignment is
+    * per-row, so surviving rows keep their cid and
+    * `delete(build(A ∪ B), ids(B))` row-equals `build(A)` (VecIndexSpec)
+    * — but a single-victim takedown now moves one cell's bytes, not the
+    * corpus. Shares [[compact]]'s publish contract (new version +
+    * atomic manifest rename; pinned readers unperturbed — gc keeps
+    * every chain-referenced version dir) and its LSM handoff discipline
+    * (no active writer; restart streams on a fresh checkpoint). Ids
+    * absent from the index are publish-free no-ops. */
   def delete(spark: SparkSession, path: String, idCol: String,
              ids: DataFrame): Unit =
     Lease.withLease(spark, path, "vecindex-maintenance") {
-      val m = currentManifest(spark, path)
-      val rows = openAt(spark, path, m).getOrElse(
-        throw new IllegalArgumentException(s"no index layout under $path"))
-      val n = m.v + 1
-      rows.join(broadcast(ids.select(col(idCol)).distinct()), Seq(idCol), "left_anti")
-        .repartitionByRange(col("cid"), col(idCol))
-        .write.mode("overwrite").partitionBy("cid").parquet(cellsPath(path, n))
-      // a delete that empties the index writes a version with no cell
-      // directories (just _SUCCESS) — publish base:0 so readers get the
-      // well-defined empty state instead of a schema-less scan failure
-      val emptied = !fs(spark, path)
-        .listStatus(new Path(cellsPath(path, n)))
-        .exists(_.getPath.getName.startsWith("cid="))
-      publishManifest(spark, path, n, base = if (emptied) 0L else n,
-        epoch = m.epoch + 1L, cents = m.cents)
+      Versioned.deleteCells(spark, path, idCol, ids)
     }
 
   /** Wholesale REPLACEMENT from an EXTERNAL source — the
@@ -690,8 +684,12 @@ object VecIndex {
   private def gcLocked(spark: SparkSession, path: String, graceMs: Long): Unit = {
     val m = currentManifest(spark, path)
     if (m.v == 0L) return
+    // a cell-pruned delete's chain references OLDER cells versions —
+    // every one of them is live data, not garbage (delete-only
+    // refcount, the snapshot store's rule)
+    val cellRefs = Versioned.referencedCellVersions(spark, path, m.base)
     Versioned.gcSweep(spark, path, m, graceMs, Seq(
-      (cellsDir(path), "v=", (v: Long) => v == m.base),
+      (cellsDir(path), "v=", (v: Long) => cellRefs(v)),
       (deltaDir(path), "e=", (v: Long) => v == m.epoch),
       (centsDir(path), "v=", (v: Long) => v == m.cents)))
   }

@@ -83,8 +83,155 @@ private[operators] object Versioned {
     * LSM delta epochs. Owning the names here keeps the two vector
     * stores (and any future celled family) byte-compatible in layout
     * and lets the measurements below work on either. */
+  def cellsDir(path: String): String = s"$path/cells"
   def cellsPath(path: String, v: Long): String = s"$path/cells/v=$v"
   def deltaPath(path: String, e: Long): String = s"$path/delta/e=$e"
+
+  // --------------------- per-cell ownership (pruned takedowns) -------
+
+  /** Sidecar name inside a cells version dir mapping each effective
+    * cid to the version whose dir physically holds its files. Written
+    * by [[deleteCells]] BEFORE the manifest publish (torn writes are
+    * invisible debris); a version WITHOUT the sidecar is FULL — it owns
+    * every cid dir physically present (build/compact/retrain/rebuild
+    * and every pre-ownership version), so the format is fully backward
+    * compatible. */
+  private val CellManifest = "_cells.txt"
+
+  /** The cid→owner map of cells version `v` when it carries an
+    * ownership sidecar; None for a FULL version. */
+  def cellOwnersIfManifested(spark: SparkSession, path: String,
+                             v: Long): Option[Map[Long, Long]] = {
+    val f = fs(spark, path)
+    val p = new Path(cellsPath(path, v), CellManifest)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map { line =>
+          val Array(c, o) = line.split(":")
+          c.toLong -> o.toLong
+        }.toMap)
+      finally in.close()
+    }
+  }
+
+  private def listCids(f: FileSystem, dir: String): Seq[Long] = {
+    val p = new Path(dir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).map(_.getPath.getName).toSeq
+      .filter(_.startsWith("cid=")).map(_.stripPrefix("cid=").toLong)
+  }
+
+  /** The cid→owner map of cells version `v`, resolved: the sidecar when
+    * present, else (FULL version) every physically present cid dir,
+    * owned by `v` itself. Empty for v=0. */
+  def cellOwners(spark: SparkSession, path: String, v: Long): Map[Long, Long] =
+    if (v == 0L) Map.empty
+    else cellOwnersIfManifested(spark, path, v).getOrElse(
+      listCids(fs(spark, path), cellsPath(path, v)).map(_ -> v).toMap)
+
+  private def writeCellOwners(f: FileSystem, path: String, v: Long,
+                              owners: Map[Long, Long]): Unit = {
+    val dir = new Path(cellsPath(path, v))
+    f.mkdirs(dir)
+    val out = f.create(new Path(dir, CellManifest), true)
+    try out.write(owners.toSeq.sorted
+      .map { case (c, o) => s"$c:$o" }.mkString("", "\n", "\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Every cells version the `base` chain references — gc's keep set:
+    * a version dir referenced by the LIVE manifest's ownership chain
+    * must survive any grace decision (the delete-only refcount rule the
+    * snapshot store established). Includes `base` itself: a pruned
+    * delete that emptied every rewritten cell still owns the sidecar. */
+  def referencedCellVersions(spark: SparkSession, path: String,
+                             base: Long): Set[Long] =
+    if (base == 0L) Set.empty
+    else cellOwners(spark, path, base).values.toSet + base
+
+  /** The bulk side at cells version `base`, ownership-resolved: a FULL
+    * version reads its own dir (the historical single-scan plan); a
+    * pruned-delete version reads exactly the referenced (owner, cid)
+    * leaf dirs in ONE parquet relation rooted at `cells/` — partition
+    * pruning sees both `v` and `cid`, so a probed search still scans
+    * only its cells' bytes. None when the version holds no rows. */
+  def openBulkResolved(spark: SparkSession, path: String,
+                       base: Long): Option[DataFrame] =
+    if (base == 0L) None
+    else cellOwnersIfManifested(spark, path, base) match {
+      case None =>
+        if (hasCells(spark, cellsPath(path, base)))
+          Some(spark.read.option("basePath", cellsDir(path))
+            .parquet(cellsPath(path, base)).drop("v"))
+        else None
+      case Some(owners) if owners.isEmpty => None
+      case Some(owners) =>
+        val leafs = owners.toSeq.sorted.map { case (c, o) =>
+          s"${cellsPath(path, o)}/cid=$c"
+        }
+        Some(spark.read.option("basePath", cellsDir(path))
+          .parquet(leafs: _*).drop("v"))
+    }
+
+  /** Remove `ids` from a celled index, CELL-PRUNED: one column-pruned
+    * census finds the victim-bearing cids, ONLY those cells (plus the
+    * live delta's, which this folds — a delete is also a mini-compact,
+    * keeping the published state a single bulk side) are rewritten
+    * under `v=N+1`, and the new version's ownership sidecar references
+    * every untouched cell where it already lives. The whole-index
+    * clustered rewrite the old delete paid is gone: with a compacted
+    * delta the write cost is the victim cells' bytes, not the corpus.
+    *
+    * Publish contract unchanged: everything before the manifest rename
+    * is invisible debris a replay overwrites; the epoch bumps so the
+    * folded delta drops out atomically; pinned readers keep their
+    * version's files (gc keeps every chain-referenced dir — see
+    * [[referencedCellVersions]]). Ids absent from the index (and an
+    * empty delta) make this a PUBLISH-FREE no-op — probe cost, no
+    * version burned. Caller holds the store's writer lease. */
+  def deleteCells(spark: SparkSession, path: String, idCol: String,
+                  ids: DataFrame): Unit = {
+    val f = fs(spark, path)
+    val m = current(spark, path)
+    val bulk = openBulkResolved(spark, path, m.base)
+    val delta =
+      if (hasCells(spark, deltaPath(path, m.epoch)))
+        Some(spark.read.parquet(deltaPath(path, m.epoch)).drop("b"))
+      else None
+    val all = (bulk.toSeq ++ delta.toSeq).reduceOption(_.unionByName(_))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no index layout under $path"))
+    val vIds = ids.select(col(idCol)).distinct()
+    val victimCids = all.join(broadcast(vIds), Seq(idCol), "left_semi")
+      .select(col("cid")).distinct().collect()
+      .map(_.getAs[Number](0).longValue).toSet
+    val deltaCids = delta.map(_.select(col("cid")).distinct().collect()
+      .map(_.getAs[Number](0).longValue).toSet).getOrElse(Set.empty)
+    val rewrite = victimCids ++ deltaCids
+    if (rewrite.isEmpty) return // nothing to move: publish-free no-op
+    val n = m.v + 1
+    f.delete(new Path(cellsPath(path, n)), true) // torn predecessor debris
+    all.filter(col("cid").isin(rewrite.toSeq.sorted: _*))
+      .join(broadcast(vIds), Seq(idCol), "left_anti")
+      .repartitionByRange(col("cid"), col(idCol))
+      .write.mode("overwrite").partitionBy("cid").parquet(cellsPath(path, n))
+    val present = listCids(f, cellsPath(path, n))
+    val owners = cellOwners(spark, path, m.base)
+      .filter { case (c, _) => !rewrite(c) } ++ present.map(_ -> n)
+    if (owners.isEmpty)
+      // the delete emptied the index — publish the well-defined empty
+      // state (base 0) instead of a sidecar referencing nothing
+      publish(spark, path, n, base = 0L, epoch = m.epoch + 1L,
+        cents = m.cents)
+    else {
+      writeCellOwners(f, path, n, owners)
+      publish(spark, path, n, base = n, epoch = m.epoch + 1L,
+        cents = m.cents)
+    }
+  }
 
   /** Byte share of the current delta epoch vs the whole index — the
     * LSM-debt measurement the stores gate their folds on. Two content
@@ -97,7 +244,18 @@ private[operators] object Versioned {
       if (!f.exists(p)) 0L else f.getContentSummary(p).getLength
     }
     val delta = bytes(deltaPath(path, m.epoch))
-    val base = if (m.base > 0L) bytes(cellsPath(path, m.base)) else 0L
+    // a pruned-delete base owns only its rewritten cells physically —
+    // sum the chain's referenced leaf dirs so the debt ratio measures
+    // the EFFECTIVE bulk, not one overlay's slice
+    val base =
+      if (m.base == 0L) 0L
+      else cellOwnersIfManifested(spark, path, m.base) match {
+        case None => bytes(cellsPath(path, m.base))
+        case Some(owners) =>
+          owners.toSeq.map { case (c, o) =>
+            bytes(s"${cellsPath(path, o)}/cid=$c")
+          }.sum
+      }
     if (delta + base == 0L) 0.0 else delta.toDouble / (delta + base).toDouble
   }
 

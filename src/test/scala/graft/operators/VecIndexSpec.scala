@@ -229,6 +229,66 @@ class VecIndexSpec extends SparkSpecBase {
       "deleting absent ids changed the index")
   }
 
+  test("delete is CELL-PRUNED: victim cells rewritten, the rest referenced, gc keeps the chain") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = KMeans.lloyd(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val dir = tempDir("vecdelprune")
+    VecIndex.build(emb, "vec_id", "embedding", cents, dir)
+    def cidDirs(v: Long): Seq[String] = {
+      val d = new java.io.File(s"$dir/cells/v=$v")
+      if (!d.exists) Seq.empty
+      else d.listFiles.filter(_.isDirectory).map(_.getName)
+        .filter(_.startsWith("cid=")).toSeq.sorted
+    }
+    def rows(): Array[(Long, Int)] =
+      VecIndex.open(spark, dir).select(col("vec_id"), col("cid")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted
+    val all0 = rows()
+    assert(cidDirs(1).size > 1, "fixture vacuous: fewer than 2 cells")
+    // one victim → exactly its cell's dir is written under v=2, every
+    // other cell is REFERENCED at v=1 (no physical copy)
+    val (vid, vcid) = all0.head
+    VecIndex.delete(spark, dir, "vec_id", Seq(vid).toDF("vec_id"))
+    assert(cidDirs(2) == Seq(s"cid=$vcid"),
+      s"pruned delete rewrote more than the victim's cell: ${cidDirs(2)}")
+    val want1 = all0.filterNot(_._1 == vid)
+    assert(rows().sameElements(want1), "pruned delete lost or kept wrong rows")
+    // the chain-referenced version survives an IMMEDIATE zero-grace gc
+    VecIndex.gc(spark, dir, 0L)
+    assert(cidDirs(1).nonEmpty, "gc deleted a chain-referenced cells version")
+    assert(rows().sameElements(want1), "post-gc read diverged")
+    // a CHAINED delete from a different cell stacks a second overlay
+    val (vid2, vcid2) = want1.find(_._2 != vcid).get
+    VecIndex.delete(spark, dir, "vec_id", Seq(vid2).toDF("vec_id"))
+    assert(cidDirs(3) == Seq(s"cid=$vcid2"),
+      s"chained delete rewrote more than its victim's cell: ${cidDirs(3)}")
+    val want2 = want1.filterNot(_._1 == vid2)
+    assert(rows().sameElements(want2), "chained delete diverged")
+    // search over the chained index still partition-prunes on cid
+    val idx = VecIndex.open(spark, dir)
+    val probes = idx.filter(col("vec_id") === want2.head._1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("cid").as("q_cid"))
+    val scan = VecIndex.search(idx, probes, "vec_id", "embedding", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      !scan.contains("PartitionFilters: []"),
+      s"search over a pruned-delete chain lost partition pruning:\n$scan")
+    // absent ids are PUBLISH-FREE no-ops (no version burned)
+    val vBefore = VecIndex.currentVersion(spark, dir)
+    VecIndex.delete(spark, dir, "vec_id", Seq(-1L).toDF("vec_id"))
+    assert(VecIndex.currentVersion(spark, dir) == vBefore,
+      "absent-id delete published a version")
+    // compact collapses the chain; the retired overlays become garbage
+    VecIndex.compact(spark, dir, "vec_id")
+    assert(rows().sameElements(want2), "compact changed the row set")
+    VecIndex.gc(spark, dir, 0L)
+    assert(cidDirs(1).isEmpty && cidDirs(2).isEmpty && cidDirs(3).isEmpty,
+      "gc kept unreferenced chain versions after the compact collapsed it")
+    assert(rows().sameElements(want2), "post-collapse read diverged")
+  }
+
   test("retrain preserves the vector set, reduces drift skew, keeps search pruning") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val dir = tempDir("vecretrain")
