@@ -369,49 +369,57 @@ object LexIndex {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // micro-batch-sized; persist-with-lineage, not localCheckpoint:
-        // the replay probe and the tokenize+merge each scan it, but a
-        // per-batch localCheckpoint leaks non-replicated executor
-        // blocks across a long-running stream (nothing unpersists
-        // them) and cannot recompute after an executor loss
-        val b = batch.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try if (!b.isEmpty) {
-          val tf = UnigramLm.termFreq(b, "doc_id", "text")
-          // the fence keys on the ids the merge would actually LAND —
-          // tf-derived, not the raw batch's: a doc whose text tokenizes
-          // to zero terms writes no postings, no docmap row, and no
-          // stats delta, so counting it would misread every replay of
-          // its batch as MIXED (present < nIds forever — a wedged
-          // stream that no restart can clear)
-          val ids = tf.select(col("doc_id")).distinct()
-          // the probe only ever needs the batch's own term buckets: a
-          // landed doc has docmap/posting rows in EVERY bucket its
-          // terms hash to, so one of them answers presence — delta-
-          // bounded, where the full sidecar scan would grow with the
-          // corpus and dominate each micro-batch
-          val touched = tf.select(tb(col("term")).as("tb")).distinct()
-            .collect().map(_.getLong(0)).toIndexedSeq
-          Lease.withLeaseWait(spark, path, "lexindex-append") {
-            val nIds = ids.count()
-            val present = presentIdCount(spark, path, ids, touched)
-            if (present == 0L) mergeLocked(spark, path, tf)
-            else if (present != nIds)
-              throw new IllegalStateException(
-                s"micro-batch mixes $present already-indexed ids with " +
-                  s"${nIds - present} new ones under $path — a replay " +
-                  s"lands whole or not at all, so either the " +
-                  s"disjoint-arrival-ids contract broke or the batch " +
-                  s"boundaries were re-formed (fresh checkpoint after a " +
-                  s"crash); skipping would silently drop the new " +
-                  s"documents — resume the original checkpoint, or " +
-                  s"ingest the unlanded documents via a batch merge")
-            // present == nIds: the batch landed whole — replay no-op
-          }
-        } finally b.unpersist()
+        appendStreamBatch(spark, path, batch)
         ()
       }
       .start()
+  }
+
+  /** ONE micro-batch of [[appendStream]] — the probe-fenced merge,
+    * callable from a composite ingest pipeline's foreachBatch. `batch`
+    * carries (doc_id, text). */
+  private[graft] def appendStreamBatch(spark: SparkSession, path: String,
+                                       batch: DataFrame): Unit = {
+    // micro-batch-sized; persist-with-lineage, not localCheckpoint:
+    // the replay probe and the tokenize+merge each scan it, but a
+    // per-batch localCheckpoint leaks non-replicated executor
+    // blocks across a long-running stream (nothing unpersists
+    // them) and cannot recompute after an executor loss
+    val b = batch.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try if (!b.isEmpty) {
+      val tf = UnigramLm.termFreq(b, "doc_id", "text")
+      // the fence keys on the ids the merge would actually LAND —
+      // tf-derived, not the raw batch's: a doc whose text tokenizes
+      // to zero terms writes no postings, no docmap row, and no
+      // stats delta, so counting it would misread every replay of
+      // its batch as MIXED (present < nIds forever — a wedged
+      // stream that no restart can clear)
+      val ids = tf.select(col("doc_id")).distinct()
+      // the probe only ever needs the batch's own term buckets: a
+      // landed doc has docmap/posting rows in EVERY bucket its
+      // terms hash to, so one of them answers presence — delta-
+      // bounded, where the full sidecar scan would grow with the
+      // corpus and dominate each micro-batch
+      val touched = tf.select(tb(col("term")).as("tb")).distinct()
+        .collect().map(_.getLong(0)).toIndexedSeq
+      Lease.withLeaseWait(spark, path, "lexindex-append") {
+        val nIds = ids.count()
+        val present = presentIdCount(spark, path, ids, touched)
+        if (present == 0L) mergeLocked(spark, path, tf)
+        else if (present != nIds)
+          throw new IllegalStateException(
+            s"micro-batch mixes $present already-indexed ids with " +
+              s"${nIds - present} new ones under $path — a replay " +
+              s"lands whole or not at all, so either the " +
+              s"disjoint-arrival-ids contract broke or the batch " +
+              s"boundaries were re-formed (fresh checkpoint after a " +
+              s"crash); skipping would silently drop the new " +
+              s"documents — resume the original checkpoint, or " +
+              s"ingest the unlanded documents via a batch merge")
+        // present == nIds: the batch landed whole — replay no-op
+      }
+    } finally b.unpersist()
   }
 
   /** How many of `ids` already have postings, probing ONLY the given

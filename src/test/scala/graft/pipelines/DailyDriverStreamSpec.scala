@@ -185,8 +185,7 @@ class DailyDriverStreamSpec extends SparkSpecBase {
         (ts(1000 + i), id, t)
       })
       val fenced = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-        s.vec.get.processAllAvailable()
-        s.pq.foreach(_.processAllAvailable())
+        s.all.foreach(_.processAllAvailable())
         throw new IllegalStateException(
           "no fence fired — a stream appended into a retired epoch")
       }
