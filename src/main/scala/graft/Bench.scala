@@ -1,8 +1,22 @@
 package graft
 
 object Bench {
+  import scala.jdk.CollectionConverters._
+
+  /** The host's 1/5/15-min load averages — recorded at battery start
+    * and end so a contaminated window (another heavy process sharing
+    * the cores) is visible IN the artifact instead of discovered a
+    * round later by a refuting rerun. */
+  private def loadavg(): String =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      s.trim.split("\\s+").take(3).mkString("[", ",", "]")
+    } catch { case _: Throwable => "[]" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadStart = loadavg()
     val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen path once with a FIXED cheap query so per-query
@@ -39,8 +53,46 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     val (p1, p2) = (pass(wanted), pass(wanted.reverse))
+    // CONTAMINATION GUARD (round 10's lesson: a battery where q121 read
+    // 80 AND 92 s while the same HEAD's solo run read 8-11 s — a
+    // concurrent heavy process can inflate BOTH passes, which
+    // min-of-2-reversed cannot detect). Reference = each query's BEST
+    // recorded time across every committed BENCH_r*.json (min over
+    // history is robust to one contaminated artifact); any query whose
+    // min-of-2 exceeds 3× it gets a THIRD, solo re-run, recorded
+    // separately in the JSON so the round's record never ships an
+    // 8-17× lie about HEAD again.
+    val best: Map[String, Double] = {
+      val qNum = """"(q\d+[a-zA-Z0-9_]*)":([0-9][0-9.eE+-]*)""".r
+      val files =
+        try {
+          val s = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+          try s.iterator().asScala
+            .filter(_.getFileName.toString.matches("BENCH_r\\d+\\.json"))
+            .toList
+          finally s.close()
+        } catch { case _: Throwable => Nil }
+      files.flatMap { p =>
+        try qNum.findAllMatchIn(
+          new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+          .map(m => m.group(1) -> m.group(2).toDouble).toList
+        catch { case _: Throwable => Nil }
+      }.groupMapReduce(_._1)(_._2)(math.min)
+    }
+    val flagged = wanted.collect {
+      case (name, _) if best.get(name)
+        .exists(b => b > 0 && math.min(p1(name), p2(name)) > 3.0 * b) => name
+    }
+    val solo: Map[String, Double] =
+      flagged.map { name =>
+        spark.catalog.clearCache()
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
     val results = wanted.map { case (name, _) =>
-      val runs = Seq(p1(name), p2(name))
+      val runs = Seq(p1(name), p2(name)) ++ solo.get(name)
       (name, runs.min, runs)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
@@ -65,7 +117,8 @@ object Bench {
         s"""{"median":${pct(0.5)},"p90":${pct(0.9)},"max":${sorted.last},""" +
           s""""max_query":"${skews.head._1}"}"""
       }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rawRuns,"pass_skew":$skewJson,"sf":"$sfDir"}"""
+    val soloJson = flagged.map(n => "\"" + n + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rawRuns,"pass_skew":$skewJson,"solo_reruns":$soloJson,"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"sf":"$sfDir"}"""
     // The driver parses the bench JSON from output where sbt may append its
     // own trailer lines; persist to a file AND print after spark.stop() so
     // the JSON is the program's last stdout line.
