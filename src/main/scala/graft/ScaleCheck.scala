@@ -221,6 +221,11 @@ object ScaleCheck {
       spark.stop()
       return
     }
+    if (args.contains("adc")) { // IVFADC crossover section only
+      adcCrossoverCheck(spark)
+      spark.stop()
+      return
+    }
     // Optional args: query-name substrings re-measure a subset while
     // iterating (no args → the full slice, the committed-table protocol).
     val wanted =
@@ -242,7 +247,7 @@ object ScaleCheck {
     if (args.isEmpty) {
       incrementalDeltaCheck(spark, dirs); bpeTrainCheck(spark, dirs)
       indexedSearchCheck(spark, dirs); driverCheck(spark, dirs)
-      driverAgingCheck(spark)
+      driverAgingCheck(spark); adcCrossoverCheck(spark)
     }
     if (args.contains("search")) indexedSearchCheck(spark, dirs)
     spark.stop()
@@ -697,6 +702,147 @@ object ScaleCheck {
       Curation.curate(all, bench, cfg).count()
       val tFull = (System.nanoTime() - t1) / 1e9
       println(f"${d.split('/').last}%-24s $tDelta%8.2f $tFull%8.2f  ${tFull / tDelta}%8.1fx")
+    }
+  }
+
+  /** The IVFADC crossover demonstration — the operating point the
+    * testdata embeddings (500–40k rows × 64-d) can never reach: cells
+    * must carry REAL weight before compressed nomination beats the
+    * exact scan. Synthesizes a deterministic clustered corpus
+    * (hash-derived — no RNG; cluster centers + per-row jitter, so
+    * top-k is non-trivial), builds the raw IVF index over FEW coarse
+    * cells (each ~n/4 rows) and a production-shaped code table
+    * (m=16 sub-quantizers × 256-entry codebooks over residuals — the
+    * Jégou et al. shape, not the driver's toy 8×16), then times the
+    * recurring search both ways at matched k:
+    *
+    *  - exact:  `VecIndex.search` over the probed cells' raw floats
+    *    (dim×4 B per row read, dim mults per row);
+    *  - IVFADC: `PqIndex.search` nominates top-`depth` by ADC over the
+    *    probed cells' CODES (m B per row read, m table lookups per
+    *    row), then `VecIndex.rerank` scores only the nominations
+    *    exactly.
+    *
+    * Prints wall seconds and recall@k (vs the exact path) per depth —
+    * the committed readout the pqDepth default should be chosen from.
+    * At this shape the ADC scan reads 32× fewer bytes and does 8×
+    * fewer multiplies per candidate row; the crossover claim is
+    * "faster at recall ≥ 0.9", checked against depth 64/256. */
+  private def adcCrossoverCheck(spark: SparkSession): Unit = {
+    import graft.operators.{KMeans, PqIndex, VecIndex}
+    val n = 1500000L; val dim = 128; val nCells = 4
+    val m = 32; val kCode = 256; val k = 10
+    val src = s"target/adc_src_${n}_${dim}m"
+    if (!new java.io.File(s"$src/_SUCCESS").exists()) {
+      // LOW-INTRINSIC-DIMENSION manifold, not blobs: real embedding
+      // corpora have graded neighbor distances (rank-r structure +
+      // noise), and an approximate ranker is only MEASURABLE on graded
+      // distances — tight equidistant clusters make recall@k ≈
+      // k/cluster-size for ANY method, a fixture artifact, not a
+      // verdict on the codes. v = A·z(id) + ε: z an 8-d hash-derived
+      // latent, A a fixed hash-derived 128×8 map, ε 5% full-rank noise.
+      val r = 8
+      val aLit = typedLit(Seq.tabulate(dim, r) { (j, t) =>
+        // deterministic, seed-free: the same integer-hash trick the
+        // data columns use, evaluated driver-side once
+        val h = ((j * 31 + t) * 2654435761L) & 0xFFFFL
+        h.toDouble / 32768.0 - 1.0
+      })
+      spark.range(n).select(col("id").as("vec_id"))
+        .withColumn("z", transform(sequence(lit(0), lit(r - 1)), t =>
+          pmod(xxhash64(col("vec_id"), t), lit(2000L)).cast("double")
+            / 1000.0 - 1.0))
+        .withColumn("embedding",
+          transform(aLit, (arow, j) =>
+            (aggregate(zip_with(arow, col("z"), (a, b) => a * b),
+              lit(0.0), (acc, x) => acc + x) +
+              (pmod(xxhash64(col("vec_id"), j, lit(7L)), lit(2000L))
+                .cast("double") / 1000.0 - 1.0) * 0.05).cast("float")))
+        .drop("z")
+        .repartition(32)
+        .write.mode("overwrite").parquet(src)
+    }
+    val base = spark.read.parquet(src)
+    val vdir = "target/adc_vec"; val pqdir = "target/adc_pq"
+    if (VecIndex.currentVersion(spark, vdir) == 0L) {
+      val sample = base.filter(col("vec_id") % 150L === 0L) // ~10k rows
+      val cents = KMeans.lloyd(sample, "vec_id", "embedding",
+        k = nCells, iters = 2).localCheckpoint(true)
+      VecIndex.build(base, "vec_id", "embedding", cents, vdir,
+        persistCentroids = true)
+      val assigned = VecIndex.open(spark, vdir)
+        .select(col("vec_id"), col("embedding"), col("cid"))
+      // sub-codebooks trained properly: ~45k samples (175 per codeword)
+      // and 5 Lloyd rounds — an undertrained codebook would make the
+      // recall ceiling a training artifact instead of a code-resolution
+      // fact
+      val quant = PqIndex.quantFrom(cents,
+        assigned.filter(col("vec_id") % 33L === 0L),
+        "vec_id", "embedding", m, kCode, iters = 5)
+      PqIndex.buildAssigned(assigned, "vec_id", "embedding", quant, pqdir)
+    }
+    val idx = VecIndex.open(spark, vdir)
+    val probes = idx.filter(col("vec_id") % 100000L === 17L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("cid").as("q_cid")).localCheckpoint(true)
+    val nProbes = probes.count()
+    def timed[A](f: => A): (A, Double) = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    // the scan-byte budget per side — the fleet-scale determinant a
+    // page-cached local run hides: at 100 TB the probed cells' BYTES
+    // are the cost, and the code table's are dim×4/m smaller
+    def dirBytes(p: String): Long = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val f = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (f.exists(hp)) f.getContentSummary(hp).getLength else 0L
+    }
+    val rawMb = dirBytes(s"$vdir/cells") / 1e6
+    val codeMb = dirBytes(s"$pqdir/cells") / 1e6
+    println(s"\n--- IVFADC crossover (n=$n dim=$dim cells=$nCells " +
+      s"m=$m k*=$kCode probes=$nProbes) ---")
+    println(f"raw cells ${rawMb}%.0f MB vs code cells ${codeMb}%.0f MB " +
+      f"(${rawMb / math.max(codeMb, 1e-9)}%.1fx scan-byte advantage)")
+    println(f"${"path"}%-18s ${"wall_s"}%8s ${"recall@"}$k%-6s")
+    // warm both file sets once so the comparison is page-cache-fair
+    VecIndex.search(idx, probes, "vec_id", "embedding", k).count()
+    PqIndex.search(spark, pqdir,
+      probes.select(col("q_id"), col("q_vec")), "vec_id", k, 1).count()
+    val (exact, tEx) = timed(
+      VecIndex.search(idx, probes, "vec_id", "embedding", k)
+        .select(col("q_id"), col("vec_id")).collect().map(r =>
+          (r.getLong(0), r.getLong(1))).toSet)
+    println(f"${"exact"}%-18s $tEx%8.2f ${1.0}%.3f")
+    def recallOf(got: Set[(Long, Long)]): Double =
+      if (exact.isEmpty) 1.0
+      else got.count(exact.contains).toDouble / exact.size
+    // PURE ADC — the standard IVFADC answer (Jégou et al.): ADC-ranked
+    // top-k straight from the code scan, m bytes + m lookups per
+    // candidate row where the exact path pays dim×4 bytes + dim
+    // multiplies. THIS is the compressed path's operating mode; the
+    // exact-rerank composition below restores recall but RESCANS the
+    // probed cells' raw floats, so in a scan-based engine it can never
+    // undercut the exact scan at equal cells (its value is recall
+    // repair at matched cost, or deployments whose raw vectors live
+    // off the scan path).
+    val (pureAdc, tPure) = timed(
+      PqIndex.search(spark, pqdir,
+        probes.select(col("q_id"), col("q_vec")), "vec_id", k, 1)
+        .select(col("q_id"), col("vec_id")).collect().map(r =>
+          (r.getLong(0), r.getLong(1))).toSet)
+    println(f"${"adc pure"}%-18s $tPure%8.2f ${recallOf(pureAdc)}%.3f")
+    for (depth <- Seq(8 * k, 40 * k, 160 * k)) {
+      val (got, tAdc) = timed {
+        val noms = PqIndex.search(spark, pqdir, probes
+            .select(col("q_id"), col("q_vec")), "vec_id", depth, 1)
+          .select(col("q_id"), col("vec_id"))
+        VecIndex.rerank(idx, probes, noms, "vec_id", "embedding", k)
+          .select(col("q_id"), col("vec_id")).collect().map(r =>
+            (r.getLong(0), r.getLong(1))).toSet
+      }
+      println(f"${s"adc+rerank d=$depth"}%-18s $tAdc%8.2f ${recallOf(got)}%.3f")
     }
   }
 }
