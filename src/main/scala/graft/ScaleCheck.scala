@@ -712,22 +712,25 @@ object ScaleCheck {
     * (hash-derived — no RNG; cluster centers + per-row jitter, so
     * top-k is non-trivial), builds the raw IVF index over FEW coarse
     * cells (each ~n/4 rows) and a production-shaped code table
-    * (m=16 sub-quantizers × 256-entry codebooks over residuals — the
+    * (m=32 sub-quantizers × 256-entry codebooks over residuals — the
     * Jégou et al. shape, not the driver's toy 8×16), then times the
-    * recurring search both ways at matched k:
+    * recurring search three ways at matched k:
     *
-    *  - exact:  `VecIndex.search` over the probed cells' raw floats
+    *  - exact:    `VecIndex.search` over the probed cells' raw floats
     *    (dim×4 B per row read, dim mults per row);
-    *  - IVFADC: `PqIndex.search` nominates top-`depth` by ADC over the
+    *  - pure ADC: `PqIndex.searchAssigned` top-k straight from the
     *    probed cells' CODES (m B per row read, m table lookups per
-    *    row), then `VecIndex.rerank` scores only the nominations
-    *    exactly.
+    *    row) — probed under the probes' OWN cosine cells, the layout
+    *    the table was built with;
+    *  - ADC + exact rerank: nominate top-`depth` by ADC, rescore the
+    *    nominations with `VecIndex.rerank`.
     *
-    * Prints wall seconds and recall@k (vs the exact path) per depth —
-    * the committed readout the pqDepth default should be chosen from.
-    * At this shape the ADC scan reads 32× fewer bytes and does 8×
-    * fewer multiplies per candidate row; the crossover claim is
-    * "faster at recall ≥ 0.9", checked against depth 64/256. */
+    * Prints the two sides' scan-byte budgets, wall seconds, and
+    * recall@k (vs the exact path) per depth — the committed readout
+    * the pqDepth default should be chosen from. At this shape the ADC
+    * scan reads dim×4/m = 16× fewer bytes and does dim/m = 4× fewer
+    * multiplies-worth of work per candidate row; the crossover claim
+    * checked is "faster at recall ≥ 0.9" across depths 8k/40k/160k. */
   private def adcCrossoverCheck(spark: SparkSession): Unit = {
     import graft.operators.{KMeans, PqIndex, VecIndex}
     val n = 1500000L; val dim = 128; val nCells = 4
@@ -764,7 +767,11 @@ object ScaleCheck {
     }
     val base = spark.read.parquet(src)
     val vdir = "target/adc_vec"; val pqdir = "target/adc_pq"
-    if (VecIndex.currentVersion(spark, vdir) == 0L) {
+    // guard on BOTH stores: an interrupted first run (vec published,
+    // pq not — the quantizer training is the widest window) must
+    // rebuild, not wedge every later run on the missing code table
+    if (VecIndex.currentVersion(spark, vdir) == 0L ||
+        PqIndex.currentVersion(spark, pqdir) == 0L) {
       val sample = base.filter(col("vec_id") % 150L === 0L) // ~10k rows
       val cents = KMeans.lloyd(sample, "vec_id", "embedding",
         k = nCells, iters = 2).localCheckpoint(true)
@@ -806,10 +813,14 @@ object ScaleCheck {
     println(f"raw cells ${rawMb}%.0f MB vs code cells ${codeMb}%.0f MB " +
       f"(${rawMb / math.max(codeMb, 1e-9)}%.1fx scan-byte advantage)")
     println(f"${"path"}%-18s ${"wall_s"}%8s ${"recall@"}$k%-6s")
-    // warm both file sets once so the comparison is page-cache-fair
+    // warm both file sets once so the comparison is page-cache-fair.
+    // The ADC side probes through searchAssigned with the probes'
+    // OWN (cosine-assigned) cells — the code table was built under
+    // VecIndex's max-cosine assignment, and PqIndex.search's
+    // self-selected min-L2 cell can disagree with it, which would
+    // charge a cell-rule mismatch to the codes' recall.
     VecIndex.search(idx, probes, "vec_id", "embedding", k).count()
-    PqIndex.search(spark, pqdir,
-      probes.select(col("q_id"), col("q_vec")), "vec_id", k, 1).count()
+    PqIndex.searchAssigned(spark, pqdir, probes, "vec_id", k).count()
     val (exact, tEx) = timed(
       VecIndex.search(idx, probes, "vec_id", "embedding", k)
         .select(col("q_id"), col("vec_id")).collect().map(r =>
@@ -828,15 +839,14 @@ object ScaleCheck {
     // repair at matched cost, or deployments whose raw vectors live
     // off the scan path).
     val (pureAdc, tPure) = timed(
-      PqIndex.search(spark, pqdir,
-        probes.select(col("q_id"), col("q_vec")), "vec_id", k, 1)
+      PqIndex.searchAssigned(spark, pqdir, probes, "vec_id", k)
         .select(col("q_id"), col("vec_id")).collect().map(r =>
           (r.getLong(0), r.getLong(1))).toSet)
     println(f"${"adc pure"}%-18s $tPure%8.2f ${recallOf(pureAdc)}%.3f")
     for (depth <- Seq(8 * k, 40 * k, 160 * k)) {
       val (got, tAdc) = timed {
-        val noms = PqIndex.search(spark, pqdir, probes
-            .select(col("q_id"), col("q_vec")), "vec_id", depth, 1)
+        val noms = PqIndex.searchAssigned(spark, pqdir, probes,
+            "vec_id", depth)
           .select(col("q_id"), col("vec_id"))
         VecIndex.rerank(idx, probes, noms, "vec_id", "embedding", k)
           .select(col("q_id"), col("vec_id")).collect().map(r =>

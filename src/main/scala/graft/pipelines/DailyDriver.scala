@@ -940,31 +940,8 @@ object DailyDriver {
     // (one column-pruned census scan to find them), so the takedown's
     // sig cost is delta-proportional like the other stores' — the
     // whole-table anti-join swap is gone.
-    val sigB = openSigIndexBatched(spark, dir)
-    val sigHit = sigB.join(vIds, Seq("doc_id"), "left_semi")
-      .select(col("batch")).distinct().collect().map(_.getLong(0))
-    if (sigHit.nonEmpty) {
-      val survivors = sigB.filter(col("batch").isin(sigHit.toSeq: _*))
-        .join(vIds, Seq("doc_id"), "left_anti")
-        .localCheckpoint() // read twice: batch census + staged write
-      val live = survivors.select(col("batch")).distinct()
-        .collect().map(_.getLong(0)).toSet
-      val untouchedSig = sigB.select(col("batch")).distinct()
-        .filter(!col("batch").isin(sigHit.toSeq: _*)).limit(1).count() > 0L
-      if (!untouchedSig && live.isEmpty)
-        // a takedown emptying the WHOLE index: a partitioned table with
-        // zero partitions cannot carry its schema — swap in a flat
-        // empty table (batch as a data column) so later opens/probes
-        // keep working; the next step's append re-partitions it
-        AtomicSwap.swap(spark, indexDir(dir)) { tmp =>
-          survivors.write.parquet(tmp)
-        }
-      else
-        PartitionSwap.swap(spark, indexDir(dir),
-          drop = (sigHit.toSet -- live).toSeq.sorted.map(b => s"batch=$b")) {
-          stage => survivors.write.partitionBy("batch").parquet(stage)
-        }
-    }
+    pruneVictimBatches(spark, indexDir(dir),
+      openSigIndexBatched(spark, dir), vIds)
     if (LexIndex.currentVersion(spark, lexDir(dir)) > 0L)
       LexIndex.delete(spark, lexDir(dir), vIds)
     // the vector deletes publish a fresh cells version — a corpus-sized
@@ -981,37 +958,12 @@ object DailyDriver {
     if (PqIndex.currentVersion(spark, pqdir) > 0L &&
         PqIndex.containsAny(spark, pqdir, vIds))
       PqIndex.delete(spark, pqdir, "doc_id", vIds)
-    // the victims' text-derived fingerprints go too — PARTITION-PRUNED
-    // like the signature rewrite: one column-pruned census finds the
-    // victim-bearing arrival days, only those partitions move (emptied
-    // ones dropped through the same marker); probe-cost no-op on replay
+    // the victims' text-derived fingerprints go too — the signature
+    // rewrite's exact partition-pruned protocol
     if (pathExists(spark, fpsDir(dir))) {
       refoundPartitioned(spark, openFpsBatched(spark, dir), fpsDir(dir))
-      val fpsB = openFpsBatched(spark, dir)
-      val fpsHit = fpsB.join(vIds, Seq("doc_id"), "left_semi")
-        .select(col("batch")).distinct().collect().map(_.getLong(0))
-      if (fpsHit.nonEmpty) {
-        val fpsSurv = fpsB.filter(col("batch").isin(fpsHit.toSeq: _*))
-          .join(vIds, Seq("doc_id"), "left_anti")
-          .localCheckpoint() // read twice: batch census + staged write
-        val fpsLive = fpsSurv.select(col("batch")).distinct()
-          .collect().map(_.getLong(0)).toSet
-        val untouchedFps = fpsB.select(col("batch")).distinct()
-          .filter(!col("batch").isin(fpsHit.toSeq: _*)).limit(1).count() > 0L
-        if (!untouchedFps && fpsLive.isEmpty)
-          // the takedown emptied the WHOLE table — flat empty shape
-          // carries the schema (batch as a data column), the next
-          // step's append re-founds the partitioned layout
-          AtomicSwap.swap(spark, fpsDir(dir)) { tmp =>
-            fpsSurv.write.parquet(tmp)
-          }
-        else
-          PartitionSwap.swap(spark, fpsDir(dir),
-            drop = (fpsHit.toSet -- fpsLive).toSeq.sorted
-              .map(b => s"batch=$b")) { stage =>
-            fpsSurv.write.partitionBy("batch").parquet(stage)
-          }
-      }
+      pruneVictimBatches(spark, fpsDir(dir),
+        openFpsBatched(spark, dir), vIds)
     }
     // ... and the takedown cascades through SEALED history: every
     // snapshot version containing a victim is redacted in place
@@ -1353,49 +1305,22 @@ object DailyDriver {
     // from ONE directory listing). Below the threshold the listing is
     // the whole cost; the old behavior paid a corpus-proportional
     // rewrite on EVERY pass, debt or not.
-    val sigFileDebt = sigFileDebtOf(spark, dir)
-    val sigRelaid = sigFileDebt > sigRelayShare
-    if (sigRelaid) {
-      // re-layout under the same crash-atomic discipline as the
-      // wholesale writers: the compacted copy is fully durable under
-      // tmp (and fenced by the commit marker) before the layout it
-      // replaces is touched. Batch partitioning is PRESERVED (forget's
-      // partition pruning depends on it): one file per batch,
-      // doc-id-clustered within.
-      val live = openSigIndexBatched(spark, dir)
-        .repartition(col("batch"))
-        .sortWithinPartitions(col("batch"), col("doc_id"))
-      AtomicSwap.swap(spark, indexDir(dir)) { tmp =>
-        live.write.partitionBy("batch").parquet(tmp)
-      }
-    }
     // the decision and fingerprint tables accrue the SAME small-file
-    // debt (each step's partition publish writes task-count files into
-    // the touched batches; nothing else ever compacts them over years
-    // of daily steps) — same measure, same gate, same
-    // partition-preserving crash-atomic re-lay
-    val decFileDebt = fileDebtOf(spark, decisionsDir(dir))
-    val decRelaid = decFileDebt > sigRelayShare
-    if (decRelaid) {
-      val live = openDecisionsBatched(spark, dir)
-        .repartition(col("batch"))
-        .sortWithinPartitions(col("batch"), col("doc_id"))
-      AtomicSwap.swap(spark, decisionsDir(dir)) { tmp =>
-        live.write.partitionBy("batch").parquet(tmp)
-      }
-    }
-    val fpsFileDebt =
-      if (pathExists(spark, fpsDir(dir))) fileDebtOf(spark, fpsDir(dir))
-      else 0.0
-    val fpsRelaid = fpsFileDebt > sigRelayShare
-    if (fpsRelaid) {
-      val live = openFpsBatched(spark, dir)
-        .repartition(col("batch"))
-        .sortWithinPartitions(col("batch"), col("doc_id"))
-      AtomicSwap.swap(spark, fpsDir(dir)) { tmp =>
-        live.write.partitionBy("batch").parquet(tmp)
-      }
-    }
+    // debt as the sig index (each step's partition publish writes
+    // task-count files into the touched batches; nothing else ever
+    // compacts them over years of daily steps) — one measure, one
+    // gate, one partition-preserving crash-atomic re-lay for all three
+    val (sigRelaid, sigFileDebt) =
+      relayIfDebt(spark, indexDir(dir),
+        openSigIndexBatched(spark, dir), sigRelayShare)
+    val (decRelaid, decFileDebt) =
+      relayIfDebt(spark, decisionsDir(dir),
+        openDecisionsBatched(spark, dir), sigRelayShare)
+    val (fpsRelaid, fpsFileDebt) =
+      if (pathExists(spark, fpsDir(dir)))
+        relayIfDebt(spark, fpsDir(dir),
+          openFpsBatched(spark, dir), sigRelayShare)
+      else (false, 0.0)
     // ONE maintenance sequence serves both shapes: measure, compact,
     // retrain-if-skewed, gc — the PQ pairing only ADDS the alignment
     // guards and the refresh, never a second copy of the vec policy.
@@ -1526,6 +1451,64 @@ object DailyDriver {
 
   private def sigFileDebtOf(spark: SparkSession, dir: String): Double =
     fileDebtOf(spark, indexDir(dir))
+
+  /** [[maintain]]'s gated re-lay, shared by the three batch-partitioned
+    * tables: measure the small-file debt (one listing); past the
+    * threshold, re-lay under the same crash-atomic discipline as the
+    * wholesale writers — the compacted copy is fully durable under tmp
+    * (and fenced by the commit marker) before the layout it replaces
+    * is touched. Batch partitioning is PRESERVED ([[forget]]'s
+    * partition pruning depends on it): one file per batch,
+    * doc-id-clustered within. A pure re-layout — row identity asserted
+    * by DailyDriverApiSpec/DailyDriverDecGateSpec.
+    * @return (fired, measured debt) */
+  private def relayIfDebt(spark: SparkSession, path: String,
+                          open: => DataFrame,
+                          threshold: Double): (Boolean, Double) = {
+    val debt = fileDebtOf(spark, path)
+    val fired = debt > threshold
+    if (fired) {
+      val live = open.repartition(col("batch"))
+        .sortWithinPartitions(col("batch"), col("doc_id"))
+      AtomicSwap.swap(spark, path) { tmp =>
+        live.write.partitionBy("batch").parquet(tmp)
+      }
+    }
+    (fired, debt)
+  }
+
+  /** [[forget]]'s partition-pruned victim removal, shared by the
+    * batch-partitioned sig and fps tables: one column-pruned census
+    * finds the victim-bearing arrival days, only those partitions move
+    * (emptied ones dropped through the PartitionSwap marker), and a
+    * takedown emptying the WHOLE table swaps in the flat empty shape
+    * instead — a partitioned table with zero partitions cannot carry
+    * its schema, and later opens/probes must keep working until the
+    * next step's append re-founds the layout. Probe-cost no-op on a
+    * replay (no victims anywhere → empty census). */
+  private def pruneVictimBatches(spark: SparkSession, path: String,
+                                 tableB: DataFrame, vIds: DataFrame): Unit = {
+    val hit = tableB.join(vIds, Seq("doc_id"), "left_semi")
+      .select(col("batch")).distinct().collect().map(_.getLong(0))
+    if (hit.nonEmpty) {
+      val survivors = tableB.filter(col("batch").isin(hit.toSeq: _*))
+        .join(vIds, Seq("doc_id"), "left_anti")
+        .localCheckpoint() // read twice: batch census + staged write
+      val live = survivors.select(col("batch")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val untouched = tableB.select(col("batch")).distinct()
+        .filter(!col("batch").isin(hit.toSeq: _*)).limit(1).count() > 0L
+      if (!untouched && live.isEmpty)
+        AtomicSwap.swap(spark, path) { tmp =>
+          survivors.write.parquet(tmp)
+        }
+      else
+        PartitionSwap.swap(spark, path,
+          drop = (hit.toSet -- live).toSeq.sorted.map(b => s"batch=$b")) {
+          stage => survivors.write.partitionBy("batch").parquet(stage)
+        }
+    }
+  }
 
   /** What a [[maintain]] pass actually did: each flag true iff the
     * corresponding gated mutation FIRED (false = measured under its
