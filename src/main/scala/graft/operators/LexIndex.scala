@@ -400,11 +400,15 @@ object LexIndex {
       // landed doc has docmap/posting rows in EVERY bucket its
       // terms hash to, so one of them answers presence — delta-
       // bounded, where the full sidecar scan would grow with the
-      // corpus and dominate each micro-batch
-      val touched = tf.select(tb(col("term")).as("tb")).distinct()
-        .collect().map(_.getLong(0)).toIndexedSeq
+      // corpus and dominate each micro-batch. One aggregate job
+      // yields both probe inputs (id count + touched buckets) — a
+      // long-running stream pays this per trigger, so every saved
+      // driver action is a slice off the micro-batch constant.
+      val shape = tf.agg(count_distinct(col("doc_id")).as("n"),
+          collect_set(tb(col("term"))).as("tbs")).collect().head
+      val nIds = shape.getLong(0)
+      val touched = shape.getSeq[Long](1).toIndexedSeq
       Lease.withLeaseWait(spark, path, "lexindex-append") {
-        val nIds = ids.count()
         val present = presentIdCount(spark, path, ids, touched)
         if (present == 0L) mergeLocked(spark, path, tf)
         else if (present != nIds)

@@ -663,9 +663,14 @@ object DailyDriver {
     *
     *  - the ingest gate is [[graft.streaming.StreamOps.streamingCurate]]
     *    (junk cutoff + watermark-bounded re-crawl fingerprint dedup);
-    *  - accepted arrivals land in `staging/` exactly-once (each
-    *    micro-batch dynamic-overwrites its OWN `mb=batchId` partition,
-    *    so a checkpoint-replayed batch rewrites rather than duplicates);
+    *  - accepted arrivals land in `staging/` effectively-once: each
+    *    micro-batch dynamic-overwrites its OWN `mb=` partition, keyed
+    *    PAST anything already staged so no restart — same checkpoint
+    *    or fresh — can overwrite an earlier lineage's partition with
+    *    different content (silent staged-arrival loss); replayed or
+    *    re-delivered batches land as duplicate partitions instead,
+    *    and [[stepStreamReconcile]]'s doc_id dedup converges them
+    *    exactly (day ids are unique by contract);
     *  - CANDIDACY is decided per micro-batch with the batch pipeline's
     *    exact arithmetic (same quality counters, same broadcast
     *    benchmark shingle intersect — the benchmark row materialized
@@ -714,6 +719,23 @@ object DailyDriver {
     val ckpt = s"$checkpointRoot/ingest"
     val accepted = StreamOps.streamingCurate(arrivals, ingestMinQuality,
       watermark)
+    // staging partitions are keyed PAST anything already staged: a
+    // bare mb=batchId would let a fresh-checkpoint restart (the
+    // documented recovery after a maintenance fence) re-number from 0
+    // and OVERWRITE an earlier lineage's staged partition with
+    // different content — silent loss of staged arrivals. With the
+    // offset, a replayed/re-delivered batch lands as a DUPLICATE
+    // partition instead, which reconcile's doc_id dedup converges
+    // (day ids are unique, so the dedup is exact).
+    val mbBase: Long = {
+      val p = new org.apache.hadoop.fs.Path(stagingDir(dir))
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!f.exists(p)) 0L
+      else f.listStatus(p).map(_.getPath.getName)
+        .collect { case s if s.startsWith("mb=") =>
+          s.stripPrefix("mb=").toLong }
+        .foldLeft(-1L)(math.max) + 1L
+    }
     // the benchmark's shingle row is computed ONCE and eagerly
     // materialized — the four-query shape re-tokenized the whole
     // benchmark inside every consumer's every micro-batch (the
@@ -755,7 +777,7 @@ object DailyDriver {
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try if (!batch.isEmpty) {
           batch.select(col("doc_id"), col("text"))
-            .withColumn("mb", lit(batchId))
+            .withColumn("mb", lit(mbBase + batchId))
             .write.partitionBy("mb").mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .parquet(stagingDir(dir))

@@ -50,7 +50,7 @@ class PqIndexProtocolSpec extends SparkSpecBase {
       def livePred = liveChunks.map(c => col("vec_id") % nChunks === c)
         .reduce(_ || _)
       for (_ <- 1 to 8) {
-        val roll = rnd.nextInt(5)
+        val roll = rnd.nextInt(6)
         if (roll == 0 && liveChunks.size > 1) {
           val seq = liveChunks.toSeq.sorted
           val c = seq(rnd.nextInt(seq.size))
@@ -73,6 +73,11 @@ class PqIndexProtocolSpec extends SparkSpecBase {
           trace ++= " refresh"
           assert(quantRow(PqIndex.openQuant(spark, dir)) == quantRow(curQuant),
             s"published quantizer is not the refresh's after: $trace")
+        } else if (roll == 4) {
+          // zero-grace sweep between mutations: a pruned delete's
+          // ownership chain keeps older cells versions LIVE — gc must
+          // keep the whole chain (VecIndexProtocolSpec's rule)
+          PqIndex.gc(spark, dir, 0L); trace ++= " gc"
         } else {
           val fired = PqIndex.compactIfDelta(spark, dir, "vec_id",
             maxDeltaShare = 0.05)

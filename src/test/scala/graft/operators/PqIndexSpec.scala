@@ -363,4 +363,38 @@ class PqIndexSpec extends SparkSpecBase {
       .filter(_.isDirectory).map(_.getName)
     assert(liveDirs.length == 1, s"gc left versions: ${liveDirs.mkString(",")}")
   }
+
+  test("delete is cell-pruned: victim cells rewritten, the rest referenced through the sidecar") {
+    import spark.implicits._
+    val dir = tempDir("pqidx-delprune")
+    PqIndex.build(emb, "vec_id", "embedding", quant, dir)
+    def cidDirs(v: Long): Seq[String] = {
+      val d = new java.io.File(s"$dir/cells/v=$v")
+      if (!d.exists) Seq.empty
+      else d.listFiles.filter(_.isDirectory).map(_.getName)
+        .filter(_.startsWith("cid=")).toSeq.sorted
+    }
+    val all0 = PqIndex.open(spark, dir).select(col("vec_id"), col("cid"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(cidDirs(1).size > 1, "fixture vacuous: fewer than 2 cells")
+    val (vid, vcid) = all0.head
+    PqIndex.delete(spark, dir, "vec_id", Seq(vid).toDF("vec_id"))
+    assert(cidDirs(2) == Seq(s"cid=$vcid"),
+      s"pruned delete rewrote more than the victim's cell: ${cidDirs(2)}")
+    val want = all0.filterNot(_._1 == vid)
+    assert(PqIndex.open(spark, dir).select(col("vec_id"), col("cid"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+      .sameElements(want), "pruned delete lost or kept wrong rows")
+    // the referenced previous version survives zero-grace gc
+    PqIndex.gc(spark, dir, 0L)
+    assert(cidDirs(1).nonEmpty, "gc deleted a chain-referenced version")
+    // searchAssigned over the chained table still answers (and prunes)
+    val probes = emb.join(
+        PqIndex.open(spark, dir).select(col("vec_id"), col("cid")),
+        Seq("vec_id")).limit(2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("cid").as("q_cid"))
+    assert(PqIndex.searchAssigned(spark, dir, probes, "vec_id", 5)
+      .count() > 0L, "search over a pruned-delete chain returned nothing")
+  }
 }

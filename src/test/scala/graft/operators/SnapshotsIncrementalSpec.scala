@@ -182,4 +182,51 @@ class SnapshotsIncrementalSpec extends SparkSpecBase {
     assert(d.count() == 1L && d.head.getLong(0) == 21L,
       "cross-version diff over manifest reconstructions is wrong")
   }
+
+  test("a non-default batchCol is normalized to the physical batch= layout") {
+    val root = tempDir("snapinccol")
+    val rows = rowsOf(1L to 20L).withColumnRenamed("batch", "day")
+    val v = Snapshots.createIncremental(spark, root, rows, batchCol = "day")
+    // physical layout is batch= regardless of the caller's name — the
+    // readers, redact, and gc's revision sweep all resolve batch= dirs
+    assert(physicalBatches(root, v, 0L) == Set(0L, 5L, 10L, 15L),
+      "non-default batchCol did not normalize to batch= dirs")
+    assert(canon(Snapshots.open(spark, root, v))
+      .sameElements(canon(rowsOf(1L to 20L))),
+      "sealed data must read back with the partition column named batch")
+    // the takedown path (the sweep ADVICE flagged) works over it
+    Snapshots.redact(spark, root, Seq(3L).toDF("doc_id"))
+    Snapshots.gc(spark, root, keep = _ => true, graceMs = 0L)
+    assert(canon(Snapshots.open(spark, root, v))
+      .sameElements(canon(rowsOf(1L to 20L).filter(col("doc_id") =!= 3L))),
+      "redact+gc over a normalized seal lost or resurrected rows")
+    // a batchCol clashing with an existing batch column is refused
+    val clash = intercept[IllegalArgumentException] {
+      Snapshots.createIncremental(spark, root,
+        rowsOf(1L to 5L).withColumn("day", col("batch")), batchCol = "day")
+    }
+    assert(clash.getMessage.contains("clashes"))
+  }
+
+  test("the seal checksum is multiset-sensitive: swapped duplicate rows read as changed") {
+    val root = tempDir("snapincdup")
+    // batch 0 holds the pair {A, A} (two identical rows after dropping
+    // the id): a multiplicity-blind xor cancels them, so replacing the
+    // pair with {C, C} preserved count AND xor and the seal silently
+    // referenced the stale copy
+    def dupRows(fp: Long): DataFrame =
+      Seq((1L, fp), (2L, fp), (6L, 99L)).toDF("doc_id", "fp")
+        .withColumn("batch", floor((col("doc_id") - 1L) / 5L) * 5L)
+        .drop("doc_id")
+    val v1 = Snapshots.createIncremental(spark, root, dupRows(7L))
+    val v2 = Snapshots.createIncremental(spark, root, dupRows(13L))
+    assert(physicalBatches(root, v2, 0L).contains(0L),
+      "swapping a duplicated pair went undetected — the checksum is " +
+        "multiplicity-blind again")
+    assert(canon(Snapshots.open(spark, root, v2))
+      .sameElements(canon(dupRows(13L))),
+      "v2 must read the NEW duplicated pair, not v1's stale copy")
+    assert(canon(Snapshots.open(spark, root, v1))
+      .sameElements(canon(dupRows(7L))), "v1's sealed history moved")
+  }
 }

@@ -52,6 +52,12 @@ class VecIndexProtocolSpec extends SparkSpecBase {
           val fired = VecIndex.compactIfDelta(spark, dir, "vec_id",
             maxDeltaShare = 0.05)
           trace ++= s" compactIfDelta($fired)"
+        } else if (roll == 5) {
+          // zero-grace sweep between arbitrary mutations: every cells
+          // version a pruned delete's ownership chain references is
+          // LIVE data — gc must keep the whole chain or the next open
+          // loses untouched cells
+          VecIndex.gc(spark, dir, 0L); trace ++= " gc"
         } else if (roll == 6) {
           // wholesale replacement from source (the migration
           // primitive): same surviving rows re-celled under a fresh

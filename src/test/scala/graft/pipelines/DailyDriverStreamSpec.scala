@@ -104,6 +104,71 @@ class DailyDriverStreamSpec extends SparkSpecBase {
     assert(DailyDriver.hybridSearch(spark, dirB, qs, ps).count() > 0)
   }
 
+  test("a fresh-checkpoint restart with re-delivery neither loses nor duplicates staged arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val a = docs.filter(col("doc_id") % 4 =!= 0)
+    val delta = docs.filter(col("doc_id") % 4 === 0)
+    val bench = docs.filter(col("doc_id") % 50 === 0).select("doc_id", "text")
+
+    // reference: the batch day over the full delta
+    val dirA = tempDir("daily-redeliver-batch")
+    DailyDriver.init(spark, a, bench, dirA, cfg)
+    DailyDriver.step(spark, delta, bench, dirA, cfg)
+
+    // streamed: lineage 1 lands batches A,B; the operator then restarts
+    // with a FRESH checkpoint (the documented recovery posture) against
+    // an at-least-once source that re-delivers B before C. A bare
+    // mb=batchId would have the new lineage's first batch OVERWRITE
+    // A's staged partition (silent loss); the staged-max offset makes
+    // B a duplicate partition instead, converged by reconcile's dedup.
+    val dirB = tempDir("daily-redeliver-live")
+    DailyDriver.init(spark, a, bench, dirB, cfg)
+    val rows = delta.as[(Long, String)].collect().sortBy(_._1)
+    val third = rows.length / 3
+    val (ba, rest) = rows.splitAt(third)
+    val (bb, bc) = rest.splitAt(third)
+    val input1 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, Long, String)]
+    val s1 = DailyDriver.stepStream(spark,
+      input1.toDF().toDF("event_time", "doc_id", "text"), bench, dirB,
+      tempDir("daily-redeliver-ckpt1"), cfg)
+    for ((g, gi) <- Seq(ba, bb).zipWithIndex) {
+      input1.addData(g.zipWithIndex.map { case ((id, t), i) =>
+        (ts(gi * 500 + i), id, t)
+      })
+      s1.all.foreach(_.processAllAvailable())
+    }
+    s1.stopAll()
+    val input2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, Long, String)]
+    val s2 = DailyDriver.stepStream(spark,
+      input2.toDF().toDF("event_time", "doc_id", "text"), bench, dirB,
+      tempDir("daily-redeliver-ckpt2"), cfg)
+    for ((g, gi) <- Seq(bb, bc).zipWithIndex) { // bb RE-DELIVERED whole
+      input2.addData(g.zipWithIndex.map { case ((id, t), i) =>
+        (ts(2000 + gi * 500 + i), id, t)
+      })
+      s2.all.foreach(_.processAllAvailable())
+    }
+    s2.stopAll()
+    DailyDriver.stepStreamReconcile(spark, bench, dirB, cfg)
+
+    assert(canon(DailyDriver.openDecisions(spark, dirB)).sameElements(
+      canon(DailyDriver.openDecisions(spark, dirA))),
+      "re-delivered streamed day diverged from the batch step — a " +
+        "staged partition was lost or a duplicate survived the dedup")
+    assert(canon(DailyDriver.openFingerprints(spark, dirB)).sameElements(
+      canon(DailyDriver.openFingerprints(spark, dirA))),
+      "fingerprints diverged across the fresh-checkpoint re-delivery")
+    def postings(d: String) = graft.operators.LexIndex
+      .openPostings(spark, s"$d/lex_index").collect().map(_.toString).sorted
+    assert(postings(dirB).sameElements(postings(dirA)),
+      "re-delivered whole batch double-merged the lexical index")
+  }
+
   test("the day AFTER a streamed day runs as a plain batch step (lineage handed back)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
