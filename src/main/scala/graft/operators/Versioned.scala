@@ -191,7 +191,13 @@ private[operators] object Versioned {
     * version's files (gc keeps every chain-referenced dir — see
     * [[referencedCellVersions]]). Ids absent from the index (and an
     * empty delta) make this a PUBLISH-FREE no-op — probe cost, no
-    * version burned. Caller holds the store's writer lease. */
+    * version burned. Caller holds the store's writer lease.
+    *
+    * The chain CANNOT grow unboundedly across takedown histories: each
+    * cid references exactly ONE owner version, so the live reference
+    * set never exceeds the cell count — a retired overlay whose every
+    * rewritten cell was later re-rewritten drops out of the set and gc
+    * collects it, with no depth policy needed. */
   def deleteCells(spark: SparkSession, path: String, idCol: String,
                   ids: DataFrame): Unit = {
     val f = fs(spark, path)

@@ -287,6 +287,22 @@ class VecIndexSpec extends SparkSpecBase {
     assert(cidDirs(1).isEmpty && cidDirs(2).isEmpty && cidDirs(3).isEmpty,
       "gc kept unreferenced chain versions after the compact collapsed it")
     assert(rows().sameElements(want2), "post-collapse read diverged")
+    // emptying ONE whole cell while others survive: the new version
+    // owns no cid dirs physically (sidecar-only), the emptied cell
+    // leaves the reference set, and reads/gc stay consistent
+    val compactV = VecIndex.currentVersion(spark, dir) // compact: base == v
+    val cellGone = want2.head._2
+    VecIndex.delete(spark, dir, "vec_id",
+      want2.filter(_._2 == cellGone).map(_._1).toSeq.toDF("vec_id"))
+    val want3 = want2.filterNot(_._2 == cellGone)
+    assert(rows().sameElements(want3), "whole-cell delete diverged")
+    val vNow = VecIndex.currentVersion(spark, dir)
+    assert(cidDirs(vNow).isEmpty,
+      s"an all-victims cell left physical dirs: ${cidDirs(vNow)}")
+    VecIndex.gc(spark, dir, 0L)
+    assert(cidDirs(compactV).nonEmpty,
+      "gc lost the referenced owner under a sidecar-only version")
+    assert(rows().sameElements(want3), "post-gc sidecar-only read diverged")
   }
 
   test("retrain preserves the vector set, reduces drift skew, keeps search pruning") {
