@@ -771,8 +771,12 @@ object DailyDriver {
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         // ONE micro-batch lands every store, replay-safe end to end: a
         // crash anywhere re-runs the whole batch (offsets uncommitted)
-        // and each half converges — staging/vec/pq by their
-        // mb=/b=batchId dynamic overwrite, lex by its presence probe.
+        // and each half converges — vec/pq by their b=batchId dynamic
+        // overwrite, lex by its presence probe, and staging by
+        // duplicate-partition + reconcile's doc_id dedup (the replayed
+        // batch lands in a NEW mb= partition: every restart re-derives
+        // mbBase past the staged max, the price of never overwriting
+        // another lineage's partition).
         val batch = batch0.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try if (!batch.isEmpty) {

@@ -30,7 +30,9 @@ class VecIndexProtocolSpec extends SparkSpecBase {
       var appendable = Set(0)
       val trace = new StringBuilder("build")
       for (_ <- 1 to 7) {
-        val roll = rnd.nextInt(7)
+        // widened with the gc roll so maintainIfSkewed (the else
+        // branch) keeps its own slot in the sequences
+        val roll = rnd.nextInt(8)
         if (roll == 0 && liveChunks.size > 1) {
           val seq = liveChunks.toSeq.sorted
           val c = seq(rnd.nextInt(seq.size))
