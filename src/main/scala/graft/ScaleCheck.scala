@@ -384,7 +384,7 @@ object ScaleCheck {
     val reembedAt = 7
     val streamAt = 11 // this day arrives as a STREAM (stepStream + reconcile)
     println()
-    println(f"${"driver aging (sf0.01)"}%-24s ${"step"}%8s ${"search"}%8s ${"pq"}%8s ${"maint"}%8s ${"forget"}%8s ${"snap"}%8s ${"migr"}%8s ${"files"}%8s")
+    println(f"${"driver aging (sf0.01)"}%-24s ${"step"}%8s ${"search"}%8s ${"pq"}%8s ${"maint"}%8s ${"forget"}%8s ${"snap"}%8s ${"migr"}%8s ${"files"}%8s ${"decB"}%5s")
     spark.catalog.clearCache()
     val dir = "target/scalecheck_driver_aging"
     val dp = new org.apache.hadoop.fs.Path(dir)
@@ -396,6 +396,14 @@ object ScaleCheck {
       var n = 0L
       while (it.hasNext) { it.next(); n += 1 }
       n
+    }
+    // live decision-table partition count — the retention boundary's
+    // readout: bounded across the run (base + recent grain), where an
+    // unretired table carries one partition per arrival day forever
+    def decParts(): Long = {
+      val d = new org.apache.hadoop.fs.Path(s"$dir/decisions")
+      if (!hfs.exists(d)) 0L
+      else hfs.listStatus(d).count(_.getPath.getName.startsWith("batch="))
     }
     val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
     val emb = Tables.embeddings(spark, d)
@@ -419,7 +427,7 @@ object ScaleCheck {
     }
     val tInit = timed(DailyDriver.init(spark, day0, bench, dir, cfg,
       Some(emb.join(day0.select(col("doc_id")), Seq("doc_id")))))
-    println(f"${"init"}%-24s $tInit%8.2f ${""}%8s ${""}%8s ${""}%8s ${""}%8s ${""}%8s ${""}%8s ${files()}%8d")
+    println(f"${"init"}%-24s $tInit%8.2f ${""}%8s ${""}%8s ${""}%8s ${""}%8s ${""}%8s ${""}%8s ${files()}%8d ${decParts()}%5d")
     for (i <- 0 until steps) {
       val delta = docs.filter(col("doc_id") % mod === i.toLong)
       // one day arrives as a STREAM: micro-batches through stepStream's
@@ -437,10 +445,12 @@ object ScaleCheck {
           val input = org.apache.spark.sql.execution.streaming.runtime
             .MemoryStream[(java.sql.Timestamp, Long, String)]
           val arrivals = input.toDF().toDF("event_time", "doc_id", "text")
+          val t0s = System.nanoTime()
           val h = DailyDriver.stepStream(spark, arrivals, bench, dir, ckpt,
             cfg, Some(curEmb))
           val rows = delta.select(col("doc_id"), col("text"))
             .as[(Long, String)].collect().sortBy(_._1)
+          val t1s = System.nanoTime()
           rows.grouped(math.max(1, rows.length / 3 + 1)).zipWithIndex
             .foreach { case (g, gi) =>
               input.addData(g.zipWithIndex.map { case ((id, t), j) =>
@@ -449,8 +459,15 @@ object ScaleCheck {
               h.all.foreach(_.processAllAvailable())
             }
           h.stopAll()
+          val t2s = System.nanoTime()
           DailyDriver.stepStreamReconcile(spark, bench, dir, cfg,
             Some(curEmb))
+          // the cost split the headline row hides: stream start
+          // (pins + benchmark shingle collect), the micro-batch feed
+          // (per-trigger constant × batches), and the day-end reconcile
+          println(f"  [stream split: start ${(t1s - t0s) / 1e9}%.1f feed " +
+            f"${(t2s - t1s) / 1e9}%.1f reconcile " +
+            f"${(System.nanoTime() - t2s) / 1e9}%.1f]")
         }
         else timed(DailyDriver.step(spark, delta, bench, dir, cfg,
           Some(curEmb)))
@@ -460,8 +477,15 @@ object ScaleCheck {
         pqDepth = 40).count())
       val tMaint =
         if ((i + 1) % maintainEvery == 0)
-          timed(DailyDriver.maintain(spark, dir,
-            lexGcGraceMs = 0L, vecGcGraceMs = 0L, embeddings = Some(curEmb)))
+          timed {
+            DailyDriver.maintain(spark, dir,
+              lexGcGraceMs = 0L, vecGcGraceMs = 0L, embeddings = Some(curEmb))
+            // the retention boundary rides the maintenance cadence:
+            // keep the newest 4 arrival days at partition grain, fold
+            // everything older into the base — the decB column shows
+            // the live partition count bounded instead of +1/day
+            DailyDriver.retireDecisions(spark, dir, keepBatches = 4)
+          }
         else 0.0
       // periodic takedown: a slice of the delta that JUST landed (ids
       // are never re-stepped, so each round's victims are fresh) —
@@ -499,7 +523,7 @@ object ScaleCheck {
         if (i + 1 == streamAt) s"step ${i + 1} (stream)" else s"step ${i + 1}"
       println(f"$label%-24s $tStep%8.2f $tSearch%8.2f " +
         f"$tPq%8.2f $tMaint%8.2f $tForget%8.2f $tSnap%8.2f $tMigr%8.2f " +
-        f"${files()}%8d")
+        f"${files()}%8d ${decParts()}%5d")
     }
   }
 
@@ -812,6 +836,22 @@ object ScaleCheck {
       s"m=$m k*=$kCode probes=$nProbes) ---")
     println(f"raw cells ${rawMb}%.0f MB vs code cells ${codeMb}%.0f MB " +
       f"(${rawMb / math.max(codeMb, 1e-9)}%.1fx scan-byte advantage)")
+    // the AUTO-DEPTH policy's pick at this measured operating point —
+    // the committed readout that the decision is now code, not caller
+    // documentation: probed raw bytes vs the default budget → 0 here
+    // (page-cache scale; the floats fit), the compressed depth only
+    // when they dwarf it (DailyDriver.autoPqDepth)
+    locally {
+      import graft.pipelines.DailyDriver
+      val probedCids = probes.select(col("q_cid")).distinct().collect()
+        .map(_.getAs[Number](0).longValue).toSeq
+      val probedBytes = VecIndex.cellBytes(spark, vdir, probedCids)
+      val budget = DailyDriver.DefaultPqAutoBudgetBytes
+      val pick = DailyDriver.autoPqDepth(probedBytes, budget, k)
+      println(f"auto-depth policy: probed ${probedBytes / 1e6}%.0f MB vs " +
+        f"budget ${budget / 1e6}%.0f MB -> pqDepth=$pick" +
+        (if (pick == 0) " (exact scan)" else " (compressed nomination)"))
+    }
     println(f"${"path"}%-18s ${"wall_s"}%8s ${"recall@"}$k%-6s")
     // warm both file sets once so the comparison is page-cache-fair.
     // The ADC side probes through searchAssigned with the probes'

@@ -240,6 +240,14 @@ object LexIndex {
     // fenced like every other mutator: two racing builds would
     // interleave writes under the same v=N paths
     Lease.withLease(spark, path, "lexindex-build") {
+      // wholesale replacement supersedes ANY live stream delta (a
+      // restore rolls the whole store back; composing an old lineage's
+      // rows over the new corpus would be silent corruption)
+      clearStreamDelta(spark, path)
+      // a rebuild over an EXTERNALLY cleared root restarts version
+      // numbering — drop any cached stats for this path so a reused
+      // version number can never serve the old history's stats
+      statsCache.keySet.removeIf(_._1 == path)
       val n = currentVersion(spark, path) + 1L
       val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -273,16 +281,33 @@ object LexIndex {
       mergeLocked(spark, path, deltaTf)
     }
 
+  /** Published (n_docs, t_total) per (path, version) — stats are
+    * IMMUTABLE once their manifest is published, so a hit can never be
+    * stale; populated only AFTER a successful publish (an unpublished
+    * version's number can be re-used with different content by the next
+    * writer after a crash). Saves the per-trigger 1-row stats read on
+    * the streaming append path — a continuous stream pays that read
+    * every micro-batch; any cross-JVM or post-crash writer simply
+    * misses and reads from storage. */
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), (Long, Long)]
+
   /** [[merge]]'s body, for callers already holding the `path` lease
     * ([[appendStream]]'s probe+merge pair must be one critical
-    * section). */
+    * section). `precomputed` is the streaming fast path: (touched
+    * buckets, delta doc count, delta token total) already known from
+    * the fence's shape aggregate — skips two delta-sized driver jobs
+    * per micro-batch. */
   private def mergeLocked(spark: SparkSession, path: String,
-                          deltaTf: DataFrame): Unit = {
+                          deltaTf: DataFrame,
+                          precomputed: Option[(IndexedSeq[Long], Long, Long)]
+                            = None): Unit = {
     val cur = currentVersion(spark, path)
     require(cur > 0L, s"no published index under $path — build first")
     val man = readManifest(spark, path, cur)
-    val touched = deltaTf.select(tb(col("term")).as("tb")).distinct()
-      .collect().map(_.getLong(0))
+    val touched = precomputed.map(_._1.toArray).getOrElse(
+      deltaTf.select(tb(col("term")).as("tb")).distinct()
+        .collect().map(_.getLong(0)))
     if (touched.isEmpty) return
     val oldLive = touched.filter(man.contains)
     val oldPost =
@@ -294,16 +319,117 @@ object LexIndex {
       deltaTf.join(deltaDl, Seq("doc_id"))
         .select(col("term"), col("doc_id"), col("tf"), col("dl")))
     val dfreq = unioned.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val oldSt = stats(spark, path).select(col("n_docs"), col("t_total")).head()
-    val dSt = deltaDl.agg(count(lit(1)).as("n"),
-      coalesce(sum(col("dl")), lit(0L)).as("t")).head()
+    val oldSt = Option(statsCache.get((path, cur))).getOrElse {
+      val r = stats(spark, path).select(col("n_docs"), col("t_total")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val dSt = precomputed.map { case (_, n, t) => (n, t) }.getOrElse {
+      val r = deltaDl.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("t")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val newN = oldSt._1 + dSt._1
+    val newT = oldSt._2 + dSt._2
     val written = writeVersion(spark, path, cur + 1L,
       unioned.join(dfreq, Seq("term")),
-      statsRow(spark, oldSt.getLong(0) + dSt.getLong(0),
-        oldSt.getLong(1) + dSt.getLong(1)))
+      statsRow(spark, newN, newT))
     publishManifest(spark, path, cur + 1L,
       man ++ written.map(_ -> (cur + 1L)))
+    statsCache.put((path, cur + 1L), (newN, newT))
   }
+
+  // ------------------- streaming LSM delta (the composite-ingest side)
+
+  private def deltaDir(path: String) = s"$path/delta"
+
+  private def deltaBatchPaths(spark: SparkSession, path: String): Seq[String] = {
+    val p = new Path(deltaDir(path))
+    val f = fs(spark, path)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).map(_.getPath).filter(_.getName.startsWith("b="))
+      .map(_.toString).sorted.toSeq
+  }
+
+  /** The live stream lineage(s)' delta rows (term, doc_id, tf, dl) —
+    * None when no delta exists. Day-sized: the composite ingest lands
+    * one `b=` batch per trigger here instead of paying the
+    * whole-bucket merge per micro-batch (which re-reads and rewrites
+    * every touched bucket — at any real scale a micro-batch's terms
+    * touch ALL buckets, so the old per-trigger cost was the whole
+    * postings index, CORPUS-proportional per trigger). [[Pinned]]
+    * composes these rows into search/df/stats EXACTLY (spec:
+    * delta-composed search ≡ the merged index); the day-end reconcile
+    * folds the day through one ordinary [[merge]] from the driver's
+    * staging table and [[clearStreamDelta]]s this side.
+    *
+    * Read-side dedup: a fresh-checkpoint restart with at-least-once
+    * re-delivery lands a doc in TWO `b=` partitions (batch keys are
+    * offset past anything present, the staging table's convention, so
+    * nothing is ever overwritten) — each doc's rows are taken from its
+    * LOWEST batch only. Exact, because a re-delivered doc carries the
+    * same text (re-crawled content is deduped upstream by the ingest
+    * gate), so either copy's rows are identical. */
+  private[graft] def openDelta(spark: SparkSession, path: String): Option[DataFrame] = {
+    val dirs = deltaBatchPaths(spark, path)
+    if (dirs.isEmpty) None
+    else {
+      val raw = spark.read.option("basePath", deltaDir(path)).parquet(dirs: _*)
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+          col("b").cast("long").as("b"))
+      val first = raw.groupBy(col("doc_id")).agg(min(col("b")).as("b"))
+      Some(raw.join(first, Seq("doc_id", "b"))
+        .select(col("term"), col("doc_id"), col("tf"), col("dl")))
+    }
+  }
+
+  /** The next free delta batch key — the staging table's offset
+    * convention: a restarted lineage (fresh checkpoint after a crash)
+    * re-numbers from 0, so the composite ingest keys its delta batches
+    * PAST anything already present and re-delivery lands as duplicate
+    * partitions (converged by [[openDelta]]'s dedup) instead of
+    * overwriting an earlier lineage's batch. */
+  private[graft] def deltaBatchBase(spark: SparkSession, path: String): Long =
+    deltaBatchPaths(spark, path)
+      .map(p => new Path(p).getName.stripPrefix("b=").toLong)
+      .foldLeft(-1L)(math.max) + 1L
+
+  /** ONE micro-batch landed on the DELTA side — O(batch): tokenize to
+    * tf, denormalize dl, one `b=<key>` dynamic-overwrite write (the
+    * caller passes `deltaBatchBase + batchId`). A replayed batch (crash
+    * before the offset commit) overwrites its own partition with
+    * identical content — exactly-once without a probe. No lease: the
+    * delta side is lineage-private (mutators must reconcile it away
+    * first — [[delete]] and [[rebuild]] refuse a live delta). */
+  private[graft] def appendStreamDeltaBatch(spark: SparkSession, path: String,
+                                            batch: DataFrame,
+                                            batchKey: Long): Unit = {
+    val tf = UnigramLm.termFreq(batch, "doc_id", "text")
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    tf.join(dl, Seq("doc_id"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .withColumn("b", lit(batchKey))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("b")
+      .parquet(deltaDir(path))
+  }
+
+  /** Drop the delta lineage — the reconcile's fold precursor: the
+    * day's texts live in the driver's staging table, so the reconcile
+    * clears this side FIRST and then lands the day through one
+    * ordinary [[merge]] (clear-then-merge: a crash between the two
+    * costs a brief search-visibility dip for the day, never a
+    * double-count — the replayed reconcile re-merges from staging). */
+  private[graft] def clearStreamDelta(spark: SparkSession, path: String): Unit = {
+    val p = new Path(deltaDir(path))
+    fs(spark, path).delete(p, true)
+  }
+
+  private def requireNoDelta(spark: SparkSession, path: String, op: String): Unit =
+    require(deltaBatchPaths(spark, path).isEmpty,
+      s"$op under $path with a live stream delta — its rows would " +
+        s"survive/resurrect outside the manifest protocol; reconcile " +
+        s"the streamed day first")
 
   /** Streaming incremental ingest — `VecIndex.appendStream`'s lexical
     * sibling, completing stream parity across the three index families:
@@ -404,13 +530,22 @@ object LexIndex {
       // yields both probe inputs (id count + touched buckets) — a
       // long-running stream pays this per trigger, so every saved
       // driver action is a slice off the micro-batch constant.
+      // ... and the merge's own driver inputs ride the SAME aggregate:
+      // the touched-bucket set (mergeLocked would otherwise re-collect
+      // it) and the stats delta (n docs = the fence's id count; t =
+      // sum(tf), since t_total is the sum of per-doc dl = per-doc
+      // sum(tf)) — two fewer jobs per trigger on a path a continuous
+      // stream pays forever.
       val shape = tf.agg(count_distinct(col("doc_id")).as("n"),
-          collect_set(tb(col("term"))).as("tbs")).collect().head
+          collect_set(tb(col("term"))).as("tbs"),
+          coalesce(sum(col("tf")), lit(0L)).as("t")).collect().head
       val nIds = shape.getLong(0)
       val touched = shape.getSeq[Long](1).toIndexedSeq
+      val tTotal = shape.getLong(2)
       Lease.withLeaseWait(spark, path, "lexindex-append") {
         val present = presentIdCount(spark, path, ids, touched)
-        if (present == 0L) mergeLocked(spark, path, tf)
+        if (present == 0L)
+          mergeLocked(spark, path, tf, Some((touched, nIds, tTotal)))
         else if (present != nIds)
           throw new IllegalStateException(
             s"micro-batch mixes $present already-indexed ids with " +
@@ -468,26 +603,33 @@ object LexIndex {
     * retraction touches only sidecar + victim buckets (plan-asserted by
     * LexIndexSpec). Indexes written before the sidecar existed fall
     * back to the postings scan. Ids absent from the index are no-ops.
-    * Same atomic manifest publication as [[merge]]. */
-  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    * Same atomic manifest publication as [[merge]]. The victim side is
+    * COUNT-GATED ([[Versioned.gatedIds]]): doc-grain takedowns
+    * broadcast; past `maxBroadcastIds` distinct ids (a source-scale
+    * retraction) the probe and both rewrite joins run as shuffle
+    * semi/anti joins instead — result-identical, driver-safe. */
+  def delete(spark: SparkSession, path: String, ids: DataFrame,
+             maxBroadcastIds: Long = Versioned.DefaultMaxBroadcastIds): Unit =
    Lease.withLease(spark, path, "lexindex-delete") {
+    requireNoDelta(spark, path, "delete")
     val cur = currentVersion(spark, path)
     require(cur > 0L, s"no published index under $path — build first")
     val man = readManifest(spark, path, cur)
     if (man.isEmpty) return
-    val victims = ids.select(col("doc_id")).distinct()
+    val victims = Versioned.gatedIds(
+      ids.select(col("doc_id")).distinct(), maxBroadcastIds)
     val touched = victimBuckets(spark, path, man, victims)
       .collect().map(_.getLong(0))
     if (touched.isEmpty) return
     val touchedRows = readBuckets(spark, path, man, touched.toIndexedSeq)
     // one row per victim doc: its denormalized dl (constant across the
     // doc's postings — min is just the deterministic pick)
-    val gone = touchedRows.join(broadcast(victims), Seq("doc_id"))
+    val gone = touchedRows.join(victims, Seq("doc_id"))
       .groupBy(col("doc_id")).agg(min(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("t"))
       .head()
     val remaining = touchedRows
-      .join(broadcast(victims), Seq("doc_id"), "left_anti")
+      .join(victims, Seq("doc_id"), "left_anti")
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
     val dfreq = remaining.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val oldSt = stats(spark, path).select(col("n_docs"), col("t_total")).head()
@@ -507,7 +649,29 @@ object LexIndex {
   private[graft] def victimBuckets(spark: SparkSession, path: String,
                                    victims: DataFrame): DataFrame =
     victimBuckets(spark, path,
-      readManifest(spark, path, currentVersion(spark, path)), victims)
+      readManifest(spark, path, currentVersion(spark, path)),
+      broadcast(victims))
+
+  /** The subset of `ids` that already carries postings — the day-end
+    * reconcile's REMAINDER probe: where [[containsAny]] answers
+    * all-or-nothing for a whole day, this returns the landed ids so a
+    * partially streamed day merges exactly its unlanded tail. One
+    * column-pruned docmap scan (postings fallback for pre-sidecar
+    * indexes); `ids` is day-bounded, so its side broadcasts. */
+  private[graft] def presentIds(spark: SparkSession, path: String,
+                                ids: DataFrame): DataFrame = {
+    val empty = ids.select(col("doc_id")).limit(0)
+    if (currentVersion(spark, path) == 0L) return empty
+    val man = readManifest(spark, path, currentVersion(spark, path))
+    if (man.isEmpty) return empty
+    val pairs = openDocmap(spark, path, man).getOrElse(
+      readBuckets(spark, path, man, man.keys.toSeq)
+        .select(col("tb"), col("doc_id")))
+    pairs.select(col("doc_id"))
+      .join(broadcast(ids.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+      .distinct()
+  }
 
   /** Whether ANY of `ids` already has postings in the current index —
     * the landed-or-not probe a RETRIED mutation needs (the daily driver
@@ -518,7 +682,8 @@ object LexIndex {
     if (currentVersion(spark, path) == 0L) return false
     val man = readManifest(spark, path, currentVersion(spark, path))
     if (man.isEmpty) return false
-    !victimBuckets(spark, path, man, ids.select(col("doc_id")).distinct()).isEmpty
+    !victimBuckets(spark, path, man,
+      broadcast(ids.select(col("doc_id")).distinct())).isEmpty
   }
 
   /** The distinct bucket ids holding any victim's postings — sidecar
@@ -531,7 +696,9 @@ object LexIndex {
     val pairs = openDocmap(spark, path, manifest).getOrElse(
       readBuckets(spark, path, manifest, manifest.keys.toSeq)
         .select(col("tb"), col("doc_id")))
-    pairs.join(broadcast(victims), Seq("doc_id")).select(col("tb")).distinct()
+    // no broadcast hint here: the caller decides (delete passes the
+    // count-gated frame; the bounded-id probes pre-wrap in broadcast)
+    pairs.join(victims, Seq("doc_id")).select(col("tb")).distinct()
   }
 
   private def statsRow(spark: SparkSession, nDocs: Long, tTotal: Long): DataFrame =
@@ -718,12 +885,43 @@ object LexIndex {
     * alive for in-flight readers (the vacuum rule). */
   final class Pinned private[LexIndex] (spark: SparkSession, path: String,
                                         val version: Long,
-                                        man: Map[Long, Long]) {
+                                        man: Map[Long, Long],
+                                        deltaPaths: Seq[String]) {
 
-    /** The pinned corpus statistics. */
+    /** The pinned stream-delta rows (see [[openDelta]] — lowest-batch
+      * dedup applied); None when the lineage is empty. Pinned like the
+      * manifest: the `b=` path list is captured at [[pinned]] time. */
+    private def deltaRows: Option[DataFrame] =
+      if (deltaPaths.isEmpty) None
+      else {
+        val raw = spark.read.option("basePath", deltaDir(path))
+          .parquet(deltaPaths: _*)
+          .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+            col("b").cast("long").as("b"))
+        val first = raw.groupBy(col("doc_id")).agg(min(col("b")).as("b"))
+        Some(raw.join(first, Seq("doc_id", "b"))
+          .select(col("term"), col("doc_id"), col("tf"), col("dl")))
+      }
+
+    /** The pinned corpus statistics — COMPOSED with the live stream
+      * delta when one exists: bulk sums + the delta's doc-count and
+      * token-total, recombined through the build path's exact
+      * [[statsRow]] arithmetic (same integer avgdl division), so a
+      * search over bulk+delta scores with the statistics the merged
+      * index would carry. Delta absent → the plain pinned read. */
     def stats: DataFrame = {
       require(version > 0L, s"no published index under $path")
-      spark.read.parquet(s"${statsDir(path)}/v=$version")
+      val bulk = spark.read.parquet(s"${statsDir(path)}/v=$version")
+      deltaRows match {
+        case None => bulk
+        case Some(d) =>
+          val b = bulk.select(col("n_docs"), col("t_total")).head()
+          val ds = d.select(col("doc_id"), col("dl")).distinct()
+            .agg(count(lit(1)).as("n"),
+              coalesce(sum(col("dl")), lit(0L)).as("t")).head()
+          statsRow(spark, b.getLong(0) + ds.getLong(0),
+            b.getLong(1) + ds.getLong(1))
+      }
     }
 
     /** Document frequency of the given terms, off the pinned postings —
@@ -733,15 +931,29 @@ object LexIndex {
       * so `distinct` collapses each term's postings to one row). Terms
       * absent from the index produce no row — queryTerms' inner join
       * then drops them, which is also what a zero-df term's score
-      * contribution would be. */
+      * contribution would be. With a live stream delta, each term's df
+      * is the bulk df plus its delta posting count — the value the
+      * merged index would store. */
     def termDf(terms: DataFrame): DataFrame = {
       val buckets = terms.select(tb(col("term")).as("tb")).distinct()
         .collect().map(_.getLong(0)).filter(man.contains)
       val post =
         if (buckets.isEmpty) emptyPostings(spark)
         else readBuckets(spark, path, man, buckets.toIndexedSeq)
-      post.join(broadcast(terms.select(col("term")).distinct()), Seq("term"))
+      val bulkDf = post
+        .join(broadcast(terms.select(col("term")).distinct()), Seq("term"))
         .select(col("term"), col("df")).distinct()
+      deltaRows match {
+        case None => bulkDf
+        case Some(d) =>
+          val deltaDf = d
+            .join(broadcast(terms.select(col("term")).distinct()), Seq("term"))
+            .groupBy(col("term")).agg(count(lit(1)).as("ddf"))
+          bulkDf.join(deltaDf, Seq("term"), "full_outer")
+            .select(col("term"),
+              (coalesce(col("df"), lit(0L)) +
+                coalesce(col("ddf"), lit(0L))).as("df"))
+      }
     }
 
     /** BM25 top-k over the pinned postings. `qterms` is (q_id, term) —
@@ -749,7 +961,13 @@ object LexIndex {
       * live buckets (pruning at its strongest: unprobed buckets are
       * never listed, and the `tb` partition filter on top is asserted
       * by LexIndexSpec); scoring is [[Bm25.scoreExpr]] — identical
-      * arithmetic to the inline and streaming forms. */
+      * arithmetic to the inline and streaming forms. With a live
+      * stream delta the candidate rows are bulk ∪ delta (delta side
+      * term-pruned to the query terms), the per-term df is the
+      * composed [[termDf]], and the stats row is the composed
+      * [[stats]] — value-equal to searching the merged index
+      * (LexIndexDeltaSpec); with no delta the plan is exactly the
+      * historical bucket-pruned one. */
     def search(qterms: DataFrame, k: Int): DataFrame = {
       val buckets = qterms.select(tb(col("term")).as("tb")).distinct()
         .collect().map(_.getLong(0)).filter(man.contains)
@@ -758,11 +976,26 @@ object LexIndex {
       val post =
         if (buckets.isEmpty) emptyPostings(spark)
         else readBuckets(spark, path, man, buckets.toIndexedSeq)
-      post
-        .join(broadcast(qterms.select(col("q_id"), col("term"))), Seq("term"))
-        .crossJoin(broadcast(stats))
-        .withColumn("sc", Bm25.scoreExpr(col("tf"), col("dl"), col("df"),
-          col("n_docs"), col("avgdl_s")))
+      val scored = deltaRows match {
+        case None =>
+          post
+            .join(broadcast(qterms.select(col("q_id"), col("term"))), Seq("term"))
+            .crossJoin(broadcast(stats))
+            .withColumn("sc", Bm25.scoreExpr(col("tf"), col("dl"), col("df"),
+              col("n_docs"), col("avgdl_s")))
+        case Some(d) =>
+          val rows = post.select(col("term"), col("doc_id"), col("tf"), col("dl"))
+            .unionByName(d.join(
+              broadcast(qterms.select(col("term")).distinct()), Seq("term"))
+              .select(col("term"), col("doc_id"), col("tf"), col("dl")))
+          rows
+            .join(broadcast(qterms.select(col("q_id"), col("term"))), Seq("term"))
+            .join(broadcast(termDf(qterms.select(col("term")))), Seq("term"))
+            .crossJoin(broadcast(stats))
+            .withColumn("sc", Bm25.scoreExpr(col("tf"), col("dl"), col("df"),
+              col("n_docs"), col("avgdl_s")))
+      }
+      scored
         .groupBy(col("q_id"), col("doc_id"))
         .agg(count(lit(1)).as("n_hit"), sum(col("sc")).as("bm25_s"))
         .withColumn("rk", row_number().over(wTop))
@@ -772,10 +1005,12 @@ object LexIndex {
   }
 
   /** Pin the index at its current manifest — ONE resolution for every
-    * read composed off the returned view. */
+    * read composed off the returned view (the live stream-delta batch
+    * list is pinned with it). */
   def pinned(spark: SparkSession, path: String): Pinned = {
     val v = currentVersion(spark, path)
-    new Pinned(spark, path, v, readManifest(spark, path, v))
+    new Pinned(spark, path, v, readManifest(spark, path, v),
+      deltaBatchPaths(spark, path))
   }
 
   /** [[Pinned.termDf]] at the current manifest — single-read callers. */

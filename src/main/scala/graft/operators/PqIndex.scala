@@ -371,6 +371,24 @@ object PqIndex {
                                          vecCol: String): DataFrame =
     encodeAssigned(assigned, idCol, vecCol, quantAt(spark, path, m0))
 
+  /** The pinned quantizer row materialized as a DRIVER-LOCAL relation —
+    * a composite ingest loads it ONCE at stream start (the per-batch
+    * fence already pins `cents`, so the row cannot change under a live
+    * lineage) instead of re-reading the quantizer parquet inside every
+    * micro-batch's encode. One row: coarse centroids + sub-codebooks. */
+  private[graft] def quantLocal(spark: SparkSession, path: String,
+                                m0: Versioned.Man): DataFrame = {
+    val q = quantAt(spark, path, m0)
+    spark.createDataFrame(java.util.Arrays.asList(q.collect(): _*), q.schema)
+  }
+
+  /** [[encodeAssignedBatch]] against a pre-loaded ([[quantLocal]])
+    * quantizer row — the per-trigger form with no storage read. */
+  private[graft] def encodeAssignedLocal(assigned: DataFrame, idCol: String,
+                                         vecCol: String,
+                                         quant: DataFrame): DataFrame =
+    encodeAssigned(assigned, idCol, vecCol, quant)
+
   /** ONE micro-batch of the code-append streams: fence-then-write
     * under the index lease ([[VecIndex.appendStreamBatch]]'s
     * rationale — maintenance mutations hold the same lease, so a
@@ -400,6 +418,20 @@ object PqIndex {
     * a retried append needs; false on a never-built index. */
   def containsAny(spark: SparkSession, path: String, ids: DataFrame): Boolean =
     Versioned.containsAnyIn(tryOpen(spark, path), ids)
+
+  /** The ids the current delta epoch's stream lineage landed (`b=`
+    * census; None when the epoch is not stream-governed) — the day-end
+    * reconcile's delta-bounded landed-work probe
+    * ([[Versioned.streamDeltaIds]]). */
+  def streamDeltaIds(spark: SparkSession, path: String,
+                     idCol: String): Option[DataFrame] =
+    Versioned.streamDeltaIds(spark, path, idCol)
+
+  /** The subset of `ids` present anywhere in the index — the
+    * reconcile's exact repair probe for the rare census-miss case
+    * ([[Versioned.presentIdsIn]]). */
+  def presentIds(spark: SparkSession, path: String, ids: DataFrame): DataFrame =
+    Versioned.presentIdsIn(tryOpen(spark, path), ids)
 
   /** Fold the delta into a fresh cells version and bump the epoch in
     * one publish — [[VecIndex.compact]] for the code table (codes are
@@ -437,11 +469,14 @@ object PqIndex {
     * (plus the folded live delta) are rewritten; untouched cells are
     * referenced where they live through the version's ownership
     * sidecar ([[Versioned.deleteCells]]). Absent ids are publish-free
-    * no-ops. */
+    * no-ops. The victim side is count-gated past `maxBroadcastIds`
+    * distinct ids ([[Versioned.gatedIds]] — a source-scale retraction
+    * falls back to shuffle joins instead of OOMing the driver). */
   def delete(spark: SparkSession, path: String, idCol: String,
-             ids: DataFrame): Unit =
+             ids: DataFrame,
+             maxBroadcastIds: Long = Versioned.DefaultMaxBroadcastIds): Unit =
     Lease.withLease(spark, path, "pqindex-maintenance") {
-      Versioned.deleteCells(spark, path, idCol, ids)
+      Versioned.deleteCells(spark, path, idCol, ids, maxBroadcastIds)
     }
 
   /** [[Versioned.gcSweep]] over this layout's families — same

@@ -374,7 +374,19 @@ object Snapshots {
     * writes a full self-owned copy — later seals go incremental.
     * Crash story = [[create]]'s: an unsealed version's debris (data,
     * manifest, revision marker) is invisible and overwritten by the
-    * next create. */
+    * next create.
+    *
+    * CHECKSUM-FORMAT MIGRATION NOTE: round 11 changed the per-batch
+    * checksum from xor to the multiset half-sum ([[batchSums]]). The
+    * first incremental seal over a manifest written with the OLD
+    * format compares new half-sums against stored xor values, so every
+    * batch reads as changed and that one seal writes a full self-owned
+    * copy of the table — a one-time corpus-sized write, in the SAFE
+    * direction (false-changed re-copies; a false-unchanged would
+    * reference stale rows). Later seals are delta-proportional again.
+    * Any future checksum change pays the same one-time full reseal;
+    * that is the intended migration path (no version field needed —
+    * the mismatch itself forces the safe copy). */
   def createIncremental(spark: SparkSession, root: String, rowsIn: DataFrame,
                         batchCol: String = "batch"): Long =
     Lease.withLease(spark, root, "snapshot-create") {

@@ -573,11 +573,15 @@ object VecIndex {
     * atomic manifest rename; pinned readers unperturbed — gc keeps
     * every chain-referenced version dir) and its LSM handoff discipline
     * (no active writer; restart streams on a fresh checkpoint). Ids
-    * absent from the index are publish-free no-ops. */
+    * absent from the index are publish-free no-ops. The victim side is
+    * count-gated: past `maxBroadcastIds` distinct ids the joins run as
+    * shuffle semi/anti instead of broadcast, so a source-scale
+    * retraction cannot OOM the driver ([[Versioned.gatedIds]]). */
   def delete(spark: SparkSession, path: String, idCol: String,
-             ids: DataFrame): Unit =
+             ids: DataFrame,
+             maxBroadcastIds: Long = Versioned.DefaultMaxBroadcastIds): Unit =
     Lease.withLease(spark, path, "vecindex-maintenance") {
-      Versioned.deleteCells(spark, path, idCol, ids)
+      Versioned.deleteCells(spark, path, idCol, ids, maxBroadcastIds)
     }
 
   /** Wholesale REPLACEMENT from an EXTERNAL source — the
@@ -703,6 +707,29 @@ object VecIndex {
     * are [[gc]]'s business and do not count here. */
   def deltaShare(spark: SparkSession, path: String): Double =
     Versioned.deltaShare(spark, path)
+
+  /** Resolved on-disk bytes of the given cells (bulk side through the
+    * ownership chain + the live delta's matching cid dirs) —
+    * metadata-only content summaries: what a probed search of exactly
+    * those cells would scan. [[graft.pipelines.DailyDriver
+    * .hybridSearch]]'s auto-depth policy measures this against its
+    * memory budget. */
+  def cellBytes(spark: SparkSession, path: String, cids: Seq[Long]): Long =
+    Versioned.cellBytes(spark, path, cids)
+
+  /** The ids the current delta epoch's stream lineage landed (`b=`
+    * census; None when the epoch is not stream-governed) — the day-end
+    * reconcile's delta-bounded landed-work probe
+    * ([[Versioned.streamDeltaIds]]). */
+  def streamDeltaIds(spark: SparkSession, path: String,
+                     idCol: String): Option[DataFrame] =
+    Versioned.streamDeltaIds(spark, path, idCol)
+
+  /** The subset of `ids` present anywhere in the index — the
+    * reconcile's exact repair probe for the rare census-miss case
+    * ([[Versioned.presentIdsIn]]). */
+  def presentIds(spark: SparkSession, path: String, ids: DataFrame): DataFrame =
+    Versioned.presentIdsIn(tryOpen(spark, path), ids)
 
   /** The POLICY form of [[compact]] — [[LexIndex.compactIfGarbage]]'s
     * LSM sibling: fold the delta only when it holds more than

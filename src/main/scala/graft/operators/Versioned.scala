@@ -24,6 +24,22 @@ private[operators] object Versioned {
 
   final case class Man(v: Long, base: Long, epoch: Long, cents: Long)
 
+  /** Broadcast ceiling for takedown victim-id sets — the
+    * [[graft.pipelines.Curation.Config.maxBroadcastShingles]] pattern
+    * applied to the retraction paths: doc-grain takedowns (the common
+    * case) are a handful of ids and broadcast; a SOURCE-scale
+    * retraction (an entire license class — millions of ids at 100 TB)
+    * must not be collected onto the driver, so past this count the
+    * victim joins run as shuffle semi/anti joins instead
+    * (result-identical; the gate costs one count() on the distinct
+    * ids, cheap next to the scans either branch pays). */
+  val DefaultMaxBroadcastIds: Long = 5000000L
+
+  /** The count-gated victim side: broadcast below the ceiling, plain
+    * (shuffle-joined) above it. */
+  def gatedIds(ids: DataFrame, maxBroadcast: Long): DataFrame =
+    if (ids.count() <= maxBroadcast) broadcast(ids) else ids
+
   private val ManifestName = "v=(\\d+)\\.txt".r
 
   def manifestDir(path: String): String = s"$path/manifest"
@@ -197,9 +213,16 @@ private[operators] object Versioned {
     * cid references exactly ONE owner version, so the live reference
     * set never exceeds the cell count — a retired overlay whose every
     * rewritten cell was later re-rewritten drops out of the set and gc
-    * collects it, with no depth policy needed. */
+    * collects it, with no depth policy needed.
+    *
+    * The victim side is COUNT-GATED ([[gatedIds]]): below
+    * `maxBroadcastIds` distinct ids it broadcasts (the doc-grain
+    * takedown fast path); above it the census and the rewrite join run
+    * as shuffle semi/anti joins — a source-scale retraction cannot OOM
+    * the driver. */
   def deleteCells(spark: SparkSession, path: String, idCol: String,
-                  ids: DataFrame): Unit = {
+                  ids: DataFrame,
+                  maxBroadcastIds: Long = DefaultMaxBroadcastIds): Unit = {
     val f = fs(spark, path)
     val m = current(spark, path)
     val bulk = openBulkResolved(spark, path, m.base)
@@ -210,8 +233,8 @@ private[operators] object Versioned {
     val all = (bulk.toSeq ++ delta.toSeq).reduceOption(_.unionByName(_))
       .getOrElse(throw new IllegalArgumentException(
         s"no index layout under $path"))
-    val vIds = ids.select(col(idCol)).distinct()
-    val victimCids = all.join(broadcast(vIds), Seq(idCol), "left_semi")
+    val vIds = gatedIds(ids.select(col(idCol)).distinct(), maxBroadcastIds)
+    val victimCids = all.join(vIds, Seq(idCol), "left_semi")
       .select(col("cid")).distinct().collect()
       .map(_.getAs[Number](0).longValue).toSet
     val deltaCids = delta.map(_.select(col("cid")).distinct().collect()
@@ -221,7 +244,7 @@ private[operators] object Versioned {
     val n = m.v + 1
     f.delete(new Path(cellsPath(path, n)), true) // torn predecessor debris
     all.filter(col("cid").isin(rewrite.toSeq.sorted: _*))
-      .join(broadcast(vIds), Seq(idCol), "left_anti")
+      .join(vIds, Seq(idCol), "left_anti")
       .repartitionByRange(col("cid"), col(idCol))
       .write.mode("overwrite").partitionBy("cid").parquet(cellsPath(path, n))
     val present = listCids(f, cellsPath(path, n))
@@ -258,11 +281,61 @@ private[operators] object Versioned {
       else cellOwnersIfManifested(spark, path, m.base) match {
         case None => bytes(cellsPath(path, m.base))
         case Some(owners) =>
-          owners.toSeq.map { case (c, o) =>
-            bytes(s"${cellsPath(path, o)}/cid=$c")
+          // one summary call per OWNER version (not per cid): when every
+          // physically present cell of an owner dir is referenced, the
+          // whole-dir summary covers them in one RPC (maintain runs this
+          // every pass; per-cid calls are an RPC each on an object
+          // store). Partially referenced owners — some of their cells
+          // were re-rewritten by a later overlay — fall back to per-cid
+          // sums. The whole-dir path over-counts by the tiny ownership
+          // sidecar / marker files; the debt RATIO this feeds is
+          // threshold-gated, so bytes-level noise is immaterial.
+          owners.groupBy(_._2).map { case (o, cids) =>
+            val dir = cellsPath(path, o)
+            val present = listCids(f, dir)
+            if (present.nonEmpty && present.forall(cids.contains))
+              bytes(dir)
+            else cids.keysIterator.map(c => bytes(s"$dir/cid=$c")).sum
           }.sum
       }
     if (delta + base == 0L) 0.0 else delta.toDouble / (delta + base).toDouble
+  }
+
+  /** Resolved on-disk bytes of the given cells: the bulk side through
+    * the ownership chain plus the live delta epoch's matching cid dirs —
+    * metadata-only (content summaries, no data read). This is what a
+    * probed search of exactly those cells would SCAN, the I/O
+    * measurement the auto-depth search policy gates on
+    * ([[graft.pipelines.DailyDriver.hybridSearch]]). Cids the index
+    * doesn't hold contribute 0. */
+  def cellBytes(spark: SparkSession, path: String, cids: Seq[Long]): Long = {
+    val m = current(spark, path)
+    val f = fs(spark, path)
+    def bytes(dir: String): Long = {
+      val p = new Path(dir)
+      if (!f.exists(p)) 0L else f.getContentSummary(p).getLength
+    }
+    val want = cids.toSet
+    val bulk = cellOwners(spark, path, m.base).iterator.collect {
+      case (c, o) if want(c) => bytes(s"${cellsPath(path, o)}/cid=$c")
+    }.sum
+    // the live delta: a batch epoch keys cid= at the top; a
+    // stream-governed epoch nests them under b=B — sum both shapes
+    val dd = new Path(deltaPath(path, m.epoch))
+    def cidBytes(st: org.apache.hadoop.fs.FileStatus): Long = {
+      val n = st.getPath.getName
+      if (n.startsWith("cid=") && want(n.stripPrefix("cid=").toLong))
+        f.getContentSummary(st.getPath).getLength
+      else 0L
+    }
+    val delta =
+      if (!f.exists(dd)) 0L
+      else f.listStatus(dd).iterator.map { st =>
+        if (st.getPath.getName.startsWith("b="))
+          f.listStatus(st.getPath).iterator.map(cidBytes).sum
+        else cidBytes(st)
+      }.sum
+    bulk + delta
   }
 
   /** Cell-occupancy skew of an opened celled index: the hottest cell's
@@ -279,9 +352,47 @@ private[operators] object Versioned {
       else occ.getLong(0).toDouble / occ.getLong(1).toDouble
   }
 
+  /** The ids the CURRENT delta epoch's STREAM LINEAGE landed — a
+    * DELTA-bounded read of the epoch's `b=` batch dirs, None when the
+    * epoch is not stream-governed (batch-governed, empty, or already
+    * adopted/folded). This is the day-end reconcile's landed-work
+    * census: each micro-batch's append is atomic (one `b=` dynamic
+    * overwrite), so an id here is definitively landed — the reconcile
+    * probes this instead of the whole index and touches the full index
+    * only for the unlanded remainder. */
+  def streamDeltaIds(spark: SparkSession, path: String,
+                     idCol: String): Option[DataFrame] = {
+    val m = current(spark, path)
+    val dir = deltaPath(path, m.epoch)
+    val f = fs(spark, path)
+    val p = new Path(dir)
+    val bDirs =
+      if (!f.exists(p)) Array.empty[Path]
+      else f.listStatus(p).map(_.getPath)
+        .filter(_.getName.startsWith("b="))
+    if (bDirs.isEmpty) None
+    else Some(spark.read.option("basePath", dir)
+      .parquet(bDirs.map(_.toString).sorted: _*).select(col(idCol)))
+  }
+
   /** Whether any of `ids` appears in an opened index — the
     * landed-or-not probe a retried job-committed append needs; false on
     * a never-built index. Joins on `ids`' first column. */
+  /** The subset of `ids` present anywhere in an opened index — the
+    * reconcile's EXACT repair probe for the rare census-miss case (a
+    * mid-day fold moved lineage batches into the bulk): a full
+    * column-pruned scan, paid only when the cheap census disagrees
+    * with [[containsAnyIn]]. Joins on `ids`' first column; empty
+    * relation for an unbuilt index. */
+  def presentIdsIn(idx: Option[DataFrame], ids: DataFrame): DataFrame =
+    idx match {
+      case None => ids.limit(0)
+      case Some(i) =>
+        i.select(col(ids.columns.head))
+          .join(broadcast(ids.distinct()), Seq(ids.columns.head), "left_semi")
+          .distinct()
+    }
+
   def containsAnyIn(idx: Option[DataFrame], ids: DataFrame): Boolean =
     idx match {
       case None => false

@@ -185,6 +185,39 @@ object DailyDriver {
     * picks a finite depth and trades recall for ADC pruning). */
   val ExhaustiveRerank: Int = Int.MaxValue
 
+  /** [[hybridSearch]]'s DEFAULT `pqDepth`: the OPERATOR picks the path.
+    * The round-11 crossover measurement (README's IVFADC section,
+    * ScaleCheck `adc`) settled the economics — at page-cache scale the
+    * exact in-cell scan wins (pqDepth 0); the code table's ~dim·4/m
+    * scan-byte advantage pays exactly when the probed cells' raw bytes
+    * dwarf memory so scan I/O IS the wall clock. With this sentinel,
+    * hybridSearch measures the probed cells' resolved bytes (ownership-
+    * chain content summaries, no data read) against
+    * `pqAutoBudgetBytes` and applies [[autoPqDepth]] — the decision is
+    * policy, not caller documentation. Explicit values (0, or a
+    * positive depth) remain caller-forced. */
+  val AutoDepth: Int = -1
+
+  /** The measured recall rule for the compressed path: ADC nomination
+    * depth ≥ 160·k reads recall ≈ 0.9 at the production shape
+    * (SCALECHECK_r11 adc readout: d = 1600 → 0.893 at k = 10). */
+  val AdcDepthPerK: Int = 160
+
+  /** Default memory budget for [[autoPqDepth]]: half the JVM's max
+    * heap — the local-mode proxy for "the probed cells' raw floats are
+    * page-cache/compute-bound". A cluster owner sizes this to the
+    * executor fleet's effective cache capacity for the index volume. */
+  val DefaultPqAutoBudgetBytes: Long = Runtime.getRuntime.maxMemory / 2
+
+  /** The auto-depth decision, factored pure for the spec: probed raw
+    * bytes within budget → 0 (exact scan, the measured winner when the
+    * floats fit); past it → [[AdcDepthPerK]]·k nominations (the
+    * measured recall ≈ 0.9 depth) for the compressed path. */
+  def autoPqDepth(probedBytes: Long, budgetBytes: Long, k: Int): Int =
+    if (probedBytes <= budgetBytes) 0
+    else math.min(AdcDepthPerK.toLong * math.max(k, 1).toLong,
+      Int.MaxValue.toLong).toInt
+
   /** Default gc grace for [[maintain]]'s versioned-index sweeps: long
     * enough for any in-flight [[hybridSearch]]/[[openVecIndex]] scan
     * pinned just before a maintenance publish to finish before its
@@ -260,15 +293,22 @@ object DailyDriver {
     * @param nprobe  probed cells per vector query
     * @param maxDfPermille retrieval-term df ceiling (stop-term filter),
     *                in permille of the indexed corpus
-    * @param pqDepth 0 = exact in-cell scan (default); > 0 = IVFADC:
-    *                ADC-nominate this many candidates per probe from
-    *                the code table, exact-rerank only those */
+    * @param pqDepth [[AutoDepth]] (default) = the OPERATOR picks:
+    *                measure the probed cells' resolved raw bytes
+    *                against `pqAutoBudgetBytes` and apply
+    *                [[autoPqDepth]]; 0 = force the exact in-cell scan;
+    *                > 0 = force IVFADC: ADC-nominate this many
+    *                candidates per probe from the code table,
+    *                exact-rerank only those
+    * @param pqAutoBudgetBytes the auto policy's memory budget (only
+    *                read when `pqDepth` is [[AutoDepth]]) */
   def hybridSearch(spark: SparkSession, dir: String,
                    queries: DataFrame, probes: DataFrame,
                    k: Int = 5, depth: Int = 10, nprobe: Int = 2,
                    maxDfPermille: Long =
                      graft.operators.Bm25.DefaultMaxDfPermille,
-                   pqDepth: Int = 0): DataFrame = {
+                   pqDepth: Int = AutoDepth,
+                   pqAutoBudgetBytes: Long = DefaultPqAutoBudgetBytes): DataFrame = {
     import graft.operators.{Bm25, KMeans, LexIndex, PqIndex, Rrf, VecIndex}
     val vdir = vecIndexDir(dir)
     // lexical half — df, stats, and the posting scan all read through
@@ -314,13 +354,37 @@ object DailyDriver {
     // desynced and nominations would silently lose recall — fall back
     // to the always-correct exact scan instead and let maintain repair
     // the alignment
-    val usePq = pqDepth > 0 &&
+    val pqUsable = (pqDepth == AutoDepth || pqDepth > 0) &&
       graft.operators.PqIndex.currentVersion(spark, pqIndexDir(dir)) > 0L &&
       pqCoarseAligned(spark, pqIndexDir(dir), collectCoarse(cents))
+    // AUTO-DEPTH: the round-11 crossover readout as policy. One
+    // metadata measurement (the probed cids' resolved bytes through the
+    // ownership chain — content summaries, no data read) against the
+    // budget: within it the probed floats are page-cache/compute-bound
+    // and the exact scan is the measured winner (depth 0); past it scan
+    // I/O is the wall clock, the code table's ~dim·4/m byte advantage
+    // pays, and the depth is the measured recall≈0.9 rule
+    // (AdcDepthPerK·k). Only the auto path pays the measurement (one
+    // small collect of the probes' distinct cells + one summary RPC per
+    // probed cell); an unusable code table (absent / coarse-desynced)
+    // short-circuits to the exact scan without measuring. Note the
+    // rerank stage still RESCANS the probed raw cells in this
+    // scan-based engine — the compressed path's lever is the NOMINATION
+    // scan's bytes (README's IVFADC section has the measured trade).
+    val effDepth =
+      if (pqDepth != AutoDepth) pqDepth
+      else if (!pqUsable) 0
+      else {
+        val probedCids = pr.select(col("q_cid")).distinct().collect()
+          .map(_.getAs[Number](0).longValue).toSeq
+        autoPqDepth(VecIndex.cellBytes(spark, vdir, probedCids),
+          pqAutoBudgetBytes, k)
+      }
+    val usePq = effDepth > 0 && pqUsable
     val vec0 =
       if (!usePq) VecIndex.search(vp.index, pr, "doc_id", "embedding", depth)
       else VecIndex.rerank(vp.index, pr,
-        PqIndex.searchAssigned(spark, pqIndexDir(dir), pr, "doc_id", pqDepth)
+        PqIndex.searchAssigned(spark, pqIndexDir(dir), pr, "doc_id", effDepth)
           .select(col("q_id"), col("doc_id")),
         "doc_id", "embedding", depth)
     val vec = vec0.select(col("q_id"), col("doc_id"), col("rk").as("rv"))
@@ -485,6 +549,30 @@ object DailyDriver {
   def step(spark: SparkSession, newDocs: DataFrame, benchmark: DataFrame,
            dir: String, cfg: Curation.Config = Curation.Config(),
            embeddings: Option[DataFrame] = None): DataFrame =
+    stepImpl(spark, newDocs, benchmark, dir, cfg, embeddings, None)
+
+  /** What the stream's own records say ALREADY LANDED — the day-end
+    * reconcile hands this to [[stepImpl]] so the index halves probe
+    * only the unlanded remainder instead of re-probing every store
+    * with full-day landed-or-not scans: on a cleanly streamed day the
+    * remainders are empty and ZERO full-index probes run. vec/pq ids
+    * come from the delta epochs' `b=` lineage dirs (delta-bounded,
+    * collected before the adopt re-keys them); the lex half has no
+    * lineage record and uses its docmap remainder probe instead. */
+  private[pipelines] final case class StreamCensus(
+      vecLanded: Option[DataFrame], pqLanded: Option[DataFrame])
+
+  /** The remainder of `rows` after a landed-id census (whole relation
+    * when no census exists). */
+  private def minusLanded(rows: DataFrame,
+                          landed: Option[DataFrame]): DataFrame =
+    landed.map(l => rows.join(l.select(col("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")).getOrElse(rows)
+
+  private def stepImpl(spark: SparkSession, newDocs: DataFrame,
+                       benchmark: DataFrame, dir: String,
+                       cfg: Curation.Config, embeddings: Option[DataFrame],
+                       streamed: Option[StreamCensus]): DataFrame =
    Lease.withLease(spark, dir, "step") {
     // a flat decision table (repaired unpartitioned replacement) must
     // be re-founded before this step's partition publish renames
@@ -576,10 +664,24 @@ object DailyDriver {
     }
     // fold the day's candidates into the retrieval index — touches only
     // the delta's term buckets (see LexIndex.merge; exact vs a full
-    // rebuild, DailyDriverApiSpec)
-    if (!graft.operators.LexIndex.containsAny(spark, lexDir(dir), deltaIds))
-      graft.operators.LexIndex.merge(spark, lexDir(dir),
-        graft.operators.UnigramLm.termFreq(newCand, "doc_id", "text"))
+    // rebuild, DailyDriverApiSpec). Batch path: the all-or-nothing
+    // landed probe (one job-committed merge per day). Reconcile path:
+    // the stream landed per micro-batch, so a partially streamed day is
+    // legitimately MIXED — merge exactly the unlanded remainder (the
+    // docmap remainder probe; merge over disjoint new ids is exact).
+    if (streamed.isEmpty) {
+      if (!graft.operators.LexIndex.containsAny(spark, lexDir(dir), deltaIds))
+        graft.operators.LexIndex.merge(spark, lexDir(dir),
+          graft.operators.UnigramLm.termFreq(newCand, "doc_id", "text"))
+    } else {
+      val lexTodo = newCand.join(
+        graft.operators.LexIndex.presentIds(spark, lexDir(dir),
+          newCand.select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
+      if (!lexTodo.isEmpty)
+        graft.operators.LexIndex.merge(spark, lexDir(dir),
+          graft.operators.UnigramLm.termFreq(lexTodo, "doc_id", "text"))
+    }
     // vector half: append the day's CANDIDATE embeddings to the driver's
     // VecIndex delta, assigned against the index's pinned quantizer
     // (day 0's, or the latest retrain's — openCentroids tracks the
@@ -592,8 +694,30 @@ object DailyDriver {
         throw new IllegalStateException(
           s"driver vec index at $vdir has no quantizer — init with embeddings first"))
       val candEmb = emb.join(newCand.select(col("doc_id")), Seq("doc_id"))
-      if (!VecIndex.containsAny(spark, vdir, candEmb.select(col("doc_id"))))
-        VecIndex.append(candEmb, "doc_id", "embedding", cents, vdir)
+      // batch path: one all-or-nothing landed probe. Reconcile path:
+      // subtract the stream's b= census first — on a cleanly streamed
+      // day the remainder is EMPTY and no full-index probe runs at all;
+      // a partial day appends exactly its unlanded tail (one
+      // containsAny over the remainder guards the rare census miss — a
+      // mid-day fold that moved lineage batches into the bulk — and the
+      // exact presentIds repair covers even that).
+      if (streamed.isEmpty) {
+        if (!VecIndex.containsAny(spark, vdir, candEmb.select(col("doc_id"))))
+          VecIndex.append(candEmb, "doc_id", "embedding", cents, vdir)
+      } else {
+        val vecTodo = minusLanded(candEmb, streamed.get.vecLanded)
+        if (!vecTodo.isEmpty) {
+          if (!VecIndex.containsAny(spark, vdir, vecTodo.select(col("doc_id"))))
+            VecIndex.append(vecTodo, "doc_id", "embedding", cents, vdir)
+          else {
+            val todo2 = vecTodo.join(
+              VecIndex.presentIds(spark, vdir, vecTodo.select(col("doc_id"))),
+              Seq("doc_id"), "left_anti")
+            if (!todo2.isEmpty)
+              VecIndex.append(todo2, "doc_id", "embedding", cents, vdir)
+          }
+        }
+      }
       // the code table gets the SAME day's candidates under the SAME
       // cosine assignment (assignFold is deterministic given (rows,
       // cents), so the two stores' cell layouts stay identical without
@@ -610,12 +734,30 @@ object DailyDriver {
       // table, so nothing is lost.
       val pqdir = pqIndexDir(dir)
       if (PqIndex.currentVersion(spark, pqdir) > 0L &&
-          pqCoarseAligned(spark, pqdir, collectCoarse(cents)) &&
-          !PqIndex.containsAny(spark, pqdir, candEmb.select(col("doc_id"))))
-        PqIndex.appendAssigned(
-          VecIndex.assignFold(candEmb, "doc_id", "embedding", cents)
-            .select(col("doc_id"), col("embedding"), col("cid")),
-          "doc_id", "embedding", pqdir)
+          pqCoarseAligned(spark, pqdir, collectCoarse(cents))) {
+        def pqAppend(rows: DataFrame): Unit =
+          PqIndex.appendAssigned(
+            VecIndex.assignFold(rows, "doc_id", "embedding", cents)
+              .select(col("doc_id"), col("embedding"), col("cid")),
+            "doc_id", "embedding", pqdir)
+        // same census discipline as the vec half (see above)
+        if (streamed.isEmpty) {
+          if (!PqIndex.containsAny(spark, pqdir, candEmb.select(col("doc_id"))))
+            pqAppend(candEmb)
+        } else {
+          val pqTodo = minusLanded(candEmb, streamed.get.pqLanded)
+          if (!pqTodo.isEmpty) {
+            if (!PqIndex.containsAny(spark, pqdir, pqTodo.select(col("doc_id"))))
+              pqAppend(pqTodo)
+            else {
+              val todo2 = pqTodo.join(
+                PqIndex.presentIds(spark, pqdir, pqTodo.select(col("doc_id"))),
+                Seq("doc_id"), "left_anti")
+              if (!todo2.isEmpty) pqAppend(todo2)
+            }
+          }
+        }
+      }
     }
     // the delta-grain decision publish — the step's commit point. Each
     // delta row keeps its HOME batch (the step that introduced it);
@@ -673,18 +815,23 @@ object DailyDriver {
     *    exactly (day ids are unique by contract);
     *  - CANDIDACY is decided per micro-batch with the batch pipeline's
     *    exact arithmetic (same quality counters, same broadcast
-    *    benchmark shingle intersect — the benchmark row materialized
-    *    ONCE at stream start), and the candidates feed the three
-    *    epoch-fenced index appends — [[hybridSearch]] sees the day's
-    *    documents as they arrive, not at day end. All four landings
-    *    run inside ONE composite query's foreachBatch (one checkpoint,
-    *    one gate evaluation, one candidacy compute per trigger — the
-    *    four-query shape paid each four ways); a crash mid-batch
-    *    replays the whole batch, and every half converges (mb=/b=
-    *    dynamic overwrite; the lexical presence probe). A concurrent
-    *    [[maintain]] that folds/retrains bumps the stores' epochs and
-    *    the ingest FAILS its next batch loudly (the operators'
-    *    documented fence) — restart it after the pass;
+    *    benchmark shingle intersect — the benchmark row collected to a
+    *    driver-local relation ONCE at stream start), and the candidates
+    *    feed the three index appends — [[hybridSearch]] sees the day's
+    *    documents as they arrive, not at day end. EVERY per-trigger
+    *    landing is O(batch): the lexical half goes to the index's
+    *    STREAM DELTA side (one `b=` write; searches compose bulk +
+    *    delta exactly — [[graft.operators.LexIndex.openDelta]]; the old
+    *    per-batch merge rewrote every touched bucket, a
+    *    corpus-proportional cost per trigger), and the vector halves
+    *    are the epoch-fenced `b=` appends. All four landings run
+    *    inside ONE composite query's foreachBatch (one checkpoint, one
+    *    gate evaluation, one candidacy compute per trigger); a crash
+    *    mid-batch replays the whole batch, and every half converges
+    *    (mb=/b= dynamic overwrite everywhere — no probe needed). A
+    *    concurrent [[maintain]] that folds/retrains bumps the vector
+    *    stores' epochs and the ingest FAILS its next batch loudly (the
+    *    operators' documented fence) — restart it after the pass;
     *  - the signature index and fingerprint store are deliberately NOT
     *    streamed: nothing reads them intra-day (near-dup pairing runs
     *    at reconcile; snapshots seal after it), so
@@ -736,31 +883,61 @@ object DailyDriver {
           s.stripPrefix("mb=").toLong }
         .foldLeft(-1L)(math.max) + 1L
     }
-    // the benchmark's shingle row is computed ONCE and eagerly
-    // materialized — the four-query shape re-tokenized the whole
-    // benchmark inside every consumer's every micro-batch (the
-    // dominant slice of the streamed day's 5× batch-day constant)
-    val benchRow = graft.pipelines.Curation
-      .benchShingles(benchmark, cfg.shingleWidth)
-      .agg(array_sort(collect_set(col("h"))).as("bench_sh"))
-      .localCheckpoint(true)
+    // the benchmark's shingle row is computed ONCE and collected to the
+    // DRIVER as a one-row local relation — the four-query shape
+    // re-tokenized the whole benchmark inside every consumer's every
+    // micro-batch (the dominant slice of the streamed day's 5×
+    // batch-day constant). NOT localCheckpoint: day-long pinned
+    // non-replicated executor blocks would make every later micro-batch
+    // fail after one executor loss (the pattern appendStreamBatch's own
+    // comment forbids), and each trigger would pay a block-fetch job to
+    // re-broadcast them; a local relation broadcasts driver-side with
+    // no job and survives any executor loss. Size is the benchmark's
+    // distinct shingle set — the same bound the broadcast form already
+    // requires (cfg.maxBroadcastShingles).
+    val benchRow = {
+      val one = graft.pipelines.Curation
+        .benchShingles(benchmark, cfg.shingleWidth)
+        .agg(array_sort(collect_set(col("h"))).as("bench_sh"))
+      spark.createDataFrame(
+        java.util.Arrays.asList(one.collect(): _*), one.schema)
+    }
     require(LexIndex.currentVersion(spark, lexDir(dir)) > 0L,
       s"no published index under ${lexDir(dir)} — build first, then stream")
+    // the lexical half lands on the index's STREAM DELTA side — one
+    // O(batch) `b=` write per trigger where the old per-trigger merge
+    // re-read and rewrote every touched bucket (a micro-batch's terms
+    // touch ~all buckets, so that was the whole postings index per
+    // trigger — corpus-proportional ingest). Searches compose bulk +
+    // delta exactly (LexIndex.Pinned); the reconcile folds the day
+    // through ONE ordinary merge. Batch keys offset past anything
+    // present — the staging table's fresh-checkpoint convention.
+    val lexDeltaBase = LexIndex.deltaBatchBase(spark, lexDir(dir))
     val vdir = vecIndexDir(dir)
     val pqdir = pqIndexDir(dir)
     // pin every store's stream coordinates at START (one manifest
     // resolution each; each micro-batch re-fences under the store's
     // lease inside its appendStreamBatch)
     val vecSide = embeddings.map { emb =>
-      val cents = VecIndex.openCentroids(spark, vdir).getOrElse(
+      val cents0 = VecIndex.openCentroids(spark, vdir).getOrElse(
         throw new IllegalStateException(
           s"driver vec index at $vdir has no quantizer — init with " +
             s"embeddings first"))
+      // the quantizer is PINNED for the lineage (the per-batch fence
+      // rejects any change), so load it driver-local ONCE — every
+      // micro-batch's assignFold otherwise re-reads the centroid
+      // parquet, a storage read per trigger a continuous stream pays
+      // forever
+      val cents = spark.createDataFrame(
+        java.util.Arrays.asList(cents0.collect(): _*), cents0.schema)
       val pqPin =
         if (PqIndex.currentVersion(spark, pqdir) > 0L &&
-            pqCoarseAligned(spark, pqdir, collectCoarse(cents)))
-          Some(PqIndex.pinStreamAppend(spark, pqdir, ckpt))
-        else None
+            pqCoarseAligned(spark, pqdir, collectCoarse(cents))) {
+          val p0 = PqIndex.pinStreamAppend(spark, pqdir, ckpt)
+          // same once-at-start loading for the PQ quantizer row — the
+          // per-batch encode otherwise reads it from storage
+          Some((p0, PqIndex.quantLocal(spark, pqdir, p0)))
+        } else None
       (emb.select(col("doc_id"), col("embedding")),
         VecIndex.pinStreamAppend(spark, vdir, ckpt), pqPin, cents)
     }
@@ -808,8 +985,9 @@ object DailyDriver {
               col("contam_ratio") <= cfg.maxContamRatio)
             .select(col("doc_id"), col("text"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            LexIndex.appendStreamBatch(spark, lexDir(dir), cand)
+          try if (!cand.isEmpty) {
+            LexIndex.appendStreamDeltaBatch(spark, lexDir(dir), cand,
+              lexDeltaBase + batchId)
             vecSide.foreach { case (emb, vecPin, pqPin, cents) =>
               // one cosine assignment, two stores (the batch step's
               // appendAssigned rule — PQ's own coarse rule would
@@ -824,12 +1002,12 @@ object DailyDriver {
                 VecIndex.appendStreamBatch(spark, vdir, vecPin,
                   assigned.select(col("doc_id"), col("embedding"),
                     col("norm"), col("cid")), batchId)
-                pqPin.foreach { p =>
+                pqPin.foreach { case (p, quant) =>
                   PqIndex.appendStreamBatch(spark, pqdir, p,
-                    PqIndex.encodeAssignedBatch(spark, pqdir, p,
+                    PqIndex.encodeAssignedLocal(
                       assigned.select(col("doc_id"), col("embedding"),
                         col("cid")),
-                      "doc_id", "embedding"), batchId)
+                      "doc_id", "embedding", quant), batchId)
                 }
               } finally assigned.unpersist()
             }
@@ -843,18 +1021,25 @@ object DailyDriver {
 
   /** END-OF-DAY reconcile for [[stepStream]]: fold the staged arrivals
     * into the decision table and whatever stores the streams did NOT
-    * land. This IS the batch [[step]] over the staged day — its replay
-    * guards see the streamed lexical/vector/PQ entries already present
-    * and skip those halves, append the signature/fingerprint halves,
-    * and publish the decision delta as the single commit point — then
-    * the vector stores' stream-governed delta epochs are handed back to
-    * the batch discipline (an O(delta) re-key + epoch bump, [[graft
-    * .operators.VecIndex.adoptStreamDelta]] — WITHOUT it, tomorrow's
-    * batch [[step]] would refuse to append into the lineage's replay
-    * keys) and the staging table is cleared for the next day
+    * land. This IS the batch [[step]] over the staged day, driven by
+    * the stream's own LANDED-WORK CENSUS (the vec/pq delta epochs' `b=`
+    * lineage records, read before the adopt re-keys them): the index
+    * halves subtract the census and touch only the unlanded remainder —
+    * a cleanly streamed day runs ZERO full-index landed probes, and a
+    * PARTIALLY streamed day (the stream stopped mid-day without replay)
+    * appends exactly its unlanded tail, so
+    * partial-stream + reconcile ≡ the full batch step
+    * (DailyDriverStreamSpec). The vector stores' stream-governed delta
+    * epochs are handed back to the batch discipline FIRST (an O(delta)
+    * re-key + epoch bump, [[graft.operators.VecIndex
+    * .adoptStreamDelta]] — the remainder appends are batch appends and
+    * tomorrow's batch [[step]] must not meet the lineage's replay
+    * keys), then the decision delta publishes as the single commit
+    * point and the staging table is cleared for the next day
     * (idempotent: a reconcile replayed after a crash finds the
-    * decisions landed, no-ops every half, finds batch-governed epochs,
-    * and just re-clears staging).
+    * decisions landed, no-ops every half — census None after the
+    * adopt, so the full-probe fallback guards it — and just re-clears
+    * staging).
     *
     * Call with every [[StepStreamHandles]] query STOPPED after a final
     * drain; a reconcile racing live micro-batches would read a
@@ -878,21 +1063,48 @@ object DailyDriver {
       .dropDuplicates("doc_id").localCheckpoint(true)
     require(!staged.isEmpty,
       s"staging under $sd is empty — nothing to reconcile")
-    val out = step(spark, staged, benchmark, dir, cfg, embeddings)
-    // hand the vector stores back to the BATCH discipline: the stream
-    // lineage's per-micro-batch replay keys must not govern tomorrow's
-    // batch appends (VecIndex.append refuses a stream-governed epoch by
-    // design). O(delta) re-key + epoch bump — never the corpus-linear
-    // fold, which stays maintain's policy call — and a replayed
-    // reconcile finds batch-governed epochs and no-ops. The bump also
-    // fences a zombie checkpoint's late micro-batch loudly.
-    // Unconditional: adopt no-ops on an absent or batch-governed epoch
-    // at probe cost, and gating on manifest version would skip the
-    // documented pure-stream v=0 state, leaving the epoch
-    // stream-governed so tomorrow's batch append fails its fence.
     import graft.operators.{PqIndex, VecIndex}
+    // LANDED-WORK CENSUS, read BEFORE the adopts re-key the lineage
+    // dirs: the stream's own `b=` records say exactly which vec/pq
+    // appends landed (each micro-batch append is one atomic dynamic
+    // overwrite), so the step's index halves probe only the unlanded
+    // remainder — zero full-index probes on a cleanly streamed day, one
+    // remainder-sized probe per store on a partial one. Materialized
+    // eagerly (delta-sized): the census must survive the adopt below.
+    val census = StreamCensus(
+      VecIndex.streamDeltaIds(spark, vecIndexDir(dir), "doc_id")
+        .map(_.distinct().localCheckpoint(true)),
+      PqIndex.streamDeltaIds(spark, pqIndexDir(dir), "doc_id")
+        .map(_.distinct().localCheckpoint(true)))
+    // hand the vector stores back to the BATCH discipline BEFORE the
+    // step (round 12 moved this up from after): the census-enabled
+    // remainder appends are batch appends, and VecIndex.append refuses
+    // a stream-governed epoch by design. O(delta) re-key + epoch bump —
+    // never the corpus-linear fold, which stays maintain's policy call.
+    // The bump also fences a zombie checkpoint's late micro-batch
+    // loudly. Unconditional: adopt no-ops on an absent or batch-
+    // governed epoch at probe cost, and gating on manifest version
+    // would skip the documented pure-stream v=0 state, leaving the
+    // epoch stream-governed so tomorrow's batch append fails its fence.
+    // Crash between the adopts and the step's decision publish: staging
+    // is still present, the replayed reconcile reads census None (the
+    // b= dirs are gone) and the step's full-probe fallback skips the
+    // landed halves — the exact pre-census behavior.
     VecIndex.adoptStreamDelta(spark, vecIndexDir(dir))
     PqIndex.adoptStreamDelta(spark, pqIndexDir(dir))
+    // the LEXICAL fold: the stream landed the day on the index's delta
+    // side (search-visible all day); the day's source of truth is the
+    // staging table, so clear the delta FIRST and let the step's lex
+    // half land the whole day through ONE ordinary merge (the
+    // remainder probe reads the day as unlanded). Clear-then-merge: a
+    // crash between the two costs a brief search-visibility dip for
+    // the day — never a double count — and the replayed reconcile
+    // re-merges from staging.
+    graft.operators.Lease.withLease(spark, lexDir(dir), "lexindex-delta-clear") {
+      graft.operators.LexIndex.clearStreamDelta(spark, lexDir(dir))
+    }
+    val out = stepImpl(spark, staged, benchmark, dir, cfg, embeddings,
+      Some(census))
     val p = new org.apache.hadoop.fs.Path(sd)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     out
@@ -1265,7 +1477,11 @@ object DailyDriver {
     * @return what fired this pass ([[MaintainReport]]) — every gated
     *         mutation's trigger outcome plus the measured skew and
     *         alignment the decisions were based on, so a scheduler can
-    *         log/alert on maintenance activity without re-probing */
+    *         log/alert on maintenance activity without re-probing
+    *
+    * RETENTION is a separate call ([[retireDecisions]]) — it takes the
+    * same driver lease, so schedule it in the same maintenance window,
+    * not inside this pass. */
   def maintain(spark: SparkSession, dir: String,
                lexGcShare: Double = 0.0, lexGcGraceMs: Long = ReaderGraceMs,
                vecDeltaShare: Double = 0.2, vecMaxCellShare: Double = 0.5,
@@ -1452,6 +1668,59 @@ object DailyDriver {
       pqCompacted, pqRefreshed, skew, pqSkew, alignedBefore, sigFileDebt,
       decRelaid, decFileDebt, fpsRelaid, fpsFileDebt)
    }
+
+  /** RETENTION boundary for the LIVE decision table: fold every batch
+    * partition older than the newest `keepBatches` arrival days into
+    * the BASE partition (`batch=0`, day 0's own key) in one
+    * crash-atomic [[graft.operators.PartitionSwap]] publish (staged
+    * base + the folded days in the marker's drop list — a crash at any
+    * point leaves the complete old or complete new table). A
+    * years-horizon driver otherwise carries every arrival day as a
+    * live partition forever: listing and swap-census costs then grow
+    * with table AGE instead of with daily work. The live table only
+    * needs RECENT grain — [[step]]/[[forget]] prune on the partitions
+    * their deltas touch, and the full per-day history is already
+    * sealed in the [[snapshot]] store — so reads are IDENTITY (same
+    * rows; [[openDecisions]] never exposes the batch key; the staged
+    * scan itself partition-prunes to the folded span). The documented
+    * trade: later work whose component/victim set reaches BEHIND the
+    * horizon re-stages the base partition (corpus-share) instead of
+    * one day's — size `keepBatches` past the near-dup pairing horizon
+    * so that stays rare. Idempotent (a replay finds nothing older than
+    * the horizon); returns the number of partitions folded, 0 meaning
+    * no write happened at all. Takes the driver lease — schedule it in
+    * the maintenance window, not inside a [[maintain]] pass; like every
+    * maintenance mutation, no step/stream in flight. */
+  def retireDecisions(spark: SparkSession, dir: String,
+                      keepBatches: Int): Long =
+   Lease.withLease(spark, dir, "retire-decisions") {
+    require(keepBatches >= 0, s"keepBatches must be >= 0: $keepBatches")
+    val dd = decisionsDir(dir)
+    refoundPartitioned(spark, openDecisionsBatched(spark, dir), dd)
+    val prevB = openDecisionsBatched(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dd)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) return 0L
+    val batches = f.listStatus(p).map(_.getPath.getName)
+      .collect { case s if s.startsWith("batch=") =>
+        s.stripPrefix("batch=").toLong }
+      .filter(_ != 0L).sorted
+    val fold = batches.dropRight(keepBatches)
+    if (fold.isEmpty) return 0L
+    val maxFold = fold.last
+    PartitionSwap.swap(spark, dd,
+      drop = fold.map(b => s"batch=$b").toSeq) { stage =>
+      // the base's rows plus every foldable day, re-keyed to the base —
+      // a range predicate so the staged scan partition-prunes to
+      // exactly the folded span (batch 0 included; the kept recent
+      // grain is never read)
+      prevB.filter(col("batch") <= maxFold)
+        .withColumn("batch", lit(0L))
+        .write.partitionBy("batch").parquet(stage)
+    }
+    fold.length.toLong
+   }
+
 
   /** A batch-partitioned table's small-file debt: the share of its
     * data files a re-lay would remove (1 − partition groups / files) —

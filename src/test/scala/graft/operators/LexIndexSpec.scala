@@ -202,6 +202,26 @@ class LexIndexSpec extends SparkSpecBase {
       "deleting absent ids published a new version")
   }
 
+  test("delete size-gate: the forced shuffle-join branch (maxBroadcastIds=0) is result-identical") {
+    // a source-scale retraction must not broadcast millions of victim
+    // ids through the driver; forcing the threshold to 0 exercises the
+    // un-broadcast semi/anti branch end-to-end on the same fixture as
+    // the broadcast-path test above
+    val docs = docsAt("/root/testdata/sf0.001")
+    val a = docs.filter(col("doc_id") % 3 =!= 0)
+    val b = docs.filter(col("doc_id") % 3 === 0)
+    val delPath = tempDir("lexdel_gate")
+    val aPath = tempDir("lexdel_gate_full")
+    LexIndex.build(
+      UnigramLm.termFreq(a.unionByName(b), "doc_id", "text"), delPath)
+    LexIndex.delete(spark, delPath, b.select("doc_id"), maxBroadcastIds = 0L)
+    LexIndex.build(UnigramLm.termFreq(a, "doc_id", "text"), aPath)
+    assert(postingRows(delPath).sameElements(postingRows(aPath)),
+      "shuffle-join delete branch diverges from build(A)")
+    assert(statsRows(delPath).sameElements(statsRows(aPath)),
+      "shuffle-join delete branch diverges on stats")
+  }
+
   test("merge → compact → search is row-identical and garbage-collects old versions") {
     val docs = docsAt("/root/testdata/sf0.001")
     val a = docs.filter(col("doc_id") % 3 =!= 0)

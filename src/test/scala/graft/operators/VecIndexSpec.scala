@@ -229,6 +229,26 @@ class VecIndexSpec extends SparkSpecBase {
       "deleting absent ids changed the index")
   }
 
+  test("delete size-gate: the forced shuffle-join branch (maxBroadcastIds=0) is result-identical") {
+    // the count gate's join fallback (a source-scale retraction too big
+    // to broadcast) must produce the same index as the broadcast path
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = KMeans.lloyd(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val a = emb.filter(col("vec_id") % 3 =!= 0)
+    val b = emb.filter(col("vec_id") % 3 === 0)
+    val delDir = tempDir("vecdelgate")
+    val aDir = tempDir("vecdelgate_a")
+    VecIndex.build(emb, "vec_id", "embedding", cents, delDir)
+    VecIndex.build(a, "vec_id", "embedding", cents, aDir)
+    VecIndex.delete(spark, delDir, "vec_id", b.select("vec_id"),
+      maxBroadcastIds = 0L)
+    def rows(d: String) =
+      VecIndex.open(spark, d).select(col("vec_id"), col("cid")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(rows(delDir).sameElements(rows(aDir)),
+      "shuffle-join delete branch diverges from build(A)")
+  }
+
   test("delete is CELL-PRUNED: victim cells rewritten, the rest referenced, gc keeps the chain") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -300,6 +300,48 @@ class DailyDriverApiSpec extends SparkSpecBase {
       s"hybridSearch VecIndex scan not pruned on cid:\n${vecScans.mkString("\n")}")
   }
 
+  test("auto-depth policy: the operator picks exact within budget, AdcDepthPerK·k past it") {
+    // the pure decision first — the arithmetic the branches hang off
+    assert(DailyDriver.autoPqDepth(100L, 100L, 5) == 0,
+      "probed bytes AT the budget must stay exact")
+    assert(DailyDriver.autoPqDepth(101L, 100L, 5) ==
+      DailyDriver.AdcDepthPerK * 5,
+      "probed bytes past the budget must pick the measured recall depth")
+    assert(DailyDriver.autoPqDepth(Long.MaxValue, 0L, Int.MaxValue) ==
+      Int.MaxValue, "depth arithmetic must clamp, not overflow")
+
+    // end-to-end: AutoDepth with a huge budget ≡ forced exact (bitwise);
+    // AutoDepth with a zero budget ≡ forced AdcDepthPerK·k (bitwise) —
+    // the two branches the policy can take, each pinned against the
+    // caller-forced call it must equal
+    val open = Curation.Config(minQuality = -1e18, maxContamRatio = 1.0)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val dir = tempDir("daily-driver-autodepth")
+    DailyDriver.init(spark, docs, bench, dir, open, Some(emb))
+    val k = 5
+    val qTexts = docs.filter(col("doc_id") % 40 === 0)
+      .select(col("doc_id").as("q_id"), col("text"))
+    val qProbes = emb.filter(col("doc_id") % 40 === 0)
+      .select(col("doc_id").as("q_id"), col("embedding"))
+    def run(pqDepth: Int, budget: Long): Array[String] =
+      DailyDriver.hybridSearch(spark, dir, qTexts, qProbes, k = k,
+        pqDepth = pqDepth, pqAutoBudgetBytes = budget)
+        .collect().map(_.toString).sorted
+    val exactForced = run(0, 0L) // budget ignored: explicit depth
+    val autoRich = run(DailyDriver.AutoDepth, Long.MaxValue)
+    assert(autoRich.sameElements(exactForced),
+      "auto within budget diverged from the forced exact scan")
+    val adcForced = run(DailyDriver.AdcDepthPerK * k, Long.MaxValue)
+    val autoPoor = run(DailyDriver.AutoDepth, 0L)
+    assert(autoPoor.sameElements(adcForced),
+      "auto past budget diverged from the forced AdcDepthPerK·k path")
+    assert(autoPoor.nonEmpty && autoRich.nonEmpty, "vacuous fixture")
+  }
+
   test("a skew-triggered maintain retrains without a redundant fold and refreshes the code table") {
     import graft.operators.{PqIndex, VecIndex}
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -169,6 +169,84 @@ class DailyDriverStreamSpec extends SparkSpecBase {
       "re-delivered whole batch double-merged the lexical index")
   }
 
+  test("a PARTIALLY streamed day reconciles to the full batch step (census + remainder appends)") {
+    // the crash shape the census must handle: half the day streamed
+    // (staging + all three index appends landed per batch), then the
+    // stream died and the rest of the day reached staging WITHOUT its
+    // index appends (a crash lands staging first — the body's write
+    // order). The old all-or-nothing probes would see "some ids landed"
+    // and skip the index halves entirely, silently dropping the tail
+    // from the indexes; the census + remainder appends must land
+    // exactly the unlanded part, making the day ≡ the batch step.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val a = docs.filter(col("doc_id") % 4 =!= 0)
+    val delta = docs.filter(col("doc_id") % 4 === 0)
+    val bench = docs.filter(col("doc_id") % 50 === 0).select("doc_id", "text")
+
+    val dirA = tempDir("daily-partial-batch")
+    DailyDriver.init(spark, a, bench, dirA, cfg, Some(emb))
+    DailyDriver.step(spark, delta, bench, dirA, cfg, Some(emb))
+
+    val dirB = tempDir("daily-partial-live")
+    DailyDriver.init(spark, a, bench, dirB, cfg, Some(emb))
+    val rows = delta.as[(Long, String)].collect().sortBy(_._1)
+    val (h1, h2) = rows.splitAt(rows.length / 2)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, Long, String)]
+    val s = DailyDriver.stepStream(spark,
+      input.toDF().toDF("event_time", "doc_id", "text"), bench, dirB,
+      tempDir("daily-partial-ckpt"), cfg, Some(emb))
+    input.addData(h1.zipWithIndex.map { case ((id, t), i) => (ts(i), id, t) })
+    s.all.foreach(_.processAllAvailable())
+    s.stopAll()
+    // intra-day visibility: the streamed half sits on the lex delta
+    // side and the composed search serves it BEFORE any reconcile
+    assert(graft.operators.LexIndex.openDelta(spark, s"$dirB/lex_index")
+      .exists(d => !d.isEmpty),
+      "streamed batches did not land on the lex delta side")
+    val qsMid = docs.filter(col("doc_id") % 29 === 0 && col("doc_id") < 300)
+      .select(col("doc_id").as("q_id"), col("text"))
+    val psMid = emb.join(qsMid.select(col("q_id").as("doc_id")), Seq("doc_id"))
+      .select(col("doc_id").as("q_id"), col("embedding"))
+    assert(DailyDriver.hybridSearch(spark, dirB, qsMid, psMid).count() > 0,
+      "mid-day hybrid search over bulk+delta returned nothing")
+    // the tail reached staging but none of the index appends — the
+    // exact on-disk state after a crash inside the micro-batch body
+    h2.toSeq.toDF("doc_id", "text")
+      .withColumn("mb", lit(9999L))
+      .write.partitionBy("mb").mode("append").parquet(s"$dirB/staging")
+    DailyDriver.stepStreamReconcile(spark, bench, dirB, cfg, Some(emb))
+
+    assert(canon(DailyDriver.openDecisions(spark, dirB)).sameElements(
+      canon(DailyDriver.openDecisions(spark, dirA))),
+      "partial-stream decisions diverged from the batch step")
+    def postings(d: String) = graft.operators.LexIndex
+      .openPostings(spark, s"$d/lex_index").collect().map(_.toString).sorted
+    assert(postings(dirB).sameElements(postings(dirA)),
+      "partial-stream lexical index diverged — the remainder merge " +
+        "missed the unlanded tail or double-merged the landed half")
+    def vecRowsP(d: String) = DailyDriver.openVecIndex(spark, d)
+      .select(col("doc_id"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(vecRowsP(dirB).sameElements(vecRowsP(dirA)),
+      "partial-stream vector index diverged")
+    def pqRowsP(d: String) = graft.operators.PqIndex
+      .open(spark, DailyDriver.pqIndexDir(d))
+      .select(col("doc_id"), col("cid"), col("codes")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).sortBy(_._1)
+    assert(pqRowsP(dirB).sameElements(pqRowsP(dirA)),
+      "partial-stream PQ code table diverged")
+    assert(canon(DailyDriver.openSigIndex(spark, dirB)
+      .select(col("doc_id"))).sameElements(
+      canon(DailyDriver.openSigIndex(spark, dirA).select(col("doc_id")))),
+      "partial-stream signature index diverged")
+  }
+
   test("the day AFTER a streamed day runs as a plain batch step (lineage handed back)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
