@@ -242,12 +242,9 @@ object LexIndex {
     Lease.withLease(spark, path, "lexindex-build") {
       // wholesale replacement supersedes ANY live stream delta (a
       // restore rolls the whole store back; composing an old lineage's
-      // rows over the new corpus would be silent corruption)
-      clearStreamDelta(spark, path)
-      // a rebuild over an EXTERNALLY cleared root restarts version
-      // numbering — drop any cached stats for this path so a reused
-      // version number can never serve the old history's stats
-      statsCache.keySet.removeIf(_._1 == path)
+      // rows over the new corpus would be silent corruption) — locked
+      // form: this body already holds the store's one lease
+      clearStreamDeltaLocked(spark, path)
       val n = currentVersion(spark, path) + 1L
       val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -281,17 +278,6 @@ object LexIndex {
       mergeLocked(spark, path, deltaTf)
     }
 
-  /** Published (n_docs, t_total) per (path, version) — stats are
-    * IMMUTABLE once their manifest is published, so a hit can never be
-    * stale; populated only AFTER a successful publish (an unpublished
-    * version's number can be re-used with different content by the next
-    * writer after a crash). Saves the per-trigger 1-row stats read on
-    * the streaming append path — a continuous stream pays that read
-    * every micro-batch; any cross-JVM or post-crash writer simply
-    * misses and reads from storage. */
-  private val statsCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), (Long, Long)]
-
   /** [[merge]]'s body, for callers already holding the `path` lease
     * ([[appendStream]]'s probe+merge pair must be one critical
     * section). `precomputed` is the streaming fast path: (touched
@@ -319,7 +305,7 @@ object LexIndex {
       deltaTf.join(deltaDl, Seq("doc_id"))
         .select(col("term"), col("doc_id"), col("tf"), col("dl")))
     val dfreq = unioned.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val oldSt = Option(statsCache.get((path, cur))).getOrElse {
+    val oldSt = {
       val r = stats(spark, path).select(col("n_docs"), col("t_total")).head()
       (r.getLong(0), r.getLong(1))
     }
@@ -335,15 +321,49 @@ object LexIndex {
       statsRow(spark, newN, newT))
     publishManifest(spark, path, cur + 1L,
       man ++ written.map(_ -> (cur + 1L)))
-    statsCache.put((path, cur + 1L), (newN, newT))
   }
 
   // ------------------- streaming LSM delta (the composite-ingest side)
 
   private def deltaDir(path: String) = s"$path/delta"
+  private def deltaGenDir(path: String, g: Long) = s"${deltaDir(path)}/g=$g"
 
+  /** The delta side's LINEAGE GENERATION — the lex analog of the vector
+    * stores' epoch fence. [[clearStreamDelta]] bumps it; a stream pins
+    * it at start and every [[appendStreamDeltaBatch]] re-checks it
+    * under the index lease, so a ZOMBIE checkpoint's late micro-batch
+    * after a reconcile fails loudly instead of landing rows that the
+    * composed search would double-count against the folded bulk.
+    * Stored as a 1-line file (absent = generation 0). */
+  private[graft] def deltaGen(spark: SparkSession, path: String): Long = {
+    val p = new Path(deltaDir(path), "_gen.txt")
+    val f = fs(spark, path)
+    if (!f.exists(p)) 0L
+    else {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeDeltaGen(f: FileSystem, path: String, g: Long): Unit = {
+    val dir = new Path(deltaDir(path))
+    f.mkdirs(dir)
+    val tmp = new Path(dir, "._gen.tmp")
+    val out = f.create(tmp, true)
+    try out.write(s"$g\n".getBytes("UTF-8")) finally out.close()
+    val dst = new Path(dir, "_gen.txt")
+    f.delete(dst, false)
+    require(Lease.atomicRename(f, tmp, dst),
+      s"delta generation publish failed: $tmp -> $dst")
+  }
+
+  /** The CURRENT generation's `b=` batch dirs. Retired generations'
+    * dirs may still exist on disk (reader grace — see
+    * [[clearStreamDelta]]) but are invisible to every read. */
   private def deltaBatchPaths(spark: SparkSession, path: String): Seq[String] = {
-    val p = new Path(deltaDir(path))
+    val g = deltaGen(spark, path)
+    val p = new Path(deltaGenDir(path, g))
     val f = fs(spark, path)
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).map(_.getPath).filter(_.getName.startsWith("b="))
@@ -369,17 +389,22 @@ object LexIndex {
     * LOWEST batch only. Exact, because a re-delivered doc carries the
     * same text (re-crawled content is deduped upstream by the ingest
     * gate), so either copy's rows are identical. */
+  private def readDeltaPaths(spark: SparkSession, dirs: Seq[String]): DataFrame = {
+    // all dirs share one generation dir — its path is the basePath, so
+    // only `b` surfaces as a partition column
+    val raw = spark.read
+      .option("basePath", new Path(dirs.head).getParent.toString)
+      .parquet(dirs: _*)
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        col("b").cast("long").as("b"))
+    val first = raw.groupBy(col("doc_id")).agg(min(col("b")).as("b"))
+    raw.join(first, Seq("doc_id", "b"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+  }
+
   private[graft] def openDelta(spark: SparkSession, path: String): Option[DataFrame] = {
     val dirs = deltaBatchPaths(spark, path)
-    if (dirs.isEmpty) None
-    else {
-      val raw = spark.read.option("basePath", deltaDir(path)).parquet(dirs: _*)
-        .select(col("term"), col("doc_id"), col("tf"), col("dl"),
-          col("b").cast("long").as("b"))
-      val first = raw.groupBy(col("doc_id")).agg(min(col("b")).as("b"))
-      Some(raw.join(first, Seq("doc_id", "b"))
-        .select(col("term"), col("doc_id"), col("tf"), col("dl")))
-    }
+    if (dirs.isEmpty) None else Some(readDeltaPaths(spark, dirs))
   }
 
   /** The next free delta batch key — the staging table's offset
@@ -395,34 +420,70 @@ object LexIndex {
 
   /** ONE micro-batch landed on the DELTA side — O(batch): tokenize to
     * tf, denormalize dl, one `b=<key>` dynamic-overwrite write (the
-    * caller passes `deltaBatchBase + batchId`). A replayed batch (crash
-    * before the offset commit) overwrites its own partition with
-    * identical content — exactly-once without a probe. No lease: the
-    * delta side is lineage-private (mutators must reconcile it away
-    * first — [[delete]] and [[rebuild]] refuse a live delta). */
+    * caller passes `deltaBatchBase + batchId` and the generation it
+    * pinned at stream start). A replayed batch (crash before the
+    * offset commit) overwrites its own partition with identical
+    * content — exactly-once without a presence probe. The GENERATION
+    * FENCE runs under the index lease (fence-then-write, the vector
+    * stores' discipline): a zombie checkpoint firing after a reconcile
+    * retired its lineage fails loudly here, where an unfenced write
+    * would land rows the composed search silently double-counts
+    * against the folded bulk. */
   private[graft] def appendStreamDeltaBatch(spark: SparkSession, path: String,
                                             batch: DataFrame,
-                                            batchKey: Long): Unit = {
-    val tf = UnigramLm.termFreq(batch, "doc_id", "text")
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    tf.join(dl, Seq("doc_id"))
-      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
-      .withColumn("b", lit(batchKey))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("b")
-      .parquet(deltaDir(path))
-  }
+                                            batchKey: Long,
+                                            gen: Long): Unit =
+    Lease.withLeaseWait(spark, path, "lexindex-delta-append") {
+      val cur = deltaGen(spark, path)
+      if (cur != gen)
+        throw new IllegalStateException(
+          s"delta lineage generation $gen under $path was retired (now " +
+            s"$cur) — a reconcile folded this stream's day; a late " +
+            s"batch landing here would double-count every one of its " +
+            s"docs in composed searches. Restart the stream with a " +
+            s"fresh checkpoint")
+      val tf = UnigramLm.termFreq(batch, "doc_id", "text")
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      tf.join(dl, Seq("doc_id"))
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+        .withColumn("b", lit(batchKey))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("b")
+        .parquet(deltaGenDir(path, gen))
+    }
 
-  /** Drop the delta lineage — the reconcile's fold precursor: the
+  /** RETIRE the delta lineage — the reconcile's fold precursor: the
     * day's texts live in the driver's staging table, so the reconcile
-    * clears this side FIRST and then lands the day through one
-    * ordinary [[merge]] (clear-then-merge: a crash between the two
+    * retires this side FIRST and then lands the day through one
+    * ordinary [[merge]] (retire-then-merge: a crash between the two
     * costs a brief search-visibility dip for the day, never a
-    * double-count — the replayed reconcile re-merges from staging). */
-  private[graft] def clearStreamDelta(spark: SparkSession, path: String): Unit = {
-    val p = new Path(deltaDir(path))
-    fs(spark, path).delete(p, true)
+    * double-count — the replayed reconcile re-merges from staging).
+    * Retirement is a GENERATION BUMP, not a delete: a pinned reader
+    * captured the old generation's `b=` paths and must finish against
+    * intact files (the store-wide vacuum rule), so the retired dirs
+    * stay on disk and only generations retired at least TWO bumps ago
+    * (≥ one full reconcile cadence of grace) are physically swept
+    * here. Runs under the index lease — serialized against the
+    * per-batch fence checks. */
+  private[graft] def clearStreamDelta(spark: SparkSession, path: String): Unit =
+    Lease.withLeaseWait(spark, path, "lexindex-delta-clear") {
+      clearStreamDeltaLocked(spark, path)
+    }
+
+  /** [[clearStreamDelta]]'s body for callers already holding the path
+    * lease (one lease file per store — nested acquisition would
+    * deadlock; [[rebuild]] retires the delta inside its own lease). */
+  private def clearStreamDeltaLocked(spark: SparkSession, path: String): Unit = {
+    val f = fs(spark, path)
+    val cur = deltaGen(spark, path)
+    writeDeltaGen(f, path, cur + 1L)
+    val root = new Path(deltaDir(path))
+    if (f.exists(root))
+      for (st <- f.listStatus(root)
+           if st.getPath.getName.startsWith("g=") &&
+             st.getPath.getName.stripPrefix("g=").toLong < cur)
+        f.delete(st.getPath, true)
   }
 
   private def requireNoDelta(spark: SparkSession, path: String, op: String): Unit =
@@ -890,18 +951,13 @@ object LexIndex {
 
     /** The pinned stream-delta rows (see [[openDelta]] — lowest-batch
       * dedup applied); None when the lineage is empty. Pinned like the
-      * manifest: the `b=` path list is captured at [[pinned]] time. */
-    private def deltaRows: Option[DataFrame] =
+      * manifest: the `b=` path list is captured at [[pinned]] time, and
+      * retirement is a generation bump whose physical sweep is graced —
+      * the captured files outlive any in-flight read. Lazy: one plan,
+      * shared by every consumer on this view. */
+    private lazy val deltaRows: Option[DataFrame] =
       if (deltaPaths.isEmpty) None
-      else {
-        val raw = spark.read.option("basePath", deltaDir(path))
-          .parquet(deltaPaths: _*)
-          .select(col("term"), col("doc_id"), col("tf"), col("dl"),
-            col("b").cast("long").as("b"))
-        val first = raw.groupBy(col("doc_id")).agg(min(col("b")).as("b"))
-        Some(raw.join(first, Seq("doc_id", "b"))
-          .select(col("term"), col("doc_id"), col("tf"), col("dl")))
-      }
+      else Some(readDeltaPaths(spark, deltaPaths))
 
     /** The pinned corpus statistics — COMPOSED with the live stream
       * delta when one exists: bulk sums + the delta's doc-count and
@@ -984,13 +1040,25 @@ object LexIndex {
             .withColumn("sc", Bm25.scoreExpr(col("tf"), col("dl"), col("df"),
               col("n_docs"), col("avgdl_s")))
         case Some(d) =>
-          val rows = post.select(col("term"), col("doc_id"), col("tf"), col("dl"))
-            .unionByName(d.join(
-              broadcast(qterms.select(col("term")).distinct()), Seq("term"))
-              .select(col("term"), col("doc_id"), col("tf"), col("dl")))
-          rows
+          // the composed per-term df is derived from the SAME post and
+          // delta relations the candidate rows come from (term-pruned
+          // to the query terms) — not via termDf, which would re-read
+          // the buckets and rebuild the delta a second time per search
+          val qt = broadcast(qterms.select(col("term")).distinct())
+          val dPruned = d.join(qt, Seq("term"))
+            .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+          val bulkDf = post
+            .join(qt, Seq("term")).select(col("term"), col("df")).distinct()
+          val deltaDf = dPruned.groupBy(col("term"))
+            .agg(count(lit(1)).as("ddf"))
+          val dfEff = bulkDf.join(deltaDf, Seq("term"), "full_outer")
+            .select(col("term"),
+              (coalesce(col("df"), lit(0L)) +
+                coalesce(col("ddf"), lit(0L))).as("df"))
+          post.select(col("term"), col("doc_id"), col("tf"), col("dl"))
+            .unionByName(dPruned)
             .join(broadcast(qterms.select(col("q_id"), col("term"))), Seq("term"))
-            .join(broadcast(termDf(qterms.select(col("term")))), Seq("term"))
+            .join(broadcast(dfEff), Seq("term"))
             .crossJoin(broadcast(stats))
             .withColumn("sc", Bm25.scoreExpr(col("tf"), col("dl"), col("df"),
               col("n_docs"), col("avgdl_s")))

@@ -204,9 +204,15 @@ object DailyDriver {
   val AdcDepthPerK: Int = 160
 
   /** Default memory budget for [[autoPqDepth]]: half the JVM's max
-    * heap — the local-mode proxy for "the probed cells' raw floats are
-    * page-cache/compute-bound". A cluster owner sizes this to the
-    * executor fleet's effective cache capacity for the index volume. */
+    * heap — a LOCAL-MODE proxy for "the probed cells' raw floats are
+    * page-cache/compute-bound" (in local mode driver heap ≈ the one
+    * machine's memory). On a CLUSTER this proxy under-reads the fleet:
+    * a small driver heap next to a large executor page cache would
+    * flip default searches to the recall≈0.9 compressed path on
+    * driver sizing rather than real scan-I/O economics — cluster
+    * owners MUST size `pqAutoBudgetBytes` to the executors' effective
+    * cache capacity for the index volume (or force `pqDepth`
+    * explicitly). */
   val DefaultPqAutoBudgetBytes: Long = Runtime.getRuntime.maxMemory / 2
 
   /** The auto-depth decision, factored pure for the spec: probed raw
@@ -341,7 +347,7 @@ object DailyDriver {
     val cents = vp.centroids.getOrElse(
       throw new IllegalStateException(
         s"driver vec index at $vdir has no quantizer — init with embeddings first"))
-    val pr = KMeans.assignTop(probes, "q_id", "embedding", cents, nprobe)
+    val pr0 = KMeans.assignTop(probes, "q_id", "embedding", cents, nprobe)
       .join(probes, Seq("q_id"))
       .select(col("q_id"), col("embedding").as("q_vec"), col("cid").as("q_cid"))
     // the PQ path is taken only when the code table EXISTS and its
@@ -357,6 +363,15 @@ object DailyDriver {
     val pqUsable = (pqDepth == AutoDepth || pqDepth > 0) &&
       graft.operators.PqIndex.currentVersion(spark, pqIndexDir(dir)) > 0L &&
       pqCoarseAligned(spark, pqIndexDir(dir), collectCoarse(cents))
+    // when the auto policy will MEASURE, materialize the workload-sized
+    // probe assignment once as a local relation: the measurement's cid
+    // collect and the search itself then share one assignment instead
+    // of running the assignTop job twice per call
+    val pr =
+      if (pqDepth == AutoDepth && pqUsable)
+        spark.createDataFrame(
+          java.util.Arrays.asList(pr0.collect(): _*), pr0.schema)
+      else pr0
     // AUTO-DEPTH: the round-11 crossover readout as policy. One
     // metadata measurement (the probed cids' resolved bytes through the
     // ownership chain — content summaries, no data read) against the
@@ -911,8 +926,12 @@ object DailyDriver {
     // trigger — corpus-proportional ingest). Searches compose bulk +
     // delta exactly (LexIndex.Pinned); the reconcile folds the day
     // through ONE ordinary merge. Batch keys offset past anything
-    // present — the staging table's fresh-checkpoint convention.
+    // present — the staging table's fresh-checkpoint convention. The
+    // lineage GENERATION is pinned here and fence-checked per batch
+    // (under the index lease): a zombie checkpoint outliving its
+    // reconcile fails loudly instead of double-counting its docs.
     val lexDeltaBase = LexIndex.deltaBatchBase(spark, lexDir(dir))
+    val lexGen = LexIndex.deltaGen(spark, lexDir(dir))
     val vdir = vecIndexDir(dir)
     val pqdir = pqIndexDir(dir)
     // pin every store's stream coordinates at START (one manifest
@@ -987,7 +1006,7 @@ object DailyDriver {
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try if (!cand.isEmpty) {
             LexIndex.appendStreamDeltaBatch(spark, lexDir(dir), cand,
-              lexDeltaBase + batchId)
+              lexDeltaBase + batchId, lexGen)
             vecSide.foreach { case (emb, vecPin, pqPin, cents) =>
               // one cosine assignment, two stores (the batch step's
               // appendAssigned rule — PQ's own coarse rule would
@@ -1094,15 +1113,14 @@ object DailyDriver {
     PqIndex.adoptStreamDelta(spark, pqIndexDir(dir))
     // the LEXICAL fold: the stream landed the day on the index's delta
     // side (search-visible all day); the day's source of truth is the
-    // staging table, so clear the delta FIRST and let the step's lex
-    // half land the whole day through ONE ordinary merge (the
-    // remainder probe reads the day as unlanded). Clear-then-merge: a
-    // crash between the two costs a brief search-visibility dip for
-    // the day — never a double count — and the replayed reconcile
-    // re-merges from staging.
-    graft.operators.Lease.withLease(spark, lexDir(dir), "lexindex-delta-clear") {
-      graft.operators.LexIndex.clearStreamDelta(spark, lexDir(dir))
-    }
+    // staging table, so RETIRE the delta first (generation bump under
+    // the index lease — pinned readers keep their files, a zombie
+    // batch fails its fence) and let the step's lex half land the
+    // whole day through ONE ordinary merge (the remainder probe reads
+    // the day as unlanded). Retire-then-merge: a crash between the two
+    // costs a brief search-visibility dip for the day — never a double
+    // count — and the replayed reconcile re-merges from staging.
+    graft.operators.LexIndex.clearStreamDelta(spark, lexDir(dir))
     val out = stepImpl(spark, staged, benchmark, dir, cfg, embeddings,
       Some(census))
     val p = new org.apache.hadoop.fs.Path(sd)

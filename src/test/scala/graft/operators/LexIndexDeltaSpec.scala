@@ -39,10 +39,12 @@ class LexIndexDeltaSpec extends SparkSpecBase {
     LexIndex.build(
       UnigramLm.termFreq(docs, "doc_id", "text"), full)
 
-    // two micro-batches land on the delta side — O(batch) writes only
+    // two micro-batches land on the delta side — O(batch) writes only,
+    // fenced on the lineage generation pinned at stream start
+    val gen = LexIndex.deltaGen(spark, live)
     assert(LexIndex.deltaBatchBase(spark, live) == 0L)
-    LexIndex.appendStreamDeltaBatch(spark, live, b1, 0L)
-    LexIndex.appendStreamDeltaBatch(spark, live, b2, 1L)
+    LexIndex.appendStreamDeltaBatch(spark, live, b1, 0L, gen)
+    LexIndex.appendStreamDeltaBatch(spark, live, b2, 1L, gen)
     assert(LexIndex.deltaBatchBase(spark, live) == 2L,
       "delta batch keys must offset past the present lineage")
 
@@ -67,11 +69,12 @@ class LexIndexDeltaSpec extends SparkSpecBase {
     assert(got.nonEmpty && got.sameElements(want),
       "delta-composed search diverges from the merged index")
 
-    // a RE-DELIVERED batch in a new lineage (fresh checkpoint restarts
-    // numbering past the present max — the staging convention) is
-    // converged by the read dedup, not double-counted
+    // a RE-DELIVERED batch in a new checkpoint lineage (numbering past
+    // the present max — the staging convention; same generation: no
+    // reconcile intervened) is converged by the read dedup, not
+    // double-counted
     LexIndex.appendStreamDeltaBatch(spark, live, b1,
-      LexIndex.deltaBatchBase(spark, live))
+      LexIndex.deltaBatchBase(spark, live), gen)
     assert(searchRows(live, qterms).sameElements(want),
       "re-delivered delta batch double-counted in search")
     assert(statsRowOf(live) == statsRowOf(full),
@@ -83,10 +86,16 @@ class LexIndexDeltaSpec extends SparkSpecBase {
       LexIndex.delete(spark, live, Seq(0L).toDF("doc_id")))
     assert(err.getMessage.contains("delta"), err.getMessage)
 
-    // the day-end fold: clear the delta, land the day through ONE
-    // ordinary merge — the postings now equal the merged build and the
-    // search stays value-equal
+    // the day-end fold: RETIRE the delta (generation bump), land the
+    // day through ONE ordinary merge — the postings now equal the
+    // merged build and the search stays value-equal
     LexIndex.clearStreamDelta(spark, live)
+    // ZOMBIE FENCE: a late micro-batch from the retired lineage must
+    // fail loudly, not land rows the composed search would
+    // double-count against the folded bulk
+    val zombie = intercept[IllegalStateException](
+      LexIndex.appendStreamDeltaBatch(spark, live, b1, 99L, gen))
+    assert(zombie.getMessage.contains("retired"), zombie.getMessage)
     LexIndex.merge(spark, live,
       UnigramLm.termFreq(b1.unionByName(b2), "doc_id", "text"))
     def postings(p: String) = LexIndex.openPostings(spark, p)
