@@ -872,6 +872,20 @@ object LexIndex {
     sweepFlat(statsDir(path), s"v=$cur", _.startsWith("v="))
     sweepFlat(manifestDir(path), s"v=$cur.txt",
       n => n.startsWith("v=") && n.endsWith(".txt"))
+    // RETIRED stream-delta generations: the reconcile's clear keeps the
+    // just-retired generation for reader grace and sweeps only at the
+    // NEXT clear — a store whose streaming stopped would otherwise
+    // carry one day's delta files forever. Same aging rule as every
+    // other sweep; the current generation is never touched.
+    val dRoot = new Path(deltaDir(path))
+    if (f.exists(dRoot)) {
+      val curGen = deltaGen(spark, path)
+      for (st <- f.listStatus(dRoot)
+           if st.getPath.getName.startsWith("g=") &&
+             st.getPath.getName.stripPrefix("g=").toLong < curGen &&
+             aged(st))
+        f.delete(st.getPath, true)
+    }
   }
 
   /** Share of bucket bytes the live manifest does NOT reference —

@@ -104,5 +104,14 @@ class LexIndexDeltaSpec extends SparkSpecBase {
       "post-fold postings diverge from the merged build")
     assert(searchRows(live, qterms).sameElements(want),
       "post-fold search diverged")
+
+    // the retired generation's physical files (kept through the fold
+    // for reader grace) are swept by the next zero-grace gc — a store
+    // whose streaming stopped does not carry a day's delta forever
+    LexIndex.gc(spark, live, 0L)
+    val gDirs = Option(new java.io.File(s"$live/delta").listFiles)
+      .map(_.map(_.getName).filter(_.startsWith("g=")).toSeq)
+      .getOrElse(Seq.empty)
+    assert(gDirs.isEmpty, s"retired delta generations survived gc: $gDirs")
   }
 }
