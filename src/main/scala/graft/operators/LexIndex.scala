@@ -334,37 +334,59 @@ object LexIndex {
     * under the index lease, so a ZOMBIE checkpoint's late micro-batch
     * after a reconcile fails loudly instead of landing rows that the
     * composed search would double-count against the folded bulk.
-    * Stored as a 1-line file (absent = generation 0). */
-  private[graft] def deltaGen(spark: SparkSession, path: String): Long = {
-    val p = new Path(deltaDir(path), "_gen.txt")
-    val f = fs(spark, path)
-    if (!f.exists(p)) 0L
-    else {
-      val in = f.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-      finally in.close()
-    }
+    *
+    * Stored as MAX-NUMBERED MARKER FILES (`_gen-N`, absent = 0) — the
+    * manifest's own publish shape: a bump CREATES a higher-numbered
+    * file (atomically visible or not), so there is no replace/delete
+    * window in which an unleased reader could observe an OLDER
+    * generation and resurrect retired delta dirs, and no crash state
+    * loses the counter (a torn create leaves the previous max
+    * standing). Superseded marker files are swept with the retired
+    * dirs in [[gcLocked]]. */
+  private val DeltaGenName = "_gen-(\\d+)".r
+
+  private[graft] def deltaGen(spark: SparkSession, path: String): Long =
+    deltaGenStatus(fs(spark, path), path).map(_._1).getOrElse(0L)
+
+  /** (generation, marker mtime) of the newest marker — the mtime is the
+    * RETIREMENT instant of everything below it, gc's supersession
+    * bound. None before any bump. */
+  private def deltaGenStatus(f: FileSystem, path: String): Option[(Long, Long)] = {
+    val dir = new Path(deltaDir(path))
+    if (!f.exists(dir)) None
+    else f.listStatus(dir).toSeq
+      .flatMap(st => st.getPath.getName match {
+        case DeltaGenName(g) => Some((g.toLong, st.getModificationTime))
+        case _ => None
+      })
+      .sortBy(_._1).lastOption
   }
 
-  private def writeDeltaGen(f: FileSystem, path: String, g: Long): Unit = {
-    val dir = new Path(deltaDir(path))
-    f.mkdirs(dir)
-    val tmp = new Path(dir, "._gen.tmp")
-    val out = f.create(tmp, true)
-    try out.write(s"$g\n".getBytes("UTF-8")) finally out.close()
-    val dst = new Path(dir, "_gen.txt")
-    f.delete(dst, false)
-    require(Lease.atomicRename(f, tmp, dst),
-      s"delta generation publish failed: $tmp -> $dst")
+  private def bumpDeltaGen(f: FileSystem, path: String, g: Long): Unit = {
+    f.mkdirs(new Path(deltaDir(path)))
+    require(Lease.tryCreate(f, new Path(deltaDir(path), s"_gen-$g"), s"$g\n"),
+      s"delta generation bump to $g under $path lost a create race — " +
+        s"bumps run under the store lease, so a contender here means " +
+        s"the single-writer invariant broke")
   }
 
   /** The CURRENT generation's `b=` batch dirs. Retired generations'
     * dirs may still exist on disk (reader grace — see
-    * [[clearStreamDelta]]) but are invisible to every read. */
+    * [[clearStreamDelta]]) but are invisible to every read. A
+    * pre-generation FLAT layout (`delta/b=` directly, written by an
+    * older engine) is refused loudly — silently ignoring it would drop
+    * a live un-reconciled day from search and from [[delete]]'s
+    * guard. */
   private def deltaBatchPaths(spark: SparkSession, path: String): Seq[String] = {
+    val f = fs(spark, path)
+    val root = new Path(deltaDir(path))
+    if (f.exists(root))
+      require(!f.listStatus(root).exists(_.getPath.getName.startsWith("b=")),
+        s"legacy pre-generation delta layout under ${deltaDir(path)} " +
+          s"(bare b= dirs) — reconcile the streamed day with the engine " +
+          s"version that wrote it, or fold/clear it manually")
     val g = deltaGen(spark, path)
     val p = new Path(deltaGenDir(path, g))
-    val f = fs(spark, path)
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).map(_.getPath).filter(_.getName.startsWith("b="))
       .map(_.toString).sorted.toSeq
@@ -459,13 +481,15 @@ object LexIndex {
     * ordinary [[merge]] (retire-then-merge: a crash between the two
     * costs a brief search-visibility dip for the day, never a
     * double-count — the replayed reconcile re-merges from staging).
-    * Retirement is a GENERATION BUMP, not a delete: a pinned reader
-    * captured the old generation's `b=` paths and must finish against
-    * intact files (the store-wide vacuum rule), so the retired dirs
-    * stay on disk and only generations retired at least TWO bumps ago
-    * (≥ one full reconcile cadence of grace) are physically swept
-    * here. Runs under the index lease — serialized against the
-    * per-batch fence checks. */
+    * Retirement is PURELY a generation bump — no physical delete here
+    * at all: a pinned reader captured the old generation's `b=` paths
+    * and must finish against intact files (the store-wide vacuum
+    * rule), and a replayed reconcile bumping again must not strip a
+    * seconds-old retirement's grace. The physical sweep belongs to
+    * [[gc]], which ages retired generations from the newest marker's
+    * mtime (the retirement instant — the correct supersession bound,
+    * NOT the bucket manifest's). Runs under the index lease —
+    * serialized against the per-batch fence checks. */
   private[graft] def clearStreamDelta(spark: SparkSession, path: String): Unit =
     Lease.withLeaseWait(spark, path, "lexindex-delta-clear") {
       clearStreamDeltaLocked(spark, path)
@@ -476,14 +500,7 @@ object LexIndex {
     * deadlock; [[rebuild]] retires the delta inside its own lease). */
   private def clearStreamDeltaLocked(spark: SparkSession, path: String): Unit = {
     val f = fs(spark, path)
-    val cur = deltaGen(spark, path)
-    writeDeltaGen(f, path, cur + 1L)
-    val root = new Path(deltaDir(path))
-    if (f.exists(root))
-      for (st <- f.listStatus(root)
-           if st.getPath.getName.startsWith("g=") &&
-             st.getPath.getName.stripPrefix("g=").toLong < cur)
-        f.delete(st.getPath, true)
+    bumpDeltaGen(f, path, deltaGen(spark, path) + 1L)
   }
 
   private def requireNoDelta(spark: SparkSession, path: String, op: String): Unit =
@@ -872,19 +889,27 @@ object LexIndex {
     sweepFlat(statsDir(path), s"v=$cur", _.startsWith("v="))
     sweepFlat(manifestDir(path), s"v=$cur.txt",
       n => n.startsWith("v=") && n.endsWith(".txt"))
-    // RETIRED stream-delta generations: the reconcile's clear keeps the
-    // just-retired generation for reader grace and sweeps only at the
-    // NEXT clear — a store whose streaming stopped would otherwise
-    // carry one day's delta files forever. Same aging rule as every
-    // other sweep; the current generation is never touched.
-    val dRoot = new Path(deltaDir(path))
-    if (f.exists(dRoot)) {
-      val curGen = deltaGen(spark, path)
-      for (st <- f.listStatus(dRoot)
-           if st.getPath.getName.startsWith("g=") &&
-             st.getPath.getName.stripPrefix("g=").toLong < curGen &&
-             aged(st))
-        f.delete(st.getPath, true)
+    // RETIRED stream-delta generations: the reconcile's clear is a
+    // pure generation bump (reader grace), so the physical sweep lives
+    // here. The supersession bound for a retired generation is the
+    // NEWEST MARKER's mtime — the retirement instant — not the bucket
+    // manifest's mtime (a bump can happen long after the last merge
+    // publish, and aging from the manifest would delete a seconds-old
+    // retirement under a pinned reader). Superseded marker files
+    // themselves are swept once aged the same way.
+    deltaGenStatus(f, path).foreach { case (curGen, bumpMtime) =>
+      def genAged(st: org.apache.hadoop.fs.FileStatus): Boolean =
+        now - math.max(st.getModificationTime, bumpMtime) >= graceMs
+      val dRoot = new Path(deltaDir(path))
+      if (f.exists(dRoot))
+        for (st <- f.listStatus(dRoot)) st.getPath.getName match {
+          case n if n.startsWith("g=") &&
+            n.stripPrefix("g=").toLong < curGen && genAged(st) =>
+            f.delete(st.getPath, true)
+          case DeltaGenName(g) if g.toLong < curGen && genAged(st) =>
+            f.delete(st.getPath, false)
+          case _ => ()
+        }
     }
   }
 

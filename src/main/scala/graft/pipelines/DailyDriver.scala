@@ -363,12 +363,14 @@ object DailyDriver {
     val pqUsable = (pqDepth == AutoDepth || pqDepth > 0) &&
       graft.operators.PqIndex.currentVersion(spark, pqIndexDir(dir)) > 0L &&
       pqCoarseAligned(spark, pqIndexDir(dir), collectCoarse(cents))
-    // when the auto policy will MEASURE, materialize the workload-sized
-    // probe assignment once as a local relation: the measurement's cid
-    // collect and the search itself then share one assignment instead
-    // of running the assignTop job twice per call
+    // whenever the assignment will be consumed MORE THAN ONCE —
+    // the auto policy's measurement collect, or the PQ path's two
+    // plan subtrees (searchAssigned's nomination input AND rerank's
+    // probe input) — materialize the workload-sized probe assignment
+    // once as a local relation instead of re-running the assignTop
+    // join per consumer
     val pr =
-      if (pqDepth == AutoDepth && pqUsable)
+      if (pqUsable && (pqDepth == AutoDepth || pqDepth > 0))
         spark.createDataFrame(
           java.util.Arrays.asList(pr0.collect(): _*), pr0.schema)
       else pr0
