@@ -186,7 +186,15 @@ object Bench {
     // The driver parses the bench JSON from output where sbt may append its
     // own trailer lines; persist to a file AND print after spark.stop() so
     // the JSON is the program's last stdout line.
-    val outPath = java.nio.file.Paths.get("target", "bench.json")
+    //
+    // A SUBSET run (args filtered the battery — an A/B slice, an
+    // iterate-on-one-query loop) writes to a DIFFERENT file than the
+    // full battery: round 12's committed record was silently clobbered
+    // by a later six-query A/B slice because both wrote target/bench
+    // .json and the copy step took whichever was newest. The full
+    // battery is the only run allowed to own the record filename.
+    val outPath = java.nio.file.Paths.get("target",
+      if (args.isEmpty) "bench.json" else "bench_slice.json")
     java.nio.file.Files.createDirectories(outPath.getParent)
     java.nio.file.Files.write(outPath, json.getBytes("UTF-8"))
     spark.stop()
