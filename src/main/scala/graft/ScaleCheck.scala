@@ -455,15 +455,64 @@ object ScaleCheck {
           val h = DailyDriver.stepStream(spark, arrivals, bench, dir, ckpt,
             cfg, Some(curEmb))
           val t1s = System.nanoTime()
-          rows.grouped(math.max(1, rows.length / 3 + 1)).zipWithIndex
-            .foreach { case (g, gi) =>
-              input.addData(g.zipWithIndex.map { case ((id, t), j) =>
-                (new java.sql.Timestamp(1000L * (100 + gi * 10000 + j)), id, t)
-              })
-              h.all.foreach(_.processAllAvailable())
+          // FEED DIAGNOSTIC (the round-12 open question: the same feed
+          // read 8.6 s in a fresh JVM but 41 s late in a long process —
+          // name the component). Split the feed wall into executor task
+          // time (sum/cores ≈ the parallel compute floor), JVM GC, and
+          // the remainder = DRIVER-side per-job overhead (planning,
+          // micro-batch scheduling, listener/codegen state) — the part
+          // that ages with process lifetime.
+          import java.lang.management.ManagementFactory
+          import scala.jdk.CollectionConverters._
+          def gcMs(): Long = ManagementFactory.getGarbageCollectorMXBeans
+            .asScala.map(_.getCollectionTime).sum
+          val tasks = new java.util.concurrent.atomic.AtomicLong
+          val taskMs = new java.util.concurrent.atomic.AtomicLong
+          val jobs = new java.util.concurrent.atomic.AtomicLong
+          val diag = new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(
+                te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+              tasks.incrementAndGet()
+              Option(te.taskMetrics)
+                .foreach(m => taskMs.addAndGet(m.executorRunTime))
+              ()
             }
-          h.stopAll()
+            override def onJobStart(
+                js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+              jobs.incrementAndGet(); ()
+            }
+          }
+          spark.sparkContext.addSparkListener(diag)
+          val gc0 = gcMs()
+          try {
+            rows.grouped(math.max(1, rows.length / 3 + 1)).zipWithIndex
+              .foreach { case (g, gi) =>
+                input.addData(g.zipWithIndex.map { case ((id, t), j) =>
+                  (new java.sql.Timestamp(1000L * (100 + gi * 10000 + j)), id, t)
+                })
+                h.all.foreach(_.processAllAvailable())
+              }
+            h.stopAll()
+          } finally spark.sparkContext.removeSparkListener(diag)
           val t2s = System.nanoTime()
+          val gcFeed = (gcMs() - gc0) / 1e3
+          val feedWall = (t2s - t1s) / 1e9
+          // the REAL task-slot count (not the host's processor count —
+          // a local[N] below the core count would understate the
+          // compute floor and inflate the driver-overhead column this
+          // diagnostic exists to isolate)
+          val cores = spark.sparkContext.defaultParallelism
+          val taskPar = taskMs.get / 1e3 / cores
+          println(f"  [feed diag: jobs ${jobs.get}%d tasks ${tasks.get}%d " +
+            f"taskTime/cores $taskPar%.1f gc $gcFeed%.1f " +
+            f"driverOverhead ${math.max(0.0, feedWall - taskPar - gcFeed)}%.1f " +
+            f"of $feedWall%.1f s]")
+          // lex LSM debt at day end, before the reconcile retires it —
+          // the delta-share readout the vector stores' deltaShare
+          // column already has
+          println(f"  [lex delta: share " +
+            f"${graft.operators.LexIndex.deltaShare(spark, s"$dir/lex_index")}%.3f " +
+            f"batches ${graft.operators.LexIndex.deltaBatchPaths(spark, s"$dir/lex_index").size}%d]")
           DailyDriver.stepStreamReconcile(spark, bench, dir, cfg,
             Some(curEmb))
           // the cost split the headline row hides: stream start

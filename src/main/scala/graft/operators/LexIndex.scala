@@ -284,10 +284,17 @@ object LexIndex {
     * buckets, delta doc count, delta token total) already known from
     * the fence's shape aggregate — skips two delta-sized driver jobs
     * per micro-batch. */
+  /** `beforePublish` runs after every new version directory is written
+    * but before the atomic manifest rename — the mid-stream fold hooks
+    * its marker-write + generation bump here so the composed-read gap
+    * (new generation visible, merge not yet published) lasts two
+    * metadata operations instead of the whole bucket merge. A no-op
+    * for every other caller. */
   private def mergeLocked(spark: SparkSession, path: String,
                           deltaTf: DataFrame,
                           precomputed: Option[(IndexedSeq[Long], Long, Long)]
-                            = None): Unit = {
+                            = None,
+                          beforePublish: () => Unit = () => ()): Unit = {
     val cur = currentVersion(spark, path)
     require(cur > 0L, s"no published index under $path — build first")
     val man = readManifest(spark, path, cur)
@@ -319,6 +326,7 @@ object LexIndex {
     val written = writeVersion(spark, path, cur + 1L,
       unioned.join(dfreq, Seq("term")),
       statsRow(spark, newN, newT))
+    beforePublish()
     publishManifest(spark, path, cur + 1L,
       man ++ written.map(_ -> (cur + 1L)))
   }
@@ -344,6 +352,15 @@ object LexIndex {
     * standing). Superseded marker files are swept with the retired
     * dirs in [[gcLocked]]. */
   private val DeltaGenName = "_gen-(\\d+)".r
+
+  /** Digits-only dir-name shapes for the delta layout. Parsed by regex,
+    * never by `stripPrefix(...).toLong` in a guard: one stray
+    * non-numeric `g=`/`b=` entry (an editor backup, a half-typed
+    * manual copy) would otherwise make every subsequent gc sweep or
+    * stream start throw NumberFormatException — permanently blocking
+    * both. Non-matching names are simply skipped. */
+  private val DeltaGenDirName = "g=(\\d+)".r
+  private val DeltaBatchDirName = "b=(\\d+)".r
 
   private[graft] def deltaGen(spark: SparkSession, path: String): Long =
     deltaGenStatus(fs(spark, path), path).map(_._1).getOrElse(0L)
@@ -377,7 +394,7 @@ object LexIndex {
     * older engine) is refused loudly — silently ignoring it would drop
     * a live un-reconciled day from search and from [[delete]]'s
     * guard. */
-  private def deltaBatchPaths(spark: SparkSession, path: String): Seq[String] = {
+  private[graft] def deltaBatchPaths(spark: SparkSession, path: String): Seq[String] = {
     val f = fs(spark, path)
     val root = new Path(deltaDir(path))
     if (f.exists(root))
@@ -388,7 +405,8 @@ object LexIndex {
     val g = deltaGen(spark, path)
     val p = new Path(deltaGenDir(path, g))
     if (!f.exists(p)) Seq.empty
-    else f.listStatus(p).map(_.getPath).filter(_.getName.startsWith("b="))
+    else f.listStatus(p).map(_.getPath)
+      .filter(q => DeltaBatchDirName.pattern.matcher(q.getName).matches)
       .map(_.toString).sorted.toSeq
   }
 
@@ -437,8 +455,101 @@ object LexIndex {
     * overwriting an earlier lineage's batch. */
   private[graft] def deltaBatchBase(spark: SparkSession, path: String): Long =
     deltaBatchPaths(spark, path)
-      .map(p => new Path(p).getName.stripPrefix("b=").toLong)
+      .flatMap(p => new Path(p).getName match {
+        case DeltaBatchDirName(b) => Some(b.toLong)
+        case _ => None
+      })
       .foldLeft(-1L)(math.max) + 1L
+
+  /** Default LSM-debt gate for the stream delta (see
+    * [[appendStreamDeltaBatch]]): fold when the delta's bytes pass this
+    * share of delta+bulk, or when the `b=` batch-dir count passes
+    * [[DefaultMaxDeltaBatches]] (each dir is a listing + a task-split
+    * floor per composed read — many tiny triggers add file-count cost
+    * long before byte share moves). */
+  val DefaultMaxDeltaShare: Double = 0.25
+  val DefaultMaxDeltaBatches: Int = 512
+
+  /** Byte floor under which the share gate never fires (and never pays
+    * the bulk summary): a small delta is cheap to compose regardless of
+    * its share — on a small corpus the share is dominated by per-file
+    * parquet overhead and would trip the gate spuriously. */
+  val MinFoldBytes: Long = 64L << 20
+
+  /** A lineage that had a mid-stream FOLD (part of its day merged into
+    * the bulk) is marked with `_folded-<gen>` for the generation the
+    * fold opened: a fresh-checkpoint restart RE-DELIVERING the day
+    * would land folded docs on the delta side again and composed
+    * searches would double-count them against the bulk — so a new
+    * stream start on a fold-marked lineage is refused (reconcile
+    * first). The marker goes stale the moment a reconcile bumps past
+    * its generation; [[gcLocked]] sweeps stale ones with the retired
+    * dirs. */
+  private val FoldMarkerName = "_folded-(\\d+)".r
+
+  /** True when the CURRENT delta generation was opened by a mid-stream
+    * fold — [[graft.pipelines.DailyDriver.stepStream]]'s start guard. */
+  private[graft] def hasLiveFoldMarker(spark: SparkSession, path: String): Boolean = {
+    val f = fs(spark, path)
+    val dir = new Path(deltaDir(path))
+    f.exists(dir) && {
+      val cur = deltaGen(spark, path)
+      f.listStatus(dir).exists(st => st.getPath.getName match {
+        case FoldMarkerName(g) => g.toLong == cur
+        case _ => false
+      })
+    }
+  }
+
+  /** Bulk bytes of the CURRENT manifest's referenced bucket dirs —
+    * memoized per (path, version, manifest mtime): the debt gate reads
+    * this once per trigger, and the referenced set only changes on a
+    * publish. The mtime in the key guards the one case version
+    * numbering cannot: a same-path store replacement (wipe + rebuild)
+    * whose versions restart at the old numbers — its fresh manifest
+    * file has a fresh mtime, so the stale byte total can never serve.
+    * Bounded: cleared wholesale past 1024 entries (a long-lived driver
+    * touching many stores). */
+  private val bulkBytesMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Long]()
+
+  private def bulkBytes(f: FileSystem, path: String, v: Long,
+                        man: Map[Long, Long]): Long = {
+    if (bulkBytesMemo.size > 1024) bulkBytesMemo.clear()
+    val mtime = manifestMtime(f, path, v, -1L)
+    bulkBytesMemo.computeIfAbsent((path, v, mtime), { _ =>
+      man.map { case (b, bv) =>
+        val p = new Path(bucketPath(path, b, bv))
+        if (f.exists(p)) f.getContentSummary(p).getLength else 0L
+      }.sum
+    })
+  }
+
+  /** (delta bytes of generation `g`, byte share vs delta+bulk) — the
+    * ONE share computation both [[deltaShare]] and the fold gate read,
+    * so the readout and the policy can never silently diverge.
+    * Metadata only: one content summary over the generation dir plus
+    * the memoized bulk sum. */
+  private def deltaShareOf(spark: SparkSession, path: String,
+                           g: Long): (Long, Double) = {
+    val f = fs(spark, path)
+    val dp = new Path(deltaGenDir(path, g))
+    val delta = if (f.exists(dp)) f.getContentSummary(dp).getLength else 0L
+    if (delta == 0L) return (0L, 0.0)
+    val cur = currentVersion(spark, path)
+    val bulk =
+      if (cur <= 0L) 0L
+      else bulkBytes(f, path, cur, readManifest(spark, path, cur))
+    (delta, delta.toDouble / (delta + bulk).toDouble)
+  }
+
+  /** Byte share of the live stream delta vs delta+bulk — the
+    * [[Versioned.deltaShare]] measurement for the lexical store, the
+    * LSM-debt number the mid-stream fold gates on (and the aging run's
+    * readout column). 0.0 with no delta; 1.0 on a delta-only
+    * (unpublished-bulk) root. */
+  def deltaShare(spark: SparkSession, path: String): Double =
+    deltaShareOf(spark, path, deltaGen(spark, path))._2
 
   /** ONE micro-batch landed on the DELTA side — O(batch): tokenize to
     * tf, denormalize dl, one `b=<key>` dynamic-overwrite write (the
@@ -450,11 +561,41 @@ object LexIndex {
     * stores' discipline): a zombie checkpoint firing after a reconcile
     * retired its lineage fails loudly here, where an unfenced write
     * would land rows the composed search silently double-counts
-    * against the folded bulk. */
+    * against the folded bulk.
+    *
+    * DEBT GATE + AUTO-FOLD: before landing, the existing delta's debt
+    * is measured ([[deltaShare]] + batch-dir count); past either bound
+    * the delta-so-far folds through ONE ordinary [[mergeLocked]] under
+    * the SAME lease hold and the batch lands in a fresh generation —
+    * so an owner who never calls the day-end reconcile (or streams one
+    * lineage across days) keeps composed-search cost bounded instead of
+    * re-running an ever-growing lowest-batch dedup per search. Fold
+    * order: write the merge's new version dirs, then (the
+    * `beforePublish` hook) fold marker + generation bump, then the
+    * atomic manifest publish, then land the batch — a concurrent
+    * pinned reader's visibility dip spans two metadata ops, not the
+    * bucket merge. Only PRIOR batches fold — the in-flight batch lands
+    * in the new generation, so a same-checkpoint replay of it
+    * converges as a duplicate partition exactly as before. Crash
+    * anywhere inside the fold costs at worst a search-visibility dip
+    * for the retired-unmerged rows plus a loud reconcile-first refusal
+    * of fresh-checkpoint stream starts ([[hasLiveFoldMarker]]); never
+    * a double count — the reconcile re-lands from staging through the
+    * docmap remainder probe, which skips exactly the folded docs, and
+    * RE-DELIVERED docs are closed out at two layers (the fold input's
+    * docmap anti-join; the marked lineage's per-append docmap filter).
+    *
+    * @return the LIVE generation after the call (bumped past `gen`
+    *         when a fold ran) — the stream threads it into its next
+    *         trigger's fence. */
   private[graft] def appendStreamDeltaBatch(spark: SparkSession, path: String,
                                             batch: DataFrame,
                                             batchKey: Long,
-                                            gen: Long): Unit =
+                                            gen: Long,
+                                            maxDeltaShare: Double =
+                                              DefaultMaxDeltaShare,
+                                            maxDeltaBatches: Int =
+                                              DefaultMaxDeltaBatches): Long =
     Lease.withLeaseWait(spark, path, "lexindex-delta-append") {
       val cur = deltaGen(spark, path)
       if (cur != gen)
@@ -464,7 +605,74 @@ object LexIndex {
             s"batch landing here would double-count every one of its " +
             s"docs in composed searches. Restart the stream with a " +
             s"fresh checkpoint")
-      val tf = UnigramLm.termFreq(batch, "doc_id", "text")
+      val dirs = deltaBatchPaths(spark, path)
+      // fold only off a PUBLISHED bulk (mergeLocked's precondition; a
+      // delta-only root has nothing to fold into) and only when prior
+      // batches exist — the in-flight batch never folds itself. Gate
+      // order is cheap-first: the dir count is already listed; the
+      // share pays one delta content summary, and the bulk summary
+      // (memoized per version) only runs past the byte floor.
+      val fold = dirs.nonEmpty && currentVersion(spark, path) > 0L &&
+        (dirs.size >= maxDeltaBatches || {
+          val (db, share) = deltaShareOf(spark, path, gen)
+          db > MinFoldBytes && share > maxDeltaShare
+        })
+      val liveGen =
+        if (!fold) gen
+        else {
+          // RE-DELIVERY SAFETY: after a fresh-checkpoint restart the
+          // lineage can carry docs an EARLIER fold already merged into
+          // the bulk — handing those to mergeLocked would break its
+          // disjoint-ids contract (duplicate postings, inflated df — a
+          // corruption no reconcile can undo). Anti-join the fold's
+          // rows against the docmap remainder probe (the reconcile's
+          // own discipline): one probe per fold, never per trigger.
+          // Materialized once — mergeLocked consumes its input ~4
+          // times (touched-bucket collect, stats head, two writeVersion
+          // subtrees), and each lazy pass would re-read every batch
+          // file and re-run the dedup shuffle inside a live trigger.
+          val rows = readDeltaPaths(spark, dirs)
+            .select(col("term"), col("doc_id"), col("tf"))
+          val safe = rows.join(
+            presentIds(spark, path, rows.select(col("doc_id")).distinct()),
+            Seq("doc_id"), "left_anti")
+            .localCheckpoint(true)
+          val f = fs(spark, path)
+          def markAndBump(): Unit = {
+            val mk = new Path(deltaDir(path), s"_folded-${gen + 1L}")
+            if (!f.exists(mk)) Lease.tryCreate(f, mk, s"${gen + 1L}\n")
+            bumpDeltaGen(f, path, gen + 1L)
+          }
+          if (safe.isEmpty)
+            // pure re-delivery (every doc already in bulk): nothing to
+            // merge — retiring the dirs alone loses no rows
+            markAndBump()
+          else
+            // the marker + bump run BETWEEN the version write and the
+            // manifest publish: a reader pinning inside that two-
+            // metadata-op window sees a brief dip (new empty
+            // generation, old bulk) instead of a dip lasting the whole
+            // bucket merge; a crash before the publish leaves the
+            // folded rows invisible until the reconcile re-lands them
+            // from staging (marker live → fresh stream starts refused,
+            // same-checkpoint resumes fine)
+            mergeLocked(spark, path, safe,
+              beforePublish = () => markAndBump())
+          gen + 1L
+        }
+      // ON A FOLD-MARKED LINEAGE every landing batch is docmap-filtered:
+      // a re-delivering restart re-sends docs an earlier fold merged,
+      // and landing them on the delta side would double-count them in
+      // every composed read. Unmarked lineages (the overwhelmingly
+      // common case) skip the probe entirely — the O(batch) landing
+      // stays probe-free.
+      val marked = hasLiveFoldMarker(spark, path)
+      val toLand =
+        if (!marked) batch
+        else batch.join(
+          presentIds(spark, path, batch.select(col("doc_id")).distinct()),
+          Seq("doc_id"), "left_anti")
+      val tf = UnigramLm.termFreq(toLand, "doc_id", "text")
       val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       tf.join(dl, Seq("doc_id"))
         .select(col("term"), col("doc_id"), col("tf"), col("dl"))
@@ -472,7 +680,8 @@ object LexIndex {
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("b")
-        .parquet(deltaGenDir(path, gen))
+        .parquet(deltaGenDir(path, liveGen))
+      liveGen
     }
 
   /** RETIRE the delta lineage — the reconcile's fold precursor: the
@@ -500,7 +709,23 @@ object LexIndex {
     * deadlock; [[rebuild]] retires the delta inside its own lease). */
   private def clearStreamDeltaLocked(spark: SparkSession, path: String): Unit = {
     val f = fs(spark, path)
-    bumpDeltaGen(f, path, deltaGen(spark, path) + 1L)
+    val g1 = deltaGen(spark, path) + 1L
+    bumpDeltaGen(f, path, g1)
+    // a retirement clears every fold marker at or below the new
+    // generation: re-delivery AFTER a reconcile is safe (the docmap
+    // remainder probe skips landed docs), and a torn fold's orphan
+    // marker (created before its bump; merge never published) must not
+    // spuriously refuse tomorrow's stream once the generation numbering
+    // catches up to it. Markers are advisory metadata, not pinned data —
+    // no grace needed.
+    val dir = new Path(deltaDir(path))
+    if (f.exists(dir)) f.listStatus(dir).foreach { st =>
+      st.getPath.getName match {
+        case FoldMarkerName(m) if m.toLong <= g1 =>
+          f.delete(st.getPath, false); ()
+        case _ => ()
+      }
+    }
   }
 
   private def requireNoDelta(spark: SparkSession, path: String, op: String): Unit =
@@ -903,10 +1128,11 @@ object LexIndex {
       val dRoot = new Path(deltaDir(path))
       if (f.exists(dRoot))
         for (st <- f.listStatus(dRoot)) st.getPath.getName match {
-          case n if n.startsWith("g=") &&
-            n.stripPrefix("g=").toLong < curGen && genAged(st) =>
+          case DeltaGenDirName(g) if g.toLong < curGen && genAged(st) =>
             f.delete(st.getPath, true)
           case DeltaGenName(g) if g.toLong < curGen && genAged(st) =>
+            f.delete(st.getPath, false)
+          case FoldMarkerName(g) if g.toLong < curGen && genAged(st) =>
             f.delete(st.getPath, false)
           case _ => ()
         }
@@ -992,11 +1218,24 @@ object LexIndex {
       * dedup applied); None when the lineage is empty. Pinned like the
       * manifest: the `b=` path list is captured at [[pinned]] time, and
       * retirement is a generation bump whose physical sweep is graced —
-      * the captured files outlive any in-flight read. Lazy: one plan,
-      * shared by every consumer on this view. */
+      * the captured files outlive any in-flight read.
+      *
+      * MATERIALIZED once per view (non-eager local checkpoint): the
+      * day-sized lowest-batch dedup join runs on the FIRST action and
+      * every later consumer on this view — a hybridSearch workload's
+      * many searches, or one search's stats + df + candidate reads —
+      * reuses the stored blocks instead of re-running it per action.
+      * The blocks are executor-local and non-replicated, which is the
+      * right trade for a WORKLOAD-lifetime view (an executor loss fails
+      * the in-flight action; the caller re-pins and retries) — NOT for
+      * stream-lifetime state, where the same pattern is forbidden
+      * ([[graft.pipelines.DailyDriver.stepStream]]'s benchRow note).
+      * Block cleanup is the ContextCleaner's: when the view is
+      * unreachable the RDD blocks go with it, so a recurring caller
+      * leaks nothing. */
     private lazy val deltaRows: Option[DataFrame] =
       if (deltaPaths.isEmpty) None
-      else Some(readDeltaPaths(spark, deltaPaths))
+      else Some(readDeltaPaths(spark, deltaPaths).localCheckpoint(false))
 
     /** The pinned corpus statistics — COMPOSED with the live stream
       * delta when one exists: bulk sums + the delta's doc-count and

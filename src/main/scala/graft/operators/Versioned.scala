@@ -36,9 +36,16 @@ private[operators] object Versioned {
   val DefaultMaxBroadcastIds: Long = 5000000L
 
   /** The count-gated victim side: broadcast below the ceiling, plain
-    * (shuffle-joined) above it. */
-  def gatedIds(ids: DataFrame, maxBroadcast: Long): DataFrame =
-    if (ids.count() <= maxBroadcast) broadcast(ids) else ids
+    * (shuffle-joined) above it. Materialized ONCE (eager local
+    * checkpoint) before the gate count: the uncollected plan would
+    * otherwise be recomputed per consumer (count + the semi-join + the
+    * anti-join — three runs per delete), and a non-deterministic victim
+    * source could make the gate decision diverge from the rows the
+    * joins actually read. */
+  def gatedIds(ids: DataFrame, maxBroadcast: Long): DataFrame = {
+    val once = ids.localCheckpoint(true)
+    if (once.count() <= maxBroadcast) broadcast(once) else once
+  }
 
   private val ManifestName = "v=(\\d+)\\.txt".r
 

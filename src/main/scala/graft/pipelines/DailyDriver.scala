@@ -209,11 +209,18 @@ object DailyDriver {
     * machine's memory). On a CLUSTER this proxy under-reads the fleet:
     * a small driver heap next to a large executor page cache would
     * flip default searches to the recall≈0.9 compressed path on
-    * driver sizing rather than real scan-I/O economics — cluster
-    * owners MUST size `pqAutoBudgetBytes` to the executors' effective
-    * cache capacity for the index volume (or force `pqDepth`
-    * explicitly). */
+    * driver sizing rather than real scan-I/O economics — so the
+    * UNSET default ([[UnsetBudget]]) resolves to this proxy ONLY in
+    * local mode; off local mode an unset budget pins the auto policy
+    * to the exact scan, and approximate results become an operator
+    * opt-in (size `pqAutoBudgetBytes` to the executors' effective
+    * cache capacity for the index volume, or force `pqDepth`). */
   val DefaultPqAutoBudgetBytes: Long = Runtime.getRuntime.maxMemory / 2
+
+  /** Sentinel default for `pqAutoBudgetBytes`: "the caller set no
+    * budget". Local mode → [[DefaultPqAutoBudgetBytes]]; cluster →
+    * the auto policy stays on the exact scan (see above). */
+  val UnsetBudget: Long = -1L
 
   /** The auto-depth decision, factored pure for the spec: probed raw
     * bytes within budget → 0 (exact scan, the measured winner when the
@@ -307,14 +314,16 @@ object DailyDriver {
     *                candidates per probe from the code table,
     *                exact-rerank only those
     * @param pqAutoBudgetBytes the auto policy's memory budget (only
-    *                read when `pqDepth` is [[AutoDepth]]) */
+    *                read when `pqDepth` is [[AutoDepth]]); default
+    *                [[UnsetBudget]] = the local-mode heap proxy in
+    *                local mode, the exact scan on a cluster */
   def hybridSearch(spark: SparkSession, dir: String,
                    queries: DataFrame, probes: DataFrame,
                    k: Int = 5, depth: Int = 10, nprobe: Int = 2,
                    maxDfPermille: Long =
                      graft.operators.Bm25.DefaultMaxDfPermille,
                    pqDepth: Int = AutoDepth,
-                   pqAutoBudgetBytes: Long = DefaultPqAutoBudgetBytes): DataFrame = {
+                   pqAutoBudgetBytes: Long = UnsetBudget): DataFrame = {
     import graft.operators.{Bm25, KMeans, LexIndex, PqIndex, Rrf, VecIndex}
     val vdir = vecIndexDir(dir)
     // lexical half — df, stats, and the posting scan all read through
@@ -363,17 +372,6 @@ object DailyDriver {
     val pqUsable = (pqDepth == AutoDepth || pqDepth > 0) &&
       graft.operators.PqIndex.currentVersion(spark, pqIndexDir(dir)) > 0L &&
       pqCoarseAligned(spark, pqIndexDir(dir), collectCoarse(cents))
-    // whenever the assignment will be consumed MORE THAN ONCE —
-    // the auto policy's measurement collect, or the PQ path's two
-    // plan subtrees (searchAssigned's nomination input AND rerank's
-    // probe input) — materialize the workload-sized probe assignment
-    // once as a local relation instead of re-running the assignTop
-    // join per consumer
-    val pr =
-      if (pqUsable && (pqDepth == AutoDepth || pqDepth > 0))
-        spark.createDataFrame(
-          java.util.Arrays.asList(pr0.collect(): _*), pr0.schema)
-      else pr0
     // AUTO-DEPTH: the round-11 crossover readout as policy. One
     // metadata measurement (the probed cids' resolved bytes through the
     // ownership chain — content summaries, no data read) against the
@@ -381,23 +379,51 @@ object DailyDriver {
     // and the exact scan is the measured winner (depth 0); past it scan
     // I/O is the wall clock, the code table's ~dim·4/m byte advantage
     // pays, and the depth is the measured recall≈0.9 rule
-    // (AdcDepthPerK·k). Only the auto path pays the measurement (one
-    // small collect of the probes' distinct cells + one summary RPC per
-    // probed cell); an unusable code table (absent / coarse-desynced)
-    // short-circuits to the exact scan without measuring. Note the
-    // rerank stage still RESCANS the probed raw cells in this
+    // (AdcDepthPerK·k). Only the auto path pays the measurement — and
+    // it collects ONLY the distinct probed cids (a handful of longs),
+    // never the full (q_id, q_vec, q_cid) assignment: the full collect
+    // belongs to the PQ path alone, so a default call whose auto
+    // decision lands on the exact scan ships no embedding bytes to the
+    // driver at all (large query batches stay executor-side). An unset
+    // budget resolves to the heap proxy only in LOCAL mode; on a
+    // cluster the proxy misreads the fleet, so the auto policy stays on
+    // the always-correct exact scan and the compressed path is an
+    // explicit opt-in. An unusable code table (absent / coarse-
+    // desynced) short-circuits to the exact scan without measuring.
+    // Note the rerank stage still RESCANS the probed raw cells in this
     // scan-based engine — the compressed path's lever is the NOMINATION
     // scan's bytes (README's IVFADC section has the measured trade).
+    val budget =
+      if (pqAutoBudgetBytes != UnsetBudget) pqAutoBudgetBytes
+      else if (spark.sparkContext.isLocal) DefaultPqAutoBudgetBytes
+      else -1L
+    // when the auto measurement will run, materialize the assignment
+    // executor-side FIRST (one assignTop execution total — the
+    // measurement's distinct-cid collect and whichever search path wins
+    // both read the blocks; embedding bytes still never reach the
+    // driver unless the PQ path is taken)
+    val doMeasure = pqDepth == AutoDepth && pqUsable && budget >= 0L
+    val prM = if (doMeasure) pr0.localCheckpoint(true) else pr0
     val effDepth =
       if (pqDepth != AutoDepth) pqDepth
-      else if (!pqUsable) 0
+      else if (!doMeasure) 0
       else {
-        val probedCids = pr.select(col("q_cid")).distinct().collect()
+        val probedCids = prM.select(col("q_cid")).distinct().collect()
           .map(_.getAs[Number](0).longValue).toSeq
         autoPqDepth(VecIndex.cellBytes(spark, vdir, probedCids),
-          pqAutoBudgetBytes, k)
+          budget, k)
       }
     val usePq = effDepth > 0 && pqUsable
+    // the probe assignment is materialized as a driver-local relation
+    // ONLY when the PQ path will consume it twice (searchAssigned's
+    // nomination input AND rerank's probe input — re-running the
+    // assignTop join per consumer would double the probe work); the
+    // exact path consumes it once
+    val pr =
+      if (usePq)
+        spark.createDataFrame(
+          java.util.Arrays.asList(prM.collect(): _*), prM.schema)
+      else prM
     val vec0 =
       if (!usePq) VecIndex.search(vp.index, pr, "doc_id", "embedding", depth)
       else VecIndex.rerank(vp.index, pr,
@@ -870,13 +896,34 @@ object DailyDriver {
     * step records sub-bar docs as failed rows instead — so a gated
     * stream day equals the batch day only over the gate's survivors
     * (DailyDriverSpec's production shape sets it to a junk cutoff
-    * well below the curation bar on purpose). */
+    * well below the curation bar on purpose).
+    *
+    * LEX DELTA DEBT: the per-trigger lex landing is bounded by a
+    * measured debt gate (`lexMaxDeltaShare` byte share past a 64 MB
+    * floor, or `lexMaxDeltaBatches` batch dirs): past either bound the
+    * delta-so-far FOLDS into the bulk through one ordinary merge
+    * mid-stream (an LSM compaction — amortized, exact), so an owner
+    * who skips the day-end reconcile, or streams one lineage across
+    * days, keeps composed-search cost bounded. A SECOND unreconciled
+    * streamed day is supported on an UNFOLDED lineage (batch keys
+    * offset past day 1's; one reconcile lands the pile). Once a fold
+    * has run: resuming the SAME checkpoint is fine (committed batches
+    * are not re-delivered), every append on the marked lineage
+    * docmap-filters bulk-present docs (re-delivered folded docs can
+    * never double-count), and a FRESH-checkpoint start is refused
+    * until the reconcile — the loud posture on the one shape that
+    * re-delivers the whole day (DailyDriverStreamSpec pins all three
+    * contracts). */
   def stepStream(spark: SparkSession, arrivals: DataFrame,
                  benchmark: DataFrame, dir: String, checkpointRoot: String,
                  cfg: Curation.Config = Curation.Config(),
                  embeddings: Option[DataFrame] = None,
                  ingestMinQuality: Double = Double.NegativeInfinity,
-                 watermark: String = "1 hour"): StepStreamHandles = {
+                 watermark: String = "1 hour",
+                 lexMaxDeltaShare: Double =
+                   graft.operators.LexIndex.DefaultMaxDeltaShare,
+                 lexMaxDeltaBatches: Int =
+                   graft.operators.LexIndex.DefaultMaxDeltaBatches): StepStreamHandles = {
     import graft.functions.TextFunctions._
     import graft.operators.{LexIndex, PqIndex, VecIndex}
     import graft.streaming.StreamOps
@@ -895,10 +942,14 @@ object DailyDriver {
       val p = new org.apache.hadoop.fs.Path(stagingDir(dir))
       val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!f.exists(p)) 0L
-      else f.listStatus(p).map(_.getPath.getName)
-        .collect { case s if s.startsWith("mb=") =>
-          s.stripPrefix("mb=").toLong }
-        .foldLeft(-1L)(math.max) + 1L
+      else {
+        // digits-only parse (the LexIndex delta-dir rule): one stray
+        // non-numeric mb= entry must not wedge every stream start
+        val MbName = "mb=(\\d+)".r
+        f.listStatus(p).map(_.getPath.getName)
+          .collect { case MbName(b) => b.toLong }
+          .foldLeft(-1L)(math.max) + 1L
+      }
     }
     // the benchmark's shingle row is computed ONCE and collected to the
     // DRIVER as a one-row local relation — the four-query shape
@@ -933,7 +984,38 @@ object DailyDriver {
     // (under the index lease): a zombie checkpoint outliving its
     // reconcile fails loudly instead of double-counting its docs.
     val lexDeltaBase = LexIndex.deltaBatchBase(spark, lexDir(dir))
-    val lexGen = LexIndex.deltaGen(spark, lexDir(dir))
+    // a lineage that already had a MID-STREAM FOLD (the delta debt gate
+    // fired — part of its day is merged into the bulk) cannot take a
+    // FRESH-checkpoint stream start: a re-delivering restart re-sends
+    // docs the fold merged, and although the marked lineage's appends
+    // docmap-filter them (the engine-side backstop), the clean posture
+    // is the loud reconcile-first refusal. RESUMING the same checkpoint
+    // is allowed — committed batches are not re-delivered and the one
+    // in-flight batch converges by duplicate-partition dedup — and the
+    // commits dir distinguishes the two (a fresh checkpoint has none).
+    // An unfolded lineage keeps the documented behaviors: mid-day
+    // fresh-checkpoint restarts converge by duplicate-partition dedup,
+    // and a SECOND day piling onto an unreconciled lineage is supported
+    // (day ids are disjoint; the debt gate bounds what the pile-up
+    // costs).
+    val resuming = {
+      val p = new org.apache.hadoop.fs.Path(s"$ckpt/commits")
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.exists(p) &&
+        f.listStatus(p).exists(!_.getPath.getName.startsWith("."))
+    }
+    require(resuming || !LexIndex.hasLiveFoldMarker(spark, lexDir(dir)),
+      s"the lex delta lineage under ${lexDir(dir)} had a mid-stream " +
+        s"fold — run stepStreamReconcile for the staged day before " +
+        s"starting a NEW stream (a fresh checkpoint re-delivers the " +
+        s"day and its folded docs; resuming the existing checkpoint " +
+        s"is fine)")
+    // the live generation is a VAR: the per-trigger append returns the
+    // generation after its debt-gate fold (bumped when one ran), and
+    // the next trigger must fence against THAT. One query's
+    // micro-batches run strictly serialized on its execution thread,
+    // so the captured var needs no synchronization.
+    var lexGen = LexIndex.deltaGen(spark, lexDir(dir))
     val vdir = vecIndexDir(dir)
     val pqdir = pqIndexDir(dir)
     // pin every store's stream coordinates at START (one manifest
@@ -1007,8 +1089,9 @@ object DailyDriver {
             .select(col("doc_id"), col("text"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try if (!cand.isEmpty) {
-            LexIndex.appendStreamDeltaBatch(spark, lexDir(dir), cand,
-              lexDeltaBase + batchId, lexGen)
+            lexGen = LexIndex.appendStreamDeltaBatch(spark, lexDir(dir), cand,
+              lexDeltaBase + batchId, lexGen,
+              lexMaxDeltaShare, lexMaxDeltaBatches)
             vecSide.foreach { case (emb, vecPin, pqPin, cents) =>
               // one cosine assignment, two stores (the batch step's
               // appendAssigned rule — PQ's own coarse rule would

@@ -114,4 +114,135 @@ class LexIndexDeltaSpec extends SparkSpecBase {
       .getOrElse(Seq.empty)
     assert(gDirs.isEmpty, s"retired delta generations survived gc: $gDirs")
   }
+
+  test("debt-gated mid-stream fold: fires, bounds the lineage, stays value-equal, and gates the next stream start") {
+    val docs = docsAt("/root/testdata/sf0.001")
+    val a = docs.filter(col("doc_id") % 3 =!= 0)
+    val d = docs.filter(col("doc_id") % 3 === 0)
+    val b = Array.tabulate(4)(i => d.filter(col("doc_id") % 4 === i))
+    val live = tempDir("lexfold_live")
+    val full = tempDir("lexfold_full")
+    LexIndex.build(UnigramLm.termFreq(a, "doc_id", "text"), live)
+    LexIndex.build(UnigramLm.termFreq(docs, "doc_id", "text"), full)
+
+    // an N-day unreconciled lineage, debt-gated at 2 batch dirs: every
+    // third append folds the delta-so-far through one merge and opens a
+    // fresh generation — the b= dir count stays bounded forever
+    val gen0 = LexIndex.deltaGen(spark, live)
+    var g = gen0
+    for (i <- b.indices)
+      g = LexIndex.appendStreamDeltaBatch(spark, live, b(i), i.toLong, g,
+        maxDeltaBatches = 2)
+    assert(g > gen0, "the debt gate never folded")
+    assert(LexIndex.deltaBatchPaths(spark, live).size <= 2,
+      "fold did not bound the live lineage's batch-dir count")
+    assert(LexIndex.hasLiveFoldMarker(spark, live),
+      "a folded lineage must carry its fold marker")
+    // the stream that performed the fold keeps appending on the
+    // returned generation; its RETIRED generation is fenced
+    val zombie = intercept[IllegalStateException](
+      LexIndex.appendStreamDeltaBatch(spark, live, b(0), 99L, gen0))
+    assert(zombie.getMessage.contains("retired"), zombie.getMessage)
+
+    // composed search/df/stats over bulk+fold+delta stay value-equal to
+    // the merged index — the fold is exact, not approximate
+    val qdocs = docs.filter(col("doc_id") % 40 === 0)
+    val qterms = qdocs.select(col("doc_id").as("q_id"),
+      explode(array_distinct(
+        graft.functions.TextFunctions.tokens(col("text")))).as("term"))
+      .filter(length(col("term")) >= 4)
+      .localCheckpoint(true)
+    assert(statsRowOf(live) == statsRowOf(full),
+      "post-fold composed stats diverge from the merged index's")
+    assert(searchRows(live, qterms).sameElements(searchRows(full, qterms)),
+      "post-fold composed search diverges from the merged index")
+
+    // RE-DELIVERY across a fold (a fresh-checkpoint lineage re-sends
+    // docs an earlier fold merged into the bulk): the marked lineage's
+    // append docmap-filters them, so composed reads never double-count
+    // — and the re-delivering append can itself trigger the NEXT fold,
+    // whose merge input must stay disjoint from the bulk
+    g = LexIndex.appendStreamDeltaBatch(spark, live, b(0),
+      LexIndex.deltaBatchBase(spark, live), g, maxDeltaBatches = 2)
+    g = LexIndex.appendStreamDeltaBatch(spark, live, b(1),
+      LexIndex.deltaBatchBase(spark, live), g, maxDeltaBatches = 2)
+    assert(statsRowOf(live) == statsRowOf(full),
+      "re-delivered folded docs double-counted in composed stats")
+    assert(searchRows(live, qterms).sameElements(searchRows(full, qterms)),
+      "re-delivered folded docs double-counted in composed search")
+
+    // the reconcile contract on a folded lineage: retire, then merge
+    // exactly the docs the folds did NOT land (the docmap remainder —
+    // what DailyDriver.stepStreamReconcile's probe computes)
+    val remainder = d.join(
+      LexIndex.presentIds(spark, live, d.select(col("doc_id"))),
+      Seq("doc_id"), "left_anti")
+      .localCheckpoint(true) // the probe must read the PRE-merge docmap
+    LexIndex.clearStreamDelta(spark, live)
+    LexIndex.merge(spark, live,
+      UnigramLm.termFreq(remainder, "doc_id", "text"))
+    assert(!LexIndex.hasLiveFoldMarker(spark, live),
+      "the fold marker must go stale once a reconcile retires past it")
+    def postings(p: String) = LexIndex.openPostings(spark, p)
+      .collect().map(_.toString).sorted
+    assert(postings(live).sameElements(postings(full)),
+      "folded + reconciled postings diverge from the merged build")
+    // gc sweeps the stale marker with the retired generations
+    LexIndex.gc(spark, live, 0L)
+    val leftover = Option(new java.io.File(s"$live/delta").listFiles)
+      .map(_.map(_.getName).filter(_.startsWith("_folded")).toSeq)
+      .getOrElse(Seq.empty)
+    assert(leftover.isEmpty, s"stale fold markers survived gc: $leftover")
+  }
+
+  test("a stray non-numeric delta dir name is skipped, not a permanent gc/stream blocker") {
+    val docs = docsAt("/root/testdata/sf0.001").limit(50)
+    val live = tempDir("lexjunk_live")
+    LexIndex.build(UnigramLm.termFreq(docs, "doc_id", "text"), live)
+    val gen = LexIndex.deltaGen(spark, live)
+    LexIndex.appendStreamDeltaBatch(spark, live,
+      docs.limit(10), 0L, gen)
+    // junk names an editor/manual copy could leave behind
+    assert(new java.io.File(s"$live/delta/g=backup").mkdirs())
+    assert(new java.io.File(s"$live/delta/g=$gen/b=copy").mkdirs())
+    assert(LexIndex.deltaBatchBase(spark, live) == 1L,
+      "non-numeric b= dir perturbed the batch-key base")
+    LexIndex.clearStreamDelta(spark, live)
+    LexIndex.gc(spark, live, 0L) // must not throw NumberFormatException
+    assert(new java.io.File(s"$live/delta/g=backup").exists,
+      "gc swept a dir it could not parse instead of skipping it")
+  }
+
+  test("a pinned view materializes its delta once — later reads survive the physical files going away") {
+    val docs = docsAt("/root/testdata/sf0.001")
+    val a = docs.filter(col("doc_id") % 3 =!= 0)
+    val d = docs.filter(col("doc_id") % 3 === 0)
+    val live = tempDir("lexpin_live")
+    LexIndex.build(UnigramLm.termFreq(a, "doc_id", "text"), live)
+    val gen = LexIndex.deltaGen(spark, live)
+    LexIndex.appendStreamDeltaBatch(spark, live, d, 0L, gen)
+    val qterms = docs.filter(col("doc_id") % 40 === 0)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(
+          graft.functions.TextFunctions.tokens(col("text")))).as("term"))
+      .filter(length(col("term")) >= 4)
+      .localCheckpoint(true)
+    val pin = LexIndex.pinned(spark, live)
+    val first = pin.search(qterms, 5).collect().map(_.toString).sorted
+    // the day's dedup ran once on the first action; the delta files can
+    // now vanish (a hard variant of graced retirement) and every later
+    // consumer on the SAME view still reads the materialized rows
+    val genDir = new java.io.File(s"$live/delta/g=$gen")
+    def nuke(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(nuke)); f.delete(); ()
+    }
+    nuke(genDir)
+    assert(!genDir.exists)
+    val again = pin.search(qterms, 5).collect().map(_.toString).sorted
+    assert(again.sameElements(first),
+      "second search on the pinned view re-read the delta files")
+    assert(pin.stats.collect().nonEmpty && pin.termDf(
+      qterms.select(col("term"))).collect().nonEmpty,
+      "stats/df on the pinned view re-read the delta files")
+  }
 }

@@ -337,4 +337,130 @@ class DailyDriverStreamSpec extends SparkSpecBase {
         s"fence did not name the epoch: ${fenced.getMessage}")
     } finally s.stopAll()
   }
+
+  test("a debt-gated lex fold mid-stream keeps the day exact; a folded lineage refuses a new stream start until reconciled") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val a = docs.filter(col("doc_id") % 4 =!= 0)
+    val delta = docs.filter(col("doc_id") % 4 === 0)
+    val bench = docs.filter(col("doc_id") % 50 === 0).select("doc_id", "text")
+
+    val dirA = tempDir("daily-fold-batch")
+    DailyDriver.init(spark, a, bench, dirA, cfg)
+    DailyDriver.step(spark, delta, bench, dirA, cfg)
+
+    // streamed day, debt gate forced down to 1 batch dir: every trigger
+    // past the first folds the delta-so-far into the bulk mid-stream
+    val dirB = tempDir("daily-fold-live")
+    DailyDriver.init(spark, a, bench, dirB, cfg)
+    val rows = delta.as[(Long, String)].collect().sortBy(_._1)
+    val third = rows.length / 3
+    val (c1, rest) = rows.splitAt(third)
+    val (c2, c3) = rest.splitAt(third)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, Long, String)]
+    val ckpt1 = tempDir("daily-fold-ckpt1")
+    val s = DailyDriver.stepStream(spark,
+      input.toDF().toDF("event_time", "doc_id", "text"), bench, dirB,
+      ckpt1, cfg, lexMaxDeltaBatches = 1)
+    for ((g, gi) <- Seq(c1, c2).zipWithIndex) {
+      input.addData(g.zipWithIndex.map { case ((id, t), i) =>
+        (ts(gi * 500 + i), id, t)
+      })
+      s.all.foreach(_.processAllAvailable())
+    }
+    s.stopAll()
+    val lexPath = s"$dirB/lex_index"
+    assert(graft.operators.LexIndex.hasLiveFoldMarker(spark, lexPath),
+      "the forced debt gate never folded")
+    assert(graft.operators.LexIndex.deltaBatchPaths(spark, lexPath).size <= 1,
+      "the fold did not bound the live lineage")
+
+    // resuming the SAME checkpoint after a fold is allowed — committed
+    // batches are not re-delivered, so nothing can double-count
+    val sResume = DailyDriver.stepStream(spark,
+      input.toDF().toDF("event_time", "doc_id", "text"), bench, dirB,
+      ckpt1, cfg, lexMaxDeltaBatches = 1)
+    input.addData(c3.zipWithIndex.map { case ((id, t), i) =>
+      (ts(1500 + i), id, t)
+    })
+    sResume.all.foreach(_.processAllAvailable())
+    sResume.stopAll()
+
+    // the folded lineage refuses a NEW stream start (a re-delivering
+    // fresh-checkpoint lineage would land folded docs on the delta side
+    // again — double-counted against the bulk)
+    val input2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Timestamp, Long, String)]
+    val refused = intercept[IllegalArgumentException](
+      DailyDriver.stepStream(spark,
+        input2.toDF().toDF("event_time", "doc_id", "text"), bench, dirB,
+        tempDir("daily-fold-ckpt2"), cfg, lexMaxDeltaBatches = 1))
+    assert(refused.getMessage.contains("fold"), refused.getMessage)
+
+    // the reconcile lands the remainder exactly (the docmap probe skips
+    // the folded docs) and the day equals the batch step
+    DailyDriver.stepStreamReconcile(spark, bench, dirB, cfg)
+    assert(canon(DailyDriver.openDecisions(spark, dirB)).sameElements(
+      canon(DailyDriver.openDecisions(spark, dirA))),
+      "folded streamed day's decisions diverged from the batch step")
+    def postings(d: String) = graft.operators.LexIndex
+      .openPostings(spark, s"$d/lex_index").collect().map(_.toString).sorted
+    assert(postings(dirB).sameElements(postings(dirA)),
+      "folded streamed day's postings diverged — a fold double-merged " +
+        "or the reconcile re-merged folded docs")
+
+    // ...and once reconciled, a new day's stream starts normally
+    val s3 = DailyDriver.stepStream(spark,
+      input2.toDF().toDF("event_time", "doc_id", "text"), bench, dirB,
+      tempDir("daily-fold-ckpt3"), cfg)
+    s3.stopAll()
+  }
+
+  test("a SECOND unreconciled streamed day piles onto the lineage and one reconcile lands both (no fold)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val a = docs.filter(col("doc_id") % 4 === 1)
+    val day1 = docs.filter(col("doc_id") % 4 === 2)
+    val day2 = docs.filter(col("doc_id") % 4 === 3)
+    val bench = docs.filter(col("doc_id") % 50 === 0).select("doc_id", "text")
+
+    // reference: ONE batch step over both days' arrivals (one reconcile
+    // = one step over everything staged)
+    val dirA = tempDir("daily-pile-batch")
+    DailyDriver.init(spark, a, bench, dirA, cfg)
+    DailyDriver.step(spark, day1.unionByName(day2), bench, dirA, cfg)
+
+    val dirB = tempDir("daily-pile-live")
+    DailyDriver.init(spark, a, bench, dirB, cfg)
+    def streamDay(day: DataFrame, ckpt: String, t0: Int): Unit = {
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Timestamp, Long, String)]
+      val s = DailyDriver.stepStream(spark,
+        input.toDF().toDF("event_time", "doc_id", "text"), bench, dirB,
+        tempDir(ckpt), cfg)
+      input.addData(day.as[(Long, String)].collect().sortBy(_._1)
+        .zipWithIndex.map { case ((id, t), i) => (ts(t0 + i), id, t) })
+      s.all.foreach(_.processAllAvailable())
+      s.stopAll()
+    }
+    streamDay(day1, "daily-pile-ckpt1", 0)
+    // day 2 starts on the UNRECONCILED lineage — supported while no
+    // fold ran: ids are day-disjoint, delta batch keys offset past day
+    // 1's, and the debt gate bounds what the pile-up costs
+    streamDay(day2, "daily-pile-ckpt2", 5000)
+    DailyDriver.stepStreamReconcile(spark, bench, dirB, cfg)
+
+    assert(canon(DailyDriver.openDecisions(spark, dirB)).sameElements(
+      canon(DailyDriver.openDecisions(spark, dirA))),
+      "two piled streamed days + one reconcile diverged from the batch step")
+    def postings(d: String) = graft.operators.LexIndex
+      .openPostings(spark, s"$d/lex_index").collect().map(_.toString).sorted
+    assert(postings(dirB).sameElements(postings(dirA)),
+      "piled-lineage postings diverged from the batch step")
+  }
 }

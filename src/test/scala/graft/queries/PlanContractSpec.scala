@@ -337,4 +337,61 @@ class PlanContractSpec extends SparkSpecBase {
       assert(!p.contains("documents") && !p.contains("testdata"),
         s"sealed-history row scans corpus data: $p"))
   }
+
+  test("delta-composed lex search keeps the bucket-pruned scan + broadcast candidate build") {
+    // LexIndexDeltaSpec pins VALUE equality of the composed search;
+    // this pins its PLAN: a live stream delta must not regress the
+    // bulk side to a full-index scan (the path-list bucket pruning is
+    // the reason searches never touch unprobed postings), the delta
+    // side must compose off the view's one materialized relation, and
+    // no join over unreduced rows may shuffle.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec}
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.functions._
+    import graft.operators.{LexIndex, UnigramLm}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val a = docs.filter(col("doc_id") % 3 =!= 0)
+    val d = docs.filter(col("doc_id") % 3 === 0)
+    val live = tempDir("plan_lexdelta")
+    LexIndex.build(UnigramLm.termFreq(a, "doc_id", "text"), live)
+    LexIndex.appendStreamDeltaBatch(spark, live, d, 0L,
+      LexIndex.deltaGen(spark, live))
+    val qterms = UnigramLm.termFreq(docs.limit(3), "doc_id", "text")
+      .select(col("term")).distinct().orderBy(col("term")).limit(2)
+      .withColumn("q_id", lit(1L)).select(col("q_id"), col("term"))
+      .localCheckpoint(true)
+    val qe = LexIndex.pinned(spark, live).search(qterms, 5).queryExecution
+    // bulk side: the file scans under buckets/ are exactly a per-bucket
+    // path list — ≤ one bucket per distinct query term, never the index
+    val bucketRoots = qe.sparkPlan.collect { case f: FileSourceScanExec =>
+      f.relation.location.rootPaths.map(_.toString) }.flatten
+      .filter(_.contains("/buckets/"))
+    assert(bucketRoots.nonEmpty && bucketRoots.forall(_.contains("/tb=")),
+      s"bulk side lost the bucket path-list read: $bucketRoots")
+    assert(bucketRoots.map(_.replaceAll(".*tb=", "")).distinct.size <= 2,
+      s"composed search scanned more buckets than its query terms: $bucketRoots")
+    // delta side: one materialized relation (the pinned view's local
+    // checkpoint), not a re-read of the b= files
+    val s = qe.executedPlan.toString
+    assert(s.contains("ExistingRDD") || s.contains("LocalTableScan"),
+      "delta side is not composed off the materialized view:\n" + s)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("BroadcastHashJoin"),
+      "candidate build lost its broadcast joins:\n" + s)
+    // any shuffle join (the tiny per-term df full-outer compose) must
+    // run over PRE-REDUCED term-grain aggregates, never raw
+    // posting/delta rows
+    qe.sparkPlan.collect { case j: SortMergeJoinExec => j }.foreach { j =>
+      j.children.foreach { side =>
+        val reduced = side.collectFirst {
+          case h: HashAggregateExec => h: Any
+          case o: ObjectHashAggregateExec => o: Any
+        }.isDefined
+        assert(reduced,
+          s"shuffle join over unreduced rows in the composed search:\n$j")
+      }
+    }
+  }
 }
