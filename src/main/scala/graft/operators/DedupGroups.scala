@@ -26,7 +26,8 @@ object DedupGroups {
     *         minima would yield multiple keepers per component and
     *         canonical ids pointing at dropped docs */
   def canonicalize(pairs: DataFrame, aCol: String, bCol: String,
-                   maxIters: Int = 50): DataFrame = {
+                   maxIters: Int = 50,
+                   driverEdgeGate: Int = maxDriverEdges): DataFrame = {
     // Iterative algorithms MUST truncate lineage each round: verts_n's
     // plan references verts_{n-1} twice (once directly, once through the
     // neighbor aggregate), so with plain caching the logical plan tree —
@@ -67,37 +68,98 @@ object DedupGroups {
       .select(col("la").as("src"), col("lb").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-    val edges = contracted
-      .union(contracted.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var verts = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIters) {
-      val nbrMin = edges.join(verts, edges("dst") === verts("id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbr"))
-        .select(col("src").as("id"), col("nbr"))
-      val updated = verts.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("next"))
-        .localCheckpoint()
-      changed = updated.filter(col("next") =!= col("label")).count()
-      verts = updated.select(col("id"), col("next").as("label"))
-      i += 1
-    }
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"component labels not converged after $maxIters rounds " +
-          s"($changed still changing) — component diameter exceeds maxIters")
+    // SIZE-GATED driver union-find on the CONTRACTED graph (round 13,
+    // guide §1.2/§2.4). The clique contraction above shrinks the edge
+    // set by orders of magnitude (sf0.1: 6.5M pairs → 1,952 contracted
+    // edges), after which the join loop's cost is pure per-round JOB
+    // overhead: measured 2.9 s of verts0 + 4×(checkpoint+count) rounds
+    // against ~0.2 s for one bounded collect + in-memory union-find.
+    // The gate keeps the 100 TB contract: a contracted graph past
+    // `maxDriverEdges` (an adversarial chain-heavy corpus — contraction
+    // leaves ~inter-cluster edges, normally ≪ vertices) falls back to
+    // the distributed min-label loop below, which is result-identical
+    // (DedupGroupsSpec pins both paths on the same graphs). limit(n+1)
+    // bounds the collect itself, so the probe never pulls an oversized
+    // edge set into the driver even when the gate loses.
+    val gathered = contracted.limit(driverEdgeGate + 1).collect()
+    val canonRel: DataFrame =
+      if (gathered.length <= driverEdgeGate) {
+        val mapping = unionFindMin(gathered.iterator
+          .map(r => (r.getLong(0), r.getLong(1))))
+        val session = pairs.sparkSession
+        import session.implicits._
+        // LocalRelation: broadcast-sized by the gate (≤ 2·maxDriverEdges
+        // labels), joined below against the vertex-sized label0
+        broadcast(mapping.toSeq.toDF("label", "canon"))
+      } else {
+        val edges = contracted
+          .union(contracted.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+          .localCheckpoint()
+        var verts = edges.select(col("src").as("id")).distinct()
+          .withColumn("label", col("id"))
+          .localCheckpoint()
+        var changed = 1L
+        var i = 0
+        while (changed > 0 && i < maxIters) {
+          val nbrMin = edges.join(verts, edges("dst") === verts("id"))
+            .groupBy(col("src")).agg(min(col("label")).as("nbr"))
+            .select(col("src").as("id"), col("nbr"))
+          val updated = verts.join(nbrMin, Seq("id"), "left")
+            .select(col("id"), col("label"),
+              least(col("label"), coalesce(col("nbr"), col("label"))).as("next"))
+            .localCheckpoint()
+          changed = updated.filter(col("next") =!= col("label")).count()
+          verts = updated.select(col("id"), col("next").as("label"))
+          i += 1
+        }
+        if (changed > 0)
+          throw new IllegalStateException(
+            s"component labels not converged after $maxIters rounds " +
+              s"($changed still changing) — component diameter exceeds maxIters")
+        verts.select(col("id").as("label"), col("label").as("canon"))
+      }
     // compose: doc → round-0 label → contracted-graph component minimum
     label0
-      .join(verts.select(col("id").as("label"), col("label").as("canon")),
-        Seq("label"), "left")
+      .join(canonRel, Seq("label"), "left")
       .select(col("id").as("doc_id"),
         coalesce(col("canon"), col("label")).as("canonical_id"))
+  }
+
+  /** Driver-edge ceiling for the post-contraction union-find: past this
+    * many contracted edges the operator stays fully distributed. 2M
+    * edges ≈ 32 MB of longs — metadata-sized next to the pair set the
+    * contraction consumed, and overridable for constrained drivers. */
+  private[graft] val maxDriverEdges: Int =
+    sys.env.getOrElse("SPARK_GRAFT_MAX_DRIVER_EDGES", "2000000").toInt
+
+  /** Min-label union-find: each connected component of the edge set maps
+    * every member label to the component's MINIMUM label — exactly the
+    * converged fixpoint of the distributed min-label propagation loop.
+    * Path-halving + union-by-min keeps it near-linear. */
+  private[graft] def unionFindMin(edges: Iterator[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      var px = parent.getOrElse(x, x)
+      while (px != x) {
+        val ppx = parent.getOrElse(px, px)
+        parent(x) = ppx // path halving
+        x = ppx
+        px = parent.getOrElse(x, x)
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        // union by min: the smaller label stays the root, so the root of
+        // every tree IS its component minimum at all times
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val keys = parent.keys.toArray
+    keys.iterator.map(k => k -> find(k)).toMap
   }
 
   /** Full keep/drop decision over a corpus: docs in no pair keep

@@ -542,7 +542,15 @@ object CurationQ {
     val docs = Tables.documents(s, d)
     val bench = docs.filter(col("doc_id") % 50 === 0).select("doc_id", "text")
     val cfg = Curation.Config(minQuality = 2.95)
+    // Materialized ONCE before forget (round 13, guide §2.4/§5): forget
+    // references prev THREE times (victim components, surviving members,
+    // untouched anti-join) — lazy, each reference re-ran the curate
+    // assembly (keep-best window + union + finalize over the persisted
+    // score cache): measured 39.4 s → 28.4 s at sf0.1 for the full
+    // curate+forget shape. Nine narrow columns, no text — the same
+    // snapRoot/DailyDriver convention; results identical (same oracle).
     val prev = Curation.curate(docs, bench, cfg)
+      .select(Curation.DecisionCols.map(col): _*).localCheckpoint(true)
     val victims = docs.filter(col("doc_id") % 31 === 1).select("doc_id")
     Curation.forget(prev, victims, docs, cfg)
       .select(col("doc_id"), col("quality"), col("contam_ratio"),

@@ -23,6 +23,48 @@ class DedupGroupsSpec extends SparkSpecBase {
     assert(kept == Seq(1L, 4L, 5L, 6L, 8L))
   }
 
+  test("driver union-find path ≡ distributed loop path (gate forced)") {
+    // mixed shapes: clique {1,2,3}, chain 10..13 (contracted to a chain of
+    // labels), bridge edge joining two cliques, singleton pair, self-dup
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 13L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (22L, 30L), (30L, 31L), (31L, 32L),
+      (40L, 41L),
+      (50L, 51L), (51L, 50L)).toDF("a", "b")
+    val viaDriver = DedupGroups.canonicalize(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val viaLoop = DedupGroups.canonicalize(pairs, "a", "b", driverEdgeGate = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDriver == viaLoop)
+    assert(viaDriver(32L) == 20L) // bridged cliques share one minimum
+  }
+
+  test("driver/loop equivalence on a seeded random graph") {
+    val rnd = new scala.util.Random(13)
+    val edges = Seq.fill(600)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+    val pairs = edges.toDF("a", "b")
+    val viaDriver = DedupGroups.canonicalize(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val viaLoop = DedupGroups.canonicalize(pairs, "a", "b", driverEdgeGate = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDriver == viaLoop)
+    // every canonical id is a member of its own component and minimal
+    viaDriver.groupBy(_._2).foreach { case (canon, members) =>
+      assert(members.keySet.min == canon)
+    }
+  }
+
+  test("unionFindMin maps every member to its component minimum") {
+    val m = DedupGroups.unionFindMin(Iterator((5L, 9L), (9L, 2L), (7L, 8L)))
+    assert(m.getOrElse(5L, 5L) == 2L)
+    assert(m.getOrElse(9L, 9L) == 2L)
+    assert(m.getOrElse(2L, 2L) == 2L)
+    assert(m.getOrElse(8L, 8L) == 7L)
+    assert(m.getOrElse(7L, 7L) == 7L)
+  }
+
   test("result is independent of pair orientation and partitioning") {
     val pairs = Seq((3L, 9L), (9L, 4L), (4L, 12L)).toDF("a", "b")
     val flipped = Seq((9L, 3L), (4L, 9L), (12L, 4L)).toDF("a", "b")
