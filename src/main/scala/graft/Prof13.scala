@@ -25,10 +25,26 @@ object Prof13 {
     def timed(label: String)(f: => Unit): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.setJobDescription(label)
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val tasks = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          tasks.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
       val t0 = System.nanoTime()
-      f
-      println(f"STAGE $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      spark.sparkContext.setJobDescription(null)
+      try f
+      finally {
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300) // let the listener bus drain before reading counts
+        spark.sparkContext.removeSparkListener(l)
+        println(f"STAGE $label%-28s $dt%8.2f s  jobs=${jobs.get} tasks=${tasks.get}")
+        spark.sparkContext.setJobDescription(null)
+      }
     }
 
     val docs = Tables.documents(spark, sfDir)
@@ -86,6 +102,87 @@ object Prof13 {
         val victims = docs.filter(col("doc_id") % 31 === 1).select("doc_id")
         noop(Curation.forget(prev, victims, docs, cfg))
       }
+    if (want("q121")) {
+      import graft.operators.{LexIndex, UnigramLm, VecIndex}
+      import org.apache.spark.sql.types.IntegerType
+      val root = new java.io.File("target/qindex/prof121").getAbsolutePath
+      val rp = new org.apache.hadoop.fs.Path(root)
+      rp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(rp, true)
+      val isQ = (col("doc_id") % 97 === 0) && (col("doc_id") < 10000000L)
+      val tf = UnigramLm.termFreq(docs.filter(!isQ), "doc_id", "text").cache()
+      timed("q121 tf materialize") { noop(tf) }
+      timed("q121 LexIndex.build") { LexIndex.build(tf, s"$root/lex") }
+      timed("q121 df+ndocs writes") {
+        tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .write.mode("overwrite").parquet(s"$root/df")
+        tf.agg(count_distinct(col("doc_id")).as("n_docs"))
+          .write.mode("overwrite").parquet(s"$root/ndocs")
+      }
+      tf.unpersist()
+      val emb = Tables.embeddings(spark, sfDir)
+      val isQv = (col("vec_id") % 97 === 0) && (col("vec_id") < 10000000L)
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast(IntegerType).as("cid"),
+          col("embedding").as("centroid"))
+      timed("q121 VecIndex.build") {
+        VecIndex.build(emb.filter(!isQv), "vec_id", "embedding", cents, s"$root/vec")
+      }
+    }
+    if (want("q113")) {
+      import graft.operators.{Bm25, UnigramLm}
+      val qMod = 97L; val qCap = 10000000L; val fuseDepth = 10
+      val isQ = (col("doc_id") % qMod === 0) && (col("doc_id") < qCap)
+      val tf = UnigramLm.termFreq(docs.filter(!isQ), "doc_id", "text").cache()
+      timed("q113 tf materialize") { noop(tf) }
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDocs = tf.agg(count_distinct(col("doc_id")).as("n_docs"))
+      val qdocs = docs.filter(isQ)
+        .select(col("doc_id").as("q_id"),
+          explode(array_distinct(tokens(col("text")))).as("term"))
+      val wb = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+        .orderBy(col("bm25_s").desc, col("doc_id").asc)
+      timed("q113 lex side (tf cached)") {
+        noop(Bm25.scorePairs(tf, Bm25.queryTerms(qdocs, dfreq, nDocs, 1000L))
+          .withColumn("rb", row_number().over(wb))
+          .filter(col("rb") <= fuseDepth)
+          .select(col("q_id"), col("doc_id"), col("rb")))
+      }
+      val emb = Tables.embeddings(spark, sfDir)
+        .withColumn("nrm", sqrt(call_function("float_dot", col("embedding"), col("embedding"))))
+      val isQv = (col("vec_id") % qMod === 0) && (col("vec_id") < qCap)
+      val qv = emb.filter(isQv)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      val wv = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("doc_id").asc)
+      timed("q113 vec side") {
+        noop(emb.filter(!isQv)
+          .crossJoin(broadcast(qv))
+          .withColumn("cos", call_function("float_dot", col("embedding"), col("q_emb")) /
+            (col("nrm") * col("q_nrm")))
+          .select(col("q_id"), col("vec_id").as("doc_id"), col("cos"))
+          .withColumn("rv", row_number().over(wv))
+          .filter(col("rv") <= fuseDepth)
+          .select(col("q_id"), col("doc_id"), col("rv")))
+      }
+      tf.unpersist()
+      timed("q113 full (uncached)") {
+        noop(graft.queries.Registry.byName("q113_rrf_hybrid").run(spark, sfDir))
+      }
+      timed("q111 full (uncached)") {
+        noop(graft.queries.Registry.byName("q111_bm25_topk").run(spark, sfDir))
+      }
+    }
+    // generic warm-measured registry runs: `run:<name>[,<name>...]` runs
+    // each named query twice (cold then warm — the warm number is the
+    // bench-comparable one; codegen/plan caches populated by the first)
+    which.filter(_.startsWith("run:")).foreach { spec =>
+      spec.stripPrefix("run:").split(",").foreach { qn =>
+        val q = graft.queries.Registry.byName(qn)
+        timed(s"$qn cold") { noop(q.run(spark, sfDir)) }
+        timed(s"$qn warm") { noop(q.run(spark, sfDir)) }
+      }
+    }
     if (want("canon")) {
       // isolate keepBest (canonicalize + window) from pair generation
       val quality = {

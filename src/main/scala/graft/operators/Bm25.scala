@@ -82,7 +82,13 @@ object Bm25 {
     * STREAMING scorer can pin the stats of the indexed corpus snapshot
     * while scoring arriving documents against it. */
   def stats(tf: DataFrame): DataFrame =
-    tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    statsFromDl(tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
+
+  /** [[stats]] over an ALREADY-AGGREGATED (doc_id, dl) relation — the
+    * form an index build uses so the doc-grain aggregation it computes
+    * for the postings join is not re-run for the stats row. */
+  def statsFromDl(dl: DataFrame): DataFrame =
+    dl
       // coalesce: a sum over zero rows is NULL — an EMPTY tf relation
       // (an index built before any documents arrive) must yield the
       // zero-corpus stats row, not nulls that NPE a later merge
@@ -105,8 +111,19 @@ object Bm25 {
 
   /** [[scorePairs]] with pinned corpus statistics (the streaming-parity
     * form: batch and stream must saturate against the same snapshot). */
-  def scorePairs(tf: DataFrame, qterms: DataFrame, st: DataFrame): DataFrame = {
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+  def scorePairs(tf: DataFrame, qterms: DataFrame, st: DataFrame): DataFrame =
+    scorePairs(tf, qterms,
+      tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")), st)
+
+  /** [[scorePairs]] with BOTH corpus-derived inputs precomputed — the
+    * form for callers that already hold the doc-length relation (and
+    * typically derived `st` from it via [[statsFromDl]]): without it a
+    * retrieval query aggregates the corpus to doc grain three separate
+    * times (dl for the join, dl again inside [[stats]], and a
+    * COUNT(DISTINCT doc_id) for the df prune) — three corpus-grain
+    * shuffles where one suffices (round 13, guide §2.2). */
+  def scorePairs(tf: DataFrame, qterms: DataFrame, dl: DataFrame,
+                 st: DataFrame): DataFrame =
     tf.join(broadcast(qterms), Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(st))
@@ -114,7 +131,6 @@ object Bm25 {
         col("n_docs"), col("avgdl_s")))
       .groupBy(col("q_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_hit"), sum(col("sc")).as("bm25_s"))
-  }
 
   /** The per-term fixed-point score as Column algebra — the ONE
     * definition of the arithmetic, shared by [[scorePairs]], the

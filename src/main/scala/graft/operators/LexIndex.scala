@@ -167,13 +167,22 @@ object LexIndex {
   private def writeVersion(spark: SparkSession, path: String, v: Long,
                            rows: DataFrame, st: DataFrame): Array[Long] = {
     val dst = s"${bucketsDir(path)}/v=$v"
-    // Range-cluster on (tb, term, doc_id) before the partitioned write:
-    // an unclustered partitionBy emits one file per (task × bucket) —
-    // up to shufflePartitions small files per bucket directory, paid on
-    // every later search of that bucket. One shuffle buys ~1 file per
-    // bucket and postings sorted by term within it.
+    // Cluster on tb before the partitioned write: an unclustered
+    // partitionBy emits one file per (task × bucket) — up to
+    // shufflePartitions small files per bucket directory, paid on every
+    // later search of that bucket. REBALANCE(tb), not
+    // repartitionByRange (round 13, guide §2.1/§6.2): range
+    // partitioning runs a SAMPLING job that re-executes the whole
+    // `rows` lineage (the tf⋈dl⋈df joins, or a merge/delete's bucket
+    // read + rewrite) once more before the real shuffle. The hash
+    // rebalance is one pass, still lands each bucket in ~one task (AQE
+    // splits a bucket bigger than the advisory size into several files
+    // and coalesces small ones — the scale-adaptive sizing the range
+    // shuffle approximated), and the explicit local sort keeps
+    // postings term-clustered within each file for rowgroup pruning.
     rows.withColumn("tb", tb(col("term")))
-      .repartitionByRange(col("tb"), col("term"), col("doc_id"))
+      .hint("rebalance", col("tb"))
+      .sortWithinPartitions(col("tb"), col("term"), col("doc_id"))
       .write.mode("overwrite").partitionBy("tb").parquet(dst)
     st.write.mode("overwrite").parquet(s"${statsDir(path)}/v=$v")
     // cheap driver-side listing (≤ Buckets dirs): which buckets the
@@ -192,7 +201,8 @@ object LexIndex {
       spark.read.option("basePath", dst).parquet(dst)
         .select(col("doc_id"), col("tb"))
         .distinct()
-        .repartitionByRange(col("tb"), col("doc_id"))
+        .hint("rebalance", col("tb"))
+        .sortWithinPartitions(col("tb"), col("doc_id"))
         .write.mode("overwrite").partitionBy("tb")
         .parquet(s"${docmapDir(path)}/v=$v")
     written
@@ -246,10 +256,17 @@ object LexIndex {
       // form: this body already holds the store's one lease
       clearStreamDeltaLocked(spark, path)
       val n = currentVersion(spark, path) + 1L
-      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      // dl is PERSISTED across its two consumers (round 13, guide §1.2):
+      // the postings join and the corpus stats both need the per-doc
+      // length, and Bm25.stats(tf) re-ran the same doc-grain aggregation
+      // over the corpus a second time (measured 1.2 s of the sf0.1 build).
+      // Doc-grain, two longs per row — released before returning.
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")).persist()
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val rows = tf.join(dl, Seq("doc_id")).join(dfreq, Seq("term"))
-      val written = writeVersion(spark, path, n, rows, Bm25.stats(tf))
+      val written =
+        try writeVersion(spark, path, n, rows, Bm25.statsFromDl(dl))
+        finally dl.unpersist()
       publishManifest(spark, path, n, written.map(_ -> n).toMap)
     }
   }
@@ -1011,9 +1028,9 @@ object LexIndex {
   /** Offline compaction: rewrite every live bucket into ONE fresh
     * version and garbage-collect everything older. Two jobs for two
     * kinds of growth: repeated merges/deletes (a) land several small
-    * files per rewritten bucket (one per write task) — the range
-    * shuffle on (tb, term, doc_id) clusters each bucket into a
-    * contiguous run so a bucket receives at most a couple of files —
+    * files per rewritten bucket (one per write task) — writeVersion's
+    * rebalance on tb clusters each bucket into a contiguous run so a
+    * bucket receives at most a couple of right-sized files —
     * and (b) strand superseded `v=W` directories that no manifest
     * references — deleted here, after the new manifest is live, so a
     * crash mid-GC only leaves garbage (re-collected by the next
@@ -1030,8 +1047,10 @@ object LexIndex {
     val man = readManifest(spark, path, cur)
     val next = cur + 1L
     if (man.nonEmpty) {
+      // no pre-shuffle here: writeVersion clusters on (tb, term,
+      // doc_id) itself — the old repartitionByRange was a second full
+      // shuffle of the corpus (plus its sampling pass) per compact
       val rows = readBuckets(spark, path, man, man.keys.toSeq)
-        .repartitionByRange(col("tb"), col("term"), col("doc_id"))
         .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("df"))
       val st = stats(spark, path)
       val written = writeVersion(spark, path, next, rows, st)

@@ -148,7 +148,8 @@ object PqIndex {
     val m = Versioned.current(spark, path)
     val n = m.v + 1
     encoded
-      .repartitionByRange(col("cid"), col(idCol))
+      .hint("rebalance", col("cid"))
+      .sortWithinPartitions(col("cid"), col(idCol))
       .write.mode("overwrite").partitionBy("cid").parquet(cellsPath(path, n))
     quant.write.mode("overwrite").parquet(quantPath(path, n))
     Versioned.publish(spark, path, n, base = n,
@@ -444,7 +445,8 @@ object PqIndex {
       val rows = tryOpen(spark, path).getOrElse(
         throw new IllegalArgumentException(s"no index layout under $path"))
       val n = m.v + 1
-      rows.repartitionByRange(col("cid"), col(idCol))
+      rows.hint("rebalance", col("cid"))
+      .sortWithinPartitions(col("cid"), col(idCol))
         .write.mode("overwrite").partitionBy("cid").parquet(cellsPath(path, n))
       Versioned.publish(spark, path, n, base = n, epoch = m.epoch + 1L,
         cents = m.cents)

@@ -538,7 +538,8 @@ object VecIndex {
       val rows = openAt(spark, path, m).getOrElse(
         throw new IllegalArgumentException(s"no index layout under $path"))
       val n = m.v + 1
-      rows.repartitionByRange(col("cid"), col(idCol))
+      rows.hint("rebalance", col("cid"))
+      .sortWithinPartitions(col("cid"), col(idCol))
         .write.mode("overwrite").partitionBy("cid").parquet(cellsPath(path, n))
       publishManifest(spark, path, n, base = n, epoch = m.epoch + 1L,
         cents = m.cents)
@@ -606,7 +607,8 @@ object VecIndex {
       val n = m.v + 1
       assignFold(emb, idCol, vecCol, centroids)
         .select(col(idCol), col(vecCol), col("norm"), col("cid"))
-        .repartitionByRange(col("cid"), col(idCol))
+        .hint("rebalance", col("cid"))
+      .sortWithinPartitions(col("cid"), col(idCol))
         .write.mode("overwrite").partitionBy("cid").parquet(cellsPath(path, n))
       centroids.write.mode("overwrite").parquet(centsPath(path, n))
       publishManifest(spark, path, n, base = n, epoch = m.epoch + 1L,
@@ -650,7 +652,8 @@ object VecIndex {
       val n = m.v + 1
       assignFold(rows, idCol, vecCol, cents)
         .select(col(idCol), col(vecCol), col("norm"), col("cid"))
-        .repartitionByRange(col("cid"), col(idCol))
+        .hint("rebalance", col("cid"))
+      .sortWithinPartitions(col("cid"), col(idCol))
         .write.mode("overwrite").partitionBy("cid").parquet(cellsPath(path, n))
       cents.write.mode("overwrite").parquet(centsPath(path, n))
       publishManifest(spark, path, n, base = n, epoch = m.epoch + 1L,

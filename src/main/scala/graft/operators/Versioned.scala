@@ -252,7 +252,8 @@ private[operators] object Versioned {
     f.delete(new Path(cellsPath(path, n)), true) // torn predecessor debris
     all.filter(col("cid").isin(rewrite.toSeq.sorted: _*))
       .join(vIds, Seq(idCol), "left_anti")
-      .repartitionByRange(col("cid"), col(idCol))
+      .hint("rebalance", col("cid"))
+      .sortWithinPartitions(col("cid"), col(idCol))
       .write.mode("overwrite").partitionBy("cid").parquet(cellsPath(path, n))
     val present = listCids(f, cellsPath(path, n))
     val owners = cellOwners(spark, path, m.base)

@@ -176,6 +176,8 @@ object CurationQ5 {
     val classTerm = tf.filter(col("doc_id") % nbTrainMod === 0)
       .groupBy(col("lang").as("cls"), col("term"))
       .agg(sum(col("tf")).as("c_ct"))
+      .cache() // class×vocab-sized model; read thrice: class totals,
+               // vocab size, scoring broadcast (q69 rule)
     val classTok = classTerm.groupBy(col("cls")).agg(sum(col("c_ct")).as("n_c"))
     val classDocs = docs.filter(col("doc_id") % nbTrainMod === 0)
       .groupBy(col("lang").as("cls")).agg(count(lit(1)).as("d_c"))

@@ -61,15 +61,20 @@ object CurationQ6 {
     val tf = graft.operators.UnigramLm
       .termFreq(docs.filter(!isQ), "doc_id", "text")
       .cache() // read thrice: dfreq, dl, candidate probe (q69 rule)
+    // dl cached and shared (round 13, guide §2.2): n_docs, the stats
+    // row, and the scoring join all derive from the one doc-grain
+    // aggregation instead of three corpus-grain shuffles (n_docs over
+    // dl ≡ COUNT(DISTINCT doc_id) over tf — same grouping key set)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")).cache()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = tf.agg(count_distinct(col("doc_id")).as("n_docs"))
+    val nDocs = dl.agg(count(lit(1)).as("n_docs"))
     val qdocs = docs.filter(isQ)
       .select(col("doc_id").as("q_id"),
         explode(array_distinct(tokens(col("text")))).as("term"))
     val qt = Bm25.queryTerms(qdocs, dfreq, nDocs, dfPermille)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("bm25_s").desc, col("doc_id").asc)
-    Bm25.scorePairs(tf, qt)
+    Bm25.scorePairs(tf, qt, dl, Bm25.statsFromDl(dl))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .withColumn("bm25",
@@ -247,14 +252,18 @@ object CurationQ6 {
     val tf = graft.operators.UnigramLm
       .termFreq(docs.filter(!isQ), "doc_id", "text")
       .cache()
+    // shared cached dl — the q111 prep shape (one doc-grain shuffle)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")).cache()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = tf.agg(count_distinct(col("doc_id")).as("n_docs"))
+    val nDocs = dl.agg(count(lit(1)).as("n_docs"))
     val qdocs = docs.filter(isQ)
       .select(col("doc_id").as("q_id"),
         explode(array_distinct(tokens(col("text")))).as("term"))
     val wb = Window.partitionBy(col("q_id"))
       .orderBy(col("bm25_s").desc, col("doc_id").asc)
-    val lex = Bm25.scorePairs(tf, Bm25.queryTerms(qdocs, dfreq, nDocs, dfPermille))
+    val lex = Bm25.scorePairs(tf,
+      Bm25.queryTerms(qdocs, dfreq, nDocs, dfPermille), dl,
+      Bm25.statsFromDl(dl))
       .withColumn("rb", row_number().over(wb))
       .filter(col("rb") <= fuseDepth)
       .select(col("q_id"), col("doc_id"), col("rb"))
@@ -835,15 +844,18 @@ object CurationQ6 {
     val tf = graft.operators.UnigramLm
       .termFreq(docs.filter(!isQ), "doc_id", "text")
       .cache()
+    // shared cached dl — the q111 prep shape (one doc-grain shuffle)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")).cache()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = tf.agg(count_distinct(col("doc_id")).as("n_docs"))
+    val nDocs = dl.agg(count(lit(1)).as("n_docs"))
     val qdocs = docs.filter(isQ)
       .select(col("doc_id").as("q_id"),
         explode(array_distinct(tokens(col("text")))).as("term"))
     val wb = Window.partitionBy(col("q_id"))
       .orderBy(col("bm25_s").desc, col("doc_id").asc)
     val ranked = Bm25
-      .scorePairs(tf, Bm25.queryTerms(qdocs, dfreq, nDocs, dfPermille))
+      .scorePairs(tf, Bm25.queryTerms(qdocs, dfreq, nDocs, dfPermille), dl,
+        Bm25.statsFromDl(dl))
       .withColumn("rk", row_number().over(wb))
       .filter(col("rk") <= fuseDepth)
       .select(col("q_id"), col("doc_id"), col("rk"))

@@ -528,15 +528,18 @@ object CurationQ7 {
     val tf = graft.operators.UnigramLm
       .termFreq(docs.filter(!isQ), "doc_id", "text")
       .cache()
+    // shared cached dl — the q111 prep shape (one doc-grain shuffle)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")).cache()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val nDocs = tf.agg(count_distinct(col("doc_id")).as("n_docs"))
+    val nDocs = dl.agg(count(lit(1)).as("n_docs"))
     val qdocs = docs.filter(isQ)
       .select(col("doc_id").as("q_id"),
         explode(array_distinct(tokens(col("text")))).as("term"))
     val wb = Window.partitionBy(col("q_id"))
       .orderBy(col("bm25_s").desc, col("doc_id").asc)
     val ranked = Bm25
-      .scorePairs(tf, Bm25.queryTerms(qdocs, dfreq, nDocs, dfPermille))
+      .scorePairs(tf, Bm25.queryTerms(qdocs, dfreq, nDocs, dfPermille), dl,
+        Bm25.statsFromDl(dl))
       .withColumn("rk", row_number().over(wb))
       .filter(col("rk") <= fuseDepth)
       .select(col("q_id"), col("doc_id"), col("rk"))
