@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import graft.expressions.{CdcBounds, FloatDot, FloatSub, PolyHash, PolyHash2, PqAdc, PqDistTable, PqEncode, SimHash32, SimHash60, SortedIntersectCount, SubspaceL2}
+import graft.expressions.{CdcBounds, CellTop, FloatDot, FloatSub, PolyHash, PolyHash2, PqAdc, PqDistTable, PqEncode, SimHash32, SimHash60, SortedIntersectCount, SubspaceL2}
 import graft.functions.AstroFunctions
 import graft.operators.ProfileOps
 
@@ -49,6 +49,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg(ext, "simhash60", 1, c => SimHash60(c.head), classOf[SimHash60])
     reg(ext, "poly_hash2", 1, c => PolyHash2(c.head), classOf[PolyHash2])
     reg(ext, "pq_encode", 3, c => PqEncode(c(0), c(1), c(2)), classOf[PqEncode])
+    reg(ext, "cell_top", 4, c => CellTop(c(0), c(1), c(2), c(3)), classOf[CellTop])
     reg(ext, "pq_dtab", 3, c => PqDistTable(c(0), c(1), c(2)), classOf[PqDistTable])
     reg(ext, "pq_adc", 2, c => PqAdc(c(0), c(1)), classOf[PqAdc])
     reg(ext, "subspace_l2", 3, c => SubspaceL2(c(0), c(1), c(2)), classOf[SubspaceL2])

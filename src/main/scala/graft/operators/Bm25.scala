@@ -84,6 +84,21 @@ object Bm25 {
   def stats(tf: DataFrame): DataFrame =
     statsFromDl(tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
 
+  /** [[stats]] as ONE direct aggregation of the tf relation — no
+    * doc-grain intermediate: n_docs = COUNT(DISTINCT doc_id) and
+    * t_total = SUM(tf) are integer-exact equal to counting/summing the
+    * per-doc dl rows (a sum of per-doc sums is the total sum), so the
+    * stats row is bitwise the [[stats]] row without materializing dl.
+    * The form for builds whose postings derive dl via a window (round
+    * 13): nothing doc-grain needs to exist at all. */
+  def statsFromTf(tf: DataFrame): DataFrame =
+    tf
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        coalesce(sum(col("tf")), lit(0L)).as("t_total"))
+      .withColumn("avgdl_s",
+        when(col("n_docs") > 0L, idiv(col("t_total") * Scale, col("n_docs")))
+          .otherwise(lit(0L)))
+
   /** [[stats]] over an ALREADY-AGGREGATED (doc_id, dl) relation — the
     * form an index build uses so the doc-grain aggregation it computes
     * for the postings join is not re-run for the stats row. */

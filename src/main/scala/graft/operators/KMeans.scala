@@ -37,13 +37,7 @@ object KMeans {
     val vecs = prep(emb, idCol, vecCol).localCheckpoint()
     var centroids = initCentroids(vecs, k).localCheckpoint()
     for (_ <- 0 until iters) {
-      val wAssign = Window.partitionBy(col("__id"))
-        .orderBy(col("__cos").desc, col("cid").asc)
-      val assigned = vecs.crossJoin(broadcast(centroids))
-        .withColumn("__cos",
-          callDot(col("__v"), col("c_vec")) / (col("__norm") * col("c_norm")))
-        .withColumn("__rn", row_number().over(wAssign))
-        .filter(col("__rn") === 1)
+      val assigned = withTopCells(vecs, centroids, 1)
         .select(col("cid"), col("__v"))
       // elementwise mean via posexplode: one shuffle keyed on (cid, dim)
       val means = assigned
@@ -118,17 +112,50 @@ object KMeans {
     val cents = centroids
       .select(col("cid"), col("centroid").as("c_vec"))
       .withColumn("c_norm", sqrt(callDot(col("c_vec"), col("c_vec"))))
-    val w = Window.partitionBy(col("__id")).orderBy(col("__cos").desc, col("cid").asc)
-    emb.select(col(idCol).as("__id"), col(vecCol).cast(ArrayType(FloatType)).as("__v"))
-      .withColumn("__norm", sqrt(callDot(col("__v"), col("__v"))))
-      .filter(col("__norm") > 0.0)
-      .crossJoin(broadcast(cents))
-      .withColumn("__cos",
-        callDot(col("__v"), col("c_vec")) / (col("__norm") * col("c_norm")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= nprobe)
-      .select(col("__id").as(idCol), col("cid"), col("__cos").as("cos"),
-        col("__rn").as("prb"))
+    withTopCells(prep(emb, idCol, vecCol), cents, nprobe)
+      .select(col("__id").as(idCol), col("cid"), col("cos"), col("prb"))
+  }
+
+  /** Top-`nprobe` cells per prepared vector — MAP-SIDE: the centroid
+    * relation (cid, c_vec, c_norm) collapses to ONE broadcast row of
+    * cid-sorted parallel arrays and each vector runs the native
+    * `cell_top` codegen kernel over it, so NOTHING crosses an exchange
+    * (round 13, guide §2.4 + the expressions/codegen rule — a
+    * higher-order-function fold here would run interpreted per row).
+    * The former shape — crossJoin(broadcast(cents)) + row_number window
+    * over __id — paid a local sort of n·k rows plus a full n-row
+    * exchange per call (and per LLOYD ITERATION, there carrying the
+    * embedding arrays), for an argmax each row can compute alone;
+    * InferWindowGroupLimit bounded the exchange's row count but not the
+    * exchange or the sorts.
+    *
+    * Exactness: the kernel evaluates the SAME cosine tree and selects
+    * by the window's own SortOrder comparator (descending
+    * SQLOrderingUtil.compareDoubles, ties → lower cid via the sorted
+    * positions) — see [[graft.expressions.CellTop]]; KMeansSpec and the
+    * q77/q90/q92/q99 oracle rows pin the equality bitwise.
+    *
+    * @param vecs (__id, __v, __norm) from [[prep]]
+    * @return (__id, __v, __norm, cid, cos, prb) — prb = 1 is nearest */
+  private[graft] def withTopCells(vecs: DataFrame, centroids: DataFrame,
+                                  nprobe: Int): DataFrame = {
+    val packed = broadcast(centroids
+      .agg(array_sort(collect_list(
+        struct(col("cid"), col("c_vec"), col("c_norm")))).as("__c"))
+      .select(
+        transform(col("__c"), c => c.getField("cid")).as("__cids"),
+        transform(col("__c"), c => c.getField("c_vec")).as("__cvecs"),
+        transform(col("__c"), c => c.getField("c_norm")).as("__cnorms")))
+    vecs
+      .crossJoin(packed)
+      .select(col("__id"), col("__v"), col("__norm"), col("__cids"),
+        posexplode(call_function("cell_top",
+          col("__v"), col("__cvecs"), col("__cnorms"), lit(nprobe)))
+          .as(Seq("__p", "__s")))
+      .select(col("__id"), col("__v"), col("__norm"),
+        element_at(col("__cids"), col("__s").getField("pos") + 1).as("cid"),
+        col("__s").getField("cos").as("cos"),
+        (col("__p") + 1).as("prb"))
   }
 
   private def callDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =

@@ -256,17 +256,28 @@ object LexIndex {
       // form: this body already holds the store's one lease
       clearStreamDeltaLocked(spark, path)
       val n = currentVersion(spark, path) + 1L
-      // dl is PERSISTED across its two consumers (round 13, guide §1.2):
-      // the postings join and the corpus stats both need the per-doc
-      // length, and Bm25.stats(tf) re-ran the same doc-grain aggregation
-      // over the corpus a second time (measured 1.2 s of the sf0.1 build).
-      // Doc-grain, two longs per row — released before returning.
-      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")).persist()
-      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val rows = tf.join(dl, Seq("doc_id")).join(dfreq, Seq("term"))
-      val written =
-        try writeVersion(spark, path, n, rows, Bm25.statsFromDl(dl))
-        finally dl.unpersist()
+      // dl and df denormalize via WINDOW sums, not aggregate+join
+      // (round 13, guide §2.4): each aggregate+join pair paid TWO
+      // exchanges of the corpus tf (the agg's partials plus the join's
+      // re-key) and a merge-join sort pass; the window pays exactly ONE
+      // exchange per grain (doc_id, then term) with the same sort the
+      // join needed anyway. Integer sums/counts — bitwise identical
+      // postings (LexIndexSpec pins merge/build equivalence; the
+      // q111/q121 oracle rows pin the scores downstream).
+      val wd = Window.partitionBy(col("doc_id"))
+      val wt = Window.partitionBy(col("term"))
+      val rows = tf
+        .withColumn("dl", sum(col("tf")).over(wd))
+        .withColumn("df", count(lit(1)).over(wt))
+        // pin the historical on-disk field order (the agg+join form put
+        // the join keys first) — merge unions old files with new rows
+        // by name, but identical layouts keep row-group readers exact
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("df"))
+      // the 1-row stats come from ONE direct aggregation of tf
+      // (count_distinct doc + total tf — integer-exact equal to the
+      // former doc-grain-then-aggregate path, without persisting a
+      // doc-grain relation across two consumers)
+      val written = writeVersion(spark, path, n, rows, Bm25.statsFromTf(tf))
       publishManifest(spark, path, n, written.map(_ -> n).toMap)
     }
   }
@@ -324,24 +335,29 @@ object LexIndex {
       if (oldLive.isEmpty) emptyPostings(spark).select("term", "doc_id", "tf", "dl")
       else readBuckets(spark, path, man, oldLive.toIndexedSeq)
         .select(col("term"), col("doc_id"), col("tf"), col("dl"))
-    val deltaDl = deltaTf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    // dl over the delta and df over the union denormalize via WINDOW
+    // sums (round 13, guide §2.4 — the rebuild discipline): one
+    // exchange per grain instead of each aggregate+join pair's two,
+    // and the unioned relation is computed ONCE instead of feeding a
+    // df aggregation and the join as two separate executions.
     val unioned = oldPost.unionByName(
-      deltaTf.join(deltaDl, Seq("doc_id"))
+      deltaTf
+        .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
         .select(col("term"), col("doc_id"), col("tf"), col("dl")))
-    val dfreq = unioned.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val withDf = unioned
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
     val oldSt = {
       val r = stats(spark, path).select(col("n_docs"), col("t_total")).head()
       (r.getLong(0), r.getLong(1))
     }
     val dSt = precomputed.map { case (_, n, t) => (n, t) }.getOrElse {
-      val r = deltaDl.agg(count(lit(1)).as("n"),
-        coalesce(sum(col("dl")), lit(0L)).as("t")).head()
+      val r = deltaTf.agg(count_distinct(col("doc_id")).as("n"),
+        coalesce(sum(col("tf")), lit(0L)).as("t")).head()
       (r.getLong(0), r.getLong(1))
     }
     val newN = oldSt._1 + dSt._1
     val newT = oldSt._2 + dSt._2
-    val written = writeVersion(spark, path, cur + 1L,
-      unioned.join(dfreq, Seq("term")),
+    val written = writeVersion(spark, path, cur + 1L, withDf,
       statsRow(spark, newN, newT))
     beforePublish()
     publishManifest(spark, path, cur + 1L,

@@ -48,13 +48,29 @@ object PQ {
       .select(col("j"), col("cid"), col("sub").as("cent"), col("ss").as("cc"))
       .localCheckpoint()
     for (_ <- 0 until iters) {
-      val wA = Window.partitionBy(col("id"), col("j"))
-        .orderBy(col("d2").asc, col("cid").asc)
-      val assigned = vecs.join(broadcast(cents), Seq("j"))
-        .withColumn("d2", d2Expr(col("ss"), col("sub"), col("cent"), col("cc")))
-        .withColumn("rn", row_number().over(wA))
-        .filter(col("rn") === 1)
-        .select(col("j"), col("cid"), col("sub"))
+      // map-side argmin via the pq_encode codegen kernel at m = 1
+      // (round 13, guide §2.4 + the expressions/codegen rule): the
+      // per-j codebook collapses to a broadcast row of cid-sorted
+      // single-subspace nested arrays and each (id, j) row encodes
+      // against it alone — the former broadcast join + row_number
+      // window paid a local sort of n·m·k rows plus an (id, j)-keyed
+      // exchange per Lloyd round for an argmin no row needs its
+      // neighbours for. pq_encode's distance is the SAME expanded
+      // d2Expr tree (self-dot first, left-to-right dots) and its
+      // tie-break (earliest position = lowest cid in a cid-sorted
+      // list, NaN loses) is the window's (d2 asc, cid asc) SortOrder.
+      val cellArr = cents.groupBy(col("j"))
+        .agg(array_sort(collect_list(struct(col("cid"), col("cent"), col("cc"))))
+          .as("__cells"))
+        .select(col("j"),
+          transform(col("__cells"), c => c.getField("cid")).as("__cids"),
+          array(transform(col("__cells"), c => c.getField("cent"))).as("__cents1"),
+          array(transform(col("__cells"), c => c.getField("cc"))).as("__ccs1"))
+      val pos = element_at(call_function("pq_encode",
+        col("sub"), col("__cents1"), col("__ccs1")), 1)
+      val assigned = vecs.join(broadcast(cellArr), Seq("j"))
+        .select(col("j"),
+          element_at(col("__cids"), pos + 1).as("cid"), col("sub"))
       val means = assigned
         .select(col("j"), col("cid"), posexplode(col("sub")).as(Seq("d", "x")))
         .groupBy(col("j"), col("cid"), col("d"))

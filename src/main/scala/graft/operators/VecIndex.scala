@@ -116,8 +116,8 @@ object VecIndex {
 
   /** Assign every vector to its nearest-by-cosine centroid and persist
     * partitioned by cell id as the next cells version. One broadcast
-    * join + the map-side-pruned assign window (InferWindowGroupLimit) +
-    * one partitioned write — no corpus-sized cache, no collect. The
+    * centroid-array fold ([[KMeans.withTopCells]]) + one partitioned
+    * write — no exchange, no corpus-sized cache, no collect. The
     * delta side (if any) is untouched — build replaces the BULK side
     * only, exactly like the previous layout's base overwrite.
     *
@@ -155,13 +155,11 @@ object VecIndex {
     val cents = centroids
       .select(col("cid"), col("centroid").as("c_vec"))
       .withColumn("c_norm", sqrt(callDot(col("c_vec"), col("c_vec"))))
-    val w = Window.partitionBy(col("__id")).orderBy(col("__cos").desc, col("cid").asc)
-    KMeans.prep(emb, idCol, vecCol)
-      .crossJoin(broadcast(cents))
-      .withColumn("__cos",
-        callDot(col("__v"), col("c_vec")) / (col("__norm") * col("c_norm")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+    // map-side nearest-cell fold (KMeans.withTopCells, round 13): the
+    // former crossJoin + assign window paid a local sort of n·k rows
+    // plus a corpus exchange (vectors included) before the write; the
+    // fold assigns each row alone against the broadcast centroid array
+    KMeans.withTopCells(KMeans.prep(emb, idCol, vecCol), cents, 1)
       .select(col("__id").as(idCol), col("__v").as(vecCol),
         col("__norm").as("norm"), col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(cellsPath(path, n))

@@ -46,7 +46,10 @@ object CurationQ7 {
     LexIndex.build(tf, s"$root/lex")
     tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$root/df")
-    tf.agg(count_distinct(col("doc_id")).as("n_docs"))
+    // n_docs is already in the just-built index's 1-row stats (COUNT
+    // DISTINCT doc over the same tf — integer-exact); re-aggregating
+    // the corpus for it was a redundant pass (round 13, guide §1.2)
+    LexIndex.stats(s, s"$root/lex").select(col("n_docs"))
       .write.mode("overwrite").parquet(s"$root/ndocs")
     tf.unpersist()
     val emb = Tables.embeddings(s, d)
