@@ -34,7 +34,15 @@ object KMeans {
   def lloyd(emb: DataFrame, idCol: String, vecCol: String,
             k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
-    val vecs = prep(emb, idCol, vecCol).localCheckpoint()
+    // spread ONCE before the checkpoint: every iteration's cell_top fan-
+    // out (n·k cosines) and the means' partial aggregation run at the
+    // checkpointed partitioning, and a small-file scan is 1-2 partitions
+    // — the old per-iteration window exchange provided this parallelism
+    // incidentally; one explicit deterministic-key shuffle replaces it
+    // for the whole training run (the lshNearDupPairs pin-to-cores rule:
+    // input bytes mispredict a fan-out stage's cost, so AQE must not
+    // coalesce it)
+    val vecs = spread(prep(emb, idCol, vecCol)).localCheckpoint()
     var centroids = initCentroids(vecs, k).localCheckpoint()
     for (_ <- 0 until iters) {
       val assigned = withTopCells(vecs, centroids, 1)
@@ -112,9 +120,25 @@ object KMeans {
     val cents = centroids
       .select(col("cid"), col("centroid").as("c_vec"))
       .withColumn("c_norm", sqrt(callDot(col("c_vec"), col("c_vec"))))
-    withTopCells(prep(emb, idCol, vecCol), cents, nprobe)
+    // spread the vectors across the cores before the kernel stage: the
+    // replaced window plan had an exchange here anyway (so this never
+    // adds one), and without it a small-file scan runs the whole n·k
+    // cosine fan-out on 1-2 input partitions
+    withTopCells(spread(prep(emb, idCol, vecCol)), cents, nprobe)
       .select(col("__id").as(idCol), col("cid"), col("cos"), col("prb"))
   }
+
+  /** Deterministic-key spread of a prepared vector relation across the
+    * session's shuffle parallelism — EXPLICIT partition count so AQE's
+    * byte-based coalescing cannot fold a small relation with a large
+    * downstream fan-out into one task (scale-adaptive: the count tracks
+    * `spark.sql.shuffle.partitions`, cores-sized locally, AQE-advisory
+    * on a cluster; at corpus scale the scan already exceeds it and the
+    * shuffle is one narrow pass). */
+  private def spread(vecs: DataFrame): DataFrame =
+    vecs.repartition(
+      vecs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      col("__id"))
 
   /** Top-`nprobe` cells per prepared vector — MAP-SIDE: the centroid
     * relation (cid, c_vec, c_norm) collapses to ONE broadcast row of

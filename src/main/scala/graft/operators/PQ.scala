@@ -42,6 +42,11 @@ object PQ {
     * @return trained codebooks (j, cid, cent: array<float>, cc = ‖cent‖²) */
   def trainCodebooks(sub: DataFrame, k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
+    // NOT spread before the checkpoint (unlike KMeans.lloyd): a PQ
+    // codebook's per-round fan-out is k_sub·dsub per (id, j) row — far
+    // smaller than a coarse quantizer's n·k — and an A/B measured the
+    // explicit shuffle of the exploded subspace relation as pure cost
+    // (q90 2.11 → 3.07 s with it)
     val vecs = sub.select(col("id"), col("j"), col("sub"), col("ss")).localCheckpoint()
     val initIds = initCodebookIds(vecs, k)
     var cents = vecs.join(broadcast(initIds), Seq("id"))
