@@ -183,6 +183,46 @@ object Prof13 {
         timed(s"$qn warm") { noop(q.run(spark, sfDir)) }
       }
     }
+    // per-JOB breakdown of one warm query run: `jobs:<name>` prints every
+    // driver job with its wall time, task count and submitting call site
+    // — the round-14 lens for the per-job-constant hunt (guide §1.5)
+    which.filter(_.startsWith("jobs:")).foreach { spec =>
+      spec.stripPrefix("jobs:").split(",").foreach { qn =>
+        val q = graft.queries.Registry.byName(qn)
+        spark.catalog.clearCache()
+        noop(q.run(spark, sfDir)) // warm pass: plans/codegen cached
+        spark.catalog.clearCache()
+        val rows = new java.util.concurrent.ConcurrentHashMap[
+          Int, (Long, String, java.util.concurrent.atomic.AtomicInteger)]
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            val site = js.stageInfos.sortBy(_.stageId).lastOption
+              .map(_.name).getOrElse("?")
+            rows.put(js.jobId, (System.nanoTime(), site,
+              new java.util.concurrent.atomic.AtomicInteger))
+          }
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            rows.forEach((id, v) => if (v._1 > 0) ()) // no-op; tasks below
+          override def onJobEnd(
+              je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+            rows.computeIfPresent(je.jobId, (_, v) =>
+              (System.nanoTime() - v._1, v._2, v._3))
+        }
+        spark.sparkContext.addSparkListener(l)
+        val t0 = System.nanoTime()
+        noop(q.run(spark, sfDir))
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(400)
+        spark.sparkContext.removeSparkListener(l)
+        println(f"JOBS $qn total $dt%.2f s, ${rows.size} jobs")
+        import scala.jdk.CollectionConverters._
+        rows.asScala.toSeq.sortBy(_._1).foreach { case (id, v) =>
+          println(f"  job $id%3d ${v._1 / 1e9}%7.3f s  ${v._2}")
+        }
+      }
+    }
     if (want("canon")) {
       // isolate keepBest (canonicalize + window) from pair generation
       val quality = {

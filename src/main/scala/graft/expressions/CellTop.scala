@@ -56,10 +56,14 @@ case class CellTop(first: Expression, second: Expression,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (v, ce, cn, np) => {
+      // freshName: with all-non-nullable children the block is emitted
+      // unbraced, so a fixed local name would collide when two cell_top
+      // calls share one codegen function (silent interpreted fallback)
+      val r = ctx.freshName("r")
       s"""
-         |org.apache.spark.sql.catalyst.util.ArrayData r =
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
          |  graft.expressions.CellTop.top($v, $ce, $cn, $np);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
        """.stripMargin
     })
 

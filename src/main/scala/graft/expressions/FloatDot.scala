@@ -42,9 +42,10 @@ case class FloatDot(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val dot = nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("r")
       s"""
-         |Double r = graft.expressions.FloatDot.dot($a, $b);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+         |Double $r = graft.expressions.FloatDot.dot($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
        """.stripMargin
     })
     dot

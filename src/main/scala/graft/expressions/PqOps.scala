@@ -214,10 +214,11 @@ case class PqEncode(first: Expression, second: Expression, third: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (v, ce, cc) => {
+      val r = ctx.freshName("r")
       s"""
-         |org.apache.spark.sql.catalyst.util.ArrayData r =
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
          |  graft.expressions.PqOps.encode($v, $ce, $cc);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
        """.stripMargin
     })
 
@@ -247,10 +248,11 @@ case class PqDistTable(first: Expression, second: Expression, third: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (v, ce, cc) => {
+      val r = ctx.freshName("r")
       s"""
-         |org.apache.spark.sql.catalyst.util.ArrayData r =
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
          |  graft.expressions.PqOps.distTable($v, $ce, $cc);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
        """.stripMargin
     })
 
@@ -278,9 +280,10 @@ case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("r")
       s"""
-         |Double r = graft.expressions.PqOps.adc($a, $b);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+         |Double $r = graft.expressions.PqOps.adc($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
        """.stripMargin
     })
 
@@ -314,10 +317,11 @@ case class FloatSub(left: Expression, right: Expression) extends BinaryExpressio
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("r")
       s"""
-         |org.apache.spark.sql.catalyst.util.ArrayData r =
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
          |  graft.expressions.FloatSub.sub($a, $b);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
        """.stripMargin
     })
 
@@ -364,9 +368,10 @@ case class SubspaceL2(first: Expression, second: Expression, third: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b, m) => {
+      val r = ctx.freshName("r")
       s"""
-         |Double r = graft.expressions.PqOps.subspaceL2($a, $b, $m);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+         |Double $r = graft.expressions.PqOps.subspaceL2($a, $b, $m);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
        """.stripMargin
     })
 

@@ -17,34 +17,56 @@ import org.apache.spark.sql.types.{ArrayType, FloatType}
   * MEMBERSHIP is stable because assignments compare cosines whose gaps
   * dwarf that jitter on real corpora.
   *
+  * ID precondition: `idCol` must be unique per input row. The kernel
+  * assignment emits `nprobe` cells per input ROW (the former
+  * `row_number` window partitioned by id would have collapsed
+  * duplicate-id rows to one set per id); KMeansSpec pins the
+  * kernel-vs-window equality, ties/NaN/nprobe>k included.
+  *
   * Scale shape per round: centroids BROADCAST to the assignment (map
   * work, same as q55's plan); the update is one shuffle keyed on
   * (cell, dim index) — both grow with data/k, never with iteration
-  * count; each round is localCheckpoint-ed so the logical plan stays
-  * constant-size across iterations (the DedupGroups lesson).
+  * count. The training input is materialized ONCE (localCheckpoint)
+  * and every round's plan references only that constant-size relation
+  * plus the previous round's k-row centroid subtree, so the logical
+  * plan stays bounded across iterations (the DedupGroups lesson) while
+  * the per-round localCheckpoint ACTIONS round 13 paid — one driver
+  * job per round for k-row relations — are gone (round 14, guide
+  * §1.5/§5: at toy scale the trainer was driver-job-constant-bound).
   */
 object KMeans {
 
-  /** @param emb     (idCol, vecCol: array<float>) input vectors
+  /** @param emb     (idCol, vecCol: array<float>) input vectors —
+    *                idCol unique (see the object doc)
     * @param k       number of cells
     * @param iters   Lloyd rounds (fixed count — IVF trainers run a small
     *                constant number; convergence detection would add one
     *                action per round for little benefit)
-    * @return trained centroids (cid, centroid: array<float>) */
+    * @return trained centroids (cid, centroid: array<float>) — LAZY
+    *         (one bounded k-row plan over the materialized training
+    *         set). Callers that consume it more than once checkpoint it
+    *         (all current ones do, or consume it exactly once in an
+    *         assignment broadcast). */
   def lloyd(emb: DataFrame, idCol: String, vecCol: String,
-            k: Int, iters: Int): DataFrame = {
+            k: Int, iters: Int): DataFrame =
+    lloydPrepared(prepSpread(emb, idCol, vecCol), k, iters)
+
+  /** Prepared + spread + MATERIALIZED training input — exposed
+    * (package-private) so composed operators (SemanticDedup's
+    * train+assign+size, q77's train-then-search) prep and shuffle the
+    * corpus ONCE instead of once per stage (round 14, guide §1.2: the
+    * k-sizing count, the trainer checkpoint and the assignment spread
+    * each re-ran prep over the scan). */
+  private[graft] def prepSpread(emb: DataFrame, idCol: String,
+                                vecCol: String): DataFrame =
+    maybeSpread(prep(emb, idCol, vecCol)).localCheckpoint()
+
+  /** [[lloyd]] over an already-prepared (__id, __v, __norm) relation
+    * from [[prepSpread]]. */
+  private[graft] def lloydPrepared(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
-    // spread ONCE before the checkpoint: every iteration's cell_top fan-
-    // out (n·k cosines) and the means' partial aggregation run at the
-    // checkpointed partitioning, and a small-file scan is 1-2 partitions
-    // — the old per-iteration window exchange provided this parallelism
-    // incidentally; one explicit deterministic-key shuffle replaces it
-    // for the whole training run (the lshNearDupPairs pin-to-cores rule:
-    // input bytes mispredict a fan-out stage's cost, so AQE must not
-    // coalesce it)
-    val vecs = spread(prep(emb, idCol, vecCol)).localCheckpoint()
-    var centroids = initCentroids(vecs, k).localCheckpoint()
-    for (_ <- 0 until iters) {
+    var centroids = initCentroids(vecs, k)
+    for (i <- 0 until iters) {
       val assigned = withTopCells(vecs, centroids, 1)
         .select(col("cid"), col("__v"))
       // elementwise mean via posexplode: one shuffle keyed on (cid, dim)
@@ -58,7 +80,14 @@ object KMeans {
           transform(col("__dm"), e => e.getField("__m").cast(FloatType)).as("c_vec"))
       centroids = means
         .withColumn("c_norm", sqrt(callDot(col("c_vec"), col("c_vec"))))
-        .localCheckpoint()
+      // NO per-round localCheckpoint (round 14): each round's centroid
+      // relation is consumed exactly once — as the NEXT round's packed
+      // broadcast — so the eager per-round materialization was one pure
+      // driver-job constant per round. The plan grows by one bounded
+      // k-row subtree per round (vecs itself is checkpointed); a long
+      // trainer run still truncates lineage every few rounds so
+      // analysis cost stays bounded.
+      if (i % 4 == 3 && i != iters - 1) centroids = centroids.localCheckpoint()
     }
     centroids.select(col("cid"), col("c_vec").as("centroid"))
   }
@@ -101,7 +130,7 @@ object KMeans {
 
   /** Cell assignment with trained centroids — the q55 plan's front half,
     * exposed so an index build can persist (vec, cell) partitioned by
-    * cell. */
+    * cell. `idCol` unique per row (object doc). */
   def assign(emb: DataFrame, idCol: String, vecCol: String,
              centroids: DataFrame): DataFrame =
     assignTop(emb, idCol, vecCol, centroids, nprobe = 1).drop("prb")
@@ -113,32 +142,62 @@ object KMeans {
     * cell boundary still co-locates when either member's second-nearest
     * cell is the other's — the dedup-side analog of q80's multi-probe
     * IVF search. Candidate volume grows ~nprobe², so the knob trades
-    * exactly like LSH band width. */
+    * exactly like LSH band width. `idCol` unique per row (object doc:
+    * the kernel emits nprobe cells per input ROW). */
   def assignTop(emb: DataFrame, idCol: String, vecCol: String,
-                centroids: DataFrame, nprobe: Int): DataFrame = {
+                centroids: DataFrame, nprobe: Int): DataFrame =
+    assignTopPrepared(maybeSpread(prep(emb, idCol, vecCol)), idCol,
+      centroids, nprobe)
+
+  /** [[assignTop]] over an already-prepared (and spread/materialized)
+    * vector relation — the shared-prep fast path ([[prepSpread]]). */
+  private[graft] def assignTopPrepared(vecs: DataFrame, idCol: String,
+                                       centroids: DataFrame,
+                                       nprobe: Int): DataFrame = {
     require(nprobe >= 1, s"need nprobe >= 1; got $nprobe")
     val cents = centroids
       .select(col("cid"), col("centroid").as("c_vec"))
       .withColumn("c_norm", sqrt(callDot(col("c_vec"), col("c_vec"))))
-    // spread the vectors across the cores before the kernel stage: the
-    // replaced window plan had an exchange here anyway (so this never
-    // adds one), and without it a small-file scan runs the whole n·k
-    // cosine fan-out on 1-2 input partitions
-    withTopCells(spread(prep(emb, idCol, vecCol)), cents, nprobe)
+    withTopCells(vecs, cents, nprobe)
       .select(col("__id").as(idCol), col("cid"), col("cos"), col("prb"))
   }
 
-  /** Deterministic-key spread of a prepared vector relation across the
-    * session's shuffle parallelism — EXPLICIT partition count so AQE's
-    * byte-based coalescing cannot fold a small relation with a large
-    * downstream fan-out into one task (scale-adaptive: the count tracks
-    * `spark.sql.shuffle.partitions`, cores-sized locally, AQE-advisory
-    * on a cluster; at corpus scale the scan already exceeds it and the
-    * shuffle is one narrow pass). */
-  private def spread(vecs: DataFrame): DataFrame =
-    vecs.repartition(
-      vecs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
-      col("__id"))
+  /** CONDITIONAL deterministic-key spread of a prepared vector relation
+    * across the session's shuffle parallelism — EXPLICIT partition count
+    * so AQE's byte-based coalescing cannot fold a small relation with a
+    * large downstream fan-out into one task (scale-adaptive: the count
+    * tracks the resolved shuffle parallelism, cores-sized locally,
+    * AQE-advisory on a cluster).
+    *
+    * Round 14 (VERDICT #2): the round-13 spread was UNCONDITIONAL and
+    * cost q77 a third of its kernel win — one extra exchange + a
+    * 32-task stage over rows that were parallel enough. Now the spread
+    * applies only when the input is demonstrably narrow-and-skinny:
+    *  - a NARROW plan (scan/checkpoint + project/filter only) whose
+    *    partition count is below half the session parallelism gets the
+    *    spread (the 1-2-partition small-file scan that single-threaded
+    *    q92's fan-out in round 13 — and, at corpus scale, a scan
+    *    already exceeds the parallelism, so the spread vanishes there
+    *    ENTIRELY instead of re-shuffling the corpus);
+    *  - a WIDE plan (join/aggregate upstream — the daily driver's
+    *    candidate join) keeps the spread: its output partitioning is
+    *    whatever AQE coalesced the upstream exchange to, which
+    *    round 13 measured as the q134/q135 single-threading.
+    * The partition probe runs ONLY on narrow plans, where building the
+    * scan RDD is metadata work (file listing, no job). */
+  private def maybeSpread(vecs: DataFrame): DataFrame = {
+    val p = vecs.sparkSession.sessionState.conf.numShufflePartitions
+    val narrow = vecs.queryExecution.optimizedPlan.find {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Project => false
+      case _: org.apache.spark.sql.catalyst.plans.logical.Filter => false
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => false
+      case _: org.apache.spark.sql.execution.LogicalRDD => false
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => false
+      case _ => true
+    }.isEmpty
+    if (narrow && vecs.rdd.getNumPartitions * 2 >= p) vecs
+    else vecs.repartition(p, col("__id"))
+  }
 
   /** Top-`nprobe` cells per prepared vector — MAP-SIDE: the centroid
     * relation (cid, c_vec, c_norm) collapses to ONE broadcast row of

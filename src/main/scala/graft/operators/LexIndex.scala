@@ -266,7 +266,14 @@ object LexIndex {
       // q111/q121 oracle rows pin the scores downstream).
       val wd = Window.partitionBy(col("doc_id"))
       val wt = Window.partitionBy(col("term"))
-      val rows = tf
+      // restore the pre-window-denormalization inner-join semantics
+      // (ADVICE r13): a null term/doc_id row would hash to a null
+      // bucket (tb=__HIVE_DEFAULT_PARTITION__, which the manifest
+      // listing's toLong rejects) and shift the stats' distinct count;
+      // the former dl/df joins on Seq("term")/Seq("doc_id") silently
+      // dropped such rows
+      val tfKeyed = tf.filter(col("term").isNotNull && col("doc_id").isNotNull)
+      val rows = tfKeyed
         .withColumn("dl", sum(col("tf")).over(wd))
         .withColumn("df", count(lit(1)).over(wt))
         // pin the historical on-disk field order (the agg+join form put
@@ -277,7 +284,7 @@ object LexIndex {
       // (count_distinct doc + total tf — integer-exact equal to the
       // former doc-grain-then-aggregate path, without persisting a
       // doc-grain relation across two consumers)
-      val written = writeVersion(spark, path, n, rows, Bm25.statsFromTf(tf))
+      val written = writeVersion(spark, path, n, rows, Bm25.statsFromTf(tfKeyed))
       publishManifest(spark, path, n, written.map(_ -> n).toMap)
     }
   }
@@ -319,10 +326,13 @@ object LexIndex {
     * metadata operations instead of the whole bucket merge. A no-op
     * for every other caller. */
   private def mergeLocked(spark: SparkSession, path: String,
-                          deltaTf: DataFrame,
+                          deltaTf0: DataFrame,
                           precomputed: Option[(IndexedSeq[Long], Long, Long)]
                             = None,
                           beforePublish: () => Unit = () => ()): Unit = {
+    // same null-key guard as [[rebuild]] (ADVICE r13): the window
+    // denormalization must not admit rows the former joins dropped
+    val deltaTf = deltaTf0.filter(col("term").isNotNull && col("doc_id").isNotNull)
     val cur = currentVersion(spark, path)
     require(cur > 0L, s"no published index under $path — build first")
     val man = readManifest(spark, path, cur)

@@ -76,6 +76,13 @@ object PQ {
       val assigned = vecs.join(broadcast(cellArr), Seq("j"))
         .select(col("j"),
           element_at(col("__cids"), pos + 1).as("cid"), col("sub"))
+        // pq_encode yields null for ragged/null-element sub-vectors; a
+        // null cid must not flow into the mean update as a spurious
+        // (j, null) codebook row that the next round's broadcast arrays
+        // would carry (ADVICE r13 — the former window plan assigned
+        // such rows to the lowest cid; neither row kind exists in valid
+        // training input, so this is a guard, not a semantics change)
+        .filter(col("cid").isNotNull)
       val means = assigned
         .select(col("j"), col("cid"), posexplode(col("sub")).as(Seq("d", "x")))
         .groupBy(col("j"), col("cid"), col("d"))

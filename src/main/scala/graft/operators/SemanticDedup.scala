@@ -43,14 +43,34 @@ object SemanticDedup {
     *               [[KMeans.assignTop]]
     * @return (a_id, b_id) with a_id < b_id, each pair exactly once */
   def pairs(emb: DataFrame, idCol: String, vecCol: String,
-            asgTop: DataFrame, threshold: Double): DataFrame = {
+            asgTop: DataFrame, threshold: Double): DataFrame =
+    pairsPrepared(
+      emb
+        .select(col(idCol).as("__id"),
+          col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)).as("__v"))
+        .withColumn("__norm", sqrt(callDot(col("__v"), col("__v"))))
+        .filter(col("__norm") > 0.0),
+      idCol, vecCol, asgTop, threshold)
+
+  /** [[pairs]] over an already-prepared (__id, __v, __norm) relation
+    * ([[KMeans.prepSpread]]) — the shared-prep fast path: [[dedup]]
+    * preps/normalizes the corpus ONCE for the k-sizing count, the
+    * trainer, the assignment AND this verify stage (round 14, guide
+    * §1.2). `__v` is the float32 cast of the input vector column —
+    * every valid input is already array<float> (the cosine kernel
+    * type-requires it), so the cast is an identity. */
+  private[graft] def pairsPrepared(vecs0: DataFrame, idCol: String,
+                                   vecCol: String, asgTop: DataFrame,
+                                   threshold: Double): DataFrame = {
     // per-id cell set, ascending cid — the canonical order the
-    // first-matching-cell predicate below is defined against
+    // first-matching-cell predicate below is defined against (cast to
+    // long so the sorted_intersect_count kernel below applies; int→long
+    // is exact and order-preserving)
     val cells = asgTop.groupBy(col(idCol))
-      .agg(array_sort(collect_list(col("cid"))).as("__cells"))
-    val vecs = emb
-      .withColumn("__norm", sqrt(callDot(col(vecCol), col(vecCol))))
-      .filter(col("__norm") > 0.0)
+      .agg(array_sort(collect_list(col("cid").cast("long"))).as("__cells"))
+    val vecs = vecs0
+      .select(col("__id").as(idCol), col("__v").as(vecCol), col("__norm"))
       .join(cells, idCol)
       .select(col(idCol), col(vecCol), col("__norm"), col("__cells"),
         explode(col("__cells")).as("cid"))
@@ -62,12 +82,22 @@ object SemanticDedup {
       col("__cells").as("__b_cells"))
     // a pair sharing several cells would be emitted once per shared
     // cell; the predicate keeps only the emission from the LOWEST
-    // shared cid (both cell arrays are tiny — nprobe elements)
-    val earlierSharedCell = size(filter(
-      array_intersect(col("__a_cells"), col("__b_cells")),
-      c => c < col("cid"))) > 0
+    // shared cid (both cell arrays are tiny — nprobe elements).
+    // Spelled via the native sorted_intersect_count kernel over the
+    // cid-sorted cell arrays (round 14): the former
+    // filter(array_intersect(...), c => c < cid) is a higher-order
+    // function — CodegenFallback, interpreted once per CANDIDATE pair
+    // in the join residual, the hottest row stream of the operator.
+    // cid is a member of both arrays here (a exploded its own cells,
+    // b joined on its), so "no shared cell below cid" ⟺ the shared
+    // prefix up to cid holds exactly one element (cid itself).
+    val firstSharedCell = call_function("sorted_intersect_count",
+      slice(col("__a_cells"), lit(1),
+        array_position(col("__a_cells"), col("cid")).cast("int")),
+      slice(col("__b_cells"), lit(1),
+        array_position(col("__b_cells"), col("cid")).cast("int"))) === 1
     a.join(b, Seq("cid"))
-      .filter(col("a_id") < col("b_id") && !earlierSharedCell)
+      .filter(col("a_id") < col("b_id") && firstSharedCell)
       // pushdown fence (the q32/q65 hazard): without it Catalyst folds
       // the threshold filter into the join residual and evaluates the
       // float_dot kernel TWICE per candidate pair
@@ -94,21 +124,33 @@ object SemanticDedup {
   def dedupAuto(emb: DataFrame, idCol: String, vecCol: String,
                 iters: Int, threshold: Double, nprobe: Int = 3,
                 occupancy: Long = 312L, kMin: Int = 4): DataFrame = {
-    val k = math.max(kMin, (KMeans.prep(emb, idCol, vecCol).count() / occupancy).toInt)
-    dedup(emb, idCol, vecCol, k, iters, threshold, nprobe)
+    // ONE prep+spread materialization feeds the k-sizing count, the
+    // trainer, the assignment and the pair verify (round 14, guide
+    // §1.2/§1.5 — the count's corpus pass and the two extra
+    // prep+shuffle executions were pure driver-job constants); the
+    // count itself runs over the in-memory checkpoint.
+    val vecs = KMeans.prepSpread(emb, idCol, vecCol)
+    val k = math.max(kMin, (vecs.count() / occupancy).toInt)
+    dedupPrepared(vecs, idCol, vecCol, k, iters, threshold, nprobe)
   }
 
   def dedup(emb: DataFrame, idCol: String, vecCol: String,
             k: Int, iters: Int, threshold: Double,
-            nprobe: Int = 3): DataFrame = {
-    val cents = KMeans.lloyd(emb, idCol, vecCol, k, iters)
+            nprobe: Int = 3): DataFrame =
+    dedupPrepared(KMeans.prepSpread(emb, idCol, vecCol), idCol, vecCol,
+      k, iters, threshold, nprobe)
+
+  private def dedupPrepared(vecs: DataFrame, idCol: String, vecCol: String,
+                            k: Int, iters: Int, threshold: Double,
+                            nprobe: Int): DataFrame = {
+    val cents = KMeans.lloydPrepared(vecs, k, iters)
     // two consumers below (pair stage + keep-rule docs) — materialize the
     // SMALL (id, cid, cos, prb) relation once rather than replaying the
     // corpus × centroid cross join per branch (the DedupGroups lineage
     // discipline; nprobe·n narrow rows, no embedding arrays)
-    val asgTop = KMeans.assignTop(emb, idCol, vecCol, cents, nprobe)
+    val asgTop = KMeans.assignTopPrepared(vecs, idCol, cents, nprobe)
       .localCheckpoint()
-    val p = pairs(emb, idCol, vecCol, asgTop, threshold)
+    val p = pairsPrepared(vecs, idCol, vecCol, asgTop, threshold)
     // keepBest maximizes the preference; SemDeDup keeps the member
     // farthest from its centroid, so the preference is the NEGATED
     // centroid cosine (IEEE negation is exact — ordering −x desc ≡ x asc)

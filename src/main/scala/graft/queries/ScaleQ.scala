@@ -513,8 +513,14 @@ object ScaleQ {
     * partitioned by cell); the search join shuffles only on cell id. */
   private def q77(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val cents = graft.operators.KMeans.lloyd(emb, "vec_id", "embedding", k = 4, iters = 2)
-    val asg = graft.operators.KMeans.assign(emb, "vec_id", "embedding", cents)
+    // ONE prep+spread materialization feeds the trainer AND the index
+    // assignment (round 14, guide §1.2 — the round-13 shape prepped and
+    // shuffled the scan twice, and the second spread was the
+    // VERDICT-flagged q77 regression)
+    val pvecs = graft.operators.KMeans.prepSpread(emb, "vec_id", "embedding")
+    val cents = graft.operators.KMeans.lloydPrepared(pvecs, k = 4, iters = 2)
+    val asg = graft.operators.KMeans
+      .assignTopPrepared(pvecs, "vec_id", cents, nprobe = 1)
       .select(col("vec_id"), col("cid"))
     val vecs = emb
       .withColumn("norm", sqrt(dotFold(col("embedding"), col("embedding"))))
