@@ -52,6 +52,27 @@ object DedupGroups {
     val p = pairs
       .select(col(aCol).as("a"), col(bCol).as("b"))
       .localCheckpoint()
+    // RAW-pair driver gate (round 14, guide §1.5/§5): when the
+    // checkpointed pair set itself is metadata-sized (the incremental
+    // and takedown deltas' pair sets — even a mega-component's k²
+    // re-decide clique — are delta-sized by construction), the whole
+    // label0 + clique-contraction + gated-collect cascade — ~6 driver
+    // jobs of k-row work — collapses into ONE bounded collect of the
+    // in-memory checkpoint plus an in-memory union-find. The gate
+    // probes with a COUNT over the checkpointed blocks (no data to the
+    // driver), so an over-gate corpus pays one metadata-cheap job and
+    // the collect itself only ever runs under the same 2M-edge driver
+    // bound the contracted path carries. Result-identical
+    // (DedupGroupsSpec pins all three paths on the same graphs).
+    if (p.count() <= driverEdgeGate) {
+      val mapping = unionFindAll(p.collect().iterator
+        .map(r => (r.getLong(0), r.getLong(1))))
+      val session = pairs.sparkSession
+      import session.implicits._
+      // broadcast-sized by the gate (≤ 2·maxDriverEdges vertices) —
+      // the same bound the contracted path's mapping relation carries
+      return broadcast(mapping.toSeq.toDF("doc_id", "canonical_id"))
+    }
     val label0 = p.select(col("a").as("id"), col("b").as("nbr"))
       .union(p.select(col("b").as("id"), col("a").as("nbr")))
       .groupBy(col("id")).agg(min(col("nbr")).as("nbr"))
@@ -160,6 +181,19 @@ object DedupGroups {
     }
     val keys = parent.keys.toArray
     keys.iterator.map(k => k -> find(k)).toMap
+  }
+
+  /** [[unionFindMin]] emitting EVERY vertex of the edge set (component
+    * roots included, mapped to themselves) — the raw-pair driver path
+    * returns this directly as the (doc_id, canonical_id) relation, so
+    * the documented "every doc appearing in a pair" contract holds
+    * without the distributed label0 compose. */
+  private[graft] def unionFindAll(edges: Iterator[(Long, Long)]): Map[Long, Long] = {
+    val verts = scala.collection.mutable.HashSet.empty[Long]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    edges.foreach { e => verts += e._1; verts += e._2; buf += e }
+    val m = unionFindMin(buf.iterator)
+    verts.iterator.map(v => v -> m.getOrElse(v, v)).toMap
   }
 
   /** Full keep/drop decision over a corpus: docs in no pair keep

@@ -612,11 +612,17 @@ object CurationQ2 {
     val bench = all.filter(col("doc_id") % 50 === 0).select("doc_id", "text")
     val cfg = graft.pipelines.Curation.Config(minQuality = 2.95)
     val cols = graft.pipelines.Curation.DecisionCols
-    val prev = graft.pipelines.Curation.curate(a, bench, cfg)
-      .select(cols.head, cols.tail: _*).cache()
-    val prevIndex = graft.streaming.StreamOps.signatureIndex(
-      a.join(prev.filter(col("quality_pass") && col("contam_pass"))
-        .select("doc_id"), Seq("doc_id"))).cache()
+    // curateWithSignatures hands back the candidate signature sets the
+    // decision run already computed, so the persisted index never
+    // re-tokenizes the prior corpus (round 14, VERDICT #3 — the old
+    // shape's a⋈candidates probe was a third full tokenize pass).
+    // Set identity: the former probe selected exactly the quality+contam
+    // passing docs of `a`, which is what candSets holds.
+    val (prevRaw, candSets) =
+      graft.pipelines.Curation.curateWithSignatures(a, bench, cfg)
+    val prev = prevRaw.select(cols.head, cols.tail: _*).cache()
+    val prevIndex = graft.streaming.StreamOps
+      .signatureIndexFromSets(candSets).cache()
     graft.pipelines.Curation.curateIncremental(prev, prevIndex, b, bench, cfg)
       .orderBy(col("doc_id"))
   }

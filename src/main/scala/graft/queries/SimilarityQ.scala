@@ -176,11 +176,24 @@ object SimilarityQ {
                                            hinted: Boolean,
                                            threshold: Double = 0.5,
                                            bands: Int = numBands,
-                                           rows: Int = MinhashBandRows): (DataFrame, () => Unit) = {
+                                           rows: Int = MinhashBandRows): (DataFrame, () => Unit) =
+    lshNearDupPairsFromSets(hashedTokenSets(corpus), hinted, threshold,
+      bands, rows)
+
+  /** [[lshNearDupPairsScoped]] over PRECOMPUTED token sets (doc_id,
+    * toks, n — [[hashedTokenSets]]'s shape): the curation pipeline's
+    * scoring stage already tokenized every candidate, so re-deriving
+    * the sets from text here was one full tokenize+hash pass per
+    * curation query (round 14, VERDICT #3). */
+  private[graft] def lshNearDupPairsFromSets(sets: DataFrame,
+                                             hinted: Boolean,
+                                             threshold: Double = 0.5,
+                                             bands: Int = numBands,
+                                             rows: Int = MinhashBandRows): (DataFrame, () => Unit) = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]; got $threshold")
     require(bands * rows <= MinhashWideK, s"banding $bands×$rows exceeds $MinhashWideK hashes")
     def maybe(df: DataFrame): DataFrame = if (hinted) broadcast(df) else df
-    val docs = hashedTokenSets(corpus).cache()
+    val docs = sets.select(col("doc_id"), col("toks"), col("n")).cache()
     // repartition: the docs scan is few partitions (small file), but this
     // row set is the probe side of the pair-generating join — the whole
     // candidate+verify codegen stage inherits ITS parallelism. 10k rows

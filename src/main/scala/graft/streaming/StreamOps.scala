@@ -227,7 +227,19 @@ object StreamOps {
   def streamingNearDup(docs: DataFrame, index: DataFrame,
                        threshold: Double = 0.5): DataFrame = {
     import graft.queries.SimilarityQ
-    val sig = SimilarityQ.hashedTokenSets(docs)
+    streamingNearDupFromSets(SimilarityQ.hashedTokenSets(docs), index,
+      threshold)
+  }
+
+  /** [[streamingNearDup]] over PRECOMPUTED token sets (doc_id, toks, n)
+    * — the incremental curation delta already tokenized its arrivals in
+    * the scoring stage (round 14, VERDICT #3). */
+  private[graft] def streamingNearDupFromSets(sets: DataFrame,
+                                              index: DataFrame,
+                                              threshold: Double = 0.5): DataFrame = {
+    import graft.queries.SimilarityQ
+    val sig = sets
+      .select(col("doc_id"), col("toks"), col("n"))
       .withColumn("buckets", SimilarityQ.bucketVector)
       .select(col("doc_id"), col("toks"), col("n"), col("buckets"),
         posexplode(col("buckets")).as(Seq("band_s", "bucket_s")))
@@ -270,7 +282,13 @@ object StreamOps {
     * appending the signatures of accepted new docs. */
   def signatureIndex(corpus: DataFrame): DataFrame = {
     import graft.queries.SimilarityQ
-    SimilarityQ.hashedTokenSets(corpus)
+    signatureIndexFromSets(SimilarityQ.hashedTokenSets(corpus))
+  }
+
+  /** [[signatureIndex]] over PRECOMPUTED token sets (doc_id, toks, n). */
+  private[graft] def signatureIndexFromSets(sets: DataFrame): DataFrame = {
+    import graft.queries.SimilarityQ
+    sets.select(col("doc_id"), col("toks"), col("n"))
       .withColumn("buckets", SimilarityQ.bucketVector)
   }
 
