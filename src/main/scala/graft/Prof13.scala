@@ -112,11 +112,9 @@ object Prof13 {
       val tf = UnigramLm.termFreq(docs.filter(!isQ), "doc_id", "text").cache()
       timed("q121 tf materialize") { noop(tf) }
       timed("q121 LexIndex.build") { LexIndex.build(tf, s"$root/lex") }
-      timed("q121 df+ndocs writes") {
+      timed("q121 df write") {
         tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
           .write.mode("overwrite").parquet(s"$root/df")
-        tf.agg(count_distinct(col("doc_id")).as("n_docs"))
-          .write.mode("overwrite").parquet(s"$root/ndocs")
       }
       tf.unpersist()
       val emb = Tables.embeddings(spark, sfDir)

@@ -200,8 +200,16 @@ object LexIndex {
     if (written.nonEmpty)
       spark.read.option("basePath", dst).parquet(dst)
         .select(col("doc_id"), col("tb"))
-        .distinct()
-        .hint("rebalance", col("tb"))
+        // ONE exchange (round 14, guide §2.4): hash-cluster on tb, then
+        // dedup in place — HashPartitioning(tb) satisfies the
+        // distinct's ClusteredDistribution(doc_id, tb), so the former
+        // distinct-then-rebalance pair's second shuffle (and its AQE
+        // stage job) is gone. One task per bucket matches the
+        // partitioned layout; the docmap is doc-grain per bucket, an
+        // order of magnitude under the postings the same bucket hash
+        // already spreads.
+        .repartition(col("tb"))
+        .dropDuplicates("doc_id", "tb")
         .sortWithinPartitions(col("tb"), col("doc_id"))
         .write.mode("overwrite").partitionBy("tb")
         .parquet(s"${docmapDir(path)}/v=$v")

@@ -80,8 +80,11 @@ object SemanticDecontam {
   def flagIndexed(index: DataFrame, centroids: DataFrame, bench: DataFrame,
                   idCol: String, vecCol: String, threshold: Double,
                   nprobe: Int = 3): DataFrame = {
+    // probe-sized assignment: the bench set is a bounded query workload
+    // — skip the corpus-fan-out spread (round 14, per-job constants)
     val probes = KMeans
-      .assignTop(bench, idCol, vecCol, centroids, nprobe)
+      .assignTopPrepared(KMeans.prep(bench, idCol, vecCol), idCol,
+        centroids, nprobe)
       .select(col(idCol).as("q_id"), col("cid").as("q_cid"))
       .join(bench.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")),
         Seq("q_id"))

@@ -356,7 +356,10 @@ object DailyDriver {
     val cents = vp.centroids.getOrElse(
       throw new IllegalStateException(
         s"driver vec index at $vdir has no quantizer — init with embeddings first"))
-    val pr0 = KMeans.assignTop(probes, "q_id", "embedding", cents, nprobe)
+    // probe-sized assignment: skip the corpus-fan-out spread (round 14)
+    val pr0 = KMeans
+      .assignTopPrepared(KMeans.prep(probes, "q_id", "embedding"), "q_id",
+        cents, nprobe)
       .join(probes, Seq("q_id"))
       .select(col("q_id"), col("embedding").as("q_vec"), col("cid").as("q_cid"))
     // the PQ path is taken only when the code table EXISTS and its

@@ -46,11 +46,10 @@ object CurationQ7 {
     LexIndex.build(tf, s"$root/lex")
     tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$root/df")
-    // n_docs is already in the just-built index's 1-row stats (COUNT
-    // DISTINCT doc over the same tf — integer-exact); re-aggregating
-    // the corpus for it was a redundant pass (round 13, guide §1.2)
-    LexIndex.stats(s, s"$root/lex").select(col("n_docs"))
-      .write.mode("overwrite").parquet(s"$root/ndocs")
+    // NO ndocs sidecar (round 14, guide §1.5): n_docs lives in the
+    // just-built index's 1-row stats — the search half reads it from
+    // there, so persisting a copy was one write job (and one read) per
+    // build for a number the index already owns.
     tf.unpersist()
     val emb = Tables.embeddings(s, d)
     val isQv = (col("vec_id") % qMod === 0) && (col("vec_id") < qCap)
@@ -61,17 +60,19 @@ object CurationQ7 {
   }
 
   /** The RECURRING half: search the persisted layouts. Reads = the query
-    * docs/vectors (id-capped pushed-filter scans), the persisted df/ndocs
-    * stats, the query terms' lex buckets, and the probes' nprobe cells —
+    * docs/vectors (id-capped pushed-filter scans), the persisted df table
+    * and the index's stats row, the query terms' lex buckets, and the probes' nprobe cells —
     * never the corpus. */
   private[graft] def searchHybridIndexes(s: SparkSession, d: String,
                                            root: String): DataFrame = {
+    import graft.operators.LexIndex
     val emb = Tables.embeddings(s, d)
     val cents = emb.filter(col("vec_id") < idxCells)
       .select(col("vec_id").cast(IntegerType).as("cid"),
         col("embedding").as("centroid"))
     fuseSearch(s, d, s"$root/lex", s.read.parquet(s"$root/df"),
-      s.read.parquet(s"$root/ndocs"), s"$root/vec", "vec_id", cents)
+      LexIndex.stats(s, s"$root/lex").select(col("n_docs")),
+      s"$root/vec", "vec_id", cents)
   }
 
   /** The fused hybrid search over ARBITRARY index roots — factored so
@@ -101,8 +102,12 @@ object CurationQ7 {
     // ----- vector side
     val emb = Tables.embeddings(s, d)
     val isQv = (col("vec_id") % qMod === 0) && (col("vec_id") < qCap)
+    // probe-sized assignment: skip the corpus-fan-out spread (round 14
+    // — the probe set is a bounded query workload; the spread's
+    // exchange + full-parallelism stage were pure per-job constants)
     val probes = KMeans
-      .assignTop(emb.filter(isQv), "vec_id", "embedding", cents, idxNprobe)
+      .assignTopPrepared(KMeans.prep(emb.filter(isQv), "vec_id", "embedding"),
+        "vec_id", cents, idxNprobe)
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
         col("cid").as("q_cid"))
@@ -151,8 +156,9 @@ object CurationQ7 {
     * layout; layout 3: the snapshot store's revisioned `snap/v=N/r=K`
     * data dirs and the driver's batch-partitioned decision/signature
     * tables; layout 4: the snap root carries v=1's training-shard
-    * export). */
-  private val idxLayoutGen = 4
+    * export; layout 5: no ndocs sidecar — n_docs reads from the lex
+    * index's stats row). */
+  private val idxLayoutGen = 5
 
   /** Content fingerprint of the tables the cached index roots derive
     * from — file names/lengths/mtimes of the documents + embeddings

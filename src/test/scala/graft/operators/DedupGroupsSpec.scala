@@ -56,6 +56,33 @@ class DedupGroupsSpec extends SparkSpecBase {
     }
   }
 
+  test("raw-pair / contracted-driver / distributed paths agree (round 14)") {
+    // 600 random edges over 200 nodes: the DEFAULT gate takes the raw-
+    // pair driver path; a gate between the raw count and the contracted
+    // edge count forces the clique-contraction + driver union-find
+    // path; gate 0 forces the distributed loop. All three must agree.
+    val rnd = new scala.util.Random(29)
+    val edges = Seq.fill(600)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+    val pairs = edges.toDF("a", "b")
+    val raw = DedupGroups.canonicalize(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val contracted = DedupGroups.canonicalize(pairs, "a", "b",
+      driverEdgeGate = 300).as[(Long, Long)].collect().toMap
+    val loop = DedupGroups.canonicalize(pairs, "a", "b", driverEdgeGate = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(raw == contracted)
+    assert(raw == loop)
+    // the raw path must still cover EVERY doc appearing in a pair
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    assert(raw.keySet == verts)
+  }
+
+  test("unionFindAll emits every vertex, roots mapped to themselves") {
+    val m = DedupGroups.unionFindAll(Iterator((5L, 9L), (9L, 2L), (7L, 8L)))
+    assert(m == Map(5L -> 2L, 9L -> 2L, 2L -> 2L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("unionFindMin maps every member to its component minimum") {
     val m = DedupGroups.unionFindMin(Iterator((5L, 9L), (9L, 2L), (7L, 8L)))
     assert(m.getOrElse(5L, 5L) == 2L)

@@ -54,6 +54,50 @@ class KMeansSpec extends SparkSpecBase {
     assert(a.agg(min($"cos")).as[Double].head() > 0.0)
   }
 
+  test("cell_top kernel ≡ crossJoin+row_number window (ties, NaN, nprobe>k)") {
+    // centroids engineered for the SortOrder edge cases the kernel must
+    // replicate bitwise: cid 0 and 1 are IDENTICAL (exact cosine tie →
+    // lower cid first), cid 2 carries a NaN element (NaN cosine — the
+    // window's descending comparator ranks NaN greatest), cid 3 is a
+    // distinct direction; nprobe exceeds k (row_number <= nprobe
+    // semantics: all k cells, best-first).
+    val vecs = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0f, 0f)),
+      (3L, Seq(0.6f, 0.8f, 0f, 0f))).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (0, Seq(0.7f, 0.7f, 0f, 0f)),
+      (1, Seq(0.7f, 0.7f, 0f, 0f)),
+      (2, Seq(Float.NaN, 1f, 0f, 0f)),
+      (3, Seq(0f, 0f, 1f, 0f))).toDF("cid", "centroid")
+    val nprobe = 6
+    val kernel = KMeans.assignTop(vecs, "vec_id", "embedding", cents, nprobe)
+      .select($"vec_id", $"prb", $"cid", $"cos")
+      .as[(Long, Int, Int, Double)].collect().toSet
+    // reference: the replaced window plan, spelled inline
+    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      call_function("float_dot", a, b)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"cos".desc, $"cid".asc)
+    val window = vecs
+      .withColumn("norm", sqrt(dot($"embedding", $"embedding")))
+      .crossJoin(broadcast(cents
+        .withColumn("c_norm", sqrt(dot($"centroid", $"centroid")))))
+      .withColumn("cos", dot($"embedding", $"centroid") / ($"norm" * $"c_norm"))
+      .withColumn("prb", row_number().over(w))
+      .filter($"prb" <= nprobe)
+      .select($"vec_id", $"prb", $"cid", $"cos")
+      .as[(Long, Int, Int, Double)].collect().toSet
+    // compare on keys; cosines bitwise via java bits (NaN == NaN there)
+    def key(t: (Long, Int, Int, Double)) =
+      (t._1, t._2, t._3, java.lang.Double.doubleToLongBits(t._4))
+    assert(kernel.map(key) == window.map(key))
+    // every vector got all k cells (nprobe > k), ties resolved 0-before-1
+    assert(kernel.count(_._1 == 1L) == 4)
+    val tieOrder = kernel.filter(t => t._1 == 3L && t._3 <= 1).toSeq.sortBy(_._2)
+    assert(tieOrder.map(_._3) == Seq(0, 1))
+  }
+
   test("zero vectors are excluded rather than assigned arbitrarily") {
     val withZero = fixture.union(Seq((999L, Seq(0f, 0f, 0f, 0f))).toDF("vec_id", "embedding"))
     val cents = KMeans.lloyd(withZero, "vec_id", "embedding", k = 3, iters = 1)

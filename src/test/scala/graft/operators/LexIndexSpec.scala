@@ -337,6 +337,36 @@ class LexIndexSpec extends SparkSpecBase {
       "replayed merge stats diverge")
   }
 
+  test("null term/doc_id tf rows are dropped at build and merge (ADVICE r13)") {
+    import spark.implicits._
+    // the window-denormalized build must not admit rows the former
+    // dl/df inner joins dropped: a null term would land a
+    // tb=__HIVE_DEFAULT_PARTITION__ directory (manifest listing throws)
+    // and a null doc_id would shift the stats' distinct count
+    val clean = Seq(
+      ("alpha", 1L, 2L), ("beta", 1L, 1L), ("alpha", 2L, 3L))
+      .toDF("term", "doc_id", "tf")
+    val dirty = clean.unionByName(Seq(
+      (null.asInstanceOf[String], 3L, 5L)).toDF("term", "doc_id", "tf"))
+      .unionByName(Seq(("gamma", null.asInstanceOf[java.lang.Long], 7L))
+        .toDF("term", "doc_id", "tf").select(col("term"),
+          col("doc_id").cast("long"), col("tf").cast("long")))
+    val pClean = tempDir("lex-clean")
+    val pDirty = tempDir("lex-dirty")
+    LexIndex.build(clean, pClean)
+    LexIndex.build(dirty, pDirty)
+    assert(postingRows(pDirty).toSeq == postingRows(pClean).toSeq)
+    assert(statsRows(pDirty).toSeq == statsRows(pClean).toSeq)
+    // merge path: a delta carrying null keys folds to the clean delta
+    val delta = Seq(("delta", 9L, 1L)).toDF("term", "doc_id", "tf")
+    val dirtyDelta = delta.unionByName(
+      Seq((null.asInstanceOf[String], 10L, 2L)).toDF("term", "doc_id", "tf"))
+    LexIndex.merge(spark, pClean, delta)
+    LexIndex.merge(spark, pDirty, dirtyDelta)
+    assert(postingRows(pDirty).toSeq == postingRows(pClean).toSeq)
+    assert(statsRows(pDirty).toSeq == statsRows(pClean).toSeq)
+  }
+
   test("an empty build is a valid index that merges grow (zero-corpus stats, not nulls)") {
     val p = tempDir("lexempty")
     val docs = docsAt("/root/testdata/sf0.001").limit(20)
