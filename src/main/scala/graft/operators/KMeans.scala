@@ -42,11 +42,10 @@ object KMeans {
     * @param iters   Lloyd rounds (fixed count — IVF trainers run a small
     *                constant number; convergence detection would add one
     *                action per round for little benefit)
-    * @return trained centroids (cid, centroid: array<float>) — LAZY
-    *         (one bounded k-row plan over the materialized training
-    *         set). Callers that consume it more than once checkpoint it
-    *         (all current ones do, or consume it exactly once in an
-    *         assignment broadcast). */
+    * @return trained centroids (cid, centroid: array<float>) —
+    *         materialized (one k-row localCheckpoint), so consumers'
+    *         plans see a bounded relation and repeated consumption
+    *         never re-evaluates the training run */
   def lloyd(emb: DataFrame, idCol: String, vecCol: String,
             k: Int, iters: Int): DataFrame =
     lloydPrepared(prepSpread(emb, idCol, vecCol), k, iters)
@@ -89,7 +88,13 @@ object KMeans {
       // analysis cost stays bounded.
       if (i % 4 == 3 && i != iters - 1) centroids = centroids.localCheckpoint()
     }
-    centroids.select(col("cid"), col("c_vec").as("centroid"))
+    // ONE final checkpoint (round 14, measured): consumers embed the
+    // trained centroids in their own plans (search joins, assignment
+    // broadcasts) — an un-truncated trainer subtree re-enters THEIR
+    // analysis/planning on every action and measurably gives back the
+    // per-round job savings (q77 slice A/B); it also keeps the
+    // evaluate-once float semantics for multi-consumer callers.
+    centroids.select(col("cid"), col("c_vec").as("centroid")).localCheckpoint()
   }
 
   /** Renumber a quantizer's cids to contiguous 0..n−1 in cid order.
